@@ -1,0 +1,150 @@
+package graft.cli
+
+import java.io.FileInputStream
+import java.util.Properties
+
+import org.slf4j.LoggerFactory
+
+import graft.core.{DeletionWorkflow, GraftSession}
+import graft.catalog.CatalogOps
+import graft.model.{DeletionCriteria, JobConfig, Metrics}
+
+/** CLI entry point — same 11-option surface as the reference
+  * (HiveTableDeletionJob.parseArguments, HiveTableDeletionJob.java:165-261):
+  * `-d/--database -t/--table -w/--where -s/--start-time -e/--end-time
+  *  -tc/--time-column -pc/--partition-column -bs/--backup-strategy
+  *  -bl/--backup-location -dr/--dry-run -c/--config -h/--help`.
+  * Hand-rolled parsing (no commons-cli; offline-resolvable stack,
+  * SURVEY.md §7).
+  */
+object Main {
+  private val logger = LoggerFactory.getLogger(getClass)
+  private val audit = LoggerFactory.getLogger("AUDIT")
+
+  private val Help =
+    """usage: graft.cli.Main [options]
+      | -d,--database <arg>          Database name (required)
+      | -t,--table <arg>             Table name (required)
+      | -w,--where <arg>             WHERE clause for deletion criteria
+      | -s,--start-time <arg>        Start time (yyyy-MM-dd HH:mm:ss), inclusive
+      | -e,--end-time <arg>          End time (yyyy-MM-dd HH:mm:ss), exclusive
+      | -tc,--time-column <arg>      Time column name (default: row_create_ts)
+      | -pc,--partition-column <arg> Partition column name (default: partition_id)
+      | -bs,--backup-strategy <arg>  Backup strategy: hive_table | hdfs | path
+      | -bl,--backup-location <arg>  Backup location (for path strategy)
+      | -dr,--dry-run                Dry run mode (no actual deletion)
+      | -c,--config <arg>            Path to configuration properties file
+      | -h,--help                    Print help message
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val metrics = new Metrics
+    try {
+      val opts = parseArguments(args)
+      if (opts.contains("help")) { println(Help); sys.exit(0) }
+      val config = loadConfiguration(opts)
+
+      logger.info(s"Starting deletion job. Configuration: $config")
+      audit.info(s"JOB_START - Table: ${config.fullTableName}, Criteria: ${config.deletionCriteria}")
+
+      val spark = GraftSession.create(s"${config.fullTableName}_deletion")
+      try {
+        new CatalogOps(spark).validateCatalog()
+        val success = DeletionWorkflow.run(spark, config, metrics)
+        metrics.markJobEnd()
+        logger.info(metrics.report)
+        if (success) { audit.info("JOB_SUCCESS"); sys.exit(0) }
+        else { audit.error("JOB_FAILED"); sys.exit(1) }
+      } finally spark.stop()
+    } catch {
+      case e: Exception =>
+        logger.error(s"Job failed with exception: ${e.getMessage}", e)
+        audit.error(s"JOB_EXCEPTION - Error: ${e.getMessage}")
+        metrics.markJobEnd()
+        sys.exit(1)
+    }
+  }
+
+  /** Parse `-x value` / `--long value` / boolean flags into a key→value map
+    * keyed by long option name.
+    */
+  private[cli] def parseArguments(args: Array[String]): Map[String, String] = {
+    val aliases = Map(
+      "-d" -> "database", "--database" -> "database",
+      "-t" -> "table", "--table" -> "table",
+      "-w" -> "where", "--where" -> "where",
+      "-s" -> "start-time", "--start-time" -> "start-time",
+      "-e" -> "end-time", "--end-time" -> "end-time",
+      "-tc" -> "time-column", "--time-column" -> "time-column",
+      "-pc" -> "partition-column", "--partition-column" -> "partition-column",
+      "-bs" -> "backup-strategy", "--backup-strategy" -> "backup-strategy",
+      "-bl" -> "backup-location", "--backup-location" -> "backup-location",
+      "-dr" -> "dry-run", "--dry-run" -> "dry-run",
+      "-c" -> "config", "--config" -> "config",
+      "-h" -> "help", "--help" -> "help")
+    val flags = Set("dry-run", "help")
+
+    var opts = Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val key = aliases.getOrElse(args(i), {
+        System.err.println(Help)
+        throw new IllegalArgumentException(s"Unknown option: ${args(i)}")
+      })
+      if (flags(key)) { opts += key -> "true"; i += 1 }
+      else {
+        if (i + 1 >= args.length) {
+          System.err.println(Help)
+          throw new IllegalArgumentException(s"Missing value for option: ${args(i)}")
+        }
+        opts += key -> args(i + 1); i += 2
+      }
+    }
+    if (!opts.contains("help")) {
+      Seq("database", "table").foreach { required =>
+        if (!opts.contains(required)) {
+          System.err.println(Help)
+          throw new IllegalArgumentException(s"Missing required option: --$required")
+        }
+      }
+    }
+    opts
+  }
+
+  /** classpath application.properties → optional --config file → CLI
+    * overrides (reference: loadConfiguration,
+    * HiveTableDeletionJob.java:266-328).
+    */
+  private[cli] def loadConfiguration(opts: Map[String, String]): JobConfig = {
+    val props = new Properties()
+    val cl = getClass.getClassLoader
+    Option(cl.getResourceAsStream("application.properties")).foreach { in =>
+      try props.load(in) finally in.close()
+    }
+    opts.get("config").foreach { path =>
+      val in = new FileInputStream(path)
+      try props.load(in) finally in.close()
+    }
+
+    val criteriaBuilder = DeletionCriteria.builder()
+    opts.get("where").foreach(criteriaBuilder.whereClause)
+    opts.get("start-time").foreach(criteriaBuilder.startTime)
+    opts.get("end-time").foreach(criteriaBuilder.endTime)
+    opts.get("time-column").foreach(criteriaBuilder.timeColumn)
+    val criteria = criteriaBuilder.build()
+
+    var config = JobConfig(
+      database = opts("database"),
+      tableName = opts("table"),
+      deletionCriteria = criteria
+    ).withProperties(props)
+
+    opts.get("partition-column").foreach(v => config = config.copy(partitionColumn = v))
+    opts.get("backup-strategy").foreach(v => config = config.copy(backupStrategy = v))
+    opts.get("backup-location").foreach(v => config = config.copy(backupLocation = Some(v)))
+    if (opts.contains("dry-run")) config = config.copy(dryRun = true)
+
+    config.validate()
+    config
+  }
+}
