@@ -1,13 +1,85 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Analytics, DeletionOps}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 or a
+  * training-data-pipeline extension; entries with a matching [[oracleSql]]
+  * are hash-checked against DuckDB on the same parquet tables (oracle SQL
+  * is DuckDB dialect). Entries without oracle SQL (MinHash LSH, SimHash,
+  * hyperplane-LSH) are engine-internal hash functions DuckDB cannot
+  * reproduce — they get the driver's rows-only check and dedicated
+  * ScalaTest invariants instead.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deletion-engine relational semantics (SURVEY.md §2.2/§2.7)
+    "del_retain_complement" -> (DeletionOps.retainComplement _),
+    "del_dryrun_counts" -> (DeletionOps.dryRunCounts _),
+    "del_affected_partitions" -> (DeletionOps.affectedPartitions _),
+    "del_partition_filter" -> (DeletionOps.partitionFilterScan _),
+    "del_time_window" -> (DeletionOps.timeWindowCounts _),
+    "partition_parse" -> (DeletionOps.partitionParse _),
+    // general Spark SQL capability surface (SURVEY.md §2.8) / bench headliners
+    "q1_pricing_summary" -> (Analytics.q1PricingSummary _),
+    "q3_top_orders" -> (Analytics.q3TopOrders _),
+    "q5_nation_revenue" -> (Analytics.q5NationRevenue _),
+    "top_parts_window" -> (Analytics.topPartsPerBrand _),
+    "events_hourly" -> (Analytics.eventsHourly _),
+    "events_sessionize" -> (Analytics.sessionize _),
+    // text analysis
+    "text_stats" -> (TextAnalysis.stats _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // deduplication
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_bag_of_words" -> (Dedup.bagOfWords _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // similarity search
+    "knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
+    // multimodal plumbing
+    "multimodal_features" -> (Multimodal.features _)
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "del_retain_complement" -> DeletionOps.retainComplementSql,
+    "del_dryrun_counts" -> DeletionOps.dryRunCountsSql,
+    "del_affected_partitions" -> DeletionOps.affectedPartitionsSql,
+    "del_partition_filter" -> DeletionOps.partitionFilterScanSql,
+    "del_time_window" -> DeletionOps.timeWindowCountsSql,
+    "partition_parse" -> DeletionOps.partitionParseSql,
+    "q1_pricing_summary" -> Analytics.q1Sql,
+    "q3_top_orders" -> Analytics.q3Sql,
+    "q5_nation_revenue" -> Analytics.q5Sql,
+    "top_parts_window" -> Analytics.topPartsSql,
+    "events_hourly" -> Analytics.eventsHourlySql,
+    "events_sessionize" -> Analytics.sessionizeSql,
+    "text_stats" -> TextAnalysis.statsSql,
+    "text_quality" -> TextAnalysis.qualitySql,
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "knn_brute_force" -> Similarity.knnBruteForceSql(),
+    "knn_ivf" -> Similarity.knnIvfSql(),
+    "multimodal_features" -> Multimodal.featuresSql
+  )
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** General analytics over the star schema — the capability surface the
+  * reference exposes by accepting arbitrary Spark SQL in `--where`
+  * (SURVEY.md §2.8: "everything else arrives via vanilla Spark SQL, which
+  * the engine must keep exposed"). These double as the benchmark
+  * headliners.
+  *
+  * Scale notes per query in the scaladocs; common rules: join small
+  * dimensions with `broadcast()` (no shuffle of the fact table), keep
+  * aggregates partial-aggregation-friendly, round floating outputs so the
+  * DuckDB oracle hash-matches.
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: single scan of lineitem, map-side
+    * partial aggregation into 6 groups — shuffle is O(groups), scales to
+    * any data size. Whole-stage codegen covers scan→agg.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H Q3-shaped top unshipped orders: customer is the smallest side →
+    * broadcast; orders⨝lineitem shuffles on orderkey once. Top-10 with a
+    * deterministic tiebreak.
+    */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped local-supplier revenue: every dimension
+    * (region/nation/customer/supplier) broadcast; the only big shuffle is
+    * lineitem⨝orders on orderkey. Group count = nations, so the final agg
+    * is tiny.
+    */
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window function: top-3 parts per brand by retail price. Shuffles once
+    * on p_brand; deterministic tiebreak on p_partkey keeps the oracle
+    * stable.
+    */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rank")
+  }
+
+  val topPartsSql: String =
+    """SELECT p_brand, rank, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_brand
+      |                               ORDER BY p_retailprice DESC, p_partkey) AS rank
+      |  FROM part) WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin
+
+  /** Hourly tumbling-window aggregate over the event stream (batch form of
+    * the Structured Streaming query in graft.streaming). Hour rendered as
+    * text: the raw column is ns in parquet, µs in Spark.
+    */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val eventsHourlySql: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: split each user's event stream on >30-minute gaps
+    * (lag + conditional cumulative sum), then summarize sessions. One
+    * shuffle on user_id; both windows reuse the same partitioning.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, language ID
+  * (n-gram/stopword heuristic), and document fingerprinting. All pure
+  * column expressions (whole-stage codegen, no UDFs), each with a DuckDB
+  * oracle; tokenization = single-space split in both dialects.
+  *
+  * At 100 TB these are embarrassingly parallel single-scan map operations —
+  * no shuffle at all except the fingerprint dedup group.
+  */
+object TextAnalysis {
+
+  private val tokens = split(col("text"), " ")
+
+  /** Per-document token statistics. */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct_tokens"),
+        round(size(array_distinct(tokens)).cast("double") / size(tokens), 4).as("distinct_ratio"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(tokens), 4)
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val statsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_calc,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS distinct_ratio,
+      |  round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Quality scoring: length bounds + stopword density + vocabulary
+    * diversity → keep/drop flag (the standard pre-training corpus filters,
+    * cf. C4/Gopher-style rules).
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopSet = Stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("stop_cnt",
+        size(expr(s"filter(split(text, ' '), x -> x IN ($stopSet))")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("stop_cnt").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(size(array_distinct(tokens)).cast("double") / size(tokens), 4).as("distinct_ratio"),
+        (col("n_tokens").between(10, 2000) &&
+          (col("stop_cnt").cast("double") / col("n_tokens")) >= 0.01 &&
+          (size(array_distinct(tokens)).cast("double") / size(tokens)) >= 0.3).as("is_quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val stopSet = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  round(len(list_filter(string_split(text, ' '), x -> x IN ($stopSet))) * 1.0
+       |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+       |        / len(string_split(text, ' ')), 4) AS distinct_ratio,
+       |  (len(string_split(text, ' ')) BETWEEN 10 AND 2000
+       |   AND len(list_filter(string_split(text, ' '), x -> x IN ($stopSet))) * 1.0
+       |       / len(string_split(text, ' ')) >= 0.01
+       |   AND len(list_distinct(string_split(text, ' '))) * 1.0
+       |       / len(string_split(text, ' ')) >= 0.3) AS is_quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic: CJK script detection by codepoint range, then
+    * per-language stopword scoring with a deterministic argmax. (The
+    * synthetic corpus shares one vocabulary across its `lang` labels, so
+    * this checks the OPERATOR — identical prediction in engine and oracle —
+    * not label recovery.)
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def score(words: Seq[String]) = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      size(expr(s"filter(split(text, ' '), x -> x IN ($set))"))
+    }
+    val en = score(Seq("the", "a", "of", "and", "is"))
+    val fr = score(Seq("le", "la", "les", "et", "est"))
+    val es = score(Seq("el", "la", "los", "y", "es"))
+    val de = score(Seq("der", "die", "das", "und", "ist"))
+    Tables.documents(spark, sfDir)
+      .withColumn("has_cjk", col("text").rlike("[\\u4e00-\\u9fff]"))
+      .withColumn("s_en", en).withColumn("s_fr", fr)
+      .withColumn("s_es", es).withColumn("s_de", de)
+      .withColumn("predicted_lang",
+        when(col("has_cjk"), lit("zh"))
+          .when(greatest(col("s_en"), col("s_fr"), col("s_es"), col("s_de")) === 0, lit("unknown"))
+          .when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")), lit("en"))
+          .when(col("s_fr") >= greatest(col("s_es"), col("s_de")), lit("fr"))
+          .when(col("s_es") >= col("s_de"), lit("es"))
+          .otherwise(lit("de")))
+      .select("doc_id", "has_cjk", "s_en", "s_fr", "s_es", "s_de", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def score(words: Seq[String]) = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($set)))"
+    }
+    val (en, fr, es, de) = (
+      score(Seq("the", "a", "of", "and", "is")),
+      score(Seq("le", "la", "les", "et", "est")),
+      score(Seq("el", "la", "los", "y", "es")),
+      score(Seq("der", "die", "das", "und", "ist")))
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       |    $en AS s_en, $fr AS s_fr, $es AS s_es, $de AS s_de
+       |  FROM documents)
+       |SELECT doc_id, has_cjk, s_en, s_fr, s_es, s_de,
+       |  CASE WHEN has_cjk THEN 'zh'
+       |       WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+       |       WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+       |       WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+       |       WHEN s_es >= s_de THEN 'es'
+       |       ELSE 'de' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token bag — an
+    * order-insensitive content hash (the cross-dialect-stable stand-in for
+    * a rolling hash; binary token order matches between Spark UTF8 and
+    * DuckDB default collation for this corpus).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens))).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
