@@ -40,6 +40,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_token_count" -> (TextAnalysis.tokenCount _),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "text_token_count" -> TextAnalysis.tokenCountSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -93,9 +93,9 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("centroid_id").as("cell"))
 
     val queries = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
     val scored = assigned.join(broadcast(queries),
-        assigned("cell") === queries("cell") && col("vec_id") =!= col("query_id"))
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -134,6 +134,35 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** GPT-2-style pre-tokenizer regex: letter runs, single digits, and
+    * punctuation runs each count as one (pre-merge) token — the standard
+    * upper bound used for corpus token budgeting when the real BPE merges
+    * aren't loaded. Identical pattern in Spark (Java regex) and DuckDB (RE2).
+    */
+  private val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+  /** Token counting: whitespace tokens vs BPE-ish subword-boundary tokens
+    * per document, plus corpus-budgeting byte length. Single scan, no
+    * shuffle — at 100 TB this is the map-only pass that sizes a training
+    * run.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(tokens).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)))
+          .as("n_bpe_tokens"),
+        octet_length(col("text")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '$BpeIshPattern')) AS n_bpe_tokens,
+       |  octet_length(encode(text)) AS n_bytes
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: md5 over the sorted distinct token bag — an
     * order-insensitive content hash (the cross-dialect-stable stand-in for
     * a rolling hash; binary token order matches between Spark UTF8 and

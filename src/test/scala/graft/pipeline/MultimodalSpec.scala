@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** Multimodal plumbing: the mapPartitions feature-extraction stage must
+  * agree with the column-arithmetic oracle surface, stay deterministic,
+  * and frame sampling must multiply rows exactly.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("mapPartitions feature extraction matches the column-arithmetic surface") {
+    val a = Multimodal.assets(spark, sfDir).cache()
+    val viaPartitions = Multimodal.extractFeatures(spark, a)
+      .select("asset_id", "width", "height")
+    val viaColumns = Multimodal.features(spark, sfDir)
+      .select("asset_id", "width", "height")
+    assert(viaPartitions.exceptAll(viaColumns).count() === 0)
+    assert(viaColumns.exceptAll(viaPartitions).count() === 0)
+  }
+
+  test("stub fingerprint is deterministic across runs") {
+    val a = Multimodal.assets(spark, sfDir)
+    val f1 = Multimodal.extractFeatures(spark, a).select("asset_id", "fingerprint")
+    val f2 = Multimodal.extractFeatures(spark, a).select("asset_id", "fingerprint")
+    assert(f1.exceptAll(f2).count() === 0)
+  }
+
+  test("frame sampling emits exactly ceil(n_frames/stride) rows per asset") {
+    val a = Multimodal.assets(spark, sfDir)
+    val frames = Multimodal.frameSample(a, stride = 10)
+    val bad = frames.groupBy("asset_id", "n_frames")
+      .agg(count(lit(1)).as("n_sampled"))
+      .where(col("n_sampled") =!= ceil(col("n_frames").cast("double") / 10).cast("long"))
+      .count()
+    assert(bad === 0)
+    // frame indices respect the stride grid and stay in range
+    assert(frames.where(col("frame_idx") % 10 =!= 0).count() === 0)
+    assert(frames.where(col("frame_idx") >= col("n_frames")).count() === 0)
+  }
+}

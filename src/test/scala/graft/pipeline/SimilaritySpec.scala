@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.testkit.SparkTestSession
+
+/** Invariants for the similarity-search operators: exact top-k correctness
+  * of the brute-force baseline (checked against an independent in-driver
+  * recomputation), IVF's subset/ranking contract, and LSH verification
+  * soundness (no false positives — recall is the tunable, precision is not).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("brute-force kNN: k rows per query, ranks contiguous, cosine non-increasing") {
+    val knn = Similarity.knnBruteForce(spark, sfDir, nQueries = 5, k = 4).cache()
+    val perQuery = knn.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr"), min("rank").as("minr"))
+    assert(perQuery.where(col("n") =!= 4 || col("maxr") =!= 4 || col("minr") =!= 1).count() === 0)
+    assert(knn.where(col("query_id") === col("neighbor_id")).count() === 0)
+    // cosine must be non-increasing in rank within each query
+    val sorted = knn.orderBy("query_id", "rank")
+      .select("query_id", "rank", "cosine").collect()
+    sorted.sliding(2).foreach {
+      case Array(a, b) if a.getLong(0) == b.getLong(0) =>
+        assert(a.getDouble(2) >= b.getDouble(2),
+          s"cosine increased with rank for query ${a.getLong(0)}")
+      case _ => ()
+    }
+  }
+
+  test("brute-force kNN rank-1 matches an independent argmax recomputation") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = Similarity.knnBruteForce(spark, sfDir, nQueries = 5, k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (q, got) =>
+      val expected = e.filterNot(_._1 == q)
+        .maxBy { case (id, v) => (cos(e(q), v), -id) }._1
+      assert(got === expected, s"query $q: expected neighbor $expected, got $got")
+    }
+  }
+
+  test("IVF kNN neighbors are a subset of the full corpus with correct cosines") {
+    val ivf = Similarity.knnIvf(spark, sfDir, nQueries = 5, k = 4).cache()
+    // per-query ranking contract (cells can hold < k+1 vectors, so n <= k)
+    val bad = ivf.groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("maxr"))
+      .where(col("n") > 4 || col("maxr") =!= col("n")).count()
+    assert(bad === 0)
+    assert(ivf.where(col("query_id") === col("neighbor_id")).count() === 0)
+    // every reported cosine must equal the true cosine of that pair
+    // (IVF approximates the candidate SET, never the scores)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val recomputed = ivf
+      .join(e.as("q"), col("query_id") === col("q.vec_id"))
+      .join(e.as("n"), col("neighbor_id") === col("n.vec_id"))
+      .withColumn("true_cos", round(Similarity.cosine(col("q.v"), col("n.v")), 4))
+    assert(recomputed.where(abs(col("cosine") - col("true_cos")) > 1e-9).count() === 0)
+  }
+
+  test("hyperplane LSH pairs: no false positives, ordered, deduplicated") {
+    val pairs = Similarity.cosineLshPairs(spark, sfDir).cache()
+    assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
+    assert(pairs.groupBy("id_a", "id_b").count().where(col("count") > 1).count() === 0)
+    assert(pairs.where(col("cosine") < 0.4).count() === 0)
+    // soundness vs the exhaustive pair scan: LSH output ⊆ brute-force pairs
+    val brute = Dedup.embeddingCosine(spark, sfDir)
+      .select("id_a", "id_b")
+    assert(pairs.join(brute, Seq("id_a", "id_b"), "left_anti").count() === 0)
+  }
+
+  test("identical vectors always collide in every LSH table (recall floor)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val dupPairs = e.as("a").join(e.as("b"),
+        col("a.v") === col("b.v") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val lsh = Similarity.cosineLshPairs(spark, sfDir)
+    assert(dupPairs.join(lsh, Seq("id_a", "id_b"), "left_anti").count() === 0)
+  }
+}
