@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.sources.Tables
+import graft.testkit.SparkTestSession
+
+/** Streaming surface checks: batch/streaming parity for the windowed
+  * aggregate (one query definition serves backfill and tail), and
+  * MemoryStream-driven micro-batch runs for watermark finalization,
+  * stateful sessionization, and watermarked dedup.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyCounts on a batch frame matches the batch eventsHourly operator") {
+    val batch = Analytics.eventsHourly(spark, sfDir)
+    val viaStreamingDef = EventStream.hourlyCounts(Tables.events(spark, sfDir))
+    assert(batch.exceptAll(viaStreamingDef).isEmpty &&
+      viaStreamingDef.exceptAll(batch).isEmpty)
+  }
+
+  test("streaming hourlyCounts finalizes windows once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.hourlyCounts(in.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("hourly_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-10 10:05:00"), 1, "click", 10.0),
+        EventStream.Event(2, ts("2024-01-10 10:45:00"), 2, "view", 5.0),
+        EventStream.Event(3, ts("2024-01-10 10:50:00"), 1, "click", 2.5))
+      q.processAllAvailable()
+      // two sentinel batches: the first advances max event time, the second
+      // computes a watermark from it that passes the 11:00 window end
+      in.addData(EventStream.Event(4, ts("2024-01-10 16:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(5, ts("2024-01-10 16:01:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_sink")
+        .select("hour", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(out === Set(
+        ("2024-01-10 10:00:00", "click", 2L, 12.5),
+        ("2024-01-10 10:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(in.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // user 1: 3-event session, then a >30min gap opens session 2
+        EventStream.Event(1, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-10 10:10:00"), 1, "click", 1.0),
+        EventStream.Event(3, ts("2024-01-10 10:20:00"), 1, "click", 1.0),
+        EventStream.Event(4, ts("2024-01-10 12:00:00"), 1, "click", 1.0),
+        EventStream.Event(5, ts("2024-01-10 12:05:00"), 1, "click", 1.0),
+        // user 2: single-event session
+        EventStream.Event(6, ts("2024-01-10 10:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past every open session's gap deadline
+      in.addData(EventStream.Event(7, ts("2024-01-10 20:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(8, ts("2024-01-10 20:01:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("session_sink")
+        .where(col("user_id") =!= 99)
+        .select("user_id", "session_id", "session_start", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(out === Set(
+        (1L, 1L, ts("2024-01-10 10:00:00"), 3L),
+        (1L, 2L, ts("2024-01-10 12:00:00"), 2L),
+        (2L, 1L, ts("2024-01-10 10:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops in-horizon duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupEvents(in.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+        EventStream.Event(1, ts("2024-01-10 10:00:30"), 1, "click", 1.0), // dup id
+        EventStream.Event(2, ts("2024-01-10 10:01:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(1, ts("2024-01-10 10:02:00"), 1, "click", 1.0)) // dup id
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
