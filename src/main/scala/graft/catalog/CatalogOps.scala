@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
+import graft.partition.PartitionId
+
 /** Thin wrappers over the "metastore algebra" — the catalog DDL surface the
   * reference drives via raw SQL strings (SURVEY.md §2.6 D1–D11) — plus the
   * Hadoop FileSystem operations (S7–S9).
@@ -34,7 +36,7 @@ final class CatalogOps(spark: SparkSession) {
   def partitionExists(table: String, partitionColumn: String, value: String): Boolean =
     try {
       spark.sql(
-        s"SHOW PARTITIONS ${q(table)} PARTITION ($partitionColumn='$value')")
+        s"SHOW PARTITIONS ${q(table)} PARTITION (${PartitionId.partitionSpec(partitionColumn, value)})")
         .count() > 0
     } catch { case _: Exception => false }
 
@@ -51,7 +53,7 @@ final class CatalogOps(spark: SparkSession) {
     */
   def partitionLocation(table: String, partitionColumn: String, value: String): Option[String] = {
     val info = spark.sql(
-      s"DESCRIBE FORMATTED ${q(table)} PARTITION ($partitionColumn='$value')")
+      s"DESCRIBE FORMATTED ${q(table)} PARTITION (${PartitionId.partitionSpec(partitionColumn, value)})")
     info.filter(col("col_name") === "Location")
       .select("data_type")
       .collect()
@@ -66,7 +68,7 @@ final class CatalogOps(spark: SparkSession) {
     */
   def dropPartition(table: String, partitionColumn: String, value: String): Unit =
     spark.sql(
-      s"ALTER TABLE ${q(table)} DROP IF EXISTS PARTITION ($partitionColumn='$value')")
+      s"ALTER TABLE ${q(table)} DROP IF EXISTS PARTITION (${PartitionId.partitionSpec(partitionColumn, value)})")
 
   /** D6: set table properties (backup provenance tagging —
     * backup/HiveTableBackupStrategy.java:46-52).

@@ -42,12 +42,19 @@ object Main {
     try {
       val opts = parseArguments(args)
       if (opts.contains("help")) { println(Help); sys.exit(0) }
-      val config = loadConfiguration(opts)
+      val props = loadProperties(opts)
+      val config = loadConfiguration(opts, props)
 
       logger.info(s"Starting deletion job. Configuration: $config")
       audit.info(s"JOB_START - Table: ${config.fullTableName}, Criteria: ${config.deletionCriteria}")
 
-      val spark = GraftSession.create(s"${config.fullTableName}_deletion")
+      // spark.* keys from the properties overlay reach the session builder
+      // (reference: SparkSessionManager.java:42-50)
+      import scala.jdk.CollectionConverters._
+      val sparkConfs = props.stringPropertyNames.asScala
+        .map(k => k -> props.getProperty(k)).toMap
+      val spark = GraftSession.create(s"${config.fullTableName}_deletion",
+        extraConfs = sparkConfs)
       try {
         new CatalogOps(spark).validateCatalog()
         val success = DeletionWorkflow.run(spark, config, metrics)
@@ -111,11 +118,10 @@ object Main {
     opts
   }
 
-  /** classpath application.properties → optional --config file → CLI
-    * overrides (reference: loadConfiguration,
-    * HiveTableDeletionJob.java:266-328).
+  /** classpath application.properties overlaid with the optional --config
+    * file (reference: loadConfiguration, HiveTableDeletionJob.java:266-328).
     */
-  private[cli] def loadConfiguration(opts: Map[String, String]): JobConfig = {
+  private[cli] def loadProperties(opts: Map[String, String]): Properties = {
     val props = new Properties()
     val cl = getClass.getClassLoader
     Option(cl.getResourceAsStream("application.properties")).foreach { in =>
@@ -125,7 +131,12 @@ object Main {
       val in = new FileInputStream(path)
       try props.load(in) finally in.close()
     }
+    props
+  }
 
+  /** properties → CLI overrides → validated JobConfig. */
+  private[cli] def loadConfiguration(opts: Map[String, String],
+      props: Properties): JobConfig = {
     val criteriaBuilder = DeletionCriteria.builder()
     opts.get("where").foreach(criteriaBuilder.whereClause)
     opts.get("start-time").foreach(criteriaBuilder.startTime)
