@@ -7,12 +7,12 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in [[queries]] is an operator from SURVEY.md §2 or a
-  * training-data-pipeline extension; entries with a matching [[oracleSql]]
-  * are hash-checked against DuckDB on the same parquet tables (oracle SQL
-  * is DuckDB dialect). Entries without oracle SQL (MinHash LSH, SimHash,
-  * hyperplane-LSH) are engine-internal hash functions DuckDB cannot
-  * reproduce — they get the driver's rows-only check and dedicated
-  * ScalaTest invariants instead.
+  * training-data-pipeline extension; every entry has a matching
+  * [[oracleSql]] hash-checked against DuckDB on the same parquet tables
+  * (oracle SQL is DuckDB dialect). Hash-based operators (MinHash, SimHash,
+  * hyperplane-LSH) use arithmetic hashes ([[graft.functions.Hashes]]) so
+  * their oracles reproduce the exact values — no Spark-internal
+  * murmur3/xxhash anywhere in a query contract.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -79,9 +79,12 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_minhash_lsh" -> Dedup.minHashLshSql(),
+    "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
+    "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql
   )
 }

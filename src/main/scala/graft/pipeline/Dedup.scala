@@ -3,37 +3,65 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashes
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline, smallest-to-
-  * largest hammer: exact (hash groupBy), n-gram Jaccard (shingle
-  * self-join), MinHash+LSH (band-bucketed candidates), SimHash (hamming
-  * banding), embedding cosine (see [[Similarity]] for the ANN side).
+  * largest hammer: exact (hash groupBy), n-gram Jaccard (inverted-index
+  * pair generation), MinHash+LSH (band-bucketed candidates), SimHash
+  * (hamming banding), embedding cosine (blocked exact; the ANN candidate
+  * path is [[Similarity.cosineLshPairs]]).
   *
   * Scale design:
   *   - exact dedup: one shuffle on the content hash, map-side combine.
-  *   - n-gram Jaccard is quadratic in docs *sharing a shingle* — at 100 TB
-  *     you never run it globally; it is the verification stage AFTER a
-  *     candidate generator (LSH below). It is exposed standalone because
-  *     the reference-scale corpus allows it and the oracle can check it.
+  *   - n-gram Jaccard: inverted-index pair generation — ONE scan, one
+  *     shuffle on shingle, pairs expanded per posting list, never a raw
+  *     shingle self-join. Shingles above a document-frequency cap are
+  *     dropped from the similarity universe ([[MaxShingleDf]]): a single
+  *     hot shingle otherwise creates a quadratic bucket (the classic
+  *     skewed-key blowup), and ubiquitous shingles carry no near-dup
+  *     signal. The cap is mirrored in the oracle SQL.
   *   - MinHash: signatures computed in ONE aggregation over exploded
   *     shingle hashes (128 permutations as 128 partial-agg min columns —
   *     no |shingles|×|perms| row blowup); LSH bands hash 8 rows each so
   *     candidate generation is an equi-join on (band, bucket): shuffle is
   *     O(docs×bands), independent of pair count.
-  *   - SimHash: 64-bit fingerprint from token-hash bit votes; near-dup
-  *     candidates via 8-bit band equality (hamming ≤ k ⇒ some band equal).
+  *   - SimHash: 64-bit fingerprint from per-token bit votes; near-dup
+  *     candidates via 16-bit band equality (hamming ≤ 3 < 4 bands ⇒ some
+  *     band equal — exhaustive by pigeonhole).
+  *   - every hash is arithmetic ([[Hashes]]) — reproducible in DuckDB, so
+  *     all five operators carry full value-level oracles.
   */
 object Dedup {
 
   private val tokens = split(col("text"), " ")
 
-  /** Token 3-gram shingles (distinct), as used by both Jaccard and MinHash. */
-  private val shingles: Column = expr(
-    """CASE WHEN size(split(text, ' ')) >= 3
-      |THEN array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      |       i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))
-      |ELSE array_distinct(array(text)) END""".stripMargin)
+  /** Materialize the token array once (`t`), then build token 3-gram
+    * shingles from it. Referencing a materialized column keeps the
+    * higher-order shingle lambda from re-splitting the text per element —
+    * HOFs are interpreted, not codegen'd, so repeated work inside them is
+    * real at scale.
+    */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("t", tokens)
+      .withColumn("shingle_arr", expr(
+        """CASE WHEN size(t) >= 3
+          |THEN array_distinct(transform(sequence(0, size(t) - 3),
+          |       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+          |ELSE array_distinct(array(text)) END""".stripMargin))
+
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
+    withShingles(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
+
+  /** DuckDB-dialect shingle CTEs shared by the n-gram and MinHash oracles. */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |         THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |         ELSE list_distinct([text]) END) AS shingle
+      |       FROM toks)""".stripMargin
 
   // ---------------------------------------------------------------- exact
 
@@ -67,78 +95,91 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Near-dup pairs by exact Jaccard over token 3-gram shingles,
-    * threshold 0.8. Shuffles: explode→(shingle) join, then pair groupBy.
+  /** Shingles in more documents than this are dropped from the Jaccard
+    * universe (both engines). Bounds the quadratic pair expansion per
+    * shingle to MaxShingleDf² and removes boilerplate shingles that carry
+    * no near-dup signal — the standard guard that makes the inverted-index
+    * join survive Zipfian corpora.
+    */
+  val MaxShingleDf = 20
+
+  /** Near-dup pairs by exact Jaccard over token 3-gram shingles (threshold
+    * 0.8), via inverted-index pair generation: group postings per shingle,
+    * cap posting length at [[MaxShingleDf]], expand ordered pairs per
+    * posting list, count common shingles per pair. One scan of documents,
+    * shuffles on shingle then on (id_a, id_b) — no shingle self-join.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+    val postings = shingleRows(spark, sfDir)
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) <= MaxShingleDf)
+    // per-doc shingle count over the capped universe
+    val counts = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // ordered pairs per posting list (ids sorted ⇒ id_a < id_b)
+    val pairs = postings.where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |         j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val common = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("ca.n") + col("cb.n") - col("common")), 4))
-      .where(col("jaccard") >= 0.8)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("jac_raw",
+        col("common").cast("double") / (col("ca.n") + col("cb.n") - col("common")))
+      .where(col("jac_raw") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
   val ngramJaccardSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-      |         THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-      |         ELSE list_distinct([array_to_string(t, ' ')]) END) AS shingle
-      |       FROM toks),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |common AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
-      |FROM common
-      |JOIN cnt ca ON id_a = ca.doc_id
-      |JOIN cnt cb ON id_b = cb.doc_id
-      |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH $shingleCtes,
+       |keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= $MaxShingleDf),
+       |sh2 AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+       |FROM common
+       |JOIN cnt ca ON id_a = ca.doc_id
+       |JOIN cnt cb ON id_b = cb.doc_id
+       |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------- MinHash LSH
 
   val NumPerms = 128
   val NumBands = 16 // 8 rows per band
-  private val MersennePrime = 2147483647L // 2^31-1
 
-  /** Deterministic permutation parameters (derived from a fixed LCG so the
-    * operator is reproducible run-to-run).
+  /** Deterministic permutation parameters — arithmetic LCG-derived affine
+    * hashes, identical in the oracle SQL.
     */
-  private val permParams: Seq[(Long, Long)] = {
-    var state = 42L
-    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) }
-    Seq.fill(NumPerms)((next() % (MersennePrime - 1) + 1, next() % MersennePrime))
-  }
+  private val permParams: Seq[(Long, Long)] = Hashes.lcgParams(NumPerms, seed = 42L)
 
   /** MinHash signatures: one row per doc with 128 minhash columns computed
-    * as partial-aggregated mins over exploded shingle hashes.
+    * as partial-aggregated mins over exploded shingle hashes. The shingle
+    * hash is the arithmetic [[Hashes.polyHash]] so the whole signature is
+    * engine-independent.
     */
   def minHashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles).as("shingle"))
-      .withColumn("h", abs(hash(col("shingle")).cast("long")))
+    val sh = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
+      .withColumn("h", Hashes.polyHash(col("shingle")))
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % MersennePrime).as(s"mh_$i")
+      min(Hashes.affine(col("h"), a, b)).as(s"mh_$i")
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: equal (band, band-hash) buckets; then verified by
-    * estimated Jaccard = fraction of equal minhash components ≥ threshold.
+  /** LSH candidate pairs: equal (band, band-bucket) buckets; then verified
+    * by estimated Jaccard = fraction of equal minhash components ≥
+    * threshold.
     */
   def minHashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
     val sigs = minHashSignatures(Tables.documents(spark, sfDir))
@@ -147,7 +188,8 @@ object Dedup {
     val banded = sigArr.select(
       col("doc_id"), col("sig"),
       explode(array((0 until NumBands).map { bnd =>
-        struct(lit(bnd).as("band"), hash(slice(col("sig"), bnd * 8 + 1, 8)).as("bucket"))
+        struct(lit(bnd).as("band"),
+          Hashes.foldBucket(slice(col("sig"), bnd * 8 + 1, 8)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val a = banded.as("a"); val b = banded.as("b")
@@ -166,36 +208,98 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** DuckDB oracle for [[minHashLsh]] — the same 128 affine mins over the
+    * same polynomial shingle hash, same band fold, same estimate.
+    */
+  def minHashLshSql(threshold: Double = 0.7): String = {
+    val minCols = permParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min(${Hashes.affineSql("h", a, b)}) AS mh_$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until NumPerms).map(i => s"mh_$i").mkString("[", ", ", "]")
+    s"""WITH $shingleCtes,
+       |hs AS (SELECT doc_id, ${Hashes.polyHashSql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |sa AS (SELECT doc_id, $sigList AS sig FROM sig),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    ${Hashes.foldBucketSql("sig[band*8+1 : band*8+8]")} AS bucket
+       |  FROM sa CROSS JOIN (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    round(list_sum(list_transform(generate_series(1, $NumPerms),
+       |      i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) / $NumPerms.0, 4) AS est_jaccard
+       |  FROM cand JOIN sa x ON cand.id_a = x.doc_id JOIN sa y ON cand.id_b = y.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------- SimHash
 
   val SimHashBits = 64
+
+  /** Per-bit affine hash parameters over the token's polynomial hash: bit i
+    * of a token's 64-bit signature is parity of (h*a_i + b_i) mod Prime.
+    */
+  private val bitParams: Seq[(Long, Long)] = Hashes.lcgParams(SimHashBits, seed = 911L)
+
+  /** Vote columns v_0..v_63 for one doc: +1 when the token hashes to bit 1,
+    * else -1, summed over distinct tokens.
+    */
+  private def voteAggs: Seq[Column] = bitParams.zipWithIndex.map { case ((a, b), i) =>
+    sum(when(Hashes.affine(col("h"), a, b) % 2 === 1, 1).otherwise(-1)).as(s"v_$i")
+  }
+
+  /** Recombine votes into the 64-bit fingerprint. Bit 63 is added as
+    * Long.MinValue (= 2^63 in two's complement) — the bits are disjoint so
+    * sum == bitwise OR, with no shift-overflow semantics to match across
+    * engines.
+    */
+  private def fingerprintCol: Column =
+    (0 until 63).map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) + when(col("v_63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+
+  /** Bands: 4 × 16 bits. By pigeonhole, maxHamming=3 flips touch at most 3
+    * bands, so every true pair still collides in ≥1 band — candidate
+    * generation stays EXACT for hamming ≤ 3 — while 2^16 buckets (vs 2^8
+    * with 8-bit bands) shrink each band's quadratic bucket join ~256×.
+    */
+  val SimHashBands = 4
+  private val BandBits = SimHashBits / SimHashBands
+
+  /** Band b = its 16 bits as a small non-negative int, computed directly
+    * from the votes (no shifts on the signed fingerprint).
+    */
+  private def bandBucketCol(b: Int): Column =
+    (0 until BandBits).map(j => when(col(s"v_${b * BandBits + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** 64-bit SimHash fingerprints: per-token hash bit votes, sign-aggregated
     * in one groupBy (64 partial-agg sum columns), bits recombined.
     */
   def simHashFingerprints(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val votes = (0 until SimHashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
-    }
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until SimHashBits).map { i =>
-      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), fp.as("simhash"))
+      .withColumn("h", Hashes.polyHash(col("token")))
+    tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), fingerprintCol.as("simhash"),
+        array((0 until SimHashBands).map(bandBucketCol): _*).as("buckets"))
   }
 
-  /** SimHash near-dup candidates: 8×8-bit bands; pairs agreeing on ≥1 band
-    * are verified by exact hamming distance ≤ maxHamming.
+  /** SimHash near-dup candidates: 4×16-bit bands; pairs agreeing on ≥1 band
+    * are verified by exact hamming distance ≤ maxHamming. Detection is
+    * exhaustive for maxHamming < SimHashBands (pigeonhole).
     */
   def simHashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val fps = simHashFingerprints(Tables.documents(spark, sfDir))
     val banded = fps.select(
       col("doc_id"), col("simhash"),
-      explode(array((0 until 8).map { bnd =>
-        struct(lit(bnd).as("band"),
-          shiftright(col("simhash"), bnd * 8).bitwiseAND(0xFF).as("bucket"))
+      explode(array((0 until SimHashBands).map { bnd =>
+        struct(lit(bnd).as("band"), element_at(col("buckets"), bnd + 1).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
     val a = banded.as("a"); val b = banded.as("b")
@@ -210,21 +314,119 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** DuckDB oracle for [[simHashPairs]] — same votes, same fingerprint
+    * assembly, same band buckets, same hamming verify.
+    */
+  def simHashPairsSql(maxHamming: Int = 3): String = {
+    val votes = bitParams.zipWithIndex.map { case ((a, b), i) =>
+      s"sum(CASE WHEN ${Hashes.affineSql("h", a, b)} % 2 = 1 THEN 1 ELSE -1 END) AS v_$i"
+    }.mkString(",\n    ")
+    val fp = (0 until 63).map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ") +
+      " + CASE WHEN v_63 > 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE 0 END"
+    val buckets = (0 until SimHashBands).map { b =>
+      (0 until BandBits).map(j => s"CASE WHEN v_${b * BandBits + j} > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks),
+       |hs AS (SELECT doc_id, ${Hashes.polyHashSql("token")} AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM hs GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash, $buckets AS buckets FROM votes),
+       |banded AS (
+       |  SELECT doc_id, simhash, band, buckets[band + 1] AS bucket
+       |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, ${SimHashBands - 1})) AS band) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM cand JOIN fp x ON cand.id_a = x.doc_id JOIN fp y ON cand.id_b = y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // -------------------------------------------------- embedding near-dup
 
-  /** Embedding near-dup pairs: cosine ≥ threshold over the brute-force
-    * pair space (the oracle-checkable baseline; the LSH-bucketed scale
-    * path is [[Similarity.cosineLshPairs]]).
+  /** Embedding near-dup pairs: EXACT cosine ≥ threshold over all pairs,
+    * computed as a blocked pair join — vectors are grouped into `blocks`
+    * buckets by id, block pairs (B(B+1)/2 tasks) are joined, and each task
+    * scores its two blocks in a primitive-array loop. Same output contract
+    * and oracle as a cartesian join, but: one scan, shuffle O(n·B) instead
+    * of a broadcast-nested-loop row explosion, and the per-pair math runs
+    * as tight JVM float ops instead of interpreted expression folds.
+    *
+    * Exact thresholded similarity join is inherently O(n²) compute — that
+    * is the contract here (measured on these embeddings, every hyperplane-
+    * LSH configuration prunes candidates no faster than it loses recall at
+    * θ≈66°, so approximate bucketing buys nothing). At 100 TB you either
+    * raise the threshold and use [[Similarity.cosineLshPairs]] (LSH wins in
+    * the high-cosine regime) or accept the quadratic cost and scale B.
     */
-  def embeddingCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+  def embeddingCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+      blocks: Int = 16): DataFrame =
+    embeddingCosineOf(Tables.embeddings(spark, sfDir), threshold, blocks)
+
+  /** [[embeddingCosine]] over any (vec_id, embedding) frame. */
+  def embeddingCosineOf(embeddings: DataFrame, threshold: Double = 0.4,
+      blocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", Similarity.cosine(col("a.v"), col("b.v")))
-      .where(col("cos") >= threshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("cos"), 4).as("cosine"))
+      .as[(Long, Array[Double])]
+    val grouped = e.groupByKey(r => (r._1 % blocks).toInt)
+      .mapGroups((blk, it) => (blk, it.toArray))
+      .toDF("blk", "vs")
+    val pairs = grouped.as("a").join(grouped.as("b"), col("a.blk") <= col("b.blk"))
+      .select(col("a.blk"), col("a.vs"), col("b.blk"), col("b.vs"))
+      .as[(Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
+      .flatMap { case (ba, va, bb, vb) =>
+        // identical arithmetic to Similarity.cosine's fold (same index
+        // order, same double ops) so the oracle comparison stays exact
+        def cos(x: Array[Double], y: Array[Double]): Double = {
+          var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+          while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+          dot / (math.sqrt(nx) * math.sqrt(ny))
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        if (ba == bb) {
+          var i = 0
+          while (i < va.length) {
+            var j = i + 1
+            while (j < va.length) {
+              val c = cos(va(i)._2, va(j)._2)
+              if (c >= threshold) {
+                val (lo, hi) = if (va(i)._1 < va(j)._1) (va(i)._1, va(j)._1)
+                               else (va(j)._1, va(i)._1)
+                out += ((lo, hi, c))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < va.length) {
+            var j = 0
+            while (j < vb.length) {
+              val c = cos(va(i)._2, vb(j)._2)
+              if (c >= threshold) {
+                val (lo, hi) = if (va(i)._1 < vb(j)._1) (va(i)._1, vb(j)._1)
+                               else (vb(j)._1, va(i)._1)
+                out += ((lo, hi, c))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "cos")
+    pairs.select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
   }
 

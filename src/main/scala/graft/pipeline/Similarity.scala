@@ -83,14 +83,17 @@ object Similarity {
     val centroids = e.where(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
 
-    // nearest centroid per vector (argmax cosine, tiebreak on centroid_id)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
+    // Nearest centroid per vector as a max_by aggregation (argmax cosine,
+    // tiebreak min centroid_id via the struct ordering). The broadcast
+    // expansion (corpus × centroids) is consumed by the PARTIAL aggregate in
+    // the same stage — only one already-reduced row per vector reaches the
+    // exchange, unlike a row_number window, which would shuffle the whole
+    // expansion just to rank it.
     val assigned = e.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosine(col("cv"), col("v")))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id").as("cell"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"))
+      .select(col("vec_id"), col("v"), col("cell"))
 
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
@@ -126,36 +129,68 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Deterministic pseudo-random hyperplanes as INTEGER weight vectors in
+    * [-1024, 1023] (LCG-derived, fixed across runs). Integer weights ×
+    * integer-quantized coordinates keep the whole bucketing in exact
+    * 64-bit arithmetic, so the oracle SQL reproduces the buckets
+    * bit-for-bit — no float summation-order hazards at the sign boundary.
+    */
+  private def lshPlanes(nTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Long]]] = {
+    var state = 7L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33) & 2047L) - 1024L
+    }
+    Seq.fill(nTables)(Seq.fill(planesPerTable)(Seq.fill(dim)(next())))
+  }
+
+  /** Quantized coordinates: round(x·1000) as long — same value in both
+    * engines (double product of the same float, half-away-from-zero
+    * rounding in both).
+    */
+  private def quantize(v: Column): Column =
+    transform(v, x => round(x * 1000).cast("long"))
+
   /** Random-hyperplane LSH bucketing with OR-amplification: `nTables`
     * independent hash tables of `planesPerTable` sign bits each; candidate
     * pairs share a bucket in ≥1 table, then are verified by exact cosine.
-    * Shuffle is O(vectors × tables), never O(pairs) — the scale path for
-    * embedding dedup (recall rises with nTables, bucket size falls with
-    * planesPerTable).
+    * Shuffle is O(vectors × tables), never O(pairs).
+    *
+    * Regime note (measured on this corpus): at threshold 0.4 (θ≈66°, near-
+    * orthogonal pairs) sign-LSH prunes no faster than it loses recall, so
+    * [[graft.pipeline.Dedup.embeddingCosine]] stays exact. This operator is
+    * the scale path for the HIGH-cosine regime (≥ ~0.8) where p_collision
+    * per bit → 1 and buckets shrink exponentially with planesPerTable —
+    * see the planted-near-dup recall spec.
     */
   def cosineLshPairs(spark: SparkSession, sfDir: String,
       nTables: Int = 8, planesPerTable: Int = 6,
-      threshold: Double = 0.4, dim: Int = 64): DataFrame = {
-    // deterministic pseudo-random hyperplanes (LCG), fixed across runs
-    var state = 7L
-    def next(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
-    val tables = Seq.fill(nTables)(Seq.fill(planesPerTable)(Seq.fill(dim)(next())))
+      threshold: Double = 0.4, dim: Int = 64): DataFrame =
+    cosineLshPairsOf(Tables.embeddings(spark, sfDir), nTables, planesPerTable,
+      threshold, dim)
 
-    val e = Tables.embeddings(spark, sfDir)
+  /** [[cosineLshPairs]] over any (vec_id, embedding) frame — the table-free
+    * core, reusable for planted-fixture recall tests.
+    */
+  def cosineLshPairsOf(embeddings: DataFrame,
+      nTables: Int = 8, planesPerTable: Int = 6,
+      threshold: Double = 0.4, dim: Int = 64): DataFrame = {
+    val tables = lshPlanes(nTables, planesPerTable, dim)
+    val e = embeddings
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("xq", quantize(col("v")))
+    // integer dot with a literal weight vector
+    def intDot(plane: Seq[Long]): Column =
+      aggregate(zip_with(array(plane.map(lit): _*), col("xq"), (w, x) => w * x),
+        lit(0L), (acc, x) => acc + x)
     // one (table, bucket) row per vector per table
     val bucketed = e.select(
       col("vec_id"), col("v"),
       explode(array(tables.zipWithIndex.map { case (planes, t) =>
-        val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
-        struct(lit(t).as("tbl"),
-          // left fold over sign bits: bucket = Σ bit_i · 2^i in plane order
-          aggregate(
-            transform(planesCol, plane => when(dot(plane, col("v")) >= 0, 1L).otherwise(0L)),
-            lit(0L), (acc, bit) => acc * 2 + bit).as("bucket"))
+        // bucket = Σ bit_p · 2^(P-1-p): fold acc*2 + sign-bit in plane order
+        val bucket = planes.map(p => when(intDot(p) >= 0, 1L).otherwise(0L))
+          .foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)
+        struct(lit(t).as("tbl"), bucket.as("bucket"))
       }: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
@@ -168,5 +203,42 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[cosineLshPairs]] — identical integer bucketing
+    * (literal weight vectors), identical exact-cosine verify.
+    */
+  def cosineLshPairsSql(nTables: Int = 8, planesPerTable: Int = 6,
+      threshold: Double = 0.4, dim: Int = 64): String = {
+    val tables = lshPlanes(nTables, planesPerTable, dim)
+    def dotSql(plane: Seq[Long]): String = {
+      val w = plane.mkString("[", ", ", "]")
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($w)[i] * xq[i]))"
+    }
+    val bucketCols = tables.map { planes =>
+      planes.zipWithIndex.map { case (p, i) =>
+        val weight = 1L << (planesPerTable - 1 - i)
+        s"(CASE WHEN ${dotSql(p)} >= 0 THEN $weight ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, embedding,
+       |    $bucketCols AS buckets
+       |  FROM e),
+       |banded AS (
+       |  SELECT vec_id, embedding, tbl, buckets[tbl + 1] AS bucket
+       |  FROM bk CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS tbl) tables),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cosine
+       |FROM cand JOIN e x ON cand.id_a = x.vec_id JOIN e y ON cand.id_b = y.vec_id
+       |WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

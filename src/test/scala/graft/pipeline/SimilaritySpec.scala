@@ -81,6 +81,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.join(brute, Seq("id_a", "id_b"), "left_anti").count() === 0)
   }
 
+  test("LSH finds every planted high-cosine near-dup (the regime it is for)") {
+    // 40 deterministic base vectors, each with a planted near-copy
+    // (small perturbation ⇒ cosine ≳ 0.97). Everything is deterministic
+    // (fixed seed + fixed hyperplanes), so this is a pinned result, not a
+    // probabilistic flake.
+    val rnd = new scala.util.Random(1234)
+    val dim = 64
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + (rnd.nextGaussian() * 0.08).toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Similarity.cosineLshPairsOf(df, threshold = 0.9)
+      .where(col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0)
+    // planted pairs that truly clear the 0.9 threshold
+    val trueHigh = Dedup.embeddingCosineOf(df, threshold = 0.9)
+      .where(col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0)
+    val nTrue = trueHigh.count()
+    assert(nTrue >= 35, s"fixture should plant >=35 high-cosine pairs, got $nTrue")
+    assert(found.count() === nTrue, "recall must be 1.0 on high-cosine near-dups")
+  }
+
   test("identical vectors always collide in every LSH table (recall floor)") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
