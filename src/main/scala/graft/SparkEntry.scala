@@ -35,6 +35,9 @@ object SparkEntry {
     "top_parts_window" -> (Analytics.topPartsPerBrand _),
     "events_hourly" -> (Analytics.eventsHourly _),
     "events_sessionize" -> (Analytics.sessionize _),
+    // streaming definitions in batch form, gated by the SAME oracles
+    "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
+    "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
     // text analysis
     "text_stats" -> (TextAnalysis.stats _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -71,6 +74,8 @@ object SparkEntry {
     "top_parts_window" -> Analytics.topPartsSql,
     "events_hourly" -> Analytics.eventsHourlySql,
     "events_sessionize" -> Analytics.sessionizeSql,
+    "events_hourly_stream_def" -> Analytics.eventsHourlySql,
+    "events_sessionize_stateful" -> Analytics.sessionizeSql,
     "text_stats" -> TextAnalysis.statsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

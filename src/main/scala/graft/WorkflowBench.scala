@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.core.{DeletionWorkflow, GraftSession}
+import graft.model.{DeletionCriteria, JobConfig, Metrics}
+import graft.sources.Tables
+
+/** End-to-end benchmark of the 7-step deletion WORKFLOW (the actual
+  * product), complementing graft.Bench's query-surface timing — fills
+  * BASELINE.md's "end-to-end deletion workflow wall time" protocol row.
+  *
+  * Builds a partitioned ORC Hive table from the sf-dir events (one
+  * partition per day, partition_id = yyyyMMdd, the reference's CURRENT
+  * naming scheme), then runs DeletionWorkflow.run with a time-window
+  * criteria chosen to exercise BOTH kernel paths: the window's first day is
+  * partially rewritten, the fully-covered days take the drop+delete fast
+  * path. Prints one JSON line with total and per-phase wall times.
+  */
+object WorkflowBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warehouse = Files.createTempDirectory("graft-wfbench-wh").toString
+    val metastore = Files.createTempDirectory("graft-wfbench-ms").toString
+    val spark = GraftSession.builder(
+        appName = "graft-workflow-bench",
+        master = Some(s"local[$cpus]"),
+        hiveSupport = true,
+        shufflePartitions = Some(cpus.toInt),
+        extraConfs = Map(
+          "spark.sql.warehouse.dir" -> warehouse,
+          "spark.ui.enabled" -> "false"))
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastore/metastore_db;create=true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val db = "wf_bench_db"
+    val table = s"$db.events_deletion"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    // one daily partition per event day (drop the nested props column —
+    // the deletion kernel is schema-generic, but ORC fixtures stay simple)
+    val tSetup0 = System.nanoTime()
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), date_format(col("ts"), "yyyyMMdd").as("partition_id"))
+      .write.mode(SaveMode.Overwrite).format("orc")
+      .partitionBy("partition_id").saveAsTable(table)
+    val nPartitions = spark.sql(s"SHOW PARTITIONS $table").count()
+    val rowsBefore = spark.table(table).count()
+    val setupSec = (System.nanoTime() - tSetup0) / 1e9
+
+    // window [05 12:00, 08 00:00): day 05 rewritten, days 06-07 dropped
+    val criteria = DeletionCriteria(
+      startTime = Some(Timestamp.valueOf("2024-01-05 12:00:00")),
+      endTime = Some(Timestamp.valueOf("2024-01-08 00:00:00")),
+      timeColumn = "ts")
+    val config = JobConfig(db, "events_deletion", criteria,
+      backupStrategy = "hive_table", validationSampleSize = 10000)
+
+    val metrics = new Metrics
+    val t0 = System.nanoTime()
+    val ok = DeletionWorkflow.run(spark, config, metrics)
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    metrics.markJobEnd()
+
+    val rowsAfter = spark.table(table).count()
+    val phases = metrics.phaseTimings
+      .map { case (k, ms) => s""""$k":${ms / 1000.0}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"workflow_total","value":$totalSec,"unit":"sec",""" +
+      s""""ok":$ok,"phases":$phases,"setup_sec":$setupSec,""" +
+      s""""partitions":$nPartitions,"rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
+      s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -36,27 +36,37 @@ object DeletionWorkflow {
       val validationManager = new ValidationManager(spark, config, metrics)
 
       logger.info("Step 1: Identifying affected partitions")
-      val affected = partitionHandler.identifyAffectedPartitions()
+      val affected = metrics.timePhase("1_identify_partitions") {
+        partitionHandler.identifyAffectedPartitions()
+      }
       if (affected.isEmpty) {
         logger.warn("No partitions affected by deletion criteria. Exiting.")
         return true
       }
 
       logger.info("Step 2: Performing pre-deletion validation")
-      validationManager.validatePreDeletion(affected)
+      metrics.timePhase("2_pre_validation") {
+        validationManager.validatePreDeletion(affected)
+      }
 
       logger.info("Step 3: Creating backup")
-      backupLocation = Some(backupManager.createBackup(spark, config, affected))
+      backupLocation = Some(metrics.timePhase("3_backup") {
+        backupManager.createBackup(spark, config, affected)
+      })
 
       logger.info("Step 4: Counting records before deletion")
-      val recordsBefore = partitionHandler.recordCount(affected)
-      val recordsToDelete = partitionHandler.matchingRecordCount(affected)
-      val expectedRetained = recordsBefore - recordsToDelete
-      logger.info(s"Records before deletion: $recordsBefore, to delete: $recordsToDelete, " +
-        s"expected after: $expectedRetained")
+      val expectedRetained = metrics.timePhase("4_count_before") {
+        val recordsBefore = partitionHandler.recordCount(affected)
+        val recordsToDelete = partitionHandler.matchingRecordCount(affected)
+        logger.info(s"Records before deletion: $recordsBefore, to delete: $recordsToDelete, " +
+          s"expected after: ${recordsBefore - recordsToDelete}")
+        recordsBefore - recordsToDelete
+      }
 
       logger.info("Step 5: Executing deletion")
-      val result = new DeletionExecutor(spark, config, metrics).executeDeletion(affected)
+      val result = metrics.timePhase("5_deletion") {
+        new DeletionExecutor(spark, config, metrics).executeDeletion(affected)
+      }
 
       if (config.dryRun) {
         logger.info("Dry run completed. No actual changes made.")
@@ -64,11 +74,15 @@ object DeletionWorkflow {
       }
 
       logger.info("Step 6: Performing post-deletion validation")
-      validationManager.validatePostDeletion(
-        affected, result.recordsDeleted, expectedRetained, result.droppedPartitions)
+      metrics.timePhase("6_post_validation") {
+        validationManager.validatePostDeletion(
+          affected, result.recordsDeleted, expectedRetained, result.droppedPartitions)
+      }
 
       logger.info("Step 7: Cleaning up old backups")
-      backupManager.cleanupOldBackups(spark, config)
+      metrics.timePhase("7_cleanup_backups") {
+        backupManager.cleanupOldBackups(spark, config)
+      }
 
       logger.info("Deletion workflow completed successfully")
       true

@@ -35,7 +35,10 @@ object GraftSession {
     "spark.sql.files.ignoreMissingFiles" -> "true",
     "spark.sql.hive.metastorePartitionPruning" -> "true",
     "spark.sql.orc.compression.codec" -> "snappy",
-    "spark.sql.session.timeZone" -> "UTC"
+    "spark.sql.session.timeZone" -> "UTC",
+    // events.ts is TIMESTAMP(NANOS) parquet — read as long, convert in
+    // Tables.events (which requires this conf rather than mutating it)
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
   )
 
   def builder(

@@ -22,6 +22,8 @@ final class Metrics {
   var backupCreated = false
   var backupLocation: Option[String] = None
   var validationPassed = false
+  /** per-workflow-phase wall time, in insertion (= execution) order */
+  val phaseTimings: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty
 
   def recordRecordsRead(n: Long): Unit = totalRecordsRead += n
   def recordRecordsDeleted(n: Long): Unit = totalRecordsDeleted += n
@@ -35,6 +37,14 @@ final class Metrics {
   }
   def markValidationPassed(passed: Boolean): Unit = validationPassed = passed
   def markJobEnd(): Unit = endTime = System.currentTimeMillis()
+
+  /** Time a workflow phase; nested/repeated phases accumulate. */
+  def timePhase[A](name: String)(body: => A): A = {
+    val t0 = System.currentTimeMillis()
+    try body
+    finally phaseTimings(name) =
+      phaseTimings.getOrElse(name, 0L) + (System.currentTimeMillis() - t0)
+  }
 
   def executionTimeMs: Long =
     (if (endTime == 0) System.currentTimeMillis() else endTime) - startTime
@@ -55,6 +65,10 @@ final class Metrics {
     if (partitionMetrics.nonEmpty) {
       sb.append("\nPartition-Level Metrics:\n")
       partitionMetrics.foreach { case (p, c) => sb.append(f"  $p: $c%,d records\n") }
+    }
+    if (phaseTimings.nonEmpty) {
+      sb.append("\nPhase Timings:\n")
+      phaseTimings.foreach { case (p, ms) => sb.append(f"  $p: ${ms / 1000.0}%.2f s\n") }
     }
     sb.append("==========================================\n")
     sb.toString

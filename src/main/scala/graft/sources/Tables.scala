@@ -18,9 +18,14 @@ object Tables {
     * read natively; read it as a nanos long and convert to a µs timestamp.
     * Truncation is safe for every second-aligned comparison: µs-truncating
     * a ns instant never crosses a µs-aligned boundary.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * build (GraftSession.FixedConfs / Verify / Bench) — a loader must not
+    * mutate session conf as a side effect.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.ts")
     val raw = load(s, d, "events")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(

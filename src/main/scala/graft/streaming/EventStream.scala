@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.sources.Tables
+
 /** Structured Streaming surface over the `events` stream — the streaming
   * counterparts of [[graft.operators.Analytics.eventsHourly]] and
   * [[graft.operators.Analytics.sessionize]], plus watermarked exactly-once
@@ -13,11 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * anywhere), so this module is extension surface: the same event-table
   * semantics, incrementally maintained.
   *
-  * Every transform here takes a DataFrame/Dataset and works UNCHANGED on a
-  * batch frame (watermarks are no-ops in batch) — the ScalaTest suite
-  * exploits that to assert batch/streaming parity on identical input, and
-  * it is the deployment story at scale: one query definition, backfill in
-  * batch, tail in streaming.
+  * [[hourlyCounts]] and [[dedupEvents]] work UNCHANGED on a batch frame
+  * (watermarks are no-ops in batch). [[sessionize]] is the one exception:
+  * batch execution never fires EventTimeTimeout, so open sessions would be
+  * dropped — its backfill form is [[sessionizeBatch]], built on the same
+  * session fold. The parity suite and the DuckDB oracle pin all of them to
+  * the batch operators in [[graft.operators.Analytics]]: one set of
+  * semantics, backfill in batch, tail in streaming.
   *
   * Scale notes: all three ops shuffle once on their grouping key and keep
   * state bounded by the watermark — state store size is O(active windows +
@@ -56,13 +60,40 @@ object EventStream {
 
   val SessionGapSeconds: Long = 1800L
 
+  /** The shared session fold: time-ordered events + carried-in state →
+    * (closed sessions in order, final open state). One definition serves
+    * the streaming micro-batch path and the batch backfill path, so their
+    * session boundaries cannot drift.
+    */
+  private def foldSessions(userId: Long, sorted: Seq[Event],
+      initial: Option[SessionState]): (List[SessionSummary], Option[SessionState]) = {
+    var closed = List.empty[SessionSummary]
+    var cur = initial
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts.getTime - s.last.getTime <= SessionGapSeconds * 1000L =>
+          cur = Some(s.copy(last = e.ts, nEvents = s.nEvents + 1))
+        case Some(s) =>
+          closed ::= SessionSummary(userId, s.sessionId, s.start, s.nEvents)
+          cur = Some(SessionState(s.sessionId + 1, e.ts, e.ts, 1))
+        case None =>
+          cur = Some(SessionState(1, e.ts, e.ts, 1))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState: per-user
     * sessions split on >30-minute gaps, closed sessions emitted when the
     * event-time watermark passes last-event + gap (EventTimeTimeout).
     *
+    * STREAMING-ONLY: in batch execution EventTimeTimeout never fires, so
+    * each user's final open session would be silently dropped — use
+    * [[sessionizeBatch]] for backfill (same fold, open sessions flushed).
+    *
     * Same session boundaries as the batch lag/cumsum form
     * (Analytics.sessionize); session_id is the 1-based per-user sequence, so
-    * summaries are comparable across the two implementations.
+    * summaries are comparable across the implementations.
     */
   def sessionize(events: Dataset[Event], watermark: String = "1 hour"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
@@ -81,25 +112,50 @@ object EventStream {
             // state updates must see events in time order; a micro-batch's
             // iterator is unordered
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionSummary]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts.getTime - s.last.getTime <= SessionGapSeconds * 1000L =>
-                  cur = Some(s.copy(last = e.ts, nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed ::= SessionSummary(userId, s.sessionId, s.start, s.nEvents)
-                  cur = Some(SessionState(s.sessionId + 1, e.ts, e.ts, 1))
-                case None =>
-                  cur = Some(SessionState(1, e.ts, e.ts, 1))
-              }
-            }
+            val (closed, cur) = foldSessions(userId, sorted, state.getOption)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last.getTime + SessionGapSeconds * 1000L)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
+  }
+
+  /** Batch backfill form of [[sessionize]]: the SAME fold over each user's
+    * full history, with the final open session flushed (there is no "later
+    * data" in batch). Emits exactly what the streaming query would emit
+    * once the watermark passed every session — this is the definition the
+    * batch/streaming parity spec and the DuckDB oracle pin down.
+    */
+  def sessionizeBatch(events: Dataset[Event]): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (closed, cur) = foldSessions(userId, sorted, None)
+      (closed ++ cur.map(s => SessionSummary(userId, s.sessionId, s.start, s.nEvents))).iterator
+    }
+  }
+
+  // ---- oracle-gated query forms (same output contract as Analytics) ----
+
+  /** [[hourlyCounts]] over the events table — shares the eventsHourly
+    * DuckDB oracle, putting the streaming window definition itself under
+    * the value-level gate.
+    */
+  def hourlyCountsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyCounts(Tables.events(spark, sfDir)).orderBy("hour", "event_type")
+
+  /** [[sessionizeBatch]] over the events table, shaped like
+    * Analytics.sessionize — shares its DuckDB oracle, pinning the stateful
+    * fold to the lag/cumsum window form.
+    */
+  def sessionizeBatchSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionizeBatch(Tables.events(spark, sfDir).as[Event])
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_id")
   }
 }

@@ -28,6 +28,22 @@ class EventStreamSpec extends AnyFunSuite {
       viaStreamingDef.exceptAll(batch).isEmpty)
   }
 
+  test("sessionizeBatch matches the batch lag/cumsum sessionize operator") {
+    val batch = Analytics.sessionize(spark, sfDir)
+    val stateful = EventStream.sessionizeBatchSummary(spark, sfDir)
+    assert(batch.exceptAll(stateful).isEmpty && stateful.exceptAll(batch).isEmpty)
+  }
+
+  test("sessionizeBatch emits the final open session that streaming holds back") {
+    import spark.implicits._
+    val events = Seq(
+      EventStream.Event(1, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-10 10:10:00"), 1, "click", 1.0)).toDS()
+    val out = EventStream.sessionizeBatch(events).collect()
+    assert(out.toSeq === Seq(
+      EventStream.SessionSummary(1L, 1L, ts("2024-01-10 10:00:00"), 2L)))
+  }
+
   test("streaming hourlyCounts finalizes windows once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
