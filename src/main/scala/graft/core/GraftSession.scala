@@ -22,6 +22,8 @@ object GraftSession {
     * AQE skew handling, which the reference predates.
     */
   val FixedConfs: Map[String, String] = Map(
+    // native Catalyst surface (graft_cosine, …) — see graft.plans.GraftExtensions
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
     "spark.sql.orc.impl" -> "native",
     "spark.sql.orc.enableVectorizedReader" -> "true",

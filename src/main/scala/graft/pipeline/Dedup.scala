@@ -185,20 +185,23 @@ object Dedup {
     val sigs = minHashSignatures(Tables.documents(spark, sfDir))
     val sigArr = sigs.withColumn("sig", array((0 until NumPerms).map(i => col(s"mh_$i")): _*))
       .select("doc_id", "sig")
+    // band rows carry ONLY (doc_id, band, bucket) — the 128-long signature
+    // stays out of the candidate shuffle and is re-joined per candidate
     val banded = sigArr.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array((0 until NumBands).map { bnd =>
         struct(lit(bnd).as("band"),
           Hashes.foldBucket(slice(col("sig"), bnd * 8 + 1, 8)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sigArr.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigArr.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
     candidates
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),

@@ -30,10 +30,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity as a pure column expression (left-to-right fold —
-    * same summation order as the oracle's list_cosine_similarity).
+  /** Cosine similarity via the native codegen expression
+    * ([[graft.functions.CosineSimilarity]], registered as `graft_cosine` by
+    * GraftExtensions) — bit-identical arithmetic to the fold form
+    * `dot(a,b) / (norm(a)*norm(b))` (left-to-right, same summation order as
+    * the oracle's list_cosine_similarity), but one fused primitive loop
+    * inside whole-stage codegen instead of three interpreted HOF folds.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Brute-force top-k cosine neighbors for the query set `vec_id < nQueries`
     * (self excluded). The query side is broadcast: one scan of the corpus,
@@ -91,8 +95,12 @@ object Similarity {
     // expansion just to rank it.
     val assigned = e.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosine(col("cv"), col("v")))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"))
+      .groupBy(col("vec_id"))
+      // v is functionally dependent on vec_id, so first(v) is deterministic;
+      // grouping by vec_id alone keeps the aggregate hash-based (an array
+      // grouping key would force SortAggregate + extra sorts)
+      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"),
+        first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell"))
 
     val queries = assigned.where(col("vec_id") < nQueries)
@@ -183,22 +191,26 @@ object Similarity {
     def intDot(plane: Seq[Long]): Column =
       aggregate(zip_with(array(plane.map(lit): _*), col("xq"), (w, x) => w * x),
         lit(0L), (acc, x) => acc + x)
-    // one (table, bucket) row per vector per table
+    // one (table, bucket) row per vector per table — ids only; the vector
+    // payload stays out of the candidate shuffle and is re-joined per
+    // candidate for the exact-cosine verify
     val bucketed = e.select(
-      col("vec_id"), col("v"),
+      col("vec_id"),
       explode(array(tables.zipWithIndex.map { case (planes, t) =>
         // bucket = Σ bit_p · 2^(P-1-p): fold acc*2 + sign-bit in plane order
         val bucket = planes.map(p => when(intDot(p) >= 0, 1L).otherwise(0L))
           .foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)
         struct(lit(t).as("tbl"), bucket.as("bucket"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
+    val vecs = e.select(col("vec_id"), col("v"))
     a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
