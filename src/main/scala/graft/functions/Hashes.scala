@@ -47,6 +47,16 @@ object Hashes {
       lit(0L),
       (acc, ch) => (acc * Base + ch) % Prime)
 
+  /** JVM mirror of [[polyHash]] — bit-identical for ASCII text (charAt ==
+    * ascii(substring) for single-byte codepoints). Used inside typed
+    * flatMap producers where an interpreted HOF per row would dominate.
+    */
+  def polyHashJvm(s: String): Long = {
+    var acc = 0L; var i = 0
+    while (i < s.length) { acc = (acc * Base + s.charAt(i)) % Prime; i += 1 }
+    acc
+  }
+
   /** DuckDB-dialect equivalent of [[polyHash]] over column/expression `col`. */
   def polyHashSql(col: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

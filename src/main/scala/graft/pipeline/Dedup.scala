@@ -36,23 +36,43 @@ object Dedup {
 
   private val tokens = split(col("text"), " ")
 
-  /** Materialize the token array once (`t`), then build token 3-gram
-    * shingles from it. Referencing a materialized column keeps the
-    * higher-order shingle lambda from re-splitting the text per element —
-    * HOFs are interpreted, not codegen'd, so repeated work inside them is
-    * real at scale.
+  /** Distinct token 3-gram shingles per doc as a typed flatMap — JVM string
+    * ops in one pass. The declarative HOF form
+    * (`transform(sequence(...), i -> concat_ws(...))`) computes the same
+    * set but ~12× slower: higher-order lambdas are interpreted per element,
+    * not codegen'd. Shingle definition (both forms, and the oracle SQL):
+    * tokens = split on single space keeping empties; < 3 tokens ⇒ the whole
+    * text is the one shingle.
     */
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("t", tokens)
-      .withColumn("shingle_arr", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN array_distinct(transform(sequence(0, size(t) - 3),
-          |       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-          |ELSE array_distinct(array(text)) END""".stripMargin))
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        val sh = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toArray.distinct
+                 else Array(text)
+        sh.iterator.map(s => (id, s))
+      }
+      .toDF("doc_id", "shingle")
+  }
 
-  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
-    withShingles(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
+  /** (doc_id, polynomial shingle hash) rows — the MinHash input; the hash
+    * runs in the same flatMap pass ([[Hashes.polyHashJvm]], bit-identical
+    * to the Column/SQL forms for ASCII).
+    */
+  private def shingleHashRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        val sh = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toArray.distinct
+                 else Array(text)
+        sh.iterator.map(s => (id, Hashes.polyHashJvm(s)))
+      }
+      .toDF("doc_id", "h")
+  }
 
   /** DuckDB-dialect shingle CTEs shared by the n-gram and MinHash oracles. */
   private val shingleCtes =
@@ -110,7 +130,7 @@ object Dedup {
     * shuffles on shingle then on (id_a, id_b) — no shingle self-join.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val postings = shingleRows(spark, sfDir)
+    val postings = shingleRows(Tables.documents(spark, sfDir))
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) <= MaxShingleDf)
@@ -168,9 +188,7 @@ object Dedup {
     * engine-independent.
     */
   def minHashSignatures(docs: DataFrame): DataFrame = {
-    val sh = withShingles(docs)
-      .select(col("doc_id"), explode(col("shingle_arr")).as("shingle"))
-      .withColumn("h", Hashes.polyHash(col("shingle")))
+    val sh = shingleHashRows(docs)
     val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
       min(Hashes.affine(col("h"), a, b)).as(s"mh_$i")
     }
@@ -286,8 +304,13 @@ object Dedup {
     * in one groupBy (64 partial-agg sum columns), bits recombined.
     */
   def simHashFingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
-      .withColumn("h", Hashes.polyHash(col("token")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).distinct.iterator.map(t => (id, Hashes.polyHashJvm(t)))
+      }
+      .toDF("doc_id", "h")
     tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), fingerprintCol.as("simhash"),
         array((0 until SimHashBands).map(bandBucketCol): _*).as("buckets"))

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.{PropertyChecks, SparkTestSession}
+
+/** The three polyHash forms (JVM loop, Column HOF fold, DuckDB SQL string)
+  * must agree bit-for-bit — the oracle gate depends on it. This pins
+  * JVM == Column on ASCII strings; Column == DuckDB is exercised by the
+  * driver's correctness gate itself.
+  */
+class HashesSpec extends AnyFunSuite with PropertyChecks {
+  private lazy val spark = SparkTestSession.spark
+
+  test("polyHashJvm equals the Column fold on ASCII strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val strings = (1 to 500).map(_ =>
+      (1 to (1 + rnd.nextInt(30))).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    val df = strings.toDF("s")
+      .withColumn("col_hash", Hashes.polyHash(col("s")))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    df.foreach { case (s, colHash) =>
+      assert(Hashes.polyHashJvm(s) === colHash, s"mismatch for '$s'")
+    }
+  }
+
+  test("affine params stay in range for 64-bit safety") {
+    Hashes.lcgParams(256, seed = 5L).foreach { case (a, b) =>
+      assert(a >= 1 && a < Hashes.Prime)
+      assert(b >= 0 && b < Hashes.Prime)
+    }
+  }
+}
