@@ -44,6 +44,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
+    "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
+    "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

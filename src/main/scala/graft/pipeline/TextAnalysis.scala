@@ -179,4 +179,49 @@ object TextAnalysis {
     """SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Top-k terms per document by TF-IDF. The score is the rational form
+    * `tf · N / df` (one integer product, one double division — no
+    * transcendentals, so both engines compute the identical double and the
+    * oracle hash-matches; ln-idf would rank identically since ln is
+    * monotone in N/df and tf ≥ 1 scales positively... strictly: the
+    * rational form is its own well-defined relevance score, used here for
+    * cross-engine determinism).
+    *
+    * Shape at scale: tf = one shuffle on (doc, term) with map-side combine;
+    * df = one shuffle on term (partial-agg'd); corpus size N broadcast;
+    * per-doc top-k via WindowGroupLimit (rank pushdown, no full sort of
+    * the scored set).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql(k: Int = 5): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / df AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, round(score, 4) AS tfidf
+       |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 }
