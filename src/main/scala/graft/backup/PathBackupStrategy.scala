@@ -17,6 +17,8 @@ import graft.model.JobConfig
   * filesystem (HDFS, file://, s3a://...) via the Path-scoped FS lookup.
   */
 final class PathBackupStrategy extends BackupStrategy {
+  import PathBackupStrategy.MetadataFileName
+
   private val logger = LoggerFactory.getLogger(classOf[PathBackupStrategy])
   private val tsFormat = new SimpleDateFormat("yyyyMMdd_HHmmss")
   private val metaFormat = new SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
@@ -42,7 +44,13 @@ final class PathBackupStrategy extends BackupStrategy {
            |Backup Timestamp: ${metaFormat.format(new Date)}
            |Partitions: ${partitions.mkString(",")}
            |""".stripMargin
-      new CatalogOps(spark).writeTextFile(s"$backupPath/_metadata.txt", meta)
+      // Deliberate deviation from the reference's `_metadata.txt`
+      // (HDFSBackupStrategy.java:153-175): Spark's file index special-cases
+      // names starting with "_metadata" as DATA files (parquet summary
+      // legacy), so the reference's own ORC restore/validate read chokes on
+      // its provenance file. Dot-prefixed names are always invisible to the
+      // reader.
+      new CatalogOps(spark).writeTextFile(s"$backupPath/$MetadataFileName", meta)
     } catch {
       case e: Exception => logger.warn(s"Failed to write backup metadata: ${e.getMessage}")
     }
@@ -91,4 +99,11 @@ final class PathBackupStrategy extends BackupStrategy {
     } catch {
       case e: Exception => logger.error(s"Error cleaning up old path backups: ${e.getMessage}")
     }
+}
+
+object PathBackupStrategy {
+  /** Provenance file inside a backup dir; dot-prefixed so every Spark
+    * reader ignores it (see createBackup note).
+    */
+  val MetadataFileName = ".graft_backup_metadata.txt"
 }
