@@ -158,6 +158,25 @@ class DeletionJobIntegrationSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(catalog.partitionExists(table, "partition_id", "20260101"))
   }
 
+  test("failure after backup triggers auto-restore and leaves data intact") {
+    loadSampleData()
+    val before = spark.sql(s"SELECT * FROM $table ORDER BY id").collect().toSeq
+
+    // CAST(name AS INT) parses as a valid expression but throws at runtime
+    // under ANSI mode. The grouped partition probe (C1) conservatively
+    // includes all candidates on error, so the workflow proceeds through
+    // backup and only fails at the count step — exercising the
+    // catch -> recoverFromFailure -> restore path end-to-end.
+    val criteria = DeletionCriteria(whereClause = Some("CAST(name AS INT) > 0"))
+    val metrics = new Metrics
+    val ok = DeletionWorkflow.run(spark, config(criteria), metrics)
+
+    assert(!ok, "workflow must report failure")
+    assert(metrics.backupCreated, "failure must happen after the backup step")
+    val after = spark.sql(s"SELECT * FROM $table ORDER BY id").collect().toSeq
+    assert(after == before, "auto-restore must leave the table byte-identical")
+  }
+
   test("mixed batch: emptied and partially-deleted partitions in ONE batch both resolve") {
     // This is the latent reference bug our per-partition branch fixes
     // (SURVEY.md §7.4): batch-total retained > 0 would leave the emptied
