@@ -57,10 +57,15 @@ object WorkflowBench {
     val rowsBefore = spark.table(table).count()
     val setupSec = (System.nanoTime() - tSetup0) / 1e9
 
-    // window [05 12:00, 08 00:00): day 05 rewritten, days 06-07 dropped
+    // window [05 12:00, 08 00:00) UTC: day 05 rewritten, days 06-07
+    // dropped. Constructed from explicit-UTC instants — Timestamp.valueOf
+    // would parse in the host's default zone and shift which kernel paths
+    // the benchmark exercises on non-UTC machines.
+    def utcTs(s: String): Timestamp = Timestamp.from(
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC))
     val criteria = DeletionCriteria(
-      startTime = Some(Timestamp.valueOf("2024-01-05 12:00:00")),
-      endTime = Some(Timestamp.valueOf("2024-01-08 00:00:00")),
+      startTime = Some(utcTs("2024-01-05T12:00:00")),
+      endTime = Some(utcTs("2024-01-08T00:00:00")),
       timeColumn = "ts")
     val config = JobConfig(db, "events_deletion", criteria,
       backupStrategy = "hive_table", validationSampleSize = 10000)

@@ -11,7 +11,8 @@ import graft.catalog.CatalogOps
 import graft.model.JobConfig
 
 /** Path-based backup: partitioned ORC under
-  * `<base>/<yyyyMMdd_HHmmss>` plus a `_metadata.txt` provenance file;
+  * `<base>/<yyyyMMdd_HHmmss>` plus a dot-prefixed provenance file
+  * ([[PathBackupStrategy.MetadataFileName]]);
   * base defaults to `/backup/<db>/<table>`
   * (reference: backup/HDFSBackupStrategy.java). Works on any Hadoop
   * filesystem (HDFS, file://, s3a://...) via the Path-scoped FS lookup.

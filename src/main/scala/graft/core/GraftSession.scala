@@ -49,13 +49,19 @@ object GraftSession {
       hiveSupport: Boolean = true,
       shufflePartitions: Option[Int] = None,
       extraConfs: Map[String, String] = Map.empty): SparkSession.Builder = {
-    var b = SparkSession.builder().appName(appName)
-    master.foreach(m => b = b.master(m))
+    var b = SparkSession.builder()
     if (hiveSupport) b = b.enableHiveSupport()
+    // extraConfs first (reference applies only "spark." keys —
+    // SparkSessionManager.java:42-50), then the fixed confs, shuffle
+    // sizing, and app name, so a properties file can TUNE the session but
+    // can never override a correctness-critical conf (a user setting
+    // partitionOverwriteMode=static would wipe unrelated partitions) or
+    // hijack the per-job app name.
+    extraConfs.filter(_._1.startsWith("spark.")).foreach { case (k, v) => b = b.config(k, v) }
     FixedConfs.foreach { case (k, v) => b = b.config(k, v) }
     shufflePartitions.foreach(n => b = b.config("spark.sql.shuffle.partitions", n.toString))
-    // reference applies only keys prefixed "spark." (SparkSessionManager.java:42-50)
-    extraConfs.filter(_._1.startsWith("spark.")).foreach { case (k, v) => b = b.config(k, v) }
+    b = b.appName(appName)
+    master.foreach(m => b = b.master(m))
     b
   }
 

@@ -17,8 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * results are bit-for-bit unchanged and the DuckDB oracles keep matching.
   *
   * Registered as SQL function `graft_cosine` by
-  * [[graft.plans.GraftExtensions]]. Assumes non-null array elements
-  * (vector columns); a null array yields null.
+  * [[graft.plans.GraftExtensions]]. Null semantics also match the fold: a
+  * null array, a length mismatch, or any null element yields NULL.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,12 +33,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // Null semantics match the fold form exactly: zip_with pads the shorter
+  // array with nulls and a null element nulls the whole fold — so a length
+  // mismatch or any null element yields NULL (a corrupt vector must drop
+  // out of `cos >= threshold` filters, not produce a prefix cosine).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
@@ -53,14 +61,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -102,9 +102,13 @@ object PartitionId {
   }
 
   /** `pc='v'` spec text for DDL `PARTITION (...)` clauses
-    * (reference: PartitionUtils.java:159-161). Single quotes in the value
-    * are escaped — the reference interpolates raw.
+    * (reference: PartitionUtils.java:159-161). Backslashes then single
+    * quotes are escaped — the reference interpolates raw; escaping quotes
+    * alone would leave a value ending in `\` producing `\'` (an escaped
+    * quote) and an unterminated literal.
     */
-  def partitionSpec(partitionColumn: String, value: String): String =
-    s"$partitionColumn='${value.replace("'", "\\'")}'"
+  def partitionSpec(partitionColumn: String, value: String): String = {
+    val escaped = value.replace("\\", "\\\\").replace("'", "\\'")
+    s"$partitionColumn='$escaped'"
+  }
 }

@@ -44,16 +44,21 @@ object Dedup {
     * tokens = split on single space keeping empties; < 3 tokens ⇒ the whole
     * text is the one shingle.
     */
+  /** THE shingle definition (one copy — both flatMap producers and the
+    * oracle CTEs must agree): tokens = split on single space keeping
+    * empties; < 3 tokens ⇒ the whole text is the one shingle; distinct.
+    */
+  private def shinglesOf(text: String): Array[String] = {
+    val t = text.split(" ", -1)
+    if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toArray.distinct
+    else Array(text)
+  }
+
   private def shingleRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
-        val sh = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toArray.distinct
-                 else Array(text)
-        sh.iterator.map(s => (id, s))
-      }
+      .flatMap { case (id, text) => shinglesOf(text).iterator.map(s => (id, s)) }
       .toDF("doc_id", "shingle")
   }
 
@@ -66,10 +71,7 @@ object Dedup {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
-        val sh = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toArray.distinct
-                 else Array(text)
-        sh.iterator.map(s => (id, Hashes.polyHashJvm(s)))
+        shinglesOf(text).iterator.map(s => (id, Hashes.polyHashJvm(s)))
       }
       .toDF("doc_id", "h")
   }

@@ -24,12 +24,6 @@ object Similarity {
     */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
   /** Cosine similarity via the native codegen expression
     * ([[graft.functions.CosineSimilarity]], registered as `graft_cosine` by
     * GraftExtensions) — bit-identical arithmetic to the fold form

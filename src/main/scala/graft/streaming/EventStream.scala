@@ -67,11 +67,17 @@ object EventStream {
     */
   private def foldSessions(userId: Long, sorted: Seq[Event],
       initial: Option[SessionState]): (List[SessionSummary], Option[SessionState]) = {
+    // The gap compares SECOND-TRUNCATED instants, exactly like the batch
+    // lag/cumsum form (`ts.cast("long")` diff > 1800) and the DuckDB
+    // oracle's date_diff('second', ...) — a millisecond-precision gap
+    // would split sessions the oracle keeps whenever a >30min gap has the
+    // right sub-second fractions (events carry µs precision).
+    def epochSec(t: Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
     var closed = List.empty[SessionSummary]
     var cur = initial
     sorted.foreach { e =>
       cur match {
-        case Some(s) if e.ts.getTime - s.last.getTime <= SessionGapSeconds * 1000L =>
+        case Some(s) if epochSec(e.ts) - epochSec(s.last) <= SessionGapSeconds =>
           cur = Some(s.copy(last = e.ts, nEvents = s.nEvents + 1))
         case Some(s) =>
           closed ::= SessionSummary(userId, s.sessionId, s.start, s.nEvents)

@@ -32,6 +32,14 @@ class CatalogOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.sql(s"DROP TABLE IF EXISTS $table")
 
+  test("partitionSpec escapes backslashes before quotes") {
+    import graft.partition.PartitionId.partitionSpec
+    assert(partitionSpec("p", "it's") == "p='it\\'s'")
+    // a trailing backslash must not swallow the closing quote
+    assert(partitionSpec("p", "v\\") == "p='v\\\\'")
+    assert(partitionSpec("p", "a\\'b") == "p='a\\\\\\'b'")
+  }
+
   test("partitionExists handles a quote-bearing partition value") {
     assert(catalog.partitionExists(table, "partition_id", evil))
     assert(catalog.partitionExists(table, "partition_id", "plain"))

@@ -47,4 +47,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
       "SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").collect().head
     assert(r.isNullAt(0))
   }
+
+  test("length mismatch and null elements yield null, like the fold form") {
+    // a corrupt (short) vector must drop out of threshold filters, not
+    // produce a prefix cosine
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS mism, " +
+        "graft_cosine(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS nullel")
+      .collect().head
+    assert(r.isNullAt(0), "length mismatch must be null")
+    assert(r.isNullAt(1), "null element must be null")
+  }
 }

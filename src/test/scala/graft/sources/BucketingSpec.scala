@@ -30,25 +30,39 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
   }
 
-  private def withConf[A](key: String, value: String)(body: => A): A = {
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, value)
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
+  // With AQE enabled a plan containing an exchange is wrapped in a leaf
+  // AdaptiveSparkPlanExec and a naive collect over executedPlan finds
+  // nothing — the assertion would be vacuously true. AQE is disabled for
+  // the plan-shape checks (the negative control below proves the probe
+  // actually detects exchanges).
+  private def noBroadcastNoAqe[A](body: => A): A =
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")(body)
+
+  private def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+
   test("join of two same-bucketed tables plans with zero shuffle exchanges") {
-    // disable broadcast so the join would otherwise be a shuffled SortMergeJoin
-    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+    noBroadcastNoAqe {
       val joined = Bucketing.coLocatedJoin(spark, s"$db.lineitem_b", s"$db.orders_b", "l_orderkey")
-      val exchanges = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(exchanges.isEmpty,
+      assert(countExchanges(joined) === 0,
         s"expected exchange-free co-located join, found:\n${joined.queryExecution.executedPlan}")
+      // negative control: the same join against a NON-bucketed side must
+      // show exchanges, proving the probe detects them
+      val unbucketed = spark.table(s"$db.lineitem_b").join(
+        Tables.orders(spark, sfDir).select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "l_orderkey")
+      assert(countExchanges(unbucketed) > 0, "probe failed to detect a real shuffle")
       // and it still computes the right thing
       val expected = Tables.lineitem(spark, sfDir)
         .join(Tables.orders(spark, sfDir),
@@ -58,13 +72,10 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("aggregation on the bucket key also skips the exchange") {
-    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+    noBroadcastNoAqe {
       val agg = spark.table(s"$db.lineitem_b")
         .groupBy("l_orderkey").agg(sum("l_extendedprice"))
-      val exchanges = agg.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(exchanges.isEmpty,
+      assert(countExchanges(agg) === 0,
         s"groupBy on the bucket key must reuse bucketing:\n${agg.queryExecution.executedPlan}")
     }
   }
