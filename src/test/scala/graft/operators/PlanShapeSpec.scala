@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.testkit.SparkTestSession
+
+/** Plan-shape regression guards for the scale-critical physical properties
+  * (PLANS.md): broadcasts stay broadcasts, single-scan queries stay
+  * single-scan, and the knnIvf centroid argmax stays a partial aggregation
+  * rather than a window over the corpus×centroids expansion. AQE is
+  * disabled while inspecting (AdaptiveSparkPlanExec hides children until
+  * execution).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  private def count[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Int =
+    p.collect(pf).size
+
+  test("q3/q5 join all dimensions via broadcast, scan each table once") {
+    val q3 = plan("q3_top_orders")
+    assert(count(q3) { case j: BroadcastHashJoinExec => j } === 2)
+    assert(count(q3) { case j: SortMergeJoinExec => j } === 0)
+    assert(count(q3) { case s: FileSourceScanExec => s } === 3)
+
+    val q5 = plan("q5_nation_revenue")
+    assert(count(q5) { case j: BroadcastHashJoinExec => j } === 5)
+    assert(count(q5) { case j: SortMergeJoinExec => j } === 0)
+  }
+
+  test("text queries are single-scan") {
+    for (q <- Seq("text_stats", "text_quality", "text_langid", "text_fingerprint",
+        "text_token_count")) {
+      assert(count(plan(q)) { case s: FileSourceScanExec => s } === 1, q)
+    }
+  }
+
+  test("knnIvf assigns centroids via partial aggregation, not a window") {
+    val p = plan("knn_ivf")
+    // exactly ONE window: the final per-query top-k ranking. The centroid
+    // argmax must stay a max_by aggregate (partial side consumes the
+    // broadcast expansion map-side) — a second window would mean the
+    // corpus×centroids rows travel through an exchange again.
+    assert(count(p) { case w: WindowExec => w } === 1,
+      s"expected exactly the top-k window, got:\n$p")
+    assert(p.toString.contains("partial_max_by"),
+      "centroid assignment must be a partial max_by aggregation")
+  }
+
+  test("deletion probe is one grouped aggregate over a single scan") {
+    val p = plan("del_affected_partitions")
+    assert(count(p) { case s: FileSourceScanExec => s } === 1)
+    // one exchange for the groupBy, one for the presentation sort
+    assert(count(p) { case e: ShuffleExchangeExec => e } <= 2)
+  }
+}
