@@ -223,9 +223,10 @@ object Dedup {
       .join(sigArr.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigArr.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
     candidates
+      // native codegen equality count (graft_eqcount) — same value as the
+      // interpreted size(filter(zip_with(...))) chain it replaces
       .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          v => v === 1)).cast("double") / NumPerms, 4))
+        call_function("graft_eqcount", col("sig_a"), col("sig_b")).cast("double") / NumPerms, 4))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
       .orderBy("id_a", "id_b")

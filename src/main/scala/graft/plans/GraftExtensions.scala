@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, EqualComponentCount}
 
 /** SparkSessionExtensions entry point for the engine's native Catalyst
   * surface — activate with
@@ -13,17 +13,26 @@ import graft.functions.CosineSimilarity
   *
   * Currently injects:
   *   - `graft_cosine(array<double>, array<double>) -> double` —
-  *     whole-stage-codegen cosine similarity ([[CosineSimilarity]]),
-  *     callable from SQL text and via `functions.call_function`.
+  *     whole-stage-codegen cosine similarity ([[CosineSimilarity]]);
+  *   - `graft_eqcount(array<bigint>, array<bigint>) -> bigint` —
+  *     positional component-equality count ([[EqualComponentCount]]).
+  *  Both callable from SQL text and via `functions.call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def binary(name: String, cls: Class[_], make: (Expr, Expr) => Expr) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[Expr]) => {
+      require(children.size == 2, s"$name takes exactly 2 arguments")
+      make(children.head, children(1))
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+    ext.injectFunction(binary("graft_cosine", classOf[CosineSimilarity],
+      CosineSimilarity(_, _)))
+    ext.injectFunction(binary("graft_eqcount", classOf[EqualComponentCount],
+      EqualComponentCount(_, _)))
   }
 }

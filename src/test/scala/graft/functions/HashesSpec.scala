@@ -27,6 +27,29 @@ class HashesSpec extends AnyFunSuite with PropertyChecks {
     }
   }
 
+  test("graft_eqcount matches the zip_with form, with fold null semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 100).map { _ =>
+      val a = Array.fill(16)(rnd.nextInt(4).toLong)
+      val b = Array.fill(16)(rnd.nextInt(4).toLong)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("native", call_function("graft_eqcount", col("a"), col("b")))
+      .withColumn("folded", size(filter(
+        zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(0)),
+        v => v === 1)).cast("long"))
+    assert(df.where(col("native") =!= col("folded")).count() === 0)
+    val edge = spark.sql(
+      "SELECT graft_eqcount(array(1L, 2L), array(1L, 2L, 3L)) AS mism, " +
+        "graft_eqcount(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS nullel")
+      .collect().head
+    assert(edge.isNullAt(0), "length mismatch must be null")
+    assert(edge.getLong(1) === 1L, "null element counts as not-equal, not null")
+  }
+
   test("affine params stay in range for 64-bit safety") {
     Hashes.lcgParams(256, seed = 5L).foreach { case (a, b) =>
       assert(a >= 1 && a < Hashes.Prime)
