@@ -132,6 +132,7 @@ object Dedup {
     * shuffles on shingle then on (id_a, id_b) — no shingle self-join.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val postings = shingleRows(Tables.documents(spark, sfDir))
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -139,13 +140,22 @@ object Dedup {
     // per-doc shingle count over the capped universe
     val counts = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // ordered pairs per posting list (ids sorted ⇒ id_a < id_b)
+    // ordered pairs per posting list (ids sorted ⇒ id_a < id_b) — typed
+    // flatMap: the nested transform/struct HOF form emits the same pairs
+    // but interpreted per element, which dominates at Σ df² pair volume
     val pairs = postings.where(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(sequence(i + 1, size(ids) - 1),
-          |         j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val out = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b")
     val common = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
