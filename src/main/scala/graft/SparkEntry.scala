@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, DeletionOps}
+import graft.operators.{Analytics, AsOfJoin, DeletionOps}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -35,6 +35,7 @@ object SparkEntry {
     "top_parts_window" -> (Analytics.topPartsPerBrand _),
     "events_hourly" -> (Analytics.eventsHourly _),
     "events_sessionize" -> (Analytics.sessionize _),
+    "events_asof_join" -> (AsOfJoin.eventsAsOf _),
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
@@ -45,11 +46,13 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     // similarity search
@@ -75,6 +78,7 @@ object SparkEntry {
     "top_parts_window" -> Analytics.topPartsSql,
     "events_hourly" -> Analytics.eventsHourlySql,
     "events_sessionize" -> Analytics.sessionizeSql,
+    "events_asof_join" -> AsOfJoin.eventsAsOfSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
     "text_stats" -> TextAnalysis.statsSql,
@@ -83,10 +87,12 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_token_count" -> TextAnalysis.tokenCountSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
+    "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.minHashLshSql(),
+    "dedup_clusters" -> Dedup.clustersSql(),
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "knn_brute_force" -> Similarity.knnBruteForceSql(),

@@ -387,6 +387,72 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over the MinHash-LSH near-dup graph — the step
+    * that turns pairwise near-dup output into keep/drop decisions: every
+    * doc in at least one pair, labeled with its component's minimum doc_id
+    * (the canonical keeper: keep `doc_id == cluster_id`, drop the rest)
+    * and the component size.
+    */
+  def clusters(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
+    clustersOf(minHashLsh(spark, sfDir, threshold).select("id_a", "id_b"))
+
+  /** Min-label propagation over an (id_a, id_b) edge list: each round every
+    * node takes the min of its own and its neighbors' labels; converges to
+    * the component minimum in O(graph diameter) rounds (near-dup components
+    * are small and dense, so diameter is tiny — sf0.01 converges in 2).
+    *
+    * Scale shape: each round shuffles (node, label) pairs only — two
+    * shuffles (neighbor-min aggregate, label join), no payload, no pair
+    * blowup. `localCheckpoint` materializes each round so round N's plan
+    * does not re-execute rounds 1..N-1 (on a cluster use a reliable
+    * checkpoint dir instead). The loop guard is a scalar count — no data
+    * reaches the driver.
+    */
+  def clustersOf(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(edges0.select(col("id_b").as("s"), col("id_a").as("d")))
+      .localCheckpoint() // reused every round — materialize once
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, col("d") === col("node"))
+        .groupBy(col("s").as("n2")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, col("node") === col("n2"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (col("nbr_lbl") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.select("node", "lbl")
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** DuckDB oracle for [[clusters]]: the minhash-LSH pair query as the edge
+    * list, then set-semantics recursive label reachability — `reach` holds
+    * every (node, reachable-node) pair, so min(lbl) per node is the
+    * component minimum. Near-dup components are tiny, so the closure stays
+    * small in the oracle engine.
+    */
+  def clustersSql(threshold: Double = 0.7): String =
+    s"""WITH RECURSIVE
+       |edges AS (SELECT id_a, id_b FROM (${minHashLshSql(threshold)}) pairs),
+       |bidir AS (SELECT id_a AS s, id_b AS d FROM edges
+       |          UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT s, s FROM bidir
+       |  UNION
+       |  SELECT b.s, r.lbl FROM bidir b JOIN reach r ON r.node = b.d),
+       |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+
   // -------------------------------------------------- embedding near-dup
 
   /** Embedding near-dup pairs: EXACT cosine ≥ threshold over all pairs,

@@ -224,4 +224,34 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT doc_id, rank, term, round(score, 4) AS tfidf
        |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** Per-language document-length distribution: exact interpolated
+    * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`: index
+    * p·(n−1), linear interpolation) — the corpus-profiling numbers a
+    * length-filter stage is tuned from.
+    *
+    * Exact grouped percentiles sort within each group; with ~dozens of
+    * language groups that is a skewed-key sort at 100 TB — there,
+    * `approx_percentile` (t-digest sketch, partial-aggregable) is the
+    * drop-in scale form. Exact is kept here because it is oracle-checkable
+    * to the bit; the sketch's error bound is the documented trade.
+    */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("n_chars"), lit(0.50)), 2).as("p50"),
+        round(percentile(col("n_chars"), lit(0.75)), 2).as("p75"),
+        round(percentile(col("n_chars"), lit(0.95)), 2).as("p95"))
+      .orderBy("lang")
+
+  val lengthQuantilesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.25), 2) AS p25,
+      |  round(quantile_cont(n_chars, 0.50), 2) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
+      |  round(quantile_cont(n_chars, 0.95), 2) AS p95
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 }

@@ -18,8 +18,16 @@ import graft.testkit.SparkTestSession
   * execution).
   */
 class PlanShapeSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
-  private val sfDir = "/root/testdata/sf0.001"
+  // isolated SQLConf: this suite flips AQE off per plan probe, and other
+  // concurrently-running suites must not see (or disturb) that
+  private lazy val spark = SparkTestSession.isolated()
+  // sf0.01, NOT the sf0.001 every functional suite uses: the CacheManager
+  // is shared across sessions, and functional suites .cache() these exact
+  // queries — at the same path the cached plan would be substituted
+  // (InMemoryTableScan) and the scan/exchange assertions would probe the
+  // wrong plan. A different path means a different plan, so no cache hit.
+  // Plans are only built here, never executed, so the bigger sf is free.
+  private val sfDir = "/root/testdata/sf0.01"
 
   private def plan(name: String): SparkPlan = {
     val old = spark.conf.get("spark.sql.adaptive.enabled")

@@ -84,4 +84,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
     assert(pairs.where(col("cosine") < 0.4 || col("cosine") > 1.0001).count() === 0)
   }
+
+  test("clustersOf labels every component with its min id, handles multi-hop chains") {
+    import spark.implicits._
+    // a 7-node path (diameter 6 — forces several propagation rounds), a
+    // triangle sharing no nodes, and an isolated pair
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (5L, 6L), (7L, 6L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    val out = Dedup.clustersOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (1L to 7L).map(n => (n, 1L, 7L)) ++
+      Seq((20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L), (30L, 30L, 2L), (31L, 30L, 2L))
+    assert(out.sorted === expect.sorted.toArray)
+  }
+
+  test("clusters partitions its nodes: labels are component-closed keepers") {
+    val pairs = Dedup.minHashLsh(spark, sfDir).select("id_a", "id_b").cache()
+    val cl = Dedup.clustersOf(pairs).cache()
+    // every cluster's keeper is a member of the cluster
+    val keepers = cl.where(col("doc_id") === col("cluster_id"))
+    assert(keepers.count() === cl.select("cluster_id").distinct().count())
+    // no edge crosses two clusters (labels are closed under the edge set)
+    val lbl = cl.select(col("doc_id"), col("cluster_id"))
+    val crossing = pairs
+      .join(lbl.withColumnRenamed("doc_id", "id_a").withColumnRenamed("cluster_id", "ca"), "id_a")
+      .join(lbl.withColumnRenamed("doc_id", "id_b").withColumnRenamed("cluster_id", "cb"), "id_b")
+      .where(col("ca") =!= col("cb"))
+    assert(crossing.count() === 0)
+  }
 }

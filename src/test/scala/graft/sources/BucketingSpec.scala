@@ -11,7 +11,9 @@ import graft.testkit.SparkTestSession
   * plan-shape guarantee the 100 TB story rests on.
   */
 class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
-  private lazy val spark = SparkTestSession.spark
+  // isolated SQLConf: withConf flips broadcast/AQE settings that must not
+  // leak into (or be disturbed by) concurrently-running suites
+  private lazy val spark = SparkTestSession.isolated()
   private val db = "bucketing_db"
   private val sfDir = "/root/testdata/sf0.001"
 

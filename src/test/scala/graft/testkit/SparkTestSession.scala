@@ -29,4 +29,12 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** A session with its own SQLConf (shared SparkContext + catalog).
+    * Suites that mutate conf around plan-shape assertions (AQE off,
+    * broadcast threshold) MUST use this — sbt runs suites concurrently in
+    * one JVM, so conf flips on the shared session race with every other
+    * suite's queries.
+    */
+  def isolated(): SparkSession = spark.newSession()
 }
