@@ -420,10 +420,12 @@ object Dedup {
     while (changed > 0) {
       val nbrMin = edges.join(labels, col("d") === col("node"))
         .groupBy(col("s").as("n2")).agg(min("lbl").as("nbr_lbl"))
+      // lazy checkpoint: the count action below materializes it — one job
+      // per round instead of an eager-checkpoint job plus a count job
       val next = labels.join(nbrMin, col("node") === col("n2"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           (col("nbr_lbl") < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.where(col("chg")).count()
       labels = next.select("node", "lbl")
     }
