@@ -13,9 +13,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/file-index paths so the first timed query does
-    // not absorb session startup; fixed ordering for run-to-run comparability
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // not absorb session startup; the minhash warmup covers the typed
+    // flatMap + 128-column aggregate machinery the dedup family shares
+    // (otherwise the alphabetically-first dedup query absorbs it all);
+    // fixed ordering for run-to-run comparability
+    try {
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+      SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
