@@ -62,20 +62,6 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** (doc_id, polynomial shingle hash) rows — the MinHash input; the hash
-    * runs in the same flatMap pass ([[Hashes.polyHashJvm]], bit-identical
-    * to the Column/SQL forms for ASCII).
-    */
-  private def shingleHashRows(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        shinglesOf(text).iterator.map(s => (id, Hashes.polyHashJvm(s)))
-      }
-      .toDF("doc_id", "h")
-  }
-
   /** DuckDB-dialect shingle CTEs shared by the n-gram and MinHash oracles. */
   private val shingleCtes =
     """toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
@@ -194,17 +180,37 @@ object Dedup {
     */
   private val permParams: Seq[(Long, Long)] = Hashes.lcgParams(NumPerms, seed = 42L)
 
-  /** MinHash signatures: one row per doc with 128 minhash columns computed
-    * as partial-aggregated mins over exploded shingle hashes. The shingle
-    * hash is the arithmetic [[Hashes.polyHash]] so the whole signature is
-    * engine-independent.
+  /** MinHash signatures as one `sig` array column per doc. A signature is a
+    * pure function of the document's own text (128 affine mins over its
+    * shingle hashes), so it is computed in a single typed map pass — NO
+    * shuffle, no |shingles|-row expansion: the earlier explode +
+    * 128-partial-min aggregation paid a full shuffle of every exploded
+    * shingle hash for values each mapper could finish locally. Arithmetic
+    * is the JVM mirror of the Column/SQL forms ([[Hashes.polyHashJvm]] +
+    * affine), so the oracle still matches bit-for-bit.
     */
   def minHashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleHashRows(docs)
-    val mins = permParams.zipWithIndex.map { case ((a, b), i) =>
-      min(Hashes.affine(col("h"), a, b)).as(s"mh_$i")
-    }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = permParams.toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sig = Array.fill(NumPerms)(Long.MaxValue)
+        val shingles = shinglesOf(text)
+        var si = 0
+        while (si < shingles.length) {
+          val h = Hashes.polyHashJvm(shingles(si))
+          var i = 0
+          while (i < NumPerms) {
+            val v = (h * params(i)._1 + params(i)._2) % Hashes.Prime
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          si += 1
+        }
+        (id, sig)
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH candidate pairs: equal (band, band-bucket) buckets; then verified
@@ -212,9 +218,7 @@ object Dedup {
     * threshold.
     */
   def minHashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
-    val sigs = minHashSignatures(Tables.documents(spark, sfDir))
-    val sigArr = sigs.withColumn("sig", array((0 until NumPerms).map(i => col(s"mh_$i")): _*))
-      .select("doc_id", "sig")
+    val sigArr = minHashSignatures(Tables.documents(spark, sfDir))
     // band rows carry ONLY (doc_id, band, bucket) — the 128-long signature
     // stays out of the candidate shuffle and is re-joined per candidate
     val banded = sigArr.select(
@@ -282,22 +286,6 @@ object Dedup {
     */
   private val bitParams: Seq[(Long, Long)] = Hashes.lcgParams(SimHashBits, seed = 911L)
 
-  /** Vote columns v_0..v_63 for one doc: +1 when the token hashes to bit 1,
-    * else -1, summed over distinct tokens.
-    */
-  private def voteAggs: Seq[Column] = bitParams.zipWithIndex.map { case ((a, b), i) =>
-    sum(when(Hashes.affine(col("h"), a, b) % 2 === 1, 1).otherwise(-1)).as(s"v_$i")
-  }
-
-  /** Recombine votes into the 64-bit fingerprint. Bit 63 is added as
-    * Long.MinValue (= 2^63 in two's complement) — the bits are disjoint so
-    * sum == bitwise OR, with no shift-overflow semantics to match across
-    * engines.
-    */
-  private def fingerprintCol: Column =
-    (0 until 63).map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _) + when(col("v_63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
-
   /** Bands: 4 × 16 bits. By pigeonhole, maxHamming=3 flips touch at most 3
     * bands, so every true pair still collides in ≥1 band — candidate
     * generation stays EXACT for hamming ≤ 3 — while 2^16 buckets (vs 2^8
@@ -306,27 +294,51 @@ object Dedup {
   val SimHashBands = 4
   private val BandBits = SimHashBits / SimHashBands
 
-  /** Band b = its 16 bits as a small non-negative int, computed directly
-    * from the votes (no shifts on the signed fingerprint).
-    */
-  private def bandBucketCol(b: Int): Column =
-    (0 until BandBits).map(j => when(col(s"v_${b * BandBits + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-
-  /** 64-bit SimHash fingerprints: per-token hash bit votes, sign-aggregated
-    * in one groupBy (64 partial-agg sum columns), bits recombined.
+  /** 64-bit SimHash fingerprints. Like the MinHash signature, a
+    * fingerprint is a pure function of one document's distinct tokens, so
+    * the per-bit ±1 votes, the fingerprint assembly, and the band buckets
+    * all run in a single typed map pass — NO shuffle (the earlier token
+    * explode + 64-partial-sum aggregation shuffled every token hash for a
+    * value each mapper could finish locally). Same arithmetic as the SQL
+    * oracle: vote > 0 ⇒ bit set, bit 63 added as Long.MinValue (= 2^63 in
+    * two's complement; the bits are disjoint so sum == bitwise OR, with no
+    * shift-overflow semantics to match across engines), 16-bit band
+    * buckets built from the votes (no shifts on the signed fingerprint).
     */
   def simHashFingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tok = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        text.split(" ", -1).distinct.iterator.map(t => (id, Hashes.polyHashJvm(t)))
+    val params = bitParams.toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val votes = new Array[Int](SimHashBits)
+        val toks = text.split(" ", -1).distinct
+        var ti = 0
+        while (ti < toks.length) {
+          val h = Hashes.polyHashJvm(toks(ti))
+          var i = 0
+          while (i < SimHashBits) {
+            if ((h * params(i)._1 + params(i)._2) % Hashes.Prime % 2 == 1) votes(i) += 1
+            else votes(i) -= 1
+            i += 1
+          }
+          ti += 1
+        }
+        var fp = 0L
+        var i = 0
+        while (i < 63) { if (votes(i) > 0) fp += 1L << i; i += 1 }
+        if (votes(63) > 0) fp += Long.MinValue
+        val buckets = Array.tabulate(SimHashBands) { b =>
+          var acc = 0L; var j = 0
+          while (j < BandBits) {
+            if (votes(b * BandBits + j) > 0) acc += 1L << j
+            j += 1
+          }
+          acc
+        }
+        (id, fp, buckets)
       }
-      .toDF("doc_id", "h")
-    tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"), fingerprintCol.as("simhash"),
-        array((0 until SimHashBands).map(bandBucketCol): _*).as("buckets"))
+      .toDF("doc_id", "simhash", "buckets")
   }
 
   /** SimHash near-dup candidates: 4×16-bit bands; pairs agreeing on ≥1 band

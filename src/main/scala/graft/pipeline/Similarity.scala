@@ -146,13 +146,6 @@ object Similarity {
     Seq.fill(nTables)(Seq.fill(planesPerTable)(Seq.fill(dim)(next())))
   }
 
-  /** Quantized coordinates: round(x·1000) as long — same value in both
-    * engines (double product of the same float, half-away-from-zero
-    * rounding in both).
-    */
-  private def quantize(v: Column): Column =
-    transform(v, x => round(x * 1000).cast("long"))
-
   /** Random-hyperplane LSH bucketing with OR-amplification: `nTables`
     * independent hash tables of `planesPerTable` sign bits each; candidate
     * pairs share a bucket in ≥1 table, then are verified by exact cosine.
@@ -177,26 +170,46 @@ object Similarity {
   def cosineLshPairsOf(embeddings: DataFrame,
       nTables: Int = 8, planesPerTable: Int = 6,
       threshold: Double = 0.4, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val tables = lshPlanes(nTables, planesPerTable, dim)
     val e = embeddings
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("xq", quantize(col("v")))
-    // integer dot with a literal weight vector
-    def intDot(plane: Seq[Long]): Column =
-      aggregate(zip_with(array(plane.map(lit): _*), col("xq"), (w, x) => w * x),
-        lit(0L), (acc, x) => acc + x)
-    // one (table, bucket) row per vector per table — ids only; the vector
-    // payload stays out of the candidate shuffle and is re-joined per
-    // candidate for the exact-cosine verify
-    val bucketed = e.select(
-      col("vec_id"),
-      explode(array(tables.zipWithIndex.map { case (planes, t) =>
-        // bucket = Σ bit_p · 2^(P-1-p): fold acc*2 + sign-bit in plane order
-        val bucket = planes.map(p => when(intDot(p) >= 0, 1L).otherwise(0L))
-          .foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)
-        struct(lit(t).as("tbl"), bucket.as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    // one (table, bucket) row per vector per table, computed in a single
+    // typed flatMap pass: buckets are a pure function of one vector, and
+    // the nTables×planesPerTable×dim integer dot products run as tight JVM
+    // loops (the Column HOF form — aggregate over zip_with with literal
+    // weight arrays — interprets ~3k lambda calls per row). Quantization
+    // mirrors `round(x*1000)` (half away from zero) exactly. Rows carry
+    // ids only; the vector payload stays out of the candidate shuffle and
+    // is re-joined per candidate for the exact-cosine verify.
+    val planeArr: Array[Array[Array[Long]]] = tables.map(_.map(_.toArray).toArray).toArray
+    val bucketed = e.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val xq = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) {
+          val y = v(i) * 1000
+          xq(i) = (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+          i += 1
+        }
+        Iterator.tabulate(planeArr.length) { t =>
+          val planes = planeArr(t)
+          // bucket = Σ bit_p · 2^(P-1-p): fold acc*2 + sign-bit in plane order
+          var bucket = 0L
+          var p = 0
+          while (p < planes.length) {
+            val w = planes(p)
+            var dot = 0L
+            var j = 0
+            while (j < w.length) { dot += w(j) * xq(j); j += 1 }
+            bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)
+            p += 1
+          }
+          (id, t, bucket)
+        }
+      }
+      .toDF("vec_id", "tbl", "bucket")
     val a = bucketed.as("a"); val b = bucketed.as("b")
     val vecs = e.select(col("vec_id"), col("v"))
     a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
