@@ -1,0 +1,43 @@
+package graft
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit dump: `.explain("formatted")` text for every
+  * SparkEntry.queries entry → one file per query under outDir. This is the
+  * evidence behind PLANS.md — re-run it after touching any operator and
+  * diff the output to see exactly what changed in the physical plans.
+  *
+  * Usage: runMain graft.Explain <sfDir> <outDir> [--no-aqe]
+  * (--no-aqe disables adaptive execution so exchanges/joins are visible
+  * statically instead of hiding inside AdaptiveSparkPlan leaves.)
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "target/explains"
+    val noAqe = args.contains("--no-aqe")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", (!noAqe).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val txt = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(outDir, s"$name.txt"), txt)
+      } catch { case e: Throwable =>
+        Files.writeString(Paths.get(outDir, s"$name.txt"), s"FAILED: ${e.getMessage}")
+      }
+    }
+    println(s"wrote ${SparkEntry.queries.size} plan dumps to $outDir")
+    spark.stop()
+  }
+}

@@ -36,6 +36,8 @@ object SparkEntry {
     "events_hourly" -> (Analytics.eventsHourly _),
     "events_sessionize" -> (Analytics.sessionize _),
     "events_asof_join" -> (AsOfJoin.eventsAsOf _),
+    "events_rollup" -> (Analytics.eventsRollup _),
+    "events_purchaser_cohort" -> (Analytics.purchaserCohort _),
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
@@ -79,6 +81,8 @@ object SparkEntry {
     "events_hourly" -> Analytics.eventsHourlySql,
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_asof_join" -> AsOfJoin.eventsAsOfSql,
+    "events_rollup" -> Analytics.eventsRollupSql,
+    "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
     "text_stats" -> TextAnalysis.statsSql,

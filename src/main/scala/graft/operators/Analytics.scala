@@ -177,4 +177,54 @@ object Analytics {
       |SELECT user_id, session_id, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
       |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Hierarchical daily rollup: per (event_type, day) counts with per-type
+    * subtotals and a grand total in one pass — `rollup` computes all three
+    * grouping levels in a single shuffle (Expand + one aggregate), where
+    * three separate GROUP BYs would scan and shuffle three times. `gid`
+    * ([[grouping_id]]) disambiguates real NULLs from rolled-up levels.
+    */
+  def eventsRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("gid", "event_type", "day", "n", "sum_value")
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  val eventsRollupSql: String =
+    """SELECT GROUPING(event_type, day) AS gid, event_type, day,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+      |GROUP BY ROLLUP (event_type, day)
+      |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  /** Set-operator cohort: (day, user) pairs that purchased AND clicked
+    * that day with no error that day — INTERSECT/EXCEPT distinct-set
+    * semantics, identical in both engines. Each leg is pre-aggregated to
+    * distinct (day, user), so the set operators work on cohort-sized
+    * inputs, not event-sized; Spark plans them as aggregates + joins on
+    * the same (day, user) key, one shuffle partitioning reused.
+    */
+  def purchaserCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    def dayUsers(t: String) =
+      ev.where(col("event_type") === t).select("day", "user_id").distinct()
+    dayUsers("purchase").intersect(dayUsers("click"))
+      .except(dayUsers("error"))
+      .orderBy("day", "user_id")
+  }
+
+  val purchaserCohortSql: String =
+    """SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      |FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      |FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      |FROM events WHERE event_type = 'error'
+      |ORDER BY day, user_id""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Parquet table loaders for the synthetic star schema + pipeline tables
   * (TESTDATA.md): region nation customer supplier part orders lineitem
@@ -33,6 +34,28 @@ object Tables {
           .cast(org.apache.spark.sql.types.LongType)))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  /** CSV source with a REQUIRED explicit schema and FAILFAST parsing.
+    * Never `inferSchema` — inference is a full extra scan of the input
+    * (ruinous at 100 TB) and silently guesses types per run; a declared
+    * schema also lets Catalyst prune columns at the parser (CSV reads only
+    * the fields the plan needs).
+    */
+  def csv(s: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    s.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines source, same contract as [[csv]]: explicit schema (skips
+    * the inference scan, prunes unread fields during parsing), FAILFAST so
+    * corrupt records surface instead of becoming silent nulls.
+    */
+  def jsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
