@@ -60,6 +60,7 @@ object SparkEntry {
     // similarity search
     "knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "knn_ivf_nprobe" -> ((s, d) => Similarity.knnIvfProbe(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _)
@@ -101,6 +102,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
+    "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql
   )

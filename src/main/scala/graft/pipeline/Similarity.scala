@@ -110,6 +110,80 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with multi-probe: queries search their `nProbe` nearest cells
+    * instead of one — the standard IVF recall knob (recall lost to a
+    * query sitting near a cell boundary is recovered by probing the
+    * neighboring cell; scan cost grows to ~nProbe/nCells of the corpus).
+    * Corpus vectors stay assigned to exactly one cell; only the query
+    * side fans out, and the query×centroid ranking is a window over a
+    * queries×centroids frame — tiny, because queries are few and
+    * centroids are the broadcast-sized set by construction.
+    */
+  def knnIvfProbe(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
+      nProbe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val centroids = e.where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .withColumn("ccos", cosine(col("cv"), col("v")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("cell"))
+
+    // query → its nProbe nearest cells (queries × centroids is tiny:
+    // both sides are broadcast-scale)
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val queryCells = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("qcos", cosine(col("cv"), col("qv")))
+      .withColumn("crank", row_number().over(qw))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("qcell"))
+
+    val scored = assigned.join(broadcast(queryCells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def knnIvfProbeSql(nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
+      nProbe: Int = 2): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % $centroidStride = 0),
+       |assign AS (
+       |  SELECT vec_id, v, centroid_id AS cell, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY list_cosine_similarity(cv, v) DESC, centroid_id) AS crank
+       |  FROM e CROSS JOIN c),
+       |cells AS (SELECT vec_id, v, cell FROM assign WHERE crank = 1),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, v AS qv, centroid_id AS qcell, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY list_cosine_similarity(cv, v) DESC, centroid_id) AS crank
+       |  FROM e CROSS JOIN c WHERE vec_id < $nQueries),
+       |q AS (SELECT query_id, qv, qcell FROM qcells WHERE crank <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.qv, e2.v) AS cos
+       |  FROM cells e2 JOIN q ON e2.cell = q.qcell AND e2.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   def knnIvfSql(nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % $centroidStride = 0),

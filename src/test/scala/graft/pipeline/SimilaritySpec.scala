@@ -70,6 +70,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recomputed.where(abs(col("cosine") - col("true_cos")) > 1e-9).count() === 0)
   }
 
+  test("IVF multi-probe recall dominates single-probe and is exact at nProbe = nCells") {
+    def recallVsBrute(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.knnBruteForce(spark, sfDir, nQueries = 5, k = 4)
+        .select("query_id", "neighbor_id")
+      val hit = brute.join(ivf.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+      hit.toDouble / brute.count()
+    }
+    val r1 = recallVsBrute(Similarity.knnIvf(spark, sfDir, nQueries = 5, k = 4))
+    val r2 = recallVsBrute(Similarity.knnIvfProbe(spark, sfDir, nQueries = 5, k = 4, nProbe = 2))
+    assert(r2 >= r1, s"nProbe=2 recall $r2 must dominate nProbe=1 recall $r1")
+    // probing every cell degenerates to exact search: recall 1.0
+    val nCells = Tables.embeddings(spark, sfDir).where(col("vec_id") % 50 === 0).count().toInt
+    val rAll = recallVsBrute(
+      Similarity.knnIvfProbe(spark, sfDir, nQueries = 5, k = 4, nProbe = nCells))
+    assert(rAll === 1.0, s"nProbe=$nCells (all cells) must reach full recall, got $rAll")
+  }
+
   test("hyperplane LSH pairs: no false positives, ordered, deduplicated") {
     val pairs = Similarity.cosineLshPairs(spark, sfDir).cache()
     assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
