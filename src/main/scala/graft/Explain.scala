@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = if (args.length > 1) args(1) else "target/explains"
     val noAqe = args.contains("--no-aqe")
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (positional.length > 1) positional(1) else "target/explains"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -28,16 +29,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val txt = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"$name.txt"), txt)
       } catch { case e: Throwable =>
+        failed += 1
         Files.writeString(Paths.get(outDir, s"$name.txt"), s"FAILED: ${e.getMessage}")
       }
     }
-    println(s"wrote ${SparkEntry.queries.size} plan dumps to $outDir")
+    println(s"wrote ${SparkEntry.queries.size} plan dumps to $outDir" +
+      (if (failed > 0) s" ($failed FAILED)" else ""))
+    if (failed > 0) sys.exit(1)
     spark.stop()
   }
 }

@@ -66,6 +66,12 @@ object Hashes {
   /** Universal affine hash of an already-hashed value: (h*a + b) mod Prime. */
   def affine(h: Column, a: Long, b: Long): Column = (h * a + b) % Prime
 
+  /** JVM mirror of [[affine]] — the one definition the typed-map signature
+    * producers share with the Column/SQL forms (h < 2^31 and a < 2^31, so
+    * h*a fits a signed 64-bit integer).
+    */
+  def affineJvm(h: Long, a: Long, b: Long): Long = (h * a + b) % Prime
+
   def affineSql(h: String, a: Long, b: Long): String = s"(($h * $a + $b) % $Prime)"
 
   /** Hash a fixed-length array of non-negative longs (e.g. a MinHash band

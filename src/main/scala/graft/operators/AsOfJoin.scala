@@ -58,18 +58,19 @@ object AsOfJoin {
       rPayload.as("__rp") :+ lit(null).cast(lRowType).as("__lrow"): _*)
 
     // right rows (__side=0) order before left rows at equal __ts; among
-    // equal-ts right rows the highest tiebreak sorts last, so `last` picks it
+    // equal-ts right rows the highest tiebreak sorts last, so `last` picks
+    // it. The WHOLE payload struct is carried as one value — carrying each
+    // field independently would backfill a NULL field of the latest right
+    // row from an older right row, emitting a mixed row that never existed.
     val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedPayload: Seq[Column] =
-      payload.map(p => last(col(s"__rp.$p"), ignoreNulls = true).over(w).as(prefix + p)) :+
-        last(col(s"__rp.$rightTs"), ignoreNulls = true).over(w).as(prefix + rightTs)
-
+    val outFields = (payload :+ rightTs).distinct
     taggedLeft.unionByName(taggedRight)
-      .select(keyCols ++ Seq(col("__side"), col("__ts"), col("__lrow")) ++ matchedPayload: _*)
+      .select(keyCols ++ Seq(col("__side"), col("__lrow"),
+        last(col("__rp"), ignoreNulls = true).over(w).as("__m")): _*)
       .where(col("__side") === 1)
       .select(keyCols ++ leftCols.map(c => col(s"__lrow.$c").as(c)) ++
-        (payload :+ rightTs).map(p => col(prefix + p)): _*)
+        outFields.map(p => col(s"__m.$p").as(prefix + p)): _*)
   }
 
   /** Query form: each purchase event joined as-of to the user's most

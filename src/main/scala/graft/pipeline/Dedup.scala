@@ -202,7 +202,7 @@ object Dedup {
           val h = Hashes.polyHashJvm(shingles(si))
           var i = 0
           while (i < NumPerms) {
-            val v = (h * params(i)._1 + params(i)._2) % Hashes.Prime
+            val v = Hashes.affineJvm(h, params(i)._1, params(i)._2)
             if (v < sig(i)) sig(i) = v
             i += 1
           }
@@ -318,7 +318,7 @@ object Dedup {
           val h = Hashes.polyHashJvm(toks(ti))
           var i = 0
           while (i < SimHashBits) {
-            if ((h * params(i)._1 + params(i)._2) % Hashes.Prime % 2 == 1) votes(i) += 1
+            if (Hashes.affineJvm(h, params(i)._1, params(i)._2) % 2 == 1) votes(i) += 1
             else votes(i) -= 1
             i += 1
           }

@@ -74,20 +74,19 @@ object Similarity {
     * construction — neighbors in foreign cells are missed; that is the
     * documented trade.
     */
-  def knnIvf(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val centroids = e.where(col("vec_id") % centroidStride === 0)
+  private def centroidsOf(e: DataFrame, centroidStride: Int): DataFrame =
+    e.where(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
 
-    // Nearest centroid per vector as a max_by aggregation (argmax cosine,
-    // tiebreak min centroid_id via the struct ordering). The broadcast
-    // expansion (corpus × centroids) is consumed by the PARTIAL aggregate in
-    // the same stage — only one already-reduced row per vector reaches the
-    // exchange, unlike a row_number window, which would shuffle the whole
-    // expansion just to rank it.
-    val assigned = e.join(broadcast(centroids), lit(true))
+  /** Nearest centroid per vector as a max_by aggregation (argmax cosine,
+    * tiebreak min centroid_id via the struct ordering). The broadcast
+    * expansion (corpus × centroids) is consumed by the PARTIAL aggregate in
+    * the same stage — only one already-reduced row per vector reaches the
+    * exchange, unlike a row_number window, which would shuffle the whole
+    * expansion just to rank it.
+    */
+  private def cellAssignments(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosine(col("cv"), col("v")))
       .groupBy(col("vec_id"))
       // v is functionally dependent on vec_id, so first(v) is deterministic;
@@ -97,9 +96,11 @@ object Similarity {
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("cell"))
 
-    val queries = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
-    val scored = assigned.join(broadcast(queries),
+  /** Score each (query, same-cell vector) pair and keep the per-query
+    * top-k — queryCells columns: (query_id, qv, qcell).
+    */
+  private def searchCells(assigned: DataFrame, queryCells: DataFrame, k: Int): DataFrame = {
+    val scored = assigned.join(broadcast(queryCells),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -108,6 +109,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  def knnIvf(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val assigned = cellAssignments(e, centroidsOf(e, centroidStride))
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
+    searchCells(assigned, queries, k)
   }
 
   /** IVF with multi-probe: queries search their `nProbe` nearest cells
@@ -124,16 +135,8 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-    val centroids = e.where(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-
-    val assigned = e.join(broadcast(centroids), lit(true))
-      .withColumn("ccos", cosine(col("cv"), col("v")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("cell"))
-
+    val centroids = centroidsOf(e, centroidStride)
+    val assigned = cellAssignments(e, centroids)
     // query → its nProbe nearest cells (queries × centroids is tiny:
     // both sides are broadcast-scale)
     val qw = Window.partitionBy(col("query_id"))
@@ -145,16 +148,7 @@ object Similarity {
       .withColumn("crank", row_number().over(qw))
       .where(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("qcell"))
-
-    val scored = assigned.join(broadcast(queryCells),
-        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy("query_id", "rank")
+    searchCells(assigned, queryCells, k)
   }
 
   def knnIvfProbeSql(nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
@@ -276,7 +270,10 @@ object Similarity {
             val w = planes(p)
             var dot = 0L
             var j = 0
-            while (j < w.length) { dot += w(j) * xq(j); j += 1 }
+            // bound by BOTH lengths: a malformed short vector contributes 0
+            // for its missing coordinates instead of crashing the job
+            val n = math.min(w.length, xq.length)
+            while (j < n) { dot += w(j) * xq(j); j += 1 }
             bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)
             p += 1
           }

@@ -34,9 +34,20 @@ object Skew {
     * uniform even when the hot key's rows are otherwise identical in a
     * few columns.
     */
+  /** Join types the salt construction preserves: unmatched BIG rows appear
+    * once (they carry one salt), but an unmatched SMALL row exists in
+    * `buckets` replicas — right/full-outer would emit it `buckets` times.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti", "cross")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin preserves inner/left-variant joins only; '$joinType' would " +
+        s"emit unmatched small-side rows once per salt replica")
     val bigCols = big.columns.map(col)
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(struct(bigCols: _*)), lit(buckets)).cast("int"))

@@ -42,10 +42,33 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("plan is union + window: no nested-loop/cartesian join, one key shuffle") {
-    val q = AsOfJoin.eventsAsOf(spark, "/root/testdata/sf0.001")
+    // AQE must be OFF for this probe: with it on, executedPlan is a leaf
+    // AdaptiveSparkPlanExec that hides all children and the assertions pass
+    // vacuously (the PlanShapeSpec pitfall). Isolated session so the flip
+    // cannot race concurrently-running suites.
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = AsOfJoin.eventsAsOf(s, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan
+    // positive control: the probe sees through the plan (a window exists)
+    assert(plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty)
     assert(plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
     assert(plan.collectWithSubqueries { case j: CartesianProductExec => j }.isEmpty)
+  }
+
+  test("a NULL field in the latest right row stays NULL (no cross-row backfill)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 100L)).toDF("user_id", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 11L, Some(7.0)),
+      (1L, ts("2024-01-01 11:00:00"), 12L, None) // latest: value is NULL
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id", "value"), tiebreak = "event_id")
+      .select("asof_event_id", "asof_value").first()
+    assert(out.getLong(0) === 12L)
+    assert(out.isNullAt(1), "latest right row's NULL field must not be backfilled from an older row")
   }
 
   test("events as-of join: every wait_sec is non-negative, purchases conserved") {

@@ -42,6 +42,16 @@ class SkewSpec extends AnyFunSuite {
     assert(spread === 8L, "hot key must occupy every salt bucket")
   }
 
+  test("saltedJoin rejects join types the salt construction cannot preserve") {
+    // right/full-outer would emit each unmatched small row once per replica
+    for (jt <- Seq("right", "full", "full_outer")) {
+      val ex = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, "k", buckets = 4, joinType = jt)
+      }
+      assert(ex.getMessage.contains("salt replica"), jt)
+    }
+  }
+
   test("saltedAgg collect_set matches the direct holistic aggregate") {
     val direct = big.groupBy("k")
       .agg(array_sort(collect_set(col("payload"))).as("vals"))
