@@ -144,6 +144,38 @@ object EventStream {
     }
   }
 
+  /** Stream-stream attribution join: every (purchase, click) pair of the
+    * same user where the click happened in the `windowMinutes` before (or
+    * at) the purchase — the streaming time-range join underneath any
+    * attribution model (the as-of join's "latest click only" is its batch
+    * refinement). Both sides carry watermarks, and the range condition
+    * bounds each side's join state: a buffered click is dropped once the
+    * purchase-side watermark passes click.ts + window, so state is
+    * O(in-horizon events per user), independent of stream length.
+    *
+    * Works UNCHANGED on batch frames (watermarks are no-ops): the join is
+    * an equi-join on user_id with the range as a join-level filter — per
+    * user pairs only, never a cross join. That batch form is the
+    * oracle-gated `events_attribution` query.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long")).as("wait_sec"))
+  }
+
   // ---- oracle-gated query forms (same output contract as Analytics) ----
 
   /** [[hourlyCounts]] over the events table — shares the eventsHourly
@@ -152,6 +184,26 @@ object EventStream {
     */
   def hourlyCountsBatch(spark: SparkSession, sfDir: String): DataFrame =
     hourlyCounts(Tables.events(spark, sfDir)).orderBy("hour", "event_type")
+
+  /** [[attributionJoin]] over the events table in batch form — the SAME
+    * definition the streaming query runs, under its own DuckDB oracle.
+    */
+  def attributionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    attributionJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val attributionBatchSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS wait_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin
 
   /** [[sessionizeBatch]] over the events table, shaped like
     * Analytics.sessionize — shares its DuckDB oracle, pinning the stateful

@@ -106,6 +106,46 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches clicks in-window, per user, incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStream.Event]
+    val purchases = MemoryStream[EventStream.Event]
+    val q = EventStream.attributionJoin(purchases.toDF(), clicks.toDF(),
+        windowMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("attr_sink")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        EventStream.Event(10, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+        EventStream.Event(11, ts("2024-01-10 10:20:00"), 1, "click", 1.0),
+        EventStream.Event(12, ts("2024-01-10 09:00:00"), 1, "click", 1.0), // too old
+        EventStream.Event(13, ts("2024-01-10 10:20:00"), 2, "click", 1.0)) // other user
+      q.processAllAvailable()
+      // purchase arrives AFTER its clicks were buffered — incremental match
+      purchases.addData(EventStream.Event(50, ts("2024-01-10 10:25:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_sink")
+        .select("purchase_id", "click_id", "wait_sec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out === Set((50L, 10L, 1500L), (50L, 11L, 300L)))
+    } finally q.stop()
+  }
+
+  test("attribution batch form equals an independent pair filter of the raw events") {
+    val got = EventStream.attributionBatch(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val expected = p.join(c, "user_id")
+      .where(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+    assert(got.count() === expected.count())
+    assert(got.where(col("wait_sec") < 0 || col("wait_sec") > 1800).count() === 0)
+  }
+
   test("watermarked dedup drops in-horizon duplicate event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
