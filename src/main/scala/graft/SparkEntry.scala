@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "corpus_curation" -> (Curation.curate _),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     // similarity search
@@ -100,6 +101,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.minHashLshSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
+    "corpus_curation" -> Curation.curateSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "knn_brute_force" -> Similarity.knnBruteForceSql(),

@@ -1,0 +1,30 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** Curation must be exactly "quality survivors minus non-keeper dups" —
+  * checked by accounting, not by re-running the same plan.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("kept count equals quality docs minus quality docs dropped as non-keeper dups") {
+    val kept = Curation.curate(spark, sfDir).agg(sum("n_kept")).first().getLong(0)
+    val quality = TextAnalysis.quality(spark, sfDir).where(col("is_quality"))
+      .select("doc_id")
+    val droppedQuality = Dedup.clusters(spark, sfDir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .join(quality, "doc_id").count()
+    assert(kept === quality.count() - droppedQuality)
+  }
+
+  test("no kept language group is empty and averages are within the corpus range") {
+    val out = Curation.curate(spark, sfDir).cache()
+    assert(out.where(col("n_kept") <= 0).count() === 0)
+    assert(out.where(col("avg_chars") < 1 || col("avg_chars") > 10000).count() === 0)
+  }
+}
