@@ -33,6 +33,7 @@ object SparkEntry {
     "q3_top_orders" -> (Analytics.q3TopOrders _),
     "q5_nation_revenue" -> (Analytics.q5NationRevenue _),
     "top_parts_window" -> (Analytics.topPartsPerBrand _),
+    "customers_without_orders" -> (Analytics.customersWithoutOrders _),
     "events_hourly" -> (Analytics.eventsHourly _),
     "events_sessionize" -> (Analytics.sessionize _),
     "events_asof_join" -> (AsOfJoin.eventsAsOf _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q3_top_orders" -> Analytics.q3Sql,
     "q5_nation_revenue" -> Analytics.q5Sql,
     "top_parts_window" -> Analytics.topPartsSql,
+    "customers_without_orders" -> Analytics.customersWithoutOrdersSql,
     "events_hourly" -> Analytics.eventsHourlySql,
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_asof_join" -> AsOfJoin.eventsAsOfSql,

@@ -178,6 +178,37 @@ object Analytics {
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
       |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Anti-join surface: customers with NO order in 1995H1 (the synthetic
+    * data gives every customer some order overall, so the window makes the
+    * cohort non-trivial). Scale shape: the date filter pushes to the
+    * orders scan, and the right side is pre-projected to DISTINCT
+    * o_custkey BEFORE the anti-join — at 100 TB that turns "anti-join
+    * against the orders fact table" into "anti-join against the distinct
+    * in-window buyer set" (partial-aggregated, orders of magnitude
+    * smaller); the join itself stays a shuffled left_anti on c_custkey,
+    * the correct plan when neither side fits a broadcast.
+    */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val buyers = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-07-01"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    Tables.customer(spark, sfDir)
+      .join(buyers, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1995-07-01')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Hierarchical daily rollup: per (event_type, day) counts with per-type
     * subtotals and a grand total in one pass — `rollup` computes all three
     * grouping levels in a single shuffle (Expand + one aggregate), where
