@@ -42,7 +42,7 @@ object SparkEntry {
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
-    "events_attribution" -> (graft.streaming.EventStream.attributionBatch _),
+    "events_attribution" -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d)),
     // text analysis
     "text_stats" -> (TextAnalysis.stats _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -90,7 +90,7 @@ object SparkEntry {
     "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
-    "events_attribution" -> graft.streaming.EventStream.attributionBatchSql,
+    "events_attribution" -> graft.streaming.EventStream.attributionBatchSql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

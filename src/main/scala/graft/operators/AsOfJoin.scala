@@ -98,16 +98,18 @@ object AsOfJoin {
   /** DuckDB oracle for [[eventsAsOf]] — the same union + carry-forward
     * window, spelled in SQL (not DuckDB's ASOF JOIN keyword: its equal-ts
     * tiebreak among reference rows is unspecified, and the oracle must be
-    * deterministic).
+    * deterministic). Event-instant ordering runs on `::TIMESTAMP` (µs)
+    * values, matching Spark's µs-truncated view of the ns parquet column;
+    * wait_sec floors via integer `epoch_us // 1e6`, never a double epoch.
     */
   val eventsAsOfSql: String =
     """WITH u AS (
-      |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie,
+      |  SELECT user_id, ts::TIMESTAMP AS ts, 1 AS side, NULL::BIGINT AS tie,
       |    event_id AS purchase_id, value, NULL::BIGINT AS r_click_id,
       |    NULL::TIMESTAMP AS r_click_ts
       |  FROM events WHERE event_type = 'purchase'
       |  UNION ALL
-      |  SELECT user_id, ts, 0, event_id, NULL, NULL, event_id, ts
+      |  SELECT user_id, ts::TIMESTAMP, 0, event_id, NULL, NULL, event_id, ts::TIMESTAMP
       |  FROM events WHERE event_type = 'click'),
       |w AS (
       |  SELECT *,
@@ -119,6 +121,6 @@ object AsOfJoin {
       |SELECT purchase_id, user_id,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
       |  round(value, 2) AS purchase_value, click_id,
-      |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(click_ts)) AS BIGINT) AS wait_sec
+      |  epoch_us(ts) // 1000000 - epoch_us(click_ts) // 1000000 AS wait_sec
       |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin
 }

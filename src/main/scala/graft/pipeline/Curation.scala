@@ -8,26 +8,25 @@ import graft.sources.Tables
 /** End-to-end corpus curation — the composition the individual pipeline
   * operators exist for: keep documents that pass quality scoring, drop
   * near-dup cluster members that are not their cluster's canonical keeper,
-  * and report what survives per language. One declarative plan: Catalyst
-  * sees the quality filter, the anti-join against the (tiny) drop list,
-  * and the final aggregate together, so the documents scan happens inside
-  * the same job and the drop list arrives broadcast.
+  * and report what survives per language.
   *
-  * At 100 TB: quality is a map-only filter on the scan; the drop list is
-  * |near-dup docs| (orders of magnitude smaller than the corpus) and
-  * broadcasts; the only corpus-sized shuffle is the final per-language
-  * aggregate, which partial-aggregates to |languages| rows.
+  * Two stages by construction: [[Dedup.clusters]] executes eagerly (the
+  * label-propagation loop is driver-paced, rounds checkpointed), producing
+  * the small drop list; then ONE declarative plan does everything else —
+  * the quality predicate is filtered INLINE on the single documents scan
+  * (map-only; never a corpus-sized join against the quality report), the
+  * drop list anti-joins as a broadcast, and the only corpus-sized shuffle
+  * is the final per-language aggregate, partial-aggregated to a handful of
+  * rows. A plan spec pins that shape: one file scan, no sort-merge join.
   */
 object Curation {
 
   /** Per-language survivors after quality filtering + near-dup dropping. */
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val qualityIds = TextAnalysis.quality(spark, sfDir)
-      .where(col("is_quality")).select("doc_id")
     val dropIds = Dedup.clusters(spark, sfDir)
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    docs.join(qualityIds, "doc_id")
+    Tables.documents(spark, sfDir)
+      .where(TextAnalysis.isQualityCol)
       .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),

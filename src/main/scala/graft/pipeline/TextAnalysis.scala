@@ -46,22 +46,32 @@ object TextAnalysis {
     * diversity → keep/drop flag (the standard pre-training corpus filters,
     * cf. C4/Gopher-style rules).
     */
-  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+  private def stopCnt = {
     val stopSet = Stopwords.map(w => s"'$w'").mkString(", ")
+    size(expr(s"filter(split(text, ' '), x -> x IN ($stopSet))"))
+  }
+
+  /** The quality predicate as a plain Column over a documents row — THE
+    * single definition ([[quality]] reports it; [[Curation.curate]]
+    * filters on it inline so quality stays a map-only predicate on the
+    * scan, never a corpus-sized join against the quality report).
+    */
+  def isQualityCol: org.apache.spark.sql.Column =
+    size(tokens).between(10, 2000) &&
+      (stopCnt.cast("double") / size(tokens)) >= 0.01 &&
+      (size(array_distinct(tokens)).cast("double") / size(tokens)) >= 0.3
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(tokens))
-      .withColumn("stop_cnt",
-        size(expr(s"filter(split(text, ' '), x -> x IN ($stopSet))")))
+      .withColumn("stop_cnt", stopCnt)
       .select(
         col("doc_id"),
         col("n_tokens"),
         round(col("stop_cnt").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
         round(size(array_distinct(tokens)).cast("double") / size(tokens), 4).as("distinct_ratio"),
-        (col("n_tokens").between(10, 2000) &&
-          (col("stop_cnt").cast("double") / col("n_tokens")) >= 0.01 &&
-          (size(array_distinct(tokens)).cast("double") / size(tokens)) >= 0.3).as("is_quality"))
+        isQualityCol.as("is_quality"))
       .orderBy("doc_id")
-  }
 
   val qualitySql: String = {
     val stopSet = Stopwords.map(w => s"'$w'").mkString(", ")

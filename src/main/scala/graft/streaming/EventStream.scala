@@ -188,22 +188,32 @@ object EventStream {
   /** [[attributionJoin]] over the events table in batch form — the SAME
     * definition the streaming query runs, under its own DuckDB oracle.
     */
-  def attributionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+  def attributionBatch(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 30): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     attributionJoin(
         ev.where(col("event_type") === "purchase"),
-        ev.where(col("event_type") === "click"))
+        ev.where(col("event_type") === "click"),
+        windowMinutes)
       .orderBy("purchase_id", "click_id")
   }
 
-  val attributionBatchSql: String =
-    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
-      |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS wait_sec
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id
-      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
-      |ORDER BY purchase_id, click_id""".stripMargin
+  /** Oracle for [[attributionBatch]] — same `windowMinutes` constant, and
+    * every event-instant comparison runs on `::TIMESTAMP` (µs) values so
+    * DuckDB sees exactly what Spark sees (Tables.events truncates the ns
+    * parquet column to µs); wait_sec floors via integer `epoch_us // 1e6`,
+    * never through a double epoch (whose ~0.5 µs resolution at 2024 epochs
+    * could flip a second boundary).
+    */
+  def attributionBatchSql(windowMinutes: Int = 30): String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       |  epoch_us(p.ts::TIMESTAMP) // 1000000 - epoch_us(c.ts::TIMESTAMP) // 1000000 AS wait_sec
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id
+       | AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+       | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL $windowMinutes MINUTE
+       |ORDER BY purchase_id, click_id""".stripMargin
 
   /** [[sessionizeBatch]] over the events table, shaped like
     * Analytics.sessionize — shares its DuckDB oracle, pinning the stateful

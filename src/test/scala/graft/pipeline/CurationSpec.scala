@@ -27,4 +27,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out.where(col("n_kept") <= 0).count() === 0)
     assert(out.where(col("avg_chars") < 1 || col("avg_chars") > 10000).count() === 0)
   }
+
+  test("curation plan: ONE documents scan, inline quality filter, no sort-merge join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // isolated session + AQE off so the physical shape is statically visible
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = Curation.curate(s, sfDir).queryExecution.executedPlan
+    val scans = plan.collect { case sc: FileSourceScanExec => sc }
+    assert(scans.size === 1, s"quality must filter the single documents scan:\n$plan")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"the drop-list anti-join must broadcast, not sort-merge:\n$plan")
+  }
 }
