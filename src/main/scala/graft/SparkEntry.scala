@@ -38,6 +38,7 @@ object SparkEntry {
     "events_sessionize" -> (Analytics.sessionize _),
     "events_asof_join" -> (AsOfJoin.eventsAsOf _),
     "events_rollup" -> (Analytics.eventsRollup _),
+    "events_props_json" -> (Analytics.eventsPropsJson _),
     "events_purchaser_cohort" -> (Analytics.purchaserCohort _),
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_asof_join" -> AsOfJoin.eventsAsOfSql,
     "events_rollup" -> Analytics.eventsRollupSql,
+    "events_props_json" -> Analytics.eventsPropsJsonSql,
     "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,

@@ -209,6 +209,29 @@ object Analytics {
       |    AND o.o_orderdate < TIMESTAMP '1995-07-01')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Semi-structured surface: parse the JSON `props` column with a
+    * DECLARED schema (`from_json` — codegen'd Jackson parse, no inference
+    * pass, unread fields skipped) and aggregate the extracted field per
+    * event type. At 100 TB the parse is map-only on the scan; the shuffle
+    * is the usual partial-aggregated group-by.
+    */
+  def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hierarchical daily rollup: per (event_type, day) counts with per-type
     * subtotals and a grand total in one pass — `rollup` computes all three
     * grouping levels in a single shuffle (Expand + one aggregate), where
