@@ -67,7 +67,8 @@ object SparkEntry {
     "knn_ivf_nprobe" -> ((s, d) => Similarity.knnIvfProbe(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
-    "multimodal_features" -> (Multimodal.features _)
+    "multimodal_features" -> (Multimodal.features _),
+    "multimodal_frame_sample" -> (Multimodal.frameSampleQuery _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -112,6 +113,7 @@ object SparkEntry {
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
-    "multimodal_features" -> Multimodal.featuresSql
+    "multimodal_features" -> Multimodal.featuresSql,
+    "multimodal_frame_sample" -> Multimodal.frameSampleSql
   )
 }

@@ -112,4 +112,23 @@ object Multimodal {
       |  (64 + octet_length(encode(text)) % 577)::INT AS width,
       |  (64 + (octet_length(encode(text)) * 31) % 419)::INT AS height
       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** [[frameSample]] over the synthetic asset table — the frame-expansion
+    * plumbing (one row per sampled frame, explode with no shuffle) under
+    * the oracle gate.
+    */
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(assets(spark, sfDir))
+      .select(col("asset_id"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("asset_id", "frame_idx")
+
+  val frameSampleSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    (octet_length(encode(text)) % 97 + 1)::INT AS n_frames
+      |  FROM documents)
+      |SELECT asset_id, n_frames,
+      |  unnest(generate_series(0, n_frames - 1, 10))::BIGINT AS frame_idx
+      |FROM a ORDER BY asset_id, frame_idx""".stripMargin
 }
