@@ -65,17 +65,13 @@ final class BackupManager(strategy: BackupStrategy, metrics: Metrics) {
     catch { case e: Exception => logger.warn(s"Failed to cleanup old backups: ${e.getMessage}") }
   }
 
-  private def validatePartitionsExist(spark: SparkSession, config: JobConfig, partitions: Seq[String]): Unit = {
-    val existing = new CatalogOps(spark).listPartitions(config.fullTableName).toSet
-    partitions.find(!existing.contains(_)).foreach { missing =>
-      throw new IllegalArgumentException(s"Partition does not exist: $missing")
-    }
-  }
+  // one definition each — PartitionHandler owns partition existence checks
+  // and partition-scoped counting; a private copy here would drift
+  private def validatePartitionsExist(spark: SparkSession, config: JobConfig, partitions: Seq[String]): Unit =
+    new graft.core.PartitionHandler(spark, config).validatePartitionsExist(partitions)
 
   private def countRecords(spark: SparkSession, config: JobConfig, partitions: Seq[String]): Long =
-    spark.table(config.fullTableName)
-      .where(col(config.partitionColumn).isin(partitions: _*))
-      .count()
+    new graft.core.PartitionHandler(spark, config).recordCount(partitions)
 }
 
 object BackupManager {

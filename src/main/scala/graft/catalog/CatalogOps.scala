@@ -74,7 +74,11 @@ final class CatalogOps(spark: SparkSession) {
     * backup/HiveTableBackupStrategy.java:46-52).
     */
   def setTableProperties(table: String, props: Map[String, String]): Unit = {
-    val kvs = props.map { case (k, v) => s"'$k'='${v.replace("'", "\\'")}'" }.mkString(", ")
+    // backslash BEFORE quote, like PartitionId.partitionSpec — escaping
+    // only quotes turns a trailing backslash into \' (an escaped quote)
+    // and unterminates the literal
+    def lit(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val kvs = props.map { case (k, v) => s"'${lit(k)}'='${lit(v)}'" }.mkString(", ")
     spark.sql(s"ALTER TABLE ${q(table)} SET TBLPROPERTIES ($kvs)")
   }
 

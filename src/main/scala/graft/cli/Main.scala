@@ -55,14 +55,19 @@ object Main {
         .map(k => k -> props.getProperty(k)).toMap
       val spark = GraftSession.create(s"${config.fullTableName}_deletion",
         extraConfs = sparkConfs)
-      try {
-        new CatalogOps(spark).validateCatalog()
-        val success = DeletionWorkflow.run(spark, config, metrics)
-        metrics.markJobEnd()
-        logger.info(metrics.report)
-        if (success) { audit.info("JOB_SUCCESS"); sys.exit(0) }
-        else { audit.error("JOB_FAILED"); sys.exit(1) }
-      } finally spark.stop()
+      // exit AFTER the finally: sys.exit inside the try would skip
+      // spark.stop() (System.exit does not unwind the stack), leaving
+      // shutdown to hooks and risking buffered audit lines
+      val success =
+        try {
+          new CatalogOps(spark).validateCatalog()
+          val ok = DeletionWorkflow.run(spark, config, metrics)
+          metrics.markJobEnd()
+          logger.info(metrics.report)
+          if (ok) audit.info("JOB_SUCCESS") else audit.error("JOB_FAILED")
+          ok
+        } finally spark.stop()
+      sys.exit(if (success) 0 else 1)
     } catch {
       case e: Exception =>
         logger.error(s"Job failed with exception: ${e.getMessage}", e)

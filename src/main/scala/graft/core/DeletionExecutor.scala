@@ -99,7 +99,9 @@ final class DeletionExecutor(spark: SparkSession, config: JobConfig, metrics: Me
     batches.zipWithIndex.map { case (batch, i) =>
       logger.info(s"Processing batch ${i + 1}/${batches.size} with ${batch.size} partitions")
       val r = processBatch(batch)
-      metrics.incrementPartitionsProcessed()
+      // count PARTITIONS, not batches — the summary metric must agree with
+      // the per-partition detail entries
+      batch.foreach(_ => metrics.incrementPartitionsProcessed())
       r
     }.foldLeft(DeletionResult(0, Set.empty))(_ + _)
   }

@@ -49,10 +49,17 @@ object DeletionWorkflow {
         validationManager.validatePreDeletion(affected)
       }
 
-      logger.info("Step 3: Creating backup")
-      backupLocation = Some(metrics.timePhase("3_backup") {
-        backupManager.createBackup(spark, config, affected)
-      })
+      // Deliberate delta from the reference, which creates the backup even
+      // in dry-run mode (HiveTableDeletionJob.java:112-114): a preview run
+      // must not copy terabytes of partitions or register backup tables —
+      // dry-run touches nothing. The dry-run integration golden pins this.
+      if (config.dryRun) logger.info("Step 3: Skipping backup (dry run)")
+      else {
+        logger.info("Step 3: Creating backup")
+        backupLocation = Some(metrics.timePhase("3_backup") {
+          backupManager.createBackup(spark, config, affected)
+        })
+      }
 
       logger.info("Step 4: Counting records before deletion")
       val expectedRetained = metrics.timePhase("4_count_before") {

@@ -55,8 +55,16 @@ final class PartitionHandler(spark: SparkSession, config: JobConfig) {
             .toSet
           candidates.filter(matched.contains)
         } catch {
+          // a malformed predicate (typo'd column, bad syntax) is permanent:
+          // every later step would hit it again — fail NOW, before the
+          // conservative fallback triggers a full backup of all candidates
+          // followed by a guaranteed failure + full restore
+          case e: org.apache.spark.sql.AnalysisException =>
+            logger.error(s"Deletion predicate failed analysis: ${e.getMessage}")
+            throw e
           case e: Exception =>
-            // conservative: include everything rather than miss a partition
+            // transient probe failure: include everything rather than miss
+            // a partition — a strict superset, still safe
             logger.error(s"Partition probe failed, conservatively including all candidates: ${e.getMessage}")
             candidates
         }
@@ -74,19 +82,27 @@ final class PartitionHandler(spark: SparkSession, config: JobConfig) {
     val crit = config.deletionCriteria
     if (crit.startTime.isEmpty && crit.endTime.isEmpty) all
     else
-      try
+      try {
+        // derive prune dates from the INSTANT in UTC — the same frame the
+        // predicate (an instant comparison under session timeZone=UTC) and
+        // the partition-ID date convention use. Timestamp.toLocalDateTime
+        // would re-render the instant in the driver JVM's default zone and
+        // disagree with both on any non-UTC host.
+        def utcLdt(t: java.sql.Timestamp): java.time.LocalDateTime =
+          t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
         PartitionId.filterByDateRange(
           all,
-          crit.startTime.map(_.toLocalDateTime.toLocalDate),
+          crit.startTime.map(utcLdt(_).toLocalDate),
           // end is exclusive over *timestamps*; a partition whose date equals
           // the end date may still hold rows strictly before the end instant,
           // so include the end day unless the cutoff is exactly midnight.
           crit.endTime.map { e =>
-            val ldt = e.toLocalDateTime
+            val ldt = utcLdt(e)
             if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT) ldt.toLocalDate
             else ldt.toLocalDate.plusDays(1)
           }
         )
+      }
       catch {
         case e: Exception =>
           logger.warn(s"Error filtering by date range, using all partitions: ${e.getMessage}")

@@ -97,6 +97,17 @@ object DeletionCriteria {
     SuspiciousPatterns.exists(lower.contains)
   }
 
+  /** Parse a 'yyyy-MM-dd HH:mm:ss' wall-clock string as a UTC instant —
+    * the engine's one time convention (session timeZone is pinned UTC in
+    * GraftSession, and the partition-ID date convention is the UTC date).
+    * `Timestamp.valueOf` would parse in the driver JVM's default zone,
+    * silently shifting which partitions the date prune keeps relative to
+    * the instant predicate on any non-UTC host.
+    */
+  def parseUtc(t: String): Timestamp = Timestamp.from(
+    java.time.LocalDateTime.parse(t.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
+
   def builder(): Builder = new Builder
 
   /** Builder kept for API parity with the reference's Java surface. */
@@ -108,9 +119,9 @@ object DeletionCriteria {
 
     def whereClause(w: String): Builder = { whereClause = Option(w); this }
     def startTime(t: Timestamp): Builder = { startTime = Option(t); this }
-    def startTime(t: String): Builder = { startTime = Some(Timestamp.valueOf(t)); this }
+    def startTime(t: String): Builder = { startTime = Some(parseUtc(t)); this }
     def endTime(t: Timestamp): Builder = { endTime = Option(t); this }
-    def endTime(t: String): Builder = { endTime = Some(Timestamp.valueOf(t)); this }
+    def endTime(t: String): Builder = { endTime = Some(parseUtc(t)); this }
     def timeColumn(c: String): Builder = { timeColumn = c; this }
     def build(): DeletionCriteria = {
       val c = DeletionCriteria(whereClause, startTime, endTime, timeColumn)

@@ -21,6 +21,11 @@ final case class JobConfig(
     autoRecoveryEnabled: Boolean = true,
     maxRecoveryRetries: Int = 3,
     partitionParallelism: Int = 10,
+    // reference-parity DEAD knob: batch.size is declared, defaulted, and
+    // validated by the reference but never read by any code path there
+    // either (JobConfig.java:196; BASELINE.md) — partitionParallelism is
+    // the only batching control that exists. Kept so property files written
+    // for the reference load unchanged.
     batchSize: Long = 1000000L,
     dryRun: Boolean = false) {
 

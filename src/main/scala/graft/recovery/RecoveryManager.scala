@@ -84,25 +84,47 @@ final class RecoveryManager(spark: SparkSession, config: JobConfig, backupManage
     audit.info("CLEANUP_SUCCESS")
   }
 
-  /** Manual-recovery runbook (RecoveryManager.java:136-153). */
+  /** Manual-recovery runbook (RecoveryManager.java:136-153), per backup
+    * strategy: the hive_table strategy's backup is a catalog table (SQL
+    * statements apply verbatim); the path strategy's backup is a raw ORC
+    * directory, where SELECT/DROP TABLE against the path would be
+    * unrunnable — the operator gets read-ORC/overwrite instructions
+    * instead.
+    */
   def logManualRecoveryInstructions(backupLocation: Option[String]): Unit = {
     val bk = backupLocation.getOrElse("<no backup available>")
+    val steps =
+      if (Set("hdfs", "path").contains(config.backupStrategy.toLowerCase))
+        s"""|1. Verify backup integrity:
+            |   spark.read.orc("$bk").count()
+            |
+            |2. Restore from backup (dynamic partition overwrite):
+            |   spark.read.orc("$bk").write.mode("overwrite")
+            |     .insertInto("${config.fullTableName}")
+            |
+            |3. Verify restoration:
+            |   SELECT COUNT(*) FROM ${config.fullTableName}
+            |
+            |4. Clean up backup after verification:
+            |   hadoop fs -rm -r $bk""".stripMargin
+      else
+        s"""|1. Verify backup integrity:
+            |   SELECT COUNT(*) FROM $bk
+            |
+            |2. Restore from backup:
+            |   INSERT OVERWRITE TABLE ${config.fullTableName} SELECT * FROM $bk
+            |
+            |3. Verify restoration:
+            |   SELECT COUNT(*) FROM ${config.fullTableName}
+            |
+            |4. Clean up backup after verification:
+            |   DROP TABLE IF EXISTS $bk""".stripMargin
     val instructions =
       s"""
          |========== MANUAL RECOVERY INSTRUCTIONS ==========
          |Automatic recovery failed. Please perform manual recovery:
          |
-         |1. Verify backup integrity:
-         |   SELECT COUNT(*) FROM $bk
-         |
-         |2. Restore from backup:
-         |   INSERT OVERWRITE TABLE ${config.fullTableName} SELECT * FROM $bk
-         |
-         |3. Verify restoration:
-         |   SELECT COUNT(*) FROM ${config.fullTableName}
-         |
-         |4. Clean up backup after verification:
-         |   DROP TABLE IF EXISTS $bk
+         |$steps
          |==================================================
          |""".stripMargin
     logger.error(instructions)

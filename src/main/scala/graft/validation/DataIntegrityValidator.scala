@@ -32,8 +32,10 @@ final class DataIntegrityValidator(spark: SparkSession, config: JobConfig) {
       return true
     }
     try {
-      val sampled = sampleRetainedData(partitions)
-      if (sampled.isEmpty) {
+      val (sampled, total) = sampleRetainedData(partitions)
+      // emptiness comes from the count sampleRetainedData already ran —
+      // an isEmpty probe here would re-scan every surviving partition
+      if (total == 0) {
         logger.info("No data to validate (all records deleted)")
         return true
       }
@@ -52,13 +54,15 @@ final class DataIntegrityValidator(spark: SparkSession, config: JobConfig) {
     * expected sample ≈ validationSampleSize; full data when small
     * (DataIntegrityValidator.java:82-96).
     */
-  private def sampleRetainedData(partitions: Seq[String]): DataFrame = {
+  private def sampleRetainedData(partitions: Seq[String]): (DataFrame, Long) = {
     val data = spark.table(config.fullTableName)
       .where(col(config.partitionColumn).isin(partitions: _*))
     val total = data.count()
     val cap = config.validationSampleSize
-    if (total == 0 || total <= cap) data
-    else data.sample(withReplacement = false, cap.toDouble / total)
+    val sampled =
+      if (total == 0 || total <= cap) data
+      else data.sample(withReplacement = false, cap.toDouble / total)
+    (sampled, total)
   }
 
   private def verifyNoMatchingRecords(sampled: DataFrame): Boolean = {

@@ -116,6 +116,9 @@ class DeletionJobIntegrationSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(DeletionWorkflow.run(spark, config(criteria, dryRun = true), metrics))
     assert(metrics.totalRecordsDeleted == 1)
     assert(count() == 10)
+    // dry run must not mutate backup storage either (delta from the
+    // reference, which backs up before its dry-run return)
+    assert(!metrics.backupCreated, "dry run must not create a backup")
   }
 
   test("safety: deleting from one partition leaves sibling partitions intact") {

@@ -82,4 +82,18 @@ class DeletionCriteriaSpec extends AnyFunSuite {
     val over = cfg.withProperties(props)
     assert(over.backupStrategy == "path" && over.partitionParallelism == 20 && over.dryRun)
   }
+
+  test("builder time strings parse as UTC instants, independent of JVM zone") {
+    // '2026-02-13 00:00:00' must mean midnight UTC — the session timezone
+    // and the partition-date convention — not midnight in the driver's
+    // default zone (Timestamp.valueOf semantics, which would shift the
+    // date prune against the instant predicate on non-UTC hosts)
+    val c = DeletionCriteria.builder()
+      .whereClause("status = 'X'")
+      .startTime("2026-02-13 00:00:00")
+      .endTime("2026-02-14 12:30:00")
+      .build()
+    assert(c.startTime.get.toInstant == java.time.Instant.parse("2026-02-13T00:00:00Z"))
+    assert(c.endTime.get.toInstant == java.time.Instant.parse("2026-02-14T12:30:00Z"))
+  }
 }
