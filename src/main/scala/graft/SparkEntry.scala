@@ -39,6 +39,8 @@ object SparkEntry {
     "events_asof_join" -> (AsOfJoin.eventsAsOf _),
     "events_rollup" -> (Analytics.eventsRollup _),
     "events_props_json" -> (Analytics.eventsPropsJson _),
+    "events_pivot" -> (Analytics.eventsPivot _),
+    "orders_sliding_revenue" -> (Analytics.ordersSlidingRevenue _),
     "events_purchaser_cohort" -> (Analytics.purchaserCohort _),
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
@@ -90,6 +92,8 @@ object SparkEntry {
     "events_asof_join" -> AsOfJoin.eventsAsOfSql,
     "events_rollup" -> Analytics.eventsRollupSql,
     "events_props_json" -> Analytics.eventsPropsJsonSql,
+    "events_pivot" -> Analytics.eventsPivotSql,
+    "orders_sliding_revenue" -> Analytics.ordersSlidingRevenueSql,
     "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,

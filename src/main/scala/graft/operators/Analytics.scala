@@ -209,6 +209,61 @@ object Analytics {
       |    AND o.o_orderdate < TIMESTAMP '1995-07-01')
       |ORDER BY c_custkey""".stripMargin
 
+  /** RANGE-frame window surface: daily revenue plus the trailing-7-day
+    * rolling total — `rangeBetween` over days-since-epoch, so days missing
+    * from the data still bound the frame by VALUE (a rows-frame would
+    * silently widen across gaps). Input is pre-aggregated to one row per
+    * day; the window shuffles day-rows only.
+    */
+  def ordersSlidingRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .withColumn("day_num", datediff(col("d"), lit("1970-01-01")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        round(col("rev"), 2).as("rev"),
+        round(sum(col("rev")).over(w), 2).as("rev_7d"))
+      .orderBy("day")
+  }
+
+  val ordersSlidingRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS d, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, round(rev, 2) AS rev,
+      |  round(sum(rev) OVER (ORDER BY d
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2) AS rev_7d
+      |FROM daily ORDER BY day""".stripMargin
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot surface: per-day event counts spread into one column per event
+    * type. The type list is EXPLICIT — `pivot(col)` without values runs an
+    * extra distinct-collect job to discover them, and at scale the value
+    * set must be a reviewed contract, not data-driven. Absent (day, type)
+    * combos are 0, not null, matching the conditional-aggregation form.
+    */
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .orderBy("day")
+
+  val eventsPivotSql: String = {
+    val cols = EventTypes
+      .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS \"$t\"")
+      .mkString(",\n  ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
   /** Semi-structured surface: parse the JSON `props` column with a
     * DECLARED schema (`from_json` — codegen'd Jackson parse, no inference
     * pass, unread fields skipped) and aggregate the extracted field per
