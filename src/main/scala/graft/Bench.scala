@@ -1,15 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    // shared session contract (UTC, nanosAsLong, extensions, AQE…) — the
+    // previous hand-built conf set here had already drifted (no UTC)
+    val spark = graft.core.GraftSession.builder("graft-bench",
+        master = Some(s"local[$cpus]"), hiveSupport = false,
+        shufflePartitions = Some(cpus.toInt),
+        extraConfs = Map("spark.ui.enabled" -> "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/file-index paths so the first timed query does

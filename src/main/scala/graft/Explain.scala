@@ -1,8 +1,6 @@
 package graft
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-audit dump: `.explain("formatted")` text for every
   * SparkEntry.queries entry → one file per query under outDir. This is the
   * evidence behind PLANS.md — re-run it after touching any operator and
@@ -18,15 +16,15 @@ object Explain {
     val positional = args.filterNot(_.startsWith("--"))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = if (positional.length > 1) positional(1) else "target/explains"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", (!noAqe).toString)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.GraftSession.builder("graft-explain",
+        master = Some("local[4]"), hiveSupport = false,
+        shufflePartitions = Some(4),
+        extraConfs = Map("spark.ui.enabled" -> "false"))
       .getOrCreate()
+    // runtime-settable override: the builder deliberately refuses to let
+    // extraConfs override fixed confs, and AQE-off is a plan-probe need,
+    // not a session contract change
+    if (noAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     var failed = 0

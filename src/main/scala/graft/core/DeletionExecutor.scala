@@ -101,7 +101,7 @@ final class DeletionExecutor(spark: SparkSession, config: JobConfig, metrics: Me
       val r = processBatch(batch)
       // count PARTITIONS, not batches — the summary metric must agree with
       // the per-partition detail entries
-      batch.foreach(_ => metrics.incrementPartitionsProcessed())
+      metrics.incrementPartitionsProcessed(batch.size)
       r
     }.foldLeft(DeletionResult(0, Set.empty))(_ + _)
   }

@@ -28,7 +28,7 @@ final class Metrics {
   def recordRecordsRead(n: Long): Unit = totalRecordsRead += n
   def recordRecordsDeleted(n: Long): Unit = totalRecordsDeleted += n
   def recordRecordsRetained(n: Long): Unit = totalRecordsRetained += n
-  def incrementPartitionsProcessed(): Unit = partitionsProcessed += 1
+  def incrementPartitionsProcessed(n: Int = 1): Unit = partitionsProcessed += n
   def incrementPartitionsFailed(): Unit = partitionsFailed += 1
   def recordPartitionMetric(partition: String, count: Long): Unit =
     partitionMetrics(partition) = count

@@ -23,7 +23,9 @@ object Curation {
 
   /** Per-language survivors after quality filtering + near-dup dropping. */
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
-    val dropIds = Dedup.clusters(spark, sfDir)
+    // labels only — the size join and presentation sort in Dedup.clusters
+    // are report surface a drop list does not need
+    val dropIds = Dedup.clusterLabels(spark, sfDir)
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     Tables.documents(spark, sfDir)
       .where(TextAnalysis.isQualityCol)

@@ -217,7 +217,15 @@ object Dedup {
     * by estimated Jaccard = fraction of equal minhash components ≥
     * threshold.
     */
-  def minHashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+  def minHashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
+    minHashLshPairs(spark, sfDir, threshold).orderBy("id_a", "id_b")
+
+  /** [[minHashLsh]] without the presentation sort — the form graph
+    * consumers ([[clusters]], [[graft.pipeline.Curation]]) use: an edge
+    * list does not need the range exchange + sort the oracle output does.
+    */
+  private[pipeline] def minHashLshPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
     val sigArr = minHashSignatures(Tables.documents(spark, sfDir))
     // band rows carry ONLY (doc_id, band, bucket) — the 128-long signature
     // stays out of the candidate shuffle and is re-joined per candidate
@@ -243,7 +251,6 @@ object Dedup {
         call_function("graft_eqcount", col("sig_a"), col("sig_b")).cast("double") / NumPerms, 4))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** DuckDB oracle for [[minHashLsh]] — the same 128 affine mins over the
@@ -408,7 +415,15 @@ object Dedup {
     * and the component size.
     */
   def clusters(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
-    clustersOf(minHashLsh(spark, sfDir, threshold).select("id_a", "id_b"))
+    clustersOf(minHashLshPairs(spark, sfDir, threshold).select("id_a", "id_b"))
+
+  /** Just the (node → component-min) labels, unordered and without sizes —
+    * what a keep/drop consumer ([[graft.pipeline.Curation]]) needs; the
+    * size join and presentation sort in [[clustersOf]] are report surface.
+    */
+  def clusterLabels(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    labelsOf(minHashLshPairs(spark, sfDir, threshold).select("id_a", "id_b"))
 
   /** Min-label propagation over an (id_a, id_b) edge list: each round every
     * node takes the min of its own and its neighbors' labels; converges to
@@ -423,6 +438,15 @@ object Dedup {
     * reaches the driver.
     */
   def clustersOf(edges0: DataFrame): DataFrame = {
+    val labels = labelsOf(edges0)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** The propagation loop itself: (doc_id, cluster_id) rows, unordered. */
+  def labelsOf(edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(edges0.select(col("id_b").as("s"), col("id_a").as("d")))
       .localCheckpoint() // reused every round — materialize once
@@ -441,10 +465,7 @@ object Dedup {
       changed = next.where(col("chg")).count()
       labels = next.select("node", "lbl")
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), "lbl")
-      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-      .orderBy("cluster_id", "doc_id")
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** DuckDB oracle for [[clusters]]: the minhash-LSH pair query as the edge
