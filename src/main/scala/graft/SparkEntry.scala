@@ -38,6 +38,7 @@ object SparkEntry {
     "events_sessionize" -> (Analytics.sessionize _),
     "events_asof_join" -> (AsOfJoin.eventsAsOf _),
     "events_rollup" -> (Analytics.eventsRollup _),
+    "events_cube" -> (Analytics.eventsCube _),
     "events_props_json" -> (Analytics.eventsPropsJson _),
     "events_pivot" -> (Analytics.eventsPivot _),
     "orders_sliding_revenue" -> (Analytics.ordersSlidingRevenue _),
@@ -60,9 +61,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
-    "corpus_curation" -> (Curation.curate _),
+    "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
+    // exact O(n²) audit tool (small-n); the scale path is dedup_embedding_ann
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // flagship embedding-dedup: hyperplane-LSH candidates in the high-cosine
+    // regime, exact-cosine verified — shuffle O(vectors × tables), not O(n²)
+    "dedup_embedding_ann" -> ((s, d) => Similarity.cosineLshPairs(s, d, threshold = 0.8)),
     // similarity search
     "knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -91,6 +96,7 @@ object SparkEntry {
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_asof_join" -> AsOfJoin.eventsAsOfSql,
     "events_rollup" -> Analytics.eventsRollupSql,
+    "events_cube" -> Analytics.eventsCubeSql,
     "events_props_json" -> Analytics.eventsPropsJsonSql,
     "events_pivot" -> Analytics.eventsPivotSql,
     "orders_sliding_revenue" -> Analytics.ordersSlidingRevenueSql,
@@ -113,6 +119,7 @@ object SparkEntry {
     "corpus_curation" -> Curation.curateSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "dedup_embedding_ann" -> Similarity.cosineLshPairsSql(threshold = 0.8),
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),

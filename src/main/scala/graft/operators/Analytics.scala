@@ -309,6 +309,30 @@ object Analytics {
       |GROUP BY ROLLUP (event_type, day)
       |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Full cube over (event_type, day): all four grouping levels — detail,
+    * per-type, per-day, grand total — in one pass; the sibling of
+    * [[eventsRollup]] that completes the grouping-sets family. Like
+    * rollup, `cube` is one Expand + ONE shuffle/aggregate where four
+    * separate GROUP BYs would scan and shuffle four times; the Expand
+    * factor (4× rows into a partial aggregate) is consumed map-side.
+    * `gid` disambiguates real NULLs from cube levels.
+    */
+  def eventsCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .cube(col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("gid", "event_type", "day", "n", "sum_value")
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  val eventsCubeSql: String =
+    """SELECT GROUPING(event_type, day) AS gid, event_type, day,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+      |GROUP BY CUBE (event_type, day)
+      |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
   /** Set-operator cohort: (day, user) pairs that purchased AND clicked
     * that day with no error that day — INTERSECT/EXCEPT distinct-set
     * semantics, identical in both engines. Each leg is pre-aggregated to

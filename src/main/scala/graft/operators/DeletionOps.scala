@@ -17,10 +17,15 @@ import graft.sources.Tables
   * inclusive, end EXCLUSIVE (the golden semantic, FIXTURES.md §1).
   */
 object DeletionOps {
-  private val start = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
-  private val end = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+  // parseUtc, not Timestamp.valueOf: valueOf reads the wall-clock string in
+  // the driver's default TZ, so on a non-UTC driver the constants would
+  // drift from the oracle's naive TIMESTAMP literals (the session TZ is
+  // pinned to UTC — GraftSession). defs, not vals, so a TZ-shifted spec
+  // exercises the parse regardless of object-initialization order.
+  private def start = DeletionCriteria.parseUtc("2024-01-10 00:00:00")
+  private def end = DeletionCriteria.parseUtc("2024-01-20 00:00:00")
 
-  val criteria: DeletionCriteria = DeletionCriteria(
+  def criteria: DeletionCriteria = DeletionCriteria(
     whereClause = Some("event_type = 'click' AND value < 50"),
     startTime = Some(start),
     endTime = Some(end),

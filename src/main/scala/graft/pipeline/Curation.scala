@@ -21,15 +21,28 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Broadcast the drop list only below this row count (~64 MB of longs
+    * with join-hash overhead). The list is every non-canonical near-dup —
+    * proportional to corpus size × dup rate, so at 100 TB it exceeds any
+    * broadcast budget and must anti-join as a shuffle; an unconditional
+    * `broadcast()` hint would OOM the driver there. The count is cheap:
+    * the label-propagation loop has already materialized the labels via
+    * checkpoint, so this re-reads checkpointed blocks, not the pipeline.
+    */
+  val BroadcastDropListMaxRows: Long = 4L << 20
+
   /** Per-language survivors after quality filtering + near-dup dropping. */
-  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+  def curate(spark: SparkSession, sfDir: String,
+      broadcastMaxRows: Long = BroadcastDropListMaxRows): DataFrame = {
     // labels only — the size join and presentation sort in Dedup.clusters
     // are report surface a drop list does not need
     val dropIds = Dedup.clusterLabels(spark, sfDir)
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val dropSide = if (dropIds.count() <= broadcastMaxRows) broadcast(dropIds)
+                   else dropIds // planner/AQE picks shuffled left_anti at scale
     Tables.documents(spark, sfDir)
       .where(TextAnalysis.isQualityCol)
-      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .join(dropSide, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),
         round(avg(col("n_chars")), 2).as("avg_chars"),

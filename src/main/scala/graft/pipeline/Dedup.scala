@@ -498,12 +498,16 @@ object Dedup {
     * of a broadcast-nested-loop row explosion, and the per-pair math runs
     * as tight JVM float ops instead of interpreted expression folds.
     *
-    * Exact thresholded similarity join is inherently O(n²) compute — that
-    * is the contract here (measured on these embeddings, every hyperplane-
-    * LSH configuration prunes candidates no faster than it loses recall at
-    * θ≈66°, so approximate bucketing buys nothing). At 100 TB you either
-    * raise the threshold and use [[Similarity.cosineLshPairs]] (LSH wins in
-    * the high-cosine regime) or accept the quadratic cost and scale B.
+    * SCOPE: this is the exact small-n AUDIT tool, not the pipeline-scale
+    * dedup path. Exact thresholded similarity join is inherently O(n²)
+    * compute — that is the contract here (measured on these embeddings,
+    * every hyperplane-LSH configuration prunes candidates no faster than it
+    * loses recall at θ≈66°, so approximate bucketing buys nothing at low
+    * thresholds). The flagship embedding-dedup for a 100 TB corpus is the
+    * high-cosine ANN form — [[Similarity.cosineLshPairs]] at threshold
+    * ≥ ~0.8, wired as `dedup_embedding_ann` — where sign-LSH buckets shrink
+    * exponentially and shuffle stays O(vectors × tables). Use this exact
+    * form to audit the ANN path's recall on samples, or when n is small.
     */
   def embeddingCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
       blocks: Int = 16): DataFrame =

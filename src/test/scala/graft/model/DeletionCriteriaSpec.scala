@@ -96,4 +96,19 @@ class DeletionCriteriaSpec extends AnyFunSuite {
     assert(c.startTime.get.toInstant == java.time.Instant.parse("2026-02-13T00:00:00Z"))
     assert(c.endTime.get.toInstant == java.time.Instant.parse("2026-02-14T12:30:00Z"))
   }
+
+  test("DeletionOps fixture criteria hold UTC instants under a shifted JVM default zone") {
+    // the fixture timestamps are defs through parseUtc, so this exercises
+    // the parse itself under a non-UTC driver default — the regression
+    // shape Timestamp.valueOf would fail (it reads the wall-clock string
+    // in the default zone, drifting the constants vs the oracle's naive
+    // TIMESTAMP literals)
+    val saved = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val c = graft.operators.DeletionOps.criteria
+      assert(c.startTime.get.toInstant == java.time.Instant.parse("2024-01-10T00:00:00Z"))
+      assert(c.endTime.get.toInstant == java.time.Instant.parse("2024-01-20T00:00:00Z"))
+    } finally java.util.TimeZone.setDefault(saved)
+  }
 }

@@ -28,6 +28,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out.where(col("avg_chars") < 1 || col("avg_chars") > 10000).count() === 0)
   }
 
+  test("drop-list join gate: the no-broadcast path (scale mode) matches the broadcast path") {
+    // broadcastMaxRows = -1 forces the unhinted join — the shape AQE picks
+    // when the drop list outgrows the broadcast budget at 100 TB; results
+    // must be identical either way
+    val hinted = Curation.curate(spark, sfDir)
+    val unhinted = Curation.curate(spark, sfDir, broadcastMaxRows = -1)
+    assert(hinted.count() === unhinted.count())
+    assert(hinted.except(unhinted).count() === 0)
+    assert(unhinted.except(hinted).count() === 0)
+  }
+
   test("curation plan: ONE documents scan, inline quality filter, no sort-merge join") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

@@ -123,6 +123,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found.count() === nTrue, "recall must be 1.0 on high-cosine near-dups")
   }
 
+  test("dedup_embedding_ann (threshold 0.8): recall bound vs the exact audit tool on planted near-dups") {
+    // the synthetic corpus holds no pairs above cosine ~0.55 (verified —
+    // that is why the surface entry legitimately returns 0 rows on the
+    // test tables), so the recall bound runs on a planted fixture: 60
+    // bases with near-copies at graded noise (cosine ≈ 0.82–0.99) plus
+    // 80 unrelated vectors. Deterministic seed + fixed hyperplanes ⇒
+    // pinned result, not a probabilistic flake.
+    val rnd = new scala.util.Random(4321)
+    val dim = 64
+    val planted = (0 until 60).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val eps = 0.15f + 0.35f * (i % 5) / 4f // cosine ≈ 0.99 down to ≈ 0.82
+      val near = base.map(x => x + rnd.nextGaussian().toFloat * eps)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    val noise = (0 until 80).map(i => (1000L + i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    import spark.implicits._
+    val df = (planted ++ noise).toDF("vec_id", "embedding")
+    val ann = Similarity.cosineLshPairsOf(df, threshold = 0.8)
+      .select("id_a", "id_b").cache()
+    val exact = Dedup.embeddingCosineOf(df, threshold = 0.8)
+      .select("id_a", "id_b").cache()
+    val nExact = exact.count()
+    assert(nExact >= 35, s"fixture should plant >=35 true pairs at 0.8, got $nExact")
+    val missed = exact.join(ann, Seq("id_a", "id_b"), "left_anti").count()
+    val recall = (nExact - missed).toDouble / nExact
+    assert(recall >= 0.9, s"ANN recall $recall below 0.9 ($missed of $nExact missed)")
+    // precision is structural: every ANN pair is exact-cosine verified
+    assert(ann.join(exact, Seq("id_a", "id_b"), "left_anti").count() === 0)
+  }
+
   test("identical vectors always collide in every LSH table (recall floor)") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
