@@ -62,8 +62,10 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** DuckDB-dialect shingle CTEs shared by the n-gram and MinHash oracles. */
-  private val shingleCtes =
+  /** DuckDB-dialect shingle CTEs shared by the n-gram and MinHash oracles
+    * (and the incremental-dedup oracle in [[IncrementalDedup]]).
+    */
+  private[pipeline] val shingleCtes =
     """toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
       |         THEN list_distinct(list_transform(generate_series(1, len(t)-2),
@@ -178,7 +180,7 @@ object Dedup {
   /** Deterministic permutation parameters — arithmetic LCG-derived affine
     * hashes, identical in the oracle SQL.
     */
-  private val permParams: Seq[(Long, Long)] = Hashes.lcgParams(NumPerms, seed = 42L)
+  private[pipeline] val permParams: Seq[(Long, Long)] = Hashes.lcgParams(NumPerms, seed = 42L)
 
   /** MinHash signatures as one `sig` array column per doc. A signature is a
     * pure function of the document's own text (128 affine mins over its
@@ -224,18 +226,24 @@ object Dedup {
     * consumers ([[clusters]], [[graft.pipeline.Curation]]) use: an edge
     * list does not need the range exchange + sort the oracle output does.
     */
-  private[pipeline] def minHashLshPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.7): DataFrame = {
-    val sigArr = minHashSignatures(Tables.documents(spark, sfDir))
-    // band rows carry ONLY (doc_id, band, bucket) — the 128-long signature
-    // stays out of the candidate shuffle and is re-joined per candidate
-    val banded = sigArr.select(
+  /** (doc_id, band, bucket) rows from a (doc_id, sig) frame — band rows
+    * carry ONLY ids and buckets, so the 128-long signature stays out of
+    * every candidate shuffle (re-joined per candidate instead). Shared by
+    * the self-dedup path and [[IncrementalDedup]]'s store build/probe.
+    */
+  private[pipeline] def bandedOf(sigArr: DataFrame): DataFrame =
+    sigArr.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { bnd =>
         struct(lit(bnd).as("band"),
           Hashes.foldBucket(slice(col("sig"), bnd * 8 + 1, 8)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  private[pipeline] def minHashLshPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val sigArr = minHashSignatures(Tables.documents(spark, sfDir))
+    val banded = bandedOf(sigArr)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
