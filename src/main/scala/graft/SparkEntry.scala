@@ -74,6 +74,8 @@ object SparkEntry {
     "knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_ivf_nprobe" -> ((s, d) => Similarity.knnIvfProbe(s, d)),
+    // k-means-trained cells (deterministic integer Lloyd rounds)
+    "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -126,6 +128,7 @@ object SparkEntry {
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),
+    "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

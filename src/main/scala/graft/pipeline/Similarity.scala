@@ -199,6 +199,121 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------- trained IVF (k-means)
+
+  /** round(x*1000) half-away-from-zero as a Column — the same integer
+    * quantization the hyperplane-LSH bucketing uses, mirrored by DuckDB's
+    * `CAST(round(x*1000) AS BIGINT)`.
+    */
+  private def quantized(v: Column): Column = transform(v, x => {
+    val y = x * 1000
+    when(y >= 0, floor(y + lit(0.5))).otherwise(-floor(-y + lit(0.5))).cast("long")
+  })
+
+  /** Spherical k-means centroids, trained deterministically: stride-sample
+    * init, `iters` Lloyd rounds of (argmax-cosine assignment → per-cell
+    * mean). The update is EXACT INTEGER arithmetic — vectors quantized to
+    * round(x*1000), new centroid component = floor(sum/count) — because a
+    * float mean's summation order differs between Spark partial aggregates
+    * and the oracle engine, and a last-ulp centroid difference can flip a
+    * boundary vector's cell and break the value-level oracle. Integer sums
+    * are order-free, so training is reproducible bit-for-bit in SQL.
+    *
+    * Scale shape per round: one broadcast of the centroids, assignment
+    * consumed by an in-stage `max_by` partial aggregate (one row per
+    * vector reaches the exchange), then the centroid update shuffles only
+    * (cell, dim) partial sums — cells×64 rows after map-side combine,
+    * independent of corpus size. Empty cells drop out (their id simply
+    * stops existing), identically in the oracle.
+    */
+  def trainedCentroidsOf(e: DataFrame, stride: Int = 50, iters: Int = 3): DataFrame = {
+    val eq = e.withColumn("vq", quantized(col("v")))
+    var cents = eq.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"), col("vq").as("cq"))
+    var it = 0
+    while (it < iters) {
+      val assigned = eq
+        .join(broadcast(cents.withColumn("cv", transform(col("cq"), _.cast("double")))),
+          lit(true))
+        .withColumn("ccos", cosine(col("cv"), col("v")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"),
+          first(col("vq")).as("vq"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(floor(sum(col("x")) * 1.0 / count(lit(1))).as("ci"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
+          s => s.getField("ci")).as("cq"))
+        .withColumnRenamed("cell", "centroid_id")
+      it += 1
+    }
+    cents
+  }
+
+  /** [[knnIvf]] with k-means-trained cells instead of raw stride samples —
+    * same search flow, better-shaped cells (recall is no longer data-
+    * layout luck; the recall-dominance spec measures the improvement).
+    */
+  def knnIvfTrained(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
+      iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val cents = trainedCentroidsOf(e, centroidStride, iters)
+      .select(col("centroid_id"), transform(col("cq"), _.cast("double")).as("cv"))
+    val assigned = cellAssignments(e, cents)
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
+    searchCells(assigned, queries, k)
+  }
+
+  /** DuckDB oracle for [[knnIvfTrained]] — the identical quantized Lloyd
+    * rounds as CTE chains, then the identical cell search.
+    */
+  def knnIvfTrainedSql(nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
+      iters: Int = 3, dim: Int = 64): String = {
+    val rounds = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      s"""a$n AS (
+         |  SELECT e.vec_id, e.vq, centroid_id, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity($prev.cq::DOUBLE[], e.v) DESC, centroid_id) AS rk
+         |  FROM e CROSS JOIN $prev),
+         |g$n AS (SELECT vec_id, vq, centroid_id AS cell FROM a$n WHERE rk = 1),
+         |d$n AS (
+         |  SELECT cell, i, CAST(floor(sum(vq[i])*1.0/count(*)) AS BIGINT) AS ci
+         |  FROM g$n CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) dims
+         |  GROUP BY cell, i),
+         |c$n AS (SELECT cell AS centroid_id, list(ci ORDER BY i) AS cq FROM d$n GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS centroid_id, vq AS cq FROM e WHERE vec_id % $centroidStride = 0),
+       |$rounds,
+       |assign AS (
+       |  SELECT e.vec_id, e.v, centroid_id AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity($cFinal.cq::DOUBLE[], e.v) DESC, centroid_id) AS crank
+       |  FROM e CROSS JOIN $cFinal),
+       |cells AS (SELECT vec_id, v, cell FROM assign WHERE crank = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.qv, e2.v) AS cos
+       |  FROM cells e2 JOIN q ON e2.cell = q.cell AND e2.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplanes as INTEGER weight vectors in
     * [-1024, 1023] (LCG-derived, fixed across runs). Integer weights ×
     * integer-quantized coordinates keep the whole bucketing in exact

@@ -88,6 +88,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rAll === 1.0, s"nProbe=$nCells (all cells) must reach full recall, got $rAll")
   }
 
+  test("trained IVF: valid top-k shape and recall not below stride centroids") {
+    // sf0.01: at sf0.001 the corpus yields only 2 cells, leaving k-means
+    // nothing to improve — recall dominance is measured where cells are
+    // plural (40 at sf0.01)
+    val dir = "/root/testdata/sf0.01"
+    def recallVsBrute(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.knnBruteForce(spark, dir, nQueries = 10, k = 5)
+        .select("query_id", "neighbor_id")
+      val hits = ivf.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id")).count()
+      hits.toDouble / brute.count()
+    }
+    val trained = Similarity.knnIvfTrained(spark, dir, nQueries = 40, k = 5)
+    // shape: ranks contiguous per query
+    val byQuery = trained.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(byQuery.where(col("n") =!= col("mx")).count() === 0)
+    val rStride = recallVsBrute(Similarity.knnIvf(spark, dir, nQueries = 40, k = 5))
+    val rTrained = recallVsBrute(trained)
+    // measured: 0.275 stride vs 0.335 trained (3 Lloyd rounds) — strict
+    // improvement, deterministic (integer training arithmetic)
+    assert(rTrained > rStride,
+      s"trained-centroid recall $rTrained must beat stride recall $rStride")
+    info(s"recall at sf0.01: stride=$rStride trained=$rTrained")
+  }
+
   test("hyperplane LSH pairs: no false positives, ordered, deduplicated") {
     val pairs = Similarity.cosineLshPairs(spark, sfDir).cache()
     assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
