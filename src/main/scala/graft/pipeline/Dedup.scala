@@ -440,10 +440,11 @@ object Dedup {
     *
     * Scale shape: each round shuffles (node, label) pairs only — two
     * shuffles (neighbor-min aggregate, label join), no payload, no pair
-    * blowup. `localCheckpoint` materializes each round so round N's plan
-    * does not re-execute rounds 1..N-1 (on a cluster use a reliable
-    * checkpoint dir instead). The loop guard is a scalar count — no data
-    * reaches the driver.
+    * blowup. Each round is materialized so round N's plan does not
+    * re-execute rounds 1..N-1 — `localCheckpoint` by default; set
+    * [[CheckpointDirConf]] to checkpoint reliably on a real cluster
+    * (executor loss mid-loop is otherwise unrecoverable). The loop guard
+    * is a scalar count — no data reaches the driver.
     */
   def clustersOf(edges0: DataFrame): DataFrame = {
     val labels = labelsOf(edges0)
@@ -453,23 +454,41 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** When set on the session, the propagation loop materializes each
+    * round with RELIABLE checkpoints into this directory (HDFS path on a
+    * real cluster) instead of `localCheckpoint`. localCheckpoint stores
+    * blocks on executors — fast, and the right local-mode default, but an
+    * executor loss mid-loop kills the job unrecoverably; a reliable
+    * checkpoint survives executor churn at the cost of a filesystem
+    * round-trip per round.
+    */
+  val CheckpointDirConf = "spark.graft.dedup.checkpointDir"
+
   /** The propagation loop itself: (doc_id, cluster_id) rows, unordered. */
   def labelsOf(edges0: DataFrame): DataFrame = {
-    val edges = edges0.select(col("id_a").as("s"), col("id_b").as("d"))
-      .union(edges0.select(col("id_b").as("s"), col("id_a").as("d")))
-      .localCheckpoint() // reused every round — materialize once
-    var labels = edges.select(col("s").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+    val spark = edges0.sparkSession
+    val reliableDir = spark.conf.getOption(CheckpointDirConf)
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+    val edges = materialize(
+      edges0.select(col("id_a").as("s"), col("id_b").as("d"))
+        .union(edges0.select(col("id_b").as("s"), col("id_a").as("d"))),
+      eager = true) // reused every round — materialize once
+    var labels = materialize(
+      edges.select(col("s").as("node")).distinct().withColumn("lbl", col("node")),
+      eager = true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, col("d") === col("node"))
         .groupBy(col("s").as("n2")).agg(min("lbl").as("nbr_lbl"))
       // lazy checkpoint: the count action below materializes it — one job
       // per round instead of an eager-checkpoint job plus a count job
-      val next = labels.join(nbrMin, col("node") === col("n2"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (col("nbr_lbl") < col("lbl")).as("chg"))
-        .localCheckpoint(false)
+      val next = materialize(
+        labels.join(nbrMin, col("node") === col("n2"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+            (col("nbr_lbl") < col("lbl")).as("chg")),
+        eager = false)
       changed = next.where(col("chg")).count()
       labels = next.select("node", "lbl")
     }

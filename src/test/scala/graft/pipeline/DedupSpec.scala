@@ -18,6 +18,24 @@ class DedupSpec extends AnyFunSuite {
 
   private lazy val nDocs = Tables.documents(spark, sfDir).count()
 
+  test("clusters under a reliable checkpoint dir: identical result, checkpoints written") {
+    // the cluster-mode materialization path: executor-resident
+    // localCheckpoint blocks die with an executor; with CheckpointDirConf
+    // set the loop must checkpoint into the reliable dir and converge to
+    // the same labels
+    val s = SparkTestSession.isolated()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    s.conf.set(Dedup.CheckpointDirConf, dir)
+    try {
+      val out = Dedup.clusters(s, sfDir).collect().toSeq
+      val base = Dedup.clusters(spark, sfDir).collect().toSeq
+      assert(out === base)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(files > 0, s"reliable checkpoint dir $dir must contain checkpointed blocks")
+    } finally s.conf.unset(Dedup.CheckpointDirConf)
+  }
+
   test("exact dedup partitions the corpus: sum of copies == doc count, keepers unique") {
     val out = Dedup.exact(spark, sfDir).cache()
     assert(out.agg(sum("n_copies")).first().getLong(0) === nDocs)
