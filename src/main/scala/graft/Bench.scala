@@ -29,7 +29,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // end-to-end 7-step workflow block (its own Hive-enabled session, built
+    // after this one stops) — in the same JSON line so workflow regressions
+    // are caught by the same per-round protocol as the query surface
+    val workflow =
+      try WorkflowBench.run(sfDir, cpus)
+      catch { case e: Throwable =>
+        s"""{"metric":"workflow_total","ok":false,"error":"${e.getClass.getSimpleName}"}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""workflow":$workflow,"sf":"$sfDir"}""")
   }
 }

@@ -43,6 +43,8 @@ object SparkEntry {
     "events_pivot" -> (Analytics.eventsPivot _),
     "orders_sliding_revenue" -> (Analytics.ordersSlidingRevenue _),
     "events_purchaser_cohort" -> (Analytics.purchaserCohort _),
+    // sketch aggregates (HLL++, approx percentile) with in-query audit bounds
+    "events_approx_profile" -> (Analytics.eventsApproxProfile _),
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "events_pivot" -> Analytics.eventsPivotSql,
     "orders_sliding_revenue" -> Analytics.ordersSlidingRevenueSql,
     "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
+    "events_approx_profile" -> Analytics.eventsApproxProfileSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
     "events_attribution" -> graft.streaming.EventStream.attributionBatchSql(),

@@ -25,6 +25,18 @@ object WorkflowBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val json = run(sfDir, cpus)
+    println(json)
+    if (json.contains(""""ok":false""")) sys.exit(1)
+  }
+
+  /** The measured workflow as one JSON object string — callable from
+    * [[Bench]] so BENCH_r{N}.json carries the workflow block next to the
+    * query surface and workflow regressions trip the same protocol.
+    * Builds (and stops) its own Hive-enabled session; exits the JVM only
+    * from [[main]].
+    */
+  def run(sfDir: String, cpus: String): String = {
     val warehouse = Files.createTempDirectory("graft-wfbench-wh").toString
     val metastore = Files.createTempDirectory("graft-wfbench-ms").toString
     val spark = GraftSession.builder(
@@ -79,11 +91,11 @@ object WorkflowBench {
     val rowsAfter = spark.table(table).count()
     val phases = metrics.phaseTimings
       .map { case (k, ms) => s""""$k":${ms / 1000.0}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"workflow_total","value":$totalSec,"unit":"sec",""" +
+    val json = s"""{"metric":"workflow_total","value":$totalSec,"unit":"sec",""" +
       s""""ok":$ok,"phases":$phases,"setup_sec":$setupSec,""" +
       s""""partitions":$nPartitions,"rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
-      s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}""")
+      s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}"""
     spark.stop()
-    if (!ok) sys.exit(1)
+    json
   }
 }

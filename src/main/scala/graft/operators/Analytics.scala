@@ -333,6 +333,47 @@ object Analytics {
       |GROUP BY CUBE (event_type, day)
       |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Sketch-aggregate profile — the 100 TB profiling shape: per-day
+    * distinct users via HyperLogLog++ (`approx_count_distinct`, rsd 2%)
+    * and median value via `percentile_approx`, the two aggregates a
+    * petabyte profile pass can afford (bounded memory per group, one
+    * pass, no exact-distinct shuffle of raw user ids).
+    *
+    * Oracle contract: approximate values are engine-specific, so the
+    * DuckDB hash gate cannot compare them directly. Instead the query
+    * emits each sketch's ERROR-BOUND CHECK as a column — HLL estimate
+    * within 5% of the exact distinct count (2.5σ at rsd 2%), approx
+    * median inside the exact [p25, p75] — alongside the exact audit
+    * values; the oracle asserts the exact values and literal TRUE for
+    * every bound. A sketch drifting out of tolerance flips the boolean
+    * and fails the hash gate. (The exact aggregates exist here as the
+    * in-query audit; a real 100 TB profile run would emit the sketches
+    * alone.)
+    */
+  def eventsApproxProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(
+        count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"))
+      .select(col("day"), col("n_users"),
+        (abs(col("hll_users") - col("n_users")) <= col("n_users") * 0.05)
+          .as("hll_within_5pct"),
+        (col("p50a") >= col("p25") && col("p50a") <= col("p75"))
+          .as("p50_within_iqr"))
+      .orderBy("day")
+
+  val eventsApproxProfileSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  count(DISTINCT user_id) AS n_users,
+      |  TRUE AS hll_within_5pct,
+      |  TRUE AS p50_within_iqr
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Set-operator cohort: (day, user) pairs that purchased AND clicked
     * that day with no error that day — INTERSECT/EXCEPT distinct-set
     * semantics, identical in both engines. Each leg is pre-aggregated to

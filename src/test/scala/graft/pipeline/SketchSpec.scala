@@ -20,6 +20,18 @@ class SketchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("events_approx_profile surface query: every per-day sketch bound holds (all SFs)") {
+    // the first-class sketch entry's contract: HLL estimate within 5% of
+    // exact distinct users per day, approx median inside the exact IQR —
+    // the same booleans the DuckDB oracle pins to TRUE; verified here at
+    // every scale factor the driver exercises
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val df = graft.operators.Analytics.eventsApproxProfile(spark, s"/root/testdata/$sf")
+      val bad = df.where(!col("hll_within_5pct") || !col("p50_within_iqr")).count()
+      assert(bad === 0, s"$sf: $bad day rows violate a sketch bound")
+    }
+  }
+
   test("approx_count_distinct is within its rsd bound of the exact distinct count") {
     val docs = Tables.documents(spark, sfDir)
     val row = docs.agg(
