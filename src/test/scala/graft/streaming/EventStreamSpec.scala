@@ -21,6 +21,57 @@ class EventStreamSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("file-source restart: exactly-once windows across a checkpointed stop/restart") {
+    // the recovery contract a daily pipeline leans on: a file-stream run of
+    // hourlyCounts is stopped, more files land, the query restarts from its
+    // checkpoint — previously emitted windows must NOT re-emit (no
+    // reprocessing of committed files, state restored), new windows emit
+    // once, and a beyond-watermark late file is dropped
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val (srcDir, sinkDir, ckptDir) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+
+    def ev(id: Long, t: String, typ: String) =
+      EventStream.Event(id, ts(t), 1L, typ, 1.0)
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema)
+        .parquet(srcDir)
+      val q = EventStream.hourlyCounts(in)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: hours 00/01 + a 05:00 sentinel → watermark 03:00 finalizes 00, 01
+    Seq(ev(1, "2024-01-01 00:10:00", "click"), ev(2, "2024-01-01 00:20:00", "click"),
+      ev(3, "2024-01-01 00:40:00", "click"), ev(4, "2024-01-01 01:05:00", "click"),
+      ev(5, "2024-01-01 01:30:00", "click"), ev(6, "2024-01-01 05:00:00", "view"))
+      .toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    val after1 = spark.read.parquet(sinkDir).select("hour", "event_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(after1 === Set(("2024-01-01 00:00:00", "click", 3L),
+      ("2024-01-01 01:00:00", "click", 2L)))
+
+    // stop happened (AvailableNow drained); land late + new + sentinel files
+    Seq(ev(7, "2024-01-01 02:15:00", "click"), // LATE: behind the 03:00 watermark
+      ev(8, "2024-01-01 03:10:00", "purchase"), ev(9, "2024-01-01 03:55:00", "purchase"),
+      ev(10, "2024-01-01 09:00:00", "view")) // advances watermark to 07:00
+      .toDS().write.mode("append").parquet(srcDir)
+    runOnce() // restart from checkpoint
+    val after2 = spark.read.parquet(sinkDir).select("hour", "event_type", "n")
+      .as[(String, String, Long)].collect().toList
+    // exactly-once: run 2 added finalized 03 and 05 only; 00/01 not re-emitted,
+    // the late hour-02 event dropped, hour 09 still open in state
+    assert(after2.size === after2.toSet.size, s"duplicate windows emitted: $after2")
+    assert(after2.toSet === Set(
+      ("2024-01-01 00:00:00", "click", 3L), ("2024-01-01 01:00:00", "click", 2L),
+      ("2024-01-01 03:00:00", "purchase", 2L), ("2024-01-01 05:00:00", "view", 1L)))
+  }
+
   test("hourlyCounts on a batch frame matches the batch eventsHourly operator") {
     val batch = Analytics.eventsHourly(spark, sfDir)
     val viaStreamingDef = EventStream.hourlyCounts(Tables.events(spark, sfDir))
