@@ -78,23 +78,61 @@ object Similarity {
     e.where(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
 
-  /** Nearest centroid per vector as a max_by aggregation (argmax cosine,
-    * tiebreak min centroid_id via the struct ordering). The broadcast
-    * expansion (corpus × centroids) is consumed by the PARTIAL aggregate in
-    * the same stage — only one already-reduced row per vector reaches the
-    * exchange, unlike a row_number window, which would shuffle the whole
-    * expansion just to rank it.
+  /** Nearest centroid per vector (argmax cosine, tiebreak min centroid_id)
+    * as a shuffle-free typed map: the centroid set is k×dim — bounded by k,
+    * never by the corpus — so it is collected to the driver and closed over
+    * (the MLlib k-means shape). Each corpus row computes its argmax in one
+    * tight JVM loop and nothing corpus-sized ever reaches an exchange,
+    * unlike a groupBy(vec_id) argmax, which shuffles one (vector-payload)
+    * row per corpus row just because Spark cannot know vec_id is unique.
+    *
+    * Arithmetic mirrors `graft_cosine(cv, v)` bit-for-bit (dot/|cv|²/|v|²
+    * accumulated left-to-right in index order, result dot/(√·√)), and the
+    * tiebreak mirrors `max_by(centroid_id, struct(ccos, -centroid_id))`
+    * including NaN-greatest ordering via `java.lang.Double.compare` — so
+    * the DuckDB oracles keep matching value-for-value.
     */
-  private def cellAssignments(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.join(broadcast(centroids), lit(true))
-      .withColumn("ccos", cosine(col("cv"), col("v")))
-      .groupBy(col("vec_id"))
-      // v is functionally dependent on vec_id, so first(v) is deterministic;
-      // grouping by vec_id alone keeps the aggregate hash-based (an array
-      // grouping key would force SortAggregate + extra sorts)
-      .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("cell"))
+  private def cellAssignments(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centArr: Array[(Long, Array[Double])] = centroids
+      .select(col("centroid_id"), col("cv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestCentroid(centArr, v)) }
+      .toDF("vec_id", "v", "cell")
+  }
+
+  /** Argmax-cosine cell for one vector — the JVM mirror of
+    * `max_by(centroid_id, struct(graft_cosine(cv, v), -centroid_id))`.
+    * A centroid of mismatched length yields a NULL cosine in the Column
+    * form and can never win there (nulls sort below every struct value),
+    * so here it is skipped; if no centroid is comparable the smallest
+    * centroid id is returned (the case is unreachable on well-formed data).
+    */
+  private def nearestCentroid(centArr: Array[(Long, Array[Double])],
+      v: Array[Double]): Long = {
+    var bestId = Long.MaxValue; var best = 0.0; var found = false
+    var c = 0
+    while (c < centArr.length) {
+      val (cid, cv) = centArr(c)
+      if (cv.length == v.length) {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < v.length) {
+          val xv = cv(i); val yv = v(i)
+          dot += xv * yv; nx += xv * xv; ny += yv * yv
+          i += 1
+        }
+        val cos = dot / (math.sqrt(nx) * math.sqrt(ny))
+        val cmp = java.lang.Double.compare(cos, best)
+        if (!found || cmp > 0 || (cmp == 0 && cid < bestId)) {
+          found = true; best = cos; bestId = cid
+        }
+      } else if (!found && cid < bestId) bestId = cid
+      c += 1
+    }
+    bestId
+  }
 
   /** Score each (query, same-cell vector) pair and keep the per-query
     * top-k — queryCells columns: (query_id, qv, qcell).
@@ -201,14 +239,19 @@ object Similarity {
 
   // ------------------------------------------------- trained IVF (k-means)
 
-  /** round(x*1000) half-away-from-zero as a Column — the same integer
+  /** round(x*1000) half-away-from-zero in the JVM — the same integer
     * quantization the hyperplane-LSH bucketing uses, mirrored by DuckDB's
     * `CAST(round(x*1000) AS BIGINT)`.
     */
-  private def quantized(v: Column): Column = transform(v, x => {
-    val y = x * 1000
-    when(y >= 0, floor(y + lit(0.5))).otherwise(-floor(-y + lit(0.5))).cast("long")
-  })
+  private def quantizeVec(v: Array[Double]): Array[Long] = {
+    val q = new Array[Long](v.length); var i = 0
+    while (i < v.length) {
+      val y = v(i) * 1000
+      q(i) = (if (y >= 0) math.floor(y + 0.5) else -math.floor(-y + 0.5)).toLong
+      i += 1
+    }
+    q
+  }
 
   /** Spherical k-means centroids, trained deterministically: stride-sample
     * init, `iters` Lloyd rounds of (argmax-cosine assignment → per-cell
@@ -219,37 +262,46 @@ object Similarity {
     * boundary vector's cell and break the value-level oracle. Integer sums
     * are order-free, so training is reproducible bit-for-bit in SQL.
     *
-    * Scale shape per round: one broadcast of the centroids, assignment
-    * consumed by an in-stage `max_by` partial aggregate (one row per
-    * vector reaches the exchange), then the centroid update shuffles only
-    * (cell, dim) partial sums — cells×64 rows after map-side combine,
-    * independent of corpus size. Empty cells drop out (their id simply
-    * stops existing), identically in the oracle.
+    * Scale shape per round: the k×dim centroid set lives on the driver
+    * (bounded by k, never by the corpus — the MLlib k-means shape) and the
+    * assignment is a pure typed-map pass closing over it, so NOTHING
+    * corpus-sized is ever shuffled or broadcast-expanded; the centroid
+    * update shuffles only (cell, dim) partial sums — cells×64 rows per
+    * input partition after map-side combine, independent of corpus size.
+    * Each round is exactly one job: map → posexplode → partial agg → tiny
+    * exchange → collect of cells×dim rows. (The previous chained-lazy-
+    * DataFrame form re-ran every earlier round inside each broadcast
+    * materialization and shuffled a vector-payload row per corpus row per
+    * round.) Empty cells drop out (their id simply stops existing),
+    * identically in the oracle.
     */
   def trainedCentroidsOf(e: DataFrame, stride: Int = 50, iters: Int = 3): DataFrame = {
-    val eq = e.withColumn("vq", quantized(col("v")))
-    var cents = eq.where(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("centroid_id"), col("vq").as("cq"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ev = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    var cents: Array[(Long, Array[Long])] = ev
+      .filter(r => r._1 % stride == 0).collect()
+      .sortBy(_._1)
+      .map { case (id, v) => id -> quantizeVec(v) }
     var it = 0
     while (it < iters) {
-      val assigned = eq
-        .join(broadcast(cents.withColumn("cv", transform(col("cq"), _.cast("double")))),
-          lit(true))
-        .withColumn("ccos", cosine(col("cv"), col("v")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("centroid_id"), struct(col("ccos"), -col("centroid_id"))).as("cell"),
-          first(col("vq")).as("vq"))
+      val centArr = cents.map { case (id, cq) => id -> cq.map(_.toDouble) }
+      val assigned = ev
+        .map { case (_, v) => (nearestCentroid(centArr, v), quantizeVec(v)) }
+        .toDF("cell", "vq")
       cents = assigned
         .select(col("cell"), posexplode(col("vq")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(floor(sum(col("x")) * 1.0 / count(lit(1))).as("ci"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("ci")))),
-          s => s.getField("ci")).as("cq"))
-        .withColumnRenamed("cell", "centroid_id")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+        }
+        .toArray.sortBy(_._1)
       it += 1
     }
-    cents
+    cents.toSeq.toDF("centroid_id", "cq")
   }
 
   /** [[knnIvf]] with k-means-trained cells instead of raw stride samples —
