@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Curation, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     // daily-ingestion shape: batch probed against the PERSISTED corpus store
     "dedup_incremental" -> ((s, d) => IncrementalDedup.dedupIncremental(s, d)),
+    // train/test contamination guard: exact n-gram overlap vs the eval slice
+    "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
@@ -123,6 +125,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.minHashLshSql(),
     "dedup_incremental" -> IncrementalDedup.dedupIncrementalSql(),
+    "decontaminate" -> Decontaminate.overlapsSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Benchmark decontamination: find corpus documents that share token
+  * n-grams with an evaluation/benchmark set — the standard guard against
+  * train/test contamination in a training-data pipeline (published form:
+  * exact 13-gram overlap; `n` is a parameter here because the synthetic
+  * docs are 10–100 tokens, and the default 8 keeps the check meaningful
+  * at that length).
+  *
+  * The eval set is modeled as a deterministic id-slice of `documents`
+  * (`doc_id % evalMod == evalRes`) — in production it would be a separate
+  * small table; everything downstream treats the two sides opaquely, so
+  * swapping in a real benchmark table is a one-line change.
+  *
+  * Scale design: inverted-index join, never a doc×doc comparison. Each
+  * side is reduced to per-n-gram posting lists (one shuffle keyed on the
+  * n-gram per side), lists longer than [[MaxNgramDf]] are dropped —
+  * boilerplate n-grams carry no contamination signal and would otherwise
+  * create df_corpus × df_eval pair blowups per hot key (the same Zipf
+  * guard as [[Dedup.MaxShingleDf]], mirrored in the oracle) — and the
+  * surviving postings are joined per n-gram, so pair expansion is bounded
+  * by MaxNgramDf² per key. The pair shuffle carries ids only. At 100 TB
+  * the eval side is tiny and its postings broadcast under AQE; the plan
+  * never depends on that, only profits from it.
+  */
+object Decontaminate {
+
+  /** Published decontamination uses 13-grams on web-scale text; 8 fits the
+    * 10–100-token synthetic docs while keeping exact-span semantics.
+    */
+  val DefaultN = 8
+
+  /** Per-side document-frequency cap: an n-gram appearing in more docs
+    * than this (on either side) is dropped from the overlap universe.
+    */
+  val MaxNgramDf = 20
+
+  /** THE n-gram definition (flatMap producer and oracle CTE must agree):
+    * tokens = split on single space keeping empties; < n tokens ⇒ the
+    * whole text is the one n-gram; distinct per doc.
+    */
+  private def ngramsOf(text: String, n: Int): Array[String] = {
+    val t = text.split(" ", -1)
+    if (t.length >= n) t.sliding(n).map(_.mkString(" ")).toArray.distinct
+    else Array(text)
+  }
+
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => ngramsOf(text, n).iterator.map(g => (id, g)) }
+      .toDF("doc_id", "ngram")
+  }
+
+  /** (corpus_id, eval_id, n_shared) for every corpus/eval document pair
+    * sharing ≥ `minShared` distinct token n-grams (df-capped universe).
+    */
+  def overlaps(spark: SparkSession, sfDir: String, n: Int = DefaultN,
+      evalMod: Int = 10, evalRes: Int = 7, minShared: Int = 1): DataFrame =
+    overlapsOf(Tables.documents(spark, sfDir), n, evalMod, evalRes, minShared)
+
+  /** [[overlaps]] over any (doc_id, text) frame — reusable for planted-
+    * fixture specs.
+    */
+  def overlapsOf(docs: DataFrame, n: Int = DefaultN,
+      evalMod: Int = 10, evalRes: Int = 7, minShared: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ng = ngramRows(docs, n)
+    def postings(side: DataFrame, idCol: String): DataFrame =
+      side.groupBy("ngram")
+        .agg(sort_array(collect_list(col("doc_id"))).as(idCol))
+        .where(size(col(idCol)) <= MaxNgramDf)
+    val corpusPost = postings(ng.where(col("doc_id") % evalMod =!= evalRes), "cids")
+    val evalPost = postings(ng.where(col("doc_id") % evalMod === evalRes), "eids")
+    // both sides are already hash-partitioned on ngram by their groupBys,
+    // so this join introduces no new exchange; pair expansion is ≤ df²
+    // per n-gram by the caps above, and rows carry ids only
+    val pairs = corpusPost.join(evalPost, "ngram")
+      .select(col("cids"), col("eids")).as[(Seq[Long], Seq[Long])]
+      .flatMap { case (cids, eids) =>
+        for (c <- cids.iterator; e <- eids.iterator) yield (c, e)
+      }
+      .toDF("corpus_id", "eval_id")
+    pairs.groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("corpus_id", "eval_id")
+  }
+
+  /** DuckDB oracle — identical n-gram definition, identical per-side df
+    * caps, identical pair semantics.
+    */
+  def overlapsSql(n: Int = DefaultN, evalMod: Int = 10, evalRes: Int = 7,
+      minShared: Int = 1): String = {
+    val concat = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |ng AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |         THEN list_distinct(list_transform(generate_series(1, len(t)-${n - 1}),
+       |                i -> $concat))
+       |         ELSE list_distinct([text]) END) AS ngram
+       |       FROM toks),
+       |cn AS (SELECT doc_id, ngram FROM ng WHERE doc_id % $evalMod <> $evalRes),
+       |en AS (SELECT doc_id, ngram FROM ng WHERE doc_id % $evalMod = $evalRes),
+       |ck AS (SELECT ngram FROM cn GROUP BY 1 HAVING count(*) <= $MaxNgramDf),
+       |ek AS (SELECT ngram FROM en GROUP BY 1 HAVING count(*) <= $MaxNgramDf),
+       |pairs AS (
+       |  SELECT cn.doc_id AS corpus_id, en.doc_id AS eval_id
+       |  FROM cn JOIN ck USING (ngram) JOIN en USING (ngram) JOIN ek USING (ngram))
+       |SELECT corpus_id, eval_id, count(*) AS n_shared
+       |FROM pairs GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY corpus_id, eval_id""".stripMargin
+  }
+}
