@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Repetition, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,8 @@ object SparkEntry {
     "text_token_count" -> (TextAnalysis.tokenCount _),
     "text_tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
+    // Gopher repetition signals (dup lines, top/dup n-gram char fractions)
+    "text_repetition" -> (Repetition.repetition _),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "text_token_count" -> TextAnalysis.tokenCountSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
+    "text_repetition" -> Repetition.repetitionSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
