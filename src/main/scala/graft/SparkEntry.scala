@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Repetition, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,9 @@ object SparkEntry {
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // Gopher repetition signals (dup lines, top/dup n-gram char fractions)
     "text_repetition" -> (Repetition.repetition _),
+    // deterministic sampling: map-only hash filter / exact per-stratum quotas
+    "sample_hash" -> ((s, d) => Sampling.hashSample(s, d)),
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -123,6 +126,8 @@ object SparkEntry {
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "text_repetition" -> Repetition.repetitionSql,
+    "sample_hash" -> Sampling.hashSampleSql(),
+    "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+import graft.sources.Tables
+
+/** Deterministic sampling for a training-data pipeline. `rand()` sampling
+  * is non-reproducible (reruns, retried tasks, and added files all change
+  * the sample); hashing a stable key gives a sample that is reproducible
+  * run-to-run, stable under corpus growth (a doc's membership never
+  * changes), and consistent across engines — which is what makes it
+  * oracle-checkable at all.
+  *
+  * Two operators:
+  *   - [[hashSample]]: keep rows whose key-hash lands under a rate cutoff.
+  *     Pure map-side filter on the scan — zero shuffle, the 100 TB shape.
+  *   - [[stratifiedSample]]: EXACT per-stratum quotas (ceil(frac·nₛ) rows
+  *     per stratum, the hash-smallest ones). Exactness needs a per-stratum
+  *     rank, but ranking a whole stratum in one window task dies at scale
+  *     (few huge strata ⇒ one task per stratum). Instead: a two-phase
+  *     boundary-bucket selection — (1) histogram rows into
+  *     [[StratifiedBuckets]] order-aligned hash buckets per stratum (the
+  *     aggregate is metadata-sized: strata × 4096, independent of corpus
+  *     size) and derive each stratum's boundary bucket + remainder on the
+  *     driver; (2) keep every row below the boundary bucket outright, and
+  *     rank ONLY the boundary bucket's rows (~nₛ/4096 of the stratum) for
+  *     the remainder. The oracle states the semantics as a plain
+  *     row_number window; the hash gate proves the two-phase plan
+  *     equivalent.
+  */
+object Sampling {
+
+  /** Affine hash parameters for sampling (deterministic, engine-neutral). */
+  private val (hashA, hashB) = Hashes.lcgParams(1, seed = 271L).head
+
+  /** Sampling hash of a non-negative integer key: key is first reduced
+    * mod Prime so the affine product stays in 64-bit range for ANY id
+    * width (doc ids at 100 TB exceed 2^31; doc_id % Prime keeps the
+    * arithmetic exact in both engines).
+    */
+  def sampleHash(key: Column): Column =
+    Hashes.affine(key % Hashes.Prime, hashA, hashB)
+
+  private def sampleHashSql(key: String): String =
+    Hashes.affineSql(s"($key % ${Hashes.Prime})", hashA, hashB)
+
+  /** Deterministic ~pct% sample of documents: keep rows with
+    * hash % mod < pct. Map-only filter — no shuffle, no window, nothing
+    * collected; membership is a pure function of doc_id.
+    */
+  def hashSample(spark: SparkSession, sfDir: String,
+      pct: Int = 5, mod: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(sampleHash(col("doc_id")) % mod < pct)
+      .select(col("doc_id"), col("lang"),
+        (sampleHash(col("doc_id")) % mod).as("slot"))
+      .orderBy("doc_id")
+
+  def hashSampleSql(pct: Int = 5, mod: Int = 100): String =
+    s"""SELECT doc_id, lang, ${sampleHashSql("doc_id")} % $mod AS slot
+       |FROM documents
+       |WHERE ${sampleHashSql("doc_id")} % $mod < $pct
+       |ORDER BY doc_id""".stripMargin
+
+  /** Order-aligned hash buckets for the stratified two-phase selection:
+    * bucket = h DIV ceil(Prime/4096), so bucket order == hash order.
+    */
+  val StratifiedBuckets = 4096
+  private val BucketWidth: Long =
+    (Hashes.Prime + StratifiedBuckets - 1) / StratifiedBuckets
+
+  /** Exact stratified sample: per stratum (lang), the ceil(frac·nₛ)
+    * hash-smallest rows (total order (h, doc_id) — doc_id breaks hash
+    * ties). See the object doc for the two-phase scale design.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      frac: Double = 0.1): DataFrame =
+    stratifiedSampleOf(Tables.documents(spark, sfDir), frac)
+
+  /** [[stratifiedSample]] over any frame with (doc_id, lang) columns. */
+  def stratifiedSampleOf(docs: DataFrame, frac: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"), col("lang"))
+      .withColumn("h", sampleHash(col("doc_id")))
+      .withColumn("bkt", expr(s"h DIV $BucketWidth"))
+    // Phase 1: per-(stratum, bucket) histogram — strata × 4096 rows, a
+    // data-size-independent bound, so the collect is metadata-sized
+    val hist = base.groupBy("lang", "bkt").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val boundaries = hist.groupBy(_._1).map { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      val quota = math.ceil(frac * total).toLong
+      var cum = 0L; var bdry = -1L; var need = 0L
+      rows.sortBy(_._2).foreach { case (_, bkt, c) =>
+        if (bdry < 0) {
+          if (cum + c >= quota) { bdry = bkt; need = quota - cum }
+          cum += c
+        }
+      }
+      (lang, bdry, need)
+    }.toSeq
+    import spark.implicits._
+    val bdf = broadcast(boundaries.toDF("lang", "bdry", "need"))
+    val withB = base.join(bdf, "lang")
+    val below = withB.where(col("bkt") < col("bdry"))
+    // Phase 2: rank only the boundary bucket's rows (~nₛ/4096 per stratum)
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val atBoundary = withB.where(col("bkt") === col("bdry"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("need"))
+      .drop("rk")
+    below.unionByName(atBoundary)
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle — the SEMANTICS of [[stratifiedSample]] (per-stratum
+    * rank over (h, doc_id), quota ceil(frac·nₛ)) in its simplest form.
+    */
+  def stratifiedSampleSql(frac: Double = 0.1): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, ${sampleHashSql("doc_id")} AS h FROM documents),
+       |n AS (SELECT lang, count(*) AS n FROM h GROUP BY 1),
+       |r AS (SELECT h.*, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |      FROM h)
+       |SELECT doc_id, lang, h
+       |FROM r JOIN n USING (lang)
+       |WHERE rk <= CAST(ceil(n * $frac) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+}
