@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,8 @@ object SparkEntry {
     // deterministic sampling: map-only hash filter / exact per-stratum quotas
     "sample_hash" -> ((s, d) => Sampling.hashSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    // training-sequence prep: fixed-size token windows with stride
+    "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -128,6 +130,7 @@ object SparkEntry {
     "text_repetition" -> Repetition.repetitionSql,
     "sample_hash" -> Sampling.hashSampleSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
+    "doc_chunks" -> Chunking.chunkSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
