@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Pii, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // training-sequence prep: fixed-size token windows with stride
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
+    // PII scrub: email/phone/IPv4 detection counts + chained redaction
+    "text_pii_scrub" -> (Pii.scrub _),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -131,6 +133,7 @@ object SparkEntry {
     "sample_hash" -> Sampling.hashSampleSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "doc_chunks" -> Chunking.chunkSql(),
+    "text_pii_scrub" -> Pii.scrubSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

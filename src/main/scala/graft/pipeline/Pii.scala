@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** PII scrubbing — the standard pre-release redaction pass over a text
+  * corpus: detect and replace emails, phone numbers, and IPv4 addresses
+  * with typed placeholder tokens, reporting per-document match counts.
+  *
+  * The patterns deliberately use the regex subset with identical semantics
+  * in java.util.regex (Spark) and RE2 (DuckDB): character classes, bounded
+  * repetition, and ASCII \b word boundaries — no lookarounds or
+  * backreferences (RE2 has neither). Counts are over the ORIGINAL text
+  * per pattern independently; redaction chains email → ipv4 → phone on
+  * the running string, identically in both engines (DuckDB needs the 'g'
+  * flag — its regexp_replace is first-match-only by default, Spark's is
+  * global).
+  *
+  * Scale design: pure per-row column expressions (regexp_count /
+  * regexp_replace are codegen'd) — single scan, zero shuffle; the only
+  * non-map cost is the presentation sort.
+  */
+object Pii {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val EmailToken = "<EMAIL>"
+  val PhoneToken = "<PHONE>"
+  val IpToken = "<IP>"
+
+  /** Per-doc PII counts, combined flag, and the redacted text. */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    scrubOf(Tables.documents(spark, sfDir))
+
+  /** [[scrub]] over any (doc_id, text) frame. */
+  def scrubOf(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, EmailToken),
+          Ipv4Re, IpToken),
+        PhoneRe, PhoneToken)
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+      (regexp_count(col("text"), lit(EmailRe)) +
+        regexp_count(col("text"), lit(PhoneRe)) +
+        regexp_count(col("text"), lit(Ipv4Re)) > 0).as("has_pii"),
+      redacted.as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle — same patterns, same chained global replacement. */
+  val scrubSql: String = {
+    def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+    s"""SELECT doc_id,
+       |  ${cnt(EmailRe)} AS n_emails,
+       |  ${cnt(PhoneRe)} AS n_phones,
+       |  ${cnt(Ipv4Re)} AS n_ips,
+       |  (${cnt(EmailRe)} + ${cnt(PhoneRe)} + ${cnt(Ipv4Re)}) > 0 AS has_pii,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(text, '$EmailRe', '$EmailToken', 'g'),
+       |      '$Ipv4Re', '$IpToken', 'g'),
+       |    '$PhoneRe', '$PhoneToken', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}
