@@ -57,16 +57,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("knnIvf assigns centroids via partial aggregation, not a window") {
+  test("knnIvf assigns cells in a shuffle-free typed map; only the top-k ranks") {
     val p = plan("knn_ivf")
-    // exactly ONE window: the final per-query top-k ranking. The centroid
-    // argmax must stay a max_by aggregate (partial side consumes the
-    // broadcast expansion map-side) — a second window would mean the
-    // corpus×centroids rows travel through an exchange again.
+    // exactly ONE window: the final per-query top-k ranking. Cell
+    // assignment is a typed map over the driver-held k×dim centroid set —
+    // neither an aggregate nor a window; nothing corpus-sized may reach an
+    // exchange before the top-k.
     assert(count(p) { case w: WindowExec => w } === 1,
       s"expected exactly the top-k window, got:\n$p")
-    assert(p.toString.contains("partial_max_by"),
-      "centroid assignment must be a partial max_by aggregation")
+    assert(!p.toString.contains("max_by"),
+      "centroid assignment must not be an aggregation (typed map expected)")
+    // the top-k window's hash exchange + the presentation sort's range
+    // exchange — an extra one would mean assignment shuffled the corpus
+    assert(count(p) { case e: ShuffleExchangeExec => e } <= 2,
+      s"unexpected extra exchange:\n$p")
   }
 
   test("deletion probe is one grouped aggregate over a single scan") {
