@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Pii, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, Pii, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,8 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // PII scrub: email/phone/IPv4 detection counts + chained redaction
     "text_pii_scrub" -> (Pii.scrub _),
+    // GPT-style packing layout: global prefix-sum offsets, two-phase plan
+    "doc_pack_bins" -> ((s, d) => Packing.packBins(s, d)),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
+    "doc_pack_bins" -> Packing.packBinsSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sequence packing — the GPT-style training-batch layout: conceptually
+  * concatenate every document's tokens in doc_id order into one stream and
+  * cut it every `capacity` tokens; each document is assigned the bin its
+  * first token lands in (`bin_id = start_offset / capacity`). Downstream,
+  * one bin = one training row; documents spanning a cut are split by the
+  * tokenizer at materialization time — the layout decision (this operator)
+  * only needs each doc's global start offset.
+  *
+  * The start offset is a GLOBAL prefix sum — the textbook case of "needs
+  * a global ordering" that does NOT need a global single-task window.
+  * Scale shape (two-phase distributed prefix sum):
+  *   1. range-partition by doc_id and sort within partitions — each
+  *      partition holds a contiguous doc_id range;
+  *   2. per-partition token totals to the driver (ONE number per
+  *      partition — metadata-sized regardless of corpus size) → exclusive
+  *      prefix offsets per partition;
+  *   3. one map pass: local running sum + the partition's offset.
+  * Output is independent of where the range boundaries fall, so the
+  * range partitioner's sampling cannot perturb results. The oracle states
+  * the semantics as a plain cumulative-sum window; the hash gate proves
+  * the two-phase plan equivalent.
+  */
+object Packing {
+
+  val DefaultCapacity = 256
+
+  /** (doc_id, n_tokens, start_offset, bin_id) in doc_id order. */
+  def packBins(spark: SparkSession, sfDir: String,
+      capacity: Int = DefaultCapacity): DataFrame =
+    packBinsOf(Tables.documents(spark, sfDir), capacity)
+
+  /** [[packBins]] over any (doc_id, text) frame. */
+  def packBinsOf(docs: DataFrame, capacity: Int = DefaultCapacity): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .cache() // two passes: per-partition totals, then offset assignment
+    val partTotals = base.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator((TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    val nParts = base.rdd.getNumPartitions
+    // exclusive prefix offsets: partition p starts after all tokens of 0..p-1
+    var acc = 0L
+    val offsetByPart = (0 until nParts).map { p =>
+      val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
+    }.toMap
+    val out = base.mapPartitions { it =>
+      var off = offsetByPart(TaskContext.getPartitionId())
+      it.map { case (id, n) =>
+        val start = off; off += n
+        (id, n, start, start / capacity)
+      }
+    }.toDF("doc_id", "n_tokens", "start_offset", "bin_id")
+    out.orderBy("doc_id")
+  }
+
+  /** DuckDB oracle — the semantics as an exclusive cumulative sum. */
+  def packBinsSql(capacity: Int = DefaultCapacity): String =
+    s"""WITH n AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM n)
+       |SELECT doc_id, n_tokens, start_offset, start_offset // $capacity AS bin_id
+       |FROM c ORDER BY doc_id""".stripMargin
+}
