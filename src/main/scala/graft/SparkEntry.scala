@@ -79,6 +79,9 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
+    // every filter family composed on one scan: quality + repetition +
+    // near-dup drop + PII redaction + per-language release report
+    "corpus_curation_full" -> ((s, d) => Curation.curateFull(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
     // exact O(n²) audit tool (small-n); the scale path is dedup_embedding_ann
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -145,6 +148,7 @@ object SparkEntry {
     "decontaminate" -> Decontaminate.overlapsSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
+    "corpus_curation_full" -> Curation.curateFullSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ann" -> Similarity.cosineLshPairsSql(threshold = 0.8),

@@ -50,6 +50,69 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Full-pipeline curation — every pre-training filter family composed
+    * the way a production corpus release runs them: quality predicate and
+    * Gopher repetition flag drop documents, near-dup cluster members drop
+    * via the label anti-join, PII is redacted on what survives, and the
+    * report counts survivors / PII-bearing docs / redacted volume per
+    * language.
+    *
+    * Scale shape: ONE scan of documents. The quality predicate filters
+    * inline on the scan (Columns), the repetition flag rides the same pass
+    * as a typed map (its per-doc numerators are a pure function of the
+    * text — [[Repetition.isRepetitiveJvm]], same arithmetic as the profile
+    * query), PII detection/redaction are codegen'd Columns on the rows
+    * that remain, and the only corpus-sized shuffle is the final
+    * per-language aggregate. The drop list broadcasts only under the
+    * [[BroadcastDropListMaxRows]] gate, exactly like [[curate]].
+    */
+  def curateFull(spark: SparkSession, sfDir: String,
+      broadcastMaxRows: Long = BroadcastDropListMaxRows): DataFrame = {
+    import spark.implicits._
+    val dropIds = Dedup.clusterLabels(spark, sfDir)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val dropSide = if (dropIds.count() <= broadcastMaxRows) broadcast(dropIds)
+                   else dropIds
+    Tables.documents(spark, sfDir)
+      .where(TextAnalysis.isQualityCol)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        col("text"))
+      .as[(Long, String, Long, String)]
+      .map { case (id, lang, nChars, text) =>
+        (id, lang, nChars, text, Repetition.isRepetitiveJvm(text))
+      }
+      .toDF("doc_id", "lang", "n_chars", "text", "is_rep")
+      .where(!col("is_rep"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Pii.hasPiiCol.as("has_pii"), length(Pii.redactedCol).as("red_chars"))
+      .join(dropSide, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(col("red_chars").cast("long")).as("total_redacted_chars"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[curateFull]]: each filter family's own oracle
+    * query as a derived table, joined on doc_id.
+    */
+  def curateFullSql: String =
+    s"""SELECT d.lang, count(*) AS n_kept,
+       |  CAST(sum(CASE WHEN p.has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+       |  round(avg(d.n_chars), 2) AS avg_chars,
+       |  CAST(sum(length(p.redacted)) AS BIGINT) AS total_redacted_chars
+       |FROM documents d
+       |JOIN (SELECT doc_id FROM (${TextAnalysis.qualitySql}) WHERE is_quality) q
+       |  USING (doc_id)
+       |JOIN (SELECT doc_id FROM (${Repetition.repetitionSql}) WHERE NOT is_repetitive) r
+       |  USING (doc_id)
+       |JOIN (SELECT doc_id, has_pii, redacted FROM (${Pii.scrubSql}) ) p
+       |  USING (doc_id)
+       |WHERE d.doc_id NOT IN (
+       |  SELECT doc_id FROM (${Dedup.clustersSql()}) WHERE doc_id <> cluster_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** DuckDB oracle: the quality and cluster queries as derived tables,
     * composed exactly like the Spark plan.
     */

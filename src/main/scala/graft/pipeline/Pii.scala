@@ -32,29 +32,37 @@ object Pii {
   val PhoneToken = "<PHONE>"
   val IpToken = "<IP>"
 
+  /** The chained redaction as a Column over a `text` column — THE single
+    * definition ([[scrub]] reports it; [[Curation.curateFull]] applies it
+    * inline on its one corpus scan).
+    */
+  def redactedCol: org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, EmailToken),
+        Ipv4Re, IpToken),
+      PhoneRe, PhoneToken)
+
+  /** The combined detection flag as a Column over a `text` column. */
+  def hasPiiCol: org.apache.spark.sql.Column =
+    regexp_count(col("text"), lit(EmailRe)) +
+      regexp_count(col("text"), lit(PhoneRe)) +
+      regexp_count(col("text"), lit(Ipv4Re)) > 0
+
   /** Per-doc PII counts, combined flag, and the redacted text. */
   def scrub(spark: SparkSession, sfDir: String): DataFrame =
     scrubOf(Tables.documents(spark, sfDir))
 
   /** [[scrub]] over any (doc_id, text) frame. */
-  def scrubOf(docs: DataFrame): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, EmailToken),
-          Ipv4Re, IpToken),
-        PhoneRe, PhoneToken)
+  def scrubOf(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
       regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
       regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
-      (regexp_count(col("text"), lit(EmailRe)) +
-        regexp_count(col("text"), lit(PhoneRe)) +
-        regexp_count(col("text"), lit(Ipv4Re)) > 0).as("has_pii"),
-      redacted.as("redacted"))
+      hasPiiCol.as("has_pii"),
+      redactedCol.as("redacted"))
       .orderBy("doc_id")
-  }
 
   /** DuckDB oracle — same patterns, same chained global replacement. */
   val scrubSql: String = {

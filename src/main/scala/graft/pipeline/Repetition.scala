@@ -77,6 +77,39 @@ object Repetition {
     acc
   }
 
+  /** The integer numerators of every signal for one text: (text_chars,
+    * n_lines, dup_lines, dup_line_chars, top2_chars, top3_chars,
+    * dup5_chars) — shared by the profile map pass and the inline JVM flag.
+    */
+  private def numerators(text: String): (Long, Long, Long, Long, Long, Long, Long) = {
+    val lines = text.split("\n", -1)
+    val lineCounts = collection.mutable.HashMap.empty[String, Int]
+    lines.foreach(l => lineCounts.update(l, lineCounts.getOrElse(l, 0) + 1))
+    var dupLines = 0L; var dupLineChars = 0L
+    lineCounts.foreach { case (l, c) =>
+      if (c > 1) { dupLines += c - 1; dupLineChars += (c - 1).toLong * l.length }
+    }
+    val t = text.split(" ", -1)
+    (text.length.toLong, lines.length.toLong, dupLines, dupLineChars,
+      topGramChars(t, 2), topGramChars(t, 3), dupGramChars(t, 5))
+  }
+
+  /** The combined Gopher flag for one text, in the JVM — same integer
+    * numerators and the same double divisions as the Column form in
+    * [[repetitionOf]], so both paths agree bit-for-bit. Used where the
+    * flag must compose into a single-scan map stage
+    * ([[Curation.curateFull]]) instead of joining the profile frame.
+    */
+  def isRepetitiveJvm(text: String): Boolean = {
+    val (tc, nLines, dupLines, dupLineChars, top2, top3, dup5) = numerators(text)
+    def frac(num: Long, den: Long): Double = if (den == 0) 0.0 else num.toDouble / den
+    frac(dupLines, nLines) > MaxDupLineFrac ||
+      frac(dupLineChars, tc) > MaxDupLineCharFrac ||
+      frac(top2, tc) > MaxTop2GramCharFrac ||
+      frac(top3, tc) > MaxTop3GramCharFrac ||
+      frac(dup5, tc) > MaxDup5GramCharFrac
+  }
+
   /** Per-document repetition profile with the combined Gopher flag. */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     repetitionOf(Tables.documents(spark, sfDir))
@@ -87,16 +120,8 @@ object Repetition {
     import spark.implicits._
     val counts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val lines = text.split("\n", -1)
-        val lineCounts = collection.mutable.HashMap.empty[String, Int]
-        lines.foreach(l => lineCounts.update(l, lineCounts.getOrElse(l, 0) + 1))
-        var dupLines = 0L; var dupLineChars = 0L
-        lineCounts.foreach { case (l, c) =>
-          if (c > 1) { dupLines += c - 1; dupLineChars += (c - 1).toLong * l.length }
-        }
-        val t = text.split(" ", -1)
-        (id, text.length.toLong, lines.length.toLong, dupLines, dupLineChars,
-          topGramChars(t, 2), topGramChars(t, 3), dupGramChars(t, 5))
+        val (tc, nLines, dupLines, dupLineChars, top2, top3, dup5) = numerators(text)
+        (id, tc, nLines, dupLines, dupLineChars, top2, top3, dup5)
       }
       .toDF("doc_id", "text_chars", "n_lines", "dup_lines", "dup_line_chars",
         "top2_chars", "top3_chars", "dup5_chars")

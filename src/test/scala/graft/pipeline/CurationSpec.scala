@@ -39,6 +39,55 @@ class CurationSpec extends AnyFunSuite {
     assert(unhinted.except(hinted).count() === 0)
   }
 
+  test("curateFull keeps exactly the non-repetitive subset of curate's survivors") {
+    // curateFull = curate's keep set further filtered by the repetition
+    // flag — verified by accounting against the independent profile query
+    val quality = TextAnalysis.quality(spark, sfDir).where(col("is_quality"))
+      .select("doc_id")
+    val nonRep = Repetition.repetition(spark, sfDir)
+      .where(!col("is_repetitive")).select("doc_id")
+    val dropped = Dedup.clusters(spark, sfDir)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val expected = quality.join(nonRep, "doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti").count()
+    val kept = Curation.curateFull(spark, sfDir).agg(sum("n_kept")).first().getLong(0)
+    assert(kept === expected)
+  }
+
+  test("curateFull on the PII-free corpus: zero PII docs, redaction is a no-op in aggregate") {
+    val out = Curation.curateFull(spark, sfDir).cache()
+    assert(out.where(col("n_kept") <= 0).count() === 0)
+    assert(out.agg(sum("n_pii_docs")).first().getLong(0) === 0)
+    // with no PII anywhere, redacted volume must equal the kept docs'
+    // original text volume, recomputed independently per language
+    val quality = TextAnalysis.quality(spark, sfDir).where(col("is_quality"))
+      .select("doc_id")
+    val nonRep = Repetition.repetition(spark, sfDir)
+      .where(!col("is_repetitive")).select("doc_id")
+    val dropped = Dedup.clusters(spark, sfDir)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val keptChars = graft.sources.Tables.documents(spark, sfDir)
+      .join(quality, "doc_id").join(nonRep, "doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(sum(length(col("text"))).as("orig_chars"))
+    val mismatches = out.join(keptChars, "lang")
+      .where(col("total_redacted_chars") =!= col("orig_chars")).count()
+    assert(mismatches === 0)
+  }
+
+  test("curateFull plan: ONE documents scan, map-only filters, no sort-merge join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = Curation.curateFull(s, sfDir).queryExecution.executedPlan
+    val scans = plan.collect { case sc: FileSourceScanExec => sc }
+    assert(scans.size === 1,
+      s"quality+repetition+PII must all ride the single documents scan:\n$plan")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"the drop-list anti-join must broadcast at this scale:\n$plan")
+  }
+
   test("curation plan: ONE documents scan, inline quality filter, no sort-merge join") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
