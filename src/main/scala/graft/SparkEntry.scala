@@ -39,6 +39,7 @@ object SparkEntry {
     "events_asof_join" -> (AsOfJoin.eventsAsOf _),
     "events_rollup" -> (Analytics.eventsRollup _),
     "events_cube" -> (Analytics.eventsCube _),
+    "events_grouping_sets" -> (Analytics.eventsGroupingSets _),
     "events_props_json" -> (Analytics.eventsPropsJson _),
     "events_pivot" -> (Analytics.eventsPivot _),
     "orders_sliding_revenue" -> (Analytics.ordersSlidingRevenue _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "events_asof_join" -> AsOfJoin.eventsAsOfSql,
     "events_rollup" -> Analytics.eventsRollupSql,
     "events_cube" -> Analytics.eventsCubeSql,
+    "events_grouping_sets" -> Analytics.eventsGroupingSetsSql,
     "events_props_json" -> Analytics.eventsPropsJsonSql,
     "events_pivot" -> Analytics.eventsPivotSql,
     "orders_sliding_revenue" -> Analytics.ordersSlidingRevenueSql,

@@ -333,6 +333,32 @@ object Analytics {
       |GROUP BY CUBE (event_type, day)
       |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the aggregation family member neither rollup
+    * nor cube produces: two independent single-column profiles (by event
+    * type, by ISO day-of-week) plus the grand total, in ONE pass over the
+    * events scan (one shuffle; the repeated-projection expand is consumed
+    * by the partial aggregate in-stage). `weekday(ts)+1` == DuckDB's
+    * `isodow` (1 = Monday … 7 = Sunday) — `dayofweek` would disagree
+    * across engines (Spark counts from Sunday).
+    */
+  def eventsGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("dow", (weekday(col("ts")) + 1).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("dow")), Seq.empty[org.apache.spark.sql.Column]),
+        col("event_type"), col("dow"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("gid", "event_type", "dow", "n", "sum_value")
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+
+  val eventsGroupingSetsSql: String =
+    """SELECT GROUPING(event_type, dow) AS gid, event_type, dow,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, value FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (dow), ())
+      |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""".stripMargin
+
   /** Sketch-aggregate profile — the 100 TB profiling shape: per-day
     * distinct users via HyperLogLog++ (`approx_count_distinct`, rsd 2%)
     * and median value via `percentile_approx`, the two aggregates a
