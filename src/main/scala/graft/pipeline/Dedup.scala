@@ -469,8 +469,22 @@ object Dedup {
     val spark = edges0.sparkSession
     val reliableDir = spark.conf.getOption(CheckpointDirConf)
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Reliable mode persists BEFORE checkpointing: a reliable checkpoint of
+    // an uncached plan runs the materializing action and then RE-EXECUTES
+    // the whole lineage in the checkpoint-write job; with the blocks cached,
+    // the write reads them instead, so each round stays one compute. The
+    // cache is released as soon as the checkpoint files exist. (Round dirs
+    // are GC'd by the ContextCleaner once unreferenced when
+    // `spark.cleaner.referenceTracking.cleanCheckpoints=true`; on a long
+    // loop set that, or point CheckpointDirConf at a run-scoped path and
+    // drop it after the labels are consumed.)
     def materialize(df: DataFrame, eager: Boolean): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (reliableDir.isDefined) {
+        df.persist()
+        val cp = df.checkpoint(eager = true)
+        df.unpersist()
+        cp
+      } else df.localCheckpoint(eager)
     val edges = materialize(
       edges0.select(col("id_a").as("s"), col("id_b").as("d"))
         .union(edges0.select(col("id_b").as("s"), col("id_a").as("d"))),
@@ -482,8 +496,10 @@ object Dedup {
     while (changed > 0) {
       val nbrMin = edges.join(labels, col("d") === col("node"))
         .groupBy(col("s").as("n2")).agg(min("lbl").as("nbr_lbl"))
-      // lazy checkpoint: the count action below materializes it — one job
-      // per round instead of an eager-checkpoint job plus a count job
+      // local mode: lazy checkpoint — the count action below materializes
+      // it, one job per round instead of an eager-checkpoint job plus a
+      // count job. Reliable mode is eager by construction (see materialize);
+      // its count then reads checkpointed rows.
       val next = materialize(
         labels.join(nbrMin, col("node") === col("n2"), "left")
           .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),

@@ -51,18 +51,19 @@ object IncrementalDedup {
   }
 
   /** Append a batch's signature/bucket rows to the store — the daily
-    * accept step after probing. Same derivation as [[buildStore]]: the
-    * docs frame is scanned once; buckets come from the staged signatures.
+    * accept step after probing. The docs frame is scanned once to compute
+    * signatures into `append_staging/`; both store appends then read only
+    * that staged O(batch) parquet — the corpus-sized signature store is
+    * never scanned (re-deriving buckets by filtering the store would make
+    * every daily append O(corpus) I/O).
     */
   def appendToStore(docs: DataFrame, storeDir: String): Unit = {
     val spark = docs.sparkSession
-    val ids = docs.select(col("doc_id"))
-    val staged = Dedup.minHashSignatures(docs)
+    val stagingDir = s"$storeDir/append_staging"
+    Dedup.minHashSignatures(docs).write.mode("overwrite").parquet(stagingDir)
+    val staged = spark.read.parquet(stagingDir)
     staged.write.mode("append").parquet(signaturesPath(storeDir))
-    // bucket rows for exactly the appended ids, read back from the store
-    Dedup.bandedOf(spark.read.parquet(signaturesPath(storeDir))
-        .join(broadcast(ids), "doc_id"))
-      .write.mode("append").parquet(bucketsPath(storeDir))
+    Dedup.bandedOf(staged).write.mode("append").parquet(bucketsPath(storeDir))
   }
 
   /** Probe a new batch against the store: emit (new_doc_id,
@@ -84,7 +85,12 @@ object IncrementalDedup {
     val newSig = spark.read.parquet(stagingDir)
     val cand = Dedup.bandedOf(newSig).as("n")
       .join(spark.read.parquet(bucketsPath(storeDir)).as("c"),
-        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket") &&
+          // a batch doc must never match ITSELF in the store — without this
+          // guard a replayed micro-batch (crash between store append and
+          // stream commit) would quarantine its own accepted docs as
+          // self-duplicates at jaccard 1.0
+          col("n.doc_id") =!= col("c.doc_id"))
       .select(col("n.doc_id").as("new_doc_id"), col("c.doc_id").as("corpus_doc_id"))
       .dropDuplicates("new_doc_id", "corpus_doc_id")
     cand
@@ -92,6 +98,32 @@ object IncrementalDedup {
         "new_doc_id")
       .join(spark.read.parquet(signaturesPath(storeDir))
           .select(col("doc_id").as("corpus_doc_id"), col("sig").as("sig_c")),
+        "corpus_doc_id")
+      .withColumn("est_jaccard", round(
+        call_function("graft_eqcount", col("sig_n"), col("sig_c"))
+          .cast("double") / Dedup.NumPerms, 4))
+      .where(col("est_jaccard") >= threshold)
+      .select("new_doc_id", "corpus_doc_id", "est_jaccard")
+  }
+
+  /** Intra-batch near-dup pairs over an already-staged (doc_id, sig)
+    * signature frame — the complement of [[probeStore]], which is blind to
+    * two duplicates arriving in the SAME batch. Bands the staged
+    * signatures against themselves; of each pair the LOWER id is reported
+    * as the canonical `corpus_doc_id` and the higher as the quarantined
+    * `new_doc_id`, so the output unions cleanly with a store probe's.
+    */
+  def selfProbe(staged: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val banded = Dedup.bandedOf(staged)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("corpus_doc_id"), col("b.doc_id").as("new_doc_id"))
+      .dropDuplicates("new_doc_id", "corpus_doc_id")
+      .join(staged.select(col("doc_id").as("new_doc_id"), col("sig").as("sig_n")),
+        "new_doc_id")
+      .join(staged.select(col("doc_id").as("corpus_doc_id"), col("sig").as("sig_c")),
         "corpus_doc_id")
       .withColumn("est_jaccard", round(
         call_function("graft_eqcount", col("sig_n"), col("sig_c"))
@@ -108,8 +140,19 @@ object IncrementalDedup {
   def dedupIncremental(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft-incr-store").toString
+    val storePath = java.nio.file.Files.createTempDirectory("graft-incr-store")
+    // the returned plan lazily reads the store, so the dir must outlive
+    // this call — reclaim it at JVM exit instead of leaking it across
+    // repeated bench/verify runs
+    sys.addShutdownHook {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(storePath)) {
+        Files.walk(storePath).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    val storeDir = storePath.toString
     buildStore(docs.where(col("doc_id") % 5 =!= 0), storeDir)
     probeStore(spark, storeDir, docs.where(col("doc_id") % 5 === 0), threshold)
       .orderBy("new_doc_id", "corpus_doc_id")

@@ -42,21 +42,30 @@ object Packing {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
     import spark.implicits._
+    // two passes over the same frame (per-partition totals, then offset
+    // assignment) WITHOUT caching — a .cache() here would leak a pinned
+    // corpus-sized dataset per call (nothing can unpersist it after the
+    // lazy result is returned). Re-execution is safe because both passes
+    // see identical partitioning: the range partitioner samples with
+    // partition-id-derived seeds (deterministic for the same input), and
+    // the explicit partition count keeps AQE from re-coalescing between
+    // executions.
+    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val base = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-      .repartitionByRange(col("doc_id"))
+      .repartitionByRange(nRange, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-      .cache() // two passes: per-partition totals, then offset assignment
     val partTotals = base.mapPartitions { it =>
       var s = 0L
       it.foreach(s += _._2)
       Iterator((TaskContext.getPartitionId(), s))
     }.collect().toMap
-    val nParts = base.rdd.getNumPartitions
-    // exclusive prefix offsets: partition p starts after all tokens of 0..p-1
+    // exclusive prefix offsets: partition p starts after all tokens of
+    // 0..p-1 (the range exchange may produce fewer than nRange partitions
+    // on small inputs — absent ids contribute 0 and never appear in tasks)
     var acc = 0L
-    val offsetByPart = (0 until nParts).map { p =>
+    val offsetByPart = (0 until nRange).map { p =>
       val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
     }.toMap
     val out = base.mapPartitions { it =>

@@ -8,10 +8,11 @@ import graft.pipeline.IncrementalDedup
 
 /** Continuous ingestion dedup — [[graft.pipeline.IncrementalDedup]]'s
   * daily corpus-vs-batch shape run as a stream: each micro-batch of new
-  * documents is probed against the persisted MinHash signature/band store,
-  * matches land in a quarantine sink, and only non-duplicate documents are
-  * appended to the store — so batch N+1's probe sees batch N's accepted
-  * docs (cross-batch dedup, proven by spec).
+  * documents is probed against the persisted MinHash signature/band store
+  * AND against itself (the store probe is blind to two dups arriving in
+  * the same batch), matches land in a quarantine sink, and only
+  * non-duplicate documents are appended to the store — so batch N+1's
+  * probe sees batch N's accepted docs (cross-batch dedup, proven by spec).
   *
   * Delivery semantics: the match sink is idempotent under micro-batch
   * retries — each batch overwrites its own `batch_id=N` subdirectory, so
@@ -42,8 +43,19 @@ object StreamingDedup {
         // stage the micro-batch: foreachBatch frames re-execute per action,
         // and the probe + accept paths both consume it
         val docs = batch.select(col("doc_id"), col("text")).cache()
+        // corpus-vs-batch matches (probeStore stages the batch signatures
+        // under the store; its self-match guard keeps a REPLAYED batch —
+        // crash between store append and stream commit — from quarantining
+        // its own accepted docs)
         val matches = IncrementalDedup.probeStore(spark, storeDir, docs, threshold)
-        matches.write.mode("overwrite").parquet(s"$matchesDir/batch_id=$batchId")
+        // intra-batch near-dups: the store probe is blind to them (both
+        // sides arrived in the same batch), so band the staged batch
+        // signatures against themselves; the LOWER id of a pair is
+        // canonical, the higher is quarantined as its duplicate
+        val intra = IncrementalDedup.selfProbe(
+          spark.read.parquet(s"$storeDir/batch_staging"), threshold)
+        matches.unionByName(intra)
+          .write.mode("overwrite").parquet(s"$matchesDir/batch_id=$batchId")
         val dupIds = spark.read.parquet(s"$matchesDir/batch_id=$batchId")
           .select(col("new_doc_id").as("doc_id")).distinct()
         val accepted = docs.join(dupIds, Seq("doc_id"), "left_anti")

@@ -19,7 +19,10 @@ class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  // UTC-instant parse: Timestamp.valueOf would shift by the driver-default
+  // zone and break the UTC-formatted hour/watermark assertions on any
+  // non-UTC driver (the exact drift DeletionCriteria.parseUtc exists for)
+  private def ts(s: String) = graft.model.DeletionCriteria.parseUtc(s)
 
   test("file-source restart: exactly-once windows across a checkpointed stop/restart") {
     // the recovery contract a daily pipeline leans on: a file-stream run of

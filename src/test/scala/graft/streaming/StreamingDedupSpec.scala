@@ -56,6 +56,29 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two dups arriving in the SAME batch: one canonical accepted, one quarantined") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup3").toString
+    val (storeDir, matchesDir, ckptDir) = (s"$base/store", s"$base/matches", s"$base/ckpt")
+    IncrementalDedup.buildStore(Seq((1L, corpusText)).toDF("doc_id", "text"), storeDir)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.run(in.toDF().toDF("doc_id", "text"),
+      storeDir, matchesDir, ckptDir)
+    try {
+      // 300 and 301 are identical fresh docs in one batch — the store
+      // probe cannot see them; the intra-batch self-band must
+      in.addData((300L, freshText), (301L, freshText))
+      q.processAllAvailable()
+      val m = spark.read.parquet(s"$matchesDir/batch_id=0")
+      assert(m.select("new_doc_id", "corpus_doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet === Set((301L, 300L)),
+        "the higher id must be quarantined as a dup of the lower (canonical) one")
+      val sigIds = spark.read.parquet(IncrementalDedup.signaturesPath(storeDir))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds === Set(1L, 300L), "only the canonical copy may enter the store")
+    } finally q.stop()
+  }
+
   test("bucket table stays consistent with signatures across stream appends") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sdedup2").toString
