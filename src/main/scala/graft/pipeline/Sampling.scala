@@ -47,6 +47,12 @@ object Sampling {
   private def sampleHashSql(key: String): String =
     Hashes.affineSql(s"($key % ${Hashes.Prime})", hashA, hashB)
 
+  /** JVM mirror of [[sampleHash]] — for driver-side reference
+    * recomputations in specs (same affine arithmetic, same params).
+    */
+  def sampleHashJvm(key: Long): Long =
+    Hashes.affineJvm(key % Hashes.Prime, hashA, hashB)
+
   /** Deterministic ~pct% sample of documents: keep rows with
     * hash % mod < pct. Map-only filter — no shuffle, no window, nothing
     * collected; membership is a pure function of doc_id.
