@@ -17,16 +17,15 @@ import graft.sources.Tables
   * small table; everything downstream treats the two sides opaquely, so
   * swapping in a real benchmark table is a one-line change.
   *
-  * Scale design: inverted-index join, never a doc×doc comparison. Each
-  * side is reduced to per-n-gram posting lists (one shuffle keyed on the
-  * n-gram per side), lists longer than [[MaxNgramDf]] are dropped —
-  * boilerplate n-grams carry no contamination signal and would otherwise
-  * create df_corpus × df_eval pair blowups per hot key (the same Zipf
-  * guard as [[Dedup.MaxShingleDf]], mirrored in the oracle) — and the
-  * surviving postings are joined per n-gram, so pair expansion is bounded
-  * by MaxNgramDf² per key. The pair shuffle carries ids only. At 100 TB
-  * the eval side is tiny and its postings broadcast under AQE; the plan
-  * never depends on that, only profits from it.
+  * Scale design: inverted index, never a doc×doc comparison. ONE scan of
+  * documents and ONE shuffle keyed on the n-gram build BOTH sides'
+  * posting lists (a single grouped aggregation with side-filtered
+  * collect_lists); lists longer than [[MaxNgramDf]] on either side are
+  * dropped — boilerplate n-grams carry no contamination signal and would
+  * otherwise create df_corpus × df_eval pair blowups per hot key (the
+  * same Zipf guard as [[Dedup.MaxShingleDf]], mirrored in the oracle) —
+  * so pair expansion is bounded by MaxNgramDf² per key and the pair
+  * shuffle carries ids only.
   */
 object Decontaminate {
 
@@ -73,16 +72,18 @@ object Decontaminate {
     val spark = docs.sparkSession
     import spark.implicits._
     val ng = ngramRows(docs, n)
-    def postings(side: DataFrame, idCol: String): DataFrame =
-      side.groupBy("ngram")
-        .agg(sort_array(collect_list(col("doc_id"))).as(idCol))
-        .where(size(col(idCol)) <= MaxNgramDf)
-    val corpusPost = postings(ng.where(col("doc_id") % evalMod =!= evalRes), "cids")
-    val evalPost = postings(ng.where(col("doc_id") % evalMod === evalRes), "eids")
-    // both sides are already hash-partitioned on ngram by their groupBys,
-    // so this join introduces no new exchange; pair expansion is ≤ df²
-    // per n-gram by the caps above, and rows carry ids only
-    val pairs = corpusPost.join(evalPost, "ngram")
+    // BOTH sides' posting lists in one grouped aggregation (collect_list
+    // skips the other side's nulls) — one corpus scan and one shuffle on
+    // the n-gram, where building each side separately would scan documents
+    // twice and join the posting tables. Pair expansion is ≤ df² per
+    // n-gram by the per-side caps, and rows carry ids only
+    val evalSide = col("doc_id") % evalMod === evalRes
+    val pairs = ng.groupBy("ngram")
+      .agg(
+        sort_array(collect_list(when(!evalSide, col("doc_id")))).as("cids"),
+        sort_array(collect_list(when(evalSide, col("doc_id")))).as("eids"))
+      .where(size(col("cids")).between(1, MaxNgramDf) &&
+        size(col("eids")).between(1, MaxNgramDf))
       .select(col("cids"), col("eids")).as[(Seq[Long], Seq[Long])]
       .flatMap { case (cids, eids) =>
         for (c <- cids.iterator; e <- eids.iterator) yield (c, e)
