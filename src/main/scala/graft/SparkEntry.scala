@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, Pii, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,6 +95,8 @@ object SparkEntry {
     "knn_ivf_nprobe" -> ((s, d) => Similarity.knnIvfProbe(s, d)),
     // k-means-trained cells (deterministic integer Lloyd rounds)
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(s, d)),
+    // int8 embedding storage: per-vector fidelity report, hash-gated
+    "embedding_quantize_int8" -> (Quantization.int8Report _),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -158,6 +160,7 @@ object SparkEntry {
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),
     "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),
+    "embedding_quantize_int8" -> Quantization.int8ReportSql,
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql
