@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, Pii, Quantization, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, Pii, ProductQuant, Quantization, Repetition, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +97,8 @@ object SparkEntry {
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(s, d)),
     // int8 embedding storage: per-vector fidelity report, hash-gated
     "embedding_quantize_int8" -> (Quantization.int8Report _),
+    // product-quantized exhaustive ADC search (integer codebooks + scores)
+    "knn_pq_adc" -> ((s, d) => ProductQuant.knnPqAdc(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),
     "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),
     "embedding_quantize_int8" -> Quantization.int8ReportSql,
+    "knn_pq_adc" -> ProductQuant.knnPqAdcSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product quantization (PQ) ANN — the memory-side companion of
+  * [[Quantization]]: where int8 cuts a vector 4×, PQ cuts it to `m` code
+  * bytes (64 dims × 4 B → 4 codes here, 64×), which is what lets a
+  * 100 TB embedding corpus keep its ENTIRE index resident in cluster
+  * memory. Search is the standard asymmetric-distance computation (ADC):
+  * the query precomputes one inner-product table per (subspace, codeword)
+  * and every document is scored by `m` table lookups instead of a
+  * 64-dim float loop. This operator is the exhaustive-ADC building block;
+  * composing it behind [[Similarity.knnIvfTrained]]'s cells gives the
+  * classical IVF-PQ layout.
+  *
+  * Determinism: training reuses the exact-integer Lloyd scheme of
+  * [[Similarity.trainedCentroidsOf]] — vectors quantized to
+  * `round(x*1000)`, per-subspace codeword assignment by INTEGER squared
+  * L2 (tiebreak min codeword id), centroid update `floor(sum/count)` —
+  * and ADC scores are integer dot products, so every value in the report
+  * is exact 64-bit arithmetic mirrored bit-for-bit by the DuckDB oracle
+  * (no float summation-order or rounding hazards anywhere).
+  *
+  * Scale shape: codebooks are m × k × subDim — bounded by the PQ
+  * parameters, never the corpus — and live on the driver (the MLlib
+  * k-means shape). Each Lloyd round is one job: a typed flatMap emits
+  * (subspace, cell, subvector), map-side partial aggregation reduces to
+  * cells × dims rows, and only that tiny frame is shuffled/collected.
+  * Encode + score is a single corpus pass closing over the codebooks and
+  * the query distance tables; the only corpus-sized exchange in the final
+  * plan is the ids+score shuffle feeding the per-query top-k window
+  * (WindowGroupLimit prunes it map-side).
+  *
+  * The test corpus is unit-norm (verified in the spec), so inner-product
+  * order equals cosine order and recall is gated directly against
+  * [[Similarity.knnBruteForce]].
+  */
+object ProductQuant {
+
+  /** Per-subspace codebooks, driver-held: `codebooks(s)` is the sorted
+    * (codewordId, quantizedSubvector) array for subspace `s`.
+    */
+  type Codebooks = Array[Array[(Long, Array[Long])]]
+
+  private def slice(vq: Array[Long], s: Int, subDim: Int): Array[Long] = {
+    val out = new Array[Long](subDim)
+    System.arraycopy(vq, s * subDim, out, 0, subDim)
+    out
+  }
+
+  /** Index (into the sorted codebook array) of the codeword with minimum
+    * integer squared L2 distance; ties break to the smaller codeword id,
+    * which is the smaller index because the array is id-sorted — the JVM
+    * mirror of the oracle's `ORDER BY dist ASC, code_id`.
+    */
+  private def nearestCodeIdx(codebook: Array[(Long, Array[Long])],
+      svq: Array[Long]): Int = {
+    var bestIdx = 0; var best = Long.MaxValue
+    var c = 0
+    while (c < codebook.length) {
+      val cq = codebook(c)._2
+      var d = 0L; var i = 0
+      while (i < svq.length) { val e = svq(i) - cq(i); d += e * e; i += 1 }
+      if (d < best) { best = d; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+
+  /** Train `m` per-subspace codebooks with `iters` exact-integer Lloyd
+    * rounds (init = subvectors of every `codeStride`-th vector). Each
+    * round shuffles only (subspace, cell, dim) partial sums — nothing
+    * corpus-sized — and collects cells × dims rows to the driver.
+    */
+  def trainCodebooks(evq: DataFrame, m: Int, subDim: Int,
+      codeStride: Int, iters: Int): Codebooks = {
+    val spark = evq.sparkSession
+    import spark.implicits._
+    val ds = evq.as[(Long, Array[Long])]
+    var books: Codebooks = {
+      val init = ds.filter(_._1 % codeStride == 0).collect().sortBy(_._1)
+      Array.tabulate(m)(s => init.map { case (id, vq) => id -> slice(vq, s, subDim) })
+    }
+    var it = 0
+    while (it < iters) {
+      val cb = books
+      val assigned = ds.flatMap { case (_, vq) =>
+        (0 until m).iterator.map { s =>
+          val svq = slice(vq, s, subDim)
+          (s, cb(s)(nearestCodeIdx(cb(s), svq))._1, svq)
+        }
+      }.toDF("s", "cell", "svq")
+      books = assigned
+        .select(col("s"), col("cell"), posexplode(col("svq")).as(Seq("pos", "x")))
+        .groupBy("s", "cell", "pos")
+        .agg(floor(sum(col("x")) * 1.0 / count(lit(1))).as("ci"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((s, cell), rows) =>
+          (s, cell, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray)
+        }
+        .groupBy(_._1)
+        .map { case (s, cells) =>
+          s -> cells.map(c => c._2 -> c._3).toArray.sortBy(_._1)
+        }
+        .toArray.sortBy(_._1).map(_._2)
+      it += 1
+    }
+    books
+  }
+
+  /** Exhaustive-ADC top-k: every corpus vector is PQ-encoded and scored
+    * against every query via the precomputed per-subspace dot tables, in
+    * one typed flatMap over one corpus scan. Output score is the exact
+    * integer inner product of the quantized query with the PQ
+    * reconstruction of the document.
+    */
+  def knnPqAdc(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = 16,
+      codeStride: Int = 40, iters: Int = 2, dim: Int = 64): DataFrame =
+    knnPqAdcOf(Tables.embeddings(spark, sfDir), nQueries, k, m, codeStride,
+      iters, dim)
+
+  /** [[knnPqAdc]] over any (vec_id, embedding) frame. */
+  def knnPqAdcOf(embeddings: DataFrame,
+      nQueries: Int = 10, k: Int = 5, m: Int = 16,
+      codeStride: Int = 40, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val evq = embeddings
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, Similarity.quantizeVec(v)) }
+      .toDF("vec_id", "vq")
+    val books = trainCodebooks(evq, m, subDim, codeStride, iters)
+    // query side: tiny by contract — collected and closed over, so the
+    // corpus pass below is the ONLY distributed stage of the search
+    val qRows = evq.as[(Long, Array[Long])]
+      .filter(_._1 < nQueries).collect().sortBy(_._1)
+    val qIds = qRows.map(_._1)
+    // dtab(q)(s)(cIdx) = dot(query subvector, codeword) — exact integers
+    val dtab: Array[Array[Array[Long]]] = qRows.map { case (_, vq) =>
+      Array.tabulate(m) { s =>
+        val qs = slice(vq, s, subDim)
+        books(s).map { case (_, cq) =>
+          var d = 0L; var i = 0
+          while (i < subDim) { d += qs(i) * cq(i); i += 1 }
+          d
+        }
+      }
+    }
+    val scored = evq.as[(Long, Array[Long])]
+      .flatMap { case (id, vq) =>
+        val codes = Array.tabulate(m)(s => nearestCodeIdx(books(s), slice(vq, s, subDim)))
+        qIds.iterator.zipWithIndex.filter(_._1 != id).map { case (qid, qi) =>
+          var score = 0L; var s = 0
+          while (s < m) { score += dtab(qi)(s)(codes(s)); s += 1 }
+          (qid, id, score)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle — identical quantization, per-subspace integer Lloyd
+    * rounds, final encoding, ADC tables, and integer scores.
+    */
+  def knnPqAdcSql(nQueries: Int = 10, k: Int = 5, m: Int = 16,
+      codeStride: Int = 40, iters: Int = 2, dim: Int = 64): String = {
+    val subDim = dim / m
+    val rounds = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      s"""a$n AS (
+         |  SELECT sub.vec_id, sub.s, sub.svq, code_id, row_number() OVER (
+         |    PARTITION BY sub.vec_id, sub.s
+         |    ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+         |      i -> (sub.svq[i] - $prev.cq[i]) * (sub.svq[i] - $prev.cq[i]))) ASC, code_id) AS rk
+         |  FROM sub JOIN $prev ON sub.s = $prev.s),
+         |g$n AS (SELECT vec_id, s, svq, code_id AS cell FROM a$n WHERE rk = 1),
+         |d$n AS (
+         |  SELECT s, cell, i, CAST(floor(sum(svq[i]) * 1.0 / count(*)) AS BIGINT) AS ci
+         |  FROM g$n CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) dims
+         |  GROUP BY s, cell, i),
+         |c$n AS (SELECT s, cell AS code_id, list(ci ORDER BY i) AS cq FROM d$n GROUP BY s, cell)""".stripMargin
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, s, vq[s * $subDim + 1 : (s + 1) * $subDim] AS svq
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) subs),
+       |c0 AS (SELECT s, vec_id AS code_id, svq AS cq FROM sub WHERE vec_id % $codeStride = 0),
+       |$rounds,
+       |enc AS (
+       |  SELECT sub.vec_id, sub.s, code_id AS code, row_number() OVER (
+       |    PARTITION BY sub.vec_id, sub.s
+       |    ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> (sub.svq[i] - $cFinal.cq[i]) * (sub.svq[i] - $cFinal.cq[i]))) ASC, code_id) AS rk
+       |  FROM sub JOIN $cFinal ON sub.s = $cFinal.s),
+       |codes AS (SELECT vec_id, s, code FROM enc WHERE rk = 1),
+       |dtab AS (
+       |  SELECT q.vec_id AS query_id, c.s, c.code_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> q.svq[i] * c.cq[i])) AS BIGINT) AS pdot
+       |  FROM sub q JOIN $cFinal c ON q.s = c.s
+       |  WHERE q.vec_id < $nQueries),
+       |scored AS (
+       |  SELECT d.query_id, codes.vec_id AS neighbor_id,
+       |    CAST(sum(d.pdot) AS BIGINT) AS score
+       |  FROM codes JOIN dtab d ON codes.s = d.s AND codes.code = d.code_id
+       |  WHERE codes.vec_id <> d.query_id
+       |  GROUP BY d.query_id, codes.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

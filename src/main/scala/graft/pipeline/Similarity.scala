@@ -243,7 +243,7 @@ object Similarity {
     * quantization the hyperplane-LSH bucketing uses, mirrored by DuckDB's
     * `CAST(round(x*1000) AS BIGINT)`.
     */
-  private def quantizeVec(v: Array[Double]): Array[Long] = {
+  private[pipeline] def quantizeVec(v: Array[Double]): Array[Long] = {
     val q = new Array[Long](v.length); var i = 0
     while (i < v.length) {
       val y = v(i) * 1000

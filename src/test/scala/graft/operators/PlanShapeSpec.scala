@@ -73,6 +73,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected extra exchange:\n$p")
   }
 
+  test("knnPqAdc scores in one corpus pass; only the top-k window + sort exchange") {
+    val p = plan("knn_pq_adc")
+    // training/encode close over driver-held codebooks, so the FINAL plan
+    // is: one corpus scan → typed flatMap (encode+score) → top-k window →
+    // presentation sort. One scan, one window, ≤2 exchanges.
+    assert(count(p) { case s: FileSourceScanExec => s } === 1,
+      s"expected a single corpus scan:\n$p")
+    assert(count(p) { case w: WindowExec => w } === 1,
+      s"expected exactly the top-k window:\n$p")
+    assert(count(p) { case e: ShuffleExchangeExec => e } <= 2,
+      s"unexpected extra exchange:\n$p")
+  }
+
   test("deletion probe is one grouped aggregate over a single scan") {
     val p = plan("del_affected_partitions")
     assert(count(p) { case s: FileSourceScanExec => s } === 1)
