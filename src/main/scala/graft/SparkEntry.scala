@@ -63,6 +63,8 @@ object SparkEntry {
     // deterministic sampling: map-only hash filter / exact per-stratum quotas
     "sample_hash" -> ((s, d) => Sampling.hashSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    // per-source training-mixture weights as a map-only hash cutoff
+    "sample_mixture" -> ((s, d) => Sampling.mixtureSample(s, d)),
     // training-sequence prep: fixed-size token windows with stride
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // PII scrub: email/phone/IPv4 detection counts + chained redaction
@@ -78,6 +80,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => IncrementalDedup.dedupIncremental(s, d)),
     // train/test contamination guard: exact n-gram overlap vs the eval slice
     "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
+    // same result via a Bloom runtime prefilter on the corpus side
+    "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -143,6 +147,7 @@ object SparkEntry {
     "text_repetition" -> Repetition.repetitionSql,
     "sample_hash" -> Sampling.hashSampleSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
+    "sample_mixture" -> Sampling.mixtureSampleSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
     "doc_pack_bins" -> Packing.packBinsSql(),
@@ -152,6 +157,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minHashLshSql(),
     "dedup_incremental" -> IncrementalDedup.dedupIncrementalSql(),
     "decontaminate" -> Decontaminate.overlapsSql(),
+    // exact same semantics — the Bloom prefilter changes the PLAN, not
+    // the result, so the oracle is the same SQL
+    "decontaminate_bloom" -> Decontaminate.overlapsSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

@@ -68,10 +68,17 @@ object Decontaminate {
     * fixture specs.
     */
   def overlapsOf(docs: DataFrame, n: Int = DefaultN,
-      evalMod: Int = 10, evalRes: Int = 7, minShared: Int = 1): DataFrame = {
-    val spark = docs.sparkSession
+      evalMod: Int = 10, evalRes: Int = 7, minShared: Int = 1): DataFrame =
+    pairsFrom(ngramRows(docs, n), evalMod, evalRes, minShared)
+
+  /** The posting-list core shared by [[overlapsOf]] and
+    * [[overlapsBloomOf]]: both sides' lists from one grouped aggregation
+    * over (doc_id, ngram) rows, df-capped pair expansion, ids only.
+    */
+  private def pairsFrom(ng: DataFrame, evalMod: Int, evalRes: Int,
+      minShared: Int): DataFrame = {
+    val spark = ng.sparkSession
     import spark.implicits._
-    val ng = ngramRows(docs, n)
     // BOTH sides' posting lists in one grouped aggregation (collect_list
     // skips the other side's nulls) — one corpus scan and one shuffle on
     // the n-gram, where building each side separately would scan documents
@@ -93,6 +100,45 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("corpus_id", "eval_id")
+  }
+
+  /** [[overlaps]] with a Bloom-filter runtime prefilter on the corpus
+    * side — the 100 TB shape of decontamination. The eval side is tiny by
+    * construction (a benchmark set), so its n-gram universe fits a Bloom
+    * filter that is broadcast to every task; corpus n-grams that cannot
+    * possibly match (the overwhelming majority at scale) are dropped
+    * DURING the scan, before the posting shuffle — the exchange then
+    * carries ~matching n-grams instead of the full corpus n-gram stream.
+    *
+    * Correctness is EXACT, not approximate: a Bloom filter has no false
+    * negatives, so every true overlap survives the prefilter, and false
+    * positives are eliminated by the downstream posting join (an n-gram
+    * with no real eval-side rows fails the `size(eids) >= 1` gate). The
+    * output — and therefore the oracle — is identical to [[overlaps]];
+    * the spec pins frame equality between the two plans.
+    */
+  def overlapsBloom(spark: SparkSession, sfDir: String, n: Int = DefaultN,
+      evalMod: Int = 10, evalRes: Int = 7, minShared: Int = 1,
+      fpp: Double = 0.01): DataFrame =
+    overlapsBloomOf(Tables.documents(spark, sfDir), n, evalMod, evalRes,
+      minShared, fpp)
+
+  /** [[overlapsBloom]] over any (doc_id, text) frame. */
+  def overlapsBloomOf(docs: DataFrame, n: Int = DefaultN,
+      evalMod: Int = 10, evalRes: Int = 7, minShared: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalNg = ngramRows(docs.where(col("doc_id") % evalMod === evalRes), n)
+    // expectedNumItems from a count of the (small) eval side — one cheap
+    // job; sizing the filter from the corpus side would defeat the point
+    val expected = math.max(1000L, evalNg.count())
+    val bloom = evalNg.stat.bloomFilter("ngram", expected, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val ng = ngramRows(docs, n).as[(Long, String)]
+      .filter(r => bloomBc.value.mightContainString(r._2))
+      .toDF("doc_id", "ngram")
+    pairsFrom(ng, evalMod, evalRes, minShared)
   }
 
   /** DuckDB oracle — identical n-gram definition, identical per-side df

@@ -124,6 +124,48 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Default mixture: upweight low-index (curated) sources, taper the
+    * long tail — src0 keeps 100%, each subsequent source 5 points less,
+    * floored at 10%. A real pipeline passes its tuned weights; the shape
+    * (few curated sources near 1.0, web tail well below) is the standard
+    * training-mixture pattern.
+    */
+  val DefaultMixture: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> math.max(10, 100 - 5 * i)).toMap
+
+  /** Per-source mixture sampling: keep a source-dependent deterministic
+    * fraction of each source (domain up/down-weighting for a training
+    * mix). Same hash-cutoff scheme as [[hashSample]], so it is map-only —
+    * the per-source rate is a `CASE` on the source column resolved inline
+    * during the scan; NO join, NO shuffle, nothing corpus-sized anywhere
+    * (the rate table is query-literal-sized). Sources absent from `rates`
+    * are dropped (rate 0) — the conservative default for an unlisted
+    * domain in a curated mix.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String,
+      rates: Map[String, Int] = DefaultMixture, mod: Int = 100): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (src, pct)) =>
+        when(col("source") === src, pct).otherwise(acc)
+      }
+    Tables.documents(spark, sfDir)
+      .where(sampleHash(col("doc_id")) % mod < rate)
+      .select(col("doc_id"), col("source"),
+        (sampleHash(col("doc_id")) % mod).as("slot"))
+      .orderBy("doc_id")
+  }
+
+  def mixtureSampleSql(rates: Map[String, Int] = DefaultMixture,
+      mod: Int = 100): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
+      .mkString(" ")
+    s"""SELECT doc_id, source, ${sampleHashSql("doc_id")} % $mod AS slot
+       |FROM documents
+       |WHERE ${sampleHashSql("doc_id")} % $mod < CASE $cases ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle — the SEMANTICS of [[stratifiedSample]] (per-stratum
     * rank over (h, doc_id), quota ceil(frac·nₛ)) in its simplest form.
     */

@@ -56,4 +56,22 @@ class DecontaminateSpec extends AnyFunSuite {
     val out = Decontaminate.overlapsOf(df).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 7L)))
   }
+
+  test("Bloom-prefiltered variant returns the EXACT frame of the unfiltered one") {
+    // no false negatives in a Bloom filter + downstream eval-side gate ⇒
+    // the prefilter may only drop rows that could never pair. Checked on
+    // the real table (broad) and on a planted fixture (targeted)
+    val exact = Decontaminate.overlaps(spark, "/root/testdata/sf0.001").collect()
+    val bloom = Decontaminate.overlapsBloom(spark, "/root/testdata/sf0.001").collect()
+    assert(bloom.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+    assert(exact.nonEmpty, "fixture should produce at least one overlap")
+
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      1L -> s"leading tokens $span trailing stuff here",
+      7L -> s"$span completely different tail words",
+      2L -> "nothing in common with anything else at all")
+    val out = Decontaminate.overlapsBloomOf(df).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 7L)))
+  }
 }

@@ -37,6 +37,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(k >= 10 && k <= 45, s"sampled $k of $n")
   }
 
+  test("mixture sample respects per-source rates; unlisted sources are dropped") {
+    // every kept row's slot must sit under its own source's rate, and a
+    // full-rate source keeps everything while a rate-0 one keeps nothing
+    val rates = Map("src0" -> 100, "src1" -> 0, "src2" -> 50)
+    val out = Sampling.mixtureSample(spark, sfDir, rates).cache()
+    assert(out.where(col("source") === "src1").count() === 0)
+    assert(!out.select("source").distinct().collect()
+      .exists(r => !rates.contains(r.getString(0))),
+      "sources absent from the rate map must be dropped")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(out.where(col("source") === "src0").count() ===
+      docs.where(col("source") === "src0").count(),
+      "rate 100 must keep the whole source")
+    // rate-50 kept set == hashSample membership restricted to that source
+    val kept = out.where(col("source") === "src2").collect().map(_.getLong(0)).toSet
+    val direct = docs.where(col("source") === "src2")
+      .where(Sampling.sampleHash(col("doc_id")) % 100 < 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === direct)
+  }
+
   test("stratified sample hits the exact per-stratum quota") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val expected = docs.groupBy("lang").count().collect()
