@@ -103,6 +103,8 @@ object SparkEntry {
     "embedding_quantize_int8" -> (Quantization.int8Report _),
     // product-quantized exhaustive ADC search (integer codebooks + scores)
     "knn_pq_adc" -> ((s, d) => ProductQuant.knnPqAdc(s, d)),
+    // composed IVF cells + residual-PQ codes (the FAISS IVFPQ layout)
+    "knn_ivfpq" -> ((s, d) => ProductQuant.knnIvfPq(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -172,6 +174,7 @@ object SparkEntry {
     "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),
     "embedding_quantize_int8" -> Quantization.int8ReportSql,
     "knn_pq_adc" -> ProductQuant.knnPqAdcSql(),
+    "knn_ivfpq" -> ProductQuant.knnIvfPqSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

@@ -172,6 +172,186 @@ object ProductQuant {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ — the classical composed index (the FAISS `IVFPQ` layout):
+    * coarse IVF cells prune the search to ~1/nCells of the corpus, and
+    * within a cell documents are represented by PQ codes of their
+    * RESIDUAL (vector − cell centroid), which is what PQ codebooks
+    * compress well — residuals are centered near zero, so the same
+    * codebook budget buys far less quantization error than coding raw
+    * vectors. Search: the query scores its own cell's members by
+    * `dot(q, centroid) + Σ_s dtab[s][code]` — the exact inner product of
+    * the query with each document's reconstruction.
+    *
+    * All arithmetic is exact integers end to end: cell centroids are
+    * corpus vectors (their quantized forms), residuals are integer
+    * differences, codebooks come from the same integer Lloyd rounds as
+    * [[knnPqAdc]], and scores are integer dots — one SQL oracle
+    * reproduces index build + search bit-for-bit.
+    *
+    * Scale shape: centroids and codebooks are parameter-bounded and
+    * driver-held; the corpus is touched by typed maps only (assignment,
+    * residual, encode+score in ONE pass); at 100 TB each vector persists
+    * as one cell id + m code bytes — the layout that keeps a corpus-wide
+    * index in cluster memory — and a query reads ~1/nCells of it.
+    */
+  def knnIvfPq(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50, m: Int = 16,
+      codeStride: Int = 40, iters: Int = 2, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val subDim = dim / m
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cents = Similarity.centroidsOf(e, ivfStride)
+    // quantized centroid per cell, driver-held (centroids ARE corpus
+    // vectors, so their integer forms are exact mirrors of the oracle's)
+    val centQ: Map[Long, Array[Long]] = cents.collect()
+      .map(r => r.getLong(0) ->
+        Similarity.quantizeVec(r.getSeq[Double](1).toArray)).toMap
+    val assigned = Similarity.cellAssignments(e, cents)
+    // integer residual per vector — what the PQ codebooks are trained on
+    val res = assigned.as[(Long, Array[Double], Long)]
+      .map { case (id, v, cell) =>
+        val vq = Similarity.quantizeVec(v)
+        val cq = centQ(cell)
+        val rq = new Array[Long](vq.length)
+        var i = 0
+        while (i < vq.length) { rq(i) = vq(i) - cq(i); i += 1 }
+        (id, rq, cell)
+      }
+      .toDF("vec_id", "vq", "cell")
+    val books = trainCodebooks(res.select("vec_id", "vq"), m, subDim,
+      codeStride, iters)
+    // query side: quantized full vectors + own cell + centroid dot term
+    // (constant within a cell's ranking but part of the true IP score)
+    val qRows = assigned.as[(Long, Array[Double], Long)]
+      .filter(_._1 < nQueries).collect().sortBy(_._1)
+      .map { case (id, v, cell) => (id, Similarity.quantizeVec(v), cell) }
+    val cterm: Array[Long] = qRows.map { case (_, vq, cell) =>
+      val cq = centQ(cell)
+      var d = 0L; var i = 0
+      while (i < vq.length) { d += vq(i) * cq(i); i += 1 }
+      d
+    }
+    val dtab: Array[Array[Array[Long]]] = qRows.map { case (_, vq, _) =>
+      Array.tabulate(m) { s =>
+        val qs = slice(vq, s, subDim)
+        books(s).map { case (_, cq) =>
+          var d = 0L; var i = 0
+          while (i < subDim) { d += qs(i) * cq(i); i += 1 }
+          d
+        }
+      }
+    }
+    val queriesByCell: Map[Long, Array[Int]] =
+      qRows.indices.groupBy(i => qRows(i)._3).map { case (c, is) => c -> is.toArray }
+    // encode + score the query's cell members in ONE residual pass
+    val scored = res.as[(Long, Array[Long], Long)]
+      .flatMap { case (id, rq, cell) =>
+        queriesByCell.getOrElse(cell, Array.empty[Int]).iterator
+          .filter(qi => qRows(qi)._1 != id)
+          .map { qi =>
+            var score = cterm(qi); var s = 0
+            while (s < m) {
+              score += dtab(qi)(s)(nearestCodeIdx(books(s), slice(rq, s, subDim)))
+              s += 1
+            }
+            (qRows(qi)._1, id, score)
+          }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle for [[knnIvfPq]] — identical cell assignment (argmax
+    * cosine), integer residuals, Lloyd rounds over residual subvectors,
+    * and centroid-term + ADC scoring.
+    */
+  def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50,
+      m: Int = 16, codeStride: Int = 40, iters: Int = 2,
+      dim: Int = 64): String = {
+    val subDim = dim / m
+    val rounds = (1 to iters).map { n =>
+      val prev = s"c${n - 1}"
+      s"""a$n AS (
+         |  SELECT sub.vec_id, sub.s, sub.svq, code_id, row_number() OVER (
+         |    PARTITION BY sub.vec_id, sub.s
+         |    ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+         |      i -> (sub.svq[i] - $prev.cq[i]) * (sub.svq[i] - $prev.cq[i]))) ASC, code_id) AS rk
+         |  FROM sub JOIN $prev ON sub.s = $prev.s),
+         |g$n AS (SELECT vec_id, s, svq, code_id AS cell FROM a$n WHERE rk = 1),
+         |d$n AS (
+         |  SELECT s, cell, i, CAST(floor(sum(svq[i]) * 1.0 / count(*)) AS BIGINT) AS ci
+         |  FROM g$n CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) dims
+         |  GROUP BY s, cell, i),
+         |c$n AS (SELECT s, cell AS code_id, list(ci ORDER BY i) AS cq FROM d$n GROUP BY s, cell)""".stripMargin
+    }.mkString(",\n")
+    val cFinal = s"c$iters"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv, vq AS ccq FROM e
+       |         WHERE vec_id % $ivfStride = 0),
+       |assign AS (
+       |  SELECT e.vec_id, e.vq, centroid_id AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(cent.cv, e.v) DESC, centroid_id) AS crank
+       |  FROM e CROSS JOIN cent),
+       |cells AS (SELECT vec_id, vq, cell FROM assign WHERE crank = 1),
+       |res AS (
+       |  SELECT cells.vec_id, cells.cell,
+       |    list_transform(generate_series(1, $dim),
+       |      i -> cells.vq[i] - cent.ccq[i]) AS rq
+       |  FROM cells JOIN cent ON cells.cell = cent.centroid_id),
+       |sub AS (
+       |  SELECT vec_id, s, rq[s * $subDim + 1 : (s + 1) * $subDim] AS svq
+       |  FROM res CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) subs),
+       |c0 AS (SELECT s, vec_id AS code_id, svq AS cq FROM sub WHERE vec_id % $codeStride = 0),
+       |$rounds,
+       |enc AS (
+       |  SELECT sub.vec_id, sub.s, code_id AS code, row_number() OVER (
+       |    PARTITION BY sub.vec_id, sub.s
+       |    ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> (sub.svq[i] - $cFinal.cq[i]) * (sub.svq[i] - $cFinal.cq[i]))) ASC, code_id) AS rk
+       |  FROM sub JOIN $cFinal ON sub.s = $cFinal.s),
+       |codes AS (
+       |  SELECT enc.vec_id, enc.s, enc.code, res.cell
+       |  FROM enc JOIN res ON enc.vec_id = res.vec_id WHERE enc.rk = 1),
+       |q AS (
+       |  SELECT cells.vec_id AS query_id, cells.vq AS qvq, cells.cell AS qcell,
+       |    CAST(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> cells.vq[i] * cent.ccq[i])) AS BIGINT) AS cterm
+       |  FROM cells JOIN cent ON cells.cell = cent.centroid_id
+       |  WHERE cells.vec_id < $nQueries),
+       |qsub AS (
+       |  SELECT query_id, s, qvq[s * $subDim + 1 : (s + 1) * $subDim] AS qsvq
+       |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) subs),
+       |dtab AS (
+       |  SELECT qsub.query_id, c.s, c.code_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> qsub.qsvq[i] * c.cq[i])) AS BIGINT) AS pdot
+       |  FROM qsub JOIN $cFinal c ON qsub.s = c.s),
+       |scored AS (
+       |  SELECT q.query_id, codes.vec_id AS neighbor_id,
+       |    CAST(q.cterm + sum(d.pdot) AS BIGINT) AS score
+       |  FROM codes
+       |  JOIN q ON codes.cell = q.qcell AND codes.vec_id <> q.query_id
+       |  JOIN dtab d ON d.query_id = q.query_id AND codes.s = d.s
+       |             AND codes.code = d.code_id
+       |  GROUP BY q.query_id, codes.vec_id, q.cterm),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, score
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle — identical quantization, per-subspace integer Lloyd
     * rounds, final encoding, ADC tables, and integer scores.
     */

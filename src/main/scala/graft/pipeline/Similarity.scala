@@ -74,7 +74,7 @@ object Similarity {
     * construction — neighbors in foreign cells are missed; that is the
     * documented trade.
     */
-  private def centroidsOf(e: DataFrame, centroidStride: Int): DataFrame =
+  private[pipeline] def centroidsOf(e: DataFrame, centroidStride: Int): DataFrame =
     e.where(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
 
@@ -92,7 +92,7 @@ object Similarity {
     * including NaN-greatest ordering via `java.lang.Double.compare` — so
     * the DuckDB oracles keep matching value-for-value.
     */
-  private def cellAssignments(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[pipeline] def cellAssignments(e: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val centArr: Array[(Long, Array[Double])] = centroids

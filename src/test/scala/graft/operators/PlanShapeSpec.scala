@@ -86,6 +86,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected extra exchange:\n$p")
   }
 
+  test("knnIvfPq search is one residual pass; only the top-k window + sort exchange") {
+    val p = plan("knn_ivfpq")
+    // index build (assignment, residuals, Lloyd rounds) runs as separate
+    // driver-collected jobs; the SEARCH plan must stay: scan → typed
+    // assignment/residual/encode/score maps → top-k window → sort
+    assert(count(p) { case s: FileSourceScanExec => s } === 1,
+      s"expected a single corpus scan:\n$p")
+    assert(count(p) { case w: WindowExec => w } === 1,
+      s"expected exactly the top-k window:\n$p")
+    assert(count(p) { case e: ShuffleExchangeExec => e } <= 2,
+      s"unexpected extra exchange:\n$p")
+  }
+
   test("deletion probe is one grouped aggregate over a single scan") {
     val p = plan("del_affected_partitions")
     assert(count(p) { case s: FileSourceScanExec => s } === 1)

@@ -54,6 +54,28 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"random-corpus recall $recall below floor 0.3")
   }
 
+  test("IVF-PQ contract: candidates confined to the query's cell, ranks contiguous, no self") {
+    val out = ProductQuant.knnIvfPq(spark, sfDir, nQueries = 5, k = 4).cache()
+    assert(out.where(col("query_id") === col("neighbor_id")).count() === 0)
+    val perQuery = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr"))
+    // a cell can hold < k+1 members, so n <= k with contiguous ranks
+    assert(perQuery.where(col("n") > 4 || col("maxr") =!= col("n")).count() === 0)
+    // every (query, neighbor) pair must share an IVF cell — IVF-PQ may
+    // never reach outside the coarse index's pruning
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cells = Similarity.cellAssignments(e, Similarity.centroidsOf(e, 50))
+      .select(col("vec_id"), col("cell"))
+    val crossCell = out
+      .join(cells.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("cell", "qc"), "query_id")
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("cell", "nc"), "neighbor_id")
+      .where(col("qc") =!= col("nc")).count()
+    assert(crossCell === 0, "IVF-PQ returned a neighbor outside the query's cell")
+  }
+
   test("PQ retrieves every planted high-cosine near-dup as top-1 (the regime it is for)") {
     // 10 query bases with planted near-copies (cosine ≳ 0.97) + 100 noise
     // vectors. Deterministic seed + deterministic training ⇒ pinned result.
