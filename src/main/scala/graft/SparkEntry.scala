@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AsOfJoin, DeletionOps}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Packing, Pii, ProductQuant, Quantization, Repetition, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,8 @@ object SparkEntry {
     "events_pivot" -> (Analytics.eventsPivot _),
     "orders_sliding_revenue" -> (Analytics.ordersSlidingRevenue _),
     "events_purchaser_cohort" -> (Analytics.purchaserCohort _),
+    // non-equi interval join made scalable by binning (equi-key restore)
+    "orders_interval_join" -> ((s, d) => RangeJoin.shipmentsInOrderWindows(s, d)),
     // sketch aggregates (HLL++, approx percentile) with in-query audit bounds
     "events_approx_profile" -> (Analytics.eventsApproxProfile _),
     // streaming definitions in batch form, gated by the SAME oracles
@@ -60,11 +62,18 @@ object SparkEntry {
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // Gopher repetition signals (dup lines, top/dup n-gram char fractions)
     "text_repetition" -> (Repetition.repetition _),
+    // BM25-form ranked keyword retrieval (rational idf, integer score sum)
+    "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
+    // corpus-wide frequent-5-gram mining + boilerplate doc flagging
+    "text_top_ngrams" -> ((s, d) => Ngrams.topNgrams(s, d)),
+    "text_boilerplate" -> ((s, d) => Ngrams.boilerplateDocs(s, d)),
     // deterministic sampling: map-only hash filter / exact per-stratum quotas
     "sample_hash" -> ((s, d) => Sampling.hashSample(s, d)),
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // per-source training-mixture weights as a map-only hash cutoff
     "sample_mixture" -> ((s, d) => Sampling.mixtureSample(s, d)),
+    // deterministic train/val/test split report (hash-slot assignment)
+    "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
     // training-sequence prep: fixed-size token windows with stride
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // PII scrub: email/phone/IPv4 detection counts + chained redaction
@@ -93,6 +102,8 @@ object SparkEntry {
     // flagship embedding-dedup: hyperplane-LSH candidates in the high-cosine
     // regime, exact-cosine verified — shuffle O(vectors × tables), not O(n²)
     "dedup_embedding_ann" -> ((s, d) => Similarity.cosineLshPairs(s, d, threshold = 0.8)),
+    // SemDeDup: k-means cells confine the pairwise compare to Σ|cell|²
+    "dedup_semantic" -> ((s, d) => SemanticDedup.semanticPairs(s, d)),
     // similarity search
     "knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -135,6 +146,7 @@ object SparkEntry {
     "events_pivot" -> Analytics.eventsPivotSql,
     "orders_sliding_revenue" -> Analytics.ordersSlidingRevenueSql,
     "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
+    "orders_interval_join" -> RangeJoin.shipmentsInOrderWindowsSql(),
     "events_approx_profile" -> Analytics.eventsApproxProfileSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
@@ -147,9 +159,13 @@ object SparkEntry {
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "text_repetition" -> Repetition.repetitionSql,
+    "text_bm25_topk" -> Search.bm25TopKSql(),
+    "text_top_ngrams" -> Ngrams.topNgramsSql(),
+    "text_boilerplate" -> Ngrams.boilerplateDocsSql(),
     "sample_hash" -> Sampling.hashSampleSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "sample_mixture" -> Sampling.mixtureSampleSql(),
+    "sample_split" -> Sampling.sampleSplitSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
     "doc_pack_bins" -> Packing.packBinsSql(),
@@ -168,6 +184,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ann" -> Similarity.cosineLshPairsSql(threshold = 0.8),
+    "dedup_semantic" -> SemanticDedup.semanticPairsSql(),
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),

@@ -84,8 +84,8 @@ object Packing {
        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
        |c AS (
        |  SELECT doc_id, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
        |  FROM n)
        |SELECT doc_id, n_tokens, start_offset, start_offset // $capacity AS bin_id
        |FROM c ORDER BY doc_id""".stripMargin

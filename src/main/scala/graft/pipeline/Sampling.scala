@@ -166,6 +166,39 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic train/val/test split: the hash slot that drives
+    * [[hashSample]] also assigns the split (slot < 90 → train, < 95 → val,
+    * else test), so membership is a pure function of doc_id — reproducible
+    * across reruns, stable under corpus growth, and every doc lands in
+    * exactly one split (the property `rand()` splits silently lose when a
+    * task retries). Reported as per-(source, split) counts; the labeling
+    * itself is a map-only scan expression, the aggregate shuffles one
+    * counter row per (source, split) after map-side combine.
+    */
+  def sampleSplit(spark: SparkSession, sfDir: String,
+      trainPct: Int = 90, valPct: Int = 5, mod: Int = 100): DataFrame = {
+    val slot = sampleHash(col("doc_id")) % mod
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(slot < trainPct, "train")
+          .when(slot < trainPct + valPct, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("source", "split")
+  }
+
+  def sampleSplitSql(trainPct: Int = 90, valPct: Int = 5, mod: Int = 100): String =
+    s"""WITH labeled AS (
+       |  SELECT source, n_chars,
+       |    CASE WHEN ${sampleHashSql("doc_id")} % $mod < $trainPct THEN 'train'
+       |         WHEN ${sampleHashSql("doc_id")} % $mod < ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM labeled GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   /** DuckDB oracle — the SEMANTICS of [[stratifiedSample]] (per-stratum
     * rank over (h, doc_id), quota ceil(frac·nₛ)) in its simplest form.
     */

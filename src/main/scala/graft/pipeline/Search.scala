@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Keyword search over the corpus: BM25-style ranked retrieval for a fixed
+  * query set, built from the same inverted-index primitives a 100 TB search
+  * pipeline would materialize (tf per (doc, term), df per term, global
+  * length statistics).
+  *
+  * Scoring uses the BM25 FORM with a RATIONAL idf — `(N − df + ½)/(df + ½)`
+  * instead of its logarithm — for the same reason TF-IDF here is
+  * transcendental-free ([[TextAnalysis.tfidfTopTerms]]): `ln` is computed
+  * by different polynomial approximations in different engines, and a
+  * last-ulp difference breaks the value-level oracle. The rational form is
+  * a well-defined relevance score on its own (monotone in the log form per
+  * term).
+  *
+  * Determinism of the final score: per-term scores are doubles, and a
+  * floating SUM across terms is summation-order-dependent, so each term's
+  * score is quantized to an integer micro-unit (`round(s·10⁶)`) and the
+  * per-(query, doc) aggregation sums INTEGERS — order-free, reproducible
+  * bit-for-bit in the oracle. Displayed score = micro-units / 10⁶.
+  *
+  * Scale shape: one corpus scan → (doc, term, tf) shuffle with map-side
+  * combine → df as a partial-agg'd second shuffle keyed by term → the
+  * query-term list (bounded, literal) broadcast into the tf stream → one
+  * (query, doc) integer-sum shuffle → per-query top-k via the row_number
+  * window (WindowGroupLimit pushes the rank filter below the sort).
+  * Nothing corpus-sized is ever broadcast or collected.
+  */
+object Search {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** (query_id, term) — the fixed demo query set; bounded and broadcast. */
+  private val QueryTerms: Seq[(String, String)] = Seq(
+    "q1" -> "vector", "q1" -> "hash",
+    "q2" -> "merge", "q2" -> "join",
+    "q3" -> "slow", "q3" -> "query", "q3" -> "scan")
+
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("sum_dl"))
+    val queries = QueryTerms.toDF("query_id", "term")
+    val perTerm = tf
+      .join(broadcast(queries), "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      // avgdl, idf, norm written as ONE expression each, mirrored
+      // token-for-token in the oracle so every IEEE op sequences identically
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("norm",
+        lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")))
+      .withColumn("score_u",
+        round(col("idf") * (col("tf") * lit(K1 + 1)) / (col("tf") + col("norm")) * lit(1e6))
+          .cast("long"))
+    val scored = perTerm.groupBy("query_id", "doc_id")
+      .agg((sum(col("score_u")) / lit(1e6)).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("bm25"), col("n_terms_hit"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25TopKSql(k: Int = 10): String = {
+    val queryRows = QueryTerms
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            sum(len(string_split(text, ' '))) AS sum_dl
+       |          FROM documents),
+       |queries(query_id, term) AS (VALUES $queryRows),
+       |per_term AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(round(((n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * ${K1 + 1}) / (tf + ($K1 * (1.0 - $B + $B * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+       |      * 1000000.0) AS BIGINT) AS score_u
+       |  FROM tf JOIN queries USING (term) JOIN dfreq USING (term) CROSS JOIN stats),
+       |scored AS (
+       |  SELECT query_id, doc_id, sum(score_u) / 1000000.0 AS score,
+       |    count(*) AS n_terms_hit
+       |  FROM per_term GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, doc_id, round(score, 4) AS bm25, n_terms_hit
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -321,11 +321,13 @@ object Similarity {
     searchCells(assigned, queries, k)
   }
 
-  /** DuckDB oracle for [[knnIvfTrained]] — the identical quantized Lloyd
-    * rounds as CTE chains, then the identical cell search.
+  /** Shared DuckDB CTE chain reproducing [[trainedCentroidsOf]] +
+    * [[cellAssignments]] bit-for-bit: `WITH e AS ..., cells AS (vec_id, v,
+    * cell)`. Suffixed by [[knnIvfTrainedSql]] (cell search) and
+    * [[SemanticDedup.semanticPairsSql]] (intra-cell pair join).
     */
-  def knnIvfTrainedSql(nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
-      iters: Int = 3, dim: Int = 64): String = {
+  private[pipeline] def trainedCellsSqlWith(centroidStride: Int, iters: Int,
+      dim: Int): String = {
     val rounds = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
       s"""a$n AS (
@@ -352,7 +354,15 @@ object Similarity {
        |    PARTITION BY e.vec_id
        |    ORDER BY list_cosine_similarity($cFinal.cq::DOUBLE[], e.v) DESC, centroid_id) AS crank
        |  FROM e CROSS JOIN $cFinal),
-       |cells AS (SELECT vec_id, v, cell FROM assign WHERE crank = 1),
+       |cells AS (SELECT vec_id, v, cell FROM assign WHERE crank = 1)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[knnIvfTrained]] — the identical quantized Lloyd
+    * rounds as CTE chains, then the identical cell search.
+    */
+  def knnIvfTrainedSql(nQueries: Int = 10, k: Int = 5, centroidStride: Int = 50,
+      iters: Int = 3, dim: Int = 64): String =
+    s"""${trainedCellsSqlWith(centroidStride, iters, dim)},
        |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM cells WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q.query_id, e2.vec_id AS neighbor_id,
@@ -364,7 +374,6 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Deterministic pseudo-random hyperplanes as INTEGER weight vectors in
     * [-1024, 1023] (LCG-derived, fixed across runs). Integer weights ×
