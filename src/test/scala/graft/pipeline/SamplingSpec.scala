@@ -37,6 +37,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(k >= 10 && k <= 45, s"sampled $k of $n")
   }
 
+  test("split report partitions the corpus and matches the hash-slot rule") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def splitOf(id: Long): String = {
+      val slot = Sampling.sampleHashJvm(id) % 100
+      if (slot < 90) "train" else if (slot < 95) "val" else "test"
+    }
+    val want = docs.groupBy(d => (d._2, splitOf(d._1)))
+      .map { case ((src, sp), xs) => (src, sp, xs.length.toLong, xs.map(_._3).sum) }
+      .toSet
+    val got = Sampling.sampleSplit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    // a partition: every doc in exactly one split
+    assert(got.toSeq.map(_._3).sum === docs.length.toLong)
+  }
+
   test("mixture sample respects per-source rates; unlisted sources are dropped") {
     // every kept row's slot must sit under its own source's rate, and a
     // full-rate source keeps everything while a rate-0 one keeps nothing

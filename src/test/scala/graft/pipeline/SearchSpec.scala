@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** BM25 retrieval invariants: well-formed rankings, every hit really
+  * contains a query term, and score ordering matches a driver-side
+  * recomputation of the same rational-idf formula.
+  */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val out = Search.bm25TopK(spark, sfDir).cache()
+
+  test("per-query rankings are contiguous and score-monotone") {
+    val byQuery = out.collect().groupBy(_.getString(0))
+    assert(byQuery.keySet === Set("q1", "q2", "q3"))
+    byQuery.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.toSeq === (1 to rows.length), s"$q ranks not contiguous")
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$q scores not non-increasing")
+      assert(rows.length <= 10)
+    }
+  }
+
+  test("every hit contains at least one of its query's terms") {
+    val terms = Map(
+      "q1" -> Set("vector", "hash"),
+      "q2" -> Set("merge", "join"),
+      "q3" -> Set("slow", "query", "scan"))
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    out.collect().foreach { r =>
+      val (q, doc) = (r.getString(0), r.getLong(2))
+      assert(terms(q).intersect(texts(doc)).nonEmpty, s"$q hit $doc has no query term")
+      assert(r.getLong(4) === terms(q).intersect(texts(doc)).size,
+        s"n_terms_hit mismatch for $q/$doc")
+    }
+  }
+
+  test("scores match a driver-side recomputation of the rational-idf BM25") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val df = docs.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    def score(terms: Seq[String], doc: Seq[String]): Double = {
+      val dl = doc.length
+      terms.flatMap { t =>
+        val tf = doc.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+          val norm = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+          Some(math.round(idf * (tf * 2.2) / (tf + norm) * 1e6))
+        }
+      }.sum / 1e6
+    }
+    val queryTerms = Map(
+      "q1" -> Seq("vector", "hash"),
+      "q2" -> Seq("merge", "join"),
+      "q3" -> Seq("slow", "query", "scan"))
+    val docMap = docs.toMap
+    out.collect().foreach { r =>
+      val expect = BigDecimal(score(queryTerms(r.getString(0)), docMap(r.getLong(2))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === expect,
+        s"${r.getString(0)}/${r.getLong(2)}: got ${r.getDouble(3)}, want $expect")
+    }
+  }
+}
