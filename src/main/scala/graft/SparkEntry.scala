@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis}
+import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,12 @@ object SparkEntry {
     "sample_mixture" -> ((s, d) => Sampling.mixtureSample(s, d)),
     // deterministic train/val/test split report (hash-slot assignment)
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
+    // fractional per-source epoch upsampling, materialized map-only
+    "sample_epochs" -> ((s, d) => Sampling.epochsUpsample(s, d)),
+    // vocabulary coverage curve (tokenizer budgeting)
+    "vocab_coverage" -> ((s, d) => Vocab.coverage(s, d)),
+    // linear quality-classifier margin (stub weights, real dataflow)
+    "text_quality_model" -> ((s, d) => QualityModel.score(s, d)),
     // training-sequence prep: fixed-size token windows with stride
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // PII scrub: email/phone/IPv4 detection counts + chained redaction
@@ -166,6 +172,9 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "sample_mixture" -> Sampling.mixtureSampleSql(),
     "sample_split" -> Sampling.sampleSplitSql(),
+    "sample_epochs" -> Sampling.epochsUpsampleSql(),
+    "vocab_coverage" -> Vocab.coverageSql(),
+    "text_quality_model" -> QualityModel.scoreSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
     "doc_pack_bins" -> Packing.packBinsSql(),

@@ -29,20 +29,31 @@ object Ngrams {
 
   private val N = 5
 
-  /** 5-gram shingles of the space-tokenized text, as a Column —
-    * `transform` + `slice` keeps it inside codegen (no UDF).
+  /** The exploded (doc_id, shingle) stream as a typed flatMap — one tight
+    * JVM pass with a shared StringBuilder, instead of the Column HOF form
+    * (`transform` + `slice` re-evaluates the token array per element).
+    * Same output as `unnest(list_transform(...))` in the oracle.
     */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    transform(
-      sequence(lit(1), greatest(size(toks) - (N - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(N)), " "))
+  private def shingleStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (t.length < N) Iterator.empty
+        else Iterator.tabulate(t.length - N + 1) { i =>
+          val sb = new StringBuilder(t(i))
+          var j = 1
+          while (j < N) { sb.append(' ').append(t(i + j)); j += 1 }
+          (id, sb.toString)
+        }
+      }
+      .toDF("doc_id", "shingle")
   }
 
   def topNgrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counted = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val counted = shingleStream(spark, sfDir)
       .groupBy("shingle")
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
@@ -79,8 +90,7 @@ object Ngrams {
   def boilerplateDocs(spark: SparkSession, sfDir: String,
       top: Int = 10, minHits: Int = 2): DataFrame = {
     val mined = topNgrams(spark, sfDir, top).select(col("shingle"))
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val sh = shingleStream(spark, sfDir)
     sh.join(broadcast(mined), "shingle")
       .groupBy("doc_id")
       .agg(count_distinct(col("shingle")).as("n_boiler_shingles"),

@@ -199,6 +199,55 @@ object Sampling {
        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM labeled GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** Fractional per-source epoch weights for upsampling: curated sources
+    * repeat >1× per training run (the standard mixture trick — weight 2.5
+    * means every doc appears twice and half the docs a third time).
+    */
+  val DefaultEpochs: Map[String, (Int, Int)] = Map(
+    // source -> (full copies, extra-copy percentage)
+    "src0" -> (2, 50), "src1" -> (2, 0), "src2" -> (1, 50))
+
+  /** Materialize the upsampled training view: each doc of a weighted
+    * source appears `full` times, plus one more copy when its hash slot
+    * lands under `extraPct` (so a 2.5 weight is exact in expectation AND
+    * deterministic per doc); unlisted sources keep weight 1. Map-only:
+    * the copy fan-out is an inline `explode(sequence(...))` on the scan —
+    * membership and multiplicity are pure functions of (doc_id, source),
+    * nothing shuffles, and the op composes with the split/mixture filters.
+    */
+  def epochsUpsample(spark: SparkSession, sfDir: String,
+      epochs: Map[String, (Int, Int)] = DefaultEpochs, mod: Int = 100): DataFrame = {
+    val full = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(1)) { case (acc, (src, (n, _))) =>
+        when(col("source") === src, n).otherwise(acc)
+      }
+    val extraPct = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (src, (_, pct))) =>
+        when(col("source") === src, pct).otherwise(acc)
+      }
+    val copies = full + when(sampleHash(col("doc_id")) % mod < extraPct, 1).otherwise(0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), copies.cast("long"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  def epochsUpsampleSql(epochs: Map[String, (Int, Int)] = DefaultEpochs,
+      mod: Int = 100): String = {
+    val fullCases = epochs.toSeq.sortBy(_._1)
+      .map { case (src, (n, _)) => s"WHEN source = '$src' THEN $n" }.mkString(" ")
+    val pctCases = epochs.toSeq.sortBy(_._1)
+      .map { case (src, (_, pct)) => s"WHEN source = '$src' THEN $pct" }.mkString(" ")
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |    (CASE $fullCases ELSE 1 END) +
+       |    (CASE WHEN ${sampleHashSql("doc_id")} % $mod < (CASE $pctCases ELSE 0 END)
+       |          THEN 1 ELSE 0 END) AS n_copies
+       |  FROM documents)
+       |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+       |FROM sized ORDER BY doc_id, copy""".stripMargin
+  }
+
   /** DuckDB oracle — the SEMANTICS of [[stratifiedSample]] (per-stratum
     * rank over (h, doc_id), quota ceil(frac·nₛ)) in its simplest form.
     */

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Range-clustered data layout — the write-side half of scan pruning at
   * 100 TB: range-partition on the filter column and sort within each file,
@@ -25,4 +25,47 @@ object Layout {
     df.repartitionByRange(numFiles, col(orderCol))
       .sortWithinPartitions(orderCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Z-value (Morton code) of two non-negative long columns: quantize each
+    * to `bits` bits against its [min, max] domain, then interleave the
+    * bits. Pure 64-bit Column arithmetic — the per-bit shifts unroll into
+    * one codegen'd expression, no UDF.
+    */
+  def zValue(x: Column, y: Column, xMin: Column, xMax: Column,
+      yMin: Column, yMax: Column, bits: Int = 16): Column = {
+    // scale v into [0, 2^bits) against its domain, integer arithmetic only
+    // after one double division (rank-preserving; exactness not required —
+    // z-order is a LAYOUT decision, the data itself is never transformed)
+    def quantize(v: Column, lo: Column, hi: Column): Column =
+      least(
+        floor((v - lo).cast("double") / (hi - lo + 1) * (1L << bits)).cast("long"),
+        lit((1L << bits) - 1))
+    val qx = quantize(x, xMin, xMax)
+    val qy = quantize(y, yMin, yMax)
+    (0 until bits).map { b =>
+      (shiftright(qx, b) % 2) * lit(1L << (2 * b + 1)) +
+        (shiftright(qy, b) % 2) * lit(1L << (2 * b))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` z-order-clustered on two numeric columns: rows are
+    * range-partitioned and sorted by their interleaved-bit Morton code, so
+    * each output file covers a compact REGION of the (c1, c2) plane rather
+    * than a stripe of one column. Selective scans on EITHER column (or
+    * both) then skip most files on parquet footer min/max stats — the
+    * property a single-column range layout only gives its own column.
+    * The domains are computed in one tiny min/max aggregate and folded in
+    * as literals (two scans total: one metadata-sized agg, one write).
+    */
+  def writeZOrderLayout(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    val r = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).first()
+    val (x0, x1, y0, y1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    df.withColumn("__z", zValue(col(c1), col(c2),
+        lit(x0), lit(x1), lit(y0), lit(y1), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** Invariants for the vocabulary-coverage curve, the linear quality-model
+  * margin, and the fractional epoch upsampler.
+  */
+class VocabQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sfDir)
+    .select("doc_id", "source", "text").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("coverage curve is monotone, matches a driver recount, ends ≤ 1") {
+    val rows = Vocab.coverage(spark, sfDir).collect()
+    val termCounts = docs.flatMap(_._3.split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    // this corpus has a small closed vocabulary — the curve covers all of it
+    assert(rows.length === math.min(50, termCounts.size))
+    val expect = termCounts.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+    var cum = 0L
+    rows.sortBy(_.getInt(0)).zip(expect).foreach { case (r, (t, c)) =>
+      cum += c
+      assert(r.getString(1) === t)
+      assert(r.getLong(2) === c)
+      assert(r.getLong(3) === cum)
+    }
+    val cov = rows.sortBy(_.getInt(0)).map(_.getDouble(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage monotone")
+    assert(cov.last <= 1.0)
+  }
+
+  test("quality margin matches a driver-side recomputation of the linear model") {
+    val got = QualityModel.score(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val stop = Set("the", "a", "of", "to", "and", "in", "is", "it")
+    docs.foreach { case (id, _, text) =>
+      val t = text.split(" ", -1)
+      val fLen = math.min(t.length, 1000).toDouble / 1000
+      val fDistinct = t.distinct.length.toDouble / t.length
+      val fStopword = t.count(stop).toDouble / t.length
+      val fAvgLen = text.replace(" ", "").length.toDouble / t.length / 10
+      // HALF_UP on the decimal value = round half AWAY FROM ZERO — what
+      // both Spark's round() and DuckDB's round() do (math.round would
+      // round -x.5 toward positive instead)
+      def r(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val marginU = math.round(QualityModel.Bias * 1e6) +
+        r(fLen * QualityModel.WLen * 1e6) +
+        r(fDistinct * QualityModel.WDistinct * 1e6) +
+        r(fStopword * QualityModel.WStopword * 1e6) +
+        r(fAvgLen * QualityModel.WAvgLen * 1e6)
+      val margin = BigDecimal(marginU / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) === ((margin, marginU >= math.round(0.55 * 1e6))), s"doc $id")
+    }
+  }
+
+  test("epoch upsampler emits the exact deterministic copy counts") {
+    val out = Sampling.epochsUpsample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val copiesOf = out.groupBy(_._1).map { case (id, xs) => id -> xs.length }
+    docs.foreach { case (id, source, _) =>
+      val (full, pct) = Sampling.DefaultEpochs.getOrElse(source, (1, 0))
+      val extra = if (Sampling.sampleHashJvm(id) % 100 < pct) 1 else 0
+      assert(copiesOf(id) === full + extra, s"doc $id of $source")
+    }
+    // copy indices are 1..n per doc
+    out.groupBy(_._1).foreach { case (id, xs) =>
+      assert(xs.map(_._2).sorted.toSeq === (1 to xs.length).map(_.toLong), s"doc $id")
+    }
+  }
+}

@@ -29,6 +29,41 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout prunes on BOTH columns; round-trip intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Layout.writeZOrderLayout(li, out, "l_orderkey", "l_partkey", 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 8, "z-order write must spread across files")
+    // per-file bounding boxes in the (orderkey, partkey) plane — what
+    // parquet footer min/max stats expose to the scan planner
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // a narrow slice on EITHER dimension must skip most files — the
+    // property a single-column range sort only provides for its own column
+    val (okLo, okHi, pkLo, pkHi) = (
+      boxes.map(_._1).min, boxes.map(_._2).max,
+      boxes.map(_._3).min, boxes.map(_._4).max)
+    val okProbe = (okLo + okHi) / 2
+    val pkProbe = (pkLo + pkHi) / 2
+    val okHits = boxes.count { case (lo, hi, _, _) => lo <= okProbe && okProbe <= hi }
+    val pkHits = boxes.count { case (_, _, lo, hi) => lo <= pkProbe && pkProbe <= hi }
+    assert(okHits <= files.length / 2,
+      s"orderkey probe hits $okHits of ${files.length} file boxes")
+    assert(pkHits <= files.length / 2,
+      s"partkey probe hits $pkHits of ${files.length} file boxes")
+    // round-trip: no rows gained or lost
+    val back = spark.read.parquet(out)
+    assert(back.count() === li.count())
+    assert(back.except(li).count() === 0 && li.except(back).count() === 0)
+  }
+
   test("a selective read pushes the predicate into the parquet scan, data intact") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = java.nio.file.Files.createTempDirectory("graft-layout2").toString
