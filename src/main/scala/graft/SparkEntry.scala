@@ -52,6 +52,8 @@ object SparkEntry {
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
     "events_attribution" -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d)),
+    // sliding-window trending top-k (streaming def in batch form)
+    "events_trending" -> ((s, d) => graft.streaming.EventStream.trendingTopKBatch(s, d)),
     // text analysis
     "text_stats" -> (TextAnalysis.stats _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -157,6 +159,7 @@ object SparkEntry {
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
     "events_attribution" -> graft.streaming.EventStream.attributionBatchSql(),
+    "events_trending" -> graft.streaming.EventStream.trendingTopKBatchSql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

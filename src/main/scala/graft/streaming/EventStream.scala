@@ -49,6 +49,62 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Sliding-window trending counts (1 h window, 15 min slide): the
+    * streaming-compatible half of a "trending now" query — a watermarked
+    * Append-mode aggregate; each event lands in exactly 4 overlapping
+    * windows (window/slide = 4, the fan-out is a constant, not data).
+    * The top-k RANK over a window needs that window CLOSED, so in
+    * streaming it runs downstream of this frame (foreachBatch over
+    * finalized windows — the standard pattern, rank-over-updating-state
+    * is not expressible in Append mode); in batch, [[trendingTopKBatch]]
+    * ranks directly and carries the oracle.
+    */
+  def trendingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+
+  /** [[trendingCounts]] over the events table, ranked to the per-window
+    * top-k (count desc, event_type tiebreak). Scale: the rank runs per
+    * win_start partition via WindowGroupLimit; the count aggregate is the
+    * only corpus-sized shuffle (4 rows per event after map-side combine).
+    */
+  def trendingTopKBatch(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))
+    trendingCounts(Tables.events(spark, sfDir))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("win_start"), col("rank"), col("event_type"), col("n"))
+      .orderBy("win_start", "rank")
+  }
+
+  /** Oracle for [[trendingTopKBatch]] — each event expanded to its 4
+    * sliding windows by integer epoch-second arithmetic (start = (sec ÷
+    * 900 − j)·900, j ∈ 0..3), exactly Spark's epoch-aligned window
+    * assignment; timestamps stay in integer seconds end-to-end.
+    */
+  def trendingTopKBatchSql(k: Int = 3): String =
+    s"""WITH expanded AS (
+       |  SELECT event_type,
+       |    strftime(make_timestamp(
+       |      ((epoch_us(ts::TIMESTAMP) // 1000000) // 900 - j) * 900 * 1000000),
+       |      '%Y-%m-%d %H:%M:%S') AS win_start
+       |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) offs),
+       |counted AS (
+       |  SELECT win_start, event_type, count(*) AS n
+       |  FROM expanded GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY win_start
+       |                               ORDER BY n DESC, event_type) AS rank
+       |  FROM counted)
+       |SELECT win_start, rank, event_type, n
+       |FROM ranked WHERE rank <= $k ORDER BY win_start, rank""".stripMargin
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

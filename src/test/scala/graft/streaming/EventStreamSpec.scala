@@ -126,6 +126,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trendingCounts finalizes the same sliding windows the batch form ranks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.trendingCounts(in.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("trend_sink")
+      .outputMode("append").start()
+    try {
+      val events = Seq(
+        EventStream.Event(1, ts("2024-01-10 10:05:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-10 10:20:00"), 2, "click", 1.0),
+        EventStream.Event(3, ts("2024-01-10 10:20:00"), 3, "view", 1.0),
+        EventStream.Event(4, ts("2024-01-10 10:50:00"), 1, "purchase", 1.0))
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(EventStream.Event(9, ts("2024-01-10 16:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(10, ts("2024-01-10 16:01:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("trend_sink")
+        .select("win_start", "event_type", "n").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // expectation from first principles: each event covers starts
+      // (sec/900 - j)*900, j=0..3; only windows fully below the 14:00
+      // watermark (end <= 14:00) have been emitted
+      def fmt(sec: Long) = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(sec))
+      val expanded = events.flatMap { e =>
+        val sec = e.ts.getTime / 1000
+        (0 to 3).map(j => ((sec / 900 - j) * 900, e.event_type))
+      }
+      val want = expanded.groupBy(identity).toSeq
+        .map { case ((ws, typ), xs) => (ws, typ, xs.length.toLong) }
+        .filter { case (ws, _, _) => ws + 3600 <= ts("2024-01-10 14:00:00").getTime / 1000 }
+        .map { case (ws, typ, n) => (fmt(ws), typ, n) }.toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
