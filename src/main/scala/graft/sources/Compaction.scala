@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Small-file compaction — the table-maintenance pass every long-lived
+  * 100 TB dataset needs: streaming sinks, dynamic-partition overwrites and
+  * retried tasks accumulate files far below the ideal scan granularity,
+  * and both the NameNode (one object per file) and the scan planner (one
+  * split per tiny file) degrade with file count.
+  *
+  * The rewrite is SHUFFLE-FREE by construction: `coalesce(n)` is a narrow
+  * dependency — each output task concatenates a set of input splits and
+  * writes one file; no exchange, no sort, no data movement between
+  * executors beyond reading the inputs. (A `repartition(n)` would "work"
+  * too, but pays a full shuffle of the table for nothing — the spec pins
+  * the no-exchange property.) Row order inside a partition is preserved
+  * per input file, so previously range- or z-clustered data keeps its
+  * file-internal clustering.
+  */
+object Compaction {
+
+  /** Compaction plan from the file listing alone (driver-side metadata
+    * RPC, no data read): (current file count, total bytes, target output
+    * file count = ceil(total / targetBytes), min 1).
+    */
+  def plan(spark: SparkSession, path: String, targetBytes: Long): (Int, Long, Int) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    (files.length, total, nOut)
+  }
+
+  /** Rewrite `inPath` into ~targetBytes parquet files at `outPath`.
+    * Returns (input file count, output file count).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Int) = {
+    val (nIn, _, nOut) = plan(spark, inPath, targetBytes)
+    spark.read.parquet(inPath)
+      .coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val written = fs.listStatus(out)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (nIn, written)
+  }
+}
