@@ -51,6 +51,8 @@ object SparkEntry {
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
+    // Spark-native session_window aggregate (third sessionization form)
+    "events_session_window" -> ((s, d) => graft.streaming.EventStream.sessionWindows(s, d)),
     "events_attribution" -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d)),
     // sliding-window trending top-k (streaming def in batch form)
     "events_trending" -> ((s, d) => graft.streaming.EventStream.trendingTopKBatch(s, d)),
@@ -158,6 +160,7 @@ object SparkEntry {
     "events_approx_profile" -> Analytics.eventsApproxProfileSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
+    "events_session_window" -> graft.streaming.EventStream.sessionWindowsSql(),
     "events_attribution" -> graft.streaming.EventStream.attributionBatchSql(),
     "events_trending" -> graft.streaming.EventStream.trendingTopKBatchSql(),
     "text_stats" -> TextAnalysis.statsSql,

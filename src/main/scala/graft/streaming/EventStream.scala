@@ -271,6 +271,59 @@ object EventStream {
        | AND c.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL $windowMinutes MINUTE
        |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Declarative session windows via Spark's native `session_window` — the
+    * third sessionization form next to the lag/cumsum window
+    * (Analytics.sessionize) and the explicit mapGroupsWithState fold
+    * ([[sessionize]]). In streaming this runs on the dedicated session-
+    * window state store (merging windows as events arrive); in batch it is
+    * a plain aggregate. Boundary rule (verified by spec, not assumed): an
+    * event landing exactly `gap` after its predecessor MERGES — Spark
+    * treats the window end as inclusive for merging, so the split
+    * condition is `diff > gap`, identical to the lag/cumsum form; only the
+    * output shape differs (session end = last event + gap).
+    *
+    * Scale: one shuffle on user_id; per-user window merging is linear in
+    * the user's events. Session end = last event + gap is part of the
+    * contract (it is what the streaming form emits at finalization).
+    */
+  def sessionWindows(spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Oracle for [[sessionWindows]] — lag/cumsum with the session-window
+    * boundary rule (split at diff > gap, exact-gap merges) and end = last
+    * event + gap. Timestamps compare on `::TIMESTAMP` µs values; the
+    * formatted output truncates to seconds, exactly like Spark's
+    * date_format.
+    */
+  def sessionWindowsSql(gapSeconds: Int = 1800): String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+       |    CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+       |           OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+       |              > ${gapSeconds}000000::BIGINT
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  strftime(max(ts) + INTERVAL $gapSeconds SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+       |  count(*) AS n_events
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** [[sessionizeBatch]] over the events table, shaped like
     * Analytics.sessionize — shares its DuckDB oracle, pinning the stateful
     * fold to the lag/cumsum window form.

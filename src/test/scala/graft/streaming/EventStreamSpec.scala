@@ -167,6 +167,62 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window: exact-gap event MERGES (split is strictly > gap); streaming finalizes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = in.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sw_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-10 10:29:59"), 1, "click", 1.0), // merges
+        EventStream.Event(3, ts("2024-01-10 10:59:59"), 1, "click", 1.0), // exactly at window end → MERGES
+        EventStream.Event(5, ts("2024-01-10 11:30:00"), 1, "click", 1.0), // 1s past end → NEW
+        EventStream.Event(4, ts("2024-01-10 10:05:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(8, ts("2024-01-10 18:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(9, ts("2024-01-10 18:01:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sw_sink")
+        .select("user_id", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // events 1+2+3 merge (3 sits exactly at the merged window's end —
+      // inclusive for merging); event 5 at 11:30:00 is 1 s past the
+      // extended end 11:29:59, so it opens a new session
+      assert(got === Set(
+        (1L, "2024-01-10 10:00:00", "2024-01-10 11:29:59", 3L),
+        (1L, "2024-01-10 11:30:00", "2024-01-10 12:00:00", 1L),
+        (2L, "2024-01-10 10:05:00", "2024-01-10 10:35:00", 1L)))
+      // and the batch oracle form agrees on the same fixture
+      val batchGot = Seq(
+        EventStream.Event(1, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-10 10:29:59"), 1, "click", 1.0),
+        EventStream.Event(3, ts("2024-01-10 10:59:59"), 1, "click", 1.0),
+        EventStream.Event(5, ts("2024-01-10 11:30:00"), 1, "click", 1.0),
+        EventStream.Event(4, ts("2024-01-10 10:05:00"), 2, "view", 1.0)).toDS()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+          col("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(batchGot === Set(
+        (1L, "2024-01-10 10:00:00", 3L),
+        (1L, "2024-01-10 11:30:00", 1L),
+        (2L, "2024-01-10 10:05:00", 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
