@@ -56,6 +56,8 @@ object SparkEntry {
     "events_attribution" -> ((s, d) => graft.streaming.EventStream.attributionBatch(s, d)),
     // sliding-window trending top-k (streaming def in batch form)
     "events_trending" -> ((s, d) => graft.streaming.EventStream.trendingTopKBatch(s, d)),
+    // stream-static dimension enrichment (left join keeps dimension-less events)
+    "events_enriched" -> (graft.streaming.EventStream.enrichedByNationBatch _),
     // text analysis
     "text_stats" -> (TextAnalysis.stats _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -163,6 +165,7 @@ object SparkEntry {
     "events_session_window" -> graft.streaming.EventStream.sessionWindowsSql(),
     "events_attribution" -> graft.streaming.EventStream.attributionBatchSql(),
     "events_trending" -> graft.streaming.EventStream.trendingTopKBatchSql(),
+    "events_enriched" -> graft.streaming.EventStream.enrichedByNationSql,
     "text_stats" -> TextAnalysis.statsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

@@ -324,6 +324,39 @@ object EventStream {
        |FROM sessions GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Stream-static enrichment: join the event stream against a slowly-
+    * changing dimension snapshot (customer keyed by user_id). In streaming
+    * this is the stream-static join — stateless, no watermark required,
+    * the static side is planned per micro-batch (a broadcast at this
+    * dimension size; at 100 TB of dimension you bucket both sides
+    * instead). Left join keeps events whose user has no dimension row —
+    * dropping them silently is the classic enrichment bug.
+    *
+    * The aggregate-after-enrichment (events per nation per type) is the
+    * batch form under the oracle; the streaming spec runs the SAME join on
+    * a MemoryStream and checks micro-batch output equals the batch join.
+    */
+  def enrichJoin(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      col("user_id") === col("c_custkey"), "left")
+
+  def enrichedByNation(events: DataFrame, customer: DataFrame): DataFrame =
+    enrichJoin(events, customer)
+      .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nationkey"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  def enrichedByNationBatch(spark: SparkSession, sfDir: String): DataFrame =
+    enrichedByNation(Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
+      .orderBy("nationkey", "event_type")
+
+  def enrichedByNationSql: String =
+    """SELECT coalesce(c.c_nationkey, -1) AS nationkey, e.event_type,
+      |  count(*) AS n, round(sum(e.value), 2) AS sum_value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY nationkey, event_type""".stripMargin
+
   /** [[sessionizeBatch]] over the events table, shaped like
     * Analytics.sessionize — shares its DuckDB oracle, pinning the stateful
     * fold to the lag/cumsum window form.

@@ -223,6 +223,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join, keeps dimension-less events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+    val events = Seq(
+      EventStream.Event(1, ts("2024-01-10 10:00:00"), 1, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-10 10:01:00"), 2, "view", 2.0),
+      EventStream.Event(3, ts("2024-01-10 10:02:00"), 7, "click", 3.0)) // no dim row
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.enrichJoin(in.toDF(), dim)
+      .select(col("event_id"), col("user_id"), col("c_nationkey"))
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val batch = EventStream.enrichJoin(events.toDF(), dim)
+        .select(col("event_id"), col("user_id"), col("c_nationkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 1L, 10L), (2L, 2L, 20L), (3L, 7L, -1L)),
+        "the left join must keep the event with no dimension row")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
