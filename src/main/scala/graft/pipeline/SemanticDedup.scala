@@ -22,10 +22,15 @@ import graft.sources.Tables
   * Scale shape at 100 TB: train k-means on a sample, pick k so cells hold
   * ~10³–10⁴ vectors; the pair join shuffles each vector once (keyed by
   * cell) and each reducer does |cell|² primitive-loop cosines. Nothing is
-  * ever broadcast except the k×dim centroid array. Skewed cells are the
-  * hazard — a pathological cluster (all-identical embeddings) concentrates
-  * work; the mitigation at scale is recursive splitting of oversized cells
-  * (re-running Lloyd inside the cell), which preserves the same contract.
+  * ever broadcast except the k×dim centroid array. Skewed cells (a
+  * pathological all-near-identical cluster) are handled by BLOCKING
+  * inside the cell — the same scheme as the exact audit tool
+  * ([[Dedup.embeddingCosineOf]]), keyed by (cell, block): a cell's
+  * vectors split into `blocks` id-hash buckets, block PAIRS join, so no
+  * single task ever holds more than ~2·|cell|/blocks vectors and the
+  * widest cell spreads over blocks·(blocks+1)/2 tasks. The blocking is a
+  * PLAN property only — the emitted pair set is identical, so the oracle
+  * is unchanged (unlike recursive cell splitting, which changes results).
   *
   * Dedup semantics: emit every intra-cell pair with cosine ≥ threshold
   * (id_a < id_b); the canonical keep-rule downstream is min-id (identical
@@ -37,17 +42,63 @@ object SemanticDedup {
     * integer-Lloyd rounds from a `vec_id % stride == 0` init.
     */
   def semanticPairs(spark: SparkSession, sfDir: String,
-      stride: Int = 50, iters: Int = 3, threshold: Double = 0.4): DataFrame = {
+      stride: Int = 50, iters: Int = 3, threshold: Double = 0.4,
+      blocks: Int = 8): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
     val cents = Similarity.trainedCentroidsOf(e, stride, iters)
       .select(col("centroid_id"), transform(col("cq"), _.cast("double")).as("cv"))
     val assigned = Similarity.cellAssignments(e, cents)
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
-      .where(col("cos") >= threshold)
+    val grouped = assigned.select(col("cell"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(r => (r._1, (r._2 % blocks).toInt))
+      .mapGroups((key, it) => (key._1, key._2, it.map(r => (r._2, r._3)).toArray))
+      .toDF("cell", "blk", "vs")
+    val pairs = grouped.as("a")
+      .join(grouped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.blk") <= col("b.blk"))
+      .select(col("a.cell"), col("a.blk").as("ba"), col("a.vs").as("va"),
+        col("b.blk").as("bb"), col("b.vs").as("vb"))
+      .as[(Long, Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
+      .flatMap { case (cell, ba, va, bb, vb) =>
+        // identical arithmetic to Similarity.cosine's fold (same index
+        // order, same double ops — and symmetric: IEEE multiply commutes,
+        // both accumulators swap roles cleanly) so the oracle stays exact
+        def cos(x: Array[Double], y: Array[Double]): Double = {
+          var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+          while (i < x.length) {
+            dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+          }
+          dot / (math.sqrt(nx) * math.sqrt(ny))
+        }
+        if (ba == bb)
+          // same block joined with itself: va eq vb, upper triangle only
+          for {
+            i <- Iterator.range(0, va.length)
+            j <- Iterator.range(i + 1, va.length)
+            c = cos(va(i)._2, va(j)._2)
+            if c >= threshold
+          } yield {
+            val (lo, hi) = if (va(i)._1 < va(j)._1) (va(i)._1, va(j)._1)
+                           else (va(j)._1, va(i)._1)
+            (cell, lo, hi, c)
+          }
+        else
+          // distinct blocks: full cross, id order normalized (the smaller
+          // id may live in EITHER block)
+          for {
+            (ia, xa) <- va.iterator
+            (ib, xb) <- vb.iterator
+            c = cos(xa, xb)
+            if c >= threshold
+          } yield {
+            val (lo, hi) = if (ia < ib) (ia, ib) else (ib, ia)
+            (cell, lo, hi, c)
+          }
+      }
+      .toDF("cell", "id_a", "id_b", "cos")
+    pairs
       .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("cell", "id_a", "id_b")
   }
