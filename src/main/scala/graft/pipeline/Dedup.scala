@@ -571,13 +571,9 @@ object Dedup {
       .select(col("a.blk"), col("a.vs"), col("b.blk"), col("b.vs"))
       .as[(Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
       .flatMap { case (ba, va, bb, vb) =>
-        // identical arithmetic to Similarity.cosine's fold (same index
-        // order, same double ops) so the oracle comparison stays exact
-        def cos(x: Array[Double], y: Array[Double]): Double = {
-          var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-          while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
-          dot / (math.sqrt(nx) * math.sqrt(ny))
-        }
+        // the shared oracle-exact kernel (Similarity.cosJvm) — one
+        // definition for every pair family
+        val cos = Similarity.cosJvm _
         val out = Seq.newBuilder[(Long, Long, Double)]
         if (ba == bb) {
           var i = 0

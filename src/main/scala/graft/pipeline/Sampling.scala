@@ -124,6 +124,23 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** source→int lookup as an inline when-chain (with its SQL mirror) — the
+    * single definition behind every per-source rate/weight resolution.
+    * Entries fold in sorted-key order so the Column tree and the SQL CASE
+    * sequence conditions identically (map iteration order must never leak
+    * into a query contract).
+    */
+  private def caseChain(key: Column, m: Map[String, Int], default: Int): Column =
+    m.toSeq.sortBy(_._1).foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(key === k, v).otherwise(acc)
+    }
+
+  private def caseChainSql(keyExpr: String, m: Map[String, Int], default: Int): String = {
+    val cases = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $keyExpr = '$k' THEN $v" }.mkString(" ")
+    s"CASE $cases ELSE $default END"
+  }
+
   /** Default mixture: upweight low-index (curated) sources, taper the
     * long tail — src0 keeps 100%, each subsequent source 5 points less,
     * floored at 10%. A real pipeline passes its tuned weights; the shape
@@ -144,10 +161,7 @@ object Sampling {
     */
   def mixtureSample(spark: SparkSession, sfDir: String,
       rates: Map[String, Int] = DefaultMixture, mod: Int = 100): DataFrame = {
-    val rate = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(0)) { case (acc, (src, pct)) =>
-        when(col("source") === src, pct).otherwise(acc)
-      }
+    val rate = caseChain(col("source"), rates, default = 0)
     Tables.documents(spark, sfDir)
       .where(sampleHash(col("doc_id")) % mod < rate)
       .select(col("doc_id"), col("source"),
@@ -156,15 +170,11 @@ object Sampling {
   }
 
   def mixtureSampleSql(rates: Map[String, Int] = DefaultMixture,
-      mod: Int = 100): String = {
-    val cases = rates.toSeq.sortBy(_._1)
-      .map { case (src, pct) => s"WHEN source = '$src' THEN $pct" }
-      .mkString(" ")
+      mod: Int = 100): String =
     s"""SELECT doc_id, source, ${sampleHashSql("doc_id")} % $mod AS slot
        |FROM documents
-       |WHERE ${sampleHashSql("doc_id")} % $mod < CASE $cases ELSE 0 END
+       |WHERE ${sampleHashSql("doc_id")} % $mod < ${caseChainSql("source", rates, 0)}
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Deterministic train/val/test split: the hash slot that drives
     * [[hashSample]] also assigns the split (slot < 90 → train, < 95 → val,
@@ -217,31 +227,30 @@ object Sampling {
     */
   def epochsUpsample(spark: SparkSession, sfDir: String,
       epochs: Map[String, (Int, Int)] = DefaultEpochs, mod: Int = 100): DataFrame = {
-    val full = epochs.toSeq.sortBy(_._1)
-      .foldLeft(lit(1)) { case (acc, (src, (n, _))) =>
-        when(col("source") === src, n).otherwise(acc)
-      }
-    val extraPct = epochs.toSeq.sortBy(_._1)
-      .foldLeft(lit(0)) { case (acc, (src, (_, pct))) =>
-        when(col("source") === src, pct).otherwise(acc)
-      }
+    val full = caseChain(col("source"), epochs.map { case (k, v) => k -> v._1 },
+      default = 1)
+    val extraPct = caseChain(col("source"), epochs.map { case (k, v) => k -> v._2 },
+      default = 0)
     val copies = full + when(sampleHash(col("doc_id")) % mod < extraPct, 1).otherwise(0)
     Tables.documents(spark, sfDir)
+      .withColumn("n_copies", copies.cast("long"))
+      // a zero-copy doc must be DROPPED: Spark's sequence(1, 0) infers
+      // step -1 and yields [1, 0] (two rows!) where DuckDB's
+      // generate_series(1, 0) is empty — filter before the explode
+      .where(col("n_copies") >= 1)
       .select(col("doc_id"), col("source"),
-        explode(sequence(lit(1L), copies.cast("long"))).as("copy"))
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .orderBy("doc_id", "copy")
   }
 
   def epochsUpsampleSql(epochs: Map[String, (Int, Int)] = DefaultEpochs,
       mod: Int = 100): String = {
-    val fullCases = epochs.toSeq.sortBy(_._1)
-      .map { case (src, (n, _)) => s"WHEN source = '$src' THEN $n" }.mkString(" ")
-    val pctCases = epochs.toSeq.sortBy(_._1)
-      .map { case (src, (_, pct)) => s"WHEN source = '$src' THEN $pct" }.mkString(" ")
+    val fullSql = caseChainSql("source", epochs.map { case (k, v) => k -> v._1 }, 1)
+    val pctSql = caseChainSql("source", epochs.map { case (k, v) => k -> v._2 }, 0)
     s"""WITH sized AS (
        |  SELECT doc_id, source,
-       |    (CASE $fullCases ELSE 1 END) +
-       |    (CASE WHEN ${sampleHashSql("doc_id")} % $mod < (CASE $pctCases ELSE 0 END)
+       |    ($fullSql) +
+       |    (CASE WHEN ${sampleHashSql("doc_id")} % $mod < ($pctSql)
        |          THEN 1 ELSE 0 END) AS n_copies
        |  FROM documents)
        |SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy

@@ -55,23 +55,24 @@ object SemanticDedup {
       .groupByKey(r => (r._1, (r._2 % blocks).toInt))
       .mapGroups((key, it) => (key._1, key._2, it.map(r => (r._2, r._3)).toArray))
       .toDF("cell", "blk", "vs")
-    val pairs = grouped.as("a")
-      .join(grouped.as("b"),
-        col("a.cell") === col("b.cell") && col("a.blk") <= col("b.blk"))
-      .select(col("a.cell"), col("a.blk").as("ba"), col("a.vs").as("va"),
-        col("b.blk").as("bb"), col("b.vs").as("vb"))
+    // the a-side fans out to every partner block ≥ its own, so the join is
+    // EQUI-keyed on (cell, partner block) — (cell, blk) actually reaches
+    // the shuffle key and a skewed cell's block pairs land on different
+    // reducers. (A `a.blk <= b.blk` condition instead would leave `cell`
+    // as the only equi-key and re-concentrate the whole cell on one task.)
+    val fanned = grouped
+      .withColumn("bb", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("cell").as("a_cell"), col("blk").as("ba"),
+        col("vs").as("va"), col("bb"))
+    val pairs = fanned
+      .join(grouped,
+        col("a_cell") === col("cell") && col("bb") === col("blk"))
+      .select(col("cell"), col("ba"), col("va"),
+        col("blk").as("bb"), col("vs").as("vb"))
       .as[(Long, Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
       .flatMap { case (cell, ba, va, bb, vb) =>
-        // identical arithmetic to Similarity.cosine's fold (same index
-        // order, same double ops — and symmetric: IEEE multiply commutes,
-        // both accumulators swap roles cleanly) so the oracle stays exact
-        def cos(x: Array[Double], y: Array[Double]): Double = {
-          var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-          while (i < x.length) {
-            dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
-          }
-          dot / (math.sqrt(nx) * math.sqrt(ny))
-        }
+        // the shared oracle-exact kernel — one definition for every family
+        val cos = Similarity.cosJvm _
         if (ba == bb)
           // same block joined with itself: va eq vb, upper triangle only
           for {

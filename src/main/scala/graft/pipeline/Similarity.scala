@@ -33,6 +33,20 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** THE JVM mirror of [[cosine]] / `list_cosine_similarity` — same index
+    * order, same double ops, and symmetric (IEEE multiply commutes, the
+    * two norm accumulators swap roles cleanly). Every typed-map pair
+    * kernel must call this one definition so the oracle-exact arithmetic
+    * lives in exactly one place.
+    */
+  private[pipeline] def cosJvm(x: Array[Double], y: Array[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
   /** Brute-force top-k cosine neighbors for the query set `vec_id < nQueries`
     * (self excluded). The query side is broadcast: one scan of the corpus,
     * then a per-query window to rank — deterministic tiebreak on vec_id.

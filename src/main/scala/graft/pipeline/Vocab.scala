@@ -25,7 +25,10 @@ object Vocab {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("n_occurrences"))
-    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    // total token mass from the aggregated counts, NOT a second corpus
+    // explode: this branch reuses the term-shuffle exchange (metadata-sized
+    // input) where toks.agg would re-scan every document
+    val total = counts.agg(sum(col("n_occurrences")).as("total_tokens"))
     val topV = counts.orderBy(col("n_occurrences").desc, col("term")).limit(v)
     val w = Window.orderBy(col("n_occurrences").desc, col("term"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -44,7 +47,7 @@ object Vocab {
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
        |counts AS (SELECT term, count(*) AS n_occurrences FROM toks GROUP BY 1),
-       |total AS (SELECT count(*) AS total_tokens FROM toks),
+       |total AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total_tokens FROM counts),
        |ranked AS (
        |  SELECT term, n_occurrences,
        |    row_number() OVER (ORDER BY n_occurrences DESC, term) AS rank,

@@ -23,11 +23,21 @@ object Compaction {
   /** Compaction plan from the file listing alone (driver-side metadata
     * RPC, no data read): (current file count, total bytes, target output
     * file count = ceil(total / targetBytes), min 1).
+    *
+    * Operates on ONE LEAF directory — a hive-partitioned root (dt=…/
+    * subdirectories) must be compacted per partition, or the rewrite
+    * would collapse the partition columns into a single unpartitioned
+    * file set; a nested layout fails loudly here instead.
     */
   def plan(spark: SparkSession, path: String, targetBytes: Long): (Int, Long, Int) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p)
+    val entries = fs.listStatus(p)
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"$path is a partitioned/nested layout (${subdirs.take(3).mkString(", ")}…) — " +
+        "compact each leaf partition directory separately")
+    val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val total = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)

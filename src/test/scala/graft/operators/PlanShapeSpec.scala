@@ -73,6 +73,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected extra exchange:\n$p")
   }
 
+  test("dedup_semantic's block join is EQUI-keyed on (cell, block), not cell alone") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val p = plan("dedup_semantic")
+    // the skew contract: the shuffle/join key must carry the block id —
+    // with only `cell` as equi-key, a skewed cell's whole quadratic lands
+    // on one task (the exact failure the blocking exists to prevent)
+    val keyCounts = p.collect {
+      case j: SortMergeJoinExec => j.leftKeys.length
+      case j: ShuffledHashJoinExec => j.leftKeys.length
+      case j: BroadcastHashJoinExec => j.leftKeys.length
+    }
+    assert(keyCounts.nonEmpty, s"expected a hash-joinable pair join:\n$p")
+    assert(keyCounts.forall(_ >= 2),
+      s"pair join must key on (cell, block), got $keyCounts key(s):\n$p")
+  }
+
   test("knnPqAdc scores in one corpus pass; only the top-k window + sort exchange") {
     val p = plan("knn_pq_adc")
     // training/encode close over driver-held codebooks, so the FINAL plan

@@ -13,7 +13,9 @@ import graft.testkit.SparkTestSession
   * must restore a hash-joinable equi-key.
   */
 class RangeJoinSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // isolated SQLConf: the plan-probe test flips AQE off, and suites run
+  // concurrently in this JVM — the shared session must not see that
+  private lazy val spark = SparkTestSession.isolated()
   private val sfDir = "/root/testdata/sf0.001"
 
   test("binned join result equals the naive BETWEEN join") {

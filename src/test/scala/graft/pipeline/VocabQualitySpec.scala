@@ -74,4 +74,21 @@ class VocabQualitySpec extends AnyFunSuite {
       assert(xs.map(_._2).sorted.toSeq === (1 to xs.length).map(_.toLong), s"doc $id")
     }
   }
+
+  test("zero-weight sources are dropped entirely (fractional weight 0.5 keeps ~half)") {
+    // weight 0.5 = (0 full copies, 50% extra): a doc either appears once or
+    // not at all — sequence(1, 0) must never leak [1, 0] rows
+    val out = Sampling.epochsUpsample(spark, sfDir,
+      epochs = Map("src0" -> (0, 0), "src1" -> (0, 50))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!out.exists(_._2 == "src0"), "weight-0 source must vanish")
+    val src1 = out.filter(_._2 == "src1")
+    assert(src1.nonEmpty && src1.forall(_._3 == 1L), "kept docs appear exactly once")
+    src1.foreach { case (id, _, _) =>
+      assert(Sampling.sampleHashJvm(id) % 100 < 50, s"doc $id should have been dropped")
+    }
+    // unlisted sources keep default weight 1 (exactly one copy each)
+    val others = out.filterNot(r => r._2 == "src0" || r._2 == "src1")
+    assert(others.nonEmpty && others.forall(_._3 == 1L))
+  }
 }

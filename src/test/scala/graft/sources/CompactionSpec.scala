@@ -38,4 +38,13 @@ class CompactionSpec extends AnyFunSuite {
     assert(rewritePlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       "compaction must be a narrow (shuffle-free) rewrite")
   }
+
+  test("a partitioned root fails loudly instead of collapsing partitions to one file") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    Tables.documents(spark, sfDir).write.partitionBy("lang").parquet(s"$base/t")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.plan(spark, s"$base/t", 512 * 1024L)
+    }
+    assert(e.getMessage.contains("leaf partition directory"))
+  }
 }
