@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{Chunking, Curation, Decontaminate, Dedup, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis, Vocab}
+import graft.pipeline.{Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,8 @@ object SparkEntry {
     "events_pivot" -> (Analytics.eventsPivot _),
     "orders_sliding_revenue" -> (Analytics.ordersSlidingRevenue _),
     "events_purchaser_cohort" -> (Analytics.purchaserCohort _),
+    // sequential conversion funnel (the MATCH_RECOGNIZE-shaped query)
+    "events_funnel" -> (Analytics.eventsFunnel _),
     // non-equi interval join made scalable by binning (equi-key restore)
     "orders_interval_join" -> ((s, d) => RangeJoin.shipmentsInOrderWindows(s, d)),
     // sketch aggregates (HLL++, approx percentile) with in-query audit bounds
@@ -70,6 +72,8 @@ object SparkEntry {
     "text_repetition" -> (Repetition.repetition _),
     // BM25-form ranked keyword retrieval (rational idf, integer score sum)
     "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
+    // hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    "search_hybrid_rrf" -> ((s, d) => HybridSearch.rrf(s, d)),
     // corpus-wide frequent-5-gram mining + boilerplate doc flagging
     "text_top_ngrams" -> ((s, d) => Ngrams.topNgrams(s, d)),
     "text_boilerplate" -> ((s, d) => Ngrams.boilerplateDocs(s, d)),
@@ -103,6 +107,8 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
     // same result via a Bloom runtime prefilter on the corpus side
     "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
+    // snapshot diff: added/removed/changed/unchanged by content fingerprint
+    "corpus_diff" -> ((s, d) => CorpusDiff.diff(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -158,6 +164,7 @@ object SparkEntry {
     "events_pivot" -> Analytics.eventsPivotSql,
     "orders_sliding_revenue" -> Analytics.ordersSlidingRevenueSql,
     "events_purchaser_cohort" -> Analytics.purchaserCohortSql,
+    "events_funnel" -> Analytics.eventsFunnelSql,
     "orders_interval_join" -> RangeJoin.shipmentsInOrderWindowsSql(),
     "events_approx_profile" -> Analytics.eventsApproxProfileSql,
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
@@ -175,6 +182,7 @@ object SparkEntry {
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "text_repetition" -> Repetition.repetitionSql,
     "text_bm25_topk" -> Search.bm25TopKSql(),
+    "search_hybrid_rrf" -> HybridSearch.rrfSql(),
     "text_top_ngrams" -> Ngrams.topNgramsSql(),
     "text_boilerplate" -> Ngrams.boilerplateDocsSql(),
     "sample_hash" -> Sampling.hashSampleSql(),
@@ -196,6 +204,7 @@ object SparkEntry {
     // exact same semantics — the Bloom prefilter changes the PLAN, not
     // the result, so the oracle is the same SQL
     "decontaminate_bloom" -> Decontaminate.overlapsSql(),
+    "corpus_diff" -> CorpusDiff.diffSql,
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

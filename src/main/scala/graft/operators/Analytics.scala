@@ -264,6 +264,55 @@ object Analytics {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** Sequential funnel: users progressing view → click → purchase in
+    * strict event-time order (the conversion query SQL engines express
+    * with MATCH_RECOGNIZE, which Spark lacks). Each stage is the earliest
+    * qualifying event AFTER the previous stage's instant, computed as one
+    * conditional aggregate per stage over the same user_id partitioning —
+    * three shuffles on the same key (Catalyst reuses the exchange), no
+    * self-join explosion, state per user is three timestamps.
+    *
+    * Ties: an event at exactly the previous stage's instant does NOT
+    * qualify (strict `>`), so a click logged in the same microsecond as
+    * the view it renders is not counted — the conservative reading.
+    */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    val stages = v.select(col("user_id"), lit("1_view").as("stage"))
+      .unionByName(c.select(col("user_id"), lit("2_click").as("stage")))
+      .unionByName(p.select(col("user_id"), lit("3_purchase").as("stage")))
+    stages.groupBy("stage").agg(count(lit(1)).as("n_users")).orderBy("stage")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts::TIMESTAMP) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.v_ts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.c_ts GROUP BY 1),
+      |stages AS (
+      |  SELECT user_id, '1_view' AS stage FROM v
+      |  UNION ALL SELECT user_id, '2_click' FROM c
+      |  UNION ALL SELECT user_id, '3_purchase' FROM p)
+      |SELECT stage, count(*) AS n_users FROM stages
+      |GROUP BY 1 ORDER BY stage""".stripMargin
+
   /** Semi-structured surface: parse the JSON `props` column with a
     * DECLARED schema (`from_json` — codegen'd Jackson parse, no inference
     * pass, unread fields skipped) and aggregate the extracted field per

@@ -11,6 +11,39 @@ import graft.testkit.SparkTestSession
   * so the shape of the plan is part of the contract, not an accident.
   */
 class AnalyticsSpec extends AnyFunSuite {
+
+  test("funnel stages are monotone and match a driver-side sequential scan") {
+    lazy val spark = graft.testkit.SparkTestSession.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Analytics.eventsFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("1_view") >= got("2_click") && got("2_click") >= got("3_purchase"),
+      s"funnel must narrow: $got")
+    // first principles: per user, earliest view, then earliest later click,
+    // then earliest later purchase
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      if (views.nonEmpty) {
+        nv += 1
+        val v = views.min
+        val clicks = es.filter(e => e._3 == "click" && e._2 > v).map(_._2)
+        if (clicks.nonEmpty) {
+          nc += 1
+          val c = clicks.min
+          if (es.exists(e => e._3 == "purchase" && e._2 > c)) np += 1
+        }
+      }
+    }
+    assert(got === Map("1_view" -> nv, "2_click" -> nc, "3_purchase" -> np))
+  }
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
