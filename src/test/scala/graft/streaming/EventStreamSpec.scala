@@ -167,6 +167,57 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending foreachBatch ranks finalized windows like the batch form") {
+    // the full streaming top-k pattern the operator doc promises: the
+    // Append-mode sliding aggregate emits FINALIZED windows; foreachBatch
+    // ranks each batch's windows (complete by construction once emitted)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val in = MemoryStream[EventStream.Event]
+    val sink = collection.mutable.ArrayBuffer.empty[(String, Int, String, Long)]
+    val q = EventStream.trendingCounts(in.toDF(), watermark = "2 hours")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = Window.partitionBy(col("win_start"))
+          .orderBy(col("n").desc, col("event_type"))
+        val ranked = batch.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select("win_start", "rank", "event_type", "n").collect()
+        sink.synchronized {
+          sink ++= ranked.map(r =>
+            (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      val events = Seq(
+        EventStream.Event(1, ts("2024-01-10 10:05:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-10 10:20:00"), 2, "click", 1.0),
+        EventStream.Event(3, ts("2024-01-10 10:20:00"), 3, "view", 1.0),
+        EventStream.Event(4, ts("2024-01-10 10:50:00"), 1, "purchase", 1.0))
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(EventStream.Event(9, ts("2024-01-10 16:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(10, ts("2024-01-10 16:01:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      // batch reference: rank the SAME events' sliding windows, keep only
+      // windows the watermark (14:00) finalized
+      val wmCut = ts("2024-01-10 14:00:00").getTime / 1000
+      val batchRef = EventStream.trendingCounts(events.toDF())
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))))
+        .where(col("rank") <= 3)
+        .where(unix_timestamp(col("win_start")) + 3600 <= wmCut)
+        .select("win_start", "rank", "event_type", "n").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(batchRef.nonEmpty)
+      assert(sink.synchronized(sink.toSet) === batchRef)
+    } finally q.stop()
+  }
+
   test("session_window: exact-gap event MERGES (split is strictly > gap); streaming finalizes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
