@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +72,9 @@ object SparkEntry {
     "text_repetition" -> (Repetition.repetition _),
     // BM25-form ranked keyword retrieval (rational idf, integer score sum)
     "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
+    // the same retrieval served from a PERSISTED inverted index (postings
+    // + stats parquet), probed with the term IN-list pushed to the scan
+    "text_bm25_store" -> ((s, d) => Search.bm25TopKStore(s, d)),
     // hybrid lexical+vector retrieval fused by reciprocal-rank fusion
     "search_hybrid_rrf" -> ((s, d) => HybridSearch.rrf(s, d)),
     // corpus-wide frequent-5-gram mining + boilerplate doc flagging
@@ -115,11 +118,14 @@ object SparkEntry {
     // near-dup drop + PII redaction + per-language release report
     "corpus_curation_full" -> ((s, d) => Curation.curateFull(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
-    // exact O(n²) audit tool (small-n); the scale path is dedup_embedding_ann
-    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // exact O(n²) AUDIT tool, named as such and row-capped (refuses corpus-
+    // sized input loudly); the scale path is dedup_embedding_ann
+    "dedup_embedding_exact_audit" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     // flagship embedding-dedup: hyperplane-LSH candidates in the high-cosine
-    // regime, exact-cosine verified — shuffle O(vectors × tables), not O(n²)
-    "dedup_embedding_ann" -> ((s, d) => Similarity.cosineLshPairs(s, d, threshold = 0.8)),
+    // regime, exact-cosine verified — shuffle O(vectors × tables), not O(n²).
+    // Runs over the corpus + deterministic planted near-dups so the oracle
+    // row exercises the candidate join with real rows (non-vacuous)
+    "dedup_embedding_ann" -> ((s, d) => Similarity.cosineLshPairsPlanted(s, d)),
     // SemDeDup: k-means cells confine the pairwise compare to Σ|cell|²
     "dedup_semantic" -> ((s, d) => SemanticDedup.semanticPairs(s, d)),
     // similarity search
@@ -134,6 +140,9 @@ object SparkEntry {
     "knn_pq_adc" -> ((s, d) => ProductQuant.knnPqAdc(s, d)),
     // composed IVF cells + residual-PQ codes (the FAISS IVFPQ layout)
     "knn_ivfpq" -> ((s, d) => ProductQuant.knnIvfPq(s, d)),
+    // build-once/probe-many: the SAME index persisted to a parquet store
+    // (centroids + codebooks + codes), probed without retraining
+    "knn_ivfpq_store" -> ((s, d) => AnnIndex.knnIvfPqStore(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -182,6 +191,8 @@ object SparkEntry {
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "text_repetition" -> Repetition.repetitionSql,
     "text_bm25_topk" -> Search.bm25TopKSql(),
+    // identical result contract — the store is a plan-level change
+    "text_bm25_store" -> Search.bm25TopKSql(),
     "search_hybrid_rrf" -> HybridSearch.rrfSql(),
     "text_top_ngrams" -> Ngrams.topNgramsSql(),
     "text_boilerplate" -> Ngrams.boilerplateDocsSql(),
@@ -209,8 +220,8 @@ object SparkEntry {
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),
-    "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
-    "dedup_embedding_ann" -> Similarity.cosineLshPairsSql(threshold = 0.8),
+    "dedup_embedding_exact_audit" -> Dedup.embeddingCosineSql,
+    "dedup_embedding_ann" -> Similarity.cosineLshPairsPlantedSql(),
     "dedup_semantic" -> SemanticDedup.semanticPairsSql(),
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
@@ -219,6 +230,8 @@ object SparkEntry {
     "embedding_quantize_int8" -> Quantization.int8ReportSql,
     "knn_pq_adc" -> ProductQuant.knnPqAdcSql(),
     "knn_ivfpq" -> ProductQuant.knnIvfPqSql(),
+    // bit-identical to the one-shot form — shares its oracle
+    "knn_ivfpq_store" -> ProductQuant.knnIvfPqSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

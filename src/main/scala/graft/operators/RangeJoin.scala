@@ -29,7 +29,16 @@ import graft.sources.Tables
 object RangeJoin {
 
   private val WindowDays = 7
-  private val BinSeconds: Long = WindowDays.toLong * 24 * 3600
+
+  /** Bin index from TZ-proof DAY arithmetic: `datediff` counts calendar
+    * days between DATE values, so a bin is exactly [[WindowDays]] days in
+    * every session timezone. (The previous `unix_timestamp(date)/604800`
+    * form was second-based and session-TZ-dependent: under a DST-observing
+    * TZ some "weeks" are 7d±1h of seconds, which breaks the ≤2-bins-per-
+    * interval invariant the join's exactly-once pairing rests on.)
+    */
+  private def bin(d: Column): Column =
+    floor(datediff(d, to_date(lit("1970-01-01"))) / WindowDays)
 
   /** Per-interval aggregate over the binned join. `sum_qty` sums
     * integer-valued quantities cast to long — order-free, oracle-exact.
@@ -44,11 +53,11 @@ object RangeJoin {
     // end-exclusive window touches the start bin and at most one successor
     val binned = intervals.select(col("o_orderkey"), col("w_start"), col("w_end"),
       explode(sequence(
-        floor(unix_timestamp(col("w_start")) / BinSeconds),
-        floor((unix_timestamp(col("w_end")) - 1) / BinSeconds))).as("bin"))
+        bin(col("w_start")),
+        bin(date_sub(col("w_end"), 1)))).as("bin"))
     val points = Tables.lineitem(spark, sfDir)
       .select(col("l_shipdate"), col("l_quantity").cast("long").as("qty"),
-        floor(unix_timestamp(col("l_shipdate")) / BinSeconds).as("bin"))
+        bin(col("l_shipdate")).as("bin"))
     points.join(binned, "bin")
       .where(col("l_shipdate") >= col("w_start") && col("l_shipdate") < col("w_end"))
       .groupBy(col("o_orderkey"), col("w_start"))

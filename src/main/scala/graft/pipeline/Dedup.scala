@@ -552,9 +552,24 @@ object Dedup {
     * exponentially and shuffle stays O(vectors × tables). Use this exact
     * form to audit the ANN path's recall on samples, or when n is small.
     */
+  /** Hard cap for [[embeddingCosine]]: the explicit small-n contract. The
+    * check is a cheap parquet-metadata count, and failing LOUDLY here is
+    * the point — an O(n²) audit tool must refuse a corpus-sized input
+    * instead of launching a job that cannot finish, so no default surface
+    * entry can ever run all-pairs at scale by accident.
+    */
+  val ExactAuditMaxRows: Long = 100000L
+
   def embeddingCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
-      blocks: Int = 16): DataFrame =
-    embeddingCosineOf(Tables.embeddings(spark, sfDir), threshold, blocks)
+      blocks: Int = 16, maxRows: Long = ExactAuditMaxRows): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    require(n <= maxRows,
+      s"embeddingCosine is the exact O(n²) small-n AUDIT tool (cap $maxRows rows, " +
+        s"got $n) — at corpus scale use the ANN path (Similarity.cosineLshPairs / " +
+        "dedup_embedding_ann) and audit its recall on a sample")
+    embeddingCosineOf(e, threshold, blocks)
+  }
 
   /** [[embeddingCosine]] over any (vec_id, embedding) frame. */
   def embeddingCosineOf(embeddings: DataFrame, threshold: Double = 0.4,

@@ -46,7 +46,7 @@ object ProductQuant {
     */
   type Codebooks = Array[Array[(Long, Array[Long])]]
 
-  private def slice(vq: Array[Long], s: Int, subDim: Int): Array[Long] = {
+  private[pipeline] def slice(vq: Array[Long], s: Int, subDim: Int): Array[Long] = {
     val out = new Array[Long](subDim)
     System.arraycopy(vq, s * subDim, out, 0, subDim)
     out
@@ -57,7 +57,7 @@ object ProductQuant {
     * which is the smaller index because the array is id-sorted — the JVM
     * mirror of the oracle's `ORDER BY dist ASC, code_id`.
     */
-  private def nearestCodeIdx(codebook: Array[(Long, Array[Long])],
+  private[pipeline] def nearestCodeIdx(codebook: Array[(Long, Array[Long])],
       svq: Array[Long]): Int = {
     var bestIdx = 0; var best = Long.MaxValue
     var c = 0

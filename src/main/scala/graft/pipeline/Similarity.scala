@@ -124,7 +124,7 @@ object Similarity {
     * so here it is skipped; if no centroid is comparable the smallest
     * centroid id is returned (the case is unreachable on well-formed data).
     */
-  private def nearestCentroid(centArr: Array[(Long, Array[Double])],
+  private[pipeline] def nearestCentroid(centArr: Array[(Long, Array[Double])],
       v: Array[Double]): Long = {
     var bestId = Long.MaxValue; var best = 0.0; var found = false
     var c = 0
@@ -485,11 +485,86 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic planted near-dups: for every `stride`-th vector, a copy
+    * with one coordinate bumped by `bump` (coordinate index rotates with
+    * the vector id so the perturbation isn't axis-degenerate) under a
+    * disjoint id range. cosine(original, copy) ≈ 0.997 on this unit-norm
+    * corpus — squarely in the high-cosine regime [[cosineLshPairs]] is the
+    * scale path for, which the natural fixture (max pairwise cosine ≈ 0.51)
+    * never exercises. Both Spark and the DuckDB oracle derive the SAME
+    * augmentation from the same parquet, so the `dedup_embedding_ann`
+    * oracle row carries real rows: a broken candidate join or verify now
+    * fails the hash gate instead of matching vacuously at 0 = 0 rows.
+    *
+    * The frame is emitted in double space (originals cast) so the union is
+    * type-stable and the bump arithmetic is one IEEE double add in both
+    * engines.
+    */
+  def plantNearDups(embeddings: DataFrame, stride: Int = 97,
+      idOffset: Long = 10000000L, bump: Double = 0.08): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      toDoubleVec(col("embedding")).as("embedding"))
+    val coord = expr(s"vec_id div $stride") % lit(64)
+    // bump BEFORE the id offset is applied: a single select computing both
+    // `vec_id + offset AS vec_id` and the lambda would lateral-alias-shadow
+    // vec_id inside `coord` (verified: it moves the bumped coordinate) —
+    // in Spark exactly as in the DuckDB oracle
+    val planted = e.where(col("vec_id") % stride === 0)
+      .withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => when(i.cast("long") === coord, x + bump).otherwise(x)))
+      .select((col("vec_id") + idOffset).as("vec_id"), col("embedding"))
+    e.unionByName(planted)
+  }
+
+  /** The flagship embedding-dedup surface entry: hyperplane-LSH candidate
+    * pairs at the high-cosine threshold over the corpus augmented with
+    * [[plantNearDups]] copies. Same plan shape as [[cosineLshPairs]] — the
+    * planted rows only make the oracle row non-vacuous.
+    */
+  def cosineLshPairsPlanted(spark: SparkSession, sfDir: String,
+      nTables: Int = 8, planesPerTable: Int = 6,
+      threshold: Double = 0.8, dim: Int = 64): DataFrame =
+    cosineLshPairsOf(plantNearDups(Tables.embeddings(spark, sfDir)),
+      nTables, planesPerTable, threshold, dim)
+
+  /** DuckDB CTE mirroring [[plantNearDups]] — exposed as `embeddings_aug`. */
+  private def plantNearDupsCte(stride: Int, idOffset: Long,
+      bump: Double): String =
+    s"""ebase AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+       |planted AS (
+       |  -- bump computed BEFORE the id offset is applied (a same-SELECT
+       |  -- `vec_id + offset AS vec_id` alias would lateral-shadow vec_id
+       |  -- inside the lambda and move the bumped coordinate)
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN i - 1 = (vec_id // $stride) % 64
+       |           THEN embedding[i] + $bump ELSE embedding[i] END) AS embedding
+       |  FROM ebase WHERE vec_id % $stride = 0),
+       |embeddings_aug AS (
+       |  SELECT vec_id, embedding FROM ebase
+       |  UNION ALL
+       |  SELECT vec_id + $idOffset AS vec_id, embedding FROM planted)""".stripMargin
+
+  /** DuckDB oracle for [[cosineLshPairsPlanted]]. */
+  def cosineLshPairsPlantedSql(nTables: Int = 8, planesPerTable: Int = 6,
+      threshold: Double = 0.8, dim: Int = 64, stride: Int = 97,
+      idOffset: Long = 10000000L, bump: Double = 0.08): String =
+    s"""WITH ${plantNearDupsCte(stride, idOffset, bump)},
+       |${cosineLshPairsBodySql("embeddings_aug", nTables, planesPerTable, threshold, dim)}""".stripMargin
+
   /** DuckDB oracle for [[cosineLshPairs]] — identical integer bucketing
     * (literal weight vectors), identical exact-cosine verify.
     */
   def cosineLshPairsSql(nTables: Int = 8, planesPerTable: Int = 6,
-      threshold: Double = 0.4, dim: Int = 64): String = {
+      threshold: Double = 0.4, dim: Int = 64): String =
+    s"""WITH ${cosineLshPairsBodySql("embeddings", nTables, planesPerTable, threshold, dim)}""".stripMargin
+
+  /** Shared oracle body over any (vec_id, embedding) relation `source` —
+    * the CTE chain after `WITH` (callers prepend their own CTEs).
+    */
+  private def cosineLshPairsBodySql(source: String, nTables: Int,
+      planesPerTable: Int, threshold: Double, dim: Int): String = {
     val tables = lshPlanes(nTables, planesPerTable, dim)
     def dotSql(plane: Seq[Long]): String = {
       val w = plane.mkString("[", ", ", "]")
@@ -501,10 +576,10 @@ object Similarity {
         s"(CASE WHEN ${dotSql(p)} >= 0 THEN $weight ELSE 0 END)"
       }.mkString("(", " + ", ")")
     }.mkString("[", ",\n    ", "]")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS xq
-       |  FROM embeddings),
+       |  FROM $source),
        |bk AS (SELECT vec_id, embedding,
        |    $bucketCols AS buckets
        |  FROM e),

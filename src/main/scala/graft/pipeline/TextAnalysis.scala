@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -235,33 +235,57 @@ object TextAnalysis {
        |SELECT doc_id, rank, term, round(score, 4) AS tfidf
        |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
-  /** Per-language document-length distribution: exact interpolated
-    * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`: index
-    * p·(n−1), linear interpolation) — the corpus-profiling numbers a
-    * length-filter stage is tuned from.
+  /** Per-language document-length distribution — the corpus-profiling
+    * numbers a length-filter stage is tuned from — in the SCALE form:
+    * `approx_percentile` (Greenwald–Khanna summary, partial-aggregable,
+    * bounded memory per group) is the aggregate that actually runs at
+    * 100 TB, where the exact form's holistic buffer (all of a language's
+    * values in one aggregation buffer) is a task OOM on corpus-sized
+    * groups.
     *
-    * Exact grouped percentiles sort within each group; with ~dozens of
-    * language groups that is a skewed-key sort at 100 TB — there,
-    * `approx_percentile` (t-digest sketch, partial-aggregable) is the
-    * drop-in scale form. Exact is kept here because it is oracle-checkable
-    * to the bit; the sketch's error bound is the documented trade.
+    * Oracle contract (the `events_approx_profile` pattern): sketch values
+    * are engine-specific, so the hash gate checks the EXACT interpolated
+    * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`: index
+    * p·(n−1), linear interpolation) plus one ERROR-BOUND audit boolean per
+    * sketch. The sketch's guarantee is a RANK bound (GK summary: rank
+    * error ≤ max(1, n/accuracy)), not a value bound — adjacent order
+    * statistics can be arbitrarily far apart in value — so the audit is a
+    * rank window: approx pXX must lie within [exact p(XX−5), exact
+    * p(XX+5)], a ±5-percentile-point corridor the 1e-4 relative rank error
+    * sits far inside. A sketch drifting out flips the boolean and fails
+    * the gate. The exact aggregates exist here as the in-query audit; the
+    * 100 TB deployment emits the sketch columns alone and drops the audit.
     */
-  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def ex(p: Double): Column = percentile(col("n_chars"), lit(p))
+    def ap(p: Double): Column = percentile_approx(col("n_chars"), lit(p), lit(10000))
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(percentile(col("n_chars"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("n_chars"), lit(0.50)), 2).as("p50"),
-        round(percentile(col("n_chars"), lit(0.75)), 2).as("p75"),
-        round(percentile(col("n_chars"), lit(0.95)), 2).as("p95"))
+        ex(0.25).as("e25"), ex(0.50).as("e50"), ex(0.75).as("e75"), ex(0.95).as("e95"),
+        ex(0.20).as("lo25"), ex(0.30).as("hi25"),
+        ex(0.45).as("lo50"), ex(0.55).as("hi50"),
+        ex(0.70).as("lo75"), ex(0.80).as("hi75"),
+        ex(0.90).as("lo95"), max(col("n_chars")).cast("double").as("hi95"),
+        ap(0.25).as("a25"), ap(0.50).as("a50"), ap(0.75).as("a75"), ap(0.95).as("a95"))
+      .select(col("lang"), col("n_docs"),
+        round(col("e25"), 2).as("p25"), round(col("e50"), 2).as("p50"),
+        round(col("e75"), 2).as("p75"), round(col("e95"), 2).as("p95"),
+        col("a25").between(col("lo25"), col("hi25")).as("p25_sketch_ok"),
+        col("a50").between(col("lo50"), col("hi50")).as("p50_sketch_ok"),
+        col("a75").between(col("lo75"), col("hi75")).as("p75_sketch_ok"),
+        col("a95").between(col("lo95"), col("hi95")).as("p95_sketch_ok"))
       .orderBy("lang")
+  }
 
   val lengthQuantilesSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  round(quantile_cont(n_chars, 0.25), 2) AS p25,
       |  round(quantile_cont(n_chars, 0.50), 2) AS p50,
       |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
-      |  round(quantile_cont(n_chars, 0.95), 2) AS p95
+      |  round(quantile_cont(n_chars, 0.95), 2) AS p95,
+      |  TRUE AS p25_sketch_ok, TRUE AS p50_sketch_ok,
+      |  TRUE AS p75_sketch_ok, TRUE AS p95_sketch_ok
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 }

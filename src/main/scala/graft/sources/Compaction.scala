@@ -46,13 +46,24 @@ object Compaction {
 
   /** Rewrite `inPath` into ~targetBytes parquet files at `outPath`.
     * Returns (input file count, output file count).
+    *
+    * `coalesce(n)` can only MERGE partitions — when the plan asks for more
+    * output files than the scan produces splits (few huge files, small
+    * targetBytes: the split-UP direction), it would silently write fewer,
+    * larger files than planned. That case falls back to
+    * `repartitionByRange` on `doc_id`-less round-robin (`repartition(n)`) —
+    * a full shuffle, the honest price of splitting files — so the written
+    * count matches the plan in both directions. The written count is
+    * re-listed and surfaced to the caller; a caller that requires the
+    * shuffle-free guarantee should check written == planned from [[plan]].
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): (Int, Int) = {
     val (nIn, _, nOut) = plan(spark, inPath, targetBytes)
-    spark.read.parquet(inPath)
-      .coalesce(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val df = spark.read.parquet(inPath)
+    val inSplits = df.rdd.getNumPartitions
+    val sized = if (nOut > inSplits) df.repartition(nOut) else df.coalesce(nOut)
+    sized.write.mode(SaveMode.Overwrite).parquet(outPath)
     val out = new Path(outPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val written = fs.listStatus(out)

@@ -345,7 +345,13 @@ object EventStream {
     enrichJoin(events, customer)
       .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nationkey"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      // per-event values quantized to integer micro-units before the SUM —
+      // a raw double sum is accumulation-order-dependent and Spark partial
+      // aggregates don't fix an order, so the bit-exact oracle could flake
+      // at larger group sizes; integer sums are order-free (the repo-wide
+      // micro-unit discipline, cf. Search/QualityModel/HybridSearch)
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 2).as("sum_value"))
 
   def enrichedByNationBatch(spark: SparkSession, sfDir: String): DataFrame =
     enrichedByNation(Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
@@ -353,7 +359,8 @@ object EventStream {
 
   def enrichedByNationSql: String =
     """SELECT coalesce(c.c_nationkey, -1) AS nationkey, e.event_type,
-      |  count(*) AS n, round(sum(e.value), 2) AS sum_value
+      |  count(*) AS n,
+      |  round(sum(CAST(round(e.value * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_value
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY nationkey, event_type""".stripMargin
 

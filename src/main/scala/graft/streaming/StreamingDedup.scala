@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.pipeline.IncrementalDedup
 
@@ -35,9 +35,12 @@ object StreamingDedup {
     * under `batch_id=N/`; accepted docs are appended to `storeDir`.
     */
   def run(docsStream: DataFrame, storeDir: String, matchesDir: String,
-      checkpointDir: String, threshold: Double = 0.7): StreamingQuery =
-    docsStream.writeStream
+      checkpointDir: String, threshold: Double = 0.7,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // stage the micro-batch: foreachBatch frames re-execute per action,
@@ -64,4 +67,5 @@ object StreamingDedup {
         ()
       }
       .start()
+  }
 }

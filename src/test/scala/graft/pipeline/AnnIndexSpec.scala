@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.testkit.SparkTestSession
+
+/** The persisted IVF-PQ store must serve probes without retraining or
+  * rescanning embeddings, and build+probe must reproduce the one-shot
+  * knnIvfPq bit-for-bit (they share the DuckDB oracle).
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def queries(n: Int) = Tables.embeddings(spark, sfDir)
+    .where(col("vec_id") < n)
+    .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    .collect()
+    .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+  test("store probe reproduces the one-shot knnIvfPq result exactly") {
+    val store = Files.createTempDirectory("graft-ann-eq").toString
+    AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)
+    val probed = AnnIndex.probeStore(spark, store, queries(10))
+    val oneShot = ProductQuant.knnIvfPq(spark, sfDir)
+    assert(probed.count() > 0)
+    assert(probed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(probed).isEmpty,
+      "store-served search must be bit-identical to the inline-trained form")
+  }
+
+  test("probe plan reads ONLY the codes table — no embeddings scan, no training") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // isolated session + AQE off so FileSourceScanExec nodes are statically
+    // visible (under AQE they hide inside AdaptiveSparkPlanExec)
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val store = Files.createTempDirectory("graft-ann-plan").toString
+    AnnIndex.buildStore(Tables.embeddings(s, sfDir), store)
+    val probe = AnnIndex.probeStore(s, store, queries(10))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.contains(store)),
+      s"probe must scan the store only, found scans of:\n${scans.mkString("\n")}")
+    // specifically the codes table — centroids/codebooks are driver-held
+    // parameters, not plan inputs, so exactly one distributed input exists
+    assert(scans.forall(_.contains("codes")),
+      s"the probe's only distributed input is codes/, found:\n${scans.mkString("\n")}")
+  }
+
+  test("probe-many: repeated probes answer from the same store, consistently") {
+    val store = Files.createTempDirectory("graft-ann-many").toString
+    AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)
+    val p1 = AnnIndex.probeStore(spark, store, queries(5)).collect().toSeq
+    val p2 = AnnIndex.probeStore(spark, store, queries(5)).collect().toSeq
+    assert(p1 === p2, "same store + same queries must be deterministic")
+    // a different query batch against the SAME artifact (no rebuild)
+    val wider = AnnIndex.probeStore(spark, store, queries(10))
+    assert(wider.select("query_id").distinct().count() === 10)
+  }
+}

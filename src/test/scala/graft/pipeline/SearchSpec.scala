@@ -44,6 +44,37 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted index: probe reproduces the one-shot ranking exactly") {
+    val out2 = Search.bm25TopKStore(spark, sfDir)
+    assert(out2.count() > 0)
+    assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty,
+      "index-served retrieval must be bit-identical to the one-shot form")
+  }
+
+  test("persisted index: probe plan scans the store only, term IN-list pushed down") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25-plan").toString
+    Search.buildIndex(graft.sources.Tables.documents(s, sfDir), store)
+    val probe = Search.probeIndex(s, store, Seq("q1" -> "vector", "q1" -> "hash"))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    val paths = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(paths.forall(_.contains(store)),
+      s"probe must scan the store only, found scans of:\n${paths.mkString("\n")}")
+    // the term IN-list must reach the postings scan as a pushed filter so
+    // only matching terms' row groups are read — the fix for the one-shot
+    // form's full-vocabulary shuffle
+    val postingsScans = scans.filter(
+      _.relation.location.rootPaths.mkString(",").contains("postings"))
+    assert(postingsScans.nonEmpty)
+    assert(postingsScans.forall(_.metadata("PushedFilters").contains("In(term")),
+      postingsScans.map(_.metadata("PushedFilters")).mkString("\n"))
+  }
+
   test("scores match a driver-side recomputation of the rational-idf BM25") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()

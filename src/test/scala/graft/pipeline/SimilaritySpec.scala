@@ -149,10 +149,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found.count() === nTrue, "recall must be 1.0 on high-cosine near-dups")
   }
 
+  test("surface entry: plantNearDups makes the ANN oracle row non-vacuous at 0.8") {
+    // the natural fixture holds no pairs above cosine ~0.55, so the surface
+    // entry augments it with deterministic planted copies — this pins that
+    // the augmentation really produces high-cosine rows (a broken candidate
+    // join would now FAIL the oracle hash gate instead of matching 0 = 0)
+    val aug = Similarity.plantNearDups(Tables.embeddings(spark, sfDir))
+    val nPlanted = aug.where(col("vec_id") >= 10000000L).count()
+    assert(nPlanted > 0)
+    val out = Similarity.cosineLshPairsPlanted(spark, sfDir).cache()
+    assert(out.count() > 0, "the planted surface entry must return rows")
+    assert(out.where(col("cosine") < 0.8).count() === 0)
+    // every reported pair is (original, its planted copy) on this corpus
+    assert(out.where(col("id_b") =!= col("id_a") + 10000000L).count() === 0)
+    // and recall over the planted pairs is total: each copy differs from
+    // its original in ONE coordinate, so bucket signatures rarely diverge —
+    // with 8 OR'd tables a miss would indicate a broken bucketing
+    assert(out.count() === nPlanted)
+  }
+
   test("dedup_embedding_ann (threshold 0.8): recall bound vs the exact audit tool on planted near-dups") {
-    // the synthetic corpus holds no pairs above cosine ~0.55 (verified —
-    // that is why the surface entry legitimately returns 0 rows on the
-    // test tables), so the recall bound runs on a planted fixture: 60
+    // the natural corpus holds no pairs above cosine ~0.55 (verified —
+    // the surface entry plants near-dups for exactly that reason), so
+    // the recall bound runs on an in-memory planted fixture: 60
     // bases with near-copies at graded noise (cosine ≈ 0.82–0.99) plus
     // 80 unrelated vectors. Deterministic seed + fixed hyperplanes ⇒
     // pinned result, not a probabilistic flake.
