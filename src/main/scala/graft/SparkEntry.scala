@@ -143,6 +143,8 @@ object SparkEntry {
     // build-once/probe-many: the SAME index persisted to a parquet store
     // (centroids + codebooks + codes), probed without retraining
     "knn_ivfpq_store" -> ((s, d) => AnnIndex.knnIvfPqStore(s, d)),
+    // the store's recall knob: each query probes its 2 nearest cells
+    "knn_ivfpq_store_nprobe" -> ((s, d) => AnnIndex.knnIvfPqStore(s, d, nProbe = 2)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -232,6 +234,7 @@ object SparkEntry {
     "knn_ivfpq" -> ProductQuant.knnIvfPqSql(),
     // bit-identical to the one-shot form — shares its oracle
     "knn_ivfpq_store" -> ProductQuant.knnIvfPqSql(),
+    "knn_ivfpq_store_nprobe" -> ProductQuant.knnIvfPqSql(nProbe = 2),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

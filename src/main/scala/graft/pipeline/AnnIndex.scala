@@ -112,13 +112,59 @@ object AnnIndex {
     (centArr, books)
   }
 
+  /** Append a vector batch to an existing store WITHOUT retraining — the
+    * daily-ingest path (the ANN sibling of
+    * [[IncrementalDedup.appendToStore]]): new vectors are assigned to the
+    * existing centroids and encoded against the existing codebooks, and
+    * exactly their (vec_id, cell, codes) rows append to `codes/`. The
+    * index parameters go slightly stale as the corpus drifts — the
+    * standard trade; rebuild cadence is an operational knob, and a probe
+    * sees appended vectors immediately either way.
+    */
+  def appendToStore(embeddings: DataFrame, storeDir: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (centArr, books) = loadParams(spark, storeDir)
+    val m = books.length
+    val centQ: Map[Long, Array[Long]] =
+      centArr.map { case (id, cv) => id -> Similarity.quantizeVec(cv) }.toMap
+    embeddings
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cell = Similarity.nearestCentroid(centArr, v)
+        val vq = Similarity.quantizeVec(v)
+        val cq = centQ(cell)
+        val subDim = vq.length / m
+        val rq = new Array[Long](vq.length)
+        var i = 0
+        while (i < vq.length) { rq(i) = vq(i) - cq(i); i += 1 }
+        val codes = Array.tabulate(m)(s =>
+          books(s)(ProductQuant.nearestCodeIdx(books(s),
+            ProductQuant.slice(rq, s, subDim)))._1)
+        (id, cell, codes)
+      }
+      .toDF("vec_id", "cell", "codes")
+      .write.mode("append").parquet(codesPath(storeDir))
+  }
+
   /** Serve a query batch against the persisted index. `queries` are raw
     * double vectors (collected query-side state — bounded by the batch, the
     * request payload a search service holds anyway). The returned plan
     * scans `codes/` only.
+    *
+    * `nProbe` is the standard IVF recall knob: each query searches its
+    * `nProbe` nearest cells (by cosine to the stored centroids — a
+    * driver-side ranking over the k-bounded centroid set), recovering
+    * neighbors that sit just across a cell boundary at the cost of
+    * scanning ~nProbe/nCells of the codes table. The centroid term of the
+    * ADC score is per (query, member-cell) — a member's reconstruction is
+    * ITS OWN cell's centroid plus its residual, regardless of which probe
+    * list matched it.
     */
   def probeStore(spark: SparkSession, storeDir: String,
-      queries: Array[(Long, Array[Double])], k: Int = 5): DataFrame = {
+      queries: Array[(Long, Array[Double])], k: Int = 5,
+      nProbe: Int = 1): DataFrame = {
     import spark.implicits._
     val (centArr, books) = loadParams(spark, storeDir)
     val m = books.length
@@ -128,16 +174,24 @@ object AnnIndex {
       books.map(cb => cb.iterator.map(_._1).zipWithIndex.toMap)
     val centQ: Map[Long, Array[Long]] =
       centArr.map { case (id, cv) => id -> Similarity.quantizeVec(cv) }.toMap
-    val qRows = queries.sortBy(_._1)
+    // per query: nProbe nearest cells (cosine desc, centroid_id tiebreak —
+    // the knnIvfProbe ranking, computed over the driver-held centroid set)
+    val qRows: Array[(Long, Array[Long], Array[Long])] = queries.sortBy(_._1)
       .map { case (id, v) =>
-        (id, Similarity.quantizeVec(v), Similarity.nearestCentroid(centArr, v))
+        // rank with EXACTLY the nearestCentroid comparator (cosine desc by
+        // java.lang.Double.compare — NaN greatest, like the oracle's
+        // max_by struct ordering — then centroid id asc), so nProbe=1
+        // reproduces the build-time assignment bit-for-bit
+        val ranked = centArr
+          .filter(_._2.length == v.length)
+          .map { case (cid, cv) => (cid, Similarity.cosJvm(cv, v)) }
+          .sortWith { (a, b) =>
+            val c = java.lang.Double.compare(a._2, b._2)
+            c > 0 || (c == 0 && a._1 < b._1)
+          }
+          .take(nProbe).map(_._1)
+        (id, Similarity.quantizeVec(v), ranked)
       }
-    val cterm: Array[Long] = qRows.map { case (_, vq, cell) =>
-      val cq = centQ(cell)
-      var d = 0L; var i = 0
-      while (i < vq.length) { d += vq(i) * cq(i); i += 1 }
-      d
-    }
     val subDim = qRows.headOption.map(_._2.length / m).getOrElse(0)
     val dtab: Array[Array[Array[Long]]] = qRows.map { case (_, vq, _) =>
       Array.tabulate(m) { s =>
@@ -149,8 +203,20 @@ object AnnIndex {
         }
       }
     }
-    val queriesByCell: Map[Long, Array[Int]] =
-      qRows.indices.groupBy(i => qRows(i)._3).map { case (c, is) => c -> is.toArray }
+    // centroid term per (query, member cell): dot(query, that centroid)
+    val cterm: Map[(Int, Long), Long] = (for {
+      qi <- qRows.indices
+      cell <- qRows(qi)._3
+    } yield {
+      val vq = qRows(qi)._2
+      val cq = centQ(cell)
+      var d = 0L; var i = 0
+      while (i < vq.length) { d += vq(i) * cq(i); i += 1 }
+      (qi, cell) -> d
+    }).toMap
+    val queriesByCell: Map[Long, Array[Int]] = qRows.indices
+      .flatMap(qi => qRows(qi)._3.map(_ -> qi))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
     val wantedCells = queriesByCell.keys.toSeq
     val scored = spark.read.parquet(codesPath(storeDir))
       // the cell predicate reaches the parquet scan — row groups holding
@@ -161,7 +227,7 @@ object AnnIndex {
         queriesByCell.getOrElse(cell, Array.empty[Int]).iterator
           .filter(qi => qRows(qi)._1 != id)
           .map { qi =>
-            var score = cterm(qi); var s = 0
+            var score = cterm((qi, cell)); var s = 0
             while (s < m) { score += dtab(qi)(s)(idToIdx(s)(codes(s))); s += 1 }
             (qRows(qi)._1, id, score)
           }
@@ -184,7 +250,8 @@ object AnnIndex {
     */
   def knnIvfPqStore(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50, m: Int = 16,
-      codeStride: Int = 40, iters: Int = 2, dim: Int = 64): DataFrame = {
+      codeStride: Int = 40, iters: Int = 2, dim: Int = 64,
+      nProbe: Int = 1): DataFrame = {
     val storePath = java.nio.file.Files.createTempDirectory("graft-ann-store")
     // the probe plan lazily reads the store — reclaim at JVM exit, same
     // lifetime contract as IncrementalDedup's temp store
@@ -204,6 +271,6 @@ object AnnIndex {
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    probeStore(spark, storeDir, queries, k)
+    probeStore(spark, storeDir, queries, k, nProbe)
   }
 }

@@ -269,11 +269,14 @@ object ProductQuant {
 
   /** DuckDB oracle for [[knnIvfPq]] — identical cell assignment (argmax
     * cosine), integer residuals, Lloyd rounds over residual subvectors,
-    * and centroid-term + ADC scoring.
+    * and centroid-term + ADC scoring. `nProbe` > 1 widens each query's
+    * probe list to its nProbe nearest cells (crank ≤ nProbe over the same
+    * ranking the assignment uses) — the [[AnnIndex.probeStore]] recall
+    * knob; each member still scores against ITS OWN cell's centroid term.
     */
   def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50,
       m: Int = 16, codeStride: Int = 40, iters: Int = 2,
-      dim: Int = 64): String = {
+      dim: Int = 64, nProbe: Int = 1): String = {
     val subDim = dim / m
     val rounds = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
@@ -322,15 +325,22 @@ object ProductQuant {
        |codes AS (
        |  SELECT enc.vec_id, enc.s, enc.code, res.cell
        |  FROM enc JOIN res ON enc.vec_id = res.vec_id WHERE enc.rk = 1),
+       |qrank AS (
+       |  SELECT vec_id AS query_id, vq AS qvq, cell AS qcell, crank
+       |  FROM assign WHERE vec_id < $nQueries),
        |q AS (
-       |  SELECT cells.vec_id AS query_id, cells.vq AS qvq, cells.cell AS qcell,
+       |  SELECT query_id, qvq, qcell,
        |    CAST(list_sum(list_transform(generate_series(1, $dim),
-       |      i -> cells.vq[i] * cent.ccq[i])) AS BIGINT) AS cterm
-       |  FROM cells JOIN cent ON cells.cell = cent.centroid_id
-       |  WHERE cells.vec_id < $nQueries),
+       |      i -> qvq[i] * cent.ccq[i])) AS BIGINT) AS cterm
+       |  FROM qrank JOIN cent ON qrank.qcell = cent.centroid_id
+       |  WHERE crank <= $nProbe),
+       |qd AS (SELECT DISTINCT query_id, qvq FROM q),
        |qsub AS (
+       |  -- built from the DEDUPLICATED query projection: q has one row per
+       |  -- probed cell, and duplicate (query, s) rows here would double-
+       |  -- count every pdot in scored's sum under nProbe > 1
        |  SELECT query_id, s, qvq[s * $subDim + 1 : (s + 1) * $subDim] AS qsvq
-       |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) subs),
+       |  FROM qd CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS s) subs),
        |dtab AS (
        |  SELECT qsub.query_id, c.s, c.code_id,
        |    CAST(list_sum(list_transform(generate_series(1, $subDim),

@@ -53,6 +53,41 @@ class AnnIndexSpec extends AnyFunSuite {
       s"the probe's only distributed input is codes/, found:\n${scans.mkString("\n")}")
   }
 
+  test("multi-probe widens recall: per-query best score is non-decreasing in nProbe") {
+    val store = Files.createTempDirectory("graft-ann-nprobe").toString
+    AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)
+    def best(nProbe: Int): Map[Long, Long] =
+      AnnIndex.probeStore(spark, store, queries(10), k = 1, nProbe = nProbe)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b1 = best(1); val b2 = best(2); val b4 = best(4)
+    assert(b1.keySet === b2.keySet && b2.keySet === b4.keySet)
+    // probing more cells only ADDS candidates, so the top score per query
+    // cannot drop — a strict dominance property of the probe list
+    b1.foreach { case (q, s1) =>
+      assert(b2(q) >= s1, s"query $q: nProbe=2 top score ${b2(q)} < nProbe=1 $s1")
+      assert(b4(q) >= b2(q), s"query $q: nProbe=4 top score ${b4(q)} < nProbe=2 ${b2(q)}")
+    }
+  }
+
+  test("append encodes against the existing index: an appended near-dup is found immediately") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-ann-append").toString
+    val e = Tables.embeddings(spark, sfDir)
+    AnnIndex.buildStore(e, store)
+    val nBefore = spark.read.parquet(AnnIndex.codesPath(store)).count()
+    // a planted near-copy of query 0 (one coordinate bumped) under a new id
+    val q0 = queries(1).head._2
+    val planted = q0.clone(); planted(7) = planted(7) + 0.05
+    AnnIndex.appendToStore(Seq((900000L, planted)).toDF("vec_id", "embedding"), store)
+    assert(spark.read.parquet(AnnIndex.codesPath(store)).count() === nBefore + 1,
+      "append must add exactly the batch's code rows — no rebuild, no dups")
+    val top = AnnIndex.probeStore(spark, store, queries(1), k = 3)
+      .where(col("query_id") === 0).orderBy("rank")
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(top.contains(900000L),
+      s"the appended near-dup must surface in query 0's top-3, got ${top.toSeq}")
+  }
+
   test("probe-many: repeated probes answer from the same store, consistently") {
     val store = Files.createTempDirectory("graft-ann-many").toString
     AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)
