@@ -11,7 +11,17 @@ object Bench {
     * always runs at the same point of the sequence, and a one-off stall
     * lands in at most one of its samples.
     */
-  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  private val Reps = {
+    val r = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(r > 0, s"SPARK_GRAFT_BENCH_REPS must be positive, got $r")
+    r
+  }
+
+  /** Locale-proof decimal formatting: the f interpolator uses the JVM
+    * default locale, and a comma decimal separator would corrupt the JSON.
+    */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -54,7 +64,7 @@ object Bench {
       }
     }
     val medians = names.map(n => n -> median(samples(n)))
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     spark.stop()
@@ -68,7 +78,7 @@ object Bench {
       }
     // ONE compact line: total = sum of per-query MEDIANS over Reps
     // randomized-order repetitions (not a single-sample sequence sum)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$Reps,""" +
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,""" +
       s""""queries":$qs,"workflow":$workflow,"sf":"$sfDir"}""")
   }
 }

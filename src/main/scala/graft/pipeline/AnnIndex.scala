@@ -63,16 +63,14 @@ object AnnIndex {
         Similarity.quantizeVec(r.getSeq[Double](1).toArray)).toMap
     // integer residual per vector, staged: codebook training makes
     // `iters`+1 passes over it and encoding one more — staging turns those
-    // into parquet re-reads instead of re-running assignment each time
+    // into parquet re-reads instead of re-running assignment each time.
+    // The staging table is full-width (same size class as the raw
+    // embeddings), so it is DELETED once encoding finishes — a durable
+    // store must hold only the ~64×-smaller codes/ + parameter tables
     val resDir = s"$storeDir/residual_staging"
     Similarity.cellAssignments(e, cents).as[(Long, Array[Double], Long)]
       .map { case (id, v, cell) =>
-        val vq = Similarity.quantizeVec(v)
-        val cq = centQ(cell)
-        val rq = new Array[Long](vq.length)
-        var i = 0
-        while (i < vq.length) { rq(i) = vq(i) - cq(i); i += 1 }
-        (id, rq, cell)
+        (id, ProductQuant.residual(Similarity.quantizeVec(v), centQ(cell)), cell)
       }
       .toDF("vec_id", "vq", "cell")
       .write.mode("overwrite").parquet(resDir)
@@ -85,13 +83,19 @@ object AnnIndex {
       .write.mode("overwrite").parquet(codebooksPath(storeDir))
     res.as[(Long, Array[Long], Long)]
       .map { case (id, rq, cell) =>
-        val codes = Array.tabulate(m)(s =>
-          books(s)(ProductQuant.nearestCodeIdx(books(s),
-            ProductQuant.slice(rq, s, subDim)))._1)
-        (id, cell, codes)
+        (id, cell, ProductQuant.encodeIds(books, rq, subDim))
       }
       .toDF("vec_id", "cell", "codes")
       .write.mode("overwrite").parquet(codesPath(storeDir))
+    locally {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val rp = Paths.get(resDir)
+      if (Files.exists(rp)) {
+        Files.walk(rp).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** Driver-held index parameters read back from the store — bounded by
@@ -134,15 +138,8 @@ object AnnIndex {
       .map { case (id, v) =>
         val cell = Similarity.nearestCentroid(centArr, v)
         val vq = Similarity.quantizeVec(v)
-        val cq = centQ(cell)
-        val subDim = vq.length / m
-        val rq = new Array[Long](vq.length)
-        var i = 0
-        while (i < vq.length) { rq(i) = vq(i) - cq(i); i += 1 }
-        val codes = Array.tabulate(m)(s =>
-          books(s)(ProductQuant.nearestCodeIdx(books(s),
-            ProductQuant.slice(rq, s, subDim)))._1)
-        (id, cell, codes)
+        val rq = ProductQuant.residual(vq, centQ(cell))
+        (id, cell, ProductQuant.encodeIds(books, rq, vq.length / m))
       }
       .toDF("vec_id", "cell", "codes")
       .write.mode("append").parquet(codesPath(storeDir))
@@ -193,16 +190,8 @@ object AnnIndex {
         (id, Similarity.quantizeVec(v), ranked)
       }
     val subDim = qRows.headOption.map(_._2.length / m).getOrElse(0)
-    val dtab: Array[Array[Array[Long]]] = qRows.map { case (_, vq, _) =>
-      Array.tabulate(m) { s =>
-        val qs = ProductQuant.slice(vq, s, subDim)
-        books(s).map { case (_, cq) =>
-          var d = 0L; var i = 0
-          while (i < subDim) { d += qs(i) * cq(i); i += 1 }
-          d
-        }
-      }
-    }
+    val dtab: Array[Array[Array[Long]]] =
+      qRows.map { case (_, vq, _) => ProductQuant.dotTables(books, vq, subDim) }
     // centroid term per (query, member cell): dot(query, that centroid)
     val cterm: Map[(Int, Long), Long] = (for {
       qi <- qRows.indices
@@ -252,18 +241,7 @@ object AnnIndex {
       nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50, m: Int = 16,
       codeStride: Int = 40, iters: Int = 2, dim: Int = 64,
       nProbe: Int = 1): DataFrame = {
-    val storePath = java.nio.file.Files.createTempDirectory("graft-ann-store")
-    // the probe plan lazily reads the store — reclaim at JVM exit, same
-    // lifetime contract as IncrementalDedup's temp store
-    sys.addShutdownHook {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(storePath)) {
-        Files.walk(storePath).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
-    }
-    val storeDir = storePath.toString
+    val storeDir = Stores.temp("graft-ann-store")
     val embeddings = Tables.embeddings(spark, sfDir)
     buildStore(embeddings, storeDir, ivfStride, m, codeStride, iters, dim)
     val queries = embeddings

@@ -140,19 +140,7 @@ object IncrementalDedup {
   def dedupIncremental(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val storePath = java.nio.file.Files.createTempDirectory("graft-incr-store")
-    // the returned plan lazily reads the store, so the dir must outlive
-    // this call — reclaim it at JVM exit instead of leaking it across
-    // repeated bench/verify runs
-    sys.addShutdownHook {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(storePath)) {
-        Files.walk(storePath).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
-    }
-    val storeDir = storePath.toString
+    val storeDir = Stores.temp("graft-incr-store")
     buildStore(docs.where(col("doc_id") % 5 =!= 0), storeDir)
     probeStore(spark, storeDir, docs.where(col("doc_id") % 5 === 0), threshold)
       .orderBy("new_doc_id", "corpus_doc_id")

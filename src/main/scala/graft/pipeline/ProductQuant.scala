@@ -71,6 +71,40 @@ object ProductQuant {
     bestIdx
   }
 
+  /** Integer residual vector − centroid — THE one definition shared by
+    * the one-shot IVF-PQ, the store build, and the store append, so the
+    * store's bit-identity with [[knnIvfPq]] can't drift.
+    */
+  private[pipeline] def residual(vq: Array[Long], cq: Array[Long]): Array[Long] = {
+    val rq = new Array[Long](vq.length)
+    var i = 0
+    while (i < vq.length) { rq(i) = vq(i) - cq(i); i += 1 }
+    rq
+  }
+
+  /** Per-subspace ADC distance tables for one quantized query vector:
+    * dtab(s)(cIdx) = dot(query subvector s, codeword cIdx) — exact
+    * integers.
+    */
+  private[pipeline] def dotTables(books: Codebooks, vq: Array[Long],
+      subDim: Int): Array[Array[Long]] =
+    Array.tabulate(books.length) { s =>
+      val qs = slice(vq, s, subDim)
+      books(s).map { case (_, cq) =>
+        var d = 0L; var i = 0
+        while (i < subDim) { d += qs(i) * cq(i); i += 1 }
+        d
+      }
+    }
+
+  /** PQ-encode a residual to its m codeword IDS (nearest by integer
+    * squared L2, ties to the smaller id).
+    */
+  private[pipeline] def encodeIds(books: Codebooks, rq: Array[Long],
+      subDim: Int): Array[Long] =
+    Array.tabulate(books.length)(s =>
+      books(s)(nearestCodeIdx(books(s), slice(rq, s, subDim)))._1)
+
   /** Train `m` per-subspace codebooks with `iters` exact-integer Lloyd
     * rounds (init = subvectors of every `codeStride`-th vector). Each
     * round shuffles only (subspace, cell, dim) partial sums — nothing
@@ -144,16 +178,8 @@ object ProductQuant {
       .filter(_._1 < nQueries).collect().sortBy(_._1)
     val qIds = qRows.map(_._1)
     // dtab(q)(s)(cIdx) = dot(query subvector, codeword) — exact integers
-    val dtab: Array[Array[Array[Long]]] = qRows.map { case (_, vq) =>
-      Array.tabulate(m) { s =>
-        val qs = slice(vq, s, subDim)
-        books(s).map { case (_, cq) =>
-          var d = 0L; var i = 0
-          while (i < subDim) { d += qs(i) * cq(i); i += 1 }
-          d
-        }
-      }
-    }
+    val dtab: Array[Array[Array[Long]]] =
+      qRows.map { case (_, vq) => dotTables(books, vq, subDim) }
     val scored = evq.as[(Long, Array[Long])]
       .flatMap { case (id, vq) =>
         val codes = Array.tabulate(m)(s => nearestCodeIdx(books(s), slice(vq, s, subDim)))
@@ -211,12 +237,7 @@ object ProductQuant {
     // integer residual per vector — what the PQ codebooks are trained on
     val res = assigned.as[(Long, Array[Double], Long)]
       .map { case (id, v, cell) =>
-        val vq = Similarity.quantizeVec(v)
-        val cq = centQ(cell)
-        val rq = new Array[Long](vq.length)
-        var i = 0
-        while (i < vq.length) { rq(i) = vq(i) - cq(i); i += 1 }
-        (id, rq, cell)
+        (id, residual(Similarity.quantizeVec(v), centQ(cell)), cell)
       }
       .toDF("vec_id", "vq", "cell")
     val books = trainCodebooks(res.select("vec_id", "vq"), m, subDim,
@@ -232,16 +253,8 @@ object ProductQuant {
       while (i < vq.length) { d += vq(i) * cq(i); i += 1 }
       d
     }
-    val dtab: Array[Array[Array[Long]]] = qRows.map { case (_, vq, _) =>
-      Array.tabulate(m) { s =>
-        val qs = slice(vq, s, subDim)
-        books(s).map { case (_, cq) =>
-          var d = 0L; var i = 0
-          while (i < subDim) { d += qs(i) * cq(i); i += 1 }
-          d
-        }
-      }
-    }
+    val dtab: Array[Array[Array[Long]]] =
+      qRows.map { case (_, vq, _) => dotTables(books, vq, subDim) }
     val queriesByCell: Map[Long, Array[Int]] =
       qRows.indices.groupBy(i => qRows(i)._3).map { case (c, is) => c -> is.toArray }
     // encode + score the query's cell members in ONE residual pass

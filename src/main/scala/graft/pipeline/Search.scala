@@ -43,24 +43,22 @@ object Search {
     "q2" -> "merge", "q2" -> "join",
     "q3" -> "slow", "q3" -> "query", "q3" -> "scan")
 
-  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).as("dl"),
-      explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " "))).as("sum_dl"))
-    val queries = QueryTerms.toDF("query_id", "term")
+  /** THE scoring chain, shared by the one-shot and store-probe forms so
+    * their bit-identity (and the shared oracle) is structural, not
+    * eyeball-maintained: avgdl, idf, norm each written as ONE expression,
+    * mirrored token-for-token in the oracle so every IEEE op sequences
+    * identically; per-term scores quantized to integer micro-units so the
+    * cross-term sum is order-free.
+    *
+    * Inputs: tf (doc_id, term, tf, dl), dfreq (term, df), stats one row
+    * (n_docs, sum_dl), queries (query_id, term).
+    */
+  private def scoreAndRank(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val perTerm = tf
       .join(broadcast(queries), "term")
       .join(dfreq, "term")
       .crossJoin(broadcast(stats))
-      // avgdl, idf, norm written as ONE expression each, mirrored
-      // token-for-token in the oracle so every IEEE op sequences identically
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("idf",
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -80,6 +78,20 @@ object Search {
       .orderBy("query_id", "rank")
   }
 
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("sum_dl"))
+    scoreAndRank(tf, dfreq, stats, QueryTerms.toDF("query_id", "term"), k)
+  }
+
   // --------------------------- persisted inverted index (build once, probe many)
 
   def postingsPath(storeDir: String): String = s"$storeDir/postings"
@@ -87,24 +99,24 @@ object Search {
 
   /** Materialize the inverted index a retrieval pipeline serves from:
     * `postings/` (term, doc_id, tf, dl) and `stats/` (n_docs, sum_dl).
-    * The corpus is scanned exactly ONCE — the tf aggregate is written
-    * first and the global length statistics are derived from the WRITTEN
-    * postings (per-doc dl via max over its terms), the same
-    * no-second-corpus-scan discipline as [[IncrementalDedup.buildStore]].
-    * df is NOT stored: a probe derives it from its term-filtered postings
-    * slice, where it is exact (a term's postings are complete rows).
+    * The tf aggregate is one heavy corpus pass; the stats row is a second,
+    * column-pruned scan of `documents` using the one-shot form's EXACT
+    * definition (count over ALL docs, sum of their token counts) — deriving
+    * stats from the written postings would silently drop any document that
+    * yields no posting rows (e.g. NULL text) and diverge from the shared
+    * oracle. df is NOT stored: a probe derives it from its term-filtered
+    * postings slice, where it is exact (a term's postings are complete
+    * rows).
     */
   def buildIndex(docs: DataFrame, storeDir: String): Unit = {
-    val spark = docs.sparkSession
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("dl"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .write.mode("overwrite").parquet(postingsPath(storeDir))
-    spark.read.parquet(postingsPath(storeDir))
-      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("sum_dl"))
       .write.mode("overwrite").parquet(statsPath(storeDir))
   }
 
@@ -119,36 +131,13 @@ object Search {
     */
   def probeIndex(spark: SparkSession, storeDir: String,
       queryTerms: Seq[(String, String)], k: Int = 10): DataFrame = {
+    import spark.implicits._
     val terms = queryTerms.map(_._2).distinct
     val tf = spark.read.parquet(postingsPath(storeDir))
       .where(col("term").isin(terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = spark.read.parquet(statsPath(storeDir))
-    val queries = {
-      import spark.implicits._
-      queryTerms.toDF("query_id", "term")
-    }
-    val perTerm = tf
-      .join(broadcast(queries), "term")
-      .join(dfreq, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      .withColumn("norm",
-        lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")))
-      .withColumn("score_u",
-        round(col("idf") * (col("tf") * lit(K1 + 1)) / (col("tf") + col("norm")) * lit(1e6))
-          .cast("long"))
-    val scored = perTerm.groupBy("query_id", "doc_id")
-      .agg((sum(col("score_u")) / lit(1e6)).as("score"),
-        count(lit(1)).as("n_terms_hit"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("bm25"), col("n_terms_hit"))
-      .orderBy("query_id", "rank")
+    scoreAndRank(tf, dfreq, stats, queryTerms.toDF("query_id", "term"), k)
   }
 
   /** Surface query: build the index in a fresh temp dir, probe it with the
@@ -157,16 +146,7 @@ object Search {
     * runs [[probeIndex]]. Shares [[bm25TopKSql]] as its oracle.
     */
   def bm25TopKStore(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    val storePath = java.nio.file.Files.createTempDirectory("graft-bm25-store")
-    sys.addShutdownHook {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(storePath)) {
-        Files.walk(storePath).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => Files.deleteIfExists(p))
-      }
-    }
-    val storeDir = storePath.toString
+    val storeDir = Stores.temp("graft-bm25-store")
     buildIndex(Tables.documents(spark, sfDir), storeDir)
     probeIndex(spark, storeDir, QueryTerms, k)
   }

@@ -252,30 +252,42 @@ object TextAnalysis {
     * statistics can be arbitrarily far apart in value — so the audit is a
     * rank window: approx pXX must lie within [exact p(XX−5), exact
     * p(XX+5)], a ±5-percentile-point corridor the 1e-4 relative rank error
-    * sits far inside. A sketch drifting out flips the boolean and fails
-    * the gate. The exact aggregates exist here as the in-query audit; the
+    * sits far inside. On groups smaller than 1000 the corridor is replaced
+    * by a [min, max] membership check: there the summary never compresses
+    * (it IS exact, returning the order statistic at rank ⌈p·n⌉), but that
+    * rank CONVENTION differs from the interpolated index p·(n−1) by up to
+    * one order statistic — more than a ±5-point corridor spans when
+    * 0.05·n < 1ish — so a corridor audit would flag healthy sketches on
+    * tiny groups. At scale (the audit's purpose) every group takes the
+    * corridor path. A sketch drifting out flips the boolean and fails the
+    * gate. The exact aggregates exist here as the in-query audit; the
     * 100 TB deployment emits the sketch columns alone and drops the audit.
     */
   def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     def ex(p: Double): Column = percentile(col("n_chars"), lit(p))
     def ap(p: Double): Column = percentile_approx(col("n_chars"), lit(p), lit(10000))
+    def ok(a: Column, lo: Column, hi: Column): Column =
+      a.between(col("mn"), col("mx")) &&
+        (col("n_docs") < 1000 || a.between(lo, hi))
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("double").as("mn"),
+        max(col("n_chars")).cast("double").as("mx"),
         ex(0.25).as("e25"), ex(0.50).as("e50"), ex(0.75).as("e75"), ex(0.95).as("e95"),
         ex(0.20).as("lo25"), ex(0.30).as("hi25"),
         ex(0.45).as("lo50"), ex(0.55).as("hi50"),
         ex(0.70).as("lo75"), ex(0.80).as("hi75"),
-        ex(0.90).as("lo95"), max(col("n_chars")).cast("double").as("hi95"),
+        ex(0.90).as("lo95"),
         ap(0.25).as("a25"), ap(0.50).as("a50"), ap(0.75).as("a75"), ap(0.95).as("a95"))
       .select(col("lang"), col("n_docs"),
         round(col("e25"), 2).as("p25"), round(col("e50"), 2).as("p50"),
         round(col("e75"), 2).as("p75"), round(col("e95"), 2).as("p95"),
-        col("a25").between(col("lo25"), col("hi25")).as("p25_sketch_ok"),
-        col("a50").between(col("lo50"), col("hi50")).as("p50_sketch_ok"),
-        col("a75").between(col("lo75"), col("hi75")).as("p75_sketch_ok"),
-        col("a95").between(col("lo95"), col("hi95")).as("p95_sketch_ok"))
+        ok(col("a25"), col("lo25"), col("hi25")).as("p25_sketch_ok"),
+        ok(col("a50"), col("lo50"), col("hi50")).as("p50_sketch_ok"),
+        ok(col("a75"), col("lo75"), col("hi75")).as("p75_sketch_ok"),
+        ok(col("a95"), col("lo95"), col("mx")).as("p95_sketch_ok"))
       .orderBy("lang")
   }
 

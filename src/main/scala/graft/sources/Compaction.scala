@@ -9,14 +9,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * and both the NameNode (one object per file) and the scan planner (one
   * split per tiny file) degrade with file count.
   *
-  * The rewrite is SHUFFLE-FREE by construction: `coalesce(n)` is a narrow
+  * In the merge-DOWN direction (many small files → fewer big ones, the
+  * normal case) the rewrite is SHUFFLE-FREE: `coalesce(n)` is a narrow
   * dependency — each output task concatenates a set of input splits and
   * writes one file; no exchange, no sort, no data movement between
-  * executors beyond reading the inputs. (A `repartition(n)` would "work"
-  * too, but pays a full shuffle of the table for nothing — the spec pins
-  * the no-exchange property.) Row order inside a partition is preserved
-  * per input file, so previously range- or z-clustered data keeps its
-  * file-internal clustering.
+  * executors beyond reading the inputs, and row order inside a partition
+  * is preserved per input file, so previously range- or z-clustered data
+  * keeps its file-internal clustering (the spec pins the no-exchange
+  * property for this path). In the split-UP direction — the plan asks for
+  * MORE files than the scan has splits — coalesce cannot help (it only
+  * merges), so [[compact]] falls back to `repartition(n)`: a full
+  * round-robin shuffle, the honest price of splitting files, which also
+  * does not preserve clustering.
   */
 object Compaction {
 
@@ -50,12 +54,12 @@ object Compaction {
     * `coalesce(n)` can only MERGE partitions — when the plan asks for more
     * output files than the scan produces splits (few huge files, small
     * targetBytes: the split-UP direction), it would silently write fewer,
-    * larger files than planned. That case falls back to
-    * `repartitionByRange` on `doc_id`-less round-robin (`repartition(n)`) —
-    * a full shuffle, the honest price of splitting files — so the written
-    * count matches the plan in both directions. The written count is
-    * re-listed and surfaced to the caller; a caller that requires the
-    * shuffle-free guarantee should check written == planned from [[plan]].
+    * larger files than planned. That case falls back to round-robin
+    * `repartition(n)` — a full shuffle, the honest price of splitting
+    * files — so the written count matches the plan in both directions. The
+    * written count is re-listed and surfaced to the caller; a caller that
+    * requires the shuffle-free guarantee should check written == planned
+    * from [[plan]].
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): (Int, Int) = {
