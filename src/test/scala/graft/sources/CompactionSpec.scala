@@ -39,6 +39,23 @@ class CompactionSpec extends AnyFunSuite {
       "compaction must be a narrow (shuffle-free) rewrite")
   }
 
+  test("split-up direction: more planned files than input splits still writes the planned count") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-split").toString
+    val (bigDir, outDir) = (s"$base/big", s"$base/out")
+    val docs = Tables.documents(spark, sfDir)
+    // one big file; a tiny targetBytes forces nOut > the scan's splits
+    docs.coalesce(1).write.parquet(bigDir)
+    val (nIn, totalBytes, nOut) = Compaction.plan(spark, bigDir, 16 * 1024L)
+    assert(nIn === 1)
+    assert(nOut > 1, s"fixture must demand a split ($totalBytes bytes / 16KiB)")
+    val (_, written) = Compaction.compact(spark, bigDir, outDir, 16 * 1024L)
+    assert(written === nOut,
+      s"split-up must honor the plan via the repartition fallback: $written != $nOut")
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === docs.count())
+    assert(back.except(docs).count() === 0 && docs.except(back).count() === 0)
+  }
+
   test("a partitioned root fails loudly instead of collapsing partitions to one file") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
     Tables.documents(spark, sfDir).write.partitionBy("lang").parquet(s"$base/t")

@@ -112,6 +112,45 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(ranked(spark.read.parquet(sinkDir)) === ranked(batchRef))
   }
 
+  test("attribution join restarts with its buffered click state: a post-restart purchase matches pre-restart clicks") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-attr").toString
+    val (clickDir, purchDir, sinkDir, ckptDir) =
+      (s"$base/clicks", s"$base/purchases", s"$base/sink", s"$base/ckpt")
+    // both sources must exist before the first start
+    Seq(ev(10, "2024-01-10 10:00:00", 1), ev(11, "2024-01-10 10:20:00", 1),
+      ev(12, "2024-01-10 09:00:00", 1), // too old for the 30 min window
+      ev(13, "2024-01-10 10:20:00", 2)) // other user
+      .toDS().write.mode("append").parquet(clickDir)
+    spark.emptyDataset[EventStream.Event].toDF()
+      .write.mode("append").parquet(purchDir)
+    def runOnce(): Unit = {
+      val clicks = spark.readStream.schema(eventSchema).parquet(clickDir)
+      val purchases = spark.readStream.schema(eventSchema).parquet(purchDir)
+      val q = EventStream.attributionJoin(purchases, clicks,
+          windowMinutes = 30, watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: clicks only — they enter the join's buffered state, no output
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() === 0)
+
+    // run 2 (restart): the purchase arrives — its matching clicks were
+    // buffered BEFORE the restart, so matches prove the join state survived
+    Seq(EventStream.Event(50, ts("2024-01-10 10:25:00"), 1, "purchase", 9.0))
+      .toDS().write.mode("append").parquet(purchDir)
+    runOnce()
+    val out = spark.read.parquet(sinkDir)
+      .select("purchase_id", "click_id", "wait_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.size === out.toSet.size, s"duplicate matches: $out")
+    assert(out.toSet === Set((50L, 10L, 1500L), (50L, 11L, 300L)))
+  }
+
   test("streaming dedup restarts against its store: committed batches stay committed, new dups still match") {
     import spark.implicits._
     val corpusText =
