@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -118,6 +118,9 @@ object SparkEntry {
     // near-dup drop + PII redaction + per-language release report
     "corpus_curation_full" -> ((s, d) => Curation.curateFull(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simHashPairs(s, d)),
+    // exact-substring SPAN dedup (Lee et al. ExactSubstr, Spark-reshaped):
+    // maximal ≥L-token spans duplicated across docs, hash-keyed windows
+    "dedup_substring_spans" -> ((s, d) => SubstringDedup.substringSpans(s, d)),
     // exact O(n²) AUDIT tool, named as such and row-capped (refuses corpus-
     // sized input loudly); the scale path is dedup_embedding_ann
     "dedup_embedding_exact_audit" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -145,6 +148,9 @@ object SparkEntry {
     "knn_ivfpq_store" -> ((s, d) => AnnIndex.knnIvfPqStore(s, d)),
     // the store's recall knob: each query probes its 2 nearest cells
     "knn_ivfpq_store_nprobe" -> ((s, d) => AnnIndex.knnIvfPqStore(s, d, nProbe = 2)),
+    // two-stage search: ADC shortlist from the store, EXACT integer-dot
+    // re-rank of just the shortlisted vectors (id IN-list pushed to scan)
+    "knn_ivfpq_refine" -> ((s, d) => AnnIndex.knnIvfPqRefine(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -222,6 +228,7 @@ object SparkEntry {
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),
+    "dedup_substring_spans" -> SubstringDedup.substringSpansSql(),
     "dedup_embedding_exact_audit" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ann" -> Similarity.cosineLshPairsPlantedSql(),
     "dedup_semantic" -> SemanticDedup.semanticPairsSql(),
@@ -235,6 +242,7 @@ object SparkEntry {
     // bit-identical to the one-shot form — shares its oracle
     "knn_ivfpq_store" -> ProductQuant.knnIvfPqSql(),
     "knn_ivfpq_store_nprobe" -> ProductQuant.knnIvfPqSql(nProbe = 2),
+    "knn_ivfpq_refine" -> ProductQuant.knnIvfPqRefineSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

@@ -230,6 +230,77 @@ object AnnIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage search — ADC shortlist, exact re-rank: the standard
+    * accuracy recovery for any quantized index (FAISS's refine/rerank
+    * stage). Stage 1 probes the store for a `shortlistK`-deep candidate
+    * list per query (PQ-approximate scores). Stage 2 rescores exactly
+    * those candidates with the EXACT integer dot product of the two
+    * quantized raw vectors and keeps the top `k` — PQ quantization error
+    * then affects only which candidates made the shortlist, never their
+    * final order.
+    *
+    * Scale shape: the shortlist is queries × shortlistK pairs — bounded by
+    * request parameters, so collecting it to the driver is legitimate
+    * (the centroid pattern). The refine pass reads raw embeddings ONLY for
+    * the shortlisted vector ids: the `vec_id` IN-list reaches the parquet
+    * scan (PushedFilters), so row-group stats skip everything else — the
+    * point lookups a vector store serves from its id-keyed layout. No
+    * shuffle anywhere in the refine stage; the re-rank window runs over
+    * queries × shortlistK rows.
+    */
+  def refineProbe(spark: SparkSession, storeDir: String, embeddings: DataFrame,
+      queries: Array[(Long, Array[Double])], k: Int = 5, shortlistK: Int = 20,
+      nProbe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val shortlist: Array[(Long, Long)] =
+      probeStore(spark, storeDir, queries, shortlistK, nProbe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val qvq: Map[Long, Array[Long]] =
+      queries.map { case (id, v) => id -> Similarity.quantizeVec(v) }.toMap
+    val byNeighbor: Map[Long, Array[Long]] =
+      shortlist.groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1) }
+    val ids = byNeighbor.keys.toSeq.sorted
+    val exact = embeddings
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .where(col("vec_id").isin(ids: _*))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val nvq = Similarity.quantizeVec(v)
+        byNeighbor(id).iterator.map { qid =>
+          val q = qvq(qid)
+          var d = 0L; var i = 0
+          while (i < nvq.length) { d += q(i) * nvq(i); i += 1 }
+          (qid, id, d)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Surface query for [[refineProbe]]: build the store, shortlist, exact
+    * re-rank. Oracle: [[ProductQuant.knnIvfPqRefineSql]] (the shared ADC
+    * CTE chain + the same exact-dot refine).
+    */
+  def knnIvfPqRefine(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, shortlistK: Int = 20,
+      nProbe: Int = 1): DataFrame = {
+    val storeDir = Stores.temp("graft-ann-refine")
+    val embeddings = Tables.embeddings(spark, sfDir)
+    buildStore(embeddings, storeDir)
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    refineProbe(spark, storeDir, embeddings, queries, k, shortlistK, nProbe)
+  }
+
   /** Surface query: build the store in a fresh temp dir, then probe it with
     * the standard `vec_id < nQueries` query batch. Build cost is part of
     * the measured entry (as with `dedup_incremental`); a production

@@ -289,7 +289,18 @@ object ProductQuant {
     */
   def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50,
       m: Int = 16, codeStride: Int = 40, iters: Int = 2,
-      dim: Int = 64, nProbe: Int = 1): String = {
+      dim: Int = 64, nProbe: Int = 1): String =
+    s"""${knnIvfPqCtes(nQueries, ivfStride, m, codeStride, iters, dim, nProbe)}
+       |SELECT query_id, rank, neighbor_id, score
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The full index-build + ADC-search CTE chain ending in `ranked`
+    * (query_id, neighbor_id, score, rank) — shared by [[knnIvfPqSql]] and
+    * [[knnIvfPqRefineSql]] so the refine oracle's candidate stage cannot
+    * drift from the plain oracle.
+    */
+  private def knnIvfPqCtes(nQueries: Int, ivfStride: Int,
+      m: Int, codeStride: Int, iters: Int, dim: Int, nProbe: Int): String = {
     val subDim = dim / m
     val rounds = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
@@ -370,10 +381,33 @@ object ProductQuant {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, score
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  /** DuckDB oracle for the two-stage search ([[AnnIndex.refineProbe]]):
+    * the shared ADC chain produces the `shortlistK`-deep candidate list
+    * per query, then the refine stage rescores exactly those pairs with
+    * the EXACT integer dot of the two quantized raw vectors and re-ranks.
+    */
+  def knnIvfPqRefineSql(nQueries: Int = 10, k: Int = 5, shortlistK: Int = 20,
+      ivfStride: Int = 50, m: Int = 16, codeStride: Int = 40, iters: Int = 2,
+      dim: Int = 64, nProbe: Int = 1): String =
+    s"""${knnIvfPqCtes(nQueries, ivfStride, m, codeStride, iters, dim, nProbe)},
+       |shortlist AS (SELECT query_id, neighbor_id FROM ranked
+       |              WHERE rank <= $shortlistK),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> qe.vq[i] * ne.vq[i])) AS BIGINT) AS score
+       |  FROM shortlist s
+       |  JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+       |rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, score
+       |FROM rranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB oracle — identical quantization, per-subspace integer Lloyd
     * rounds, final encoding, ADC tables, and integer scores.

@@ -88,6 +88,49 @@ class AnnIndexSpec extends AnyFunSuite {
       s"the appended near-dup must surface in query 0's top-3, got ${top.toSeq}")
   }
 
+  test("refine: exact re-rank of the shortlist, id IN-list pushed to the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val store = Files.createTempDirectory("graft-ann-refine").toString
+    val e = Tables.embeddings(s, sfDir)
+    AnnIndex.buildStore(e, store)
+    val qs = queries(10)
+    val shortlistK = 20
+    val refined = AnnIndex.refineProbe(s, store, e, qs, k = 5,
+      shortlistK = shortlistK)
+    // invariant: the refined top-k IS the exact-integer-dot ranking of the
+    // shortlist — recompute both stages on the driver and compare
+    val shortlist = AnnIndex.probeStore(s, store, qs, k = shortlistK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vq: Map[Long, Array[Long]] = e
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> Similarity.quantizeVec(r.getSeq[Double](1).toArray))
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val expect = shortlist.groupBy(_._1).toSeq.flatMap { case (q, pairs) =>
+      pairs.map { case (_, n) => (q, n, dot(vq(q), vq(n))) }
+        .sortBy { case (_, n, sc) => (-sc, n) }
+        .take(5).zipWithIndex
+        .map { case ((qq, n, sc), i) => (qq, (i + 1).toLong, n, sc) }
+    }.sorted
+    val got = refined.collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === expect,
+      "refined top-k must equal the exact-dot re-ranking of the shortlist")
+    // the refine stage's embeddings scan carries the shortlist id IN-list
+    val scans = refined.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec if sc.relation.location.rootPaths
+        .mkString(",").contains("embeddings") => sc.metadata("PushedFilters")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("In(vec_id")),
+      s"refine scan must push the id IN-list, got: ${scans.mkString(";")}")
+  }
+
   test("probe-many: repeated probes answer from the same store, consistently") {
     val store = Files.createTempDirectory("graft-ann-many").toString
     AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** Exact-substring span dedup: planted spans are found with exact
+  * boundaries, the merge rule (gap ≤ L chains, > L splits) is pinned, the
+  * boilerplate df-cap drops ubiquitous windows, and every reported span is
+  * genuinely duplicated (precision audit against a driver recomputation).
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def tok(n: Int, prefix: String): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a planted shared span is reported with exact token boundaries") {
+    // doc 1: 10 unique tokens + the 12-token shared span + 5 unique tokens
+    // doc 2: 3 unique tokens + the same span + 8 unique tokens
+    val span = tok(12, "shared")
+    val docs = docsOf(
+      1L -> s"${tok(10, "a")} $span ${tok(5, "b")}",
+      2L -> s"${tok(3, "c")} $span ${tok(8, "d")}")
+    val got = SubstringDedup.substringSpansOf(docs, l = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).sorted
+    // span occupies tokens [10, 22) in doc 1 and [3, 15) in doc 2
+    assert(got.toSeq === Seq((1L, 10, 22), (2L, 3, 15)))
+  }
+
+  test("merge rule: duplicated windows chain at gap <= L and split at gap > L") {
+    // doc 1 holds s1 immediately followed by s2; s1 is shared only with
+    // doc 2 and s2 only with doc 3, so in doc 1 exactly the windows at
+    // positions 0 and 8 are duplicated (straddling windows exist in doc 1
+    // alone) — position gap exactly L, the merge rule's boundary: one span
+    val s1 = tok(8, "x"); val s2 = tok(8, "y")
+    val abut = docsOf(
+      1L -> s"$s1 $s2",
+      2L -> s"$s1 ${tok(9, "p")}",
+      3L -> s"${tok(9, "q")} $s2")
+    val merged = SubstringDedup.substringSpansOf(abut, l = 8)
+      .where("doc_id = 1").collect()
+    assert(merged.length === 1 &&
+      merged.head.getInt(2) === 0 && merged.head.getInt(3) === 16,
+      "duplicated windows at position gap = L must merge into one span")
+    // one unique token between them in doc 1 pushes the gap to L + 1: split
+    val split = SubstringDedup.substringSpansOf(docsOf(
+      1L -> s"$s1 z0 $s2",
+      2L -> s"$s1 ${tok(9, "p")}",
+      3L -> s"${tok(9, "q")} $s2"), l = 8)
+    assert(split.where("doc_id = 1").count() === 2L,
+      "a position gap of L + 1 must split the spans")
+  }
+
+  test("boilerplate cap: a window above maxDf is not reported as a span") {
+    // the same 8-token header in 6 docs, each otherwise unique
+    val header = tok(8, "h")
+    val docs = docsOf((1L to 6L).map(i => i -> s"$header ${tok(10, s"u$i")}"): _*)
+    val capped = SubstringDedup.substringSpansOf(docs, l = 8, maxDf = 5)
+    assert(capped.count() === 0L, "df-capped boilerplate must be dropped")
+    val uncapped = SubstringDedup.substringSpansOf(docs, l = 8, maxDf = 50)
+    assert(uncapped.count() === 6L, "below the cap the span is reported per doc")
+  }
+
+  test("precision on the fixture: every reported span's windows are shared") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val l = SubstringDedup.SpanTokens
+    val spans = SubstringDedup.substringSpans(spark, sfDir).collect()
+    assert(spans.length > 0, "fixture must exercise the operator")
+    // driver recomputation: window text -> set of docs containing it
+    val winDocs: Map[String, Set[Long]] = docs
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .iterator
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        Iterator.range(0, t.length - l + 1)
+          .map(p => t.slice(p, p + l).mkString(" ") -> id)
+      }
+      .toSeq.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).toSet }
+    val texts: Map[Long, Array[String]] = docs
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    // the operator keys windows by polyHash (P = 2^31 − 1), so a rare
+    // collision can mark a unique window duplicated (in BOTH engines —
+    // the oracle gate is unaffected); the precision audit is therefore a
+    // ratio bound, not per-window strict
+    var total = 0; var shared = 0
+    spans.foreach { r =>
+      val (id, start, end) = (r.getLong(0), r.getInt(2), r.getInt(3))
+      val t = texts(id)
+      Iterator.range(start, end - l + 1).foreach { p =>
+        val w = t.slice(p, p + l).mkString(" ")
+        total += 1
+        if (winDocs(w).exists(_ != id)) shared += 1
+      }
+    }
+    assert(shared.toDouble / total >= 0.99,
+      s"only $shared of $total span windows are genuinely duplicated")
+  }
+
+  test("span extent arithmetic: n_tokens and n_windows are consistent") {
+    val spans = SubstringDedup.substringSpans(spark, sfDir).collect()
+    val l = SubstringDedup.SpanTokens
+    spans.foreach { r =>
+      val (start, end, nTok, nWin) =
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))
+      assert(nTok === end - start)
+      assert(end - start >= l, "a span is at least one window long")
+      // windows sit inside the span; a fully-duplicated contiguous span
+      // has one window per start offset (the maximum)
+      assert(nWin >= 1L && nWin <= (end - start - l + 1).toLong)
+    }
+  }
+}
