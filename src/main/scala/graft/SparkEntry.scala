@@ -121,6 +121,9 @@ object SparkEntry {
     // exact-substring SPAN dedup (Lee et al. ExactSubstr, Spark-reshaped):
     // maximal ≥L-token spans duplicated across docs, hash-keyed windows
     "dedup_substring_spans" -> ((s, d) => SubstringDedup.substringSpans(s, d)),
+    // the apply layer: cut all-but-one occurrence of every duplicated
+    // span, emit the cleaned corpus (canonical = min doc_id per window)
+    "dedup_substring_scrub" -> ((s, d) => SubstringDedup.substringScrub(s, d)),
     // exact O(n²) AUDIT tool, named as such and row-capped (refuses corpus-
     // sized input loudly); the scale path is dedup_embedding_ann
     "dedup_embedding_exact_audit" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -151,6 +154,9 @@ object SparkEntry {
     // two-stage search: ADC shortlist from the store, EXACT integer-dot
     // re-rank of just the shortlisted vectors (id IN-list pushed to scan)
     "knn_ivfpq_refine" -> ((s, d) => AnnIndex.knnIvfPqRefine(s, d)),
+    // ingest-time batch probe: planted near-dup batch vs the store,
+    // cell-blocked exact-dot matches (the streaming dedup kernel)
+    "ann_ingest_matches" -> ((s, d) => AnnIndex.annIngestMatches(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -229,6 +235,7 @@ object SparkEntry {
     "corpus_curation_full" -> Curation.curateFullSql,
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_substring_spans" -> SubstringDedup.substringSpansSql(),
+    "dedup_substring_scrub" -> SubstringDedup.substringScrubSql(),
     "dedup_embedding_exact_audit" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ann" -> Similarity.cosineLshPairsPlantedSql(),
     "dedup_semantic" -> SemanticDedup.semanticPairsSql(),
@@ -243,6 +250,7 @@ object SparkEntry {
     "knn_ivfpq_store" -> ProductQuant.knnIvfPqSql(),
     "knn_ivfpq_store_nprobe" -> ProductQuant.knnIvfPqSql(nProbe = 2),
     "knn_ivfpq_refine" -> ProductQuant.knnIvfPqRefineSql(),
+    "ann_ingest_matches" -> AnnIndex.annIngestMatchesSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

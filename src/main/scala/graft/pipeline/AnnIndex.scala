@@ -175,19 +175,7 @@ object AnnIndex {
     // the knnIvfProbe ranking, computed over the driver-held centroid set)
     val qRows: Array[(Long, Array[Long], Array[Long])] = queries.sortBy(_._1)
       .map { case (id, v) =>
-        // rank with EXACTLY the nearestCentroid comparator (cosine desc by
-        // java.lang.Double.compare — NaN greatest, like the oracle's
-        // max_by struct ordering — then centroid id asc), so nProbe=1
-        // reproduces the build-time assignment bit-for-bit
-        val ranked = centArr
-          .filter(_._2.length == v.length)
-          .map { case (cid, cv) => (cid, Similarity.cosJvm(cv, v)) }
-          .sortWith { (a, b) =>
-            val c = java.lang.Double.compare(a._2, b._2)
-            c > 0 || (c == 0 && a._1 < b._1)
-          }
-          .take(nProbe).map(_._1)
-        (id, Similarity.quantizeVec(v), ranked)
+        (id, Similarity.quantizeVec(v), rankedCells(centArr, v, nProbe))
       }
     val subDim = qRows.headOption.map(_._2.length / m).getOrElse(0)
     val dtab: Array[Array[Array[Long]]] =
@@ -229,6 +217,212 @@ object AnnIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** Store maintenance — every streaming append ([[appendToStore]],
+    * [[graft.streaming.StreamingAnnDedup]]) adds a file set sized by the
+    * micro-batch, so a long-running ingest leaves `codes/` (and the
+    * streaming `vectors/` side table) as thousands of tiny parquet files:
+    * the classic small-file problem [[graft.sources.Compaction]] exists
+    * for. Each present subdir is rewritten to ~`targetBytes` files
+    * (shuffle-free coalesce in the merge-down direction) and swapped into
+    * place via rename. The swap is not atomic versus a concurrently
+    * running probe — run maintenance in the ingest pipeline's quiet
+    * window, or front the store with a manifest (out of scope here, the
+    * [[graft.streaming.StreamingDedup]] transactional-format boundary).
+    * Returns (input files, output files) per compacted subdir.
+    */
+  def compactStore(spark: SparkSession, storeDir: String,
+      subdirs: Seq[String] = Seq("codes", "vectors"),
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    subdirs.flatMap { name =>
+      val dir = new Path(s"$storeDir/$name")
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) None
+      else {
+        val tmp = s"$storeDir/${name}_compacting"
+        val counts =
+          graft.sources.Compaction.compact(spark, dir.toString, tmp, targetBytes)
+        val bak = new Path(s"$storeDir/${name}_old")
+        fs.delete(bak, true)
+        require(fs.rename(dir, bak), s"could not retire $dir")
+        require(fs.rename(new Path(tmp), dir), s"could not install $tmp")
+        fs.delete(bak, true)
+        Some(name -> counts)
+      }
+    }.toMap
+  }
+
+  /** Distributed ingest-time probe — the batch-as-queries form of
+    * [[probeStore]]: an ingestion pipeline's micro-batch IS the query side
+    * and can be arbitrarily large, so nothing batch-sized may touch the
+    * driver. Matches are (new vector, corpus vector) pairs whose EXACT
+    * integer dot (of the [[Similarity.quantizeVec]] forms; ≈ 10⁶ × cosine
+    * on unit vectors) clears `minScore`, searched IVF-style: only pairs
+    * sharing a coarse cell are scored — the standard ingest-dedup gate
+    * (recall bounded by cell assignment, like every IVF probe; the nProbe
+    * widening of [[probeStore]] applies the same way if needed).
+    *
+    * Plan shape: the batch is cell-assigned in a shuffle-free typed map
+    * over the driver-held centroids; the batch's distinct cells are a
+    * k-bounded set, so the codes scan carries a pushed `cell` IN-list and
+    * yields candidate ids ONLY; raw corpus vectors are re-joined by id for
+    * exactly those candidates ([[refineProbe]]'s discipline: pair shuffles
+    * carry ids, vector payloads join once by key); one cell-keyed join
+    * scores Σ_cell |batch∩cell|·|corpus∩cell| pairs — the IVF contract.
+    *
+    * The `new_vec_id <> corpus_vec_id` guard is the replay shield: a
+    * micro-batch re-run after its store append (crash before the stream
+    * commit) finds its own vectors at cosine 1.0 under the same ids and
+    * must not quarantine them ([[IncrementalDedup]]'s self-match rule).
+    */
+  def matchStore(spark: SparkSession, storeDir: String,
+      corpusEmbeddings: DataFrame, batch: DataFrame,
+      minScore: Long = 800000L, nProbe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val (centArr, _) = loadParams(spark, storeDir)
+    val assigned = batchAssignments(spark, batch, centArr, nProbe)
+    val wantedCells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val candidates = spark.read.parquet(codesPath(storeDir))
+      .where(col("cell").isin(wantedCells: _*))
+      .select(col("vec_id").as("corpus_vec_id"), col("cell"))
+    val corpusVecs = corpusEmbeddings
+      .select(col("vec_id").as("corpus_vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("cv"))
+      .join(candidates, "corpus_vec_id")
+    assigned.join(corpusVecs, "cell")
+      .where(col("vec_id") =!= col("corpus_vec_id"))
+      .select(col("vec_id"), col("corpus_vec_id"), col("bvq"), col("cv"))
+      .as[(Long, Long, Array[Long], Array[Double])]
+      .map { case (nid, cid, bvq, cv) =>
+        (nid, cid, dotQ(bvq, Similarity.quantizeVec(cv)))
+      }
+      .toDF("new_vec_id", "corpus_vec_id", "score")
+      .where(col("score") >= minScore)
+      .orderBy("new_vec_id", "corpus_vec_id")
+  }
+
+  /** Intra-batch matches — [[matchStore]] is blind to two near-dups
+    * arriving in the same micro-batch, so the batch also probes itself:
+    * same-cell pairs with `id_a < id_b`, the LOWER id canonical and the
+    * higher quarantined (the [[IncrementalDedup.selfProbe]] rule). Same
+    * scale shape as the store probe minus the codes scan.
+    */
+  def selfMatches(spark: SparkSession, storeDir: String, batch: DataFrame,
+      minScore: Long = 800000L): DataFrame = {
+    import spark.implicits._
+    val (centArr, _) = loadParams(spark, storeDir)
+    val a = batchAssignments(spark, batch, centArr)
+    a.as("x").join(a.as("y"), col("x.cell") === col("y.cell") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id"), col("x.vec_id").as("corpus_vec_id"),
+        col("y.bvq"), col("x.bvq").as("avq"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (nid, cid, nvq, cvq) => (nid, cid, dotQ(nvq, cvq)) }
+      .toDF("new_vec_id", "corpus_vec_id", "score")
+      .where(col("score") >= minScore)
+      .orderBy("new_vec_id", "corpus_vec_id")
+  }
+
+  /** Shuffle-free (vec_id, bvq, cell) cell assignment of a vector batch
+    * against the driver-held store centroids. `nProbe` > 1 fans each BATCH
+    * vector out to its nProbe nearest cells (the [[probeStore]] recall
+    * knob — a near-dup sitting just across a cell boundary is recovered at
+    * the cost of nProbe× batch-side join rows; corpus vectors stay
+    * single-cell, so no pair is generated twice).
+    */
+  private def batchAssignments(spark: SparkSession, batch: DataFrame,
+      centArr: Array[(Long, Array[Double])], nProbe: Int = 1): DataFrame = {
+    import spark.implicits._
+    batch
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val vq = Similarity.quantizeVec(v)
+        rankedCells(centArr, v, nProbe).iterator.map(cell => (id, vq, cell))
+      }
+      .toDF("vec_id", "bvq", "cell")
+  }
+
+  /** The nProbe nearest cells of `v`, ranked with EXACTLY the
+    * [[Similarity.nearestCentroid]] comparator (cosine desc by
+    * java.lang.Double.compare, centroid id asc) so nProbe = 1 reproduces
+    * the build-time assignment bit-for-bit.
+    */
+  private def rankedCells(centArr: Array[(Long, Array[Double])],
+      v: Array[Double], nProbe: Int): Array[Long] =
+    centArr
+      .filter(_._2.length == v.length)
+      .map { case (cid, cv) => (cid, Similarity.cosJvm(cv, v)) }
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._2, b._2)
+        c > 0 || (c == 0 && a._1 < b._1)
+      }
+      .take(nProbe).map(_._1)
+
+  private def dotQ(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** Surface query for [[matchStore]]: the store is built from the corpus,
+    * and the incoming "batch" is the deterministic planted-near-dup slice
+    * ([[Similarity.plantNearDups]]'s offset-id rows — the same fixture
+    * that makes `dedup_embedding_ann` non-vacuous), so every planted
+    * vector must match its original (cosine ≈ 0.997 ⇒ score ≈ 997000).
+    */
+  def annIngestMatches(spark: SparkSession, sfDir: String,
+      minScore: Long = 800000L, stride: Int = 97,
+      idOffset: Long = 10000000L): DataFrame = {
+    val storeDir = Stores.temp("graft-ann-ingest")
+    val corpus = Tables.embeddings(spark, sfDir)
+    buildStore(corpus, storeDir)
+    val batch = Similarity.plantNearDups(corpus, stride = stride,
+      idOffset = idOffset).where(col("vec_id") >= idOffset)
+    matchStore(spark, storeDir, corpus, batch, minScore)
+  }
+
+  /** DuckDB oracle for [[annIngestMatches]] — same stride centroids, same
+    * argmax-cosine cell assignment on both sides (the `assign` ranking of
+    * [[ProductQuant.knnIvfPqSql]], which the store's codes/ provably
+    * reproduces), same planted batch, same exact integer dot and floor.
+    */
+  def annIngestMatchesSql(minScore: Long = 800000L, ivfStride: Int = 50,
+      dim: Int = 64, stride: Int = 97, idOffset: Long = 10000000L,
+      bump: Double = 0.08): String =
+    s"""WITH ${Similarity.plantNearDupsCte(stride, idOffset, bump)},
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+       |         WHERE vec_id % $ivfStride = 0),
+       |corpus AS (
+       |  SELECT vec_id AS corpus_vec_id, vq AS cvq, centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_cosine_similarity(cent.cv, e.v) DESC, centroid_id) AS crank
+       |  FROM e CROSS JOIN cent),
+       |b AS (
+       |  SELECT vec_id, embedding AS v,
+       |    list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS bvq
+       |  FROM embeddings_aug WHERE vec_id >= $idOffset),
+       |batch AS (
+       |  SELECT b.vec_id AS new_vec_id, bvq, centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY list_cosine_similarity(cent.cv, b.v) DESC, centroid_id) AS crank
+       |  FROM b CROSS JOIN cent),
+       |scored AS (
+       |  SELECT new_vec_id, corpus_vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, $dim),
+       |      i -> bvq[i] * cvq[i])) AS BIGINT) AS score
+       |  FROM (SELECT * FROM batch WHERE crank = 1) bb
+       |  JOIN (SELECT * FROM corpus WHERE crank = 1) cc USING (cell)
+       |  WHERE new_vec_id <> corpus_vec_id)
+       |SELECT new_vec_id, corpus_vec_id, score FROM scored
+       |WHERE score >= $minScore ORDER BY new_vec_id, corpus_vec_id""".stripMargin
 
   /** Two-stage search — ADC shortlist, exact re-rank: the standard
     * accuracy recovery for any quantized index (FAISS's refine/rerank

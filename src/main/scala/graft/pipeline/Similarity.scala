@@ -529,7 +529,7 @@ object Similarity {
       nTables, planesPerTable, threshold, dim)
 
   /** DuckDB CTE mirroring [[plantNearDups]] — exposed as `embeddings_aug`. */
-  private def plantNearDupsCte(stride: Int, idOffset: Long,
+  private[pipeline] def plantNearDupsCte(stride: Int, idOffset: Long,
       bump: Double): String =
     s"""ebase AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
        |planted AS (

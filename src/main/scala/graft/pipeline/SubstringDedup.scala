@@ -121,6 +121,136 @@ object SubstringDedup {
       .orderBy("doc_id", "span_id")
   }
 
+  /** Scrub — the apply layer ([[substringSpans]] is the report): cut every
+    * duplicated span from every document EXCEPT the canonical occurrence,
+    * the paper's "keep one copy of each duplicated substring" treatment.
+    * Canonicality is per duplicated window: the MINIMUM doc_id holding the
+    * window keeps all its occurrences; every other doc's occurrences are
+    * cut windows, merged into cut spans by the same gaps-and-islands rule,
+    * and the doc's clean text is its tokens outside all cut spans,
+    * re-joined with single spaces. Every document appears in the output
+    * (untouched docs pass through with zero cut) — this is the
+    * corpus-rewrite a curation pipeline materializes.
+    *
+    * Scale additions over [[substringSpans]]: the dup aggregate also
+    * carries min(doc_id) (free in the same shuffle); the cut spans join
+    * back to the documents scan by doc_id (one corpus-keyed join); the
+    * rebuild is a typed map over (text, sorted span bounds) — per-doc
+    * state only. Output is corpus-sized by design (it IS the cleaned
+    * corpus), written straight through, no extra exchange.
+    */
+  def substringScrub(spark: SparkSession, sfDir: String,
+      l: Int = SpanTokens, maxDf: Int = MaxWindowDf): DataFrame =
+    substringScrubOf(Tables.documents(spark, sfDir), l, maxDf)
+
+  /** [[substringScrub]] over any (doc_id, text) frame. */
+  def substringScrubOf(docs: DataFrame, l: Int = SpanTokens,
+      maxDf: Int = MaxWindowDf): DataFrame = {
+    require(l > 0 && maxDf >= 2, s"need l > 0 and maxDf >= 2, got l=$l maxDf=$maxDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def winRows: DataFrame = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        Iterator.range(0, t.length - l + 1).map { pos =>
+          val sb = new StringBuilder
+          var i = pos
+          while (i < pos + l) {
+            if (i > pos) sb.append(' ')
+            sb.append(t(i))
+            i += 1
+          }
+          (id, pos, Hashes.polyHashJvm(sb.toString))
+        }
+      }
+      .toDF("doc_id", "pos", "h")
+    val dupKeep = winRows.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("df"),
+        min(col("doc_id")).as("keep_id"))
+      .where(col("nd") >= 2 && col("df") <= maxDf)
+      .select("h", "keep_id")
+    val cutPos = winRows.join(dupKeep, "h")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select("doc_id", "pos")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = cutPos
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= l, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + l).as("end_tok"))
+    // cut spans are disjoint and non-adjacent by the merge rule, so
+    // independently sorted start/end arrays correspond index-wise
+    val cuts = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start_tok"))).as("starts"),
+        sort_array(collect_list(col("end_tok"))).as("ends"))
+    docs.select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"),
+        coalesce(col("ends"), array().cast("array<int>")).as("ends"))
+      .as[(Long, String, Seq[Int], Seq[Int])]
+      .map { case (id, text, starts, ends) =>
+        val t = text.split(" ", -1)
+        val kept = new StringBuilder
+        var nCut = 0L
+        var si = 0
+        var i = 0
+        while (i < t.length) {
+          while (si < starts.length && i >= ends(si)) si += 1
+          if (si < starts.length && i >= starts(si) && i < ends(si)) nCut += 1
+          else {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(t(i))
+          }
+          i += 1
+        }
+        (id, nCut, kept.toString)
+      }
+      .toDF("doc_id", "n_tokens_cut", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[substringScrub]] — identical dup universe and
+    * canonical rule, NOT-EXISTS span coverage for the token filter.
+    */
+  def substringScrubSql(l: Int = SpanTokens, maxDf: Int = MaxWindowDf): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, unnest(generate_series(0, len(t) - $l)) AS pos, t
+       |      FROM toks),
+       |wh AS (SELECT doc_id, pos,
+       |    ${Hashes.polyHashSql(s"array_to_string(t[pos + 1 : pos + $l], ' ')")} AS h
+       |  FROM w),
+       |dup AS (SELECT h, min(doc_id) AS keep_id FROM wh GROUP BY 1
+       |        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $maxDf),
+       |cpos AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)
+       |         WHERE doc_id <> keep_id),
+       |flag AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
+       |         THEN 0 ELSE 1 END AS new_span
+       |  FROM cpos),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM flag),
+       |spans AS (SELECT doc_id, span_id, min(pos) AS start_tok,
+       |    max(pos) + $l AS end_tok
+       |  FROM isl GROUP BY 1, 2),
+       |p AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS i, t
+       |      FROM toks),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.t[p.i + 1] AS tok FROM p
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = p.doc_id AND p.i >= s.start_tok AND p.i < s.end_tok))
+       |SELECT toks.doc_id,
+       |  len(toks.t) - count(kept.i) AS n_tokens_cut,
+       |  coalesce(array_to_string(list(kept.tok ORDER BY kept.i), ' '), '') AS clean_text
+       |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+       |GROUP BY toks.doc_id, toks.t ORDER BY toks.doc_id""".stripMargin
+
   /** DuckDB oracle — identical windows (list slicing, single-space
     * re-join), identical arithmetic hash, identical merge rule.
     */

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.AnnIndex
+
+/** Continuous ingestion dedup for EMBEDDINGS — [[StreamingDedup]]'s shape
+  * over the persisted ANN index: each micro-batch of (vec_id, embedding)
+  * rows is probed against the store ([[AnnIndex.matchStore]], cell-blocked
+  * exact-dot matches) AND against itself ([[AnnIndex.selfMatches]] — the
+  * store probe is blind to two near-dups arriving together); matches land
+  * in a quarantine sink, and only novel vectors are appended — codes to
+  * the index ([[AnnIndex.appendToStore]], no retraining) and raw vectors
+  * to the store's `vectors/` side table, which is what lets batch N+1's
+  * exact-dot probe see batch N's accepted vectors.
+  *
+  * Store layout addition: `vectors/` — (vec_id, embedding) parquet, the
+  * raw-vector side table a production vector store keeps anyway (FAISS's
+  * refine storage); seeded by [[seedVectors]] right after
+  * [[AnnIndex.buildStore]].
+  *
+  * Delivery semantics are [[StreamingDedup]]'s, documented not hidden:
+  * the quarantine sink is idempotent (each batch overwrites its own
+  * `batch_id=N/` directory); the codes/vectors appends are at-least-once
+  * on a crash between append and stream commit — and the replayed batch
+  * does NOT quarantine itself against its own appended copies, because
+  * [[AnnIndex.matchStore]] guards `new_vec_id <> corpus_vec_id`.
+  *
+  * Scale shape per micro-batch: batch-sized typed-map assignment, a
+  * k-bounded cell IN-list into the codes scan, candidate-cell-only vector
+  * re-join, Σ_cell |batch∩cell|·|corpus∩cell| scored pairs — O(batch)
+  * driver state (none), never an O(corpus) pass.
+  */
+object StreamingAnnDedup {
+
+  def vectorsPath(storeDir: String): String = s"$storeDir/vectors"
+
+  /** Write the corpus raw vectors alongside a freshly built index so the
+    * exact-dot probe has its vector side table. The embedding column is
+    * normalized to ARRAY<DOUBLE> — the corpus fixture stores floats while
+    * stream batches carry doubles, and parquet readers reject a directory
+    * whose files disagree on the element type.
+    */
+  def seedVectors(corpus: DataFrame, storeDir: String): Unit =
+    corpus.select(col("vec_id"),
+        graft.pipeline.Similarity.toDoubleVec(col("embedding")).as("embedding"))
+      .write.mode("overwrite").parquet(vectorsPath(storeDir))
+
+  /** Start the probe-quarantine-append loop over a (vec_id, embedding)
+    * stream. `matchesDir` receives (new_vec_id, corpus_vec_id, score)
+    * rows under `batch_id=N/`; accepted vectors are appended to the store.
+    */
+  def run(vecStream: DataFrame, storeDir: String, matchesDir: String,
+      checkpointDir: String, minScore: Long = 800000L,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val vecs = batch.select(col("vec_id"), col("embedding")).cache()
+        val corpus = spark.read.parquet(vectorsPath(storeDir))
+        val matches = AnnIndex.matchStore(spark, storeDir, corpus, vecs, minScore)
+        val intra = AnnIndex.selfMatches(spark, storeDir, vecs, minScore)
+        matches.unionByName(intra)
+          .write.mode("overwrite").parquet(s"$matchesDir/batch_id=$batchId")
+        val dupIds = spark.read.parquet(s"$matchesDir/batch_id=$batchId")
+          .select(col("new_vec_id").as("vec_id")).distinct()
+        val accepted = vecs.join(dupIds, Seq("vec_id"), "left_anti")
+        AnnIndex.appendToStore(accepted, storeDir)
+        accepted.select(col("vec_id"),
+            graft.pipeline.Similarity.toDoubleVec(col("embedding")).as("embedding"))
+          .write.mode("append").parquet(vectorsPath(storeDir))
+        vecs.unpersist()
+        ()
+      }
+      .start()
+  }
+}

@@ -121,4 +121,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // one exchange for the groupBy, one for the presentation sort
     assert(count(p) { case e: ShuffleExchangeExec => e } <= 2)
   }
+
+  test("substring spans: two-pass contract, span merge never a global window") {
+    val p = plan("dedup_substring_spans")
+    // the count-then-filter shape: one documents scan feeds the dup-hash
+    // aggregate, one feeds the position re-join — never a third
+    assert(count(p) { case s: FileSourceScanExec => s } === 2,
+      s"expected exactly the two documents passes, got:\n$p")
+    // both the lag/flag window and the cumulative-sum window partition by
+    // doc_id — a SinglePartition window here would serialize the corpus
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"span-merge window must partition by doc_id, got:\n$w"))
+  }
+
+  test("substring scrub adds only the per-doc cuts join to the span machinery") {
+    val p = plan("dedup_substring_scrub")
+    // dup aggregate pass + position pass + the clean-text rebuild scan
+    assert(count(p) { case s: FileSourceScanExec => s } === 3,
+      s"expected exactly three documents passes, got:\n$p")
+    val windows = p.collect { case w: WindowExec => w }
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"cut-merge window must partition by doc_id, got:\n$w"))
+  }
 }

@@ -105,6 +105,44 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"only $shared of $total span windows are genuinely duplicated")
   }
 
+  test("scrub: the canonical doc keeps the span, every other holder loses it") {
+    val span = tok(12, "shared")
+    val docs = docsOf(
+      1L -> s"${tok(10, "a")} $span ${tok(5, "b")}",
+      2L -> s"${tok(3, "c")} $span ${tok(8, "d")}")
+    val got = SubstringDedup.substringScrubOf(docs, l = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // doc 1 is canonical (min id): untouched; doc 2 loses the 12 span tokens
+    assert(got === Seq(
+      (1L, 0L, s"${tok(10, "a")} $span ${tok(5, "b")}"),
+      (2L, 12L, s"${tok(3, "c")} ${tok(8, "d")}")))
+  }
+
+  test("scrub conservation on the fixture: kept + cut = original token count") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val orig: Map[Long, Int] = docs.select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).length }.toMap
+    val scrubbed = SubstringDedup.substringScrub(spark, sfDir).collect()
+    assert(scrubbed.length === orig.size, "every document must pass through")
+    var cutTotal = 0L
+    scrubbed.foreach { r =>
+      val (id, nCut, clean) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val keptLen = if (clean.isEmpty) 0 else clean.split(" ", -1).length
+      assert(keptLen + nCut === orig(id).toLong,
+        s"doc $id: kept $keptLen + cut $nCut != original ${orig(id)}")
+      cutTotal += nCut
+    }
+    assert(cutTotal > 0L, "the fixture must exercise actual cutting")
+    // canonical-keep guarantee: the corpus-wide cut is strictly less than
+    // the total duplicated-span footprint (at least one copy survives)
+    val spanTotal = SubstringDedup.substringSpans(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()
+      .head.getLong(0)
+    assert(cutTotal < spanTotal, "at least one occurrence of a span survives")
+  }
+
   test("span extent arithmetic: n_tokens and n_windows are consistent") {
     val spans = SubstringDedup.substringSpans(spark, sfDir).collect()
     val l = SubstringDedup.SpanTokens
