@@ -124,6 +124,9 @@ object SparkEntry {
     // the apply layer: cut all-but-one occurrence of every duplicated
     // span, emit the cleaned corpus (canonical = min doc_id per window)
     "dedup_substring_scrub" -> ((s, d) => SubstringDedup.substringScrub(s, d)),
+    // per-language duplication-exposure profile (the go/no-go number for
+    // a span-level rewrite pass)
+    "text_dup_span_profile" -> ((s, d) => SubstringDedup.dupSpanProfile(s, d)),
     // exact O(n²) AUDIT tool, named as such and row-capped (refuses corpus-
     // sized input loudly); the scale path is dedup_embedding_ann
     "dedup_embedding_exact_audit" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -236,6 +239,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simHashPairsSql(),
     "dedup_substring_spans" -> SubstringDedup.substringSpansSql(),
     "dedup_substring_scrub" -> SubstringDedup.substringScrubSql(),
+    "text_dup_span_profile" -> SubstringDedup.dupSpanProfileSql(),
     "dedup_embedding_exact_audit" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ann" -> Similarity.cosineLshPairsPlantedSql(),
     "dedup_semantic" -> SemanticDedup.semanticPairsSql(),

@@ -121,6 +121,74 @@ object SubstringDedup {
       .orderBy("doc_id", "span_id")
   }
 
+  /** Corpus-profiling view of the span family: per language, how much of
+    * the corpus is duplicated-span text (canonical occurrences INCLUDED —
+    * this measures duplication exposure, where [[substringScrub]] measures
+    * what a cut would remove). The number a curation pipeline watches to
+    * decide whether span-level dedup is worth a rewrite pass, and the
+    * cross-doc complement of [[Repetition]]'s within-doc fractions.
+    *
+    * Scale shape: [[substringSpans]]'s machinery plus one broadcast-scale
+    * per-doc aggregate (spans → dup tokens per doc), a doc_id-keyed join
+    * back to the documents scan, and a languages-sized final aggregate.
+    * Integer token counts sum order-free; the single division happens once
+    * per language row at the end.
+    */
+  def dupSpanProfile(spark: SparkSession, sfDir: String,
+      l: Int = SpanTokens, maxDf: Int = MaxWindowDf): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val perDoc = substringSpansOf(docs, l, maxDf)
+      .groupBy("doc_id")
+      .agg(sum(col("n_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ", -1)).as("total"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("dup_tokens")).as("docs_with_dups"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("total")).as("total_tokens"))
+      .withColumn("dup_share",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 4))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[dupSpanProfile]] — the [[substringSpansSql]]
+    * chain, then dup tokens per doc, language join, one division per row.
+    */
+  def dupSpanProfileSql(l: Int = SpanTokens, maxDf: Int = MaxWindowDf): String =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, unnest(generate_series(0, len(t) - $l)) AS pos, t
+       |      FROM toks),
+       |wh AS (SELECT doc_id, pos,
+       |    ${Hashes.polyHashSql(s"array_to_string(t[pos + 1 : pos + $l], ' ')")} AS h
+       |  FROM w),
+       |dup AS (SELECT h FROM wh GROUP BY 1
+       |        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $maxDf),
+       |dpos AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+       |flag AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
+       |         THEN 0 ELSE 1 END AS new_span
+       |  FROM dpos),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM flag),
+       |spans AS (SELECT doc_id, span_id, max(pos) + $l - min(pos) AS n_tokens
+       |  FROM isl GROUP BY 1, 2),
+       |per_doc AS (SELECT doc_id, CAST(sum(n_tokens) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY 1)
+       |SELECT lang,
+       |  count(*) AS n_docs,
+       |  count(per_doc.dup_tokens) AS docs_with_dups,
+       |  CAST(sum(coalesce(per_doc.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       |  CAST(sum(len(toks.t)) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(coalesce(per_doc.dup_tokens, 0)) AS DOUBLE)
+       |    / sum(len(toks.t)), 4) AS dup_share
+       |FROM toks LEFT JOIN per_doc USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Scrub — the apply layer ([[substringSpans]] is the report): cut every
     * duplicated span from every document EXCEPT the canonical occurrence,
     * the paper's "keep one copy of each duplicated substring" treatment.

@@ -143,6 +143,23 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(cutTotal < spanTotal, "at least one occurrence of a span survives")
   }
 
+  test("dup-span profile aggregates the span report exactly") {
+    import org.apache.spark.sql.functions._
+    val profile = SubstringDedup.dupSpanProfile(spark, sfDir).collect()
+    val spans = SubstringDedup.substringSpans(spark, sfDir)
+    val spanTokens = spans.agg(sum("n_tokens")).collect().head.getLong(0)
+    val spanDocs = spans.select("doc_id").distinct().count()
+    assert(profile.map(_.getLong(3)).sum === spanTokens,
+      "profile dup_tokens must sum to the span report's token total")
+    assert(profile.map(_.getLong(2)).sum === spanDocs,
+      "profile docs_with_dups must sum to the span report's distinct docs")
+    profile.foreach { r =>
+      val share = r.getDouble(5)
+      assert(share >= 0.0 && share <= 1.0, s"share out of range: $share")
+      assert(r.getLong(3) <= r.getLong(4), "dup tokens cannot exceed total")
+    }
+  }
+
   test("span extent arithmetic: n_tokens and n_windows are consistent") {
     val spans = SubstringDedup.substringSpans(spark, sfDir).collect()
     val l = SubstringDedup.SpanTokens
