@@ -102,12 +102,16 @@ object AnnIndex {
     * the index hyper-parameters (k centroids, m×k codewords), never the
     * corpus.
     */
-  private def loadParams(spark: SparkSession, storeDir: String)
-      : (Array[(Long, Array[Double])], ProductQuant.Codebooks) = {
-    val centArr = spark.read.parquet(centroidsPath(storeDir))
+  private[graft] def loadCentroids(spark: SparkSession,
+      storeDir: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(centroidsPath(storeDir))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
+
+  private def loadParams(spark: SparkSession, storeDir: String)
+      : (Array[(Long, Array[Double])], ProductQuant.Codebooks) = {
+    val centArr = loadCentroids(spark, storeDir)
     val books: ProductQuant.Codebooks = spark.read.parquet(codebooksPath(storeDir))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
@@ -230,6 +234,13 @@ object AnnIndex {
     * window, or front the store with a manifest (out of scope here, the
     * [[graft.streaming.StreamingDedup]] transactional-format boundary).
     * Returns (input files, output files) per compacted subdir.
+    *
+    * Crash-safe via the retired copy: the swap is rename(dir → dir_old),
+    * rename(dir_compacting → dir), delete(dir_old). A crash between the
+    * two renames leaves the data in `dir_old` — the next compactStore run
+    * detects the orphaned retirement (dir absent, dir_old present) and
+    * restores it before compacting, so a re-run self-heals instead of
+    * silently skipping the "missing" subdir.
     */
   def compactStore(spark: SparkSession, storeDir: String,
       subdirs: Seq[String] = Seq("codes", "vectors"),
@@ -238,16 +249,21 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     subdirs.flatMap { name =>
       val dir = new Path(s"$storeDir/$name")
+      val bak = new Path(s"$storeDir/${name}_old")
+      val tmp = new Path(s"$storeDir/${name}_compacting")
       val fs = dir.getFileSystem(conf)
+      // recover an interrupted swap: the data survives in the retired copy
+      if (!fs.exists(dir) && fs.exists(bak)) {
+        fs.delete(tmp, true)
+        require(fs.rename(bak, dir), s"could not restore $bak to $dir")
+      }
       if (!fs.exists(dir)) None
       else {
-        val tmp = s"$storeDir/${name}_compacting"
-        val counts =
-          graft.sources.Compaction.compact(spark, dir.toString, tmp, targetBytes)
-        val bak = new Path(s"$storeDir/${name}_old")
+        val counts = graft.sources.Compaction.compact(spark, dir.toString,
+          tmp.toString, targetBytes)
         fs.delete(bak, true)
         require(fs.rename(dir, bak), s"could not retire $dir")
-        require(fs.rename(new Path(tmp), dir), s"could not install $tmp")
+        require(fs.rename(tmp, dir), s"could not install $tmp")
         fs.delete(bak, true)
         Some(name -> counts)
       }
@@ -279,26 +295,31 @@ object AnnIndex {
     */
   def matchStore(spark: SparkSession, storeDir: String,
       corpusEmbeddings: DataFrame, batch: DataFrame,
-      minScore: Long = 800000L, nProbe: Int = 1): DataFrame = {
+      minScore: Long = 800000L, nProbe: Int = 1,
+      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import spark.implicits._
-    val (centArr, _) = loadParams(spark, storeDir)
+    val centArr = centroids.getOrElse(loadCentroids(spark, storeDir))
     val assigned = batchAssignments(spark, batch, centArr, nProbe)
     val wantedCells = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val candidates = spark.read.parquet(codesPath(storeDir))
       .where(col("cell").isin(wantedCells: _*))
       .select(col("vec_id").as("corpus_vec_id"), col("cell"))
+    // candidates quantized ONCE here — inside the pair map each corpus
+    // vector would re-quantize per matching batch vector, i.e. per pair
     val corpusVecs = corpusEmbeddings
       .select(col("vec_id").as("corpus_vec_id"),
         Similarity.toDoubleVec(col("embedding")).as("cv"))
       .join(candidates, "corpus_vec_id")
+      .select(col("corpus_vec_id"), col("cv"), col("cell"))
+      .as[(Long, Array[Double], Long)]
+      .map { case (cid, cv, cell) => (cid, Similarity.quantizeVec(cv), cell) }
+      .toDF("corpus_vec_id", "cvq", "cell")
     assigned.join(corpusVecs, "cell")
       .where(col("vec_id") =!= col("corpus_vec_id"))
-      .select(col("vec_id"), col("corpus_vec_id"), col("bvq"), col("cv"))
-      .as[(Long, Long, Array[Long], Array[Double])]
-      .map { case (nid, cid, bvq, cv) =>
-        (nid, cid, dotQ(bvq, Similarity.quantizeVec(cv)))
-      }
+      .select(col("vec_id"), col("corpus_vec_id"), col("bvq"), col("cvq"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (nid, cid, bvq, cvq) => (nid, cid, dotQ(bvq, cvq)) }
       .toDF("new_vec_id", "corpus_vec_id", "score")
       .where(col("score") >= minScore)
       .orderBy("new_vec_id", "corpus_vec_id")
@@ -311,9 +332,10 @@ object AnnIndex {
     * scale shape as the store probe minus the codes scan.
     */
   def selfMatches(spark: SparkSession, storeDir: String, batch: DataFrame,
-      minScore: Long = 800000L): DataFrame = {
+      minScore: Long = 800000L,
+      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import spark.implicits._
-    val (centArr, _) = loadParams(spark, storeDir)
+    val centArr = centroids.getOrElse(loadCentroids(spark, storeDir))
     val a = batchAssignments(spark, batch, centArr)
     a.as("x").join(a.as("y"), col("x.cell") === col("y.cell") &&
         col("x.vec_id") < col("y.vec_id"))

@@ -51,8 +51,10 @@ import graft.sources.Tables
   *
   * Merge rule (engines must agree): duplicated windows at positions p, p'
   * (p < p') join the same span iff p' − p ≤ L — overlapping (< L) or
-  * exactly abutting (= L) windows chain; a gap > L splits. A span's token
-  * extent is [start, last_window_pos + L).
+  * exactly abutting (= L) windows chain; a gap > L splits. Because a gap
+  * ≤ L leaves no uncovered hole, a merged span's token extent
+  * [start, last_window_pos + L) is the EXACT union of its windows'
+  * ranges — the property the scrub's coverage arithmetic relies on.
   */
 object SubstringDedup {
 
@@ -64,26 +66,20 @@ object SubstringDedup {
     */
   val MaxWindowDf = 50
 
-  /** (doc_id, span_id, start_tok, end_tok, n_tokens, n_windows) — one row
-    * per maximal duplicated span, positions in token units, end exclusive.
-    */
-  def substringSpans(spark: SparkSession, sfDir: String,
-      l: Int = SpanTokens, maxDf: Int = MaxWindowDf): DataFrame =
-    substringSpansOf(Tables.documents(spark, sfDir), l, maxDf)
+  // ------------------------------------------------------ shared kernels
 
-  /** [[substringSpans]] over any (doc_id, text) frame. */
-  def substringSpansOf(docs: DataFrame, l: Int = SpanTokens,
-      maxDf: Int = MaxWindowDf): DataFrame = {
-    require(l > 0 && maxDf >= 2, s"need l > 0 and maxDf >= 2, got l=$l maxDf=$maxDf")
+  /** (doc_id, pos, h) — every L-token window of every document, keyed by
+    * the arithmetic hash of its text (tokens re-joined with single
+    * spaces). One typed flatMap, no shuffle. THE window definition every
+    * operator in this family shares, so the spans report, the scrub, and
+    * the profile cannot drift apart.
+    */
+  private def windowRows(docs: DataFrame, l: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def winRows: DataFrame = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text.split(" ", -1)
-        // one rolling StringBuilder join per window; the hash is of the
-        // window's exact text (tokens re-joined with single spaces), so
-        // equal-hash ⇒ equal-window up to hash collisions — mirrored in SQL
         Iterator.range(0, t.length - l + 1).map { pos =>
           val sb = new StringBuilder
           var i = pos
@@ -96,6 +92,72 @@ object SubstringDedup {
         }
       }
       .toDF("doc_id", "pos", "h")
+  }
+
+  /** Gaps-and-islands merge of (keys…, pos) window rows into maximal
+    * spans: (keys…, span_id, start_tok, end_tok, n_windows). One window
+    * partitioned by `keys` — per-partition state only (per-doc for the
+    * default keys).
+    */
+  private def mergeSpans(posRows: DataFrame, l: Int,
+      keys: Seq[String] = Seq("doc_id")): DataFrame = {
+    val byPos = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
+    posRows
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= l, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.head, keys.tail :+ "span_id": _*)
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + l).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** The toks/w/wh SQL CTE prefix shared by every oracle in this family —
+    * identical windows (list slicing, single-space re-join), identical
+    * arithmetic hash. `tokCols` lets the profile carry `lang` through.
+    */
+  private def windowCtes(l: Int, tokCols: String = "doc_id"): String =
+    s"""toks AS (SELECT $tokCols, string_split(text, ' ') AS t FROM documents),
+       |w AS (SELECT doc_id, unnest(generate_series(0, len(t) - $l)) AS pos, t
+       |      FROM toks),
+       |wh AS (SELECT doc_id, pos,
+       |    ${Hashes.polyHashSql(s"array_to_string(t[pos + 1 : pos + $l], ' ')")} AS h
+       |  FROM w)""".stripMargin
+
+  /** The islands-merge SQL CTE chain over a (keys…, pos) source —
+    * identical merge rule; emits `${prefix}spans`.
+    */
+  private def islandCtes(src: String, prefix: String, l: Int,
+      keys: String = "doc_id"): String =
+    s"""${prefix}flag AS (SELECT $keys, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY $keys ORDER BY pos) <= $l
+       |         THEN 0 ELSE 1 END AS new_span
+       |  FROM $src),
+       |${prefix}isl AS (SELECT $keys, pos,
+       |    CAST(sum(new_span) OVER (PARTITION BY $keys ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+       |  FROM ${prefix}flag),
+       |${prefix}spans AS (SELECT $keys, span_id, min(pos) AS start_tok,
+       |    max(pos) + $l AS end_tok, count(*) AS n_windows
+       |  FROM ${prefix}isl GROUP BY $keys, span_id)""".stripMargin
+
+  // ------------------------------------------------------- spans report
+
+  /** (doc_id, span_id, start_tok, end_tok, n_tokens, n_windows) — one row
+    * per maximal duplicated span, positions in token units, end exclusive.
+    */
+  def substringSpans(spark: SparkSession, sfDir: String,
+      l: Int = SpanTokens, maxDf: Int = MaxWindowDf): DataFrame =
+    substringSpansOf(Tables.documents(spark, sfDir), l, maxDf)
+
+  /** [[substringSpans]] over any (doc_id, text) frame. */
+  def substringSpansOf(docs: DataFrame, l: Int = SpanTokens,
+      maxDf: Int = MaxWindowDf): DataFrame = {
+    require(l > 0 && maxDf >= 2, s"need l > 0 and maxDf >= 2, got l=$l maxDf=$maxDf")
+    def winRows = windowRows(docs, l)
     // dup universe: hash in ≥2 distinct docs, total occurrences ≤ maxDf.
     // count_distinct + count plan via Expand — both partial-aggregable,
     // the shuffle carries (h, doc_id) pairs
@@ -104,22 +166,24 @@ object SubstringDedup {
       .where(col("nd") >= 2 && col("df") <= maxDf)
       .select("h")
     val dupPos = winRows.join(dupHashes, "h").select("doc_id", "pos")
-    // gaps-and-islands span merge, per doc
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = dupPos
-      .withColumn("new_span",
-        when(col("pos") - lag(col("pos"), 1).over(byPos) <= l, lit(0L))
-          .otherwise(lit(1L)))
-      .withColumn("span_id", sum(col("new_span")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    spans.groupBy("doc_id", "span_id")
-      .agg(
-        min(col("pos")).as("start_tok"),
-        (max(col("pos")) + l).as("end_tok"),
-        (max(col("pos")) + l - min(col("pos"))).as("n_tokens"),
-        count(lit(1)).as("n_windows"))
+    mergeSpans(dupPos, l)
+      .select(col("doc_id"), col("span_id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"), col("n_windows"))
       .orderBy("doc_id", "span_id")
   }
+
+  /** DuckDB oracle — shared window/hash/merge CTEs. */
+  def substringSpansSql(l: Int = SpanTokens, maxDf: Int = MaxWindowDf): String =
+    s"""WITH ${windowCtes(l)},
+       |dup AS (SELECT h FROM wh GROUP BY 1
+       |        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $maxDf),
+       |dpos AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+       |${islandCtes("dpos", "", l)}
+       |SELECT doc_id, span_id, start_tok, end_tok,
+       |  end_tok - start_tok AS n_tokens, n_windows
+       |FROM spans ORDER BY doc_id, span_id""".stripMargin
+
+  // ----------------------------------------------------------- profile
 
   /** Corpus-profiling view of the span family: per language, how much of
     * the corpus is duplicated-span text (canonical occurrences INCLUDED —
@@ -128,11 +192,10 @@ object SubstringDedup {
     * decide whether span-level dedup is worth a rewrite pass, and the
     * cross-doc complement of [[Repetition]]'s within-doc fractions.
     *
-    * Scale shape: [[substringSpans]]'s machinery plus one broadcast-scale
-    * per-doc aggregate (spans → dup tokens per doc), a doc_id-keyed join
-    * back to the documents scan, and a languages-sized final aggregate.
-    * Integer token counts sum order-free; the single division happens once
-    * per language row at the end.
+    * Scale shape: [[substringSpans]]'s machinery plus one per-doc token
+    * aggregate, a doc_id-keyed join back to the documents scan, and a
+    * languages-sized final aggregate. Integer token counts sum order-free;
+    * the single division happens once per language row at the end.
     */
   def dupSpanProfile(spark: SparkSession, sfDir: String,
       l: Int = SpanTokens, maxDf: Int = MaxWindowDf): DataFrame = {
@@ -158,26 +221,13 @@ object SubstringDedup {
     * chain, then dup tokens per doc, language join, one division per row.
     */
   def dupSpanProfileSql(l: Int = SpanTokens, maxDf: Int = MaxWindowDf): String =
-    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
-       |w AS (SELECT doc_id, unnest(generate_series(0, len(t) - $l)) AS pos, t
-       |      FROM toks),
-       |wh AS (SELECT doc_id, pos,
-       |    ${Hashes.polyHashSql(s"array_to_string(t[pos + 1 : pos + $l], ' ')")} AS h
-       |  FROM w),
+    s"""WITH ${windowCtes(l, tokCols = "doc_id, lang")},
        |dup AS (SELECT h FROM wh GROUP BY 1
        |        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $maxDf),
        |dpos AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
-       |flag AS (SELECT doc_id, pos,
-       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
-       |         THEN 0 ELSE 1 END AS new_span
-       |  FROM dpos),
-       |isl AS (SELECT doc_id, pos,
-       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-       |        ROWS UNBOUNDED PRECEDING) AS span_id
-       |  FROM flag),
-       |spans AS (SELECT doc_id, span_id, max(pos) + $l - min(pos) AS n_tokens
-       |  FROM isl GROUP BY 1, 2),
-       |per_doc AS (SELECT doc_id, CAST(sum(n_tokens) AS BIGINT) AS dup_tokens
+       |${islandCtes("dpos", "", l)},
+       |per_doc AS (SELECT doc_id,
+       |    CAST(sum(end_tok - start_tok) AS BIGINT) AS dup_tokens
        |  FROM spans GROUP BY 1)
        |SELECT lang,
        |  count(*) AS n_docs,
@@ -189,23 +239,32 @@ object SubstringDedup {
        |FROM toks LEFT JOIN per_doc USING (doc_id)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Scrub — the apply layer ([[substringSpans]] is the report): cut every
-    * duplicated span from every document EXCEPT the canonical occurrence,
-    * the paper's "keep one copy of each duplicated substring" treatment.
-    * Canonicality is per duplicated window: the MINIMUM doc_id holding the
-    * window keeps all its occurrences; every other doc's occurrences are
-    * cut windows, merged into cut spans by the same gaps-and-islands rule,
-    * and the doc's clean text is its tokens outside all cut spans,
-    * re-joined with single spaces. Every document appears in the output
-    * (untouched docs pass through with zero cut) — this is the
-    * corpus-rewrite a curation pipeline materializes.
+  // ------------------------------------------------------------- scrub
+
+  /** Scrub — the apply layer ([[substringSpans]] is the report): cut
+    * duplicated text, keep one copy, emit the cleaned corpus. Every
+    * document appears in the output (untouched docs pass through with zero
+    * cut) — this is the corpus-rewrite a curation pipeline materializes.
+    *
+    * Cut rule: canonicality is per duplicated window — the MINIMUM doc_id
+    * holding the window is its keeper. A token is cut iff it is covered by
+    * some NON-canonical duplicated window AND by NO window canonical to
+    * this doc. The protect clause is what makes "keep one copy" a real
+    * guarantee: every duplicated window's text survives verbatim in its
+    * canonical document, even when an OVERLAPPING window has a different
+    * (lower-id) canonical doc — without it, that overlap's cut would
+    * remove part of the protected window from its own keeper and the
+    * content could vanish from the whole corpus.
     *
     * Scale additions over [[substringSpans]]: the dup aggregate also
-    * carries min(doc_id) (free in the same shuffle); the cut spans join
-    * back to the documents scan by doc_id (one corpus-keyed join); the
-    * rebuild is a typed map over (text, sorted span bounds) — per-doc
-    * state only. Output is corpus-sized by design (it IS the cleaned
-    * corpus), written straight through, no extra exchange.
+    * carries min(doc_id) (free in the same shuffle); cut and protect
+    * coverage merge together in ONE (doc, class)-partitioned window
+    * (merged spans are EXACT window-range unions — the merge-rule
+    * property), one conditional-collect aggregate builds both range lists,
+    * they join back to the documents scan by doc_id, and a typed map
+    * rebuilds each doc's text outside (cut − protect) — per-doc state
+    * only. Output is corpus-sized by design (it IS the cleaned corpus),
+    * written straight through, no extra exchange.
     */
   def substringScrub(spark: SparkSession, sfDir: String,
       l: Int = SpanTokens, maxDf: Int = MaxWindowDf): DataFrame =
@@ -217,59 +276,48 @@ object SubstringDedup {
     require(l > 0 && maxDf >= 2, s"need l > 0 and maxDf >= 2, got l=$l maxDf=$maxDf")
     val spark = docs.sparkSession
     import spark.implicits._
-    def winRows: DataFrame = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = text.split(" ", -1)
-        Iterator.range(0, t.length - l + 1).map { pos =>
-          val sb = new StringBuilder
-          var i = pos
-          while (i < pos + l) {
-            if (i > pos) sb.append(' ')
-            sb.append(t(i))
-            i += 1
-          }
-          (id, pos, Hashes.polyHashJvm(sb.toString))
-        }
-      }
-      .toDF("doc_id", "pos", "h")
+    def winRows = windowRows(docs, l)
     val dupKeep = winRows.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"), count(lit(1)).as("df"),
         min(col("doc_id")).as("keep_id"))
       .where(col("nd") >= 2 && col("df") <= maxDf)
       .select("h", "keep_id")
-    val cutPos = winRows.join(dupKeep, "h")
-      .where(col("doc_id") =!= col("keep_id"))
-      .select("doc_id", "pos")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = cutPos
-      .withColumn("new_span",
-        when(col("pos") - lag(col("pos"), 1).over(byPos) <= l, lit(0L))
-          .otherwise(lit(1L)))
-      .withColumn("span_id", sum(col("new_span")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "span_id")
-      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + l).as("end_tok"))
-    // cut spans are disjoint and non-adjacent by the merge rule, so
-    // independently sorted start/end arrays correspond index-wise
-    val cuts = spans.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("start_tok"))).as("starts"),
-        sort_array(collect_list(col("end_tok"))).as("ends"))
+    // cut and protect coverage merged in ONE pass: the islands window
+    // partitions by (doc, class), so the two classes never mix and the
+    // whole computation stays a single lineage (two documents scans, not
+    // four — a second mergeSpans branch would re-execute winRows+dupKeep)
+    val marked = winRows.join(dupKeep, "h")
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") =!= col("keep_id")).as("is_cut"))
+    val spans = mergeSpans(marked, l, keys = Seq("doc_id", "is_cut"))
+    // conditional collect: when() without otherwise yields NULL, which
+    // collect_list drops — one aggregation produces all four arrays
+    val cuts = spans.groupBy("doc_id").agg(
+      sort_array(collect_list(when(col("is_cut"), col("start_tok")))).as("c_starts"),
+      sort_array(collect_list(when(col("is_cut"), col("end_tok")))).as("c_ends"),
+      sort_array(collect_list(when(!col("is_cut"), col("start_tok")))).as("p_starts"),
+      sort_array(collect_list(when(!col("is_cut"), col("end_tok")))).as("p_ends"))
+    val emptyInts = array().cast("array<int>")
     docs.select(col("doc_id"), col("text"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"),
-        coalesce(col("ends"), array().cast("array<int>")).as("ends"))
-      .as[(Long, String, Seq[Int], Seq[Int])]
-      .map { case (id, text, starts, ends) =>
+        coalesce(col("c_starts"), emptyInts).as("cs"),
+        coalesce(col("c_ends"), emptyInts).as("ce"),
+        coalesce(col("p_starts"), emptyInts).as("ps"),
+        coalesce(col("p_ends"), emptyInts).as("pe"))
+      .as[(Long, String, Seq[Int], Seq[Int], Seq[Int], Seq[Int])]
+      .map { case (id, text, cs, ce, ps, pe) =>
         val t = text.split(" ", -1)
         val kept = new StringBuilder
         var nCut = 0L
-        var si = 0
+        var ci = 0; var pi = 0
         var i = 0
         while (i < t.length) {
-          while (si < starts.length && i >= ends(si)) si += 1
-          if (si < starts.length && i >= starts(si) && i < ends(si)) nCut += 1
+          while (ci < cs.length && i >= ce(ci)) ci += 1
+          while (pi < ps.length && i >= pe(pi)) pi += 1
+          val inCut = ci < cs.length && i >= cs(ci) && i < ce(ci)
+          val inProtect = pi < ps.length && i >= ps(pi) && i < pe(pi)
+          if (inCut && !inProtect) nCut += 1
           else {
             if (kept.nonEmpty) kept.append(' ')
             kept.append(t(i))
@@ -282,65 +330,30 @@ object SubstringDedup {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for [[substringScrub]] — identical dup universe and
-    * canonical rule, NOT-EXISTS span coverage for the token filter.
+  /** DuckDB oracle for [[substringScrub]] — identical dup universe,
+    * canonical rule, and cut-minus-protect coverage (EXISTS cut span AND
+    * NOT EXISTS protect span).
     */
   def substringScrubSql(l: Int = SpanTokens, maxDf: Int = MaxWindowDf): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |w AS (SELECT doc_id, unnest(generate_series(0, len(t) - $l)) AS pos, t
-       |      FROM toks),
-       |wh AS (SELECT doc_id, pos,
-       |    ${Hashes.polyHashSql(s"array_to_string(t[pos + 1 : pos + $l], ' ')")} AS h
-       |  FROM w),
+    s"""WITH ${windowCtes(l)},
        |dup AS (SELECT h, min(doc_id) AS keep_id FROM wh GROUP BY 1
        |        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $maxDf),
-       |cpos AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)
-       |         WHERE doc_id <> keep_id),
-       |flag AS (SELECT doc_id, pos,
-       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
-       |         THEN 0 ELSE 1 END AS new_span
-       |  FROM cpos),
-       |isl AS (SELECT doc_id, pos,
-       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-       |        ROWS UNBOUNDED PRECEDING) AS span_id
-       |  FROM flag),
-       |spans AS (SELECT doc_id, span_id, min(pos) AS start_tok,
-       |    max(pos) + $l AS end_tok
-       |  FROM isl GROUP BY 1, 2),
+       |marked AS (SELECT doc_id, pos, doc_id <> keep_id AS is_cut
+       |           FROM wh JOIN dup USING (h)),
+       |${islandCtes("marked", "", l, keys = "doc_id, is_cut")},
        |p AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS i, t
        |      FROM toks),
        |kept AS (
        |  SELECT p.doc_id, p.i, p.t[p.i + 1] AS tok FROM p
        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-       |    WHERE s.doc_id = p.doc_id AND p.i >= s.start_tok AND p.i < s.end_tok))
+       |    WHERE s.doc_id = p.doc_id AND s.is_cut
+       |      AND p.i >= s.start_tok AND p.i < s.end_tok)
+       |    OR EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = p.doc_id AND NOT s.is_cut
+       |      AND p.i >= s.start_tok AND p.i < s.end_tok))
        |SELECT toks.doc_id,
        |  len(toks.t) - count(kept.i) AS n_tokens_cut,
        |  coalesce(array_to_string(list(kept.tok ORDER BY kept.i), ' '), '') AS clean_text
        |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
        |GROUP BY toks.doc_id, toks.t ORDER BY toks.doc_id""".stripMargin
-
-  /** DuckDB oracle — identical windows (list slicing, single-space
-    * re-join), identical arithmetic hash, identical merge rule.
-    */
-  def substringSpansSql(l: Int = SpanTokens, maxDf: Int = MaxWindowDf): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |w AS (SELECT doc_id, unnest(generate_series(0, len(t) - $l)) AS pos, t
-       |      FROM toks),
-       |wh AS (SELECT doc_id, pos,
-       |    ${Hashes.polyHashSql(s"array_to_string(t[pos + 1 : pos + $l], ' ')")} AS h
-       |  FROM w),
-       |dup AS (SELECT h FROM wh GROUP BY 1
-       |        HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= $maxDf),
-       |dpos AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
-       |flag AS (SELECT doc_id, pos,
-       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l
-       |         THEN 0 ELSE 1 END AS new_span
-       |  FROM dpos),
-       |isl AS (SELECT doc_id, pos,
-       |    CAST(sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
-       |  FROM flag)
-       |SELECT doc_id, span_id, min(pos) AS start_tok, max(pos) + $l AS end_tok,
-       |  max(pos) + $l - min(pos) AS n_tokens, count(*) AS n_windows
-       |FROM isl GROUP BY 1, 2 ORDER BY doc_id, span_id""".stripMargin
 }

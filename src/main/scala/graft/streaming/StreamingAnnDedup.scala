@@ -63,8 +63,13 @@ object StreamingAnnDedup {
         val spark = batch.sparkSession
         val vecs = batch.select(col("vec_id"), col("embedding")).cache()
         val corpus = spark.read.parquet(vectorsPath(storeDir))
-        val matches = AnnIndex.matchStore(spark, storeDir, corpus, vecs, minScore)
-        val intra = AnnIndex.selfMatches(spark, storeDir, vecs, minScore)
+        // centroids loaded ONCE per micro-batch and shared by both probes
+        // (each would otherwise re-read + collect the store parameters)
+        val cents = Some(AnnIndex.loadCentroids(spark, storeDir))
+        val matches = AnnIndex.matchStore(spark, storeDir, corpus, vecs,
+          minScore, centroids = cents)
+        val intra = AnnIndex.selfMatches(spark, storeDir, vecs, minScore,
+          centroids = cents)
         matches.unionByName(intra)
           .write.mode("overwrite").parquet(s"$matchesDir/batch_id=$batchId")
         val dupIds = spark.read.parquet(s"$matchesDir/batch_id=$batchId")

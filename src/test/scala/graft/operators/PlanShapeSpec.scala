@@ -142,6 +142,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p) { case s: FileSourceScanExec => s } === 3,
       s"expected exactly three documents passes, got:\n$p")
     val windows = p.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"cut-merge window must partition by doc_id, got:\n$w"))
   }

@@ -118,6 +118,29 @@ class SubstringDedupSpec extends AnyFunSuite {
       (2L, 12L, s"${tok(3, "c")} ${tok(8, "d")}")))
   }
 
+  test("scrub keep-one guarantee: overlapping cuts cannot erase a span's canonical copy") {
+    // T (8 tokens) is shared by docs 1 and 2 (canonical: 1); S = last 4 of
+    // T + v0..v3 is shared by docs 2 and 3 (canonical: 2). Doc 2's cut of
+    // T overlaps S — without the protect clause it would remove S's first
+    // half from S's OWN canonical doc while doc 3 cuts its copy, erasing S
+    // from the whole corpus
+    val tTok = tok(8, "t"); val u = tok(4, "u"); val v = tok(4, "v")
+    val sTok = ((4 until 8).map(i => s"t$i") ++ (0 until 4).map(i => s"v$i")).mkString(" ")
+    val docs = docsOf(
+      1L -> tTok,
+      2L -> s"$u $tTok $v",
+      3L -> s"${tok(3, "w")} $sTok ${tok(2, "x")}")
+    val got = SubstringDedup.substringScrubOf(docs, l = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(2L).contains(sTok),
+      s"S must survive in its canonical doc 2, got '${got(2L)}'")
+    assert(!got(3L).contains(sTok), "doc 3's non-canonical copy of S is cut")
+    assert(got(1L) === tTok, "doc 1 keeps T verbatim (canonical)")
+    // doc 2 still cuts the part of T that no canonical-to-doc-2 window covers
+    assert(got(2L) === s"$u $sTok",
+      s"doc 2 cuts T's unprotected prefix only, got '${got(2L)}'")
+  }
+
   test("scrub conservation on the fixture: kept + cut = original token count") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sfDir)
