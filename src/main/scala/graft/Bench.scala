@@ -67,6 +67,43 @@ object Bench {
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    // PROBE-ONLY timings for the persisted-store entries: the surface
+    // entries above pay index construction inline every run (so their
+    // oracle stays self-contained), but the production claim is
+    // build-once/probe-many — this block measures the "many" side. Each
+    // store is built ONCE, then its probe is timed Reps times; the
+    // medians land in the same JSON line so the per-round protocol tracks
+    // serving latency separately from build cost.
+    val storeProbes =
+      try {
+        import org.apache.spark.sql.functions.col
+        import graft.pipeline.{AnnIndex, IncrementalDedup, Search, Similarity}
+        import graft.sources.Tables
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def med(f: => Unit): Double = median(Seq.fill(Reps)(timed(f)))
+        val annDir = java.nio.file.Files.createTempDirectory("bench-ann").toString
+        AnnIndex.buildStore(Tables.embeddings(spark, sfDir), annDir)
+        val queries = Tables.embeddings(spark, sfDir)
+          .where(col("vec_id") < 10)
+          .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        val ann = med(AnnIndex.probeStore(spark, annDir, queries).count())
+        val bmDir = java.nio.file.Files.createTempDirectory("bench-bm25").toString
+        Search.buildIndex(Tables.documents(spark, sfDir), bmDir)
+        val bm = med(Search.probeIndex(spark, bmDir, Search.QueryTerms).count())
+        val incDir = java.nio.file.Files.createTempDirectory("bench-inc").toString
+        val docs = Tables.documents(spark, sfDir)
+        IncrementalDedup.buildStore(docs.where(col("doc_id") % 10 =!= 0), incDir)
+        val incBatch = docs.where(col("doc_id") % 10 === 0)
+        val inc = med(IncrementalDedup.probeStore(spark, incDir, incBatch).count())
+        s"""{"knn_ivfpq_store_probe":${fmt(ann)},"text_bm25_store_probe":${fmt(bm)},""" +
+          s""""dedup_incremental_probe":${fmt(inc)}}"""
+      } catch {
+        case e: Throwable => s"""{"ok":false,"error":"${e.getClass.getSimpleName}"}"""
+      }
     spark.stop()
     // end-to-end 7-step workflow block (its own Hive-enabled session, built
     // after this one stops) — in the same JSON line so workflow regressions
@@ -79,6 +116,6 @@ object Bench {
     // ONE compact line: total = sum of per-query MEDIANS over Reps
     // randomized-order repetitions (not a single-sample sequence sum)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,""" +
-      s""""queries":$qs,"workflow":$workflow,"sf":"$sfDir"}""")
+      s""""queries":$qs,"store_probes":$storeProbes,"workflow":$workflow,"sf":"$sfDir"}""")
   }
 }

@@ -38,7 +38,7 @@ object Search {
   private val B = 0.75
 
   /** (query_id, term) — the fixed demo query set; bounded and broadcast. */
-  private val QueryTerms: Seq[(String, String)] = Seq(
+  private[graft] val QueryTerms: Seq[(String, String)] = Seq(
     "q1" -> "vector", "q1" -> "hash",
     "q2" -> "merge", "q2" -> "join",
     "q3" -> "slow", "q3" -> "query", "q3" -> "scan")
@@ -117,6 +117,39 @@ object Search {
       .write.mode("overwrite").parquet(postingsPath(storeDir))
     docs.agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).as("sum_dl"))
+      .write.mode("overwrite").parquet(statsPath(storeDir))
+  }
+
+  /** Append a document batch to an existing index WITHOUT rebuilding —
+    * the daily-ingest path (the lexical sibling of
+    * [[AnnIndex.appendToStore]] / [[IncrementalDedup.appendToStore]]):
+    * exactly the batch's (doc_id, term, tf, dl) rows append to
+    * `postings/`, and the one-row `stats/` is rewritten as old + batch
+    * delta (read cost: one row). df needs no maintenance — a probe
+    * derives it from the postings slice, which after the append is again
+    * complete per term. A probe therefore scores appended docs EXACTLY as
+    * a full rebuild would: the postings row set and stats totals are
+    * identical by construction (spec-pinned).
+    *
+    * Crash between the postings append and the stats overwrite leaves the
+    * counts one batch behind — the same at-least-once boundary the other
+    * store appends document; the transactional fix is a table format.
+    */
+  def appendToIndex(docs: DataFrame, storeDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .write.mode("append").parquet(postingsPath(storeDir))
+    val old = spark.read.parquet(statsPath(storeDir)).collect().head
+    val delta = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("sum_dl"))
+      .collect().head
+    Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
+      .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").parquet(statsPath(storeDir))
   }
 

@@ -75,6 +75,28 @@ class SearchSpec extends AnyFunSuite {
       postingsScans.map(_.metadata("PushedFilters")).mkString("\n"))
   }
 
+  test("persisted index: append equals a full rebuild, probe-for-probe") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val seed = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val appended = java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
+    Search.buildIndex(seed, appended)
+    Search.appendToIndex(batch, appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-bm25-reb").toString
+    Search.buildIndex(docs, rebuilt)
+    // stats totals identical by construction
+    val sa = spark.read.parquet(Search.statsPath(appended)).collect().head
+    val sr = spark.read.parquet(Search.statsPath(rebuilt)).collect().head
+    assert((sa.getLong(0), sa.getLong(1)) === (sr.getLong(0), sr.getLong(1)))
+    // probes bit-identical: postings row set and stats agree, and scoring
+    // is a pure function of both
+    val pa = Search.probeIndex(spark, appended, Search.QueryTerms).collect().toSeq
+    val pr = Search.probeIndex(spark, rebuilt, Search.QueryTerms).collect().toSeq
+    assert(pa === pr, "append+probe must equal rebuild+probe")
+    assert(pa.nonEmpty)
+  }
+
   test("scores match a driver-side recomputation of the rational-idf BM25") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
