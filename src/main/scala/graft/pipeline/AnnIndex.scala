@@ -296,7 +296,8 @@ object AnnIndex {
   def matchStore(spark: SparkSession, storeDir: String,
       corpusEmbeddings: DataFrame, batch: DataFrame,
       minScore: Long = 800000L, nProbe: Int = 1,
-      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+      centroids: Option[Array[(Long, Array[Double])]] = None,
+      blocks: Int = 8): DataFrame = {
     import spark.implicits._
     val centArr = centroids.getOrElse(loadCentroids(spark, storeDir))
     val assigned = batchAssignments(spark, batch, centArr, nProbe)
@@ -306,16 +307,26 @@ object AnnIndex {
       .where(col("cell").isin(wantedCells: _*))
       .select(col("vec_id").as("corpus_vec_id"), col("cell"))
     // candidates quantized ONCE here — inside the pair map each corpus
-    // vector would re-quantize per matching batch vector, i.e. per pair
+    // vector would re-quantize per matching batch vector, i.e. per pair.
+    // The corpus side also takes an id-hash BLOCK key ([[SemanticDedup]]'s
+    // skew scheme, two-sided form): a pathological cell (a near-identical
+    // cluster) splits over `blocks` reducers instead of landing whole on
+    // one task — a plan property only, the pair set is unchanged
     val corpusVecs = corpusEmbeddings
       .select(col("vec_id").as("corpus_vec_id"),
         Similarity.toDoubleVec(col("embedding")).as("cv"))
       .join(candidates, "corpus_vec_id")
       .select(col("corpus_vec_id"), col("cv"), col("cell"))
       .as[(Long, Array[Double], Long)]
-      .map { case (cid, cv, cell) => (cid, Similarity.quantizeVec(cv), cell) }
-      .toDF("corpus_vec_id", "cvq", "cell")
-    assigned.join(corpusVecs, "cell")
+      .map { case (cid, cv, cell) =>
+        (cid, Similarity.quantizeVec(cv), cell, (cid % blocks).toInt)
+      }
+      .toDF("corpus_vec_id", "cvq", "cell", "blk")
+    // the (small) batch side fans out to every block, so (cell, blk) is
+    // the real equi-key reaching the shuffle
+    val fanned = assigned
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+    fanned.join(corpusVecs, Seq("cell", "blk"))
       .where(col("vec_id") =!= col("corpus_vec_id"))
       .select(col("vec_id"), col("corpus_vec_id"), col("bvq"), col("cvq"))
       .as[(Long, Long, Array[Long], Array[Long])]

@@ -122,6 +122,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p) { case e: ShuffleExchangeExec => e } <= 2)
   }
 
+  test("ann_ingest_matches pair join is EQUI-keyed on (cell, block), not cell alone") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val p = plan("ann_ingest_matches")
+    // the two-sided skew contract: the batch-vs-candidates join must carry
+    // the corpus-side block id in its equi-key, or a pathological cell's
+    // whole pair expansion lands on one reducer
+    val keyCounts = p.collect {
+      case j: SortMergeJoinExec if j.leftKeys.length >= 1 => j.leftKeys.length
+      case j: ShuffledHashJoinExec => j.leftKeys.length
+      case j: BroadcastHashJoinExec => j.leftKeys.length
+    }
+    assert(keyCounts.nonEmpty, s"expected a hash-joinable pair join:\n$p")
+    assert(keyCounts.exists(_ >= 2),
+      s"pair join must key on (cell, block), got $keyCounts key(s):\n$p")
+  }
+
   test("substring spans: two-pass contract, span merge never a global window") {
     val p = plan("dedup_substring_spans")
     // the count-then-filter shape: one documents scan feeds the dup-hash
