@@ -91,6 +91,8 @@ object Bench {
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         val ann = med(AnnIndex.probeStore(spark, annDir, queries).count())
+        val refine = med(AnnIndex.refineProbe(spark, annDir,
+          Tables.embeddings(spark, sfDir), queries).count())
         val bmDir = java.nio.file.Files.createTempDirectory("bench-bm25").toString
         Search.buildIndex(Tables.documents(spark, sfDir), bmDir)
         val bm = med(Search.probeIndex(spark, bmDir, Search.QueryTerms).count())
@@ -99,8 +101,8 @@ object Bench {
         IncrementalDedup.buildStore(docs.where(col("doc_id") % 10 =!= 0), incDir)
         val incBatch = docs.where(col("doc_id") % 10 === 0)
         val inc = med(IncrementalDedup.probeStore(spark, incDir, incBatch).count())
-        s"""{"knn_ivfpq_store_probe":${fmt(ann)},"text_bm25_store_probe":${fmt(bm)},""" +
-          s""""dedup_incremental_probe":${fmt(inc)}}"""
+        s"""{"knn_ivfpq_store_probe":${fmt(ann)},"knn_ivfpq_refine_probe":${fmt(refine)},""" +
+          s""""text_bm25_store_probe":${fmt(bm)},"dedup_incremental_probe":${fmt(inc)}}"""
       } catch {
         case e: Throwable => s"""{"ok":false,"error":"${e.getClass.getSimpleName}"}"""
       }

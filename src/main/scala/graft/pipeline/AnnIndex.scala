@@ -344,11 +344,22 @@ object AnnIndex {
     */
   def selfMatches(spark: SparkSession, storeDir: String, batch: DataFrame,
       minScore: Long = 800000L,
-      centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+      centroids: Option[Array[(Long, Array[Double])]] = None,
+      blocks: Int = 8): DataFrame = {
     import spark.implicits._
     val centArr = centroids.getOrElse(loadCentroids(spark, storeDir))
     val a = batchAssignments(spark, batch, centArr)
-    a.as("x").join(a.as("y"), col("x.cell") === col("y.cell") &&
+    // same two-sided block scheme as [[matchStore]]: one side carries an
+    // id-hash block key, the other fans to every block, so (cell, blk) is
+    // the equi-key and an all-near-identical batch still spreads its
+    // quadratic over `blocks` reducers; the id_a < id_b guard keeps each
+    // unordered pair exactly once (the blocked side's row has ONE blk)
+    val blocked = a
+      .withColumn("blk", (col("vec_id") % blocks).cast("int"))
+    val fanned = a
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+    fanned.as("x").join(blocked.as("y"),
+        col("x.cell") === col("y.cell") && col("x.blk") === col("y.blk") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("y.vec_id"), col("x.vec_id").as("corpus_vec_id"),
         col("y.bvq"), col("x.bvq").as("avq"))
