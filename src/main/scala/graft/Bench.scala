@@ -83,7 +83,7 @@ object Bench {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
         def med(f: => Unit): Double = median(Seq.fill(Reps)(timed(f)))
-        val annDir = java.nio.file.Files.createTempDirectory("bench-ann").toString
+        val annDir = graft.pipeline.Stores.temp("bench-ann")
         AnnIndex.buildStore(Tables.embeddings(spark, sfDir), annDir)
         val queries = Tables.embeddings(spark, sfDir)
           .where(col("vec_id") < 10)
@@ -93,10 +93,10 @@ object Bench {
         val ann = med(AnnIndex.probeStore(spark, annDir, queries).count())
         val refine = med(AnnIndex.refineProbe(spark, annDir,
           Tables.embeddings(spark, sfDir), queries).count())
-        val bmDir = java.nio.file.Files.createTempDirectory("bench-bm25").toString
+        val bmDir = graft.pipeline.Stores.temp("bench-bm25")
         Search.buildIndex(Tables.documents(spark, sfDir), bmDir)
         val bm = med(Search.probeIndex(spark, bmDir, Search.QueryTerms).count())
-        val incDir = java.nio.file.Files.createTempDirectory("bench-inc").toString
+        val incDir = graft.pipeline.Stores.temp("bench-inc")
         val docs = Tables.documents(spark, sfDir)
         IncrementalDedup.buildStore(docs.where(col("doc_id") % 10 =!= 0), incDir)
         val incBatch = docs.where(col("doc_id") % 10 === 0)

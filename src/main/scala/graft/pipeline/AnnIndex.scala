@@ -319,7 +319,10 @@ object AnnIndex {
       .select(col("corpus_vec_id"), col("cv"), col("cell"))
       .as[(Long, Array[Double], Long)]
       .map { case (cid, cv, cell) =>
-        (cid, Similarity.quantizeVec(cv), cell, (cid % blocks).toInt)
+        // floorMod: external ids are not validated anywhere, and a plain %
+        // on a negative id yields a negative block the fanned side
+        // (0..blocks-1) would never join — silently dropping its matches
+        (cid, Similarity.quantizeVec(cv), cell, java.lang.Math.floorMod(cid, blocks.toLong).toInt)
       }
       .toDF("corpus_vec_id", "cvq", "cell", "blk")
     // the (small) batch side fans out to every block, so (cell, blk) is
@@ -354,8 +357,10 @@ object AnnIndex {
     // the equi-key and an all-near-identical batch still spreads its
     // quadratic over `blocks` reducers; the id_a < id_b guard keeps each
     // unordered pair exactly once (the blocked side's row has ONE blk)
+    // pmod, not %: a negative vec_id's block must land in [0, blocks)
+    // or the fanned side would never join it (see matchStore)
     val blocked = a
-      .withColumn("blk", (col("vec_id") % blocks).cast("int"))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
     val fanned = a
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
     fanned.as("x").join(blocked.as("y"),

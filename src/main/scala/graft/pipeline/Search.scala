@@ -131,9 +131,15 @@ object Search {
     * a full rebuild would: the postings row set and stats totals are
     * identical by construction (spec-pinned).
     *
-    * Crash between the postings append and the stats overwrite leaves the
-    * counts one batch behind — the same at-least-once boundary the other
-    * store appends document; the transactional fix is a table format.
+    * Crash between the postings append and the stats swap leaves the
+    * counts one batch behind (stale, never missing): the stats rewrite is
+    * staged-then-renamed — write `stats_staging`, retire the live table to
+    * `stats_old`, install the staging copy, drop the retirement — and
+    * [[recoverStats]] (run before every read) restores an interrupted
+    * swap from the retired copy, the [[AnnIndex.compactStore]] discipline.
+    * A plain `mode("overwrite")` would instead DELETE the live one-row
+    * table before its replacement commits, bricking the index on a crash
+    * inside that window.
     */
   def appendToIndex(docs: DataFrame, storeDir: String): Unit = {
     val spark = docs.sparkSession
@@ -144,13 +150,40 @@ object Search {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .write.mode("append").parquet(postingsPath(storeDir))
-    val old = spark.read.parquet(statsPath(storeDir)).collect().head
+    val old = statsDf(spark, storeDir).collect().head
+    // coalesce: sum() over an EMPTY batch is NULL and getLong would NPE —
+    // an ingest day with no new documents must be a no-op, not a crash
     val delta = docs.agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(size(split(col("text"), " "))).cast("long").as("sum_dl"))
+        coalesce(sum(size(split(col("text"), " "))), lit(0L))
+          .cast("long").as("sum_dl"))
       .collect().head
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(statsPath(storeDir))
+    val staging = new Path(s"$storeDir/stats_staging")
+    val bak = new Path(s"$storeDir/stats_old")
     Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
       .toDF("n_docs", "sum_dl")
-      .write.mode("overwrite").parquet(statsPath(storeDir))
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(bak, true)
+    require(fs.rename(live, bak), s"could not retire $live")
+    require(fs.rename(staging, live), s"could not install $staging")
+    fs.delete(bak, true)
+  }
+
+  /** Read `stats/`, first restoring an interrupted [[appendToIndex]] swap
+    * (live table absent, retired copy present) from `stats_old`.
+    */
+  private def statsDf(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(statsPath(storeDir))
+    val bak = new Path(s"$storeDir/stats_old")
+    if (!fs.exists(live) && fs.exists(bak)) {
+      fs.delete(new Path(s"$storeDir/stats_staging"), true)
+      require(fs.rename(bak, live), s"could not restore $bak to $live")
+    }
+    spark.read.parquet(statsPath(storeDir))
   }
 
   /** Serve a (query_id, term) batch against the persisted index. The plan
@@ -169,7 +202,7 @@ object Search {
     val tf = spark.read.parquet(postingsPath(storeDir))
       .where(col("term").isin(terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(statsPath(storeDir))
+    val stats = statsDf(spark, storeDir)
     scoreAndRank(tf, dfreq, stats, queryTerms.toDF("query_id", "term"), k)
   }
 

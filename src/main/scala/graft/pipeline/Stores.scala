@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
   * hook (per-call hooks would accumulate without bound under the bench's
   * repeated-invocation loop).
   */
-private[pipeline] object Stores {
+private[graft] object Stores {
 
   private val dirs = new ConcurrentLinkedQueue[Path]
 

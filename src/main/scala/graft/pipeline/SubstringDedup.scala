@@ -284,8 +284,9 @@ object SubstringDedup {
       .select("h", "keep_id")
     // cut and protect coverage merged in ONE pass: the islands window
     // partitions by (doc, class), so the two classes never mix and the
-    // whole computation stays a single lineage (two documents scans, not
-    // four — a second mergeSpans branch would re-execute winRows+dupKeep)
+    // whole computation stays a single lineage (the plan's THREE documents
+    // scans — dup aggregate, position pass, rebuild join; a second
+    // mergeSpans branch would re-execute winRows+dupKeep and make it five)
     val marked = winRows.join(dupKeep, "h")
       .select(col("doc_id"), col("pos"),
         (col("doc_id") =!= col("keep_id")).as("is_cut"))

@@ -97,6 +97,18 @@ class SearchSpec extends AnyFunSuite {
     assert(pa.nonEmpty)
   }
 
+  test("persisted index: an empty append batch is a no-op, not a crash") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25-empty").toString
+    Search.buildIndex(docs, store)
+    val before = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
+    Search.appendToIndex(docs.where(col("doc_id") < 0), store)
+    val after = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
+    assert(after === before, "an empty append must leave the index unchanged")
+  }
+
   test("scores match a driver-side recomputation of the rational-idf BM25") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
