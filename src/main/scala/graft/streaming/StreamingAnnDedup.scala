@@ -26,7 +26,12 @@ import graft.pipeline.AnnIndex
   * `batch_id=N/` directory); the codes/vectors appends are at-least-once
   * on a crash between append and stream commit — and the replayed batch
   * does NOT quarantine itself against its own appended copies, because
-  * [[AnnIndex.matchStore]] guards `new_vec_id <> corpus_vec_id`.
+  * [[AnnIndex.matchStore]] guards `new_vec_id <> corpus_vec_id`. The two
+  * store appends themselves are also non-atomic: vectors/ is written
+  * FIRST so the crash-window orphan is an inert raw vector (absent from
+  * codes/, so never a candidate) rather than a codes row whose vector is
+  * missing — the latter would be silently dropped by matchStore's
+  * vector re-join and its near-dups accepted until the replay healed it.
   *
   * Scale shape per micro-batch: batch-sized typed-map assignment, a
   * k-bounded cell IN-list into the codes scan, candidate-cell-only vector
@@ -75,10 +80,17 @@ object StreamingAnnDedup {
         val dupIds = spark.read.parquet(s"$matchesDir/batch_id=$batchId")
           .select(col("new_vec_id").as("vec_id")).distinct()
         val accepted = vecs.join(dupIds, Seq("vec_id"), "left_anti")
-        AnnIndex.appendToStore(accepted, storeDir)
+        // vectors/ FIRST, codes second: the two appends are not atomic,
+        // and a crash between them must leave the benign orphan. A raw
+        // vector without its codes row is inert (never a candidate, never
+        // matched — exactly what the replay heals); the opposite order
+        // would leave codes rows whose vector is absent, and until the
+        // replay heals them matchStore's inner join on corpus_vec_id
+        // silently DROPS those candidates — near-dups of them get accepted
         accepted.select(col("vec_id"),
             graft.pipeline.Similarity.toDoubleVec(col("embedding")).as("embedding"))
           .write.mode("append").parquet(vectorsPath(storeDir))
+        AnnIndex.appendToStore(accepted, storeDir)
         vecs.unpersist()
         ()
       }

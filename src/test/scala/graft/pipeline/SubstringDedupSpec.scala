@@ -183,6 +183,44 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling window hashes are bit-identical to hashing each window from scratch") {
+    import graft.functions.Hashes
+    val rnd = new scala.util.Random(7)
+    def randText(nTok: Int): String =
+      // token lengths 0..9 — empty tokens (double spaces) included, the
+      // split(" ", -1) contract's hardest case for the rolling removal
+      (0 until nTok).map { _ =>
+        val len = rnd.nextInt(10)
+        (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }.mkString(" ")
+    val texts = Seq("", "one", "a b", "  ", tok(8, "z"), tok(40, "tok")) ++
+      (0 until 20).map(_ => randText(1 + rnd.nextInt(60)))
+    for (text <- texts; l <- Seq(1, 2, 3, 8)) {
+      val t = text.split(" ", -1)
+      val expect = Iterator.range(0, t.length - l + 1)
+        .map(p => Hashes.polyHashJvm(t.slice(p, p + l).mkString(" ")))
+        .toSeq
+      assert(SubstringDedup.rollingWindowHashes(text, l).toSeq === expect,
+        s"mismatch for l=$l text='${text.take(60)}…'")
+    }
+  }
+
+  test("NULL text yields no windows and passes through the scrub untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, s"${tok(8, "s")} end"), (2L, null: String),
+        (3L, s"pre ${tok(8, "s")}"))
+      .toDF("doc_id", "text")
+    // no NPE, and the null doc contributes no spans
+    val spans = SubstringDedup.substringSpansOf(docs, l = 8).collect()
+    assert(spans.map(_.getLong(0)).toSet === Set(1L, 3L))
+    // scrub: null doc passes through as an empty clean_text with zero cut
+    val scrubbed = SubstringDedup.substringScrubOf(docs, l = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(scrubbed(2L) === ((0L, "")))
+    assert(scrubbed(1L)._1 === 0L, "doc 1 is canonical (min id) and keeps its span")
+    assert(scrubbed(3L)._1 === 8L, "doc 3 loses its non-canonical copy")
+  }
+
   test("span extent arithmetic: n_tokens and n_windows are consistent") {
     val spans = SubstringDedup.substringSpans(spark, sfDir).collect()
     val l = SubstringDedup.SpanTokens
