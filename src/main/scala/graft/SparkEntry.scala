@@ -160,6 +160,13 @@ object SparkEntry {
     // ingest-time batch probe: planted near-dup batch vs the store,
     // cell-blocked exact-dot matches (the streaming dedup kernel)
     "ann_ingest_matches" -> ((s, d) => AnnIndex.annIngestMatches(s, d)),
+    // takedown path: delete a vec_id slice from the PERSISTED store
+    // (affected shard leaves rewritten only), then probe — params keep
+    // their full-corpus training, codes hold only survivors
+    "ann_store_delete" -> ((s, d) => AnnIndex.annStoreDelete(s, d)),
+    // store-maintenance audit: per-cell count + residual-energy drift of
+    // the current codes vs the build-time baseline (after a delete)
+    "ann_store_health" -> ((s, d) => AnnIndex.annStoreHealth(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -255,6 +262,10 @@ object SparkEntry {
     "knn_ivfpq_store_nprobe" -> ProductQuant.knnIvfPqSql(nProbe = 2),
     "knn_ivfpq_refine" -> ProductQuant.knnIvfPqRefineSql(),
     "ann_ingest_matches" -> AnnIndex.annIngestMatchesSql(),
+    // same build chain, codes filtered by the delete predicate only —
+    // centroid/codebook CTEs stay full-corpus (delete-in-place semantics)
+    "ann_store_delete" -> ProductQuant.knnIvfPqSql(deleteWhere = Some("vec_id % 17 = 3")),
+    "ann_store_health" -> AnnIndex.annStoreHealthSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

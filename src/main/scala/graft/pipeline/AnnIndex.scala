@@ -19,18 +19,34 @@ import graft.sources.Tables
   *     centroids. Parameter-bounded (k rows), read to the driver per probe.
   *   - `codebooks/` — (s, code_id, cq ARRAY<BIGINT>): the m per-subspace
   *     residual codebooks. m × k rows, driver-held per probe.
-  *   - `codes/`     — (vec_id, cell, codes ARRAY<BIGINT>): one row per
-  *     corpus vector — its IVF cell plus the m PQ code ids of its residual.
-  *     This is the ONLY corpus-sized table, and the only one a probe scans:
-  *     the FAISS IVFPQ storage model (cell id + m codes per vector; at
-  *     100 TB of raw embeddings the codes table is ~64× smaller and is what
-  *     keeps the whole index scannable per query).
+  *   - `codes/`     — (vec_id, cell, codes ARRAY<BIGINT>), hive-partitioned
+  *     by `shard = pmod(cell, CellShards)` with files CELL-SORTED inside
+  *     each shard: one row per corpus vector — its IVF cell plus the m PQ
+  *     code ids of its residual. This is the ONLY corpus-sized table, and
+  *     the only one a probe scans: the FAISS IVFPQ storage model (cell id +
+  *     m codes per vector; at 100 TB of raw embeddings the codes table is
+  *     ~64× smaller and is what keeps the whole index scannable per query).
+  *   - `vectors/` (streaming stores) — raw vectors, partitioned by
+  *     `shard = pmod(vec_id, VecShards)` — id-keyed, NOT cell-keyed, so a
+  *     takedown's affected shards are a pure function of its id list and
+  *     the layout survives [[reclusterStore]] unchanged.
+  *   - `health/`    — per-cell (n_vecs, sum_energy) snapshot taken at
+  *     build time, the baseline [[storeHealth]] reports drift against.
   *
-  * A probe's distributed work is one pass over `codes/` filtered to the
-  * query cells (the `cell` predicate reaches the parquet scan, so row-group
-  * stats prune foreign cells) doing m table lookups per vector — no
-  * training job, no embeddings scan, nothing corpus-sized collected. The
-  * plan spec pins all three properties.
+  * Sharding is by pmod into a FIXED shard count — not one directory per
+  * cell, which at √n..n/stride cells would mean millions of partition
+  * dirs at corpus scale. A fixed fan-out keeps the metadata bounded while
+  * still giving [[deleteFromStore]] its partition-rewrite fast path
+  * (rewrite only affected shard leaves — the product core's S4 dynamic-
+  * partition-overwrite shape applied to the derived store) and a probe its
+  * partition pruning (wanted cells → wanted shards) plus row-group pruning
+  * on the cell-sorted files within each shard.
+  *
+  * A probe's distributed work is one pass over `codes/` pruned to the
+  * query cells' shards (partition pruning) and row groups (the `cell`
+  * predicate reaches the parquet scan) doing m table lookups per vector —
+  * no training job, no embeddings scan, nothing corpus-sized collected.
+  * The plan spec pins all three properties.
   *
   * Arithmetic is identical to [[ProductQuant.knnIvfPq]] end to end (same
   * integer quantization, residuals, Lloyd rounds, ADC scoring), so
@@ -42,6 +58,25 @@ object AnnIndex {
   def centroidsPath(storeDir: String): String = s"$storeDir/centroids"
   def codebooksPath(storeDir: String): String = s"$storeDir/codebooks"
   def codesPath(storeDir: String): String = s"$storeDir/codes"
+  def vectorsPath(storeDir: String): String = s"$storeDir/vectors"
+  def healthPath(storeDir: String): String = s"$storeDir/health"
+
+  /** Fixed shard fan-outs (see the layout note above). Constants, not
+    * corpus-derived: partition-dir count must stay bounded as the corpus
+    * grows, and a delete's shard arithmetic must reproduce the build's.
+    */
+  val CellShards = 32
+  val VecShards = 32
+
+  /** Read `codes/` back in the canonical (vec_id, cell, codes, shard)
+    * column order — partition columns come LAST and type-infer as INT on
+    * read, so every consumer goes through this normalization instead of
+    * positional decoding against the raw read schema.
+    */
+  private[graft] def readCodes(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(codesPath(storeDir))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col("shard").cast("int").as("shard"))
 
   /** Train and persist the IVF-PQ index from a (vec_id, embedding) frame.
     * One heavy pass assigns cells + residuals (staged so codebook training
@@ -86,7 +121,18 @@ object AnnIndex {
         (id, cell, ProductQuant.encodeIds(books, rq, subDim))
       }
       .toDF("vec_id", "cell", "codes")
-      .write.mode("overwrite").parquet(codesPath(storeDir))
+      .withColumn("shard", pmod(col("cell"), lit(CellShards.toLong)).cast("int"))
+      // one shuffle keyed by shard so each shard leaf gets ONE file per
+      // build (not one per upstream task × shard), cell-sorted so probe
+      // row-group pruning on `cell` is tight
+      .repartition(col("shard"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").partitionBy("shard").parquet(codesPath(storeDir))
+    // build-time health baseline: per-cell counts + reconstructed-residual
+    // energy, the drift reference for [[storeHealth]] — one aggregate over
+    // the 64×-compressed codes just written
+    cellStats(readCodes(spark, storeDir), books)
+      .write.mode("overwrite").parquet(healthPath(storeDir))
     locally {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
@@ -146,7 +192,25 @@ object AnnIndex {
         (id, cell, ProductQuant.encodeIds(books, rq, vq.length / m))
       }
       .toDF("vec_id", "cell", "codes")
-      .write.mode("append").parquet(codesPath(storeDir))
+      .withColumn("shard", pmod(col("cell"), lit(CellShards.toLong)).cast("int"))
+      .write.mode("append").partitionBy("shard").parquet(codesPath(storeDir))
+  }
+
+  /** Append raw vectors to the `vectors/` side table (streaming stores'
+    * exact-dot probe source), id-sharded so [[deleteFromStore]] can
+    * rewrite only `pmod(id, VecShards)` leaves. Normalizes the embedding
+    * to ARRAY<DOUBLE> — the corpus fixture stores floats while stream
+    * batches carry doubles, and a parquet directory must agree on the
+    * element type.
+    */
+  def appendVectors(embeddings: DataFrame, storeDir: String,
+      overwrite: Boolean = false): Unit = {
+    val base = embeddings
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("embedding"))
+      .withColumn("shard", pmod(col("vec_id"), lit(VecShards.toLong)).cast("int"))
+    val sized = if (overwrite) base.repartition(col("shard")) else base
+    sized.write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("shard").parquet(vectorsPath(storeDir))
   }
 
   /** Serve a query batch against the persisted index. `queries` are raw
@@ -199,10 +263,16 @@ object AnnIndex {
       .flatMap(qi => qRows(qi)._3.map(_ -> qi))
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
     val wantedCells = queriesByCell.keys.toSeq
-    val scored = spark.read.parquet(codesPath(storeDir))
+    val wantedShards = wantedCells
+      .map(c => java.lang.Math.floorMod(c, CellShards.toLong).toInt).distinct
+    val scored = readCodes(spark, storeDir)
+      // partition pruning on shard (wanted cells → wanted shards), then
       // the cell predicate reaches the parquet scan — row groups holding
-      // only foreign cells are pruned by min/max stats before any I/O
-      .where(col("cell").isin(wantedCells: _*))
+      // only foreign cells are pruned by min/max stats (files are
+      // cell-sorted) before any I/O
+      .where(col("shard").isin(wantedShards: _*) &&
+        col("cell").isin(wantedCells: _*))
+      .select("vec_id", "cell", "codes")
       .as[(Long, Long, Array[Long])]
       .flatMap { case (id, cell, codes) =>
         queriesByCell.getOrElse(cell, Array.empty[Int]).iterator
@@ -259,8 +329,21 @@ object AnnIndex {
       }
       if (!fs.exists(dir)) None
       else {
-        val counts = graft.sources.Compaction.compact(spark, dir.toString,
-          tmp.toString, targetBytes)
+        // codes/ and vectors/ are hive-partitioned by shard — compact each
+        // leaf into the staged mirror (Compaction.compact refuses nested
+        // layouts by design), then swap the whole subdir once
+        val leaves = fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+          .map(_.getPath)
+        val counts =
+          if (leaves.isEmpty)
+            graft.sources.Compaction.compact(spark, dir.toString,
+              tmp.toString, targetBytes)
+          else
+            leaves.map { leaf =>
+              graft.sources.Compaction.compact(spark, leaf.toString,
+                s"$tmp/${leaf.getName}", targetBytes)
+            }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
         fs.delete(bak, true)
         require(fs.rename(dir, bak), s"could not retire $dir")
         require(fs.rename(tmp, dir), s"could not install $tmp")
@@ -269,6 +352,231 @@ object AnnIndex {
       }
     }.toMap
   }
+
+  // ------------------------------------------------ delete / health / recluster
+
+  /** Per-cell (n_vecs, sum_energy) over a codes frame: `sum_energy` is the
+    * exact integer energy Σ‖reconstructed residual‖² of the cell's members
+    * (each member's energy = Σ_s ‖codeword(code_s)‖², a pure lookup into
+    * the driver-held codebooks). Build-time this is the [[healthPath]]
+    * baseline; probe-time it is [[storeHealth]]'s current side.
+    */
+  private def cellStats(codes: DataFrame,
+      books: ProductQuant.Codebooks): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val energy: Array[Map[Long, Long]] =
+      books.map(_.map { case (id, cq) =>
+        id -> cq.foldLeft(0L)((a, x) => a + x * x)
+      }.toMap)
+    codes.select(col("cell"), col("codes")).as[(Long, Array[Long])]
+      .map { case (cell, cs) =>
+        var e = 0L; var s = 0
+        while (s < cs.length) { e += energy(s)(cs(s)); s += 1 }
+        (cell, e)
+      }
+      .toDF("cell", "e")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("e")).as("sum_energy"))
+  }
+
+  /** Delete vectors from the persisted store by id — the takedown/GDPR
+    * path, fusing the product core's rewrite-the-complement deletion
+    * semantics with the derived store: like the deletion kernel it
+    * rewrites ONLY affected slices (the partition-rewrite fast path), here
+    * the shard leaves that hold a deleted row.
+    *
+    * Plan shape: one column-pruned pass over `codes/` with the id IN-list
+    * pushed finds the affected cells (and hence shards — bounded by
+    * CellShards regardless of delete size); each affected `codes/shard=S`
+    * leaf is rewritten minus the ids via the staged-retire-install rename
+    * discipline of [[compactStore]] (a leaf whose rows are all deleted is
+    * removed outright). `vectors/` (when present) needs NO scan to find
+    * its slices: it is sharded by `pmod(vec_id, VecShards)`, so the
+    * affected leaves are a pure function of the id list.
+    *
+    * Centroids, codebooks and the health baseline are deliberately NOT
+    * touched: index parameters keep the deleted vectors' training
+    * influence (the same staleness contract as [[appendToStore]]), and
+    * [[storeHealth]] exists to expose exactly that drift;
+    * [[reclusterStore]] is the repair. Idempotent — re-running the same
+    * delete (the crash-heal path) finds nothing left to rewrite.
+    */
+  def deleteFromStore(spark: SparkSession, storeDir: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val affShards = readCodes(spark, storeDir)
+      .where(col("vec_id").isin(ids: _*))
+      .select("shard").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    rewriteShardLeaves(spark, codesPath(storeDir), affShards, "vec_id", ids)
+    val vecs = new Path(vectorsPath(storeDir))
+    if (vecs.getFileSystem(conf).exists(vecs)) {
+      val vShards = ids
+        .map(i => java.lang.Math.floorMod(i, VecShards.toLong).toInt).distinct
+      rewriteShardLeaves(spark, vectorsPath(storeDir), vShards, "vec_id", ids)
+    }
+  }
+
+  /** Rewrite the named `shard=S` leaves of a sharded parquet table,
+    * dropping rows whose `keyCol` is in `ids`. Per leaf: stage the kept
+    * rows OUTSIDE the table root (a staging dir inside it would poison
+    * partition-value inference), retire the live leaf, install the staged
+    * copy — or remove the leaf entirely when nothing is kept. Crash
+    * between the two renames leaves the data in the retired copy; the
+    * next call (re-running the delete heals) restores it first, the
+    * [[compactStore]] recovery contract.
+    */
+  private def rewriteShardLeaves(spark: SparkSession, tableDir: String,
+      shards: Seq[Int], keyCol: String, ids: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    shards.foreach { s =>
+      val live = new Path(s"$tableDir/shard=$s")
+      val tmp = new Path(s"${tableDir}_rw_shard_$s")
+      val bak = new Path(s"${tableDir}_rwold_shard_$s")
+      val fs = live.getFileSystem(conf)
+      if (!fs.exists(live) && fs.exists(bak)) {
+        fs.delete(tmp, true)
+        require(fs.rename(bak, live), s"could not restore $bak to $live")
+      }
+      if (fs.exists(live)) {
+        spark.read.parquet(live.toString)
+          .where(!col(keyCol).isin(ids: _*))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val keptFiles = fs.listStatus(tmp)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        fs.delete(bak, true)
+        require(fs.rename(live, bak), s"could not retire $live")
+        if (keptFiles > 0)
+          require(fs.rename(tmp, live), s"could not install $tmp")
+        else fs.delete(tmp, true) // every row deleted — the leaf goes away
+        fs.delete(bak, true)
+      }
+    }
+  }
+
+  /** Drift report: per-cell counts and reconstructed-residual energy, NOW
+    * vs the build-time [[healthPath]] baseline — the cheap audit that
+    * makes [[appendToStore]]/[[deleteFromStore]] parameter staleness
+    * visible instead of silently decaying recall. Cells that emptied
+    * since build show n_now = 0; cells born after build (an append landing
+    * in a cell that had no members) show n_build = 0. When counts skew or
+    * energy drifts, [[reclusterStore]] is the repair.
+    */
+  def storeHealth(spark: SparkSession, storeDir: String): DataFrame = {
+    val (_, books) = loadParams(spark, storeDir)
+    val cur = cellStats(readCodes(spark, storeDir), books)
+      .select(col("cell"), col("n_vecs").as("n_now"),
+        col("sum_energy").as("e_now"))
+    val base = spark.read.parquet(healthPath(storeDir))
+      .select(col("cell"), col("n_vecs").as("n_build"),
+        col("sum_energy").as("e_build"))
+    base.join(cur, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("e_build"), lit(0L)).as("e_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("e_now"), lit(0L)).as("e_now"))
+      .orderBy("cell")
+  }
+
+  /** Retrain the index over the CURRENT corpus and swap it in — the
+    * repair for months of append/delete parameter drift. One
+    * [[buildStore]] into a staging store, then the centroids/codebooks/
+    * codes/health subdirs swap via the retire-install rename discipline;
+    * `vectors/` is untouched (id-sharded — independent of cell geometry
+    * by design). Probes after recluster are bit-identical to a fresh
+    * [[buildStore]] over the same corpus (spec-pinned).
+    */
+  def reclusterStore(embeddings: DataFrame, storeDir: String,
+      ivfStride: Int = 50, m: Int = 16, codeStride: Int = 40,
+      iters: Int = 2, dim: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = s"${storeDir}_recluster"
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    fs.delete(stagingPath, true)
+    buildStore(embeddings, staging, ivfStride, m, codeStride, iters, dim)
+    Seq("centroids", "codebooks", "codes", "health").foreach { name =>
+      val live = new Path(s"$storeDir/$name")
+      val fresh = new Path(s"$staging/$name")
+      val bak = new Path(s"$storeDir/${name}_reclold")
+      fs.delete(bak, true)
+      if (fs.exists(live)) require(fs.rename(live, bak), s"could not retire $live")
+      require(fs.rename(fresh, live), s"could not install $fresh")
+      fs.delete(bak, true)
+    }
+    fs.delete(stagingPath, true)
+  }
+
+  /** Surface query for [[deleteFromStore]]: build the store from the full
+    * corpus, delete every `vec_id % 17 = 3` vector, probe. Equals (oracle:
+    * [[ProductQuant.knnIvfPqSql]] with the same delete predicate) an index
+    * whose centroids and codebooks were trained on the FULL corpus — the
+    * delete-in-place staleness contract — but whose codes contain only the
+    * surviving vectors.
+    */
+  def annStoreDelete(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val storeDir = Stores.temp("graft-ann-del")
+    val e = Tables.embeddings(spark, sfDir)
+    buildStore(e, storeDir)
+    val ids = e.where(col("vec_id") % 17 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    deleteFromStore(spark, storeDir, ids)
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    probeStore(spark, storeDir, queries, k)
+  }
+
+  /** Surface query for [[storeHealth]]: build, delete the `vec_id % 17 = 3`
+    * slice, report per-cell drift. Non-vacuous by construction — the
+    * deleted slice spans many cells, so n_now < n_build on every affected
+    * row while untouched cells prove the baseline intact.
+    */
+  def annStoreHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    val storeDir = Stores.temp("graft-ann-health")
+    val e = Tables.embeddings(spark, sfDir)
+    buildStore(e, storeDir)
+    val ids = e.where(col("vec_id") % 17 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    deleteFromStore(spark, storeDir, ids)
+    storeHealth(spark, storeDir)
+  }
+
+  /** DuckDB oracle for [[annStoreHealth]] — the shared IVF-PQ build chain
+    * ([[ProductQuant.knnIvfPqBuildCtes]]) up to the per-vector codes, then
+    * per-cell count + codeword-energy aggregates twice: over all vectors
+    * (the build baseline) and over the survivors of the delete predicate
+    * (the current store).
+    */
+  def annStoreHealthSql(deletePred: String = "vec_id % 17 = 3",
+      ivfStride: Int = 50, m: Int = 16, codeStride: Int = 40,
+      iters: Int = 2, dim: Int = 64): String =
+    s"""${ProductQuant.knnIvfPqBuildCtes(ivfStride, m, codeStride, iters, dim, None)},
+       |cw AS (SELECT s, code_id,
+       |  CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS e
+       |  FROM c$iters),
+       |venergy AS (
+       |  SELECT codes.vec_id, codes.cell, CAST(sum(cw.e) AS BIGINT) AS e
+       |  FROM codes JOIN cw ON codes.s = cw.s AND codes.code = cw.code_id
+       |  GROUP BY codes.vec_id, codes.cell),
+       |build AS (SELECT cell, count(*) AS n_build,
+       |            CAST(sum(e) AS BIGINT) AS e_build
+       |          FROM venergy GROUP BY cell),
+       |now_ AS (SELECT cell, count(*) AS n_now, CAST(sum(e) AS BIGINT) AS e_now
+       |         FROM venergy WHERE NOT ($deletePred) GROUP BY cell)
+       |SELECT cell, n_build, e_build,
+       |  CAST(coalesce(n_now, 0) AS BIGINT) AS n_now,
+       |  CAST(coalesce(e_now, 0) AS BIGINT) AS e_now
+       |FROM build LEFT JOIN now_ USING (cell) ORDER BY cell""".stripMargin
 
   /** Distributed ingest-time probe — the batch-as-queries form of
     * [[probeStore]]: an ingestion pipeline's micro-batch IS the query side
@@ -303,8 +611,11 @@ object AnnIndex {
     val assigned = batchAssignments(spark, batch, centArr, nProbe)
     val wantedCells = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val candidates = spark.read.parquet(codesPath(storeDir))
-      .where(col("cell").isin(wantedCells: _*))
+    val wantedShards = wantedCells
+      .map(c => java.lang.Math.floorMod(c, CellShards.toLong).toInt).distinct
+    val candidates = readCodes(spark, storeDir)
+      .where(col("shard").isin(wantedShards: _*) &&
+        col("cell").isin(wantedCells: _*))
       .select(col("vec_id").as("corpus_vec_id"), col("cell"))
     // candidates quantized ONCE here — inside the pair map each corpus
     // vector would re-quantize per matching batch vector, i.e. per pair.

@@ -289,18 +289,27 @@ object ProductQuant {
     */
   def knnIvfPqSql(nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50,
       m: Int = 16, codeStride: Int = 40, iters: Int = 2,
-      dim: Int = 64, nProbe: Int = 1): String =
-    s"""${knnIvfPqCtes(nQueries, ivfStride, m, codeStride, iters, dim, nProbe)}
+      dim: Int = 64, nProbe: Int = 1,
+      deleteWhere: Option[String] = None): String =
+    s"""${knnIvfPqCtes(nQueries, ivfStride, m, codeStride, iters, dim, nProbe, deleteWhere)}
        |SELECT query_id, rank, neighbor_id, score
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** The full index-build + ADC-search CTE chain ending in `ranked`
-    * (query_id, neighbor_id, score, rank) — shared by [[knnIvfPqSql]] and
-    * [[knnIvfPqRefineSql]] so the refine oracle's candidate stage cannot
-    * drift from the plain oracle.
+  /** The index-BUILD CTE chain, `WITH e … codes` — centroids, cell
+    * assignment, residuals, `iters` Lloyd rounds (final codebook CTE is
+    * named `c<iters>`), and the per-vector encoding
+    * `codes(vec_id, s, code, cell)`. Shared by the search oracles below
+    * and by [[AnnIndex.annStoreHealthSql]].
+    *
+    * `deleteWhere` mirrors [[AnnIndex.deleteFromStore]]'s contract
+    * exactly: centroids and codebooks are trained on the FULL corpus (the
+    * persisted parameters keep deleted vectors' training influence), and
+    * only the final `codes` rows are filtered — delete-in-place, not a
+    * rebuild.
     */
-  private def knnIvfPqCtes(nQueries: Int, ivfStride: Int,
-      m: Int, codeStride: Int, iters: Int, dim: Int, nProbe: Int): String = {
+  private[pipeline] def knnIvfPqBuildCtes(ivfStride: Int, m: Int,
+      codeStride: Int, iters: Int, dim: Int,
+      deleteWhere: Option[String]): String = {
     val subDim = dim / m
     val rounds = (1 to iters).map { n =>
       val prev = s"c${n - 1}"
@@ -318,6 +327,7 @@ object ProductQuant {
          |c$n AS (SELECT s, cell AS code_id, list(ci ORDER BY i) AS cq FROM d$n GROUP BY s, cell)""".stripMargin
     }.mkString(",\n")
     val cFinal = s"c$iters"
+    val delPred = deleteWhere.map(p => s" WHERE NOT ($p)").getOrElse("")
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS vq
@@ -346,9 +356,23 @@ object ProductQuant {
        |    ORDER BY list_sum(list_transform(generate_series(1, $subDim),
        |      i -> (sub.svq[i] - $cFinal.cq[i]) * (sub.svq[i] - $cFinal.cq[i]))) ASC, code_id) AS rk
        |  FROM sub JOIN $cFinal ON sub.s = $cFinal.s),
-       |codes AS (
+       |codes0 AS (
        |  SELECT enc.vec_id, enc.s, enc.code, res.cell
        |  FROM enc JOIN res ON enc.vec_id = res.vec_id WHERE enc.rk = 1),
+       |codes AS (SELECT * FROM codes0$delPred)""".stripMargin
+  }
+
+  /** The full index-build + ADC-search CTE chain ending in `ranked`
+    * (query_id, neighbor_id, score, rank) — shared by [[knnIvfPqSql]] and
+    * [[knnIvfPqRefineSql]] so the refine oracle's candidate stage cannot
+    * drift from the plain oracle.
+    */
+  private def knnIvfPqCtes(nQueries: Int, ivfStride: Int,
+      m: Int, codeStride: Int, iters: Int, dim: Int, nProbe: Int,
+      deleteWhere: Option[String] = None): String = {
+    val subDim = dim / m
+    val cFinal = s"c$iters"
+    s"""${knnIvfPqBuildCtes(ivfStride, m, codeStride, iters, dim, deleteWhere)},
        |qrank AS (
        |  SELECT vec_id AS query_id, vq AS qvq, cell AS qcell, crank
        |  FROM assign WHERE vec_id < $nQueries),

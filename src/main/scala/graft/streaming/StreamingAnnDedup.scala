@@ -40,18 +40,15 @@ import graft.pipeline.AnnIndex
   */
 object StreamingAnnDedup {
 
-  def vectorsPath(storeDir: String): String = s"$storeDir/vectors"
+  def vectorsPath(storeDir: String): String = AnnIndex.vectorsPath(storeDir)
 
   /** Write the corpus raw vectors alongside a freshly built index so the
-    * exact-dot probe has its vector side table. The embedding column is
-    * normalized to ARRAY<DOUBLE> — the corpus fixture stores floats while
-    * stream batches carry doubles, and parquet readers reject a directory
-    * whose files disagree on the element type.
+    * exact-dot probe has its vector side table — id-sharded parquet (see
+    * [[AnnIndex.appendVectors]]) so [[AnnIndex.deleteFromStore]] can
+    * rewrite only the affected leaves on a takedown.
     */
   def seedVectors(corpus: DataFrame, storeDir: String): Unit =
-    corpus.select(col("vec_id"),
-        graft.pipeline.Similarity.toDoubleVec(col("embedding")).as("embedding"))
-      .write.mode("overwrite").parquet(vectorsPath(storeDir))
+    AnnIndex.appendVectors(corpus, storeDir, overwrite = true)
 
   /** Start the probe-quarantine-append loop over a (vec_id, embedding)
     * stream. `matchesDir` receives (new_vec_id, corpus_vec_id, score)
@@ -87,9 +84,7 @@ object StreamingAnnDedup {
         // would leave codes rows whose vector is absent, and until the
         // replay heals them matchStore's inner join on corpus_vec_id
         // silently DROPS those candidates — near-dups of them get accepted
-        accepted.select(col("vec_id"),
-            graft.pipeline.Similarity.toDoubleVec(col("embedding")).as("embedding"))
-          .write.mode("append").parquet(vectorsPath(storeDir))
+        AnnIndex.appendVectors(accepted, storeDir)
         AnnIndex.appendToStore(accepted, storeDir)
         vecs.unpersist()
         ()

@@ -131,6 +131,166 @@ class AnnIndexSpec extends AnyFunSuite {
       s"refine scan must push the id IN-list, got: ${scans.mkString(";")}")
   }
 
+  private def leafState(dir: String): Map[String, Set[(String, Long)]] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(dir)
+    root.listFiles().filter(_.isDirectory).map { leaf =>
+      leaf.getName -> walk(leaf)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }.toMap
+  }
+
+  test("delete-from-store: probe-after-delete equals a store whose codes were rebuilt without the ids") {
+    import org.apache.hadoop.fs.Path
+    val e = Tables.embeddings(spark, sfDir)
+    val ids = e.where(col("vec_id") % 17 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty)
+    val a = Files.createTempDirectory("graft-ann-del-a").toString
+    AnnIndex.buildStore(e, a)
+    AnnIndex.deleteFromStore(spark, a, ids)
+    // reference: an identically built store (deterministic training) whose
+    // codes/ is REWRITTEN IN FULL without the deleted rows — what the
+    // slice-rewrite must be equivalent to
+    val b = Files.createTempDirectory("graft-ann-del-b").toString
+    AnnIndex.buildStore(e, b)
+    val keptCodes = spark.read.parquet(AnnIndex.codesPath(b))
+      .where(!col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col("shard").cast("int").as("shard"))
+      .collect()
+    val fs = new Path(b).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(AnnIndex.codesPath(b)), true)
+    import spark.implicits._
+    keptCodes.map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray, r.getInt(3)))
+      .toSeq.toDF("vec_id", "cell", "codes", "shard")
+      .write.partitionBy("shard").parquet(AnnIndex.codesPath(b))
+    val pa = AnnIndex.probeStore(spark, a, queries(10)).collect().toSeq
+    val pb = AnnIndex.probeStore(spark, b, queries(10)).collect().toSeq
+    assert(pa === pb, "slice-rewrite delete must equal the full codes rewrite")
+    assert(pa.nonEmpty)
+    val neighbors = pa.map(_.getLong(2)).toSet
+    assert(neighbors.intersect(ids.toSet).isEmpty,
+      "no deleted vector may surface as a neighbor")
+    // idempotent: re-running the delete (the crash-heal path) changes nothing
+    AnnIndex.deleteFromStore(spark, a, ids)
+    assert(AnnIndex.probeStore(spark, a, queries(10)).collect().toSeq === pa)
+  }
+
+  test("delete rewrites ONLY the affected shard leaves (codes and vectors)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val store = Files.createTempDirectory("graft-ann-slice").toString
+    AnnIndex.buildStore(e, store)
+    AnnIndex.appendVectors(e, store, overwrite = true)
+    val id = 123L
+    val cell = spark.read.parquet(AnnIndex.codesPath(store))
+      .where(col("vec_id") === id).select("cell").collect().head.getLong(0)
+    val codeShard = java.lang.Math.floorMod(cell, AnnIndex.CellShards.toLong)
+    val vecShard = java.lang.Math.floorMod(id, AnnIndex.VecShards.toLong)
+    val codesBefore = leafState(AnnIndex.codesPath(store))
+    val vecsBefore = leafState(AnnIndex.vectorsPath(store))
+    AnnIndex.deleteFromStore(spark, store, Seq(id))
+    val codesAfter = leafState(AnnIndex.codesPath(store))
+    val vecsAfter = leafState(AnnIndex.vectorsPath(store))
+    codesBefore.keys.filterNot(_ == s"shard=$codeShard").foreach { leaf =>
+      assert(codesAfter(leaf) === codesBefore(leaf),
+        s"codes $leaf must be untouched by a delete in shard=$codeShard")
+    }
+    assert(codesAfter(s"shard=$codeShard") !== codesBefore(s"shard=$codeShard"),
+      "the affected codes leaf must be rewritten")
+    vecsBefore.keys.filterNot(_ == s"shard=$vecShard").foreach { leaf =>
+      assert(vecsAfter(leaf) === vecsBefore(leaf),
+        s"vectors $leaf must be untouched by a delete in shard=$vecShard")
+    }
+    assert(spark.read.parquet(AnnIndex.vectorsPath(store))
+      .where(col("vec_id") === id).count() === 0L,
+      "the raw vector (the sensitive payload) must be gone")
+    assert(spark.read.parquet(AnnIndex.codesPath(store))
+      .where(col("vec_id") === id).count() === 0L)
+  }
+
+  test("probe plan prunes codes partitions to the wanted shards") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val store = Files.createTempDirectory("graft-ann-prune").toString
+    AnnIndex.buildStore(Tables.embeddings(s, sfDir), store)
+    val probe = AnnIndex.probeStore(s, store, queries(3))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec if sc.relation.location.rootPaths
+        .mkString(",").contains("codes") => sc
+    }
+    assert(scans.nonEmpty)
+    // the shard IN-list is a partition filter (directory pruning — foreign
+    // shards are never listed into the scan), and the cell IN-list still
+    // reaches the files as a pushed data filter for row-group pruning
+    assert(scans.forall(_.metadata("PartitionFilters").contains("shard")),
+      scans.map(_.metadata("PartitionFilters")).mkString("\n"))
+    assert(scans.forall(_.metadata("PushedFilters").contains("In(cell")),
+      scans.map(_.metadata("PushedFilters")).mkString("\n"))
+    val nShards = new java.io.File(AnnIndex.codesPath(store))
+      .listFiles().count(_.getName.startsWith("shard="))
+    val selected = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters).length
+    assert(selected < nShards,
+      s"3 queries must not scan all $nShards shards (selected $selected)")
+  }
+
+  test("store health: per-cell drift after a delete, zero drift before") {
+    val e = Tables.embeddings(spark, sfDir)
+    val store = Files.createTempDirectory("graft-ann-health-spec").toString
+    AnnIndex.buildStore(e, store)
+    val clean = AnnIndex.storeHealth(spark, store).collect()
+    assert(clean.nonEmpty)
+    clean.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) && r.getLong(2) === r.getLong(4),
+        s"fresh store must show zero drift, got $r")
+    }
+    val ids = e.where(col("vec_id") % 17 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    AnnIndex.deleteFromStore(spark, store, ids)
+    val after = AnnIndex.storeHealth(spark, store).collect()
+    val lost = after.map(r => r.getLong(1) - r.getLong(3)).sum
+    assert(lost === ids.length.toLong,
+      s"per-cell count drops must sum to the deleted ids (${ids.length}), got $lost")
+    after.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"delete cannot grow a cell: $r")
+      assert(r.getLong(4) <= r.getLong(2), s"delete cannot grow energy: $r")
+    }
+  }
+
+  test("recluster after append+delete equals a fresh build over the current corpus") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val store = Files.createTempDirectory("graft-ann-recl").toString
+    AnnIndex.buildStore(e, store)
+    // drift the store: append a novel vector, delete a slice
+    val novel = Array.tabulate(64)(i => if (i == 11) 1.0 else 0.0)
+    AnnIndex.appendToStore(Seq((888000L, novel.toSeq)).toDF("vec_id", "embedding"), store)
+    val ids = e.where(col("vec_id") % 17 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    AnnIndex.deleteFromStore(spark, store, ids)
+    // current corpus = survivors + the appended vector
+    val current = e.where(!col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("embedding"))
+      .unionByName(Seq((888000L, novel.toSeq)).toDF("vec_id", "embedding"))
+    AnnIndex.reclusterStore(current, store)
+    val fresh = Files.createTempDirectory("graft-ann-recl-ref").toString
+    AnnIndex.buildStore(current, fresh)
+    val pr = AnnIndex.probeStore(spark, store, queries(10)).collect().toSeq
+    val pf = AnnIndex.probeStore(spark, fresh, queries(10)).collect().toSeq
+    assert(pr === pf, "recluster must equal a fresh build over the same corpus")
+    assert(pr.nonEmpty)
+    // health baseline was re-snapshotted: zero drift again
+    AnnIndex.storeHealth(spark, store).collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"post-recluster drift must be zero: $r")
+    }
+  }
+
   test("probe-many: repeated probes answer from the same store, consistently") {
     val store = Files.createTempDirectory("graft-ann-many").toString
     AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)

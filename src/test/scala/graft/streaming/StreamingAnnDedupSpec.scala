@@ -167,10 +167,15 @@ class StreamingAnnDedupSpec extends AnyFunSuite {
       val v = Array.tabulate(64)(j => if (j == 20 + i) 1.0 else 0.0)
       val b = Seq((930L + i, v.toSeq)).toDF("vec_id", "embedding")
       AnnIndex.appendToStore(b, storeDir)
-      b.write.mode("append").parquet(StreamingAnnDedup.vectorsPath(storeDir))
+      AnnIndex.appendVectors(b, storeDir)
     }
-    def files(p: String): Int =
-      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    // recursive: codes/ and vectors/ are sharded (shard=N leaf dirs)
+    def files(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
     val codesBefore = files(AnnIndex.codesPath(storeDir))
     val rowsBefore = spark.read.parquet(AnnIndex.codesPath(storeDir)).count()
     val probeBefore = AnnIndex.probeStore(spark, storeDir,
@@ -198,7 +203,7 @@ class StreamingAnnDedupSpec extends AnyFunSuite {
     // simulate the crash-after-append replay: the batch's vectors are
     // already in the store under their own ids when the probe re-runs
     AnnIndex.appendToStore(batch, storeDir)
-    batch.write.mode("append").parquet(StreamingAnnDedup.vectorsPath(storeDir))
+    AnnIndex.appendVectors(batch, storeDir)
     val vectors = spark.read.parquet(StreamingAnnDedup.vectorsPath(storeDir))
     val matches = AnnIndex.matchStore(spark, storeDir, vectors, batch)
     assert(matches.where("new_vec_id = 920 AND corpus_vec_id = 920").count() === 0L,
