@@ -75,6 +75,9 @@ object SparkEntry {
     // the same retrieval served from a PERSISTED inverted index (postings
     // + stats parquet), probed with the term IN-list pushed to the scan
     "text_bm25_store" -> ((s, d) => Search.bm25TopKStore(s, d)),
+    // takedown path: delete a doc_id slice from the persisted index
+    // (affected shard leaves + journaled negative stats delta), probe
+    "text_bm25_delete" -> ((s, d) => Search.bm25TopKDelete(s, d)),
     // hybrid lexical+vector retrieval fused by reciprocal-rank fusion
     "search_hybrid_rrf" -> ((s, d) => HybridSearch.rrf(s, d)),
     // corpus-wide frequent-5-gram mining + boilerplate doc flagging
@@ -217,6 +220,9 @@ object SparkEntry {
     "text_bm25_topk" -> Search.bm25TopKSql(),
     // identical result contract — the store is a plan-level change
     "text_bm25_store" -> Search.bm25TopKSql(),
+    // no trained parameters in the lexical store, so delete ≡ rebuild
+    // over the survivors — the same chain filtered at the source
+    "text_bm25_delete" -> Search.bm25TopKSql(docWhere = Some("NOT (doc_id % 13 = 5)")),
     "search_hybrid_rrf" -> HybridSearch.rrfSql(),
     "text_top_ngrams" -> Ngrams.topNgramsSql(),
     "text_boilerplate" -> Ngrams.boilerplateDocsSql(),

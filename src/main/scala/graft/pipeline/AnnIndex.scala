@@ -429,7 +429,7 @@ object AnnIndex {
     * next call (re-running the delete heals) restores it first, the
     * [[compactStore]] recovery contract.
     */
-  private def rewriteShardLeaves(spark: SparkSession, tableDir: String,
+  private[pipeline] def rewriteShardLeaves(spark: SparkSession, tableDir: String,
       shards: Seq[Int], keyCol: String, ids: Seq[Long]): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration

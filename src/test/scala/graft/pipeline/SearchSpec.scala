@@ -73,6 +73,17 @@ class SearchSpec extends AnyFunSuite {
     assert(postingsScans.nonEmpty)
     assert(postingsScans.forall(_.metadata("PushedFilters").contains("In(term")),
       postingsScans.map(_.metadata("PushedFilters")).mkString("\n"))
+    // the query terms' shards are a PARTITION filter: foreign shards are
+    // pruned at the directory level, before any file I/O
+    assert(postingsScans.forall(_.metadata("PartitionFilters").contains("shard")),
+      postingsScans.map(_.metadata("PartitionFilters")).mkString("\n"))
+    val nShards = new java.io.File(Search.postingsPath(store))
+      .listFiles().count(_.getName.startsWith("shard="))
+    val selected = postingsScans.head.relation.location
+      .listFiles(postingsScans.head.partitionFilters,
+        postingsScans.head.dataFilters).length
+    assert(selected < nShards,
+      s"2 query terms must not scan all $nShards shards (selected $selected)")
   }
 
   test("persisted index: append equals a full rebuild, probe-for-probe") {
@@ -82,13 +93,11 @@ class SearchSpec extends AnyFunSuite {
     val batch = docs.where(col("doc_id") % 10 === 0)
     val appended = java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
     Search.buildIndex(seed, appended)
-    Search.appendToIndex(batch, appended)
+    Search.appendToIndex(batch, appended, "b1")
     val rebuilt = java.nio.file.Files.createTempDirectory("graft-bm25-reb").toString
     Search.buildIndex(docs, rebuilt)
     // stats totals identical by construction
-    val sa = spark.read.parquet(Search.statsPath(appended)).collect().head
-    val sr = spark.read.parquet(Search.statsPath(rebuilt)).collect().head
-    assert((sa.getLong(0), sa.getLong(1)) === (sr.getLong(0), sr.getLong(1)))
+    assert(Search.statsTotals(spark, appended) === Search.statsTotals(spark, rebuilt))
     // probes bit-identical: postings row set and stats agree, and scoring
     // is a pure function of both
     val pa = Search.probeIndex(spark, appended, Search.QueryTerms).collect().toSeq
@@ -97,16 +106,121 @@ class SearchSpec extends AnyFunSuite {
     assert(pa.nonEmpty)
   }
 
+  test("append replay shield: re-appending a committed batchId is a no-op") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25-replay").toString
+    Search.buildIndex(docs.where(col("doc_id") % 10 =!= 0), store)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    Search.appendToIndex(batch, store, "day-1")
+    val stats1 = Search.statsTotals(spark, store)
+    val probe1 = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
+    // a caller retry / crash-replay re-sends the SAME logical batch: it
+    // must not inflate tf rows, df, or the stats totals
+    Search.appendToIndex(batch, store, "day-1")
+    assert(Search.statsTotals(spark, store) === stats1,
+      "replayed append must not change stats")
+    assert(Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq === probe1,
+      "replayed append must not change probe results")
+  }
+
   test("persisted index: an empty append batch is a no-op, not a crash") {
-    import spark.implicits._
     import graft.sources.Tables
     val docs = Tables.documents(spark, sfDir)
     val store = java.nio.file.Files.createTempDirectory("graft-bm25-empty").toString
     Search.buildIndex(docs, store)
     val before = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
-    Search.appendToIndex(docs.where(col("doc_id") < 0), store)
+    Search.appendToIndex(docs.where(col("doc_id") < 0), store, "empty-day")
     val after = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
     assert(after === before, "an empty append must leave the index unchanged")
+  }
+
+  test("delete-from-index: probe equals a rebuild over the survivors, and differs from pre-delete") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    Search.buildIndex(docs, store)
+    val preDelete = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
+    val ids = docs.where(col("doc_id") % 13 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty)
+    Search.deleteFromIndex(spark, store, ids, "takedown-spec")
+    val after = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-bm25-surv").toString
+    Search.buildIndex(docs.where(!(col("doc_id") % 13 === 5)), rebuilt)
+    val ref = Search.probeIndex(spark, rebuilt, Search.QueryTerms).collect().toSeq
+    assert(after === ref, "delete must equal a rebuild over the survivors")
+    assert(after !== preDelete,
+      "the delete must actually change the ranking (non-vacuous fixture)")
+    assert(after.nonEmpty)
+    assert(after.forall(r => r.getLong(2) % 13 !== 5),
+      "no deleted doc may appear in the results")
+    // idempotent: the crash-heal path re-runs the same call
+    Search.deleteFromIndex(spark, store, ids, "takedown-spec")
+    assert(Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq === after)
+    assert(Search.statsTotals(spark, store) === Search.statsTotals(spark, rebuilt),
+      "stats after delete must equal the survivor rebuild's")
+  }
+
+  test("delete rewrites only the affected shard leaves; append batches stay journaled") {
+    import graft.sources.Tables
+    def leafState(dir: String): Map[String, Set[(String, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(dir).listFiles().filter(_.isDirectory).map { leaf =>
+        leaf.getName -> walk(leaf)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25-slice").toString
+    Search.buildIndex(docs, store)
+    val id = docs.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    val terms = docs.where(col("doc_id") === id)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct().collect().map(_.getString(0))
+    val termShards = terms.map(Search.termShardJvm).toSet
+    val docShard = java.lang.Math.floorMod(id, Search.DocShards.toLong)
+    val postBefore = leafState(Search.postingsPath(store))
+    val lensBefore = leafState(Search.doclensPath(store))
+    Search.deleteFromIndex(spark, store, Seq(id), "one-doc")
+    val postAfter = leafState(Search.postingsPath(store))
+    val lensAfter = leafState(Search.doclensPath(store))
+    postBefore.keys.filterNot(l => termShards(l.stripPrefix("shard=").toInt))
+      .foreach { leaf =>
+        assert(postAfter(leaf) === postBefore(leaf),
+          s"postings $leaf holds none of the doc's terms and must be untouched")
+      }
+    lensBefore.keys.filterNot(_ == s"shard=$docShard").foreach { leaf =>
+      assert(lensAfter(leaf) === lensBefore(leaf),
+        s"doclens $leaf must be untouched by a delete in shard=$docShard")
+    }
+    assert(lensAfter(s"shard=$docShard") !== lensBefore(s"shard=$docShard"),
+      "the deleted doc's doclens leaf must be rewritten")
+  }
+
+  test("compaction folds the journal into the base; probes and stats unchanged") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val store = java.nio.file.Files.createTempDirectory("graft-bm25-compact").toString
+    Search.buildIndex(docs.where(col("doc_id") % 10 =!= 0), store)
+    Search.appendToIndex(docs.where(col("doc_id") % 10 === 0), store, "day-1")
+    Search.deleteFromIndex(spark, store,
+      docs.where(col("doc_id") % 13 === 5).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq, "takedown-c")
+    val probe = Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq
+    val stats = Search.statsTotals(spark, store)
+    Search.compactIndex(spark, store)
+    assert(!new java.io.File(Search.batchesPath(store)).exists(),
+      "compaction must fold the journal away")
+    assert(Search.statsTotals(spark, store) === stats)
+    assert(Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq === probe,
+      "compaction must not change probe results")
+    // compacting an already-compact store is a no-op
+    Search.compactIndex(spark, store)
+    assert(Search.probeIndex(spark, store, Search.QueryTerms).collect().toSeq === probe)
   }
 
   test("scores match a driver-side recomputation of the rational-idf BM25") {
