@@ -109,6 +109,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minHashLsh(s, d)),
     // daily-ingestion shape: batch probed against the PERSISTED corpus store
     "dedup_incremental" -> ((s, d) => IncrementalDedup.dedupIncremental(s, d)),
+    // takedown path: delete a corpus slice from the persisted signature
+    // store (doc-sharded leaves named directly by the id list), then probe
+    "dedup_incremental_delete" -> ((s, d) => IncrementalDedup.dedupIncrementalDelete(s, d)),
     // train/test contamination guard: exact n-gram overlap vs the eval slice
     "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
     // same result via a Bloom runtime prefilter on the corpus side
@@ -241,6 +244,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.minHashLshSql(),
     "dedup_incremental" -> IncrementalDedup.dedupIncrementalSql(),
+    // parameter-free store ⇒ delete ≡ rebuild over surviving corpus docs
+    "dedup_incremental_delete" -> IncrementalDedup.dedupIncrementalSql(
+      corpusDeleteWhere = Some("c.doc_id % 7 = 1")),
     "decontaminate" -> Decontaminate.overlapsSql(),
     // exact same semantics — the Bloom prefilter changes the PLAN, not
     // the result, so the oracle is the same SQL

@@ -38,16 +38,30 @@ object IncrementalDedup {
   def signaturesPath(storeDir: String): String = s"$storeDir/signatures"
   def bucketsPath(storeDir: String): String = s"$storeDir/buckets"
 
+  /** Fixed doc-shard fan-out ([[AnnIndex.VecShards]] discipline): BOTH
+    * store tables are doc-keyed, so hive-partitioning them by
+    * `shard = pmod(doc_id, DocShards)` makes a takedown's affected leaves
+    * a pure function of its id list — [[deleteFromStore]] rewrites only
+    * those, with NO scan to find them.
+    */
+  val DocShards = 32
+
+  private def withDocShard(df: DataFrame): DataFrame =
+    df.withColumn("shard", pmod(col("doc_id"), lit(DocShards.toLong)).cast("int"))
+
   /** Build (overwrite) the persisted MinHash store from a corpus frame.
     * One scan of the corpus computes the signatures; the bucket table is
     * derived from the WRITTEN signatures so the corpus is not re-scanned.
     */
   def buildStore(docs: DataFrame, storeDir: String): Unit = {
     val spark = docs.sparkSession
-    Dedup.minHashSignatures(docs)
-      .write.mode("overwrite").parquet(signaturesPath(storeDir))
-    Dedup.bandedOf(spark.read.parquet(signaturesPath(storeDir)))
-      .write.mode("overwrite").parquet(bucketsPath(storeDir))
+    withDocShard(Dedup.minHashSignatures(docs))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(signaturesPath(storeDir))
+    withDocShard(Dedup.bandedOf(spark.read.parquet(signaturesPath(storeDir))
+        .select("doc_id", "sig")))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(bucketsPath(storeDir))
   }
 
   /** Append a batch's signature/bucket rows to the store — the daily
@@ -62,8 +76,29 @@ object IncrementalDedup {
     val stagingDir = s"$storeDir/append_staging"
     Dedup.minHashSignatures(docs).write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
-    staged.write.mode("append").parquet(signaturesPath(storeDir))
-    Dedup.bandedOf(staged).write.mode("append").parquet(bucketsPath(storeDir))
+    withDocShard(staged)
+      .write.mode("append").partitionBy("shard").parquet(signaturesPath(storeDir))
+    withDocShard(Dedup.bandedOf(staged))
+      .write.mode("append").partitionBy("shard").parquet(bucketsPath(storeDir))
+  }
+
+  /** Delete documents from the persisted MinHash store by id — the
+    * takedown path. No trained parameters and no global statistics live
+    * here, so delete ≡ rebuild over the survivors exactly; both tables'
+    * affected `shard=pmod(id, DocShards)` leaves are named directly by
+    * the id list and rewritten via the staged-retire-install renames of
+    * [[AnnIndex.rewriteShardLeaves]] (idempotent, crash-heal). After the
+    * delete a probe can no longer surface the documents as near-dup
+    * matches — the GDPR contract for a store whose signatures are
+    * themselves derived personal data.
+    */
+  def deleteFromStore(spark: SparkSession, storeDir: String,
+      ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val shards = ids
+      .map(i => java.lang.Math.floorMod(i, DocShards.toLong).toInt).distinct
+    AnnIndex.rewriteShardLeaves(spark, signaturesPath(storeDir), shards, "doc_id", ids)
+    AnnIndex.rewriteShardLeaves(spark, bucketsPath(storeDir), shards, "doc_id", ids)
   }
 
   /** Probe a new batch against the store: emit (new_doc_id,
@@ -146,11 +181,34 @@ object IncrementalDedup {
       .orderBy("new_doc_id", "corpus_doc_id")
   }
 
+  /** Surface query for [[deleteFromStore]]: build the corpus store, take
+    * down every `doc_id % 7 = 1` corpus document, probe today's batch.
+    * The deleted slice contains matched corpus ids at every sf (verified
+    * against the undeleted entry's output), so rows disappear — the probe
+    * provably cannot surface a taken-down document.
+    */
+  def dedupIncrementalDelete(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val storeDir = Stores.temp("graft-incr-del")
+    buildStore(docs.where(col("doc_id") % 5 =!= 0), storeDir)
+    val ids = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    deleteFromStore(spark, storeDir, ids)
+    probeStore(spark, storeDir, docs.where(col("doc_id") % 5 === 0), threshold)
+      .orderBy("new_doc_id", "corpus_doc_id")
+  }
+
   /** DuckDB oracle — the same 128 affine mins, band fold, and estimate as
     * [[Dedup.minHashLshSql]], with the candidate join split corpus-vs-
-    * batch by the same doc_id % 5 rule.
+    * batch by the same doc_id % 5 rule. `corpusDeleteWhere` mirrors
+    * [[deleteFromStore]]: a deleted corpus doc vanishes from both store
+    * tables, which for a parameter-free store is exactly a corpus-side
+    * filter (delete ≡ rebuild over survivors).
     */
-  def dedupIncrementalSql(threshold: Double = 0.7): String = {
+  def dedupIncrementalSql(threshold: Double = 0.7,
+      corpusDeleteWhere: Option[String] = None): String = {
+    val corpusDel = corpusDeleteWhere.map(p => s" AND NOT ($p)").getOrElse("")
     val minCols = Dedup.permParams.zipWithIndex.map { case ((a, b), i) =>
       s"min(${Hashes.affineSql("h", a, b)}) AS mh_$i"
     }.mkString(",\n    ")
@@ -169,7 +227,7 @@ object IncrementalDedup {
        |  SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
        |  FROM banded n JOIN banded c
        |    ON n.band = c.band AND n.bucket = c.bucket
-       |  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+       |  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0$corpusDel),
        |est AS (
        |  SELECT new_doc_id, corpus_doc_id,
        |    round(list_sum(list_transform(generate_series(1, ${Dedup.NumPerms}),

@@ -77,4 +77,71 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(hits2.except(expected).count() === 0)
     assert(expected.except(hits2).count() === 0)
   }
+
+  test("delete-from-store: probe equals a rebuild over the survivors, and differs from pre-delete") {
+    val docs = Tables.documents(spark, sfDir)
+    val store = Files.createTempDirectory("graft-incr-del-a").toString
+    IncrementalDedup.buildStore(docs.where(col("doc_id") % 5 =!= 0), store)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val before = IncrementalDedup.probeStore(spark, store, batch)
+      .orderBy("new_doc_id", "corpus_doc_id").collect().toSeq
+    val ids = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.nonEmpty)
+    IncrementalDedup.deleteFromStore(spark, store, ids)
+    val after = IncrementalDedup.probeStore(spark, store, batch)
+      .orderBy("new_doc_id", "corpus_doc_id").collect().toSeq
+    val rebuilt = Files.createTempDirectory("graft-incr-del-b").toString
+    IncrementalDedup.buildStore(
+      docs.where(col("doc_id") % 5 =!= 0 && !(col("doc_id") % 7 === 1)), rebuilt)
+    val ref = IncrementalDedup.probeStore(spark, rebuilt, batch)
+      .orderBy("new_doc_id", "corpus_doc_id").collect().toSeq
+    assert(after === ref, "delete must equal a rebuild over the survivors")
+    assert(after !== before,
+      "the deleted slice must contain matched corpus ids (non-vacuous fixture)")
+    assert(after.nonEmpty)
+    assert(after.forall(r => r.getLong(1) % 7 !== 1),
+      "no taken-down document may surface as a match")
+    // idempotent: the crash-heal path re-runs the same call
+    IncrementalDedup.deleteFromStore(spark, store, ids)
+    assert(IncrementalDedup.probeStore(spark, store, batch)
+      .orderBy("new_doc_id", "corpus_doc_id").collect().toSeq === after)
+  }
+
+  test("delete rewrites only the affected shard leaves of both store tables") {
+    def leafState(dir: String): Map[String, Set[(String, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(dir).listFiles().filter(_.isDirectory).map { leaf =>
+        leaf.getName -> walk(leaf)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSet
+      }.toMap
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val store = Files.createTempDirectory("graft-incr-slice").toString
+    IncrementalDedup.buildStore(docs.where(col("doc_id") % 5 =!= 0), store)
+    val id = docs.where(col("doc_id") % 5 =!= 0).agg(min("doc_id"))
+      .collect().head.getLong(0)
+    val shard = java.lang.Math.floorMod(id, IncrementalDedup.DocShards.toLong)
+    val sigBefore = leafState(IncrementalDedup.signaturesPath(store))
+    val bukBefore = leafState(IncrementalDedup.bucketsPath(store))
+    IncrementalDedup.deleteFromStore(spark, store, Seq(id))
+    val sigAfter = leafState(IncrementalDedup.signaturesPath(store))
+    val bukAfter = leafState(IncrementalDedup.bucketsPath(store))
+    Seq((sigBefore, sigAfter, "signatures"), (bukBefore, bukAfter, "buckets"))
+      .foreach { case (bef, aft, name) =>
+        bef.keys.filterNot(_ == s"shard=$shard").foreach { leaf =>
+          assert(aft(leaf) === bef(leaf),
+            s"$name $leaf must be untouched by a delete in shard=$shard")
+        }
+        assert(aft(s"shard=$shard") !== bef(s"shard=$shard"),
+          s"$name shard=$shard must be rewritten")
+      }
+    assert(spark.read.parquet(IncrementalDedup.signaturesPath(store))
+      .where(col("doc_id") === id).count() === 0L,
+      "the signature rows (derived personal data) must be gone")
+    assert(spark.read.parquet(IncrementalDedup.bucketsPath(store))
+      .where(col("doc_id") === id).count() === 0L)
+  }
 }
