@@ -96,6 +96,9 @@ object SparkEntry {
     "vocab_coverage" -> ((s, d) => Vocab.coverage(s, d)),
     // linear quality-classifier margin (stub weights, real dataflow)
     "text_quality_model" -> ((s, d) => QualityModel.score(s, d)),
+    // the trained upgrade: deterministic integer perceptron on a planted
+    // labeled split; the oracle replays the training rounds bit-for-bit
+    "text_quality_trained" -> ((s, d) => QualityModel.trained(s, d)),
     // training-sequence prep: fixed-size token windows with stride
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // PII scrub: email/phone/IPv4 detection counts + chained redaction
@@ -236,6 +239,7 @@ object SparkEntry {
     "sample_epochs" -> Sampling.epochsUpsampleSql(),
     "vocab_coverage" -> Vocab.coverageSql(),
     "text_quality_model" -> QualityModel.scoreSql(),
+    "text_quality_trained" -> QualityModel.trainedSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
     "doc_pack_bins" -> Packing.packBinsSql(),

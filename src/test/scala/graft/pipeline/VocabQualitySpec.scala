@@ -60,6 +60,28 @@ class VocabQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("trained classifier: learns the planted rule well above chance on the held-out split") {
+    val rows = QualityModel.trained(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length === docs.length)
+    // margins are nonzero somewhere — training moved the weights off zero
+    assert(rows.exists(_._4 != 0L), "all-zero margins mean training never ran")
+    // keep == (margin > 0) by construction
+    rows.foreach { case (id, _, _, m, keep) => assert(keep === (m > 0L), s"doc $id") }
+    // both splits present, labels balanced enough to make accuracy meaningful
+    val test = rows.filter(_._2 == "test")
+    val train = rows.filter(_._2 == "train")
+    assert(test.nonEmpty && train.nonEmpty)
+    assert(test.count(_._3 == 1L) > 0 && test.count(_._3 == -1L) > 0,
+      "held-out split must contain both classes")
+    def acc(xs: Array[(Long, String, Long, Long, Boolean)]): Double =
+      xs.count { case (_, _, y, m, _) => y * m > 0 }.toDouble / xs.length
+    // prototype accuracies: ~0.9 train / ~0.9 test at every SF; 0.75 is a
+    // safe floor that still proves real learning (chance is ~0.5)
+    assert(acc(train) > 0.75, s"train accuracy ${acc(train)}")
+    assert(acc(test) > 0.75, s"test accuracy ${acc(test)}")
+  }
+
   test("epoch upsampler emits the exact deterministic copy counts") {
     val out = Sampling.epochsUpsample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
