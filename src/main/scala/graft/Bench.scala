@@ -51,6 +51,11 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // a query that THROWS must not masquerade as a fast query: round 5's
+    // events family failed analysis in ~50 ms each and the uniform 0.047 s
+    // "timings" looked like a 10× speedup in the artifact. Record the
+    // exception class instead and keep failed samples out of the medians.
+    val failures = collection.mutable.Map.empty[String, String]
     for (rep <- 0 until Reps) {
       // deterministic per-rep shuffle: every rep visits the queries in a
       // different order, so no query is pinned to the end of the sequence
@@ -58,13 +63,20 @@ object Bench {
       val order = new scala.util.Random(42L + rep).shuffle(names)
       for (name <- order) {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        } catch {
+          case e: Throwable => failures(name) = e.getClass.getSimpleName
+        }
       }
     }
-    val medians = names.map(n => n -> median(samples(n)))
+    val medians = names.filter(samples(_).nonEmpty)
+      .map(n => n -> median(samples(n)))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val errs = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     // PROBE-ONLY timings for the persisted-store entries: the surface
@@ -118,7 +130,31 @@ object Bench {
     // ONE compact line: total = sum of per-query MEDIANS over Reps
     // randomized-order repetitions (not a single-sample sequence sum)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,""" +
-      s""""queries":$qs,"store_probes":$storeProbes,"workflow":$workflow,"sf":"$sfDir"}"""
+      s""""queries":$qs,"errors":$errs,"store_probes":$storeProbes,""" +
+      s""""workflow":$workflow,"sf":"$sfDir"}"""
+    // The driver's round artifact keeps only the LAST 2000 chars of stdout
+    // (measured from BENCH_r05.json), so the full line above — ~2.6 KB at
+    // 90 queries — can never survive the capture whole; rounds 3–5 all
+    // shipped a front-truncated, unparseable object. The FINAL stdout line
+    // is therefore a budgeted summary: headline + workflow + store probes
+    // + errors always included, then queries greedily by descending median
+    // (the expensive entries are the ones a regression gate needs most)
+    // until the line would exceed the budget; the remainder is counted and
+    // pointed at the lossless on-disk artifact.
+    val tailBudget = 1800
+    val fixedPre = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"sf":"$sfDir","errors":$errs,"store_probes":$storeProbes,"workflow":$workflow,"queries_full":"logs/bench_last.json","queries_top":{"""
+    val byCost = medians.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val suffixFor = (omitted: Int) => s"""},"queries_omitted":$omitted}"""
+    val picked = collection.mutable.ListBuffer.empty[String]
+    var len = fixedPre.length
+    for (entry <- byCost) {
+      val extra = entry.length + (if (picked.isEmpty) 0 else 1)
+      if (len + extra + suffixFor(0).length <= tailBudget) {
+        picked += entry; len += extra
+      }
+    }
+    val summaryLine = fixedPre + picked.mkString(",") +
+      suffixFor(medians.length - picked.length)
     // the driver's round artifact keeps only a fixed-size TAIL of stdout,
     // which truncated the queries block mid-object in rounds 3–4 (the
     // round-4 verdict's What's wrong #1) — so the full line is ALSO
@@ -134,6 +170,10 @@ object Bench {
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // full line first (recoverable from a bigger capture or the log file),
+    // budgeted summary LAST so the tail window always holds one complete,
+    // parseable JSON object
     println(line)
+    println(summaryLine)
   }
 }

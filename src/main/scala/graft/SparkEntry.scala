@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,6 +94,12 @@ object SparkEntry {
     "sample_epochs" -> ((s, d) => Sampling.epochsUpsample(s, d)),
     // vocabulary coverage curve (tokenizer budgeting)
     "vocab_coverage" -> ((s, d) => Vocab.coverage(s, d)),
+    // deterministic subword (BPE) tokenizer: per-language fertility
+    // profile, token-faithful chunking, and piece-coverage curve — the
+    // merge chain is one codegen'd expression, oracle-identical in DuckDB
+    "text_subword_stats" -> ((s, d) => Subword.stats(s, d)),
+    "doc_chunks_subword" -> ((s, d) => Subword.chunk(s, d)),
+    "vocab_subword_coverage" -> ((s, d) => Subword.coverage(s, d)),
     // linear quality-classifier margin (stub weights, real dataflow)
     "text_quality_model" -> ((s, d) => QualityModel.score(s, d)),
     // the trained upgrade: deterministic integer perceptron on a planted
@@ -238,6 +244,9 @@ object SparkEntry {
     "sample_split" -> Sampling.sampleSplitSql(),
     "sample_epochs" -> Sampling.epochsUpsampleSql(),
     "vocab_coverage" -> Vocab.coverageSql(),
+    "text_subword_stats" -> Subword.statsSql,
+    "doc_chunks_subword" -> Subword.chunkSql(),
+    "vocab_subword_coverage" -> Subword.coverageSql(),
     "text_quality_model" -> QualityModel.scoreSql(),
     "text_quality_trained" -> QualityModel.trainedSql(),
     "doc_chunks" -> Chunking.chunkSql(),

@@ -264,7 +264,8 @@ object Search {
         .where(col("doc_id").isin(ids: _*))
         .select("shard").distinct()
         .collect().map(_.getInt(0)).toSeq
-      AnnIndex.rewriteShardLeaves(spark, root, affShards, "doc_id", ids)
+      AnnIndex.rewriteShardLeaves(spark, root, affShards, "doc_id", ids,
+        sortCols = Seq("term"))
     }
     val dlShards = ids
       .map(i => java.lang.Math.floorMod(i, DocShards.toLong).toInt).distinct

@@ -15,23 +15,33 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read natively; read it as a nanos long and convert to a µs timestamp.
-    * Truncation is safe for every second-aligned comparison: µs-truncating
-    * a ns instant never crosses a µs-aligned boundary.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
-    * build (GraftSession.FixedConfs / Verify / Bench) — a loader must not
-    * mutate session conf as a side effect.
+  /** `events.ts` normalized to a µs `TimestampType` regardless of the
+    * fixture's physical encoding. The generated parquet has shipped in two
+    * layouts: TIMESTAMP(NANOS) (unreadable natively by Spark 4 — surfaces
+    * as a nanos `LongType` under `spark.sql.legacy.parquet.nanosAsLong`,
+    * set in GraftSession.FixedConfs) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (surfaces as `TimestampNTZType`). Dispatch on
+    * the observed type rather than pinning one layout, so a regenerated
+    * fixture can't silently break every events consumer:
+    *   - nanos long → `timestamp_micros(ns / 1000)`; µs-truncating a ns
+    *     instant never crosses a µs-aligned boundary, so second-aligned
+    *     comparisons are unaffected.
+    *   - NTZ → cast to TimestampType; the session timezone is pinned UTC
+    *     (GraftSession.FixedConfs), so the cast reinterprets the naive
+    *     value as the same UTC instant DuckDB computes on the oracle side.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.ts")
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast(org.apache.spark.sql.types.LongType)))
+    val ts = raw.schema("ts").dataType match {
+      case LongType        => timestamp_micros((col("ts") / 1000L).cast(LongType))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType   => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
