@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -182,6 +182,12 @@ object SparkEntry {
     // store-maintenance audit: per-cell count + residual-energy drift of
     // the current codes vs the build-time baseline (after a delete)
     "ann_store_health" -> ((s, d) => AnnIndex.annStoreHealth(s, d)),
+    // recall@k of the IVF-PQ index vs exact brute force — the quality
+    // audit an ANN deployment tracks alongside latency
+    "ann_recall_audit" -> ((s, d) => ProductQuant.annRecall(s, d)),
+    // one-call GDPR/takedown propagation through ALL persisted derived
+    // stores (BM25, ANN, MinHash) with per-artifact accounting
+    "takedown_propagate" -> ((s, d) => Takedown.takedownPropagate(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -291,6 +297,8 @@ object SparkEntry {
     // centroid/codebook CTEs stay full-corpus (delete-in-place semantics)
     "ann_store_delete" -> ProductQuant.knnIvfPqSql(deleteWhere = Some("vec_id % 17 = 3")),
     "ann_store_health" -> AnnIndex.annStoreHealthSql(),
+    "ann_recall_audit" -> ProductQuant.annRecallSql(),
+    "takedown_propagate" -> Takedown.takedownPropagateSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql

@@ -490,4 +490,52 @@ object ProductQuant {
        |SELECT query_id, rank, neighbor_id, score
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Recall@k audit of the IVF-PQ index against exact brute-force cosine —
+    * THE quality metric an ANN deployment tracks (quantization + cell
+    * pruning both trade recall for speed; this query measures how much was
+    * actually traded, per query). Ground truth is
+    * [[Similarity.knnBruteForce]]'s top-k (cosine over doubles,
+    * deterministic tiebreak); the approximate side is [[knnIvfPq]]'s top-k
+    * over the same corpus and parameters as the persisted store. Output:
+    * one row per query — (query_id, hits, recall) with hits = |approx ∩
+    * exact| and recall = hits/k.
+    *
+    * Scale shape: both legs are the already-benchmarked bounded pipelines
+    * (brute force = one broadcast-join corpus scan; ADC = ~1/nCells per
+    * query); the intersection is a k-row-per-query join — request-sized,
+    * never corpus-sized. At 100 TB the audit runs on a sampled query set
+    * exactly like this one.
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50, m: Int = 16,
+      codeStride: Int = 40, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val exact = Similarity.knnBruteForce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvfPq(spark, sfDir, nQueries, k, ivfStride, m,
+        codeStride, iters, dim)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum(col("hit")), lit(0L)).cast("long").as("hits"))
+      .withColumn("recall", round(col("hits") / lit(k.toDouble), 4))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB oracle for [[annRecall]] — the two published oracle chains
+    * ([[Similarity.knnBruteForceSql]], [[knnIvfPqSql]]) joined on
+    * (query_id, neighbor_id), so the recall arithmetic cannot drift from
+    * either leg's own gate.
+    */
+  def annRecallSql(nQueries: Int = 10, k: Int = 5, ivfStride: Int = 50,
+      m: Int = 16, codeStride: Int = 40, iters: Int = 2,
+      dim: Int = 64): String =
+    s"""WITH exact_k AS (FROM (${Similarity.knnBruteForceSql(nQueries, k)})),
+       |approx_k AS (FROM (${knnIvfPqSql(nQueries, k, ivfStride, m, codeStride, iters, dim)}))
+       |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       |  round(count(a.neighbor_id) * 1.0 / $k, 4) AS recall
+       |FROM exact_k e LEFT JOIN approx_k a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Cross-store takedown propagation — ONE call that carries a record
+  * deletion request through every persisted derived artifact a training
+  * pipeline keeps: the BM25 inverted index ([[Search.deleteFromIndex]]),
+  * the IVF-PQ ANN store ([[AnnIndex.deleteFromStore]]), and the MinHash
+  * signature store ([[IncrementalDedup.deleteFromStore]]). This fuses the
+  * product core's record-deletion semantics (reference
+  * `DeletionExecutor.java:139-230`: rewrite the complement, validate, keep
+  * everything else intact) with the pipeline stores that otherwise only
+  * grow — a GDPR/takedown request is not served until the document's rows
+  * are gone from EVERY derived store, not just the source table.
+  *
+  * Each per-store delete already has its own oracle-gated parity row
+  * (`ann_store_delete`, `text_bm25_delete`, `dedup_incremental_delete`);
+  * this operator adds the orchestration and the cross-store ACCOUNTING: a
+  * report row per artifact with rows before/after and a residual count of
+  * deleted ids still visible (the "is it actually gone everywhere" audit a
+  * corpus owner runs after a takedown — pinned 0 by the oracle).
+  *
+  * Scale shape: every underlying delete rewrites only the shard leaves
+  * named by the id list (one batched Spark job per store table — see
+  * [[AnnIndex.rewriteShardLeaves]]); the accounting adds one count + one
+  * id-filtered count per artifact, each a column-pruned metadata-light
+  * scan. Nothing corpus-sized is collected: the id list is the request
+  * payload, bounded by the takedown batch, and the report is
+  * artifacts-count-sized. Re-running the same request (crash-heal replay)
+  * is a no-op on every store: leaf rewrites re-filter to themselves and
+  * the BM25 stats delta is journaled exactly-once per `batchId`.
+  */
+object Takedown {
+
+  /** The derived stores a takedown reaches. Absent stores are skipped —
+    * a deployment registers whichever artifacts it actually persists.
+    */
+  case class StoreSet(bm25: Option[String] = None, ann: Option[String] = None,
+      minhash: Option[String] = None)
+
+  /** Delete `docIds` (document-keyed stores) / `vecIds` (vector-keyed
+    * stores) from every store in `set` and return the accounting report:
+    * one row per artifact — (artifact, before_v, after_v, residual).
+    * For the two BM25 stats rows, before/after are the effective totals
+    * (base row + journaled deltas), not file row counts. `batchId` keys
+    * the BM25 stats reversal's exactly-once journal entry — unique per
+    * logical request, reused verbatim on a crash-heal replay.
+    */
+  def propagate(spark: SparkSession, set: StoreSet,
+      docIds: Seq[Long], vecIds: Seq[Long], batchId: String): DataFrame = {
+    import spark.implicits._
+    def cnt(path: String): Long = spark.read.parquet(path).count()
+    def residual(path: String, key: String, ids: Seq[Long]): Long =
+      if (ids.isEmpty) 0L
+      else spark.read.parquet(path).where(col(key).isin(ids: _*)).count()
+
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
+
+    set.ann.foreach { dir =>
+      val codes = AnnIndex.codesPath(dir)
+      val before = cnt(codes)
+      AnnIndex.deleteFromStore(spark, dir, vecIds)
+      rows += (("ann/codes", before, cnt(codes),
+        residual(codes, "vec_id", vecIds)))
+    }
+    set.bm25.foreach { dir =>
+      val posts = Search.postingsPath(dir)
+      val dls = Search.doclensPath(dir)
+      val (nBefore, sumBefore) = Search.statsTotals(spark, dir)
+      val pBefore = cnt(posts)
+      val dBefore = cnt(dls)
+      Search.deleteFromIndex(spark, dir, docIds, batchId)
+      val (nAfter, sumAfter) = Search.statsTotals(spark, dir)
+      rows += (("bm25/postings", pBefore, cnt(posts),
+        residual(posts, "doc_id", docIds)))
+      rows += (("bm25/doclens", dBefore, cnt(dls),
+        residual(dls, "doc_id", docIds)))
+      rows += (("bm25/stats_n_docs", nBefore, nAfter, 0L))
+      rows += (("bm25/stats_sum_dl", sumBefore, sumAfter, 0L))
+    }
+    set.minhash.foreach { dir =>
+      val sigs = IncrementalDedup.signaturesPath(dir)
+      val bks = IncrementalDedup.bucketsPath(dir)
+      val sBefore = cnt(sigs)
+      val bBefore = cnt(bks)
+      IncrementalDedup.deleteFromStore(spark, dir, docIds)
+      rows += (("minhash/signatures", sBefore, cnt(sigs),
+        residual(sigs, "doc_id", docIds)))
+      rows += (("minhash/buckets", bBefore, cnt(bks),
+        residual(bks, "doc_id", docIds)))
+    }
+    rows.toSeq.toDF("artifact", "before_v", "after_v", "residual")
+  }
+
+  /** The oracle-gated surface entry: build all three stores over a
+    * deterministic corpus slice (`doc_id`/`vec_id` < `sliceMax` — the
+    * builds run inline so the entry stays self-contained, same framing as
+    * the other `*_store` entries), take down ids `% modulus == resid`,
+    * and return the accounting report. The oracle recomputes every
+    * before/after value from the base tables with the same arithmetic
+    * (postings = distinct (doc, term) pairs of the space-split text;
+    * buckets = [[Dedup.NumBands]] rows per doc) and pins every residual
+    * to 0.
+    */
+  def takedownPropagate(spark: SparkSession, sfDir: String,
+      sliceMax: Long = 1000L, modulus: Long = 17L, resid: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < sliceMax)
+    val embs = Tables.embeddings(spark, sfDir).where(col("vec_id") < sliceMax)
+    val bmDir = Stores.temp("takedown-bm25")
+    val annDir = Stores.temp("takedown-ann")
+    val sigDir = Stores.temp("takedown-minhash")
+    Search.buildIndex(docs, bmDir)
+    AnnIndex.buildStore(embs, annDir)
+    IncrementalDedup.buildStore(docs, sigDir)
+    val docIds = docs.where(col("doc_id") % modulus === resid)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val vecIds = embs.where(col("vec_id") % modulus === resid)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    propagate(spark, StoreSet(Some(bmDir), Some(annDir), Some(sigDir)),
+      docIds, vecIds, batchId = "takedown-oracle")
+  }
+
+  /** DuckDB mirror of [[takedownPropagate]]'s report: expected row counts
+    * derived from the base tables (identical tokenization and band
+    * arithmetic), residuals pinned 0 — the oracle asserting the deletes
+    * actually landed everywhere.
+    */
+  def takedownPropagateSql(sliceMax: Long = 1000L, modulus: Long = 17L,
+      resid: Long = 3L): String = {
+    val bands = Dedup.NumBands
+    s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < $sliceMax),
+       |embs AS (SELECT * FROM embeddings WHERE vec_id < $sliceMax),
+       |kept_docs AS (SELECT * FROM docs WHERE NOT (doc_id % $modulus = $resid)),
+       |kept_embs AS (SELECT * FROM embs WHERE NOT (vec_id % $modulus = $resid)),
+       |posts AS (SELECT DISTINCT doc_id,
+       |            unnest(string_split(text, ' ')) AS term FROM docs),
+       |kept_posts AS (SELECT * FROM posts WHERE NOT (doc_id % $modulus = $resid)),
+       |dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM docs),
+       |kept_dls AS (SELECT * FROM dls WHERE NOT (doc_id % $modulus = $resid))
+       |SELECT 'ann/codes' AS artifact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM embs) AS before_v,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_embs) AS after_v,
+       |  CAST(0 AS BIGINT) AS residual
+       |UNION ALL SELECT 'bm25/postings',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM posts),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_posts), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'bm25/doclens',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM docs),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_docs), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'bm25/stats_n_docs',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM docs),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_docs), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'bm25/stats_sum_dl',
+       |  (SELECT CAST(sum(dl) AS BIGINT) FROM dls),
+       |  (SELECT CAST(sum(dl) AS BIGINT) FROM kept_dls), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'minhash/signatures',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM docs),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_docs), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'minhash/buckets',
+       |  (SELECT CAST($bands * count(*) AS BIGINT) FROM docs),
+       |  (SELECT CAST($bands * count(*) AS BIGINT) FROM kept_docs),
+       |  CAST(0 AS BIGINT)""".stripMargin
+  }
+}

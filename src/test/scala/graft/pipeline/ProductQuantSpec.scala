@@ -99,4 +99,21 @@ class ProductQuantSpec extends AnyFunSuite {
         s"query $i: planted near-dup not retrieved as top-1 (got ${top1(i.toLong)})")
     }
   }
+
+  test("recall audit: one row per query, hits bounded by k, recall = hits/k") {
+    val k = 5
+    val rows = ProductQuant.annRecall(spark, sfDir, nQueries = 10, k = k)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0L && hits <= k, s"hits $hits outside [0, $k]")
+      assert(r.getDouble(2) ===
+        BigDecimal(hits.toDouble / k).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the fixture's IVF-PQ configuration finds at least SOME true
+    // neighbors — an all-zero recall row would mean the audit is vacuous
+    assert(rows.map(_.getLong(1)).sum > 0L, "recall audit is vacuous (0 hits)")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.testkit.SparkTestSession
+
+/** Cross-store takedown: one call must remove the ids from every derived
+  * store, account for every artifact exactly, and be replay-safe.
+  */
+class TakedownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def buildAll(): (Takedown.StoreSet, Seq[Long], Seq[Long]) = {
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    val bm = Stores.temp("tds-bm25")
+    val ann = Stores.temp("tds-ann")
+    val mh = Stores.temp("tds-minhash")
+    Search.buildIndex(docs, bm)
+    AnnIndex.buildStore(embs, ann)
+    IncrementalDedup.buildStore(docs, mh)
+    val docIds = docs.where(col("doc_id") % 7 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val vecIds = embs.where(col("vec_id") % 7 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    (Takedown.StoreSet(Some(bm), Some(ann), Some(mh)), docIds, vecIds)
+  }
+
+  test("propagate removes the ids from every store with exact accounting") {
+    val (set, docIds, vecIds) = buildAll()
+    val report = Takedown.propagate(spark, set, docIds, vecIds, "tds-1")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report.keySet === Set("ann/codes", "bm25/postings",
+      "bm25/doclens", "bm25/stats_n_docs", "bm25/stats_sum_dl",
+      "minhash/signatures", "minhash/buckets"))
+    // every artifact: residual 0, rows strictly removed
+    report.foreach { case (artifact, (before, after, residual)) =>
+      assert(residual === 0L, s"$artifact still shows deleted ids")
+      assert(before > after, s"$artifact removed nothing")
+    }
+    // doc-count-keyed artifacts drop by exactly the id count
+    val nDocs = report("bm25/doclens")._1
+    assert(report("bm25/doclens")._2 === nDocs - docIds.length)
+    assert(report("bm25/stats_n_docs")._2 === nDocs - docIds.length)
+    assert(report("minhash/signatures")._2 === nDocs - docIds.length)
+    assert(report("minhash/buckets")._2 ===
+      Dedup.NumBands * (nDocs - docIds.length))
+    assert(report("ann/codes")._2 === report("ann/codes")._1 - vecIds.length)
+    // post-delete probes surface no deleted id
+    val bmHits = Search.probeIndex(spark, set.bm25.get, Search.QueryTerms)
+      .where(col("doc_id").isin(docIds: _*)).count()
+    assert(bmHits === 0L, "BM25 probe still returns a deleted doc")
+    val mhHits = IncrementalDedup.probeStore(spark, set.minhash.get,
+        Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 1), 0.5)
+      .where(col("corpus_doc_id").isin(docIds: _*)).count()
+    assert(mhHits === 0L, "MinHash probe still matches a deleted doc")
+  }
+
+  test("replaying the same request is a no-op on every artifact") {
+    val (set, docIds, vecIds) = buildAll()
+    val first = Takedown.propagate(spark, set, docIds, vecIds, "tds-replay")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // same batchId, same ids — the crash-heal path
+    val replay = Takedown.propagate(spark, set, docIds, vecIds, "tds-replay")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    replay.foreach { case (artifact, (before, after, residual)) =>
+      assert(before === first(artifact)._1,
+        s"$artifact changed between delete and replay")
+      assert(after === first(artifact)._1, s"$artifact shrank on replay")
+      assert(residual === 0L)
+    }
+  }
+
+  test("empty stores in the set are skipped, empty id lists delete nothing") {
+    val docs = Tables.documents(spark, sfDir)
+    val mh = Stores.temp("tds-mh-only")
+    IncrementalDedup.buildStore(docs, mh)
+    val report = Takedown.propagate(spark,
+        Takedown.StoreSet(minhash = Some(mh)), Nil, Nil, "tds-empty")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report.keySet === Set("minhash/signatures", "minhash/buckets"))
+    report.foreach { case (_, (before, after)) => assert(before === after) }
+  }
+}
