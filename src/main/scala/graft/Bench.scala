@@ -48,7 +48,12 @@ object Bench {
     for (warm <- Seq("q1_pricing_summary", "dedup_minhash_lsh"))
       try SparkEntry.queries(warm)(spark, sfDir).count()
       catch { case _: Throwable => () }
+    // optional comma-separated filter for isolating queries while
+    // profiling (SPARK_GRAFT_BENCH_ONLY=q1,q2); unset = full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     // a query that THROWS must not masquerade as a fast query: round 5's

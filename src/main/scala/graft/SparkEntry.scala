@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Manifest, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,9 @@ object SparkEntry {
     "text_subword_stats" -> ((s, d) => Subword.stats(s, d)),
     "doc_chunks_subword" -> ((s, d) => Subword.chunk(s, d)),
     "vocab_subword_coverage" -> ((s, d) => Subword.coverage(s, d)),
+    // BPE merge training IN the engine (deterministic rounds, oracle
+    // replay) — reproduces the frozen Merges table's prefix from the corpus
+    "subword_train" -> ((s, d) => Subword.train(s, d)),
     // linear quality-classifier margin (stub weights, real dataflow)
     "text_quality_model" -> ((s, d) => QualityModel.score(s, d)),
     // the trained upgrade: deterministic integer perceptron on a planted
@@ -111,6 +114,9 @@ object SparkEntry {
     "text_pii_scrub" -> (Pii.scrub _),
     // GPT-style packing layout: global prefix-sum offsets, two-phase plan
     "doc_pack_bins" -> ((s, d) => Packing.packBins(s, d)),
+    // deterministic resumable training-order manifest: mixture replicas ×
+    // seeded shuffle × packed stream offsets → global step per replica
+    "train_manifest" -> ((s, d) => Manifest.trainManifest(s, d)),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -253,11 +259,13 @@ object SparkEntry {
     "text_subword_stats" -> Subword.statsSql,
     "doc_chunks_subword" -> Subword.chunkSql(),
     "vocab_subword_coverage" -> Subword.coverageSql(),
+    "subword_train" -> Subword.trainSql(),
     "text_quality_model" -> QualityModel.scoreSql(),
     "text_quality_trained" -> QualityModel.trainedSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
     "doc_pack_bins" -> Packing.packBinsSql(),
+    "train_manifest" -> Manifest.trainManifestSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

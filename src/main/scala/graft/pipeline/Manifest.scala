@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashes
+import graft.sources.Tables
+
+/** Deterministic training-order manifest — the artifact a trainer reads to
+  * know exactly which data it feeds at global step N, byte-reproducible
+  * across reruns and resumable mid-run:
+  *
+  *   1. mixture replication: each document appears `copies(source)` times
+  *      ([[Sampling.epochsUpsample]] semantics — fractional weights via a
+  *      deterministic hash cutoff);
+  *   2. deterministic global shuffle: replicas are ordered by an affine
+  *      hash of (doc_id, copy) — the "seeded shuffle" of a training run,
+  *      reproducible in both engines, no RNG state anywhere;
+  *   3. sequence packing in THAT order: a global exclusive prefix sum of
+  *      token counts assigns each replica its stream offset, and
+  *      `step = start_offset / capacity` is the training step whose batch
+  *      window consumes the replica's first token.
+  *
+  * Resume-at-step-S is a filter, not a recompute: the rows with
+  * `start_offset + n_tokens > S · capacity` are exactly the data still
+  * owed to the run — no other engine state is needed, which is the point
+  * of making the manifest a pure function of (corpus, weights, capacity).
+  *
+  * Scale shape: replication is a map-only fan-out, the shuffle order is
+  * one range exchange on the hash key, and the prefix sum is the
+  * [[Packing]] two-phase pattern (per-partition totals → driver — ONE long
+  * per partition — then a local running sum). Nothing corpus-sized is
+  * collected and no single-partition window exists in the plan; at 100 TB
+  * the manifest materializes as ordinary partitioned parquet and a trainer
+  * reads only its steps' slice.
+  */
+object Manifest {
+
+  /** Affine hash parameters for the shuffle order — its own stream, so
+    * reordering the corpus is independent of sampling/split decisions
+    * (which use [[Sampling.sampleHash]]'s stream).
+    */
+  private val (shufA, shufB) = Hashes.lcgParams(1, seed = 977L).head
+
+  /** Multiplier folding the copy number into the shuffle key: two copies
+    * of one document land far apart in the order (consecutive keys map to
+    * distant hash values), and distinct (doc_id, copy) pairs stay distinct
+    * mod [[Hashes.Prime]] for any corpus below Prime/131 documents per
+    * copy band.
+    */
+  private val CopyFold = 131L
+
+  private def shuffleKey(doc: org.apache.spark.sql.Column,
+      copy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Hashes.affine((doc * CopyFold + copy) % Hashes.Prime, shufA, shufB)
+
+  private def shuffleKeySql(doc: String, copy: String): String =
+    Hashes.affineSql(s"(($doc * $CopyFold + $copy) % ${Hashes.Prime})",
+      shufA, shufB)
+
+  /** The manifest: (step, doc_id, copy, source, n_tokens, start_offset)
+    * in stream order. One row per mixture replica; `step` repeats while a
+    * batch window fills and a replica spanning a window cut is split at
+    * materialization time, exactly the [[Packing.packBins]] convention.
+    */
+  def trainManifest(spark: SparkSession, sfDir: String,
+      epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
+      mod: Int = 100, capacity: Int = Packing.DefaultCapacity): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    import spark.implicits._
+    val reps = Sampling.epochsUpsample(spark, sfDir, epochs, mod)
+      .select("doc_id", "source", "copy")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val keyed = reps.join(toks, "doc_id")
+      .select(shuffleKey(col("doc_id"), col("copy")).as("okey"),
+        col("doc_id"), col("copy"), col("source"), col("n_tokens"))
+    // two-phase distributed prefix sum over the shuffled order — the
+    // Packing.packBinsOf discipline (range partition + per-partition
+    // totals to the driver + local running sums; two uncached passes see
+    // identical partitioning because the range sampler is deterministic
+    // for the same input and the explicit count blocks AQE re-coalescing)
+    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = keyed
+      .repartitionByRange(nRange, col("okey"), col("doc_id"), col("copy"))
+      .sortWithinPartitions("okey", "doc_id", "copy")
+      .as[(Long, Long, Long, String, Long)]
+    val partTotals = base.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._5)
+      Iterator((TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    var acc = 0L
+    val offsetByPart = (0 until nRange).map { p =>
+      val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
+    }.toMap
+    base.mapPartitions { it =>
+      var off = offsetByPart(TaskContext.getPartitionId())
+      it.map { case (_, id, copy, source, n) =>
+        val start = off; off += n
+        (start / capacity, id, copy, source, n, start)
+      }
+    }.toDF("step", "doc_id", "copy", "source", "n_tokens", "start_offset")
+      .orderBy("start_offset")
+  }
+
+  /** DuckDB oracle — replication ([[Sampling.epochsUpsampleSql]]'s sized
+    * fan-out), the same affine shuffle key, and the stream offsets as a
+    * plain cumulative-sum window; the hash gate proves the two-phase plan
+    * equivalent.
+    */
+  def trainManifestSql(epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
+      mod: Int = 100, capacity: Int = Packing.DefaultCapacity): String =
+    s"""WITH reps AS (FROM (${Sampling.epochsUpsampleSql(epochs, mod)})),
+       |toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT ${shuffleKeySql("r.doc_id", "r.copy")} AS okey,
+       |    r.doc_id, r.copy, r.source, t.n_tokens
+       |  FROM reps r JOIN toks t USING (doc_id)),
+       |c AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |      ORDER BY okey, doc_id, copy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       |  FROM keyed)
+       |SELECT start_offset // $capacity AS step, doc_id, copy, source,
+       |  n_tokens, start_offset
+       |FROM c ORDER BY start_offset""".stripMargin
+}

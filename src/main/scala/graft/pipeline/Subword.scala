@@ -31,10 +31,11 @@ import graft.sources.Tables
   * the DuckDB oracle is the LITERAL same arithmetic (generated from the
   * same [[Merges]] list by [[tokensSqlExpr]], single source of truth).
   *
-  * [[Merges]] was trained offline by classic BPE (highest-count pair per
-  * round, count-then-lexicographic tie-break) over the fixture corpus's
+  * [[Merges]] was trained by classic BPE (highest-count pair per round,
+  * count-then-lexicographic tie-break) over the sf0.01 fixture corpus's
   * closed 31-word vocabulary, then frozen — integer ranks, never
-  * retrained at query time. Frequent words end as single pieces
+  * retrained at query time. [[train]] reproduces it in-engine verbatim
+  * (spec-pinned), so the table's provenance is replayable, not asserted. Frequent words end as single pieces
   * (`join`, `hash`, `batch`…), the tail splits 2–5 ways (`or d er`,
   * `s par k`), unknown characters fall through as single-char pieces —
   * the shape a production BPE produces, at fixture scale.
@@ -182,6 +183,110 @@ object Subword {
         round(col("cum_occurrences").cast("double") / col("total_pieces"), 6)
           .as("cum_coverage"))
       .orderBy("rank")
+  }
+
+  // -------------------------------------------------------------- training
+
+  /** Train a BPE merge table IN the engine — the `knn_ivf_trained` /
+    * `text_quality_trained` pattern applied to the tokenizer, closing the
+    * "[[Merges]] was trained offline" provenance gap: classic BPE over the
+    * corpus word-frequency table, every round fully deterministic
+    * (highest pair count, count-then-lexicographic tie-break) so a DuckDB
+    * oracle replays the training bit-for-bit.
+    *
+    * Algorithm (the standard word-frequency-table form):
+    *   1. one corpus pass builds (word, freq) — BPE never re-reads the
+    *     corpus; everything after operates on the vocabulary table (here
+    *     31 rows; production trainers bound it the same way with a
+    *     frequency floor);
+    *   2. each word starts as its character sequence joined by [[Joiner]]
+    *     (the [[tokens]] representation, so learned merges apply verbatim);
+    *   3. per round: count adjacent symbol pairs weighted by word freq,
+    *     pick the (count DESC, lhs, rhs) argmax, merge it in every word
+    *     (`lhs∟rhs∟ → lhsrhs∟` — the same leftmost non-overlapping
+    *     `replace` the tokenizer applies at query time).
+    *
+    * Scale shape: the corpus is touched ONCE (the word aggregate, then
+    * `localCheckpoint` pins the vocab-sized result so the per-round
+    * lineage replays never re-scan the corpus); each round is one
+    * vocab-sized aggregate job whose single argmax row comes to the
+    * driver — R rounds, R small jobs, nothing corpus-sized collected.
+    */
+  def train(spark: SparkSession, sfDir: String, rounds: Int = 24): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    var w = words.withColumn("seg",
+      regexp_replace(col("word"), "(.)", "$1" + Joiner))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val t = filter(split(col("seg"), Joiner), p => p =!= "")
+      val pairs = w.select(col("freq"),
+          explode(zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).cast("long").as("c"))
+      val best = pairs.orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r, l, rr, c))
+        w = w.withColumn("seg",
+          replace(col("seg"), lit(l + Joiner + rr + Joiner), lit(l + rr + Joiner)))
+        r += 1
+      }
+    }
+    out.result().toDF("rank", "lhs", "rhs", "pair_count").orderBy("rank")
+  }
+
+  /** DuckDB oracle for [[train]] — the training rounds replayed as chained
+    * CTEs (the Lloyd-rounds pattern): per round, adjacency pair counts
+    * over the current segmentation, the same (count DESC, lhs, rhs)
+    * argmax, the same merge replace. Each round's state CTEs are
+    * `MATERIALIZED`: `w_r` is referenced twice (pair counting AND the next
+    * merge), and DuckDB's default CTE inlining would duplicate the whole
+    * subtree per reference — 2^rounds expansion; materializing keeps the
+    * replay linear, the SQL analogue of the Spark side's
+    * `localCheckpoint`.
+    */
+  def trainSql(rounds: Int = 24): String = {
+    val u = "chr(31)"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""a$r AS (SELECT freq, list_filter(string_split(seg, $u), p -> p <> '') AS t
+         |        FROM $prev),
+         |i$r AS (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i FROM a$r),
+         |p$r AS (SELECT t[i] AS lhs, t[i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS c
+         |        FROM i$r GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT lhs, rhs, c FROM p$r
+         |                     ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, freq,
+         |          replace(seg, lhs || $u || rhs || $u, lhs || rhs || $u) AS seg
+         |        FROM $prev CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, lhs, rhs, c AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT word, freq,
+       |         regexp_replace(word, '(.)', '\\1' || $u, 'g') AS seg
+       |       FROM words),
+       |$roundCtes
+       |$ranks
+       |ORDER BY rank""".stripMargin
   }
 
   def coverageSql(v: Int = 50): String =

@@ -53,9 +53,16 @@ object Takedown {
       docIds: Seq[Long], vecIds: Seq[Long], batchId: String): DataFrame = {
     import spark.implicits._
     def cnt(path: String): Long = spark.read.parquet(path).count()
-    def residual(path: String, key: String, ids: Seq[Long]): Long =
-      if (ids.isEmpty) 0L
-      else spark.read.parquet(path).where(col(key).isin(ids: _*)).count()
+    // post-delete total and leftover-id count in ONE aggregate pass — the
+    // report costs one job per artifact per side, not one per statistic
+    def afterAndResidual(path: String, key: String, ids: Seq[Long]): (Long, Long) = {
+      val hit = if (ids.isEmpty) lit(false) else col(key).isin(ids: _*)
+      val r = spark.read.parquet(path)
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L)).cast("long"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
 
     val rows = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
 
@@ -63,8 +70,8 @@ object Takedown {
       val codes = AnnIndex.codesPath(dir)
       val before = cnt(codes)
       AnnIndex.deleteFromStore(spark, dir, vecIds)
-      rows += (("ann/codes", before, cnt(codes),
-        residual(codes, "vec_id", vecIds)))
+      val (after, res) = afterAndResidual(codes, "vec_id", vecIds)
+      rows += (("ann/codes", before, after, res))
     }
     set.bm25.foreach { dir =>
       val posts = Search.postingsPath(dir)
@@ -74,10 +81,10 @@ object Takedown {
       val dBefore = cnt(dls)
       Search.deleteFromIndex(spark, dir, docIds, batchId)
       val (nAfter, sumAfter) = Search.statsTotals(spark, dir)
-      rows += (("bm25/postings", pBefore, cnt(posts),
-        residual(posts, "doc_id", docIds)))
-      rows += (("bm25/doclens", dBefore, cnt(dls),
-        residual(dls, "doc_id", docIds)))
+      val (pAfter, pRes) = afterAndResidual(posts, "doc_id", docIds)
+      val (dAfter, dRes) = afterAndResidual(dls, "doc_id", docIds)
+      rows += (("bm25/postings", pBefore, pAfter, pRes))
+      rows += (("bm25/doclens", dBefore, dAfter, dRes))
       rows += (("bm25/stats_n_docs", nBefore, nAfter, 0L))
       rows += (("bm25/stats_sum_dl", sumBefore, sumAfter, 0L))
     }
@@ -87,10 +94,10 @@ object Takedown {
       val sBefore = cnt(sigs)
       val bBefore = cnt(bks)
       IncrementalDedup.deleteFromStore(spark, dir, docIds)
-      rows += (("minhash/signatures", sBefore, cnt(sigs),
-        residual(sigs, "doc_id", docIds)))
-      rows += (("minhash/buckets", bBefore, cnt(bks),
-        residual(bks, "doc_id", docIds)))
+      val (sAfter, sRes) = afterAndResidual(sigs, "doc_id", docIds)
+      val (bAfter, bRes) = afterAndResidual(bks, "doc_id", docIds)
+      rows += (("minhash/signatures", sBefore, sAfter, sRes))
+      rows += (("minhash/buckets", bBefore, bAfter, bRes))
     }
     rows.toSeq.toDF("artifact", "before_v", "after_v", "residual")
   }
@@ -106,14 +113,17 @@ object Takedown {
     * to 0.
     */
   def takedownPropagate(spark: SparkSession, sfDir: String,
-      sliceMax: Long = 1000L, modulus: Long = 17L, resid: Long = 3L): DataFrame = {
+      sliceMax: Long = 600L, modulus: Long = 17L, resid: Long = 3L): DataFrame = {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < sliceMax)
     val embs = Tables.embeddings(spark, sfDir).where(col("vec_id") < sliceMax)
     val bmDir = Stores.temp("takedown-bm25")
     val annDir = Stores.temp("takedown-ann")
     val sigDir = Stores.temp("takedown-minhash")
     Search.buildIndex(docs, bmDir)
-    AnnIndex.buildStore(embs, annDir)
+    // cheap PQ configuration: the takedown contract (and its oracle) is
+    // row accounting — per-vector code rows are one row regardless of
+    // index hyper-parameters, so the inline build uses the lightest ones
+    AnnIndex.buildStore(embs, annDir, m = 8, iters = 1)
     IncrementalDedup.buildStore(docs, sigDir)
     val docIds = docs.where(col("doc_id") % modulus === resid)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -128,7 +138,7 @@ object Takedown {
     * arithmetic), residuals pinned 0 — the oracle asserting the deletes
     * actually landed everywhere.
     */
-  def takedownPropagateSql(sliceMax: Long = 1000L, modulus: Long = 17L,
+  def takedownPropagateSql(sliceMax: Long = 600L, modulus: Long = 17L,
       resid: Long = 3L): String = {
     val bands = Dedup.NumBands
     s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < $sliceMax),

@@ -106,4 +106,25 @@ class SubwordSpec extends AnyFunSuite {
     if (counts.size <= 50)
       assert(math.abs(rows.map(_.getDouble(4)).max - 1.0) < 1e-9)
   }
+
+  test("training reproduces the frozen Merges table's prefix from its corpus") {
+    // the frozen table's provenance corpus is the sf0.01 fixture: word
+    // FREQUENCIES drive BPE, so each sf's distribution yields its own
+    // (equally valid) table — the reproduction claim is sf-specific
+    val rounds = 12
+    val learned = Subword.train(spark, "/root/testdata/sf0.01", rounds)
+      .collect().sortBy(_.getInt(0))
+    assert(learned.map(_.getInt(0)).toSeq === (1 to rounds),
+      "ranks must be contiguous from 1")
+    learned.foreach(r => assert(r.getLong(3) > 0L, "non-positive pair count"))
+    assert(learned.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Subword.Merges.take(rounds),
+      "learned merges diverge from the frozen table")
+  }
+
+  test("training is deterministic and rounds nest: R rounds prefix R+4 rounds") {
+    val a = Subword.train(spark, sfDir, 8).collect().map(_.toSeq).toSeq
+    val b = Subword.train(spark, sfDir, 12).collect().map(_.toSeq).toSeq
+    assert(b.take(8) === a, "shorter training must be a prefix of longer")
+  }
 }

@@ -191,6 +191,47 @@ class StreamingAnnDedupSpec extends AnyFunSuite {
     assert(probeAfter === probeBefore, "probes must be unchanged by compaction")
   }
 
+  test("takedown mid-stream: a deleted corpus vector stops matching later batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sann-td").toString
+    val (storeDir, matchesDir, ckptDir) = (s"$base/store", s"$base/matches", s"$base/ckpt")
+    val corpus = Tables.embeddings(spark, sfDir)
+    AnnIndex.buildStore(corpus, storeDir)
+    StreamingAnnDedup.seedVectors(corpus, storeDir)
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingAnnDedup.run(in.toDF().toDF("vec_id", "embedding"),
+      storeDir, matchesDir, ckptDir)
+    try {
+      // batch 0: a near-copy of corpus vector 4 is quarantined against it
+      in.addData((960L, bumped(corpusVec(4L)).toSeq))
+      q.processAllAvailable()
+      val m0 = spark.read.parquet(s"$matchesDir/batch_id=0")
+        .select("new_vec_id", "corpus_vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m0 === Set((960L, 4L)))
+      // takedown vector 4 BETWEEN micro-batches — codes and raw-vector
+      // leaves both rewritten; the stream keeps running over the store
+      AnnIndex.deleteFromStore(spark, storeDir, Seq(4L))
+      // batch 1: another near-copy of the deleted vector must now be
+      // ACCEPTED — a served takedown cannot keep haunting ingest matching
+      in.addData((961L, bumped(corpusVec(4L), at = 8).toSeq))
+      q.processAllAvailable()
+      val m1dir = new java.io.File(s"$matchesDir/batch_id=1")
+      val m1 =
+        if (!m1dir.exists()) Set.empty[(Long, Long)]
+        else spark.read.parquet(m1dir.toString)
+          .select("new_vec_id", "corpus_vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!m1.exists(_._2 == 4L),
+        s"deleted vector 4 still matches post-takedown batches: $m1")
+      val stored = spark.read.parquet(AnnIndex.codesPath(storeDir))
+        .where("vec_id >= 960").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(stored.contains(961L),
+        "the post-takedown near-copy must be accepted into the store")
+    } finally q.stop()
+  }
+
   test("replay shield: a batch re-probed after its own append does not self-quarantine") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-sann3").toString
