@@ -117,6 +117,9 @@ object SparkEntry {
     // deterministic resumable training-order manifest: mixture replicas ×
     // seeded shuffle × packed stream offsets → global step per replica
     "train_manifest" -> ((s, d) => Manifest.trainManifest(s, d)),
+    // daily-arrival extension: new docs pack AFTER the base stream's end,
+    // every already-published step keeps its data byte-for-byte
+    "train_manifest_extend" -> ((s, d) => Manifest.trainManifestExtend(s, d)),
     // deduplication
     "dedup_exact" -> (Dedup.exact _),
     "dedup_bag_of_words" -> (Dedup.bagOfWords _),
@@ -266,6 +269,7 @@ object SparkEntry {
     "text_pii_scrub" -> Pii.scrubSql,
     "doc_pack_bins" -> Packing.packBinsSql(),
     "train_manifest" -> Manifest.trainManifestSql(),
+    "train_manifest_extend" -> Manifest.trainManifestExtendSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_bag_of_words" -> Dedup.bagOfWordsSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

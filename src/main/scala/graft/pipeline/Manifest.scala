@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashes
@@ -27,6 +26,13 @@ import graft.sources.Tables
   * owed to the run — no other engine state is needed, which is the point
   * of making the manifest a pure function of (corpus, weights, capacity).
   *
+  * Daily data arrival is [[extendManifest]]: new documents join the stream
+  * AFTER the current end (shuffled among themselves, offsets continuing
+  * from the base total), so every already-published step keeps its data
+  * byte-for-byte — the append-only contract consumed checkpoints depend
+  * on. A global re-shuffle including the new data would be a new manifest
+  * (a new training run), never an extension.
+  *
   * Scale shape: replication is a map-only fan-out, the shuffle order is
   * one range exchange on the hash key, and the prefix sum is the
   * [[Packing]] two-phase pattern (per-partition totals → driver — ONE long
@@ -51,13 +57,77 @@ object Manifest {
     */
   private val CopyFold = 131L
 
-  private def shuffleKey(doc: org.apache.spark.sql.Column,
-      copy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def shuffleKey(doc: Column, copy: Column): Column =
     Hashes.affine((doc * CopyFold + copy) % Hashes.Prime, shufA, shufB)
 
   private def shuffleKeySql(doc: String, copy: String): String =
     Hashes.affineSql(s"(($doc * $CopyFold + $copy) % ${Hashes.Prime})",
       shufA, shufB)
+
+  /** Replicas of `docs` with shuffle key and token count:
+    * (okey, doc_id, copy, source, n_tokens).
+    */
+  private def keyedReplicas(docs: DataFrame,
+      epochs: Map[String, (Int, Int)], mod: Int): DataFrame = {
+    val reps = Sampling.epochsUpsampleOf(docs, epochs, mod)
+      .select("doc_id", "source", "copy")
+    val toks = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    reps.join(toks, "doc_id")
+      .select(shuffleKey(col("doc_id"), col("copy")).as("okey"),
+        col("doc_id"), col("copy"), col("source"), col("n_tokens"))
+  }
+
+  /** Pack keyed replicas into the stream starting at `baseOffset` — the
+    * two-phase distributed prefix sum over the shuffled order (the
+    * [[Packing.packBinsOf]] discipline: range partition + per-partition
+    * totals to the driver + local running sums; two uncached passes see
+    * identical partitioning because the range sampler is deterministic for
+    * the same input and the explicit count blocks AQE re-coalescing).
+    *
+    * Both passes use `mapPartitionsWithIndex` on the RDD, whose index is
+    * the RDD's OWN partition id — `TaskContext.getPartitionId` is the
+    * STAGE-wide task index, which shifts when a downstream union fuses
+    * this leg after another one ([[extendManifest]]'s exact shape; the
+    * bug surfaced as `key not found: 32` on the union's second leg).
+    */
+  private def packedFrom(keyed: DataFrame, capacity: Int,
+      baseOffset: Long): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = keyed
+      .repartitionByRange(nRange, col("okey"), col("doc_id"), col("copy"))
+      .sortWithinPartitions("okey", "doc_id", "copy")
+      .as[(Long, Long, Long, String, Long)]
+      .rdd
+    val partTotals = base.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(s += _._5)
+      Iterator((pid, s))
+    }.collect().toMap
+    var acc = baseOffset
+    val offsetByPart = (0 until nRange).map { p =>
+      val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
+    }.toMap
+    base.mapPartitionsWithIndex { (pid, it) =>
+      var off = offsetByPart(pid)
+      it.map { case (_, id, copy, source, n) =>
+        val start = off; off += n
+        (start / capacity, id, copy, source, n, start)
+      }
+    }.toDF("step", "doc_id", "copy", "source", "n_tokens", "start_offset")
+  }
+
+  /** The manifest over any (doc_id, source, text) frame. */
+  def trainManifestOf(docs: DataFrame,
+      epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
+      mod: Int = 100, capacity: Int = Packing.DefaultCapacity): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    packedFrom(keyedReplicas(docs, epochs, mod), capacity, 0L)
+      .orderBy("start_offset")
+  }
 
   /** The manifest: (step, doc_id, copy, source, n_tokens, start_offset)
     * in stream order. One row per mixture replica; `step` repeats while a
@@ -66,45 +136,68 @@ object Manifest {
     */
   def trainManifest(spark: SparkSession, sfDir: String,
       epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
+      mod: Int = 100, capacity: Int = Packing.DefaultCapacity): DataFrame =
+    trainManifestOf(Tables.documents(spark, sfDir), epochs, mod, capacity)
+
+  /** Extend a published manifest with newly arrived documents: the new
+    * replicas are shuffled among themselves (same seeded order) and packed
+    * starting at the base stream's end, so every existing row — every
+    * already-consumed step — survives byte-for-byte. One scalar aggregate
+    * over the base (its total token count) is the only state read from it.
+    */
+  def extendManifest(base: DataFrame, newDocs: DataFrame,
+      epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
       mod: Int = 100, capacity: Int = Packing.DefaultCapacity): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    import spark.implicits._
-    val reps = Sampling.epochsUpsample(spark, sfDir, epochs, mod)
-      .select("doc_id", "source", "copy")
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val keyed = reps.join(toks, "doc_id")
-      .select(shuffleKey(col("doc_id"), col("copy")).as("okey"),
-        col("doc_id"), col("copy"), col("source"), col("n_tokens"))
-    // two-phase distributed prefix sum over the shuffled order — the
-    // Packing.packBinsOf discipline (range partition + per-partition
-    // totals to the driver + local running sums; two uncached passes see
-    // identical partitioning because the range sampler is deterministic
-    // for the same input and the explicit count blocks AQE re-coalescing)
-    val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = keyed
-      .repartitionByRange(nRange, col("okey"), col("doc_id"), col("copy"))
-      .sortWithinPartitions("okey", "doc_id", "copy")
-      .as[(Long, Long, Long, String, Long)]
-    val partTotals = base.mapPartitions { it =>
-      var s = 0L
-      it.foreach(s += _._5)
-      Iterator((TaskContext.getPartitionId(), s))
-    }.collect().toMap
-    var acc = 0L
-    val offsetByPart = (0 until nRange).map { p =>
-      val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
-    }.toMap
-    base.mapPartitions { it =>
-      var off = offsetByPart(TaskContext.getPartitionId())
-      it.map { case (_, id, copy, source, n) =>
-        val start = off; off += n
-        (start / capacity, id, copy, source, n, start)
-      }
-    }.toDF("step", "doc_id", "copy", "source", "n_tokens", "start_offset")
+    val baseEnd = base
+      .agg(coalesce(max(col("start_offset") + col("n_tokens")), lit(0L)))
+      .collect().head.getLong(0)
+    base.unionByName(
+        packedFrom(keyedReplicas(newDocs, epochs, mod), capacity, baseEnd))
       .orderBy("start_offset")
   }
+
+  /** The oracle-gated extension entry: the corpus split into an "old"
+    * slice (`doc_id % splitMod != 0`) whose manifest is built first, and a
+    * "new" batch (`% splitMod == 0`) appended via [[extendManifest]] — the
+    * daily-arrival shape with a deterministic split both engines derive.
+    */
+  def trainManifestExtend(spark: SparkSession, sfDir: String,
+      splitMod: Long = 10L,
+      epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
+      mod: Int = 100, capacity: Int = Packing.DefaultCapacity): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val oldDocs = docs.where(col("doc_id") % splitMod =!= 0)
+    val newDocs = docs.where(col("doc_id") % splitMod === 0)
+    extendManifest(trainManifestOf(oldDocs, epochs, mod, capacity),
+      newDocs, epochs, mod, capacity)
+  }
+
+  /** Shared oracle body: replicas keyed with the affine shuffle hash, an
+    * optional block column prepended to the stream order, offsets as a
+    * cumulative-sum window. `blockExpr` = SQL expression ordering whole
+    * blocks (constant "0" for the plain manifest).
+    */
+  private def manifestSqlWith(blockExpr: String,
+      epochs: Map[String, (Int, Int)], mod: Int, capacity: Int): String =
+    s"""WITH reps AS (FROM (${Sampling.epochsUpsampleSql(epochs, mod)})),
+       |toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT ${shuffleKeySql("r.doc_id", "r.copy")} AS okey,
+       |    r.doc_id, r.copy, r.source, t.n_tokens,
+       |    $blockExpr AS blk
+       |  FROM reps r JOIN toks t USING (doc_id)),
+       |c AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |      ORDER BY blk, okey, doc_id, copy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       |  FROM keyed)
+       |SELECT start_offset // $capacity AS step, doc_id, copy, source,
+       |  n_tokens, start_offset
+       |FROM c ORDER BY start_offset""".stripMargin
 
   /** DuckDB oracle — replication ([[Sampling.epochsUpsampleSql]]'s sized
     * fan-out), the same affine shuffle key, and the stream offsets as a
@@ -113,21 +206,17 @@ object Manifest {
     */
   def trainManifestSql(epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
       mod: Int = 100, capacity: Int = Packing.DefaultCapacity): String =
-    s"""WITH reps AS (FROM (${Sampling.epochsUpsampleSql(epochs, mod)})),
-       |toks AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-       |  FROM documents),
-       |keyed AS (
-       |  SELECT ${shuffleKeySql("r.doc_id", "r.copy")} AS okey,
-       |    r.doc_id, r.copy, r.source, t.n_tokens
-       |  FROM reps r JOIN toks t USING (doc_id)),
-       |c AS (
-       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-       |      ORDER BY okey, doc_id, copy
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |    AS start_offset
-       |  FROM keyed)
-       |SELECT start_offset // $capacity AS step, doc_id, copy, source,
-       |  n_tokens, start_offset
-       |FROM c ORDER BY start_offset""".stripMargin
+    manifestSqlWith("0", epochs, mod, capacity)
+
+  /** DuckDB oracle for [[trainManifestExtend]] — build-then-extend stated
+    * as ONE two-block ordering: old-corpus replicas first (in shuffle
+    * order), new-batch replicas after (in shuffle order), one cumulative
+    * sum across both. Equality with the Spark side proves the extension
+    * starts exactly at the base end and keeps the base prefix intact.
+    */
+  def trainManifestExtendSql(splitMod: Long = 10L,
+      epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
+      mod: Int = 100, capacity: Int = Packing.DefaultCapacity): String =
+    manifestSqlWith(s"CASE WHEN doc_id % $splitMod = 0 THEN 1 ELSE 0 END",
+      epochs, mod, capacity)
 }

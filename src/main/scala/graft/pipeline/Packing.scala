@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,15 +50,20 @@ object Packing {
     // the explicit partition count keeps AQE from re-coalescing between
     // executions.
     val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // mapPartitionsWithIndex on the RDD: the index is the RDD's own
+    // partition id. TaskContext.getPartitionId is the STAGE-wide task
+    // index, which shifts if a downstream union fuses this plan after
+    // another leg (Manifest.extendManifest hit exactly that).
     val base = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
       .repartitionByRange(nRange, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-    val partTotals = base.mapPartitions { it =>
+      .rdd
+    val partTotals = base.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(s += _._2)
-      Iterator((TaskContext.getPartitionId(), s))
+      Iterator((pid, s))
     }.collect().toMap
     // exclusive prefix offsets: partition p starts after all tokens of
     // 0..p-1 (the range exchange may produce fewer than nRange partitions
@@ -68,8 +72,8 @@ object Packing {
     val offsetByPart = (0 until nRange).map { p =>
       val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
     }.toMap
-    val out = base.mapPartitions { it =>
-      var off = offsetByPart(TaskContext.getPartitionId())
+    val out = base.mapPartitionsWithIndex { (pid, it) =>
+      var off = offsetByPart(pid)
       it.map { case (id, n) =>
         val start = off; off += n
         (id, n, start, start / capacity)

@@ -226,13 +226,22 @@ object Sampling {
     * nothing shuffles, and the op composes with the split/mixture filters.
     */
   def epochsUpsample(spark: SparkSession, sfDir: String,
+      epochs: Map[String, (Int, Int)] = DefaultEpochs, mod: Int = 100): DataFrame =
+    epochsUpsampleOf(Tables.documents(spark, sfDir), epochs, mod)
+      .orderBy("doc_id", "copy")
+
+  /** [[epochsUpsample]] over any (doc_id, source) frame, presentation sort
+    * left to the caller — the composition form ([[Manifest]] replicates
+    * arbitrary corpus slices through it).
+    */
+  def epochsUpsampleOf(docs: DataFrame,
       epochs: Map[String, (Int, Int)] = DefaultEpochs, mod: Int = 100): DataFrame = {
     val full = caseChain(col("source"), epochs.map { case (k, v) => k -> v._1 },
       default = 1)
     val extraPct = caseChain(col("source"), epochs.map { case (k, v) => k -> v._2 },
       default = 0)
     val copies = full + when(sampleHash(col("doc_id")) % mod < extraPct, 1).otherwise(0)
-    Tables.documents(spark, sfDir)
+    docs
       .withColumn("n_copies", copies.cast("long"))
       // a zero-copy doc must be DROPPED: Spark's sequence(1, 0) infers
       // step -1 and yields [1, 0] (two rows!) where DuckDB's
@@ -240,7 +249,6 @@ object Sampling {
       .where(col("n_copies") >= 1)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
-      .orderBy("doc_id", "copy")
   }
 
   def epochsUpsampleSql(epochs: Map[String, (Int, Int)] = DefaultEpochs,

@@ -42,6 +42,28 @@ class ManifestSpec extends AnyFunSuite {
     assert(streamIds !== streamIds.sorted, "manifest is in raw corpus order")
   }
 
+  test("extension keeps every published row byte-for-byte and appends at the end") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val oldDocs = docs.where(col("doc_id") % 10 =!= 0)
+    val newDocs = docs.where(col("doc_id") % 10 === 0)
+    val base = Manifest.trainManifestOf(oldDocs).cache()
+    val extended = Manifest.extendManifest(base, newDocs).cache()
+    val baseRows = base.collect().map(_.toSeq).toSet
+    val extRows = extended.collect().map(_.toSeq).toSet
+    // the append-only contract: the base manifest is a strict subset,
+    // unchanged — already-consumed steps keep their data
+    assert(baseRows.subsetOf(extRows), "extension rewrote published rows")
+    val added = extended.where(col("doc_id") % 10 === 0)
+    assert(extRows.size.toLong === baseRows.size.toLong + added.count())
+    // new rows all start at or after the base stream's end
+    val baseEnd = base.agg(max(col("start_offset") + col("n_tokens")))
+      .head.getLong(0)
+    assert(added.agg(min("start_offset")).head.getLong(0) === baseEnd,
+      "extension must start exactly at the base end")
+    base.unpersist(); extended.unpersist()
+  }
+
   test("resume at step S: the remaining slice is a filter, not a recompute") {
     val m = Manifest.trainManifest(spark, sfDir).cache()
     val cap = Packing.DefaultCapacity
