@@ -497,7 +497,7 @@ object AnnIndex {
 
   /** Above this many delete ids the leaf-rewrite filter becomes a
     * broadcast anti-join instead of a literal IN-list expression. */
-  private val IdFilterMax = 10000
+  private[pipeline] val IdFilterMax = 10000
 
   /** Drift report: per-cell counts and reconstructed-residual energy, NOW
     * vs the build-time [[healthPath]] baseline — the cheap audit that

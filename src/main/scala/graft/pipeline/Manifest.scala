@@ -65,32 +65,27 @@ object Manifest {
       shufA, shufB)
 
   /** Replicas of `docs` with shuffle key and token count:
-    * (okey, doc_id, copy, source, n_tokens).
+    * (okey, doc_id, copy, source, n_tokens). The token count is computed
+    * on the corpus row BEFORE the replica fan-out and rides through it
+    * ([[Sampling.epochsUpsampleOf]] preserves input columns), so the
+    * pipeline stays ONE corpus scan + map-only fan-out — no
+    * replica-by-corpus re-join.
     */
   private def keyedReplicas(docs: DataFrame,
       epochs: Map[String, (Int, Int)], mod: Int): DataFrame = {
-    val reps = Sampling.epochsUpsampleOf(docs, epochs, mod)
-      .select("doc_id", "source", "copy")
-    val toks = docs
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    reps.join(toks, "doc_id")
+    val withTok = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.epochsUpsampleOf(withTok, epochs, mod)
       .select(shuffleKey(col("doc_id"), col("copy")).as("okey"),
         col("doc_id"), col("copy"), col("source"), col("n_tokens"))
   }
 
   /** Pack keyed replicas into the stream starting at `baseOffset` — the
-    * two-phase distributed prefix sum over the shuffled order (the
-    * [[Packing.packBinsOf]] discipline: range partition + per-partition
-    * totals to the driver + local running sums; two uncached passes see
-    * identical partitioning because the range sampler is deterministic for
-    * the same input and the explicit count blocks AQE re-coalescing).
-    *
-    * Both passes use `mapPartitionsWithIndex` on the RDD, whose index is
-    * the RDD's OWN partition id — `TaskContext.getPartitionId` is the
-    * STAGE-wide task index, which shifts when a downstream union fuses
-    * this leg after another one ([[extendManifest]]'s exact shape; the
-    * bug surfaced as `key not found: 32` on the union's second leg).
+    * [[Packing.withOffsets]] two-phase distributed prefix sum over the
+    * shuffled order (range partition + per-partition totals to the driver
+    * + local running sums; two uncached passes see identical partitioning
+    * because the range sampler is deterministic for the same input and
+    * the explicit count blocks AQE re-coalescing).
     */
   private def packedFrom(keyed: DataFrame, capacity: Int,
       baseOffset: Long): DataFrame = {
@@ -102,22 +97,12 @@ object Manifest {
       .sortWithinPartitions("okey", "doc_id", "copy")
       .as[(Long, Long, Long, String, Long)]
       .rdd
-    val partTotals = base.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(s += _._5)
-      Iterator((pid, s))
-    }.collect().toMap
-    var acc = baseOffset
-    val offsetByPart = (0 until nRange).map { p =>
-      val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
-    }.toMap
-    base.mapPartitionsWithIndex { (pid, it) =>
-      var off = offsetByPart(pid)
-      it.map { case (_, id, copy, source, n) =>
-        val start = off; off += n
+      .map { case (okey, id, copy, source, n) => ((okey, id, copy, source), n) }
+    Packing.withOffsets(base, nRange, baseOffset)
+      .map { case ((_, id, copy, source), n, start) =>
         (start / capacity, id, copy, source, n, start)
       }
-    }.toDF("step", "doc_id", "copy", "source", "n_tokens", "start_offset")
+      .toDF("step", "doc_id", "copy", "source", "n_tokens", "start_offset")
   }
 
   /** The manifest over any (doc_id, source, text) frame. */
@@ -141,9 +126,15 @@ object Manifest {
 
   /** Extend a published manifest with newly arrived documents: the new
     * replicas are shuffled among themselves (same seeded order) and packed
-    * starting at the base stream's end, so every existing row — every
-    * already-consumed step — survives byte-for-byte. One scalar aggregate
-    * over the base (its total token count) is the only state read from it.
+    * starting at the next CAPACITY BOUNDARY after the base stream's end,
+    * so every existing row — and every already-consumed step, including a
+    * partially-filled final one the trainer padded out — survives
+    * byte-for-byte. Sealing the seam step matters: packing new tokens
+    * into the base's final window would put data into a step a resumed
+    * run (filter `start_offset + n_tokens > S·capacity`) has already
+    * passed, and it would silently never be trained on. One scalar
+    * aggregate over the base (its total token count) is the only state
+    * read from it.
     */
   def extendManifest(base: DataFrame, newDocs: DataFrame,
       epochs: Map[String, (Int, Int)] = Sampling.DefaultEpochs,
@@ -152,8 +143,9 @@ object Manifest {
     val baseEnd = base
       .agg(coalesce(max(col("start_offset") + col("n_tokens")), lit(0L)))
       .collect().head.getLong(0)
+    val seam = ((baseEnd + capacity - 1) / capacity) * capacity
     base.unionByName(
-        packedFrom(keyedReplicas(newDocs, epochs, mod), capacity, baseEnd))
+        packedFrom(keyedReplicas(newDocs, epochs, mod), capacity, seam))
       .orderBy("start_offset")
   }
 
@@ -174,9 +166,11 @@ object Manifest {
   }
 
   /** Shared oracle body: replicas keyed with the affine shuffle hash, an
-    * optional block column prepended to the stream order, offsets as a
-    * cumulative-sum window. `blockExpr` = SQL expression ordering whole
-    * blocks (constant "0" for the plain manifest).
+    * optional block column splitting the stream into base (blk=0) and
+    * extension (blk=1), per-block cumulative-sum offsets, the extension
+    * block based at the capacity boundary after the base total — exactly
+    * [[extendManifest]]'s sealed seam. For the plain manifest every row
+    * is blk=0 and the seam term vanishes.
     */
   private def manifestSqlWith(blockExpr: String,
       epochs: Map[String, (Int, Int)], mod: Int, capacity: Int): String =
@@ -189,12 +183,18 @@ object Manifest {
        |    r.doc_id, r.copy, r.source, t.n_tokens,
        |    $blockExpr AS blk
        |  FROM reps r JOIN toks t USING (doc_id)),
+       |base_total AS (
+       |  SELECT CAST(coalesce(sum(n_tokens) FILTER (WHERE blk = 0), 0)
+       |    AS BIGINT) AS t0
+       |  FROM keyed),
        |c AS (
-       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-       |      ORDER BY blk, okey, doc_id, copy
+       |  SELECT keyed.*, CAST(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY blk ORDER BY okey, doc_id, copy
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    + CASE WHEN blk = 0 THEN 0
+       |           ELSE ((t0 + $capacity - 1) // $capacity) * $capacity END
        |    AS start_offset
-       |  FROM keyed)
+       |  FROM keyed CROSS JOIN base_total)
        |SELECT start_offset // $capacity AS step, doc_id, copy, source,
        |  n_tokens, start_offset
        |FROM c ORDER BY start_offset""".stripMargin

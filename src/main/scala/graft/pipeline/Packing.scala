@@ -50,17 +50,34 @@ object Packing {
     // the explicit partition count keeps AQE from re-coalescing between
     // executions.
     val nRange = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // mapPartitionsWithIndex on the RDD: the index is the RDD's own
-    // partition id. TaskContext.getPartitionId is the STAGE-wide task
-    // index, which shifts if a downstream union fuses this plan after
-    // another leg (Manifest.extendManifest hit exactly that).
     val base = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
       .repartitionByRange(nRange, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
       .rdd
-    val partTotals = base.mapPartitionsWithIndex { (pid, it) =>
+    val out = withOffsets(base, nRange, baseOffset = 0L)
+      .map { case (id, n, start) => (id, n, start, start / capacity) }
+      .toDF("doc_id", "n_tokens", "start_offset", "bin_id")
+    out.orderBy("doc_id")
+  }
+
+  /** The two-phase distributed exclusive prefix sum over an already
+    * range-partitioned, within-partition-sorted `(payload, count)` RDD —
+    * shared by [[packBinsOf]] and [[Manifest]] so the partition-id
+    * discipline lives in ONE place: per-partition totals to the driver
+    * (one long each), exclusive offsets per partition, one local running
+    * sum pass. Both passes use `mapPartitionsWithIndex`, whose index is
+    * the RDD's OWN partition id — `TaskContext.getPartitionId` is the
+    * STAGE-wide task index, which shifts when a downstream union fuses
+    * the plan after another leg (Manifest.extendManifest hit exactly
+    * that as `key not found` on the union's second leg).
+    */
+  private[pipeline] def withOffsets[T](
+      rdd: org.apache.spark.rdd.RDD[(T, Long)], nRange: Int,
+      baseOffset: Long)(implicit ct: scala.reflect.ClassTag[T])
+      : org.apache.spark.rdd.RDD[(T, Long, Long)] = {
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(s += _._2)
       Iterator((pid, s))
@@ -68,18 +85,17 @@ object Packing {
     // exclusive prefix offsets: partition p starts after all tokens of
     // 0..p-1 (the range exchange may produce fewer than nRange partitions
     // on small inputs — absent ids contribute 0 and never appear in tasks)
-    var acc = 0L
+    var acc = baseOffset
     val offsetByPart = (0 until nRange).map { p =>
       val start = acc; acc += partTotals.getOrElse(p, 0L); p -> start
     }.toMap
-    val out = base.mapPartitionsWithIndex { (pid, it) =>
+    rdd.mapPartitionsWithIndex { (pid, it) =>
       var off = offsetByPart(pid)
-      it.map { case (id, n) =>
+      it.map { case (t, n) =>
         val start = off; off += n
-        (id, n, start, start / capacity)
+        (t, n, start)
       }
-    }.toDF("doc_id", "n_tokens", "start_offset", "bin_id")
-    out.orderBy("doc_id")
+    }
   }
 
   /** DuckDB oracle — the semantics as an exclusive cumulative sum. */

@@ -227,12 +227,16 @@ object Sampling {
     */
   def epochsUpsample(spark: SparkSession, sfDir: String,
       epochs: Map[String, (Int, Int)] = DefaultEpochs, mod: Int = 100): DataFrame =
-    epochsUpsampleOf(Tables.documents(spark, sfDir), epochs, mod)
+    epochsUpsampleOf(
+        Tables.documents(spark, sfDir).select("doc_id", "source"), epochs, mod)
       .orderBy("doc_id", "copy")
 
-  /** [[epochsUpsample]] over any (doc_id, source) frame, presentation sort
-    * left to the caller — the composition form ([[Manifest]] replicates
-    * arbitrary corpus slices through it).
+  /** [[epochsUpsample]] over any frame with (doc_id, source) columns —
+    * EVERY input column is preserved on the replicas (plus `copy`), and
+    * the presentation sort is left to the caller. The composition form:
+    * [[Manifest]] replicates (doc_id, source, n_tokens) rows through it
+    * so token counts ride the map-only fan-out instead of re-joining the
+    * corpus afterwards.
     */
   def epochsUpsampleOf(docs: DataFrame,
       epochs: Map[String, (Int, Int)] = DefaultEpochs, mod: Int = 100): DataFrame = {
@@ -247,8 +251,8 @@ object Sampling {
       // step -1 and yields [1, 0] (two rows!) where DuckDB's
       // generate_series(1, 0) is empty — filter before the explode
       .where(col("n_copies") >= 1)
-      .select(col("doc_id"), col("source"),
-        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
   }
 
   def epochsUpsampleSql(epochs: Map[String, (Int, Int)] = DefaultEpochs,

@@ -206,6 +206,17 @@ object Subword {
     *     (`lhs∟rhs∟ → lhsrhs∟` — the same leftmost non-overlapping
     *     `replace` the tokenizer applies at query time).
     *
+    * Merge APPLICATION is deliberately the tokenizer's own operator — an
+    * unanchored string replace — not textbook BPE's boundary-aware symbol
+    * substitution: the two differ when a selected pair's text happens to
+    * end a longer already-merged symbol (`st∟o∟` contains `t∟o∟`, so
+    * merging (t,o) would fuse it to `sto` where classic BPE keeps
+    * [st, o]). Training MUST match what [[tokens]] will do at inference —
+    * optimizing a different apply operator would mis-predict actual
+    * tokenizations — so the replace semantics are the contract here, and
+    * the oracle replays them identically. (Pair COUNTING is boundary-aware
+    * in both engines; the fixture vocabulary never triggers the corner.)
+    *
     * Scale shape: the corpus is touched ONCE (the word aggregate, then
     * `localCheckpoint` pins the vocab-sized result so the per-round
     * lineage replays never re-scan the corpus); each round is one

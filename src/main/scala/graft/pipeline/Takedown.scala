@@ -52,37 +52,71 @@ object Takedown {
   def propagate(spark: SparkSession, set: StoreSet,
       docIds: Seq[Long], vecIds: Seq[Long], batchId: String): DataFrame = {
     import spark.implicits._
-    def cnt(path: String): Long = spark.read.parquet(path).count()
+    // a takedown that empties a table removes its leaves outright
+    // (rewriteShardLeaves contract) — reading the bare directory then
+    // fails schema inference; an empty table counts as zero rows, the
+    // report must still be produced (it is the audit evidence)
+    def readOrEmpty(df: => DataFrame): Option[DataFrame] =
+      try Some(df) catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    def cnt(df: => DataFrame): Long =
+      readOrEmpty(df).map(_.count()).getOrElse(0L)
     // post-delete total and leftover-id count in ONE aggregate pass — the
-    // report costs one job per artifact per side, not one per statistic
-    def afterAndResidual(path: String, key: String, ids: Seq[Long]): (Long, Long) = {
-      val hit = if (ids.isEmpty) lit(false) else col(key).isin(ids: _*)
-      val r = spark.read.parquet(path)
-        .agg(count(lit(1)).cast("long"),
-          coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L)).cast("long"))
-        .collect().head
-      (r.getLong(0), r.getLong(1))
+    // report costs one job per artifact per side, not one per statistic.
+    // The membership test switches from an IN-list expression to a
+    // broadcast semi-marker join past [[AnnIndex.IdFilterMax]] ids — the
+    // same analysis-time guard as the delete's own rewrite.
+    def afterAndResidual(df: => DataFrame, key: String,
+        ids: Seq[Long]): (Long, Long) = {
+      readOrEmpty(df) match {
+        case None => (0L, 0L)
+        case Some(t) =>
+          val marked =
+            if (ids.isEmpty) t.withColumn("_hit", lit(false))
+            else if (ids.length <= AnnIndex.IdFilterMax)
+              t.withColumn("_hit", col(key).isin(ids: _*))
+            else {
+              val idDf = spark.createDataset(ids)(
+                org.apache.spark.sql.Encoders.scalaLong)
+                .toDF(key).withColumn("_hit", lit(true))
+              t.join(broadcast(idDf), Seq(key), "left")
+                .withColumn("_hit", coalesce(col("_hit"), lit(false)))
+            }
+          val r = marked
+            .agg(count(lit(1)).cast("long"),
+              coalesce(sum(when(col("_hit"), 1L).otherwise(0L)), lit(0L))
+                .cast("long"))
+            .collect().head
+          (r.getLong(0), r.getLong(1))
+      }
     }
 
     val rows = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
 
     set.ann.foreach { dir =>
       val codes = AnnIndex.codesPath(dir)
-      val before = cnt(codes)
+      val before = cnt(spark.read.parquet(codes))
       AnnIndex.deleteFromStore(spark, dir, vecIds)
-      val (after, res) = afterAndResidual(codes, "vec_id", vecIds)
+      val (after, res) =
+        afterAndResidual(spark.read.parquet(codes), "vec_id", vecIds)
       rows += (("ann/codes", before, after, res))
     }
     set.bm25.foreach { dir =>
-      val posts = Search.postingsPath(dir)
-      val dls = Search.doclensPath(dir)
+      // journal-aware views (base + committed batches/ roots): an index
+      // that has taken appendToIndex batches keeps those postings under
+      // batches/<id>/ — counting only the base root would under-report
+      // the store and, worse, report residual 0 while a half-rewritten
+      // journal root still serves the deleted doc's rows to probes
       val (nBefore, sumBefore) = Search.statsTotals(spark, dir)
-      val pBefore = cnt(posts)
-      val dBefore = cnt(dls)
+      val pBefore = cnt(Search.postingsDf(spark, dir))
+      val dBefore = cnt(Search.doclensDf(spark, dir))
       Search.deleteFromIndex(spark, dir, docIds, batchId)
       val (nAfter, sumAfter) = Search.statsTotals(spark, dir)
-      val (pAfter, pRes) = afterAndResidual(posts, "doc_id", docIds)
-      val (dAfter, dRes) = afterAndResidual(dls, "doc_id", docIds)
+      val (pAfter, pRes) =
+        afterAndResidual(Search.postingsDf(spark, dir), "doc_id", docIds)
+      val (dAfter, dRes) =
+        afterAndResidual(Search.doclensDf(spark, dir), "doc_id", docIds)
       rows += (("bm25/postings", pBefore, pAfter, pRes))
       rows += (("bm25/doclens", dBefore, dAfter, dRes))
       rows += (("bm25/stats_n_docs", nBefore, nAfter, 0L))
@@ -91,11 +125,13 @@ object Takedown {
     set.minhash.foreach { dir =>
       val sigs = IncrementalDedup.signaturesPath(dir)
       val bks = IncrementalDedup.bucketsPath(dir)
-      val sBefore = cnt(sigs)
-      val bBefore = cnt(bks)
+      val sBefore = cnt(spark.read.parquet(sigs))
+      val bBefore = cnt(spark.read.parquet(bks))
       IncrementalDedup.deleteFromStore(spark, dir, docIds)
-      val (sAfter, sRes) = afterAndResidual(sigs, "doc_id", docIds)
-      val (bAfter, bRes) = afterAndResidual(bks, "doc_id", docIds)
+      val (sAfter, sRes) =
+        afterAndResidual(spark.read.parquet(sigs), "doc_id", docIds)
+      val (bAfter, bRes) =
+        afterAndResidual(spark.read.parquet(bks), "doc_id", docIds)
       rows += (("minhash/signatures", sBefore, sAfter, sRes))
       rows += (("minhash/buckets", bBefore, bAfter, bRes))
     }

@@ -56,11 +56,19 @@ class ManifestSpec extends AnyFunSuite {
     assert(baseRows.subsetOf(extRows), "extension rewrote published rows")
     val added = extended.where(col("doc_id") % 10 === 0)
     assert(extRows.size.toLong === baseRows.size.toLong + added.count())
-    // new rows all start at or after the base stream's end
+    // new rows start exactly at the sealed seam: the capacity boundary
+    // after the base end, never inside the base's final (possibly
+    // already-consumed-with-padding) step
+    val cap = Packing.DefaultCapacity
     val baseEnd = base.agg(max(col("start_offset") + col("n_tokens")))
       .head.getLong(0)
-    assert(added.agg(min("start_offset")).head.getLong(0) === baseEnd,
-      "extension must start exactly at the base end")
+    val seam = ((baseEnd + cap - 1) / cap) * cap
+    assert(added.agg(min("start_offset")).head.getLong(0) === seam,
+      "extension must start at the capacity boundary after the base end")
+    // therefore resume-at-the-seam-step sees ALL extension rows: none can
+    // hide inside a step the base already finished
+    val seamStep = seam / cap
+    assert(added.where(col("step") < seamStep).count() === 0L)
     base.unpersist(); extended.unpersist()
   }
 

@@ -76,6 +76,46 @@ class TakedownSpec extends AnyFunSuite {
     }
   }
 
+  test("accounting sees journaled append batches, not just the base tables") {
+    val docs = Tables.documents(spark, sfDir)
+    val bm = Stores.temp("tds-bm-journal")
+    // base = 4/5 of the corpus; the remaining 1/5 arrives as an append
+    // batch and lives under batches/<id>/, not the base postings root
+    Search.buildIndex(docs.where(col("doc_id") % 5 =!= 0), bm)
+    Search.appendToIndex(docs.where(col("doc_id") % 5 === 0), bm, "day1")
+    // take down docs that live ONLY in the journal batch
+    val docIds = docs.where(col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val report = Takedown.propagate(spark,
+        Takedown.StoreSet(bm25 = Some(bm)), docIds, Nil, "tds-journal")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (dBefore, dAfter, dRes) = report("bm25/doclens")
+    assert(dBefore === docs.count(),
+      "before-count must include the journaled batch's doclens")
+    assert(dAfter === docs.count() - docIds.length,
+      "after-count must see the journal rewrite")
+    assert(dRes === 0L, "journal-resident deleted docs still visible")
+    val (pBefore, pAfter, pRes) = report("bm25/postings")
+    assert(pBefore > pAfter && pRes === 0L)
+  }
+
+  test("a takedown that empties a store still produces the audit report") {
+    import spark.implicits._
+    val mh = Stores.temp("tds-wipe")
+    val tiny = Seq((3L, "alpha beta"), (17L, "gamma delta"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.buildStore(tiny, mh)
+    val report = Takedown.propagate(spark,
+        Takedown.StoreSet(minhash = Some(mh)), Seq(3L, 17L), Nil, "tds-wipe")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report("minhash/signatures") === ((2L, 0L, 0L)),
+      "full wipe must report before=2, after=0, residual=0 — not crash")
+    assert(report("minhash/buckets") ===
+      ((2L * Dedup.NumBands, 0L, 0L)))
+  }
+
   test("empty stores in the set are skipped, empty id lists delete nothing") {
     val docs = Tables.documents(spark, sfDir)
     val mh = Stores.temp("tds-mh-only")
