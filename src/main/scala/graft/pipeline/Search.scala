@@ -365,14 +365,14 @@ object Search {
     * and pushed data filters land on EVERY branch of the union (the plan
     * spec asserts them per scan).
     */
-  private[pipeline] def postingsDf(spark: SparkSession, storeDir: String): DataFrame =
+  private[graft] def postingsDf(spark: SparkSession, storeDir: String): DataFrame =
     postingsRoots(spark, storeDir)
       .map(r => spark.read.parquet(r)
         .select(col("doc_id"), col("term"), col("tf"), col("dl"),
           col("shard").cast("int").as("shard")))
       .reduce(_.unionByName(_))
 
-  private[pipeline] def doclensDf(spark: SparkSession, storeDir: String): DataFrame =
+  private[graft] def doclensDf(spark: SparkSession, storeDir: String): DataFrame =
     doclensRoots(spark, storeDir)
       .map(r => spark.read.parquet(r).select(col("doc_id"), col("dl")))
       .reduce(_.unionByName(_))
