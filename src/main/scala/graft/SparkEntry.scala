@@ -194,6 +194,9 @@ object SparkEntry {
     // recall@k of the IVF-PQ index vs exact brute force — the quality
     // audit an ANN deployment tracks alongside latency
     "ann_recall_audit" -> ((s, d) => ProductQuant.annRecall(s, d)),
+    // the nProbe recall/latency trade quantified: one store build, the
+    // probe at two widths, both intersected with exact brute force
+    "ann_recall_nprobe" -> ((s, d) => AnnIndex.annRecallNprobe(s, d)),
     // one-call GDPR/takedown propagation through ALL persisted derived
     // stores (BM25, ANN, MinHash) with per-artifact accounting
     "takedown_propagate" -> ((s, d) => Takedown.takedownPropagate(s, d)),
@@ -310,6 +313,7 @@ object SparkEntry {
     "ann_store_delete" -> ProductQuant.knnIvfPqSql(deleteWhere = Some("vec_id % 17 = 3")),
     "ann_store_health" -> AnnIndex.annStoreHealthSql(),
     "ann_recall_audit" -> ProductQuant.annRecallSql(),
+    "ann_recall_nprobe" -> AnnIndex.annRecallNprobeSql(),
     "takedown_propagate" -> Takedown.takedownPropagateSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,

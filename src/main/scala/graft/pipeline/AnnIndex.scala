@@ -917,4 +917,66 @@ object AnnIndex {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     probeStore(spark, storeDir, queries, k, nProbe)
   }
+
+  /** Recall@k of the persisted store's probe at TWO operating points —
+    * the quantified side of the nProbe recall/latency trade
+    * ([[ProductQuant.annRecall]]'s audit extended to the knob a deployment
+    * actually turns): ONE store build, the probe run at `nProbeLo` and
+    * `nProbeHi`, both intersected with exact brute-force cosine. Output
+    * per query: (hits_lo, recall_lo, hits_hi, recall_hi); widening the
+    * probe list can only add candidate cells, so recall_hi dominates
+    * recall_lo row by row (the probe-dominance spec pins the containment,
+    * this entry pins the measured values).
+    *
+    * Scale shape: one parameter-bounded build + two ~nProbe/nCells probes
+    * + one brute-force scan; the joins are k-rows-per-query.
+    */
+  def annRecallNprobe(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nProbeLo: Int = 1,
+      nProbeHi: Int = 2): DataFrame = {
+    val storeDir = Stores.temp("graft-ann-recall")
+    val embeddings = Tables.embeddings(spark, sfDir)
+    buildStore(embeddings, storeDir)
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val exact = Similarity.knnBruteForce(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsAt(nProbe: Int, name: String): DataFrame =
+      probeStore(spark, storeDir, queries, k, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn(name, lit(1L))
+    exact
+      .join(hitsAt(nProbeLo, "h_lo"), Seq("query_id", "neighbor_id"), "left")
+      .join(hitsAt(nProbeHi, "h_hi"), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum(col("h_lo")), lit(0L)).cast("long").as("hits_lo"),
+        coalesce(sum(col("h_hi")), lit(0L)).cast("long").as("hits_hi"))
+      .withColumn("recall_lo", round(col("hits_lo") / lit(k.toDouble), 4))
+      .withColumn("recall_hi", round(col("hits_hi") / lit(k.toDouble), 4))
+      .select("query_id", "hits_lo", "recall_lo", "hits_hi", "recall_hi")
+      .orderBy("query_id")
+  }
+
+  /** DuckDB oracle for [[annRecallNprobe]] — brute force joined against
+    * the shared IVF-PQ chain instantiated at both probe widths; all three
+    * legs are already-gated oracles, so the recall arithmetic cannot
+    * drift from any of them.
+    */
+  def annRecallNprobeSql(nQueries: Int = 10, k: Int = 5, nProbeLo: Int = 1,
+      nProbeHi: Int = 2): String =
+    s"""WITH exact_k AS (FROM (${Similarity.knnBruteForceSql(nQueries, k)})),
+       |lo_k AS (FROM (${ProductQuant.knnIvfPqSql(nQueries, k, nProbe = nProbeLo)})),
+       |hi_k AS (FROM (${ProductQuant.knnIvfPqSql(nQueries, k, nProbe = nProbeHi)}))
+       |SELECT e.query_id,
+       |  CAST(count(l.neighbor_id) AS BIGINT) AS hits_lo,
+       |  round(count(l.neighbor_id) * 1.0 / $k, 4) AS recall_lo,
+       |  CAST(count(h.neighbor_id) AS BIGINT) AS hits_hi,
+       |  round(count(h.neighbor_id) * 1.0 / $k, 4) AS recall_hi
+       |FROM exact_k e
+       |LEFT JOIN lo_k l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+       |LEFT JOIN hi_k h ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }

@@ -291,6 +291,20 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("nProbe recall audit: hi dominates lo per query, values in [0, 1]") {
+    val rows = AnnIndex.annRecallNprobe(spark, sfDir, nQueries = 10, k = 5)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 10L))
+    rows.foreach { r =>
+      val (lo, hi) = (r.getLong(1), r.getLong(3))
+      assert(lo >= 0L && lo <= 5L && hi >= 0L && hi <= 5L)
+      assert(hi >= lo,
+        s"query ${r.getLong(0)}: widening the probe lost recall ($lo -> $hi)")
+      assert(r.getDouble(2) <= r.getDouble(4))
+    }
+    assert(rows.map(_.getLong(3)).sum > 0L, "audit is vacuous (0 hits at hi)")
+  }
+
   test("probe-many: repeated probes answer from the same store, consistently") {
     val store = Files.createTempDirectory("graft-ann-many").toString
     AnnIndex.buildStore(Tables.embeddings(spark, sfDir), store)
