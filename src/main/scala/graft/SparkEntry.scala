@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Manifest, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -200,6 +200,10 @@ object SparkEntry {
     // one-call GDPR/takedown propagation through ALL persisted derived
     // stores (BM25, ANN, MinHash) with per-artifact accounting
     "takedown_propagate" -> ((s, d) => Takedown.takedownPropagate(s, d)),
+    // incrementally-maintained materialized aggregate with RETRACTION
+    // support: build → append delta → deletion retraction → read; the
+    // maintained view must equal a recompute over the post-delete table
+    "mv_incremental" -> ((s, d) => MaterializedView.mvIncremental(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
@@ -315,6 +319,8 @@ object SparkEntry {
     "ann_recall_audit" -> ProductQuant.annRecallSql(),
     "ann_recall_nprobe" -> AnnIndex.annRecallNprobeSql(),
     "takedown_propagate" -> Takedown.takedownPropagateSql(),
+    // maintained view ≡ direct recompute over the post-delete base table
+    "mv_incremental" -> MaterializedView.mvIncrementalSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql
