@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, IncrementalDedup, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,10 @@ object SparkEntry {
     "sample_split" -> ((s, d) => Sampling.sampleSplit(s, d)),
     // fractional per-source epoch upsampling, materialized map-only
     "sample_epochs" -> ((s, d) => Sampling.epochsUpsample(s, d)),
+    // DSIR-shaped data selection: hashed-bigram importance weights
+    // between a curated target slice and the raw corpus (integer-log2
+    // estimator), top-k selected deterministically
+    "sample_importance" -> ((s, d) => ImportanceSampling.importanceTopK(s, d)),
     // vocabulary coverage curve (tokenizer budgeting)
     "vocab_coverage" -> ((s, d) => Vocab.coverage(s, d)),
     // deterministic subword (BPE) tokenizer: per-language fertility
@@ -265,6 +269,7 @@ object SparkEntry {
     "sample_mixture" -> Sampling.mixtureSampleSql(),
     "sample_split" -> Sampling.sampleSplitSql(),
     "sample_epochs" -> Sampling.epochsUpsampleSql(),
+    "sample_importance" -> ImportanceSampling.importanceTopKSql(),
     "vocab_coverage" -> Vocab.coverageSql(),
     "text_subword_stats" -> Subword.statsSql,
     "doc_chunks_subword" -> Subword.chunkSql(),
