@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,6 +70,9 @@ object SparkEntry {
     "text_length_quantiles" -> (TextAnalysis.lengthQuantiles _),
     // Gopher repetition signals (dup lines, top/dup n-gram char fractions)
     "text_repetition" -> (Repetition.repetition _),
+    // CCNet-shaped LM quality score: per-doc mean surprisal in integer
+    // bits under a reference-slice bigram model trained in the engine
+    "text_lm_score" -> ((s, d) => LanguageModel.perplexityProxy(s, d)),
     // BM25-form ranked keyword retrieval (rational idf, integer score sum)
     "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
     // the same retrieval served from a PERSISTED inverted index (postings
@@ -255,6 +258,7 @@ object SparkEntry {
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "text_repetition" -> Repetition.repetitionSql,
+    "text_lm_score" -> LanguageModel.perplexityProxySql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
     // identical result contract — the store is a plan-level change
     "text_bm25_store" -> Search.bm25TopKSql(),

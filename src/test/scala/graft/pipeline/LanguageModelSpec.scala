@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+class LanguageModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val scored =
+    LanguageModel.perplexityProxy(spark, sfDir).cache()
+
+  test("reference-slice documents have zero unseen transitions and non-negative bits") {
+    // every reference doc's bigrams are in the model by construction
+    assert(scored.filter(col("doc_id") % 3 === 0 && col("n_unseen") > 0).count() === 0)
+    assert(scored.filter(col("total_bits") < 0).count() === 0)
+    assert(scored.count() > 0)
+  }
+
+  test("reference documents score as more fluent than out-of-model documents") {
+    val Array(refMean, restMean) = scored
+      .groupBy((col("doc_id") % 3 === 0).as("ref"))
+      .agg(avg(col("bits_per_trans")).as("m"))
+      .orderBy(col("ref").desc)
+      .collect().map(_.getDouble(1))
+    assert(refMean < restMean,
+      s"reference mean surprisal $refMean should be below non-reference $restMean")
+  }
+
+  test("plan: no cartesian product beyond the broadcast 1-row vocab join") {
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = LanguageModel.perplexityProxy(s, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"model joins must stay equi-joins:\n$plan")
+  }
+}
