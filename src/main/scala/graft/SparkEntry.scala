@@ -143,6 +143,9 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
     // snapshot diff: added/removed/changed/unchanged by content fingerprint
     "corpus_diff" -> ((s, d) => CorpusDiff.diff(s, d)),
+    // manifest-versioned table with partition-granular copy-on-write
+    // deletes: create → append → delete, then TIME-TRAVEL all 3 versions
+    "snapshot_asof" -> ((s, d) => graft.sources.VersionedTable.snapshotAsOf(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -299,6 +302,7 @@ object SparkEntry {
     // the result, so the oracle is the same SQL
     "decontaminate_bloom" -> Decontaminate.overlapsSql(),
     "corpus_diff" -> CorpusDiff.diffSql,
+    "snapshot_asof" -> graft.sources.VersionedTable.snapshotAsOfSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

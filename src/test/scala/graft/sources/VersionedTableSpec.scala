@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1L, "a", "2024-01-01", 10L), (2L, "b", "2024-01-01", 20L),
+    (3L, "a", "2024-01-02", 30L), (4L, "b", "2024-01-02", 40L),
+    (5L, "a", "2024-01-03", 50L), (6L, "a", "2024-01-03", 60L)
+  ).toDF("id", "kind", "pdate", "amount")
+
+  test("time travel: every version still reads its exact historical state") {
+    val dir = Files.createTempDirectory("graft-vt").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    VersionedTable.append(df.filter($"id" > 4), dir, "pdate")
+    VersionedTable.delete(spark, dir, "pdate", $"kind" === "a" && $"pdate" === "2024-01-01")
+    def ids(v: Int) = VersionedTable.readVersion(spark, dir, v)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(0) === Seq(1L, 2L, 3L, 4L))
+    assert(ids(1) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(ids(2) === Seq(2L, 3L, 4L, 5L, 6L))
+    assert(VersionedTable.latestVersion(spark, dir) === 2)
+  }
+
+  test("delete rewrites only affected partitions; emptied partitions drop") {
+    val dir = Files.createTempDirectory("graft-vt-cow").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    // deletes every 2024-01-03 row (partition empties) + one 01-01 row
+    VersionedTable.delete(spark, dir, "pdate",
+      $"pdate" === "2024-01-03" || $"id" === 1L)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Leaves = fs.listStatus(new Path(s"$dir/data/add-v1")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("pdate__p=")).sorted
+    // the rewrite dir holds ONLY the affected-and-surviving partition —
+    // 01-02 is carried by reference, 01-03 emptied out entirely
+    assert(v1Leaves === Seq("pdate__p=2024-01-01"))
+    val latest = VersionedTable.readLatest(spark, dir)
+    assert(latest.filter($"pdate" === "2024-01-03").count() === 0)
+    assert(latest.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("vacuum erases dropped versions' unshared leaves but keeps retained reads intact") {
+    val dir = Files.createTempDirectory("graft-vt-vac").toString
+    val df = fixture()
+    VersionedTable.create(df, dir, "pdate")
+    VersionedTable.delete(spark, dir, "pdate", $"pdate" === "2024-01-01")
+    val keepIds = VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(VersionedTable.versions(spark, dir) === Seq(1))
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === keepIds)
+    // the deleted partition's leaf is physically gone (erasure contract)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/data/add-v0/pdate__p=2024-01-01")))
+    // shared leaves referenced by the retained version survive
+    assert(fs.exists(new Path(s"$dir/data/add-v0/pdate__p=2024-01-02")))
+  }
+
+  test("compact folds multi-leaf partitions without changing the snapshot") {
+    val dir = Files.createTempDirectory("graft-vt-compact").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" % 2 === 0), dir, "pdate")
+    VersionedTable.append(df.filter($"id" % 2 =!= 0), dir, "pdate")
+    val before = VersionedTable.readLatest(spark, dir)
+      .orderBy("id").collect().toSeq
+    VersionedTable.compact(spark, dir, "pdate")
+    assert(VersionedTable.readLatest(spark, dir)
+      .orderBy("id").collect().toSeq === before)
+    // post-compact: one leaf per partition value again
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = VersionedTable.latestVersion(spark, dir)
+    val leaves = fs.listStatus(new Path(s"$dir/data/add-v$v2")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("pdate__p=")).sorted
+    assert(leaves === Seq("pdate__p=2024-01-01", "pdate__p=2024-01-02", "pdate__p=2024-01-03"))
+  }
+
+  test("a crashed (staged, unrenamed) manifest is invisible") {
+    val dir = Files.createTempDirectory("graft-vt-crash").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$dir/manifests/_staging_v99.json"), true)
+    out.write("""{"version":99,"leaves":[]}""".getBytes("UTF-8")); out.close()
+    assert(VersionedTable.versions(spark, dir) === Seq(0))
+    assert(VersionedTable.latestVersion(spark, dir) === 0)
+  }
+}
