@@ -146,6 +146,10 @@ object SparkEntry {
     // manifest-versioned table with partition-granular copy-on-write
     // deletes: create → append → delete, then TIME-TRAVEL all 3 versions
     "snapshot_asof" -> ((s, d) => graft.sources.VersionedTable.snapshotAsOf(s, d)),
+    // MERGE (upsert) by key with partition-granular rewrite, then read
+    "snapshot_merge" -> ((s, d) => graft.sources.VersionedTable.snapshotMerge(s, d)),
+    // CDC between versions: added/changed/unchanged census of the merge
+    "snapshot_changes" -> ((s, d) => graft.sources.VersionedTable.snapshotChanges(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -303,6 +307,8 @@ object SparkEntry {
     "decontaminate_bloom" -> Decontaminate.overlapsSql(),
     "corpus_diff" -> CorpusDiff.diffSql,
     "snapshot_asof" -> graft.sources.VersionedTable.snapshotAsOfSql(),
+    "snapshot_merge" -> graft.sources.VersionedTable.snapshotMergeSql(),
+    "snapshot_changes" -> graft.sources.VersionedTable.snapshotChangesSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

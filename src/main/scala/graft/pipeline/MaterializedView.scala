@@ -105,6 +105,34 @@ object MaterializedView {
   def appendBatch(events: DataFrame, storeDir: String, deltaId: String): Unit =
     applyDelta(events, storeDir, deltaId, sign = 1)
 
+  /** Absorb a MIXED CDC batch — rows carry an `op` column ('I' insert /
+    * 'D' delete) — as ONE journaled delta: per-row sign folds into the
+    * same group summary, so an insert-plus-its-own-delete in one batch
+    * nets to zero and the exactly-once guarantee covers the whole batch
+    * atomically (the streaming ingestion shape, [[graft.streaming]]).
+    */
+  def applyCdcBatch(events: DataFrame, storeDir: String, deltaId: String): Unit = {
+    require(deltaId.matches("[A-Za-z0-9_-]+"), s"unsafe deltaId: $deltaId")
+    val spark = events.sparkSession
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = new Path(s"${deltasPath(storeDir)}/$deltaId")
+    if (fs.exists(committed)) return
+    val staging = s"$storeDir/deltas_staging_$deltaId"
+    fs.delete(new Path(staging), true)
+    val signed = when(col("op") === "D", lit(-1L)).otherwise(lit(1L))
+    events.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("mv_hour"),
+        col("event_type"))
+      .agg(sum(signed).cast("long").as("n"),
+        coalesce(sum(signed * round(col("value") * 1e6).cast("long")), lit(0L))
+          .cast("long").as("sum_micros"))
+      .write.mode("overwrite").parquet(staging)
+    fs.mkdirs(new Path(deltasPath(storeDir)))
+    require(fs.rename(new Path(staging), committed),
+      s"could not commit delta $deltaId")
+  }
+
   /** Absorb a deletion: `deleted` is the frame of rows the deletion job
     * removed from the base table (the complement of what it retained —
     * exactly what [[graft.core.DeletionExecutor]] materializes before the

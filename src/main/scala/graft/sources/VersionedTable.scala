@@ -180,6 +180,62 @@ object VersionedTable {
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, latestVersion(spark, tableDir))
 
+  /** MERGE (upsert) a batch by key — the reference's deletion kernel
+    * generalized to updates: rows whose `keyCol` matches a batch key are
+    * REPLACED by the batch row, unmatched batch rows are inserted, and
+    * only affected partitions rewrite. Affected = partitions holding a
+    * matching key (a key may MOVE partitions — its old row is retired
+    * from wherever it lived) ∪ the batch rows' own partitions. The
+    * affected-value list is driver-side metadata (the
+    * identifyAffectedPartitions shape); the key retirement itself is a
+    * distributed LEFT ANTI join, never an id IN-list, so a batch of any
+    * size stays on the cluster.
+    */
+  def merge(batch: DataFrame, tableDir: String, partCol: String,
+      keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val v = latestVersion(spark, tableDir) + 1
+    val prev = readManifest(spark, tableDir, v - 1)
+    val current = readLeaves(spark, tableDir, prev)
+    val batchKeys = batch.select(keyCol).distinct()
+    val affected = (
+      current.join(batchKeys, keyCol).select(col(partCol).cast("string")) unionByName
+      batch.select(col(partCol).cast("string"))
+    ).distinct().collect().map(_.getString(0)).toSet
+    val (hit, kept) = prev.partition(l => affected.contains(leafPartValue(l)))
+    val rewritten =
+      (if (hit.isEmpty) batch
+       else readLeaves(spark, tableDir, hit)
+         .join(batchKeys, Seq(keyCol), "left_anti")
+         .unionByName(batch))
+    writeManifest(spark, tableDir, v,
+      kept ++ writeDataDir(rewritten, tableDir, v, partCol))
+  }
+
+  /** CDC between two snapshots: full-outer join on `keyCol`, content
+    * compared via a caller-supplied deterministic fingerprint column list
+    * (stringable columns — no raw doubles: float formatting is engine-
+    * specific, so quantize first). Returns one row per differing key with
+    * status added/removed/changed, plus the unchanged keys if
+    * `includeUnchanged`. The join is key-partitioned — O(|vA| + |vB|)
+    * shuffle, carrying key + fingerprint only, never full rows.
+    */
+  def versionDiff(spark: SparkSession, tableDir: String, keyCol: String,
+      fingerprintCols: Seq[String], fromV: Int, toV: Int,
+      includeUnchanged: Boolean = false): DataFrame = {
+    def fp(df: DataFrame) = df.select(col(keyCol),
+      md5(concat_ws("|", fingerprintCols.map(col): _*)).as("fp"))
+    val a = fp(readVersion(spark, tableDir, fromV)).withColumnRenamed("fp", "fp_from")
+    val b = fp(readVersion(spark, tableDir, toV)).withColumnRenamed("fp", "fp_to")
+    val joined = a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("fp_from").isNull, "added")
+          .when(col("fp_to").isNull, "removed")
+          .when(col("fp_from") =!= col("fp_to"), "changed")
+          .otherwise("unchanged").as("status"))
+    if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** Small-file maintenance: fold every live leaf into one fresh data dir
     * (one leaf per partition value again) as a new version. Prior
     * versions keep referencing the old leaves until [[vacuum]].
@@ -241,6 +297,77 @@ object VersionedTable {
       .select("version", "n_rows", "sum_micros", "n_partitions")
       .orderBy("version")
   }
+
+  /** Shared history for the merge/CDC entries: v0 = initial load
+    * (event_id % 3 = 0, with values pre-quantized to micro-units in a
+    * stored column), v1 = one MERGE carrying updates (event_id % 6 = 0,
+    * value doubled) and inserts (event_id % 3 = 1).
+    */
+  private def buildMergeHistory(spark: SparkSession, sfDir: String): String = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("micros", round(col("value") * 1e6).cast("long"))
+      .select("event_id", "user_id", "event_type", "value", "micros", "pdate")
+    val dir = Stores.temp("graft_vt_merge")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    val updates = events.filter(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("micros", round(col("value") * 1e6).cast("long"))
+    val inserts = events.filter(col("event_id") % 3 === 1)
+    merge(updates.unionByName(inserts), dir, "pdate", "event_id")
+    dir
+  }
+
+  /** MERGE surface entry: per-type profile of the post-merge snapshot —
+    * replaced rows count once with doubled values, inserts appear,
+    * untouched rows carry over (all three pinned by the recompute oracle).
+    */
+  def snapshotMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = buildMergeHistory(spark, sfDir)
+    readLatest(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("micros")).cast("long").as("sum_micros"))
+      .orderBy("event_type")
+  }
+
+  def snapshotMergeSql(): String =
+    """WITH v1 AS (
+      |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events WHERE event_id % 3 = 0 AND event_id % 6 <> 0
+      |  UNION ALL
+      |  SELECT event_type, CAST(round(value * 2 * 1000000) AS BIGINT)
+      |  FROM events WHERE event_id % 6 = 0
+      |  UNION ALL
+      |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT)
+      |  FROM events WHERE event_id % 3 = 1)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(micros) AS BIGINT) AS sum_micros
+      |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CDC surface entry: status census of the v0 → v1 merge (added /
+    * changed / unchanged; a doubled value that quantizes to the same
+    * micro-unit — value 0 — counts unchanged, which the oracle mirrors).
+    */
+  def snapshotChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = buildMergeHistory(spark, sfDir)
+    versionDiff(spark, dir, "event_id",
+        Seq("event_type", "user_id", "micros"), 0, 1, includeUnchanged = true)
+      .groupBy("status").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("status")
+  }
+
+  def snapshotChangesSql(): String =
+    """WITH st AS (
+      |  SELECT CASE
+      |    WHEN event_id % 3 = 1 THEN 'added'
+      |    WHEN event_id % 6 = 0
+      |         AND CAST(round(value * 2 * 1000000) AS BIGINT)
+      |          <> CAST(round(value * 1000000) AS BIGINT) THEN 'changed'
+      |    ELSE 'unchanged' END AS status
+      |  FROM events WHERE event_id % 3 IN (0, 1))
+      |SELECT status, count(*) AS n FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
   def snapshotAsOfSql(): String =
     """WITH e AS (

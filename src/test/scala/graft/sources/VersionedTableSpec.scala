@@ -85,6 +85,47 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(leaves === Seq("pdate__p=2024-01-01", "pdate__p=2024-01-02", "pdate__p=2024-01-03"))
   }
 
+  test("merge: updates replace by key (even across partitions), inserts land, rest carries") {
+    val dir = Files.createTempDirectory("graft-vt-merge").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    val batch = Seq(
+      (2L, "b2", "2024-01-01", 21L),  // in-place update
+      (5L, "a", "2024-01-04", 51L),   // key MOVES from 01-03 to a new partition
+      (7L, "c", "2024-01-04", 70L)    // insert
+    ).toDF("id", "kind", "pdate", "amount")
+    VersionedTable.merge(batch, dir, "pdate", "id")
+    val latest = VersionedTable.readLatest(spark, dir)
+      .select("id", "kind", "pdate", "amount").as[(Long, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(latest === Seq(
+      (1L, "a", "2024-01-01", 10L), (2L, "b2", "2024-01-01", 21L),
+      (3L, "a", "2024-01-02", 30L), (4L, "b", "2024-01-02", 40L),
+      (5L, "a", "2024-01-04", 51L), (6L, "a", "2024-01-03", 60L),
+      (7L, "c", "2024-01-04", 70L)))
+    // untouched partition 01-02 is carried by reference, not rewritten
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Leaves = fs.listStatus(new Path(s"$dir/data/add-v1")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("pdate__p=")).sorted
+    assert(v1Leaves === Seq("pdate__p=2024-01-01", "pdate__p=2024-01-03", "pdate__p=2024-01-04"))
+    // and v0 still reads the pre-merge state (time travel unaffected)
+    assert(VersionedTable.readVersion(spark, dir, 0).count() === 6)
+  }
+
+  test("versionDiff classifies added/removed/changed/unchanged exactly") {
+    val dir = Files.createTempDirectory("graft-vt-diff").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    val batch = Seq((2L, "b2", "2024-01-01", 21L), (7L, "c", "2024-01-04", 70L))
+      .toDF("id", "kind", "pdate", "amount")
+    VersionedTable.merge(batch, dir, "pdate", "id")
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 6L)
+    val diff = VersionedTable.versionDiff(spark, dir, "id",
+        Seq("kind", "pdate", "amount"), 0, 2, includeUnchanged = true)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(diff === Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "unchanged"), (4L, "unchanged"),
+      (5L, "unchanged"), (6L, "removed"), (7L, "added")))
+  }
+
   test("a crashed (staged, unrenamed) manifest is invisible") {
     val dir = Files.createTempDirectory("graft-vt-crash").toString
     VersionedTable.create(fixture(), dir, "pdate")
