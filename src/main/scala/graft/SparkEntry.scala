@@ -150,6 +150,8 @@ object SparkEntry {
     "snapshot_merge" -> ((s, d) => graft.sources.VersionedTable.snapshotMerge(s, d)),
     // CDC between versions: added/changed/unchanged census of the merge
     "snapshot_changes" -> ((s, d) => graft.sources.VersionedTable.snapshotChanges(s, d)),
+    // merge-on-read position-delete vectors + compaction fold (time travel)
+    "snapshot_delete_mor" -> ((s, d) => graft.sources.VersionedTable.snapshotDeleteMor(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -309,6 +311,7 @@ object SparkEntry {
     "snapshot_asof" -> graft.sources.VersionedTable.snapshotAsOfSql(),
     "snapshot_merge" -> graft.sources.VersionedTable.snapshotMergeSql(),
     "snapshot_changes" -> graft.sources.VersionedTable.snapshotChangesSql(),
+    "snapshot_delete_mor" -> graft.sources.VersionedTable.snapshotDeleteMorSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

@@ -52,6 +52,17 @@ object VersionedTable {
 
   private def partDirCol(partCol: String) = s"${partCol}__p"
 
+  /** A version's full state: live data leaves, live position-delete dirs
+    * (merge-on-read — see [[deleteMergeOnRead]]), and the subset of leaves
+    * any delete vector touches (`dirty`). Recording `dirty` in the manifest
+    * is what lets a snapshot read split clean leaves (plain scan, no join)
+    * from dirty ones (anti-join) without running a discovery job first.
+    */
+  private case class VManifest(leaves: Seq[String], deletes: Seq[String],
+      dirty: Seq[String]) {
+    def dirtySet: Set[String] = dirty.toSet
+  }
+
   /** Versions present, ascending. Staging files are invisible. */
   def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
     val f = fs(spark, tableDir)
@@ -69,27 +80,50 @@ object VersionedTable {
     vs.last
   }
 
-  private def readManifest(spark: SparkSession, tableDir: String,
-      version: Int): Seq[String] = {
+  /** Fixed-shape parse of one named string array out of the manifest JSON.
+    * Our own path vocabulary (`data/add-v<N>/<key>=<hive-encoded value>`,
+    * `deletes/del-v<N>`) never contains `]` or `,` — hive leaf names
+    * URL-encode separators — so the split stays exact.
+    */
+  private def parseArray(text: String, key: String): Seq[String] = {
+    val marker = "\"" + key + "\":["
+    val i = text.indexOf(marker)
+    if (i < 0) Seq.empty
+    else {
+      val start = i + marker.length
+      val body = text.substring(start, text.indexOf(']', start)).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(',').toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+  }
+
+  private def readManifestFull(spark: SparkSession, tableDir: String,
+      version: Int): VManifest = {
     val f = fs(spark, tableDir)
     val p = new Path(s"${manifestsDir(tableDir)}/v$version.json")
     require(f.exists(p), s"version $version does not exist at $tableDir")
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // minimal fixed-shape parse of {"version":N,"leaves":[...]}
-    val body = text.substring(text.indexOf('[') + 1, text.lastIndexOf(']'))
-    if (body.trim.isEmpty) Seq.empty
-    else body.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    // absent keys (pre-MOR manifests) parse as empty — back-compatible
+    VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
+      parseArray(text, "dirty"))
   }
 
+  private def readManifest(spark: SparkSession, tableDir: String,
+      version: Int): Seq[String] =
+    readManifestFull(spark, tableDir, version).leaves
+
   private def writeManifest(spark: SparkSession, tableDir: String,
-      version: Int, leaves: Seq[String]): Unit = {
+      version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
+      dirty: Seq[String] = Nil): Unit = {
     val f = fs(spark, tableDir)
     f.mkdirs(new Path(manifestsDir(tableDir)))
     val staging = new Path(s"${manifestsDir(tableDir)}/_staging_v$version.json")
-    val json = leaves.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$version,"leaves":[""", ",", "]}")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
+      s""""deletes":${arr(deletes)},"dirty":${arr(dirty)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
@@ -154,17 +188,67 @@ object VersionedTable {
   def delete(spark: SparkSession, tableDir: String, partCol: String,
       pred: Column): Unit = {
     val v = latestVersion(spark, tableDir) + 1
-    val prev = readManifest(spark, tableDir, v - 1)
-    val current = readLeaves(spark, tableDir, prev)
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val current = readView(spark, tableDir, m)
     // affected partition values: metadata-sized driver list (the
     // reference core's identifyAffectedPartitions shape)
     val affected = current.filter(pred).select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
-    if (affected.isEmpty) { writeManifest(spark, tableDir, v, prev); return }
-    val (hit, kept) = prev.partition(l => affected.contains(leafPartValue(l)))
-    val survivors = readLeaves(spark, tableDir, hit).filter(!pred)
+    if (affected.isEmpty) {
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty); return
+    }
+    val (hit, kept) = m.leaves.partition(l => affected.contains(leafPartValue(l)))
+    // survivors come from the VECTOR-APPLIED view of the hit leaves — a
+    // copy-on-write rewrite must not resurrect rows a prior merge-on-read
+    // delete already removed. Vector entries pointing at the rewritten
+    // (now-unreferenced) leaves become inert; [[compact]]/[[vacuum]] fold
+    // and erase them.
+    val survivors = readView(spark, tableDir, m, onlyLeaves = Some(hit))
+      .filter(!pred)
     val newLeaves = writeDataDir(survivors, tableDir, v, partCol)
-    writeManifest(spark, tableDir, v, kept ++ newLeaves)
+    writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
+      m.dirty.filter(kept.contains))
+  }
+
+  /** Merge-on-read delete (position delete vectors — the public
+    * Iceberg/Delta deletion-vector design): instead of rewriting any data
+    * leaf, ONE pass over the current view finds matching rows and writes
+    * their physical positions — (tableDir-relative file path,
+    * `_metadata.row_index`) pairs — to an immutable `deletes/del-v<N>/`
+    * parquet dir; the new manifest carries the same leaves plus the vector
+    * and the set of leaves it touches. Write cost is O(matches), not
+    * O(affected partitions) — the right trade when deletes are frequent
+    * and small relative to partitions (takedowns), with [[compact]]
+    * folding vectors back into data on maintenance cadence.
+    *
+    * Snapshot reads apply vectors as a (file, pos) LEFT ANTI join on the
+    * DIRTY leaves only; clean leaves scan plain (the manifest's `dirty`
+    * list makes the split free). Positions of already-vector-deleted rows
+    * are excluded at write time, so vectors never overlap and each one's
+    * size reflects exactly the rows its own delete removed.
+    */
+  def deleteMergeOnRead(spark: SparkSession, tableDir: String,
+      pred: Column): Unit = {
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val matches = readView(spark, tableDir, m, keepPositions = true)
+      .filter(pred)
+      .select(col(PosFile).as("file"), col(PosIdx).as("pos"))
+    val rel = s"deletes/del-v$v"
+    matches.write.mode("overwrite").parquet(s"$tableDir/$rel")
+    // dirty leaves of THIS vector: parent dirs of the referenced files —
+    // a manifest-bounded distinct, computed once at write time so reads
+    // never run a discovery job
+    val touched = spark.read.parquet(s"$tableDir/$rel")
+      .select("file").distinct().collect()
+      .map(r => { val f = r.getString(0); f.substring(0, f.lastIndexOf('/')) })
+      .toSet
+    if (touched.isEmpty) {
+      fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty)
+    } else
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
+        (m.dirtySet ++ touched).toSeq.sorted)
   }
 
   private def readLeaves(spark: SparkSession, tableDir: String,
@@ -173,9 +257,59 @@ object VersionedTable {
     spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*)
   }
 
-  /** Snapshot read at a version (time travel). */
+  // internal position column names — double-underscored to stay clear of
+  // user schemas; dropped before any view leaves this object
+  private val PosFile = "__vt_file"
+  private val PosIdx = "__vt_pos"
+
+  /** tableDir-relative physical position of each row: the path suffix from
+    * `data/add-v<N>/` on (scheme-independent — `_metadata.file_path` is a
+    * qualified URI whose scheme/authority rendering varies by filesystem)
+    * plus the in-file row index.
+    */
+  private def withPositions(df: DataFrame): DataFrame = df
+    .withColumn(PosFile,
+      regexp_extract(col("_metadata.file_path"), "/(data/add-v\\d+/.*)$", 1))
+    .withColumn(PosIdx, col("_metadata.row_index"))
+
+  /** The vector-applied view of a manifest (optionally restricted to a
+    * leaf subset): clean leaves scan plain; dirty leaves scan with
+    * positions and LEFT ANTI join the union of delete vectors. With
+    * `keepPositions` the internal position columns stay on the output —
+    * only [[deleteMergeOnRead]] wants them.
+    */
+  private def readView(spark: SparkSession, tableDir: String, m: VManifest,
+      onlyLeaves: Option[Seq[String]] = None,
+      keepPositions: Boolean = false): DataFrame = {
+    val leaves = onlyLeaves.getOrElse(m.leaves)
+    def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
+    if (m.deletes.isEmpty) {
+      val plain = readLeaves(spark, tableDir, leaves)
+      return if (keepPositions) withPositions(plain) else plain
+    }
+    val (dirty, clean) = leaves.partition(m.dirtySet.contains)
+    val del = readLeaves(spark, tableDir, m.deletes)
+      .select(col("file").as(PosFile), col("pos").as(PosIdx))
+    val dirtyView = if (dirty.isEmpty) None
+      else Some(finish(withPositions(readLeaves(spark, tableDir, dirty))
+        .join(del, Seq(PosFile, PosIdx), "left_anti")))
+    val cleanView = if (clean.isEmpty) None
+      else {
+        val c = readLeaves(spark, tableDir, clean)
+        Some(if (keepPositions) withPositions(c) else c)
+      }
+    (cleanView, dirtyView) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None)    => c
+      case (None, Some(d))    => d
+      case (None, None) =>
+        throw new IllegalStateException("cannot read an empty leaf set")
+    }
+  }
+
+  /** Snapshot read at a version (time travel), delete vectors applied. */
   def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
-    readLeaves(spark, tableDir, readManifest(spark, tableDir, version))
+    readView(spark, tableDir, readManifestFull(spark, tableDir, version))
 
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, latestVersion(spark, tableDir))
@@ -195,21 +329,22 @@ object VersionedTable {
       keyCol: String): Unit = {
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
-    val prev = readManifest(spark, tableDir, v - 1)
-    val current = readLeaves(spark, tableDir, prev)
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val current = readView(spark, tableDir, m)
     val batchKeys = batch.select(keyCol).distinct()
     val affected = (
       current.join(batchKeys, keyCol).select(col(partCol).cast("string")) unionByName
       batch.select(col(partCol).cast("string"))
     ).distinct().collect().map(_.getString(0)).toSet
-    val (hit, kept) = prev.partition(l => affected.contains(leafPartValue(l)))
+    val (hit, kept) = m.leaves.partition(l => affected.contains(leafPartValue(l)))
     val rewritten =
       (if (hit.isEmpty) batch
-       else readLeaves(spark, tableDir, hit)
+       else readView(spark, tableDir, m, onlyLeaves = Some(hit))
          .join(batchKeys, Seq(keyCol), "left_anti")
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
-      kept ++ writeDataDir(rewritten, tableDir, v, partCol))
+      kept ++ writeDataDir(rewritten, tableDir, v, partCol),
+      m.deletes, m.dirty.filter(kept.contains))
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -237,8 +372,9 @@ object VersionedTable {
   }
 
   /** Small-file maintenance: fold every live leaf into one fresh data dir
-    * (one leaf per partition value again) as a new version. Prior
-    * versions keep referencing the old leaves until [[vacuum]].
+    * (one leaf per partition value again) as a new version — delete
+    * vectors fold into the data here, so the new manifest carries none.
+    * Prior versions keep referencing the old leaves until [[vacuum]].
     */
   def compact(spark: SparkSession, tableDir: String, partCol: String): Unit = {
     val v = latestVersion(spark, tableDir) + 1
@@ -257,8 +393,12 @@ object VersionedTable {
     val vs = versions(spark, tableDir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
     if (drop.isEmpty) return
-    val live = keep.flatMap(readManifest(spark, tableDir, _)).toSet
-    val dead = drop.flatMap(readManifest(spark, tableDir, _)).toSet -- live
+    def refs(v: Int) = {
+      val m = readManifestFull(spark, tableDir, v)
+      m.leaves ++ m.deletes
+    }
+    val live = keep.flatMap(refs).toSet
+    val dead = drop.flatMap(refs).toSet -- live
     // remove dead leaves first, manifests second: a crash in between
     // leaves old manifests pointing at missing leaves — unreadable, but
     // re-running vacuum completes; retained versions are never touched
@@ -297,6 +437,60 @@ object VersionedTable {
       .select("version", "n_rows", "sum_micros", "n_partitions")
       .orderBy("version")
   }
+
+  /** Merge-on-read surface entry: v0 = full events load, v1/v2 = two
+    * position-delete vectors (no data leaf rewritten — spec-pinned by
+    * mtime), v3 = compact folding the vectors into data. The query
+    * summarizes ALL FOUR snapshots, pinning time travel across vector
+    * versions AND that the fold is a pure representation change (v3 ≡ v2
+    * row-for-row, which the oracle states by repeating v2's predicates).
+    */
+  def snapshotDeleteMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_mor")
+    create(events, dir, "pdate")
+    deleteMergeOnRead(spark, dir,
+      col("event_type") === "view" && col("user_id") % 7 === 3)
+    deleteMergeOnRead(spark, dir,
+      col("event_type") === "click" && col("value") < 10.0)
+    compact(spark, dir, "pdate")
+    val summaries = (0 to 3).map { v =>
+      readVersion(spark, dir, v).agg(
+        lit(v).as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(round(col("value") * 1e6).cast("long")).cast("long").as("sum_micros"),
+        countDistinct(col("pdate")).cast("long").as("n_partitions"))
+    }
+    summaries.reduce(_ unionByName _)
+      .select("version", "n_rows", "sum_micros", "n_partitions")
+      .orderBy("version")
+  }
+
+  def snapshotDeleteMorSql(): String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, value,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events),
+      |v AS (
+      |  SELECT 0 AS version, * FROM e
+      |  UNION ALL
+      |  SELECT 1, * FROM e
+      |  WHERE NOT (event_type = 'view' AND user_id % 7 = 3)
+      |  UNION ALL
+      |  SELECT 2, * FROM e
+      |  WHERE NOT (event_type = 'view' AND user_id % 7 = 3)
+      |    AND NOT (event_type = 'click' AND value < 10.0)
+      |  UNION ALL
+      |  SELECT 3, * FROM e
+      |  WHERE NOT (event_type = 'view' AND user_id % 7 = 3)
+      |    AND NOT (event_type = 'click' AND value < 10.0))
+      |SELECT version,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+      |       CAST(count(DISTINCT pdate) AS BIGINT) AS n_partitions
+      |FROM v GROUP BY version ORDER BY version""".stripMargin
 
   /** Shared history for the merge/CDC entries: v0 = initial load
     * (event_id % 3 = 0, with values pre-quantized to micro-units in a
