@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Store-level single-writer enforcement (round-6 verdict, next-round
+  * #4): the pipeline stores' maintenance ops (MV delta/compaction, index
+  * compaction) are single-writer by contract, but until now a concurrent
+  * second writer was merely UNDEFINED — e.g. `compactView` retiring
+  * `deltas/` in the middle of another process's `applyDelta` commit could
+  * drop that delta silently. This makes the contract enforced and LOUD:
+  * a `_LOCK` file created atomically (`FileSystem.create` with
+  * overwrite=false — atomic on HDFS and local FS alike, the same
+  * primitive as the manifest rename CAS), holding writer identity for
+  * the refusal message.
+  *
+  * Deliberately a lock, not a lease: a TTL that silently expires under a
+  * long GC pause re-admits the old writer mid-operation — the classic
+  * split-brain. A crashed holder instead leaves the lock behind and every
+  * later writer fails loudly with the holder's identity, and an operator
+  * (or a supervisor that KNOWS the process is dead) calls [[breakLock]].
+  * That is the right trade for maintenance ops that run on a schedule.
+  */
+object Locking {
+
+  val LockName = "_LOCK"
+
+  /** Identity written into the lock file: host + pid, enough for an
+    * operator to check whether the holder is still alive.
+    */
+  private def ownerId(): String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"${ProcessHandle.current().pid()}"
+
+  /** Run `body` holding the store's writer lock; throws
+    * IllegalStateException naming the current holder if already held.
+    * The lock is released on ANY exit (success or exception) — an
+    * in-process failure must not wedge the store; only a process crash
+    * leaves the lock, by design (see object doc).
+    */
+  def withStoreLock[A](spark: SparkSession, storeDir: String)(body: => A): A = {
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(storeDir))
+    val lock = new Path(s"$storeDir/$LockName")
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case _: Throwable => "<unreadable>" }
+          throw new IllegalStateException(
+            s"store $storeDir is locked by writer [$holder]; concurrent " +
+              s"maintenance refused (break a dead holder's lock with " +
+              s"Locking.breakLock)")
+      }
+    try out.write(ownerId().getBytes("UTF-8")) finally out.close()
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Operator intervention: remove a crashed holder's lock. */
+  def breakLock(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$storeDir/$LockName"), false)
+  }
+}

@@ -90,6 +90,7 @@ object MaterializedView {
     require(sign == 1 || sign == -1, s"sign must be ±1, got $sign")
     require(deltaId.matches("[A-Za-z0-9_-]+"), s"unsafe deltaId: $deltaId")
     val spark = events.sparkSession
+    Locking.withStoreLock(spark, storeDir) {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = new Path(s"${deltasPath(storeDir)}/$deltaId")
@@ -100,6 +101,7 @@ object MaterializedView {
     fs.mkdirs(new Path(deltasPath(storeDir)))
     require(fs.rename(new Path(staging), committed),
       s"could not commit delta $deltaId")
+    }
   }
 
   def appendBatch(events: DataFrame, storeDir: String, deltaId: String): Unit =
@@ -114,6 +116,7 @@ object MaterializedView {
   def applyCdcBatch(events: DataFrame, storeDir: String, deltaId: String): Unit = {
     require(deltaId.matches("[A-Za-z0-9_-]+"), s"unsafe deltaId: $deltaId")
     val spark = events.sparkSession
+    Locking.withStoreLock(spark, storeDir) {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = new Path(s"${deltasPath(storeDir)}/$deltaId")
@@ -131,6 +134,7 @@ object MaterializedView {
     fs.mkdirs(new Path(deltasPath(storeDir)))
     require(fs.rename(new Path(staging), committed),
       s"could not commit delta $deltaId")
+    }
   }
 
   /** Absorb a deletion: `deleted` is the frame of rows the deletion job
@@ -198,9 +202,14 @@ object MaterializedView {
   /** Fold the delta journal back into `state/` — [[Search.compactIndex]]'s
     * retire-install swap applied to the MV (crash before the READY marker
     * leaves the live store untouched; after it, re-running completes the
-    * installs). Single-writer maintenance op.
+    * installs). Single-writer maintenance op, ENFORCED by the store lock
+    * ([[Locking]]): a `compactView` racing an `applyDelta` could retire
+    * `deltas/` mid-commit and drop the delta silently — the lock turns
+    * that into a loud refusal instead. A crashed run leaves both the lock
+    * and the recovery markers; after `breakLock`, re-running completes.
     */
-  def compactView(spark: SparkSession, storeDir: String): Unit = {
+  def compactView(spark: SparkSession, storeDir: String): Unit =
+    Locking.withStoreLock(spark, storeDir) {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ready = new Path(s"$storeDir/compact_READY")

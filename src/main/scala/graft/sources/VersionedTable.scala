@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * design, re-expressed minimally).
   *
   * Layout under `tableDir`:
-  *   - `data/add-v<N>/<part>=<val>/` — immutable hive-partitioned parquet
-  *     leaves, one `add-v<N>` dir per committing version. The partition
+  *   - `data/add-v<N>-<nonce>/<part>=<val>/` — immutable hive-partitioned
+  *     parquet leaves, one dir per committing version (the nonce makes
+  *     racing writers' staged dirs disjoint). The partition
   *     column is DUPLICATED into the data (`<part>` keeps its value
   *     column; the directory key is `<part>__p`), so snapshot reads union
   *     leaf dirs directly — no partition-discovery reconstruction across
@@ -38,10 +39,48 @@ import org.apache.spark.sql.functions._
   * Scale shape: manifests are leaf-path lists — O(partitions + appends)
   * driver-side metadata, bounded by [[vacuum]]/compaction cadence like
   * every store journal here. Reads are plain multi-root parquet scans, so
-  * Catalyst pushdown/pruning applies per leaf. Single-writer, like every
-  * maintenance op in this engine.
+  * Catalyst pushdown/pruning applies per leaf.
+  *
+  * Concurrency: commits are OPTIMISTIC. Every mutation stages its bytes
+  * under a writer-unique dir name (`add-v<N>-<nonce>` — two racing
+  * writers can never clobber each other's staged files), then CASes on
+  * the manifest rename; losing the race raises
+  * [[CommitConflictException]] and the public mutators retry against the
+  * new head (re-reading it, so a delete retried over a concurrent append
+  * sees the appended rows). Loser-attempt dirs become orphans that
+  * [[vacuum]] sweeps. Only [[vacuum]]/[[compact]] remain
+  * single-writer-only maintenance ops (documented there).
   */
 object VersionedTable {
+
+  /** A manifest commit lost its CAS to a concurrent committer. Public
+    * mutators catch this and retry against the new head.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private val MaxCommitAttempts = 5
+
+  private def withCommitRetry[A](op: => A): A = {
+    var attempt = 1
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(op)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= MaxCommitAttempts) throw e
+          attempt += 1
+      }
+    }
+    out.get
+  }
+
+  /** Short writer-unique suffix for staged dir names — uniqueness across
+    * JVMs is the point (two processes racing on the same table), so this
+    * is a random token, not a counter.
+    */
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
 
   private val ManifestRe: Regex = "v(\\d+)\\.json".r
 
@@ -81,9 +120,11 @@ object VersionedTable {
   }
 
   /** Fixed-shape parse of one named string array out of the manifest JSON.
-    * Our own path vocabulary (`data/add-v<N>/<key>=<hive-encoded value>`,
-    * `deletes/del-v<N>`) never contains `]` or `,` — hive leaf names
-    * URL-encode separators — so the split stays exact.
+    * Exact only because [[writeManifest]] REFUSES any entry containing
+    * `"`/`,`/`]`: hive leaf encoding escapes most separators but NOT the
+    * comma, so a partition value containing one would otherwise corrupt
+    * the round-trip silently — the validation turns it into a loud
+    * commit-time error instead.
     */
   private def parseArray(text: String, key: String): Seq[String] = {
     val marker = "\"" + key + "\":["
@@ -111,13 +152,13 @@ object VersionedTable {
       parseArray(text, "dirty"))
   }
 
-  private def readManifest(spark: SparkSession, tableDir: String,
-      version: Int): Seq[String] =
-    readManifestFull(spark, tableDir, version).leaves
-
   private def writeManifest(spark: SparkSession, tableDir: String,
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
       dirty: Seq[String] = Nil): Unit = {
+    (leaves ++ deletes ++ dirty).foreach(e =>
+      require(!e.exists(c => c == '"' || c == ',' || c == ']'),
+        s"manifest entry contains a JSON separator (partition value with " +
+          s"',', '\"' or ']'?): $e"))
     val f = fs(spark, tableDir)
     f.mkdirs(new Path(manifestsDir(tableDir)))
     val staging = new Path(s"${manifestsDir(tableDir)}/_staging_v$version.json")
@@ -127,8 +168,13 @@ object VersionedTable {
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
-    require(!f.exists(committed), s"version $version already committed")
-    require(f.rename(staging, committed), s"could not commit version $version")
+    // CAS: rename refuses an existing destination, so exactly one of two
+    // racing committers lands; the exists() probe just fails faster
+    if (f.exists(committed) || !f.rename(staging, committed)) {
+      f.delete(staging, false)
+      throw new CommitConflictException(
+        s"version $version already committed at $tableDir")
+    }
   }
 
   /** Write a frame as a new immutable data dir, return its leaf paths
@@ -138,7 +184,7 @@ object VersionedTable {
   private def writeDataDir(df: DataFrame, tableDir: String, version: Int,
       partCol: String): Seq[String] = {
     val spark = df.sparkSession
-    val rel = s"data/add-v$version"
+    val rel = s"data/add-v$version-${nonce()}"
     val pdir = partDirCol(partCol)
     df.withColumn(pdir, col(partCol))
       .repartition(col(pdir))
@@ -148,6 +194,21 @@ object VersionedTable {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
       .map(st => s"$rel/${st.getPath.getName}")
       .sorted
+  }
+
+  /** The physical data dir a version's commit wrote (test/inspection
+    * seam — dir names carry a writer nonce, so specs locate them by
+    * version prefix instead of hard-coding the name).
+    */
+  private[graft] def physicalDataDir(spark: SparkSession, tableDir: String,
+      version: Int): String = {
+    val f = fs(spark, tableDir)
+    val hits = f.listStatus(new Path(s"$tableDir/data")).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"add-v$version-"))
+    require(hits.size == 1,
+      s"expected exactly one data dir for v$version at $tableDir, got $hits")
+    hits.head.toString
   }
 
   private def leafPartValue(leaf: String): String = {
@@ -166,14 +227,28 @@ object VersionedTable {
 
   /** Append a batch as a new version: new leaves are ADDED to the live
     * list; existing leaves are untouched (same-partition batches coexist
-    * as multiple leaves until [[compact]]).
+    * as multiple leaves until [[compact]]). The prior version's delete
+    * vectors and dirty set carry over verbatim — an append after a
+    * [[deleteMergeOnRead]] must not resurrect vector-deleted rows (the
+    * new leaves are never dirty: no existing vector can reference a file
+    * that did not exist when the vector was written).
     */
-  def append(df: DataFrame, tableDir: String, partCol: String): Unit = {
+  def append(df: DataFrame, tableDir: String, partCol: String): Unit =
+    withCommitRetry(appendAttempt(df, tableDir, partCol,
+      latestVersion(df.sparkSession, tableDir)))
+
+  /** One optimistic append attempt against an explicitly named base
+    * version — raises [[CommitConflictException]] if `baseVersion` is no
+    * longer the head. Test seam for the retry loop; [[append]] is the
+    * public path.
+    */
+  private[graft] def appendAttempt(df: DataFrame, tableDir: String,
+      partCol: String, baseVersion: Int): Unit = {
     val spark = df.sparkSession
-    val v = latestVersion(spark, tableDir) + 1
-    val prev = readManifest(spark, tableDir, v - 1)
+    val v = baseVersion + 1
+    val m = readManifestFull(spark, tableDir, baseVersion)
     writeManifest(spark, tableDir, v,
-      prev ++ writeDataDir(df, tableDir, v, partCol))
+      m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty)
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear from the new
@@ -186,7 +261,7 @@ object VersionedTable {
     * two-step contract as Delta's DELETE + VACUUM.
     */
   def delete(spark: SparkSession, tableDir: String, partCol: String,
-      pred: Column): Unit = {
+      pred: Column): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val current = readView(spark, tableDir, m)
@@ -228,13 +303,13 @@ object VersionedTable {
     * size reflects exactly the rows its own delete removed.
     */
   def deleteMergeOnRead(spark: SparkSession, tableDir: String,
-      pred: Column): Unit = {
+      pred: Column): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val matches = readView(spark, tableDir, m, keepPositions = true)
       .filter(pred)
       .select(col(PosFile).as("file"), col(PosIdx).as("pos"))
-    val rel = s"deletes/del-v$v"
+    val rel = s"deletes/del-v$v-${nonce()}"
     matches.write.mode("overwrite").parquet(s"$tableDir/$rel")
     // dirty leaves of THIS vector: parent dirs of the referenced files —
     // a manifest-bounded distinct, computed once at write time so reads
@@ -247,8 +322,16 @@ object VersionedTable {
       fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty)
     } else
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
+      // a commit failure (crash, concurrent-commit collision) must not
+      // leave the vector dir as a permanent unreferenced orphan — no
+      // manifest will ever point at it, so [[vacuum]]'s referenced-path
+      // sweep would otherwise never collect it
+      try writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
         (m.dirtySet ++ touched).toSeq.sorted)
+      catch { case e: Throwable =>
+        fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
+        throw e
+      }
   }
 
   private def readLeaves(spark: SparkSession, tableDir: String,
@@ -262,15 +345,24 @@ object VersionedTable {
   private val PosFile = "__vt_file"
   private val PosIdx = "__vt_pos"
 
-  /** tableDir-relative physical position of each row: the path suffix from
-    * `data/add-v<N>/` on (scheme-independent — `_metadata.file_path` is a
-    * qualified URI whose scheme/authority rendering varies by filesystem)
-    * plus the in-file row index.
+  /** tableDir-relative physical position of each row, anchored on the
+    * table's own absolute path (not a `data/add-v<N>` suffix pattern — a
+    * tableDir that itself contained such a segment would make a suffix
+    * match disagree with manifest leaf paths and silently disable the
+    * delete-vector anti-join). `_metadata.file_path` is a qualified URI
+    * whose scheme/authority rendering varies by filesystem, so the anchor
+    * is the scheme-free normalized path, located then substringed.
     */
-  private def withPositions(df: DataFrame): DataFrame = df
-    .withColumn(PosFile,
-      regexp_extract(col("_metadata.file_path"), "/(data/add-v\\d+/.*)$", 1))
-    .withColumn(PosIdx, col("_metadata.row_index"))
+  private def withPositions(df: DataFrame, tableDir: String): DataFrame = {
+    val marker =
+      fs(df.sparkSession, tableDir).makeQualified(new Path(tableDir))
+        .toUri.getPath + "/"
+    df.withColumn(PosFile,
+        col("_metadata.file_path").substr(
+          locate(marker, col("_metadata.file_path")) + marker.length,
+          lit(Int.MaxValue)))
+      .withColumn(PosIdx, col("_metadata.row_index"))
+  }
 
   /** The vector-applied view of a manifest (optionally restricted to a
     * leaf subset): clean leaves scan plain; dirty leaves scan with
@@ -285,18 +377,18 @@ object VersionedTable {
     def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
     if (m.deletes.isEmpty) {
       val plain = readLeaves(spark, tableDir, leaves)
-      return if (keepPositions) withPositions(plain) else plain
+      return if (keepPositions) withPositions(plain, tableDir) else plain
     }
     val (dirty, clean) = leaves.partition(m.dirtySet.contains)
     val del = readLeaves(spark, tableDir, m.deletes)
       .select(col("file").as(PosFile), col("pos").as(PosIdx))
     val dirtyView = if (dirty.isEmpty) None
-      else Some(finish(withPositions(readLeaves(spark, tableDir, dirty))
+      else Some(finish(withPositions(readLeaves(spark, tableDir, dirty), tableDir)
         .join(del, Seq(PosFile, PosIdx), "left_anti")))
     val cleanView = if (clean.isEmpty) None
       else {
         val c = readLeaves(spark, tableDir, clean)
-        Some(if (keepPositions) withPositions(c) else c)
+        Some(if (keepPositions) withPositions(c, tableDir) else c)
       }
     (cleanView, dirtyView) match {
       case (Some(c), Some(d)) => c.unionByName(d)
@@ -326,7 +418,7 @@ object VersionedTable {
     * size stays on the cluster.
     */
   def merge(batch: DataFrame, tableDir: String, partCol: String,
-      keyCol: String): Unit = {
+      keyCol: String): Unit = withCommitRetry {
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
@@ -386,13 +478,21 @@ object VersionedTable {
     * leaf no retained manifest references — the erasure half of the
     * delete contract, and the metadata bound. Leaf set comparisons are
     * driver-side path lists (O(partitions + appends)).
+    *
+    * Also sweeps ORPHANS: `data/`/`deletes/` version dirs no manifest ever
+    * committed (a crash between staging a data/vector dir and the manifest
+    * rename leaves one). Only dirs whose version number is ≤ the latest
+    * committed version are swept — an in-flight commit always targets
+    * latest+1, so its staging is invisible to the sweep; like every
+    * maintenance op here, vacuum itself must not run concurrently with a
+    * writer (single-writer contract).
     */
   def vacuum(spark: SparkSession, tableDir: String, retainLast: Int): Unit = {
     require(retainLast >= 1, "must retain at least the latest version")
     val f = fs(spark, tableDir)
     val vs = versions(spark, tableDir)
+    if (vs.isEmpty) return
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
-    if (drop.isEmpty) return
     def refs(v: Int) = {
       val m = readManifestFull(spark, tableDir, v)
       m.leaves ++ m.deletes
@@ -405,6 +505,23 @@ object VersionedTable {
     dead.toSeq.sorted.foreach(l => f.delete(new Path(s"$tableDir/$l"), true))
     drop.foreach(n =>
       f.delete(new Path(s"${manifestsDir(tableDir)}/v$n.json"), false))
+    // orphan sweep: any versioned dir under data/ or deletes/ with no
+    // retained reference underneath it and a version ≤ the committed head
+    val latest = vs.last
+    val verRe = "^(?:add|del)-v(\\d+)\\b.*".r
+    for (root <- Seq("data", "deletes")) {
+      val rp = new Path(s"$tableDir/$root")
+      if (f.exists(rp)) f.listStatus(rp).foreach { st =>
+        val name = st.getPath.getName
+        val rel = s"$root/$name"
+        name match {
+          case verRe(n) if n.toInt <= latest &&
+              !live.exists(l => l == rel || l.startsWith(rel + "/")) =>
+            f.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
   }
 
   // --------------------------- surface entry

@@ -88,6 +88,31 @@ class MaterializedViewSpec extends AnyFunSuite {
     assertSame(after, recompute(events.filter(!delPred)))
   }
 
+  test("maintenance ops refuse to run under another writer's lock, loudly") {
+    val events = Tables.events(spark, sfDir)
+    val store = Files.createTempDirectory("graft-mv-lock").toString
+    MaterializedView.buildView(events, store)
+    // another writer (or a crashed one) holds the store lock
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$store/${Locking.LockName}"), false)
+    out.write("otherhost:4242".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalStateException] {
+      MaterializedView.appendBatch(events.limit(1), store, "blocked")
+    }
+    assert(e1.getMessage.contains("otherhost:4242"))
+    intercept[IllegalStateException] {
+      MaterializedView.compactView(spark, store)
+    }
+    // no half-committed delta escaped the refusal
+    assert(!fs.exists(new Path(s"${MaterializedView.deltasPath(store)}/blocked")))
+    // operator breaks a dead holder's lock; maintenance proceeds
+    Locking.breakLock(spark, store)
+    MaterializedView.appendBatch(events.limit(1), store, "unblocked")
+    // the lock is released after a successful run (not leaked)
+    assert(!fs.exists(new Path(s"$store/${Locking.LockName}")))
+  }
+
   test("read plan touches only the store, never the base events table") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val s = SparkTestSession.isolated()

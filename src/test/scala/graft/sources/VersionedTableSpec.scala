@@ -39,7 +39,8 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.delete(spark, dir, "pdate",
       $"pdate" === "2024-01-03" || $"id" === 1L)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v1Leaves = fs.listStatus(new Path(s"$dir/data/add-v1")).toSeq
+    val v1Leaves = fs.listStatus(
+        new Path(VersionedTable.physicalDataDir(spark, dir, 1))).toSeq
       .map(_.getPath.getName).filter(_.startsWith("pdate__p=")).sorted
     // the rewrite dir holds ONLY the affected-and-surviving partition —
     // 01-02 is carried by reference, 01-03 emptied out entirely
@@ -62,9 +63,10 @@ class VersionedTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq === keepIds)
     // the deleted partition's leaf is physically gone (erasure contract)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new Path(s"$dir/data/add-v0/pdate__p=2024-01-01")))
+    val v0Dir = VersionedTable.physicalDataDir(spark, dir, 0)
+    assert(!fs.exists(new Path(s"$v0Dir/pdate__p=2024-01-01")))
     // shared leaves referenced by the retained version survive
-    assert(fs.exists(new Path(s"$dir/data/add-v0/pdate__p=2024-01-02")))
+    assert(fs.exists(new Path(s"$v0Dir/pdate__p=2024-01-02")))
   }
 
   test("compact folds multi-leaf partitions without changing the snapshot") {
@@ -80,7 +82,8 @@ class VersionedTableSpec extends AnyFunSuite {
     // post-compact: one leaf per partition value again
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v2 = VersionedTable.latestVersion(spark, dir)
-    val leaves = fs.listStatus(new Path(s"$dir/data/add-v$v2")).toSeq
+    val leaves = fs.listStatus(
+        new Path(VersionedTable.physicalDataDir(spark, dir, v2))).toSeq
       .map(_.getPath.getName).filter(_.startsWith("pdate__p=")).sorted
     assert(leaves === Seq("pdate__p=2024-01-01", "pdate__p=2024-01-02", "pdate__p=2024-01-03"))
   }
@@ -104,7 +107,8 @@ class VersionedTableSpec extends AnyFunSuite {
       (7L, "c", "2024-01-04", 70L)))
     // untouched partition 01-02 is carried by reference, not rewritten
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v1Leaves = fs.listStatus(new Path(s"$dir/data/add-v1")).toSeq
+    val v1Leaves = fs.listStatus(
+        new Path(VersionedTable.physicalDataDir(spark, dir, 1))).toSeq
       .map(_.getPath.getName).filter(_.startsWith("pdate__p=")).sorted
     assert(v1Leaves === Seq("pdate__p=2024-01-01", "pdate__p=2024-01-03", "pdate__p=2024-01-04"))
     // and v0 still reads the pre-merge state (time travel unaffected)
@@ -124,6 +128,81 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(diff === Seq(
       (1L, "unchanged"), (2L, "changed"), (3L, "unchanged"), (4L, "unchanged"),
       (5L, "unchanged"), (6L, "removed"), (7L, "added")))
+  }
+
+  test("append after a merge-on-read delete carries the delete vectors forward") {
+    val dir = Files.createTempDirectory("graft-vt-mor-append").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 2L)
+    // regression (round-6 advice, high): append used to write the new
+    // manifest with empty deletes/dirty, silently resurrecting every
+    // vector-deleted row in this and all later versions
+    VersionedTable.append(df.filter($"id" > 4), dir, "pdate")
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L, 5L, 6L))
+    // and a further delete on top still sees the vector too
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 5L)
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("a partition value containing a manifest separator is refused loudly") {
+    val dir = Files.createTempDirectory("graft-vt-comma").toString
+    val bad = Seq((1L, "a", "2024-01-01,x", 10L))
+      .toDF("id", "kind", "pdate", "amount")
+    // hive path escaping does NOT escape ',' — without the writeManifest
+    // validation this would commit a manifest whose round-trip silently
+    // splits one leaf path into two
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.create(bad, dir, "pdate")
+    }
+    assert(e.getMessage.contains("separator"))
+  }
+
+  test("optimistic commits: a stale attempt conflicts, the retry loses no delta") {
+    val dir = Files.createTempDirectory("graft-vt-conflict").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 2), dir, "pdate")
+    // writer A commits v1 while writer B still believes the head is v0
+    VersionedTable.appendAttempt(df.filter($"id" === 3L), dir, "pdate",
+      baseVersion = 0)
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.appendAttempt(df.filter($"id" === 4L), dir, "pdate",
+        baseVersion = 0)
+    }
+    // the public path retries against the new head: both writers' batches
+    // are present, nothing lost, versions strictly ordered
+    VersionedTable.append(df.filter($"id" === 4L), dir, "pdate")
+    assert(VersionedTable.latestVersion(spark, dir) === 2)
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("vacuum sweeps orphan data/vector dirs no manifest ever committed") {
+    val dir = Files.createTempDirectory("graft-vt-orphan").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between staging and the manifest rename leaves these
+    fs.mkdirs(new Path(s"$dir/data/add-v0-deadbeef/pdate__p=2024-09-09"))
+    fs.mkdirs(new Path(s"$dir/deletes/del-v0-deadbeef"))
+    val before = VersionedTable.readLatest(spark, dir).count()
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(!fs.exists(new Path(s"$dir/data/add-v0-deadbeef")))
+    assert(!fs.exists(new Path(s"$dir/deletes/del-v0-deadbeef")))
+    // the committed version is untouched
+    assert(VersionedTable.readLatest(spark, dir).count() === before)
+  }
+
+  test("delete vectors still apply when tableDir itself contains a data/add-v segment") {
+    // round-6 advice: a suffix-pattern extraction of the relative path
+    // would mis-anchor here and silently stop removing deleted rows
+    val base = Files.createTempDirectory("graft-vt-nest").toString
+    val dir = s"$base/data/add-v1-aaaaaaaa/table"
+    VersionedTable.create(fixture(), dir, "pdate")
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 3L)
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L, 5L, 6L))
   }
 
   test("a crashed (staged, unrenamed) manifest is invisible") {
