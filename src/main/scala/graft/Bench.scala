@@ -78,6 +78,52 @@ object Bench {
     }
     val medians = names.filter(samples(_).nonEmpty)
       .map(n => n -> median(samples(n)))
+    // ---- self-contained regression gate (round-6 verdict, next-round #2):
+    // the committed artifact and the committed PASS/FAIL claim must be ONE
+    // object, computed from the SAME numbers — so the previous round's
+    // lossless artifact is read (before this run overwrites it) and the
+    // tools/bench_regress.py rule (>= 1.5x above a 0.5 s baseline median)
+    // is applied here and embedded in the emitted JSON
+    val gate = {
+      val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "logs/bench_last.json"))
+      val prev: Map[String, Double] =
+        try {
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(baselinePath)), "UTF-8")
+          val start = text.indexOf("\"queries\":{")
+          if (start < 0) Map.empty
+          else {
+            val body = text.substring(start + "\"queries\":{".length,
+              text.indexOf('}', start))
+            "\"([A-Za-z0-9_]+)\":([0-9]+(?:\\.[0-9]+)?)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } catch { case _: Throwable => Map.empty }
+      if (prev.isEmpty)
+        s"""{"verdict":"NO_BASELINE","baseline":"$baselinePath"}"""
+      else {
+        val common = medians.filter { case (k, _) => prev.contains(k) }
+        val regressions = common.collect {
+          case (k, c) if prev(k) > 0.5 && c / prev(k) >= 1.5 =>
+            "\"" + k + "\":" + fmt(c / prev(k))
+        }
+        val watch = common.collect {
+          case (k, c) if prev(k) <= 0.5 && prev(k) > 0 && c / prev(k) >= 1.5 =>
+            "\"" + k + "\":" + fmt(c / prev(k))
+        }
+        val ratio =
+          if (common.isEmpty) 1.0
+          else common.map(_._2).sum / common.map { case (k, _) => prev(k) }.sum
+        val verdict = if (regressions.isEmpty) "PASS" else "FAIL"
+        s"""{"verdict":"$verdict","baseline":"$baselinePath",""" +
+          s""""threshold":1.5,"min_sec":0.5,"compared":${common.size},""" +
+          s""""common_ratio":${fmt(ratio)},""" +
+          s""""regressions":${regressions.mkString("{", ",", "}")},""" +
+          s""""watch_sub_half_sec":${watch.mkString("{", ",", "}")}}"""
+      }
+    }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = failures.toSeq.sortBy(_._1)
@@ -136,7 +182,7 @@ object Bench {
     // randomized-order repetitions (not a single-sample sequence sum)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,""" +
       s""""queries":$qs,"errors":$errs,"store_probes":$storeProbes,""" +
-      s""""workflow":$workflow,"sf":"$sfDir"}"""
+      s""""workflow":$workflow,"gate":$gate,"sf":"$sfDir"}"""
     // The driver's round artifact keeps only the LAST 2000 chars of stdout
     // (measured from BENCH_r05.json), so the full line above — ~2.6 KB at
     // 90 queries — can never survive the capture whole; rounds 3–5 all
@@ -147,7 +193,7 @@ object Bench {
     // until the line would exceed the budget; the remainder is counted and
     // pointed at the lossless on-disk artifact.
     val tailBudget = 1800
-    val fixedPre = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"sf":"$sfDir","errors":$errs,"store_probes":$storeProbes,"workflow":$workflow,"queries_full":"logs/bench_last.json","queries_top":{"""
+    val fixedPre = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,"sf":"$sfDir","errors":$errs,"gate":$gate,"store_probes":$storeProbes,"workflow":$workflow,"queries_full":"logs/bench_last.json","queries_top":{"""
     val byCost = medians.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val suffixFor = (omitted: Int) => s"""},"queries_omitted":$omitted}"""
     val picked = collection.mutable.ListBuffer.empty[String]

@@ -73,6 +73,9 @@ object SparkEntry {
     // CCNet-shaped LM quality score: per-doc mean surprisal in integer
     // bits under a reference-slice bigram model trained in the engine
     "text_lm_score" -> ((s, d) => LanguageModel.perplexityProxy(s, d)),
+    // the trigram upgrade: Stupid Backoff (Brants 2007) with a flat +1
+    // bit per backed-off level — exact integer scores in both engines
+    "text_lm_trigram" -> ((s, d) => LanguageModel.stupidBackoff(s, d)),
     // BM25-form ranked keyword retrieval (rational idf, integer score sum)
     "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
     // the same retrieval served from a PERSISTED inverted index (postings
@@ -268,6 +271,7 @@ object SparkEntry {
     "text_length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "text_repetition" -> Repetition.repetitionSql,
     "text_lm_score" -> LanguageModel.perplexityProxySql(),
+    "text_lm_trigram" -> LanguageModel.stupidBackoffSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
     // identical result contract — the store is a plan-level change
     "text_bm25_store" -> Search.bm25TopKSql(),

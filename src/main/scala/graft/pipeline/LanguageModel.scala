@@ -87,6 +87,145 @@ object LanguageModel {
       .orderBy("doc_id")
   }
 
+  /** One row per trigram occurrence: (doc_id, u, v, w). */
+  private def trigramRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        (2 until t.length).iterator.map(i => (id, t(i - 2), t(i - 1), t(i)))
+      }
+      .toDF("doc_id", "u", "v", "w")
+  }
+
+  /** Trigram scoring with STUPID BACKOFF (Brants et al., "Large Language
+    * Models in Machine Translation", 2007 — the public web-scale n-gram
+    * smoothing: no discounting, back off to the lower order with a fixed
+    * multiplicative penalty). The integer-bits re-expression uses
+    * α = 1/2 per backed-off level, i.e. a flat +1 bit — which keeps every
+    * score an exact integer both engines reproduce bit-for-bit:
+    *
+    *   bits(u,v,w) =
+    *     c3(u,v,w) > 0 : ilog2(c2p(u,v)) − ilog2(c3)       [trigram hit]
+    *     c2(v,w)   > 0 : 1 + ilog2(c1p(v)) − ilog2(c2)     [backoff 1]
+    *     c1(w)     > 0 : 2 + ilog2(T) − ilog2(c1(w))       [backoff 2]
+    *     else          : 2 + ilog2(T + 1)                  [unseen word]
+    *
+    * c3 = reference trigram count, c2p = reference count of (u,v) as a
+    * TRIGRAM PREFIX (so c3 ≤ c2p and the bits are ≥ 0 by construction),
+    * c2 = reference bigram count, c1p = reference count of v as a bigram
+    * prefix, c1 = reference unigram count, T = reference token total.
+    * Every numerator/denominator pair nests (an occurrence of the longer
+    * n-gram is an occurrence of its prefix), so no clause can go
+    * negative.
+    *
+    * This closes most of the fidelity gap to CCNet's 5-gram KenLM while
+    * keeping the [[perplexityProxy]] disciplines: model tables are
+    * vocabulary-bounded aggregates of ONE reference-slice scan family,
+    * scoring is equi-joins at the (doc,u,v,w) grain (a hot n-gram has one
+    * model-side row, so fan-out is the doc side's own row count), T rides
+    * as a broadcast 1-row frame, and the per-doc fold is one aggregate.
+    */
+  def stupidBackoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val refDocs = docs.filter(isReference(col("doc_id")))
+
+    val tri = trigramRows(refDocs)
+    val c3 = tri.groupBy("u", "v", "w").agg(count(lit(1)).cast("long").as("c3"))
+    val c2p = c3.groupBy("u", "v").agg(sum(col("c3")).cast("long").as("c2p"))
+    // bigramRows emits (first, second) as (u, v); the backoff clauses key
+    // on a trigram's LAST two tokens, so rename to the (v, w) grain
+    val c2 = bigramRows(refDocs)
+      .select(col("u").as("v"), col("v").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val c1p = c2.groupBy("v").agg(sum(col("c2")).cast("long").as("c1p"))
+    val c1 = refDocs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val totals = c1.agg(sum(col("c1")).cast("long").as("t_tokens"))
+
+    // doc-side bigram counts renamed to the model's (v, w) key: the
+    // backoff clauses condition on the LAST two / last one token(s)
+    val scored = trigramRows(docs)
+      .groupBy("doc_id", "u", "v", "w").agg(count(lit(1)).as("cnt"))
+      .join(c3, Seq("u", "v", "w"), "left")
+      .join(c2p, Seq("u", "v"), "left")
+      .join(c2, Seq("v", "w"), "left")
+      .join(c1p, Seq("v"), "left")
+      .join(c1, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("cnt"),
+        when(coalesce(col("c3"), lit(0L)) > 0,
+            ilog2(col("c2p")) - ilog2(col("c3")))
+          .when(coalesce(col("c2"), lit(0L)) > 0,
+            lit(1) + ilog2(col("c1p")) - ilog2(col("c2")))
+          .when(coalesce(col("c1"), lit(0L)) > 0,
+            lit(2) + ilog2(col("t_tokens")) - ilog2(col("c1")))
+          .otherwise(lit(2) + ilog2(col("t_tokens") + 1))
+          .cast("long").as("bits"),
+        when(coalesce(col("c3"), lit(0L)) > 0, 0L).otherwise(1L).as("backed"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("long").as("n_trans"),
+        sum(col("cnt") * col("bits")).cast("long").as("total_bits"),
+        sum(col("cnt") * col("backed")).cast("long").as("n_backoff"))
+
+    scored.select(col("doc_id"), col("n_trans"), col("total_bits"),
+        col("n_backoff"),
+        round(col("total_bits") / col("n_trans"), 3).as("bits_per_trans"))
+      .orderBy("doc_id")
+  }
+
+  def stupidBackoffSql(): String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i])) AS u,
+      |         unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i+1])) AS v,
+      |         unnest(list_transform(generate_series(1, len(t) - 2), i -> t[i+2])) AS w
+      |  FROM toks WHERE len(t) >= 3),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS v,
+      |         unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w
+      |  FROM toks WHERE len(t) >= 2),
+      |c3 AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS c3 FROM tg
+      |       WHERE doc_id % 3 = 0 GROUP BY 1, 2, 3),
+      |c2p AS (SELECT u, v, CAST(sum(c3) AS BIGINT) AS c2p FROM c3 GROUP BY 1, 2),
+      |c2 AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c2 FROM bg
+      |       WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+      |c1p AS (SELECT v, CAST(sum(c2) AS BIGINT) AS c1p FROM c2 GROUP BY 1),
+      |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+      |       FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 3 = 0)
+      |       GROUP BY 1),
+      |totals AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tokens FROM c1),
+      |dc AS (SELECT doc_id, u, v, w, count(*) AS cnt FROM tg GROUP BY 1, 2, 3, 4),
+      |tr AS (
+      |  SELECT dc.doc_id, dc.cnt,
+      |    CASE
+      |      WHEN coalesce(c3.c3, 0) > 0 THEN
+      |        (length(bin(c2p.c2p)) - 1) - (length(bin(c3.c3)) - 1)
+      |      WHEN coalesce(c2.c2, 0) > 0 THEN
+      |        1 + (length(bin(c1p.c1p)) - 1) - (length(bin(c2.c2)) - 1)
+      |      WHEN coalesce(c1.c1, 0) > 0 THEN
+      |        2 + (length(bin(totals.t_tokens)) - 1) - (length(bin(c1.c1)) - 1)
+      |      ELSE 2 + (length(bin(totals.t_tokens + 1)) - 1)
+      |    END AS bits,
+      |    CASE WHEN coalesce(c3.c3, 0) > 0 THEN 0 ELSE 1 END AS backed
+      |  FROM dc
+      |  LEFT JOIN c3 ON dc.u = c3.u AND dc.v = c3.v AND dc.w = c3.w
+      |  LEFT JOIN c2p ON dc.u = c2p.u AND dc.v = c2p.v
+      |  LEFT JOIN c2 ON dc.v = c2.v AND dc.w = c2.w
+      |  LEFT JOIN c1p ON dc.v = c1p.v
+      |  LEFT JOIN c1 ON dc.w = c1.w
+      |  CROSS JOIN totals)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trans,
+      |       CAST(sum(cnt * bits) AS BIGINT) AS total_bits,
+      |       CAST(sum(cnt * backed) AS BIGINT) AS n_backoff,
+      |       round(CAST(sum(cnt * bits) AS BIGINT) * 1.0
+      |             / CAST(sum(cnt) AS BIGINT), 3) AS bits_per_trans
+      |FROM tr GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def perplexityProxySql(): String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |bg AS (

@@ -60,9 +60,15 @@ object Subword {
     * at a time (spaces separate words throughout the merge chain and are
     * dropped at the end). Pure codegen'd expression — see object doc.
     */
-  def tokens(text: Column): Column = {
+  def tokens(text: Column): Column = tokens(text, Merges)
+
+  /** [[tokens]] under an arbitrary rank-ordered merge table — the apply
+    * operator for merges learned by [[train]] (same replace chain, so a
+    * trained table tokenizes EXACTLY as training predicted).
+    */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column = {
     val joined = regexp_replace(text, "(.)", "$1" + Joiner)
-    val merged = Merges.foldLeft(joined) { case (s, (a, b)) =>
+    val merged = merges.foldLeft(joined) { case (s, (a, b)) =>
       replace(s, lit(a + Joiner + b + Joiner), lit(a + b + Joiner))
     }
     filter(split(merged, Joiner), p => p =!= "" && p =!= " ")
@@ -215,7 +221,11 @@ object Subword {
     * optimizing a different apply operator would mis-predict actual
     * tokenizations — so the replace semantics are the contract here, and
     * the oracle replays them identically. (Pair COUNTING is boundary-aware
-    * in both engines; the fixture vocabulary never triggers the corner.)
+    * in both engines.) The corner is spec-PINNED with a planted
+    * vocabulary (SubwordSpec "replace semantics win the merge-application
+    * corner"): when a selected pair's text ends a longer merged symbol,
+    * BOTH train and apply fuse it — the fixture proves which semantics
+    * win instead of asserting the corpus never hits it.
     *
     * Scale shape: the corpus is touched ONCE (the word aggregate, then
     * `localCheckpoint` pins the vocab-sized result so the per-round
@@ -254,6 +264,11 @@ object Subword {
         out += ((r, l, rr, c))
         w = w.withColumn("seg",
           replace(col("seg"), lit(l + Joiner + rr + Joiner), lit(l + rr + Joiner)))
+        // pin the lineage every few rounds: without this, round r replays
+        // all r prior replaces over the vocab table — O(R²·|vocab|) column
+        // work, which a production-sized word table cannot afford (the
+        // Dedup.clusters checkpoint discipline; round-6 verdict #3)
+        if (r % 8 == 0) w = w.localCheckpoint()
         r += 1
       }
     }

@@ -1,15 +1,19 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Tables, VersionedTable}
 
 /** Cross-store takedown propagation — ONE call that carries a record
   * deletion request through every persisted derived artifact a training
   * pipeline keeps: the BM25 inverted index ([[Search.deleteFromIndex]]),
-  * the IVF-PQ ANN store ([[AnnIndex.deleteFromStore]]), and the MinHash
-  * signature store ([[IncrementalDedup.deleteFromStore]]). This fuses the
+  * the IVF-PQ ANN store ([[AnnIndex.deleteFromStore]]), the MinHash
+  * signature store ([[IncrementalDedup.deleteFromStore]]), the
+  * incremental materialized view ([[MaterializedView.retractBatch]] — a
+  * journaled negative delta), and the versioned base table itself
+  * ([[VersionedTable.delete]] + `vacuum`, so no retained time-travel
+  * snapshot can still serve the rows). This fuses the
   * product core's record-deletion semantics (reference
   * `DeletionExecutor.java:139-230`: rewrite the complement, validate, keep
   * everything else intact) with the pipeline stores that otherwise only
@@ -35,11 +39,22 @@ import graft.sources.Tables
   */
 object Takedown {
 
+  /** A manifest-versioned base table ([[VersionedTable]]) registered for
+    * takedown: erasure there is the documented two-step — a copy-on-write
+    * `delete` of the head, then `vacuum` down to the post-delete version
+    * so NO retained snapshot can still serve the deleted rows (time
+    * travel would otherwise be a takedown bypass).
+    */
+  case class VersionedRef(tableDir: String, partCol: String)
+
   /** The derived stores a takedown reaches. Absent stores are skipped —
     * a deployment registers whichever artifacts it actually persists.
+    * `mv` is a [[MaterializedView]] store over the base table;
+    * `versioned` is the versioned base table itself.
     */
   case class StoreSet(bm25: Option[String] = None, ann: Option[String] = None,
-      minhash: Option[String] = None)
+      minhash: Option[String] = None, mv: Option[String] = None,
+      versioned: Option[VersionedRef] = None)
 
   /** Delete `docIds` (document-keyed stores) / `vecIds` (vector-keyed
     * stores) from every store in `set` and return the accounting report:
@@ -50,8 +65,11 @@ object Takedown {
     * logical request, reused verbatim on a crash-heal replay.
     */
   def propagate(spark: SparkSession, set: StoreSet,
-      docIds: Seq[Long], vecIds: Seq[Long], batchId: String): DataFrame = {
+      docIds: Seq[Long], vecIds: Seq[Long], batchId: String,
+      basePred: Option[Column] = None): DataFrame = {
     import spark.implicits._
+    require(basePred.isDefined || (set.mv.isEmpty && set.versioned.isEmpty),
+      "mv/versioned takedown legs need the base-row predicate (basePred)")
     // a takedown that empties a table removes its leaves outright
     // (rewriteShardLeaves contract) — reading the bare directory then
     // fails schema inference; an empty table counts as zero rows, the
@@ -135,38 +153,96 @@ object Takedown {
       rows += (("minhash/signatures", sBefore, sAfter, sRes))
       rows += (("minhash/buckets", bBefore, bAfter, bRes))
     }
+    // the two base-table-shaped artifacts share the request's predicate;
+    // the deleted-rows frame is captured from the versioned head BEFORE
+    // the delete (it drives both the MV retraction and the drift audit),
+    // so an MV leg requires the versioned base to be registered too — a
+    // deployment keeping an MV over a non-versioned base already holds
+    // the deletion batch and calls [[MaterializedView.retractBatch]]
+    // itself
+    require(set.mv.isEmpty || set.versioned.isDefined,
+      "the mv takedown leg sources its retraction rows from the " +
+        "versioned base table; register `versioned` alongside `mv`")
+    set.versioned.foreach { case VersionedRef(dir, partCol) =>
+      val pred = basePred.get
+      val head = VersionedTable.readLatest(spark, dir)
+      val before = head.count()
+      val deleted = head.filter(pred)
+      val dN = deleted.count()
+      // retract from the MV FIRST, while the deleted rows are still
+      // readable from the pre-delete head (exactly-once per deltaId
+      // makes a crash between the two legs heal on replay)
+      set.mv.foreach { mvDir =>
+        val mvBefore = mvTotal(spark, mvDir)
+        MaterializedView.retractBatch(deleted, mvDir, s"$batchId-mv")
+        val mvAfter = mvTotal(spark, mvDir)
+        // residual = drift from the expected post-retraction total — a
+        // lost delta and a double-count both surface here
+        rows += (("mv/rows", mvBefore, mvAfter, mvAfter - (mvBefore - dN)))
+      }
+      // erasure two-step: COW delete, then vacuum away every pre-delete
+      // version so no retained snapshot can still serve the rows
+      VersionedTable.delete(spark, dir, partCol, pred)
+      VersionedTable.vacuum(spark, dir, retainLast = 1)
+      val after = VersionedTable.readLatest(spark, dir).count()
+      // residual audits EVERY retained version (time travel must not be
+      // a takedown bypass), not just the head
+      val residual = VersionedTable.versions(spark, dir)
+        .map(v => VersionedTable.readVersion(spark, dir, v)
+          .filter(pred).count()).sum
+      rows += (("versioned/rows", before, after, residual))
+    }
     rows.toSeq.toDF("artifact", "before_v", "after_v", "residual")
   }
 
-  /** The oracle-gated surface entry: build all three stores over a
-    * deterministic corpus slice (`doc_id`/`vec_id` < `sliceMax` — the
-    * builds run inline so the entry stays self-contained, same framing as
-    * the other `*_store` entries), take down ids `% modulus == resid`,
-    * and return the accounting report. The oracle recomputes every
-    * before/after value from the base tables with the same arithmetic
-    * (postings = distinct (doc, term) pairs of the space-split text;
-    * buckets = [[Dedup.NumBands]] rows per doc) and pins every residual
-    * to 0.
+  /** Total row count the view currently represents (Σ n over groups). */
+  private def mvTotal(spark: SparkSession, mvDir: String): Long =
+    MaterializedView.readView(spark, mvDir)
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long"))
+      .collect().head.getLong(0)
+
+  /** The oracle-gated surface entry: build all FIVE artifact families
+    * over deterministic base slices (`doc_id`/`vec_id` < `sliceMax` for
+    * the retrieval stores; `event_id < sliceMax·10` for the versioned
+    * base table + its MV — the builds run inline so the entry stays
+    * self-contained, same framing as the other `*_store` entries), take
+    * down ids `% modulus == resid` (documents/vectors) and users
+    * `user_id % modulus == resid` (the GDPR user-deletion shape on the
+    * base table), and return the accounting report. The oracle recomputes
+    * every before/after value from the base tables with the same
+    * arithmetic (postings = distinct (doc, term) pairs of the space-split
+    * text; buckets = [[Dedup.NumBands]] rows per doc; base/MV rows =
+    * plain predicate counts) and pins every residual to 0.
     */
   def takedownPropagate(spark: SparkSession, sfDir: String,
       sliceMax: Long = 600L, modulus: Long = 17L, resid: Long = 3L): DataFrame = {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < sliceMax)
     val embs = Tables.embeddings(spark, sfDir).where(col("vec_id") < sliceMax)
+    val events = Tables.events(spark, sfDir)
+      .where(col("event_id") < sliceMax * 10)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
     val bmDir = Stores.temp("takedown-bm25")
     val annDir = Stores.temp("takedown-ann")
     val sigDir = Stores.temp("takedown-minhash")
+    val vtDir = Stores.temp("takedown-vt")
+    val mvDir = Stores.temp("takedown-mv")
     Search.buildIndex(docs, bmDir)
     // cheap PQ configuration: the takedown contract (and its oracle) is
     // row accounting — per-vector code rows are one row regardless of
     // index hyper-parameters, so the inline build uses the lightest ones
     AnnIndex.buildStore(embs, annDir, m = 8, iters = 1)
     IncrementalDedup.buildStore(docs, sigDir)
+    VersionedTable.create(events, vtDir, "pdate")
+    MaterializedView.buildView(events, mvDir)
     val docIds = docs.where(col("doc_id") % modulus === resid)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     val vecIds = embs.where(col("vec_id") % modulus === resid)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
-    propagate(spark, StoreSet(Some(bmDir), Some(annDir), Some(sigDir)),
-      docIds, vecIds, batchId = "takedown-oracle")
+    propagate(spark,
+      StoreSet(Some(bmDir), Some(annDir), Some(sigDir), Some(mvDir),
+        Some(VersionedRef(vtDir, "pdate"))),
+      docIds, vecIds, batchId = "takedown-oracle",
+      basePred = Some(col("user_id") % modulus === resid))
   }
 
   /** DuckDB mirror of [[takedownPropagate]]'s report: expected row counts
@@ -179,6 +255,8 @@ object Takedown {
     val bands = Dedup.NumBands
     s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < $sliceMax),
        |embs AS (SELECT * FROM embeddings WHERE vec_id < $sliceMax),
+       |evts AS (SELECT * FROM events WHERE event_id < ${sliceMax * 10}),
+       |kept_evts AS (SELECT * FROM evts WHERE NOT (user_id % $modulus = $resid)),
        |kept_docs AS (SELECT * FROM docs WHERE NOT (doc_id % $modulus = $resid)),
        |kept_embs AS (SELECT * FROM embs WHERE NOT (vec_id % $modulus = $resid)),
        |posts AS (SELECT DISTINCT doc_id,
@@ -208,6 +286,13 @@ object Takedown {
        |UNION ALL SELECT 'minhash/buckets',
        |  (SELECT CAST($bands * count(*) AS BIGINT) FROM docs),
        |  (SELECT CAST($bands * count(*) AS BIGINT) FROM kept_docs),
+       |  CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'mv/rows',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM evts),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_evts), CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'versioned/rows',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM evts),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM kept_evts),
        |  CAST(0 AS BIGINT)""".stripMargin
   }
 }

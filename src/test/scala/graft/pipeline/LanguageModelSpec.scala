@@ -37,4 +37,46 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"model joins must stay equi-joins:\n$plan")
   }
+
+  private lazy val triScored =
+    LanguageModel.stupidBackoff(spark, sfDir).cache()
+
+  test("trigram: reference docs never back off and all bits are non-negative") {
+    // every reference doc's trigrams are in the model by construction, so
+    // the c3 > 0 clause always fires and the backoff counter stays 0
+    assert(triScored.filter(col("doc_id") % 3 === 0 && col("n_backoff") > 0)
+      .count() === 0)
+    assert(triScored.filter(col("total_bits") < 0).count() === 0)
+    assert(triScored.count() > 0)
+  }
+
+  test("trigram: reference documents score as more fluent than the rest") {
+    val Array(refMean, restMean) = triScored
+      .groupBy((col("doc_id") % 3 === 0).as("ref"))
+      .agg(avg(col("bits_per_trans")).as("m"))
+      .orderBy(col("ref").desc)
+      .collect().map(_.getDouble(1))
+    assert(refMean < restMean,
+      s"reference mean surprisal $refMean should be below non-reference $restMean")
+  }
+
+  test("trigram: sharper than the bigram model on the reference slice") {
+    // a higher-order model with exact hits should assign the reference
+    // slice FEWER mean bits than the add-one bigram proxy — the fidelity
+    // claim that justifies the upgrade, asserted, not narrated
+    val tri = triScored.filter(col("doc_id") % 3 === 0)
+      .agg(avg(col("bits_per_trans"))).collect().head.getDouble(0)
+    val bi = scored.filter(col("doc_id") % 3 === 0)
+      .agg(avg(col("bits_per_trans"))).collect().head.getDouble(0)
+    assert(tri < bi, s"trigram ref mean $tri should be below bigram $bi")
+  }
+
+  test("trigram plan: equi-joins only, no cartesian product") {
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = LanguageModel.stupidBackoff(s, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"model joins must stay equi-joins:\n$plan")
+  }
 }

@@ -127,4 +127,33 @@ class SubwordSpec extends AnyFunSuite {
     val b = Subword.train(spark, sfDir, 12).collect().map(_.toSeq).toSeq
     assert(b.take(8) === a, "shorter training must be a prefix of longer")
   }
+
+  test("replace semantics win the merge-application corner, in train AND apply") {
+    // planted vocabulary (round-6 verdict #5): freq st=5, to=3, sto=2.
+    //   round 1 merges (s,t) [count 7]  → "sto" segments as [st, o]
+    //   round 2 merges (t,o) [count 3, counted boundary-aware from "to"]
+    // The merge APPLICATION is an unanchored replace: "st∟o∟" contains
+    // "t∟o∟", so "sto" FUSES to [sto] — textbook boundary-aware BPE would
+    // keep [st, o]. This fixture pins that the replace semantics win.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-corner")
+    val corpus = Seq((1L, ("st " * 5 + "to " * 3 + "sto sto").trim))
+      .toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val learned = Subword.train(spark, dir.toString, rounds = 5)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // training replays the replace: after round 2 "sto" is ONE symbol, so
+    // no pairs remain and training exhausts at exactly 2 merges — under
+    // boundary-aware apply a third merge (st,o) would exist
+    assert(learned.toSeq === Seq((1, "s", "t", 7L), (2, "t", "o", 3L)))
+    // and APPLY agrees with what training predicted: the learned table
+    // tokenizes "sto" as the fused single piece
+    val merges = learned.map(m => (m._2, m._3)).toSeq
+    val pieces = Seq("sto", "to", "st", "stop").toDF("w")
+      .select(Subword.tokens(
+        org.apache.spark.sql.functions.col("w"), merges).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(pieces === Seq(Seq("sto"), Seq("to"), Seq("st"), Seq("sto", "p")))
+  }
 }

@@ -116,6 +116,70 @@ class TakedownSpec extends AnyFunSuite {
       ((2L * Dedup.NumBands, 0L, 0L)))
   }
 
+  test("takedown reaches the MV and versioned base; vacuum erases all history") {
+    val events = Tables.events(spark, sfDir)
+      .where(col("event_id") < 500)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val vt = Stores.temp("tds-vt")
+    val mv = Stores.temp("tds-mv")
+    graft.sources.VersionedTable.create(events, vt, "pdate")
+    // grow some history so vacuum has versions to erase
+    graft.sources.VersionedTable.delete(spark, vt, "pdate", lit(false))
+    MaterializedView.buildView(events, mv)
+    val pred = col("user_id") % 5 === 2
+    val deletedN = events.filter(pred).count()
+    assert(deletedN > 0, "fixture must exercise a non-empty takedown")
+    val set = Takedown.StoreSet(mv = Some(mv),
+      versioned = Some(Takedown.VersionedRef(vt, "pdate")))
+    val report = Takedown.propagate(spark, set, Nil, Nil, "tds-base",
+        basePred = Some(pred))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report.keySet === Set("mv/rows", "versioned/rows"))
+    assert(report("versioned/rows") === ((500L, 500L - deletedN, 0L)))
+    assert(report("mv/rows") === ((500L, 500L - deletedN, 0L)))
+    // erasure contract: ONLY the post-delete version is retained, and no
+    // retained snapshot can read a deleted row (time travel is not a
+    // takedown bypass)
+    val vs = graft.sources.VersionedTable.versions(spark, vt)
+    assert(vs.size === 1)
+    assert(graft.sources.VersionedTable
+      .readVersion(spark, vt, vs.head).filter(pred).count() === 0L)
+    // the pre-delete versions are physically gone, not just hidden
+    intercept[IllegalArgumentException] {
+      graft.sources.VersionedTable.readVersion(spark, vt, 0)
+    }
+    // MV equals a recompute over the post-delete base
+    val mvTotal = MaterializedView.readView(spark, mv)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(mvTotal === 500L - deletedN)
+
+    // replay with the same batchId: every leg a no-op, residuals still 0
+    val replay = Takedown.propagate(spark, set, Nil, Nil, "tds-base",
+        basePred = Some(pred))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(replay("versioned/rows") ===
+      ((500L - deletedN, 500L - deletedN, 0L)))
+    assert(replay("mv/rows") === ((500L - deletedN, 500L - deletedN, 0L)))
+  }
+
+  test("an MV leg without its versioned base is refused") {
+    val events = Tables.events(spark, sfDir).where(col("event_id") < 100)
+    val mv = Stores.temp("tds-mv-orphan")
+    MaterializedView.buildView(events, mv)
+    intercept[IllegalArgumentException] {
+      Takedown.propagate(spark, Takedown.StoreSet(mv = Some(mv)),
+        Nil, Nil, "tds-orphan-mv", basePred = Some(lit(true)))
+    }
+    // and base legs without a predicate are refused too
+    intercept[IllegalArgumentException] {
+      Takedown.propagate(spark,
+        Takedown.StoreSet(versioned = Some(Takedown.VersionedRef(mv, "x"))),
+        Nil, Nil, "tds-nopred")
+    }
+  }
+
   test("empty stores in the set are skipped, empty id lists delete nothing") {
     val docs = Tables.documents(spark, sfDir)
     val mh = Stores.temp("tds-mh-only")
