@@ -178,11 +178,20 @@ object Bench {
       catch { case e: Throwable =>
         s"""{"metric":"workflow_total","ok":false,"error":"${e.getClass.getSimpleName}"}"""
       }
+    // the same deletion against the versioned backend — zero-copy backup,
+    // pointer-flip restore — so the cost-model claim is a committed number
+    // (full line only; the budgeted summary keeps its query room)
+    val workflowVersioned =
+      try WorkflowBench.runVersioned(sfDir, cpus)
+      catch { case e: Throwable =>
+        s"""{"metric":"workflow_versioned_total","ok":false,"error":"${e.getClass.getSimpleName}"}"""
+      }
     // ONE compact line: total = sum of per-query MEDIANS over Reps
     // randomized-order repetitions (not a single-sample sequence sum)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,""" +
       s""""queries":$qs,"errors":$errs,"store_probes":$storeProbes,""" +
-      s""""workflow":$workflow,"gate":$gate,"sf":"$sfDir"}"""
+      s""""workflow":$workflow,"workflow_versioned":$workflowVersioned,""" +
+      s""""gate":$gate,"sf":"$sfDir"}"""
     // The driver's round artifact keeps only the LAST 2000 chars of stdout
     // (measured from BENCH_r05.json), so the full line above — ~2.6 KB at
     // 90 queries — can never survive the capture whole; rounds 3–5 all

@@ -27,7 +27,10 @@ object WorkflowBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val json = run(sfDir, cpus)
     println(json)
-    if (json.contains(""""ok":false""")) sys.exit(1)
+    val jsonVersioned = runVersioned(sfDir, cpus)
+    println(jsonVersioned)
+    if (json.contains(""""ok":false""") ||
+        jsonVersioned.contains(""""ok":false""")) sys.exit(1)
   }
 
   /** The measured workflow as one JSON object string — callable from
@@ -94,6 +97,56 @@ object WorkflowBench {
     val json = s"""{"metric":"workflow_total","value":$totalSec,"unit":"sec",""" +
       s""""ok":$ok,"phases":$phases,"setup_sec":$setupSec,""" +
       s""""partitions":$nPartitions,"rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
+      s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}"""
+    spark.stop()
+    json
+  }
+
+  /** The SAME 7-step deletion (same events fixture, same time window,
+    * same two kernel paths: one partition rewritten, two dropped) against
+    * the VERSIONED backend ([[graft.core.VersionedDeletionWorkflow]]) —
+    * measured side by side so the cost-model claim ("the prior version IS
+    * the backup; restore is a pointer flip") is a committed NUMBER, not
+    * prose: the Hive block above pays a full `saveAsTable` copy in its
+    * backup phase, this one's backup phase is one metadata read.
+    */
+  def runVersioned(sfDir: String, cpus: String): String = {
+    val spark = GraftSession.builder(
+        appName = "graft-wfbench-versioned",
+        master = Some(s"local[$cpus]"),
+        hiveSupport = false,
+        shufflePartitions = Some(cpus.toInt),
+        extraConfs = Map("spark.ui.enabled" -> "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-wfbench-vt").toString
+
+    val tSetup0 = System.nanoTime()
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), date_format(col("ts"), "yyyyMMdd").as("partition_id"))
+    graft.sources.VersionedTable.create(events, dir, "partition_id")
+    val rowsBefore = graft.sources.VersionedTable.readLatest(spark, dir).count()
+    val setupSec = (System.nanoTime() - tSetup0) / 1e9
+
+    def utcTs(s: String): Timestamp = Timestamp.from(
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC))
+    val pred = col("ts") >= lit(utcTs("2024-01-05T12:00:00")) &&
+      col("ts") < lit(utcTs("2024-01-08T00:00:00"))
+
+    val metrics = new Metrics
+    val t0 = System.nanoTime()
+    val ok = graft.core.VersionedDeletionWorkflow.run(
+      spark, dir, "partition_id", pred, metrics)
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    metrics.markJobEnd()
+
+    val rowsAfter = graft.sources.VersionedTable.readLatest(spark, dir).count()
+    val phases = metrics.phaseTimings
+      .map { case (k, ms) => s""""$k":${ms / 1000.0}""" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"workflow_versioned_total","value":$totalSec,""" +
+      s""""unit":"sec","ok":$ok,"phases":$phases,"setup_sec":$setupSec,""" +
+      s""""rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
       s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}"""
     spark.stop()
     json

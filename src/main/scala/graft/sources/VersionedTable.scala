@@ -463,6 +463,21 @@ object VersionedTable {
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
 
+  /** RESTORE as a manifest pointer flip (the public Delta RESTORE shape,
+    * roll-FORWARD style): commit a new version whose manifest is a copy
+    * of `toVersion`'s — no data moves, history stays linear (the
+    * abandoned versions remain time-travelable until [[vacuum]]), and the
+    * commit goes through the same CAS as every other mutation. This is
+    * what makes "the prior version IS the backup" real for the deletion
+    * workflow: restore costs one manifest write, not a table copy.
+    */
+  def rollback(spark: SparkSession, tableDir: String, toVersion: Int): Unit =
+    withCommitRetry {
+      val m = readManifestFull(spark, tableDir, toVersion)
+      val v = latestVersion(spark, tableDir) + 1
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty)
+    }
+
   /** Small-file maintenance: fold every live leaf into one fresh data dir
     * (one leaf per partition value again) as a new version — delete
     * vectors fold into the data here, so the new manifest carries none.

@@ -179,6 +179,51 @@ class VersionedTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("two genuinely concurrent appenders both land; no batch is lost") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft-vt-race").toString
+    VersionedTable.create(fixture().filter($"id" === 1L), dir, "pdate")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // each writer appends three single-row batches; the shared latch makes
+    // the first commits race for the same version number
+    for (writer <- 0 to 1) pool.execute { () =>
+      start.await()
+      try for (b <- 0 to 2) {
+        val id = 10L + writer * 3 + b
+        VersionedTable.append(
+          Seq((id, s"w$writer", "2024-02-0" + (b + 1), id * 10))
+            .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+      } catch { case t: Throwable => failures.add(t) }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"concurrent append failed: ${failures.peek()}")
+    // all six batches present exactly once, history strictly linear
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (Seq(1L) ++ (10L to 15L)))
+    assert(VersionedTable.versions(spark, dir) === (0 to 6))
+  }
+
+  test("rollback after a bad delete, then vacuum, erases the bad version only") {
+    val dir = Files.createTempDirectory("graft-vt-undo").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    val before = VersionedTable.readLatest(spark, dir)
+      .orderBy("id").collect().toSeq
+    // a mistaken delete lands as v1; rollback restores as v2 (pointer
+    // flip); vacuum then physically erases the bad version's rewrite
+    VersionedTable.delete(spark, dir, "pdate", $"kind" === "a")
+    VersionedTable.rollback(spark, dir, 0)
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(VersionedTable.readLatest(spark, dir)
+      .orderBy("id").collect().toSeq === before,
+      "restored state must survive the vacuum (its leaves are referenced)")
+    assert(VersionedTable.versions(spark, dir) === Seq(2))
+  }
+
   test("vacuum sweeps orphan data/vector dirs no manifest ever committed") {
     val dir = Files.createTempDirectory("graft-vt-orphan").toString
     VersionedTable.create(fixture(), dir, "pdate")
