@@ -92,13 +92,16 @@ object VersionedTable {
   private def partDirCol(partCol: String) = s"${partCol}__p"
 
   /** A version's full state: live data leaves, live position-delete dirs
-    * (merge-on-read — see [[deleteMergeOnRead]]), and the subset of leaves
-    * any delete vector touches (`dirty`). Recording `dirty` in the manifest
-    * is what lets a snapshot read split clean leaves (plain scan, no join)
-    * from dirty ones (anti-join) without running a discovery job first.
+    * (merge-on-read — see [[deleteMergeOnRead]]), the subset of leaves
+    * any delete vector touches (`dirty`), and the per-channel latest
+    * committed batch ids (`txns`, entries `channel=batchId` — the public
+    * Delta `txn` action shape backing [[appendOnce]]'s idempotence).
+    * Recording `dirty` in the manifest is what lets a snapshot read split
+    * clean leaves (plain scan, no join) from dirty ones (anti-join)
+    * without running a discovery job first.
     */
   private case class VManifest(leaves: Seq[String], deletes: Seq[String],
-      dirty: Seq[String]) {
+      dirty: Seq[String], txns: Seq[String] = Nil) {
     def dirtySet: Set[String] = dirty.toSet
   }
 
@@ -147,15 +150,15 @@ object VersionedTable {
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // absent keys (pre-MOR manifests) parse as empty — back-compatible
+    // absent keys (older manifests) parse as empty — back-compatible
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
-      parseArray(text, "dirty"))
+      parseArray(text, "dirty"), parseArray(text, "txns"))
   }
 
   private def writeManifest(spark: SparkSession, tableDir: String,
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
-      dirty: Seq[String] = Nil): Unit = {
-    (leaves ++ deletes ++ dirty).foreach(e =>
+      dirty: Seq[String] = Nil, txns: Seq[String] = Nil): Unit = {
+    (leaves ++ deletes ++ dirty ++ txns).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
           s"',', '\"' or ']'?): $e"))
@@ -164,7 +167,8 @@ object VersionedTable {
     val staging = new Path(s"${manifestsDir(tableDir)}/_staging_v$version.json")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
-      s""""deletes":${arr(deletes)},"dirty":${arr(dirty)}}"""
+      s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
+      s""""txns":${arr(txns)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
@@ -248,7 +252,35 @@ object VersionedTable {
     val v = baseVersion + 1
     val m = readManifestFull(spark, tableDir, baseVersion)
     writeManifest(spark, tableDir, v,
-      m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty)
+      m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty,
+      m.txns)
+  }
+
+  /** IDEMPOTENT append — the public Delta `txn` (setTransaction) design:
+    * the manifest records, per `channel`, the LATEST committed batch id;
+    * an append whose (channel, batchId) matches the recorded one is a
+    * replayed commit and no-ops. This is exactly the shield an
+    * at-least-once writer needs (Structured Streaming's `foreachBatch`
+    * replays only the last in-flight batch id on recovery, so latest-only
+    * is sufficient); it is NOT a general dedup of arbitrarily old batch
+    * ids — batch ids within one channel must be issued in order, which a
+    * streaming epoch id satisfies by construction.
+    */
+  def appendOnce(df: DataFrame, tableDir: String, partCol: String,
+      channel: String, batchId: String): Unit = {
+    require(channel.matches("[A-Za-z0-9_-]+"), s"unsafe channel: $channel")
+    require(batchId.matches("[A-Za-z0-9_-]+"), s"unsafe batchId: $batchId")
+    withCommitRetry {
+      val spark = df.sparkSession
+      val base = latestVersion(spark, tableDir)
+      val m = readManifestFull(spark, tableDir, base)
+      val entry = s"$channel=$batchId"
+      if (m.txns.contains(entry)) return // replayed commit: exactly-once
+      val txns = m.txns.filterNot(_.startsWith(channel + "=")) :+ entry
+      writeManifest(spark, tableDir, base + 1,
+        m.leaves ++ writeDataDir(df, tableDir, base + 1, partCol),
+        m.deletes, m.dirty, txns)
+    }
   }
 
   /** Copy-on-write delete: rows matching `pred` disappear from the new
@@ -270,7 +302,8 @@ object VersionedTable {
     val affected = current.filter(pred).select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) {
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty); return
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns)
+      return
     }
     val (hit, kept) = m.leaves.partition(l => affected.contains(leafPartValue(l)))
     // survivors come from the VECTOR-APPLIED view of the hit leaves — a
@@ -282,7 +315,7 @@ object VersionedTable {
       .filter(!pred)
     val newLeaves = writeDataDir(survivors, tableDir, v, partCol)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
-      m.dirty.filter(kept.contains))
+      m.dirty.filter(kept.contains), m.txns)
   }
 
   /** Merge-on-read delete (position delete vectors — the public
@@ -320,14 +353,14 @@ object VersionedTable {
       .toSet
     if (touched.isEmpty) {
       fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty)
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns)
     } else
       // a commit failure (crash, concurrent-commit collision) must not
       // leave the vector dir as a permanent unreferenced orphan — no
       // manifest will ever point at it, so [[vacuum]]'s referenced-path
       // sweep would otherwise never collect it
       try writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
-        (m.dirtySet ++ touched).toSeq.sorted)
+        (m.dirtySet ++ touched).toSeq.sorted, m.txns)
       catch { case e: Throwable =>
         fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
         throw e
@@ -436,7 +469,7 @@ object VersionedTable {
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDir(rewritten, tableDir, v, partCol),
-      m.deletes, m.dirty.filter(kept.contains))
+      m.deletes, m.dirty.filter(kept.contains), m.txns)
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -475,7 +508,7 @@ object VersionedTable {
     withCommitRetry {
       val m = readManifestFull(spark, tableDir, toVersion)
       val v = latestVersion(spark, tableDir) + 1
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty)
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns)
     }
 
   /** Small-file maintenance: fold every live leaf into one fresh data dir
@@ -485,8 +518,10 @@ object VersionedTable {
     */
   def compact(spark: SparkSession, tableDir: String, partCol: String): Unit = {
     val v = latestVersion(spark, tableDir) + 1
-    val folded = readVersion(spark, tableDir, v - 1)
-    writeManifest(spark, tableDir, v, writeDataDir(folded, tableDir, v, partCol))
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val folded = readView(spark, tableDir, m)
+    writeManifest(spark, tableDir, v,
+      writeDataDir(folded, tableDir, v, partCol), txns = m.txns)
   }
 
   /** Drop all versions older than `retainLast` and physically delete every
