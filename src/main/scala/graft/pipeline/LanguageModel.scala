@@ -83,7 +83,11 @@ object LanguageModel {
 
     scored.select(col("doc_id"), col("n_trans"), col("total_bits"),
         col("n_unseen"),
-        round(col("total_bits") / col("n_trans"), 3).as("bits_per_trans"))
+        // EXACT integer milli-bits (total_bits*1000 div n_trans): a
+        // rounded double ratio flaked on representation ties (4.0375
+        // rounds differently as a decimal vs a binary double — seen live
+        // at sf0.1 on the trigram sibling), integer division cannot
+        expr("total_bits * 1000 div n_trans").as("milli_bits_per_trans"))
       .orderBy("doc_id")
   }
 
@@ -171,7 +175,8 @@ object LanguageModel {
 
     scored.select(col("doc_id"), col("n_trans"), col("total_bits"),
         col("n_backoff"),
-        round(col("total_bits") / col("n_trans"), 3).as("bits_per_trans"))
+        // exact integer milli-bits — see [[perplexityProxy]]
+        expr("total_bits * 1000 div n_trans").as("milli_bits_per_trans"))
       .orderBy("doc_id")
   }
 
@@ -221,8 +226,8 @@ object LanguageModel {
       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trans,
       |       CAST(sum(cnt * bits) AS BIGINT) AS total_bits,
       |       CAST(sum(cnt * backed) AS BIGINT) AS n_backoff,
-      |       round(CAST(sum(cnt * bits) AS BIGINT) * 1.0
-      |             / CAST(sum(cnt) AS BIGINT), 3) AS bits_per_trans
+      |       CAST(sum(cnt * bits) AS BIGINT) * 1000
+      |         // CAST(sum(cnt) AS BIGINT) AS milli_bits_per_trans
       |FROM tr GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
@@ -251,8 +256,8 @@ object LanguageModel {
       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trans,
       |       CAST(sum(cnt * bits) AS BIGINT) AS total_bits,
       |       CAST(sum(CASE WHEN unseen THEN cnt ELSE 0 END) AS BIGINT) AS n_unseen,
-      |       round(CAST(sum(cnt * bits) AS BIGINT) * 1.0
-      |             / CAST(sum(cnt) AS BIGINT), 3) AS bits_per_trans
+      |       CAST(sum(cnt * bits) AS BIGINT) * 1000
+      |         // CAST(sum(cnt) AS BIGINT) AS milli_bits_per_trans
       |FROM tr GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 }

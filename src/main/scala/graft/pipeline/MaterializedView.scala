@@ -145,6 +145,41 @@ object MaterializedView {
   def retractBatch(deleted: DataFrame, storeDir: String, deltaId: String): Unit =
     applyDelta(deleted, storeDir, deltaId, sign = -1)
 
+  /** Keep the MV in lockstep with a [[graft.sources.VersionedTable]]
+    * across an arbitrary version range — the batch form of the streaming
+    * CDC→MV loop ([[graft.streaming.StreamingMv]]): [[graft.sources
+    * .VersionedTable.versionDiff]] classifies keys, the removed/changed
+    * keys pull their OLD rows from `fromV` (op 'D') and the added/changed
+    * keys their NEW rows from `toV` (op 'I'), and the whole range lands
+    * as ONE journaled CDC delta — exactly-once per (fromV, toV), so a
+    * crash-replayed sync cannot double-apply. An updated row becomes
+    * D(old)+I(new), which is precisely retraction + re-insert under the
+    * additive-measure contract.
+    *
+    * Scale shape: the diff is a key+fingerprint equi-join (O(|vA|+|vB|)
+    * shuffle, no full rows); row fetches are key-joins against the two
+    * snapshots; the delta collapses to group size before writing. Rows
+    * must carry the view's columns (ts, event_type, value) and the
+    * fingerprint must be quantized (no raw doubles), as versionDiff
+    * documents.
+    */
+  def syncFromVersions(spark: SparkSession, tableDir: String, mvDir: String,
+      keyCol: String, fingerprintCols: Seq[String], fromV: Int,
+      toV: Int): Unit = {
+    import graft.sources.VersionedTable
+    val diff = VersionedTable
+      .versionDiff(spark, tableDir, keyCol, fingerprintCols, fromV, toV)
+    val dels = VersionedTable.readVersion(spark, tableDir, fromV)
+      .join(diff.filter(col("status").isin("removed", "changed"))
+        .select(keyCol), Seq(keyCol))
+      .withColumn("op", lit("D"))
+    val ins = VersionedTable.readVersion(spark, tableDir, toV)
+      .join(diff.filter(col("status").isin("added", "changed"))
+        .select(keyCol), Seq(keyCol))
+      .withColumn("op", lit("I"))
+    applyCdcBatch(dels.unionByName(ins), mvDir, s"cdcsync-$fromV-$toV")
+  }
+
   /** Existing non-empty summary roots: `state/` plus every committed
     * delta. Driver-side listing bounded by the journal length between
     * [[compactView]] runs — maintenance cadence, never corpus size. Empty

@@ -251,9 +251,30 @@ object VersionedTable {
     val spark = df.sparkSession
     val v = baseVersion + 1
     val m = readManifestFull(spark, tableDir, baseVersion)
+    requireSchemaMatch(df, spark, tableDir, m)
     writeManifest(spark, tableDir, v,
       m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty,
       m.txns)
+  }
+
+  /** Appends REFUSE a batch whose column set differs from the table's:
+    * multi-root parquet reads don't merge schemas, so a drifted batch
+    * would otherwise read back with its new columns silently DROPPED (or
+    * as nulls) depending on which file the schema was sampled from —
+    * silent, order-dependent corruption. Schema evolution is explicitly
+    * out of contract; migrate by rewriting through [[compact]] with the
+    * new schema applied. One footer read per append — metadata-sized.
+    */
+  private def requireSchemaMatch(df: DataFrame, spark: SparkSession,
+      tableDir: String, m: VManifest): Unit = {
+    if (m.leaves.isEmpty) return
+    val tableCols = readLeaves(spark, tableDir, m.leaves.take(1)).columns.toSet
+    val batchCols = df.columns.toSet
+    require(tableCols == batchCols,
+      s"append schema mismatch: table columns ${tableCols.toSeq.sorted
+        .mkString("[", ",", "]")} vs batch ${batchCols.toSeq.sorted
+        .mkString("[", ",", "]")}; schema evolution is out of contract — " +
+        "rewrite through compact() with the new schema instead")
   }
 
   /** IDEMPOTENT append — the public Delta `txn` (setTransaction) design:
@@ -276,6 +297,7 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, base)
       val entry = s"$channel=$batchId"
       if (m.txns.contains(entry)) return // replayed commit: exactly-once
+      requireSchemaMatch(df, spark, tableDir, m)
       val txns = m.txns.filterNot(_.startsWith(channel + "=")) :+ entry
       writeManifest(spark, tableDir, base + 1,
         m.leaves ++ writeDataDir(df, tableDir, base + 1, partCol),
@@ -494,6 +516,25 @@ object VersionedTable {
           .when(col("fp_from") =!= col("fp_to"), "changed")
           .otherwise("unchanged").as("status"))
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
+  /** Version history as a frame — the DESCRIBE HISTORY surface: one row
+    * per retained version with its manifest-level footprint. Pure
+    * driver-side metadata (manifest parses), no data scan; with
+    * `includeRowCounts` each version additionally pays one vector-applied
+    * count job (an audit tool, not a dashboard default).
+    */
+  def history(spark: SparkSession, tableDir: String,
+      includeRowCounts: Boolean = false): DataFrame = {
+    import spark.implicits._
+    versions(spark, tableDir).map { v =>
+      val m = readManifestFull(spark, tableDir, v)
+      val rows =
+        if (includeRowCounts) readView(spark, tableDir, m).count() else -1L
+      (v, m.leaves.size.toLong, m.deletes.size.toLong, m.dirty.size.toLong,
+        m.txns.size.toLong, rows)
+    }.toDF("version", "n_leaves", "n_delete_vectors", "n_dirty_leaves",
+      "n_txns", "n_rows")
   }
 
   /** RESTORE as a manifest pointer flip (the public Delta RESTORE shape,

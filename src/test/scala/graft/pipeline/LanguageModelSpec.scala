@@ -22,7 +22,7 @@ class LanguageModelSpec extends AnyFunSuite {
   test("reference documents score as more fluent than out-of-model documents") {
     val Array(refMean, restMean) = scored
       .groupBy((col("doc_id") % 3 === 0).as("ref"))
-      .agg(avg(col("bits_per_trans")).as("m"))
+      .agg(avg(col("milli_bits_per_trans")).as("m"))
       .orderBy(col("ref").desc)
       .collect().map(_.getDouble(1))
     assert(refMean < restMean,
@@ -53,7 +53,7 @@ class LanguageModelSpec extends AnyFunSuite {
   test("trigram: reference documents score as more fluent than the rest") {
     val Array(refMean, restMean) = triScored
       .groupBy((col("doc_id") % 3 === 0).as("ref"))
-      .agg(avg(col("bits_per_trans")).as("m"))
+      .agg(avg(col("milli_bits_per_trans")).as("m"))
       .orderBy(col("ref").desc)
       .collect().map(_.getDouble(1))
     assert(refMean < restMean,
@@ -65,9 +65,9 @@ class LanguageModelSpec extends AnyFunSuite {
     // slice FEWER mean bits than the add-one bigram proxy — the fidelity
     // claim that justifies the upgrade, asserted, not narrated
     val tri = triScored.filter(col("doc_id") % 3 === 0)
-      .agg(avg(col("bits_per_trans"))).collect().head.getDouble(0)
+      .agg(avg(col("milli_bits_per_trans"))).collect().head.getDouble(0)
     val bi = scored.filter(col("doc_id") % 3 === 0)
-      .agg(avg(col("bits_per_trans"))).collect().head.getDouble(0)
+      .agg(avg(col("milli_bits_per_trans"))).collect().head.getDouble(0)
     assert(tri < bi, s"trigram ref mean $tri should be below bigram $bi")
   }
 

@@ -88,6 +88,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     assertSame(after, recompute(events.filter(!delPred)))
   }
 
+  test("syncFromVersions keeps the MV in lockstep with a merged versioned table") {
+    import graft.sources.VersionedTable
+    val store = Files.createTempDirectory("graft-mv-sync").toString
+    val vt = Files.createTempDirectory("graft-mv-sync-vt").toString
+    val events = Tables.events(spark, sfDir)
+      .filter(col("event_id") < 600)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("micros", round(col("value") * 1e6).cast("long"))
+    // v0 = 80% of the slice; MV built over exactly that snapshot
+    VersionedTable.create(events.filter(col("event_id") % 10 < 8), vt, "pdate")
+    MaterializedView.buildView(VersionedTable.readVersion(spark, vt, 0), store)
+    // v1 = MERGE carrying updates (doubled values) and inserts
+    val updates = events.filter(col("event_id") % 20 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("micros", round(col("value") * 1e6).cast("long"))
+    val inserts = events.filter(col("event_id") % 10 >= 8)
+    VersionedTable.merge(updates.unionByName(inserts), vt, "pdate", "event_id")
+    // one journaled CDC delta brings the MV to v1
+    MaterializedView.syncFromVersions(spark, vt, store, "event_id",
+      Seq("event_type", "user_id", "micros"), 0, 1)
+    assertSame(MaterializedView.readView(spark, store),
+      recompute(VersionedTable.readVersion(spark, vt, 1)))
+    // crash-replay of the same range is a no-op (exactly-once per range)
+    MaterializedView.syncFromVersions(spark, vt, store, "event_id",
+      Seq("event_type", "user_id", "micros"), 0, 1)
+    assertSame(MaterializedView.readView(spark, store),
+      recompute(VersionedTable.readVersion(spark, vt, 1)))
+  }
+
   test("maintenance ops refuse to run under another writer's lock, loudly") {
     val events = Tables.events(spark, sfDir)
     val store = Files.createTempDirectory("graft-mv-lock").toString

@@ -250,6 +250,43 @@ class VersionedTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("an append with a drifted schema is refused loudly") {
+    val dir = Files.createTempDirectory("graft-vt-schema").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    // multi-root parquet reads would silently drop (or null out) the new
+    // column depending on schema sampling — the refusal makes it loud
+    val drifted = Seq((7L, "a", "2024-01-04", 70L, "extra"))
+      .toDF("id", "kind", "pdate", "amount", "note")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(drifted, dir, "pdate")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // same refusal on the idempotent path
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendOnce(drifted, dir, "pdate", "s", "b0")
+    }
+    assert(VersionedTable.versions(spark, dir) === Seq(0))
+  }
+
+  test("history reports each version's manifest footprint") {
+    val dir = Files.createTempDirectory("graft-vt-hist").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate") // 2 partitions
+    VersionedTable.append(df.filter($"id" > 4), dir, "pdate")  // +1 leaf
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 2L) // +1 vector
+    VersionedTable.appendOnce(
+      Seq((9L, "c", "2024-01-05", 90L)).toDF("id", "kind", "pdate", "amount"),
+      dir, "pdate", "stream", "b0")                            // +1 txn
+    val h = VersionedTable.history(spark, dir, includeRowCounts = true)
+      .orderBy("version")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(h === Seq(
+      (0, 2L, 0L, 0L, 0L, 4L),
+      (1, 3L, 0L, 0L, 0L, 6L),
+      (2, 3L, 1L, 1L, 0L, 5L),
+      (3, 4L, 1L, 1L, 1L, 6L)))
+  }
+
   test("a crashed (staged, unrenamed) manifest is invisible") {
     val dir = Files.createTempDirectory("graft-vt-crash").toString
     VersionedTable.create(fixture(), dir, "pdate")
