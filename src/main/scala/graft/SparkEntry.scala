@@ -76,6 +76,9 @@ object SparkEntry {
     // the trigram upgrade: Stupid Backoff (Brants 2007) with a flat +1
     // bit per backed-off level — exact integer scores in both engines
     "text_lm_trigram" -> ((s, d) => LanguageModel.stupidBackoff(s, d)),
+    // CCNet's head/middle/tail per-language split by LM score — exact
+    // integer thirds over a total order, per-(lang,bucket) census
+    "text_lm_buckets" -> ((s, d) => LanguageModel.perplexityBuckets(s, d)),
     // BM25-form ranked keyword retrieval (rational idf, integer score sum)
     "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
     // the same retrieval served from a PERSISTED inverted index (postings
@@ -272,6 +275,7 @@ object SparkEntry {
     "text_repetition" -> Repetition.repetitionSql,
     "text_lm_score" -> LanguageModel.perplexityProxySql(),
     "text_lm_trigram" -> LanguageModel.stupidBackoffSql(),
+    "text_lm_buckets" -> LanguageModel.perplexityBucketsSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
     // identical result contract — the store is a plan-level change
     "text_bm25_store" -> Search.bm25TopKSql(),

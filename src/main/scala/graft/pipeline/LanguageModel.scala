@@ -180,6 +180,64 @@ object LanguageModel {
       .orderBy("doc_id")
   }
 
+  /** CCNet's actual partitioning step: split each language's documents
+    * into HEAD / MIDDLE / TAIL thirds by LM score (Wenzek et al. §4.3 —
+    * the head is the most reference-like third, what the paper trains
+    * on). Thirds are integer-exact (`rank·3 ≤ n` / `≤ 2n`) over a total
+    * order (score, then doc_id — the deterministic tie-break), so both
+    * engines bucket identically; the output is the per-(lang, bucket)
+    * census with score bounds, the table a curation owner reads to pick
+    * a cutoff.
+    *
+    * Scale shape: scoring is [[stupidBackoff]]; the bucketing adds one
+    * lang-partitioned window (the per-language sort is the honest cost of
+    * an exact quantile split — at corpus scale a deployment would switch
+    * to approx_percentile cutoffs, trading exactness; this operator is
+    * the exact contract) and a (lang × 3)-sized aggregate.
+    */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val scored = stupidBackoff(spark, sfDir)
+      .select(col("doc_id"), col("milli_bits_per_trans").as("score"))
+      .join(docs, "doc_id")
+    val w = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("score")).cast("long").as("min_milli_bits"),
+        max(col("score")).cast("long").as("max_milli_bits"))
+      .orderBy("lang", "bucket")
+  }
+
+  def perplexityBucketsSql(): String =
+    s"""WITH scored AS (SELECT doc_id, milli_bits_per_trans AS score
+      |               FROM (${stupidBackoffSql()})),
+      |joined AS (
+      |  SELECT s.doc_id, s.score, d.lang
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+      |ranked AS (
+      |  SELECT lang, score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM joined),
+      |bucketed AS (
+      |  SELECT lang, score,
+      |    CASE WHEN rn * 3 <= n THEN 'head'
+      |         WHEN rn * 3 <= n * 2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM ranked)
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  CAST(min(score) AS BIGINT) AS min_milli_bits,
+      |  CAST(max(score) AS BIGINT) AS max_milli_bits
+      |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def stupidBackoffSql(): String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |tg AS (

@@ -71,6 +71,25 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(tri < bi, s"trigram ref mean $tri should be below bigram $bi")
   }
 
+  test("buckets: exact thirds per language, head strictly more fluent than tail") {
+    val b = LanguageModel.perplexityBuckets(spark, sfDir).cache()
+    val byLang = b.collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      assert(m.keySet === Set("head", "middle", "tail"), s"$lang buckets")
+      // integer thirds: sizes differ by at most 1
+      val sizes = rows.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // score bands are ordered and non-overlapping (total order split)
+      assert(m("head")._5 <= m("middle")._4, s"$lang head/middle overlap")
+      assert(m("middle")._5 <= m("tail")._4, s"$lang middle/tail overlap")
+    }
+    assert(byLang.nonEmpty)
+  }
+
   test("trigram plan: equi-joins only, no cartesian product") {
     val s = SparkTestSession.isolated()
     s.conf.set("spark.sql.adaptive.enabled", "false")
