@@ -158,6 +158,9 @@ object SparkEntry {
     "snapshot_changes" -> ((s, d) => graft.sources.VersionedTable.snapshotChanges(s, d)),
     // merge-on-read position-delete vectors + compaction fold (time travel)
     "snapshot_delete_mor" -> ((s, d) => graft.sources.VersionedTable.snapshotDeleteMor(s, d)),
+    // DESCRIBE HISTORY: per-version manifest footprint, leaf counts
+    // recomputed independently by the oracle from the slice predicates
+    "snapshot_history" -> ((s, d) => graft.sources.VersionedTable.snapshotHistory(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -320,6 +323,7 @@ object SparkEntry {
     "snapshot_merge" -> graft.sources.VersionedTable.snapshotMergeSql(),
     "snapshot_changes" -> graft.sources.VersionedTable.snapshotChangesSql(),
     "snapshot_delete_mor" -> graft.sources.VersionedTable.snapshotDeleteMorSql(),
+    "snapshot_history" -> graft.sources.VersionedTable.snapshotHistorySql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

@@ -615,6 +615,26 @@ object VersionedTable {
     }
   }
 
+  /** Maintenance policy: compact only when some partition's leaf debt
+    * (live leaves per partition value) exceeds `maxLeavesPerPartition`,
+    * then vacuum to `retainLast`. The check is pure manifest metadata
+    * (no data scan) — the cheap gate an ingestion scheduler calls after
+    * every batch so small-file debt is bounded without paying a rewrite
+    * per append. Returns true if a compaction ran.
+    */
+  def maintain(spark: SparkSession, tableDir: String, partCol: String,
+      maxLeavesPerPartition: Int = 4, retainLast: Int = 2): Boolean = {
+    require(maxLeavesPerPartition >= 1, "maxLeavesPerPartition must be >= 1")
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    val worst =
+      if (m.leaves.isEmpty) 0
+      else m.leaves.groupBy(leafPartValue).values.map(_.size).max
+    val ran = worst > maxLeavesPerPartition
+    if (ran) compact(spark, tableDir, partCol)
+    vacuum(spark, tableDir, retainLast)
+    ran
+  }
+
   // --------------------------- surface entry
 
   /** Deterministic version history over the events fixture: v0 = initial
@@ -645,6 +665,61 @@ object VersionedTable {
       .select("version", "n_rows", "sum_micros", "n_partitions")
       .orderBy("version")
   }
+
+  /** DESCRIBE HISTORY surface entry over the [[snapshotAsOf]] scenario
+    * (create thirds → append rest → COW delete): the oracle recomputes
+    * every version's LEAF COUNT from the slice predicates — v0 = distinct
+    * partition values of the create slice, v1 adds the append slice's,
+    * and v2 = unaffected leaves of both slices plus the affected
+    * partitions that still have survivors — so the manifest bookkeeping
+    * (carry-by-reference, per-partition rewrite, emptied-partition drop)
+    * is hash-checked end-to-end by an independent engine, not just
+    * spec-asserted.
+    */
+  def snapshotHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_hist")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    append(events.filter(col("event_id") % 3 =!= 0), dir, "pdate")
+    delete(spark, dir, "pdate",
+      col("event_type") === "click" && col("user_id") % 5 === 2)
+    history(spark, dir, includeRowCounts = true).orderBy("version")
+  }
+
+  def snapshotHistorySql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events),
+      |a AS (SELECT * FROM e WHERE event_id % 3 = 0),
+      |b AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+      |aff AS (SELECT DISTINCT pdate FROM e
+      |        WHERE event_type = 'click' AND user_id % 5 = 2)
+      |SELECT 0 AS version,
+      |  (SELECT CAST(count(DISTINCT pdate) AS BIGINT) FROM a) AS n_leaves,
+      |  CAST(0 AS BIGINT) AS n_delete_vectors,
+      |  CAST(0 AS BIGINT) AS n_dirty_leaves,
+      |  CAST(0 AS BIGINT) AS n_txns,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_rows
+      |UNION ALL SELECT 1,
+      |  (SELECT CAST(count(DISTINCT pdate) AS BIGINT) FROM a)
+      |    + (SELECT CAST(count(DISTINCT pdate) AS BIGINT) FROM b),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e)
+      |UNION ALL SELECT 2,
+      |  (SELECT CAST(count(DISTINCT pdate) AS BIGINT) FROM a
+      |   WHERE pdate NOT IN (SELECT pdate FROM aff))
+      |    + (SELECT CAST(count(DISTINCT pdate) AS BIGINT) FROM b
+      |       WHERE pdate NOT IN (SELECT pdate FROM aff))
+      |    + (SELECT CAST(count(DISTINCT pdate) AS BIGINT) FROM e
+      |       WHERE NOT (event_type = 'click' AND user_id % 5 = 2)
+      |         AND pdate IN (SELECT pdate FROM aff)),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e
+      |   WHERE NOT (event_type = 'click' AND user_id % 5 = 2))
+      |ORDER BY version""".stripMargin
 
   /** Merge-on-read surface entry: v0 = full events load, v1/v2 = two
     * position-delete vectors (no data leaf rewritten — spec-pinned by

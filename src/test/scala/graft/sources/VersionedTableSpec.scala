@@ -268,6 +268,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, dir) === Seq(0))
   }
 
+  test("maintain compacts only past the leaf-debt threshold, then vacuums") {
+    val dir = Files.createTempDirectory("graft-vt-maint").toString
+    val row = (id: Long) => Seq((id, "a", "2024-01-01", id * 10))
+      .toDF("id", "kind", "pdate", "amount")
+    VersionedTable.create(row(1L), dir, "pdate")
+    VersionedTable.append(row(2L), dir, "pdate") // 2 leaves in one partition
+    // under the threshold: metadata check only, no compaction version
+    assert(!VersionedTable.maintain(spark, dir, "pdate",
+      maxLeavesPerPartition = 4, retainLast = 10))
+    assert(VersionedTable.latestVersion(spark, dir) === 1)
+    VersionedTable.append(row(3L), dir, "pdate")
+    VersionedTable.append(row(4L), dir, "pdate")
+    VersionedTable.append(row(5L), dir, "pdate") // 5 leaves > 4
+    assert(VersionedTable.maintain(spark, dir, "pdate",
+      maxLeavesPerPartition = 4, retainLast = 1))
+    // folded back to one leaf per partition; history vacuumed to the head
+    val h = VersionedTable.history(spark, dir, includeRowCounts = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(5))).toSeq
+    assert(h.map(_._2) === Seq(1L), "one leaf after the fold")
+    assert(h.map(_._3) === Seq(5L), "all five rows survive")
+  }
+
   test("history reports each version's manifest footprint") {
     val dir = Files.createTempDirectory("graft-vt-hist").toString
     val df = fixture()
