@@ -232,7 +232,11 @@ object SparkEntry {
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
     // multimodal plumbing
     "multimodal_features" -> (Multimodal.features _),
-    "multimodal_frame_sample" -> (Multimodal.frameSampleQuery _)
+    "multimodal_frame_sample" -> (Multimodal.frameSampleQuery _),
+    // video near-dup detection: frame signatures (inverted match, df-cap,
+    // integer permille overlap) with planted clipped copies — catches a
+    // prefix-clipped re-upload whole-file fingerprints never match
+    "multimodal_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -357,6 +361,7 @@ object SparkEntry {
     "mv_incremental" -> MaterializedView.mvIncrementalSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
-    "multimodal_frame_sample" -> Multimodal.frameSampleSql
+    "multimodal_frame_sample" -> Multimodal.frameSampleSql,
+    "multimodal_frame_dedup" -> Multimodal.frameDedupSql()
   )
 }

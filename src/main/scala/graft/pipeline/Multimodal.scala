@@ -131,4 +131,114 @@ object Multimodal {
       |SELECT asset_id, n_frames,
       |  unnest(generate_series(0, n_frames - 1, 10))::BIGINT AS frame_idx
       |FROM a ORDER BY asset_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------- frame-level dedup
+
+  /** VIDEO NEAR-DUP DETECTION over the frame plumbing — the pipeline a
+    * multimodal corpus runs to catch re-uploads and clipped copies: cut
+    * each asset's content into fixed-width frames, signature each frame
+    * (per-frame perceptual hash in production; here the deterministic
+    * [[graft.functions.Hashes.polyHash]] of the frame content, so the
+    * WHOLE pipeline — not just the plumbing — is oracle-checkable), and
+    * score asset pairs by shared distinct signatures. Two assets are
+    * near-dups when they share ≥ `minPermille`/1000 of the smaller one's
+    * signature set — which catches a CLIPPED copy (missing prefix) that
+    * whole-file fingerprints can never match.
+    *
+    * The corpus is augmented with deterministic planted clips (every
+    * 37th document re-appears under `id + 1 000 000` with its first two
+    * frames removed — derived identically in both engines) so the match
+    * join is exercised with real rows at every sf.
+    *
+    * Scale shape: NO all-pairs anywhere — the pair source is the
+    * signature-keyed self-join (an inverted index: only assets sharing a
+    * frame meet), `maxDf` drops boilerplate signatures (the posting-cap
+    * discipline — a frame appearing in > maxDf assets is an intro card,
+    * not evidence), and only (asset, signature) id pairs shuffle — frame
+    * content never travels past the map side. Overlap ratios are integer
+    * permille (`n·1000 div min`) — exact in both engines, no float
+    * rounding at the contract boundary.
+    */
+  def frameDedup(spark: SparkSession, sfDir: String, frameLen: Int = 16,
+      maxDf: Int = 8, minPermille: Int = 500): DataFrame = {
+    import graft.functions.Hashes
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.select(col("doc_id").as("asset_id"),
+      col("text").as("content"))
+    val clips = docs.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 1000000L).as("asset_id"),
+        substring(col("text"), frameLen * 2 + 1, Int.MaxValue).as("content"))
+    val assets = base.unionByName(clips)
+      .filter(length(col("content")) >= frameLen)
+    val sigs = assets
+      .withColumn("frame_idx", explode(sequence(lit(0),
+        floor(length(col("content")) / frameLen).cast("int") - 1)))
+      .withColumn("piece",
+        expr(s"substring(content, frame_idx * $frameLen + 1, $frameLen)"))
+      .select(col("asset_id"), Hashes.polyHash(col("piece")).as("sig"))
+      .distinct()
+    val sizes = sigs.groupBy("asset_id")
+      .agg(count(lit(1)).cast("long").as("n_sigs"))
+    val rare = sigs.groupBy("sig").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sig")
+    val kept = sigs.join(rare, "sig")
+    val pairs = kept.select(col("sig"), col("asset_id").as("asset_a"))
+      .join(kept.select(col("sig"), col("asset_id").as("asset_b")), "sig")
+      .where(col("asset_a") < col("asset_b"))
+      .groupBy("asset_a", "asset_b")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("asset_id", "asset_a")
+        .withColumnRenamed("n_sigs", "n_a"), "asset_a")
+      .join(sizes.withColumnRenamed("asset_id", "asset_b")
+        .withColumnRenamed("n_sigs", "n_b"), "asset_b")
+      .withColumn("permille",
+        expr("n_common * 1000 div least(n_a, n_b)").cast("long"))
+      .filter(col("permille") >= minPermille)
+      .select("asset_a", "asset_b", "n_common", "permille")
+      .orderBy("asset_a", "asset_b")
+  }
+
+  def frameDedupSql(frameLen: Int = 16, maxDf: Int = 8,
+      minPermille: Int = 500): String = {
+    import graft.functions.Hashes
+    s"""WITH assets AS (
+       |  SELECT doc_id AS asset_id, text AS content FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substring(text, ${frameLen * 2 + 1})
+       |  FROM documents WHERE doc_id % 37 = 0),
+       |ok AS (SELECT * FROM assets WHERE length(content) >= $frameLen),
+       |frames AS (
+       |  SELECT asset_id,
+       |    unnest(generate_series(0,
+       |      CAST(floor(length(content) * 1.0 / $frameLen) AS INT) - 1)) AS fi,
+       |    content
+       |  FROM ok),
+       |pieces AS (
+       |  -- the piece is materialized BEFORE hashing: polyHashSql's fold
+       |  -- lambda binds its own index variable, which would capture a
+       |  -- same-named column referenced inside its argument expression
+       |  SELECT asset_id,
+       |    substring(content, fi * $frameLen + 1, $frameLen) AS piece
+       |  FROM frames),
+       |sigs AS (
+       |  SELECT DISTINCT asset_id, ${Hashes.polyHashSql("piece")} AS sig
+       |  FROM pieces),
+       |sizes AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_sigs
+       |          FROM sigs GROUP BY 1),
+       |rare AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= $maxDf),
+       |kept AS (SELECT s.* FROM sigs s JOIN rare r ON s.sig = r.sig),
+       |pairs AS (
+       |  SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |         CAST(count(*) AS BIGINT) AS n_common
+       |  FROM kept x JOIN kept y ON x.sig = y.sig AND x.asset_id < y.asset_id
+       |  GROUP BY 1, 2)
+       |SELECT p.asset_a, p.asset_b, p.n_common,
+       |  p.n_common * 1000 // least(sa.n_sigs, sb.n_sigs) AS permille
+       |FROM pairs p
+       |JOIN sizes sa ON p.asset_a = sa.asset_id
+       |JOIN sizes sb ON p.asset_b = sb.asset_id
+       |WHERE p.n_common * 1000 // least(sa.n_sigs, sb.n_sigs) >= $minPermille
+       |ORDER BY asset_a, asset_b""".stripMargin
+  }
 }

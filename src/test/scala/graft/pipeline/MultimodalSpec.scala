@@ -30,6 +30,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.exceptAll(f2).count() === 0)
   }
 
+  test("frame dedup finds every planted clipped copy with high overlap") {
+    val out = Multimodal.frameDedup(spark, sfDir).cache()
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every planted clip (doc + 1e6, first two frames removed) must pair
+    // with its source at full overlap of the smaller signature set
+    val clipPairs = rows.filter { case (a, b, _, _) => b - a == 1000000L }
+    assert(clipPairs.nonEmpty, "planted clips must surface")
+    clipPairs.foreach { case (a, b, _, permille) =>
+      assert(permille >= 900L, s"clip pair ($a,$b) overlap only $permille")
+    }
+    // permille is integer-exact and bounded
+    rows.foreach { case (_, _, n, p) =>
+      assert(p >= 500L && p <= 1000L && n > 0)
+    }
+  }
+
+  test("frame dedup plan: inverted signature join, no cartesian, content never shuffles") {
+    val s2 = graft.testkit.SparkTestSession.isolated()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = Multimodal.frameDedup(s2, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair source must be the signature-keyed join:\n$plan")
+    // the frame CONTENT must not cross the pair-join shuffle: every
+    // exchange below the join carries (asset_id, sig)-shaped rows only
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("piece")),
+      s"frame content leaked into a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("frame sampling emits exactly ceil(n_frames/stride) rows per asset") {
     val a = Multimodal.assets(spark, sfDir)
     val frames = Multimodal.frameSample(a, stride = 10)
