@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, Layout, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -236,7 +236,11 @@ object SparkEntry {
     // video near-dup detection: frame signatures (inverted match, df-cap,
     // integer permille overlap) with planted clipped copies — catches a
     // prefix-clipped re-upload whole-file fingerprints never match
-    "multimodal_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d))
+    "multimodal_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
+    // physical layout: z-order multi-dim skipping + shuffle-free
+    // bucketed co-located join (the amortize-the-shuffle-once design)
+    "events_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
+    "orders_bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -362,6 +366,8 @@ object SparkEntry {
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql,
-    "multimodal_frame_dedup" -> Multimodal.frameDedupSql()
+    "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
+    "events_zorder_layout" -> Layout.zorderLayoutSql(),
+    "orders_bucketed_join" -> Layout.bucketedJoinSql()
   )
 }

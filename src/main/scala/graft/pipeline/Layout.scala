@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Physical data-LAYOUT operators — the two techniques a 100 TB
+  * deployment leans on that no query rewrite can substitute for:
+  *
+  *  - '''Z-order clustering''' ([[zorderLayout]]): interleave the bits of
+  *    two filter dimensions so one sorted write yields tight per-file
+  *    min/max ranges on BOTH — multi-dimensional data skipping (the
+  *    public Delta `OPTIMIZE ZORDER BY` / Hudi space-curve design). A
+  *    linear sort clusters one dimension and destroys the other.
+  *  - '''Bucketed co-located joins''' ([[bucketedJoin]]): pre-hash both
+  *    fact tables into the same bucket layout on the join key at WRITE
+  *    time, so every subsequent join of the pair runs with ZERO shuffle —
+  *    the amortize-the-shuffle-once design for fact-to-fact joins too big
+  *    to broadcast (at 100 TB a lineitem⋈orders shuffle moves both tables
+  *    across the wire on every query; bucketing moves them once, ever).
+  *
+  * Reference scope note: the reference job (HiveTableDeletionJob) has no
+  * layout optimizer — these are extension-surface operators for the
+  * training-data pipeline, in the same oracle-gated discipline.
+  */
+object Layout {
+
+  /** Bits per dimension in the Z-value (8+8 → 16-bit z). */
+  private val ZBits = 8
+
+  /** Z-values per output bucket: 2^10 of the 2^16 z-space → 64 buckets,
+    * i.e. an 8×8 grid — each bucket pins the top 3 bits of BOTH dims.
+    */
+  private val ZPerBucket = 1024L
+
+  /** The Morton interleave as a sum of 2·ZBits single-bit terms in pure
+    * integer arithmetic — bit i of `u` lands at z-bit 2i+1 and bit i of
+    * `d` at z-bit 2i. `div`/`%` only (no shift builtins), so the DuckDB
+    * oracle can mirror the arithmetic exactly; inputs are non-negative by
+    * construction (`x % 256`).
+    */
+  private def zTerms(intDiv: String): String =
+    (0 until ZBits).map { i =>
+      val bit = 1L << i
+      s"((u $intDiv $bit) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((d $intDiv $bit) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** Z-ORDER LAYOUT AUDIT over events on (user_id, day-of-year): range-
+    * scales each dimension into the 8-bit z-domain from a min/max stats
+    * pass (the public Delta `OPTIMIZE ZORDER` design — columns are
+    * range-RANKED before interleaving precisely so an id column and a
+    * 30-day date column get equal z-resolution; exact min-max scaling
+    * keeps this entry deterministic and oracle-mirrorable where rank
+    * sampling would not be), computes the 16-bit Morton z-value, assigns
+    * rows to 64 fixed z-range buckets (a production write would
+    * `repartitionByRange` on z and sort within partitions, letting
+    * parquet footers carry the min/max; fixed boundaries keep the entry
+    * oracle-exact), and reports each bucket's row count and min/max on
+    * BOTH scaled dimensions.
+    *
+    * The payoff the output exhibits (and [[LayoutSpec]] pins): every
+    * bucket's u-range AND d-range each fit inside one 32-wide strip — so
+    * a point predicate on EITHER dimension prunes to ≤ 8 of 64 buckets
+    * (12.5 %). A linear sort on u gives 1/64 for u but 64/64 for d.
+    *
+    * Scale shape: a column-pruned min/max stats aggregate (broadcast as
+    * one row), then one scan → map-only z projection → a single partial-
+    * aggregated groupBy with 64 groups. At 100 TB this is the stats pass
+    * of an OPTIMIZE job; the shuffle carries 64 rows per map task.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.events(spark, sfDir).select(
+      col("user_id").cast("long").as("uid"),
+      dayofyear(col("ts")).cast("long").as("doy"))
+    val bounds = raw.agg(
+      min("uid").as("u0"), max("uid").as("u1"),
+      min("doy").as("d0"), max("doy").as("d1"))
+    val dims = raw.crossJoin(broadcast(bounds)).select(
+      expr("((uid - u0) * 256) div (u1 - u0 + 1)").cast("long").as("u"),
+      expr("((doy - d0) * 256) div (d1 - d0 + 1)").cast("long").as("d"))
+    dims
+      .withColumn("z", expr(zTerms("div")).cast("long"))
+      .withColumn("bucket", expr(s"z div $ZPerBucket").cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min("u").as("min_u"), max("u").as("max_u"),
+        min("d").as("min_d"), max("d").as("max_d"))
+      .orderBy("bucket")
+  }
+
+  def zorderLayoutSql(): String =
+    s"""WITH raw AS (
+       |  SELECT user_id AS uid, dayofyear(ts) AS doy FROM events),
+       |bounds AS (
+       |  SELECT min(uid) AS u0, max(uid) AS u1,
+       |         min(doy) AS d0, max(doy) AS d1 FROM raw),
+       |dims AS (
+       |  SELECT ((uid - u0) * 256) // (u1 - u0 + 1) AS u,
+       |         ((doy - d0) * 256) // (d1 - d0 + 1) AS d
+       |  FROM raw, bounds),
+       |zed AS (
+       |  SELECT u, d, ${zTerms("//")} AS z FROM dims)
+       |SELECT z // $ZPerBucket AS bucket, count(*) AS n_rows,
+       |  min(u) AS min_u, max(u) AS max_u,
+       |  min(d) AS min_d, max(d) AS max_d
+       |FROM zed GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** BUCKETED CO-LOCATED JOIN: write orders and lineitem bucketed (and
+    * sorted) by the join key into the SAME bucket count, then join the
+    * bucketed tables — the scan's hash-bucket layout already satisfies
+    * the join's clustering requirement, so the sort-merge join runs with
+    * NO exchange on either side ([[LayoutSpec]] pins zero shuffles below
+    * the join). The only shuffles in the whole plan are the 5-group final
+    * aggregate and the presentation sort.
+    *
+    * This is the fact-to-fact answer where [[graft.operators.Analytics]]
+    * broadcasts dimensions: at 100 TB neither side broadcasts, and
+    * re-shuffling both tables per query is the single largest avoidable
+    * cost in the plan. Bucketing pays that shuffle once at ingest.
+    *
+    * The entry pays the bucketed write inline each call (the build-inline
+    * discipline of the `*_store` entries); a deployment writes once and
+    * joins forever. Bucket files are written sorted per writer task, so
+    * Spark may insert a per-bucket merge sort above the scan — cheap,
+    * local, and exchange-free.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 16): DataFrame = {
+    val dir = Stores.temp("graft_bkt")
+    val oTab = "graft_bkt_orders"
+    val lTab = "graft_bkt_lineitem"
+    spark.sql(s"DROP TABLE IF EXISTS $oTab")
+    spark.sql(s"DROP TABLE IF EXISTS $lTab")
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders").saveAsTable(oTab)
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem").saveAsTable(lTab)
+    // merge hint: the point is the exchange-free SMJ, not a broadcast
+    spark.table(lTab).hint("merge")
+      .join(spark.table(oTab).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  def bucketedJoinSql(): String =
+    """SELECT o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+class LayoutSpec extends AnyFunSuite {
+  // isolated SQLConf: the bucketed-join plan probe flips AQE off, and the
+  // bucketed catalog tables must not collide with other suites' sessions
+  private lazy val spark = SparkTestSession.isolated()
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def count[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Int =
+    p.collect(pf).size
+
+  test("z-order: every bucket is simultaneously tight on BOTH dimensions") {
+    val rows = Layout.zorderLayout(spark, sfDir).collect()
+    // range-scaling must spread both dims across the grid — a near-empty
+    // bucket set would make every skipping assertion below vacuous
+    assert(rows.length >= 32, s"only ${rows.length} of 64 buckets occupied")
+    for (r <- rows) {
+      val (minU, maxU) = (r.getAs[Long]("min_u"), r.getAs[Long]("max_u"))
+      val (minD, maxD) = (r.getAs[Long]("min_d"), r.getAs[Long]("max_d"))
+      // 64 buckets = the top 3 bits of each dim → each bucket's range on
+      // EACH dim fits one 32-wide strip. A linear sort can only give this
+      // on one dimension.
+      assert(minU / 32 === maxU / 32, s"bucket ${r.getLong(0)} u-strip")
+      assert(minD / 32 === maxD / 32, s"bucket ${r.getLong(0)} d-strip")
+    }
+    // point-predicate skipping on either dim: at most the 8 buckets of
+    // the point's strip can contain it
+    for (dim <- Seq(("min_u", "max_u"), ("min_d", "max_d")); point <- 0L until 256L) {
+      val covering = rows.count(r =>
+        r.getAs[Long](dim._1) <= point && point <= r.getAs[Long](dim._2))
+      assert(covering <= 8, s"point $point on $dim covered by $covering buckets")
+    }
+  }
+
+  test("z-order: conservation — bucket counts sum to the table size") {
+    val total = Layout.zorderLayout(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).first().getLong(0)
+    assert(total === graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("bucketed join: sort-merge with ZERO exchange below the join") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Layout.bucketedJoin(spark, sfDir).queryExecution.executedPlan
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.size === 1)
+      assert(count(plan) { case b: BroadcastHashJoinExec => b } === 0)
+      // the join's subtree reads both bucketed scans directly — no shuffle
+      assert(count(joins.head) { case e: ShuffleExchangeExec => e } === 0)
+      // whole plan: only the final aggregate + presentation sort exchange
+      assert(count(plan) { case e: ShuffleExchangeExec => e } === 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("bucketed join result equals the plain shuffled join") {
+    val bucketed = Layout.bucketedJoin(spark, sfDir).collect().toSeq
+    import org.apache.spark.sql.functions._
+    val plain = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        org.apache.spark.sql.functions.count(lit(1)).cast("long").as("n_items"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(bucketed === plain)
+  }
+}
