@@ -240,7 +240,8 @@ object SparkEntry {
     // physical layout: z-order multi-dim skipping + shuffle-free
     // bucketed co-located join (the amortize-the-shuffle-once design)
     "events_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
-    "orders_bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d))
+    "orders_bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d)),
+    "events_dpp_join" -> ((s, d) => Layout.dppJoin(s, d))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -368,6 +369,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> Multimodal.frameSampleSql,
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
     "events_zorder_layout" -> Layout.zorderLayoutSql(),
-    "orders_bucketed_join" -> Layout.bucketedJoinSql()
+    "orders_bucketed_join" -> Layout.bucketedJoinSql(),
+    "events_dpp_join" -> Layout.dppJoinSql()
   )
 }

@@ -160,4 +160,49 @@ object Layout {
       |  count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DYNAMIC PARTITION PRUNING over a date-partitioned fact: events are
+    * written partitioned by day (the layout the deletion engine's own
+    * tables use), then joined to a small date dimension whose SELECTIVE
+    * filter is on a NON-join column (`week`) — so no static rewrite can
+    * prune the fact, and Catalyst instead injects a runtime subquery on
+    * the fact scan's partition column (visible as a
+    * `dynamicpruning` partition filter; [[LayoutSpec]] pins it and pins
+    * the scan to exactly the dimension's surviving days).
+    *
+    * At 100 TB this is THE star-schema scan reducer: the fact side reads
+    * only the partitions the filtered dimension names at runtime —
+    * 7/30ths of the table here — where a DPP-less plan scans all of it.
+    * The build-inline partitioned write is the fixture; a deployment's
+    * fact table is already laid out this way.
+    */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Stores.temp("graft_dpp")
+    Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("pdate").parquet(s"$dir/events")
+    val fact = spark.read.parquet(s"$dir/events")
+    // the date dimension a star schema ships: one row per day with
+    // attributes; filter on the attribute, join on the key
+    val dim = Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("date_key"),
+        weekofyear(col("ts")).cast("long").as("week"))
+      .distinct()
+    fact.join(broadcast(dim.filter(col("week") === 2L)),
+        col("pdate") === col("date_key"))
+      .groupBy("pdate")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+      .orderBy("pdate")
+  }
+
+  def dppJoinSql(): String =
+    """WITH e AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS pdate, weekofyear(ts) AS week,
+      |         value
+      |  FROM events)
+      |SELECT pdate, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+      |FROM e WHERE week = 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

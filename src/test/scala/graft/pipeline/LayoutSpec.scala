@@ -60,6 +60,30 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("dpp join: fact scan carries a runtime dynamicpruning partition filter") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Layout.dppJoin(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      // the partitioned fact scan's partition filter is the RUNTIME
+      // subquery DPP injects — no static filter on pdate exists anywhere
+      val fact = scans.filter(_.relation.partitionSchema.nonEmpty)
+      assert(fact.nonEmpty)
+      assert(fact.exists(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))), plan.toString.take(2000))
+      // and the pruned read touches exactly the dimension's 7 days
+      val rows = df.collect()
+      assert(rows.length === 7)
+      assert(rows.map(_.getAs[Long]("n_events")).sum ===
+        graft.sources.Tables.events(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.weekofyear(
+            org.apache.spark.sql.functions.col("ts")) === 2).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("bucketed join result equals the plain shuffled join") {
     val bucketed = Layout.bucketedJoin(spark, sfDir).collect().toSeq
     import org.apache.spark.sql.functions._
