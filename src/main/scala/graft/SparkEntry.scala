@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, Layout, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -239,9 +239,9 @@ object SparkEntry {
     "multimodal_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
     // physical layout: z-order multi-dim skipping + shuffle-free
     // bucketed co-located join (the amortize-the-shuffle-once design)
-    "events_zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
-    "orders_bucketed_join" -> ((s, d) => Layout.bucketedJoin(s, d)),
-    "events_dpp_join" -> ((s, d) => Layout.dppJoin(s, d))
+    "events_zorder_layout" -> ((s, d) => LayoutAudit.zorderLayout(s, d)),
+    "orders_bucketed_join" -> ((s, d) => LayoutAudit.bucketedJoin(s, d)),
+    "events_dpp_join" -> ((s, d) => LayoutAudit.dppJoin(s, d))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -368,8 +368,8 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql,
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
-    "events_zorder_layout" -> Layout.zorderLayoutSql(),
-    "orders_bucketed_join" -> Layout.bucketedJoinSql(),
-    "events_dpp_join" -> Layout.dppJoinSql()
+    "events_zorder_layout" -> LayoutAudit.zorderLayoutSql(),
+    "orders_bucketed_join" -> LayoutAudit.bucketedJoinSql(),
+    "events_dpp_join" -> LayoutAudit.dppJoinSql()
   )
 }

@@ -5,8 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Physical data-LAYOUT operators — the two techniques a 100 TB
-  * deployment leans on that no query rewrite can substitute for:
+/** ORACLE-GATED AUDIT surface for the physical data-layout family. The
+  * WRITE-side operators live in `graft.sources` and are plan-spec-proven
+  * there ([[graft.sources.Layout.writeZOrderLayout]] range-partitions and
+  * sorts by the Morton code so parquet footers carry compact 2-D regions;
+  * [[graft.sources.Bucketing.writeBucketed]] buys exchange-free co-located
+  * joins; `sources/Skew.scala` salts hot keys). This object adds the
+  * DuckDB-checkable query entries those writers cannot express — the
+  * census/stats side of the same techniques, with exact integer
+  * arithmetic where the writers use rank-preserving doubles:
   *
   *  - '''Z-order clustering''' ([[zorderLayout]]): interleave the bits of
   *    two filter dimensions so one sorted write yields tight per-file
@@ -24,7 +31,7 @@ import graft.sources.Tables
   * layout optimizer — these are extension-surface operators for the
   * training-data pipeline, in the same oracle-gated discipline.
   */
-object Layout {
+object LayoutAudit {
 
   /** Bits per dimension in the Z-value (8+8 → 16-bit z). */
   private val ZBits = 8
@@ -108,9 +115,9 @@ object Layout {
        |  min(d) AS min_d, max(d) AS max_d
        |FROM zed GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** BUCKETED CO-LOCATED JOIN: write orders and lineitem bucketed (and
-    * sorted) by the join key into the SAME bucket count, then join the
-    * bucketed tables — the scan's hash-bucket layout already satisfies
+  /** BUCKETED CO-LOCATED JOIN: write orders and lineitem through
+    * [[graft.sources.Bucketing.writeBucketed]] into the SAME bucket
+    * count, then join the bucketed tables — the scan's hash-bucket layout already satisfies
     * the join's clustering requirement, so the sort-merge join runs with
     * NO exchange on either side ([[LayoutSpec]] pins zero shuffles below
     * the join). The only shuffles in the whole plan are the 5-group final
@@ -134,14 +141,13 @@ object Layout {
     val lTab = "graft_bkt_lineitem"
     spark.sql(s"DROP TABLE IF EXISTS $oTab")
     spark.sql(s"DROP TABLE IF EXISTS $lTab")
-    Tables.orders(spark, sfDir)
-      .select("o_orderkey", "o_orderpriority")
-      .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$dir/orders").saveAsTable(oTab)
-    Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-      .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$dir/lineitem").saveAsTable(lTab)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      oTab, "o_orderkey", nBuckets, Some(s"$dir/orders"))
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      lTab, "l_orderkey", nBuckets, Some(s"$dir/lineitem"))
     // merge hint: the point is the exchange-free SMJ, not a broadcast
     spark.table(lTab).hint("merge")
       .join(spark.table(oTab).hint("merge"),

@@ -13,14 +13,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted table on `key`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+  /** Write `df` as a bucketed, per-bucket-sorted table on `key` —
+    * warehouse-managed by default, external at `path` when given (the
+    * oracle surface's build-inline entries keep their data in
+    * JVM-reclaimed temp dirs).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans with zero
     * exchanges when both sides were written by [[writeBucketed]] with the

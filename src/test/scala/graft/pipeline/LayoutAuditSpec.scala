@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.testkit.SparkTestSession
 
-class LayoutSpec extends AnyFunSuite {
+class LayoutAuditSpec extends AnyFunSuite {
   // isolated SQLConf: the bucketed-join plan probe flips AQE off, and the
   // bucketed catalog tables must not collide with other suites' sessions
   private lazy val spark = SparkTestSession.isolated()
@@ -17,7 +17,7 @@ class LayoutSpec extends AnyFunSuite {
     p.collect(pf).size
 
   test("z-order: every bucket is simultaneously tight on BOTH dimensions") {
-    val rows = Layout.zorderLayout(spark, sfDir).collect()
+    val rows = LayoutAudit.zorderLayout(spark, sfDir).collect()
     // range-scaling must spread both dims across the grid — a near-empty
     // bucket set would make every skipping assertion below vacuous
     assert(rows.length >= 32, s"only ${rows.length} of 64 buckets occupied")
@@ -40,7 +40,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("z-order: conservation — bucket counts sum to the table size") {
-    val total = Layout.zorderLayout(spark, sfDir)
+    val total = LayoutAudit.zorderLayout(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n_rows")).first().getLong(0)
     assert(total === graft.sources.Tables.events(spark, sfDir).count())
   }
@@ -49,7 +49,7 @@ class LayoutSpec extends AnyFunSuite {
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = Layout.bucketedJoin(spark, sfDir).queryExecution.executedPlan
+      val plan = LayoutAudit.bucketedJoin(spark, sfDir).queryExecution.executedPlan
       val joins = plan.collect { case j: SortMergeJoinExec => j }
       assert(joins.size === 1)
       assert(count(plan) { case b: BroadcastHashJoinExec => b } === 0)
@@ -64,7 +64,7 @@ class LayoutSpec extends AnyFunSuite {
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = Layout.dppJoin(spark, sfDir)
+      val df = LayoutAudit.dppJoin(spark, sfDir)
       val plan = df.queryExecution.executedPlan
       val scans = plan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
@@ -85,7 +85,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("bucketed join result equals the plain shuffled join") {
-    val bucketed = Layout.bucketedJoin(spark, sfDir).collect().toSeq
+    val bucketed = LayoutAudit.bucketedJoin(spark, sfDir).collect().toSeq
     import org.apache.spark.sql.functions._
     val plain = graft.sources.Tables.lineitem(spark, sfDir)
       .join(graft.sources.Tables.orders(spark, sfDir),
