@@ -241,7 +241,10 @@ object SparkEntry {
     // bucketed co-located join (the amortize-the-shuffle-once design)
     "events_zorder_layout" -> ((s, d) => LayoutAudit.zorderLayout(s, d)),
     "orders_bucketed_join" -> ((s, d) => LayoutAudit.bucketedJoin(s, d)),
-    "events_dpp_join" -> ((s, d) => LayoutAudit.dppJoin(s, d))
+    "events_dpp_join" -> ((s, d) => LayoutAudit.dppJoin(s, d)),
+    // hot-key salted join gated by a plain-join oracle; CBO stats census
+    "events_salted_join" -> (Analytics.eventsSaltedJoin _),
+    "table_stats" -> (Analytics.tableStats _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -370,6 +373,8 @@ object SparkEntry {
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
     "events_zorder_layout" -> LayoutAudit.zorderLayoutSql(),
     "orders_bucketed_join" -> LayoutAudit.bucketedJoinSql(),
-    "events_dpp_join" -> LayoutAudit.dppJoinSql()
+    "events_dpp_join" -> LayoutAudit.dppJoinSql(),
+    "events_salted_join" -> Analytics.eventsSaltedJoinSql,
+    "table_stats" -> Analytics.tableStatsSql
   )
 }

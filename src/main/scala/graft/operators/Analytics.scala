@@ -476,4 +476,86 @@ object Analytics {
       |SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
       |FROM events WHERE event_type = 'error'
       |ORDER BY day, user_id""".stripMargin
+
+  /** SKEW-SALTED HOT-KEY JOIN as a gated surface entry: events joined to
+    * a 5-row event_type dimension ON THE LOW-CARDINALITY KEY — the
+    * textbook hot-key shape where a plain shuffled equi-join lands each
+    * key's entire volume (~20 % of the table here; far worse in real
+    * skew) on ONE reducer. [[graft.sources.Skew.saltedJoin]] spreads each
+    * key over 8 salt buckets (deterministic xxhash64 of the big row) and
+    * replicates only the 5-row small side — result rows are provably
+    * those of the unsalted join (SkewSpec), which is exactly what lets a
+    * plain-SQL oracle gate the salted plan.
+    *
+    * (At this dim size a broadcast join also works — the entry exists to
+    * gate the salt construction itself, the tool for when the small side
+    * is too big to broadcast but the key is hot. AQE's skew-join handles
+    * sort-merge skew after the fact; salting fixes the plan.)
+    */
+  def eventsSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 1e6).cast("long").as("micros"))
+    val dim = ev.select("event_type").distinct()
+      .withColumn("weight", length(col("event_type")).cast("long"))
+    graft.sources.Skew.saltedJoin(ev, dim, "event_type", buckets = 8)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(col("micros") * col("weight")).cast("long").as("weighted_micros"))
+      .orderBy("event_type")
+  }
+
+  val eventsSaltedJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS micros
+      |  FROM events),
+      |dim AS (
+      |  SELECT event_type, CAST(length(event_type) AS BIGINT) AS weight
+      |  FROM (SELECT DISTINCT event_type FROM ev))
+      |SELECT ev.event_type, count(*) AS n_events,
+      |  CAST(sum(micros * weight) AS BIGINT) AS weighted_micros
+      |FROM ev JOIN dim USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ANALYZE-TABLE-shaped column statistics census over lineitem — the
+    * numbers a cost-based optimizer's join reorder and the engine's own
+    * broadcast decisions feed on: per column, row count, non-null count,
+    * EXACT distinct count, and min/max (rendered as strings so one
+    * relation carries mixed column types). One aggregate pass computes
+    * every column's stats (Spark plans the multi-distinct via a single
+    * Expand — the honest exact-NDV cost); at 100 TB a deployment switches
+    * the NDV leg to HLL sketches — [[eventsApproxProfile]] gates that
+    * sketch-with-audit pattern — and keeps this exact form for samples.
+    * Timestamp/double columns are excluded from the census: their string
+    * renderings are engine-specific, and the gate demands bit-equality.
+    */
+  def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, sfDir)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n, ${c}__nn, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_rows, n_nonnull, ndv, min_v, max_v)"))
+      .orderBy("column_name")
+  }
+
+  val tableStatsSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS ndv,
+         |  CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }
