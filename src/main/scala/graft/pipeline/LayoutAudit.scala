@@ -45,7 +45,7 @@ object LayoutAudit {
     * integer arithmetic — bit i of `u` lands at z-bit 2i+1 and bit i of
     * `d` at z-bit 2i. `div`/`%` only (no shift builtins), so the DuckDB
     * oracle can mirror the arithmetic exactly; inputs are non-negative by
-    * construction (`x % 256`).
+    * construction (range-scaled into [0, 256)).
     */
   private def zTerms(intDiv: String): String =
     (0 until ZBits).map { i =>
@@ -67,7 +67,7 @@ object LayoutAudit {
     * oracle-exact), and reports each bucket's row count and min/max on
     * BOTH scaled dimensions.
     *
-    * The payoff the output exhibits (and [[LayoutSpec]] pins): every
+    * The payoff the output exhibits (and `LayoutAuditSpec` pins): every
     * bucket's u-range AND d-range each fit inside one 32-wide strip — so
     * a point predicate on EITHER dimension prunes to ≤ 8 of 64 buckets
     * (12.5 %). A linear sort on u gives 1/64 for u but 64/64 for d.
@@ -117,9 +117,10 @@ object LayoutAudit {
 
   /** BUCKETED CO-LOCATED JOIN: write orders and lineitem through
     * [[graft.sources.Bucketing.writeBucketed]] into the SAME bucket
-    * count, then join the bucketed tables — the scan's hash-bucket layout already satisfies
-    * the join's clustering requirement, so the sort-merge join runs with
-    * NO exchange on either side ([[LayoutSpec]] pins zero shuffles below
+    * count, then join the bucketed tables — the scan's hash-bucket layout
+    * already satisfies the join's clustering requirement, so the
+    * sort-merge join runs with
+    * NO exchange on either side (`LayoutAuditSpec` pins zero shuffles below
     * the join). The only shuffles in the whole plan are the 5-group final
     * aggregate and the presentation sort.
     *
@@ -173,7 +174,7 @@ object LayoutAudit {
     * filter is on a NON-join column (`week`) — so no static rewrite can
     * prune the fact, and Catalyst instead injects a runtime subquery on
     * the fact scan's partition column (visible as a
-    * `dynamicpruning` partition filter; [[LayoutSpec]] pins it and pins
+    * `dynamicpruning` partition filter; `LayoutAuditSpec` pins it and pins
     * the scan to exactly the dimension's surviving days).
     *
     * At 100 TB this is THE star-schema scan reducer: the fact side reads
