@@ -161,6 +161,9 @@ object SparkEntry {
     // DESCRIBE HISTORY: per-version manifest footprint, leaf counts
     // recomputed independently by the oracle from the slice predicates
     "snapshot_history" -> ((s, d) => graft.sources.VersionedTable.snapshotHistory(s, d)),
+    // add-nullable-column schema evolution: evolved head reads
+    // pre-evolution leaves with nulls; old snapshots keep their schema
+    "snapshot_evolve" -> ((s, d) => graft.sources.VersionedTable.snapshotEvolve(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -336,6 +339,7 @@ object SparkEntry {
     "snapshot_changes" -> graft.sources.VersionedTable.snapshotChangesSql(),
     "snapshot_delete_mor" -> graft.sources.VersionedTable.snapshotDeleteMorSql(),
     "snapshot_history" -> graft.sources.VersionedTable.snapshotHistorySql(),
+    "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

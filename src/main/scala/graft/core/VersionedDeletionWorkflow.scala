@@ -46,18 +46,34 @@ object VersionedDeletionWorkflow {
   /** Run the 7-step workflow against a versioned table. Returns true on
     * success (including the no-affected-partitions early exit and
     * dry-run), false on a failure — after rolling the table back to the
-    * pre-delete version.
+    * pre-delete version. A failure in step 7 alone does NOT fail the run
+    * or roll back: by then the deletion is committed and validated, and a
+    * rollback would resurrect the just-deleted rows (worse, after a
+    * partial vacuum the pre-delete version's leaves may already be gone,
+    * so the rolled-back head could reference missing files — round-7
+    * advice, medium). Cleanup is re-runnable; the deletion result stands.
     *
     * `retainVersions` is the step-7 retention: how many trailing versions
     * survive the vacuum (≥ 1; the post-delete head always survives).
+    * `retainAgeMs`, when set, switches step 7 to AGE-based retention
+    * ([[VersionedTable.vacuumOlderThan]]) — the snapshot-backend mirror
+    * of the reference's 7-day backup GC
+    * (`HDFSBackupStrategy.java:100-129`).
     */
   def run(spark: SparkSession, tableDir: String, partCol: String,
       pred: Column, metrics: Metrics, dryRun: Boolean = false,
-      retainVersions: Int = 2): Boolean = {
+      retainVersions: Int = 2, retainAgeMs: Option[Long] = None,
+      onPhase: String => Unit = _ => ()): Boolean = {
+    // phase hook: called with the step name before each step runs — an
+    // observability seam (progress reporting, failpoint injection in the
+    // rollback specs); a throw from the hook fails that step
+    def phase[A](name: String)(body: => A): A = {
+      onPhase(name); metrics.timePhase(name)(body)
+    }
     var backupVersion: Option[Int] = None
     try {
       logger.info("Step 1: Identifying affected partitions")
-      val affected = metrics.timePhase("1_identify_partitions") {
+      val affected = phase("1_identify_partitions") {
         VersionedTable.readLatest(spark, tableDir)
           .filter(pred).select(col(partCol).cast("string"))
           .distinct().collect().map(_.getString(0)).toSeq.sorted
@@ -69,7 +85,7 @@ object VersionedDeletionWorkflow {
       metrics.incrementPartitionsProcessed(affected.size)
 
       logger.info("Step 2: Performing pre-deletion validation")
-      metrics.timePhase("2_pre_validation") {
+      phase("2_pre_validation") {
         // the head must be a readable, committed snapshot and every
         // affected value must actually exist in it — the versioned
         // analogue of partition-existence validation
@@ -80,7 +96,7 @@ object VersionedDeletionWorkflow {
       if (dryRun) logger.info("Step 3: Skipping backup pointer (dry run)")
       else {
         logger.info("Step 3: Recording backup version (the prior version IS the backup)")
-        backupVersion = Some(metrics.timePhase("3_backup") {
+        backupVersion = Some(phase("3_backup") {
           val v = VersionedTable.latestVersion(spark, tableDir)
           metrics.markBackupCreated(s"$tableDir@v$v")
           v
@@ -88,7 +104,7 @@ object VersionedDeletionWorkflow {
       }
 
       logger.info("Step 4: Counting records before deletion")
-      val (before, toDelete) = metrics.timePhase("4_count_before") {
+      val (before, toDelete) = phase("4_count_before") {
         val head = VersionedTable.readLatest(spark, tableDir)
         val b = head.count()
         val d = head.filter(pred).count()
@@ -106,12 +122,12 @@ object VersionedDeletionWorkflow {
       }
 
       logger.info("Step 5: Executing deletion (copy-on-write version commit)")
-      metrics.timePhase("5_deletion") {
+      phase("5_deletion") {
         VersionedTable.delete(spark, tableDir, partCol, pred)
       }
 
       logger.info("Step 6: Performing post-deletion validation")
-      metrics.timePhase("6_post_validation") {
+      phase("6_post_validation") {
         val head = VersionedTable.readLatest(spark, tableDir)
         val after = head.count()
         require(after == before - toDelete,
@@ -121,9 +137,22 @@ object VersionedDeletionWorkflow {
         metrics.markValidationPassed(true)
       }
 
+      // deletion is committed and validated — the backup pointer has done
+      // its job; nothing past this line may trigger a rollback
+      backupVersion = None
+
       logger.info("Step 7: Vacuuming old versions (cleanup old backups)")
-      metrics.timePhase("7_cleanup_backups") {
-        VersionedTable.vacuum(spark, tableDir, retainLast = retainVersions)
+      try phase("7_cleanup_backups") {
+        retainAgeMs match {
+          case Some(age) => VersionedTable.vacuumOlderThan(spark, tableDir, age)
+          case None =>
+            VersionedTable.vacuum(spark, tableDir, retainLast = retainVersions)
+        }
+      } catch {
+        case e: Exception =>
+          logger.error(s"Step 7 cleanup failed: ${e.getMessage}; deletion " +
+            "is already committed and validated — no rollback; re-run " +
+            "vacuum to finish cleanup")
       }
 
       logger.info("Versioned deletion workflow completed successfully")

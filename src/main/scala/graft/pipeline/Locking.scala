@@ -1,18 +1,26 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Store-level single-writer enforcement (round-6 verdict, next-round
   * #4): the pipeline stores' maintenance ops (MV delta/compaction, index
-  * compaction) are single-writer by contract, but until now a concurrent
-  * second writer was merely UNDEFINED — e.g. `compactView` retiring
-  * `deltas/` in the middle of another process's `applyDelta` commit could
-  * drop that delta silently. This makes the contract enforced and LOUD:
-  * a `_LOCK` file created atomically (`FileSystem.create` with
-  * overwrite=false — atomic on HDFS and local FS alike, the same
-  * primitive as the manifest rename CAS), holding writer identity for
-  * the refusal message.
+  * compaction, versioned-table vacuum/compact) are single-writer by
+  * contract, but until now a concurrent second writer was merely
+  * UNDEFINED — e.g. `compactView` retiring `deltas/` in the middle of
+  * another process's `applyDelta` commit could drop that delta silently.
+  * This makes the contract enforced and LOUD: a `_LOCK` file created
+  * atomically, holding writer identity for the refusal message.
+  *
+  * Acquisition primitive by filesystem: on `file://` the lock is created
+  * with O_EXCL (`Files.write(CREATE_NEW)` — genuinely atomic on POSIX,
+  * and the owner id is written in the same call, unlike Hadoop's
+  * `create(overwrite=false)` which is check-then-create on the local
+  * FS); on HDFS, `FileSystem.create(overwrite=false)` is atomic at the
+  * NameNode. Once the lock name exists we hold it, so EVERYTHING after —
+  * including the HDFS-branch owner-id write — runs under the
+  * release-on-any-exit finally; a failed owner write can no longer
+  * strand a holderless lock (round-7 advice, low).
   *
   * Deliberately a lock, not a lease: a TTL that silently expires under a
   * long GC pause re-admits the old writer mid-operation — the classic
@@ -32,6 +40,35 @@ object Locking {
     s"${java.net.InetAddress.getLocalHost.getHostName}:" +
       s"${ProcessHandle.current().pid()}"
 
+  /** Atomically create the lock file carrying the owner id; false if it
+    * already exists (someone else holds it). If creation succeeded but a
+    * later step fails, the lock is removed before rethrowing — a partial
+    * acquisition never wedges the store.
+    */
+  private def tryAcquire(fs: FileSystem, lock: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+          ownerId().getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val created =
+        try Some(fs.create(lock, false))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            try out.write(ownerId().getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case e: Throwable => fs.delete(lock, false); throw e }
+      }
+    }
+
   /** Run `body` holding the store's writer lock; throws
     * IllegalStateException naming the current holder if already held.
     * The lock is released on ANY exit (success or exception) — an
@@ -43,22 +80,18 @@ object Locking {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(storeDir))
     val lock = new Path(s"$storeDir/$LockName")
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            } catch { case _: Throwable => "<unreadable>" }
-          throw new IllegalStateException(
-            s"store $storeDir is locked by writer [$holder]; concurrent " +
-              s"maintenance refused (break a dead holder's lock with " +
-              s"Locking.breakLock)")
-      }
-    try out.write(ownerId().getBytes("UTF-8")) finally out.close()
+    if (!tryAcquire(fs, lock)) {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      throw new IllegalStateException(
+        s"store $storeDir is locked by writer [$holder]; concurrent " +
+          s"maintenance refused (break a dead holder's lock with " +
+          s"Locking.breakLock)")
+    }
     try body finally fs.delete(lock, false)
   }
 

@@ -5,6 +5,9 @@ import scala.util.matching.Regex
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import graft.pipeline.Locking
 
 /** Manifest-versioned parquet table with partition-granular copy-on-write
   * deletes and time travel — the snapshot layer the reference's deletion
@@ -93,17 +96,51 @@ object VersionedTable {
 
   /** A version's full state: live data leaves, live position-delete dirs
     * (merge-on-read — see [[deleteMergeOnRead]]), the subset of leaves
-    * any delete vector touches (`dirty`), and the per-channel latest
+    * any delete vector touches (`dirty`), the per-channel latest
     * committed batch ids (`txns`, entries `channel=batchId` — the public
-    * Delta `txn` action shape backing [[appendOnce]]'s idempotence).
-    * Recording `dirty` in the manifest is what lets a snapshot read split
-    * clean leaves (plain scan, no join) from dirty ones (anti-join)
-    * without running a discovery job first.
+    * Delta `txn` action shape backing [[appendOnce]]'s idempotence), and
+    * the table SCHEMA as of this version (encoded `name:type` entries —
+    * what makes add-nullable-column evolution safe: reads project every
+    * leaf through the manifest schema, so pre-evolution leaves fill the
+    * new columns with nulls instead of multi-root schema sampling
+    * deciding at random). Recording `dirty` in the manifest is what lets
+    * a snapshot read split clean leaves (plain scan, no join) from dirty
+    * ones (anti-join) without running a discovery job first.
     */
   private case class VManifest(leaves: Seq[String], deletes: Seq[String],
-      dirty: Seq[String], txns: Seq[String] = Nil) {
+      dirty: Seq[String], txns: Seq[String] = Nil,
+      schema: Seq[String] = Nil) {
     def dirtySet: Set[String] = dirty.toSet
+    def schemaOpt: Option[StructType] =
+      if (schema.isEmpty) None else Some(decodeSchema(schema))
   }
+
+  /** Schema entries are URL-encoded `name:type` tokens: encoding keeps
+    * them clear of the manifest JSON separators (`"` `,` `]`) that
+    * [[writeManifest]] refuses, and of the ':' split char — a struct
+    * type's own colons arrive percent-encoded. Types round-trip through
+    * `catalogString` / `DataType.fromDDL`.
+    */
+  private def encodeSchema(s: StructType): Seq[String] =
+    s.fields.toSeq.map(f =>
+      java.net.URLEncoder.encode(f.name, "UTF-8") + ":" +
+        java.net.URLEncoder.encode(f.dataType.catalogString, "UTF-8"))
+
+  private def decodeSchemaPairs(entries: Seq[String]): Seq[(String, String)] =
+    entries.map { e =>
+      val i = e.indexOf(':')
+      (java.net.URLDecoder.decode(e.substring(0, i), "UTF-8"),
+        java.net.URLDecoder.decode(e.substring(i + 1), "UTF-8"))
+    }
+
+  /** All columns decode nullable: evolved columns read as null from
+    * pre-evolution leaves by construction, and parquet scans treat
+    * columns as nullable regardless.
+    */
+  private def decodeSchema(entries: Seq[String]): StructType =
+    StructType(decodeSchemaPairs(entries).map { case (n, t) =>
+      StructField(n, DataType.fromDDL(t), nullable = true)
+    })
 
   /** Versions present, ascending. Staging files are invisible. */
   def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
@@ -152,29 +189,54 @@ object VersionedTable {
     finally in.close()
     // absent keys (older manifests) parse as empty — back-compatible
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
-      parseArray(text, "dirty"), parseArray(text, "txns"))
+      parseArray(text, "dirty"), parseArray(text, "txns"),
+      parseArray(text, "schema"))
   }
 
-  private def writeManifest(spark: SparkSession, tableDir: String,
+  /** Atomically publish `staging` as `committed`, REFUSING an existing
+    * destination — the CAS under every commit. HDFS `rename` refuses an
+    * existing destination atomically at the NameNode, but POSIX
+    * rename(2) (what RawLocalFileSystem delegates to) silently REPLACES
+    * it, and an `exists()` probe before the rename is a racy
+    * check-then-act — two racing committers could both report success
+    * with the loser's manifest clobbering the winner's (round-7 advice,
+    * high). On `file://` the no-clobber primitive is therefore a hard
+    * link: link(2) fails EEXIST atomically in the kernel, after which
+    * the staging name is dropped.
+    */
+  private def publishNoClobber(f: FileSystem, staging: Path,
+      committed: Path): Boolean =
+    if (f.getScheme == "file") {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      try {
+        JFiles.createLink(
+          JPaths.get(f.makeQualified(committed).toUri.getPath),
+          JPaths.get(f.makeQualified(staging).toUri.getPath))
+        f.delete(staging, false)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else !f.exists(committed) && f.rename(staging, committed)
+
+  private[sources] def writeManifest(spark: SparkSession, tableDir: String,
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
-      dirty: Seq[String] = Nil, txns: Seq[String] = Nil): Unit = {
-    (leaves ++ deletes ++ dirty ++ txns).foreach(e =>
+      dirty: Seq[String] = Nil, txns: Seq[String] = Nil,
+      schema: Seq[String] = Nil): Unit = {
+    (leaves ++ deletes ++ dirty ++ txns ++ schema).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
           s"',', '\"' or ']'?): $e"))
     val f = fs(spark, tableDir)
     f.mkdirs(new Path(manifestsDir(tableDir)))
-    val staging = new Path(s"${manifestsDir(tableDir)}/_staging_v$version.json")
+    val staging =
+      new Path(s"${manifestsDir(tableDir)}/_staging_v$version-${nonce()}.json")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
       s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
-      s""""txns":${arr(txns)}}"""
+      s""""txns":${arr(txns)},"schema":${arr(schema)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
-    // CAS: rename refuses an existing destination, so exactly one of two
-    // racing committers lands; the exists() probe just fails faster
-    if (f.exists(committed) || !f.rename(staging, committed)) {
+    if (!publishNoClobber(f, staging, committed)) {
       f.delete(staging, false)
       throw new CommitConflictException(
         s"version $version already committed at $tableDir")
@@ -221,12 +283,13 @@ object VersionedTable {
     java.net.URLDecoder.decode(name.substring(name.indexOf('=') + 1), "UTF-8")
   }
 
-  /** Create the table at version 0. */
+  /** Create the table at version 0, recording its schema in the manifest. */
   def create(df: DataFrame, tableDir: String, partCol: String): Unit = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already exists at $tableDir")
     writeManifest(df.sparkSession, tableDir, 0,
-      writeDataDir(df, tableDir, 0, partCol))
+      writeDataDir(df, tableDir, 0, partCol),
+      schema = encodeSchema(df.schema))
   }
 
   /** Append a batch as a new version: new leaves are ADDED to the live
@@ -236,6 +299,10 @@ object VersionedTable {
     * [[deleteMergeOnRead]] must not resurrect vector-deleted rows (the
     * new leaves are never dirty: no existing vector can reference a file
     * that did not exist when the vector was written).
+    *
+    * A batch whose columns are a strict SUPERSET of the table's evolves
+    * the schema (see [[resolveAppendSchema]]); renames, type changes and
+    * dropped columns stay loud refusals.
     */
   def append(df: DataFrame, tableDir: String, partCol: String): Unit =
     withCommitRetry(appendAttempt(df, tableDir, partCol,
@@ -251,30 +318,64 @@ object VersionedTable {
     val spark = df.sparkSession
     val v = baseVersion + 1
     val m = readManifestFull(spark, tableDir, baseVersion)
-    requireSchemaMatch(df, spark, tableDir, m)
+    val schema = resolveAppendSchema(df, spark, tableDir, m,
+      allowEvolution = true)
     writeManifest(spark, tableDir, v,
       m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty,
-      m.txns)
+      m.txns, schema)
   }
 
-  /** Appends REFUSE a batch whose column set differs from the table's:
-    * multi-root parquet reads don't merge schemas, so a drifted batch
-    * would otherwise read back with its new columns silently DROPPED (or
-    * as nulls) depending on which file the schema was sampled from —
-    * silent, order-dependent corruption. Schema evolution is explicitly
-    * out of contract; migrate by rewriting through [[compact]] with the
-    * new schema applied. One footer read per append — metadata-sized.
+  /** Schema contract for a batch against the table, returning the schema
+    * entries the new manifest should record (the Delta/Iceberg
+    * add-nullable-column evolution, minimally):
+    *
+    *   - identical name→type map: accepted, schema unchanged;
+    *   - strict SUPERSET (new columns, common types match): accepted when
+    *     `allowEvolution` — the manifest commits the widened schema and
+    *     reads project pre-evolution leaves with nulls in the new columns
+    *     (the manifest schema drives every scan, so nothing depends on
+    *     which file multi-root schema sampling happens to pick);
+    *   - a TYPE drift on a shared column, or a batch missing a table
+    *     column: refused loudly — rename/narrow/retype migrations go
+    *     through [[compact]] with the new schema applied. Round-7 advice
+    *     (low): the check compares full name→type maps, not name sets, so
+    *     an int-vs-long drift can no longer append silently.
+    *
+    * Legacy manifests (no recorded schema) fall back to one leaf footer
+    * read — metadata-sized — and any accepted commit records the schema
+    * going forward.
     */
-  private def requireSchemaMatch(df: DataFrame, spark: SparkSession,
-      tableDir: String, m: VManifest): Unit = {
-    if (m.leaves.isEmpty) return
-    val tableCols = readLeaves(spark, tableDir, m.leaves.take(1)).columns.toSet
-    val batchCols = df.columns.toSet
-    require(tableCols == batchCols,
-      s"append schema mismatch: table columns ${tableCols.toSeq.sorted
-        .mkString("[", ",", "]")} vs batch ${batchCols.toSeq.sorted
-        .mkString("[", ",", "]")}; schema evolution is out of contract — " +
-        "rewrite through compact() with the new schema instead")
+  private def resolveAppendSchema(df: DataFrame, spark: SparkSession,
+      tableDir: String, m: VManifest, allowEvolution: Boolean): Seq[String] = {
+    val table: Seq[(String, String)] =
+      if (m.schema.nonEmpty) decodeSchemaPairs(m.schema)
+      else if (m.leaves.isEmpty) return encodeSchema(df.schema)
+      else readLeaves(spark, tableDir, m.leaves.take(1)).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.catalogString))
+    val batch = df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+    val batchMap = batch.toMap
+    table.foreach { case (n, t) =>
+      batchMap.get(n) match {
+        case None => throw new IllegalArgumentException(
+          s"append schema mismatch: batch is missing table column '$n' — " +
+            "dropping columns is out of contract; rewrite through compact()")
+        case Some(bt) if bt != t => throw new IllegalArgumentException(
+          s"append schema mismatch: type drift on column '$n' (table $t vs " +
+            "batch " + bt + ") — renames/type changes are out of contract; " +
+            "rewrite through compact() with the new schema instead")
+        case _ => ()
+      }
+    }
+    val tableNames = table.map(_._1).toSet
+    val added = batch.filterNot(p => tableNames.contains(p._1))
+    if (added.nonEmpty) require(allowEvolution,
+      s"schema mismatch: batch adds columns ${added.map(_._1).mkString(",")} " +
+        "but this operation does not evolve schema — append the widened " +
+        "batch first, then retry")
+    (table ++ added).map { case (n, t) =>
+      java.net.URLEncoder.encode(n, "UTF-8") + ":" +
+        java.net.URLEncoder.encode(t, "UTF-8")
+    }
   }
 
   /** IDEMPOTENT append — the public Delta `txn` (setTransaction) design:
@@ -297,11 +398,12 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, base)
       val entry = s"$channel=$batchId"
       if (m.txns.contains(entry)) return // replayed commit: exactly-once
-      requireSchemaMatch(df, spark, tableDir, m)
+      val schema = resolveAppendSchema(df, spark, tableDir, m,
+        allowEvolution = true)
       val txns = m.txns.filterNot(_.startsWith(channel + "=")) :+ entry
       writeManifest(spark, tableDir, base + 1,
         m.leaves ++ writeDataDir(df, tableDir, base + 1, partCol),
-        m.deletes, m.dirty, txns)
+        m.deletes, m.dirty, txns, schema)
     }
   }
 
@@ -324,7 +426,8 @@ object VersionedTable {
     val affected = current.filter(pred).select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) {
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns)
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+        m.schema)
       return
     }
     val (hit, kept) = m.leaves.partition(l => affected.contains(leafPartValue(l)))
@@ -337,7 +440,7 @@ object VersionedTable {
       .filter(!pred)
     val newLeaves = writeDataDir(survivors, tableDir, v, partCol)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
-      m.dirty.filter(kept.contains), m.txns)
+      m.dirty.filter(kept.contains), m.txns, m.schema)
   }
 
   /** Merge-on-read delete (position delete vectors — the public
@@ -375,24 +478,30 @@ object VersionedTable {
       .toSet
     if (touched.isEmpty) {
       fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns)
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+        m.schema)
     } else
       // a commit failure (crash, concurrent-commit collision) must not
       // leave the vector dir as a permanent unreferenced orphan — no
       // manifest will ever point at it, so [[vacuum]]'s referenced-path
       // sweep would otherwise never collect it
       try writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
-        (m.dirtySet ++ touched).toSeq.sorted, m.txns)
+        (m.dirtySet ++ touched).toSeq.sorted, m.txns, m.schema)
       catch { case e: Throwable =>
         fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
         throw e
       }
   }
 
+  /** Multi-root scan of a leaf set. With `schema` (the manifest's), every
+    * leaf projects through the TABLE schema — columns a pre-evolution
+    * leaf lacks read as nulls, and schema sampling never decides anything.
+    */
   private def readLeaves(spark: SparkSession, tableDir: String,
-      leaves: Seq[String]): DataFrame = {
+      leaves: Seq[String], schema: Option[StructType] = None): DataFrame = {
     require(leaves.nonEmpty, "cannot read an empty leaf set")
-    spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*)
+    schema.fold(spark.read)(spark.read.schema)
+      .parquet(leaves.map(l => s"$tableDir/$l"): _*)
   }
 
   // internal position column names — double-underscored to stay clear of
@@ -429,20 +538,21 @@ object VersionedTable {
       onlyLeaves: Option[Seq[String]] = None,
       keepPositions: Boolean = false): DataFrame = {
     val leaves = onlyLeaves.getOrElse(m.leaves)
+    val sch = m.schemaOpt
     def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
     if (m.deletes.isEmpty) {
-      val plain = readLeaves(spark, tableDir, leaves)
+      val plain = readLeaves(spark, tableDir, leaves, sch)
       return if (keepPositions) withPositions(plain, tableDir) else plain
     }
     val (dirty, clean) = leaves.partition(m.dirtySet.contains)
     val del = readLeaves(spark, tableDir, m.deletes)
       .select(col("file").as(PosFile), col("pos").as(PosIdx))
     val dirtyView = if (dirty.isEmpty) None
-      else Some(finish(withPositions(readLeaves(spark, tableDir, dirty), tableDir)
+      else Some(finish(withPositions(readLeaves(spark, tableDir, dirty, sch), tableDir)
         .join(del, Seq(PosFile, PosIdx), "left_anti")))
     val cleanView = if (clean.isEmpty) None
       else {
-        val c = readLeaves(spark, tableDir, clean)
+        val c = readLeaves(spark, tableDir, clean, sch)
         Some(if (keepPositions) withPositions(c, tableDir) else c)
       }
     (cleanView, dirtyView) match {
@@ -477,6 +587,11 @@ object VersionedTable {
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
+    // merge rewrites the union of batch and surviving rows, so the batch
+    // must match the table schema exactly — evolution goes through
+    // append() first (allowEvolution=false keeps a widened batch loud)
+    val schema = resolveAppendSchema(batch, spark, tableDir, m,
+      allowEvolution = false)
     val current = readView(spark, tableDir, m)
     val batchKeys = batch.select(keyCol).distinct()
     val affected = (
@@ -491,7 +606,7 @@ object VersionedTable {
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDir(rewritten, tableDir, v, partCol),
-      m.deletes, m.dirty.filter(kept.contains), m.txns)
+      m.deletes, m.dirty.filter(kept.contains), m.txns, schema)
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -525,16 +640,23 @@ object VersionedTable {
     * count job (an audit tool, not a dashboard default).
     */
   def history(spark: SparkSession, tableDir: String,
-      includeRowCounts: Boolean = false): DataFrame = {
+      includeRowCounts: Boolean = false,
+      includeSchema: Boolean = false): DataFrame = {
     import spark.implicits._
-    versions(spark, tableDir).map { v =>
+    val base = versions(spark, tableDir).map { v =>
       val m = readManifestFull(spark, tableDir, v)
       val rows =
         if (includeRowCounts) readView(spark, tableDir, m).count() else -1L
+      // schema rendered as the ordered column list — what makes an
+      // evolution commit visible in history (n_cols grows, schema string
+      // gains the column)
+      val schemaStr = decodeSchemaPairs(m.schema)
+        .map { case (n, t) => s"$n:$t" }.mkString(",")
       (v, m.leaves.size.toLong, m.deletes.size.toLong, m.dirty.size.toLong,
-        m.txns.size.toLong, rows)
+        m.txns.size.toLong, rows, m.schema.size.toLong, schemaStr)
     }.toDF("version", "n_leaves", "n_delete_vectors", "n_dirty_leaves",
-      "n_txns", "n_rows")
+      "n_txns", "n_rows", "n_cols", "schema")
+    if (includeSchema) base else base.drop("n_cols", "schema")
   }
 
   /** RESTORE as a manifest pointer flip (the public Delta RESTORE shape,
@@ -549,41 +671,98 @@ object VersionedTable {
     withCommitRetry {
       val m = readManifestFull(spark, tableDir, toVersion)
       val v = latestVersion(spark, tableDir) + 1
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns)
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+        m.schema)
     }
 
   /** Small-file maintenance: fold every live leaf into one fresh data dir
     * (one leaf per partition value again) as a new version — delete
     * vectors fold into the data here, so the new manifest carries none.
     * Prior versions keep referencing the old leaves until [[vacuum]].
+    * Holds the table's `_LOCK` ([[graft.pipeline.Locking]]) — two
+    * concurrent compactions racing the same head would double-write.
     */
-  def compact(spark: SparkSession, tableDir: String, partCol: String): Unit = {
+  def compact(spark: SparkSession, tableDir: String, partCol: String): Unit =
+    Locking.withStoreLock(spark, tableDir)(compactLocked(spark, tableDir, partCol))
+
+  private def compactLocked(spark: SparkSession, tableDir: String,
+      partCol: String): Unit = {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val folded = readView(spark, tableDir, m)
     writeManifest(spark, tableDir, v,
-      writeDataDir(folded, tableDir, v, partCol), txns = m.txns)
+      writeDataDir(folded, tableDir, v, partCol), txns = m.txns,
+      schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema))
   }
+
+  /** Grace period before an unreferenced (orphan) dir is swept: a
+    * CONCURRENT optimistic writer's staged dir is indistinguishable from
+    * a crashed commit's leftovers by name alone — if other channels
+    * committed since that writer read its base, its staged version number
+    * is ≤ the head and a graceless sweep would delete its in-flight bytes
+    * mid-write (round-7 advice, medium). Age is the discriminator (the
+    * public Delta VACUUM retention design): an in-flight write keeps its
+    * dir young; a crashed commit's dir only gets older. One hour covers
+    * any sane batch write; tests pass 0 to sweep planted orphans
+    * immediately.
+    */
+  val DefaultOrphanGraceMs: Long = 3600L * 1000
 
   /** Drop all versions older than `retainLast` and physically delete every
     * leaf no retained manifest references — the erasure half of the
     * delete contract, and the metadata bound. Leaf set comparisons are
-    * driver-side path lists (O(partitions + appends)).
-    *
-    * Also sweeps ORPHANS: `data/`/`deletes/` version dirs no manifest ever
-    * committed (a crash between staging a data/vector dir and the manifest
-    * rename leaves one). Only dirs whose version number is ≤ the latest
-    * committed version are swept — an in-flight commit always targets
-    * latest+1, so its staging is invisible to the sweep; like every
-    * maintenance op here, vacuum itself must not run concurrently with a
-    * writer (single-writer contract).
+    * driver-side path lists (O(partitions + appends)). Holds the table's
+    * `_LOCK` for the duration (concurrent maintenance refused loudly).
     */
-  def vacuum(spark: SparkSession, tableDir: String, retainLast: Int): Unit = {
-    require(retainLast >= 1, "must retain at least the latest version")
+  def vacuum(spark: SparkSession, tableDir: String, retainLast: Int,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Unit =
+    Locking.withStoreLock(spark, tableDir) {
+      require(retainLast >= 1, "must retain at least the latest version")
+      val vs = versions(spark, tableDir)
+      if (vs.nonEmpty) {
+        val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+        sweep(spark, tableDir, drop, keep, orphanGraceMs)
+      }
+    }
+
+  /** AGE-based retention (the reference's 7-day backup GC,
+    * `HDFSBackupStrategy.java:100-129`, on the snapshot backend): drop
+    * every version whose manifest is older than `maxAgeMs` — by manifest
+    * mtime, i.e. commit time — then run the same physical sweep as
+    * [[vacuum]]. The HEAD is never dropped regardless of age: the table
+    * must stay readable. `nowMs` is injectable for tests.
+    */
+  def vacuumOlderThan(spark: SparkSession, tableDir: String, maxAgeMs: Long,
+      nowMs: Long = System.currentTimeMillis(),
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Unit =
+    Locking.withStoreLock(spark, tableDir) {
+      require(maxAgeMs >= 0, "maxAgeMs must be non-negative")
+      val f = fs(spark, tableDir)
+      val vs = versions(spark, tableDir)
+      if (vs.nonEmpty) {
+        val cutoff = nowMs - maxAgeMs
+        val (drop, keep) = vs.partition(v => v != vs.last &&
+          f.getFileStatus(new Path(s"${manifestsDir(tableDir)}/v$v.json"))
+            .getModificationTime < cutoff)
+        sweep(spark, tableDir, drop, keep, orphanGraceMs)
+      }
+    }
+
+  /** Shared physical sweep: erase dropped manifests' unshared leaves,
+    * then the manifests, then orphans past the grace period. Callers hold
+    * the store lock and guarantee the head is in `keep`.
+    *
+    * Orphans: `data/`/`deletes/` version dirs no RETAINED manifest
+    * references, plus stale `_staging_*` manifest files (a crash between
+    * staging a dir and the manifest CAS leaves both). Only dirs whose
+    * version number is ≤ the latest committed version AND whose mtime is
+    * older than `orphanGraceMs` are swept — the version bound keeps a
+    * fresh table's first commit invisible, the age bound protects an
+    * in-flight concurrent writer (see [[DefaultOrphanGraceMs]]).
+    */
+  private def sweep(spark: SparkSession, tableDir: String, drop: Seq[Int],
+      keep: Seq[Int], orphanGraceMs: Long): Unit = {
     val f = fs(spark, tableDir)
-    val vs = versions(spark, tableDir)
-    if (vs.isEmpty) return
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
     def refs(v: Int) = {
       val m = readManifestFull(spark, tableDir, v)
       m.leaves ++ m.deletes
@@ -596,9 +775,8 @@ object VersionedTable {
     dead.toSeq.sorted.foreach(l => f.delete(new Path(s"$tableDir/$l"), true))
     drop.foreach(n =>
       f.delete(new Path(s"${manifestsDir(tableDir)}/v$n.json"), false))
-    // orphan sweep: any versioned dir under data/ or deletes/ with no
-    // retained reference underneath it and a version ≤ the committed head
-    val latest = vs.last
+    val latest = (drop ++ keep).max
+    val ageCutoff = System.currentTimeMillis() - orphanGraceMs
     val verRe = "^(?:add|del)-v(\\d+)\\b.*".r
     for (root <- Seq("data", "deletes")) {
       val rp = new Path(s"$tableDir/$root")
@@ -607,11 +785,18 @@ object VersionedTable {
         val rel = s"$root/$name"
         name match {
           case verRe(n) if n.toInt <= latest &&
+              st.getModificationTime <= ageCutoff &&
               !live.exists(l => l == rel || l.startsWith(rel + "/")) =>
             f.delete(st.getPath, true)
           case _ => ()
         }
       }
+    }
+    val md = new Path(manifestsDir(tableDir))
+    if (f.exists(md)) f.listStatus(md).foreach { st =>
+      if (st.getPath.getName.startsWith("_staging_") &&
+          st.getModificationTime <= ageCutoff)
+        f.delete(st.getPath, false)
     }
   }
 
@@ -621,19 +806,30 @@ object VersionedTable {
     * (no data scan) — the cheap gate an ingestion scheduler calls after
     * every batch so small-file debt is bounded without paying a rewrite
     * per append. Returns true if a compaction ran.
+    *
+    * The whole call holds the table's `_LOCK`: a second maintainer is
+    * refused loudly instead of racing the compaction (round-7 advice,
+    * medium); concurrent APPENDERS are safe against the embedded vacuum
+    * via the orphan grace period (their staged dirs stay young).
     */
   def maintain(spark: SparkSession, tableDir: String, partCol: String,
-      maxLeavesPerPartition: Int = 4, retainLast: Int = 2): Boolean = {
-    require(maxLeavesPerPartition >= 1, "maxLeavesPerPartition must be >= 1")
-    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
-    val worst =
-      if (m.leaves.isEmpty) 0
-      else m.leaves.groupBy(leafPartValue).values.map(_.size).max
-    val ran = worst > maxLeavesPerPartition
-    if (ran) compact(spark, tableDir, partCol)
-    vacuum(spark, tableDir, retainLast)
-    ran
-  }
+      maxLeavesPerPartition: Int = 4, retainLast: Int = 2,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): Boolean =
+    Locking.withStoreLock(spark, tableDir) {
+      require(maxLeavesPerPartition >= 1, "maxLeavesPerPartition must be >= 1")
+      val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+      val worst =
+        if (m.leaves.isEmpty) 0
+        else m.leaves.groupBy(leafPartValue).values.map(_.size).max
+      val ran = worst > maxLeavesPerPartition
+      if (ran) compactLocked(spark, tableDir, partCol)
+      val vs = versions(spark, tableDir)
+      if (vs.nonEmpty) {
+        val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+        sweep(spark, tableDir, drop, keep, orphanGraceMs)
+      }
+      ran
+    }
 
   // --------------------------- surface entry
 
@@ -845,6 +1041,52 @@ object VersionedTable {
       |    ELSE 'unchanged' END AS status
       |  FROM events WHERE event_id % 3 IN (0, 1))
       |SELECT status, count(*) AS n FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Schema-evolution surface entry: v0 = initial load (event_id % 3 = 0,
+    * base columns), v1 = append of the event_id % 3 = 1 slice carrying a
+    * NEW nullable `score` column (event_id % 100). The query summarizes
+    * both snapshots — pinning that the evolved head reads pre-evolution
+    * leaves with NULL score (n_scored counts only the new batch) while v0
+    * still reads the original schema, with the oracle recomputing both
+    * from the slice predicates in an independent engine.
+    */
+  def snapshotEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_type", "pdate")
+    val dir = Stores.temp("graft_vt_evolve")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    append(events.filter(col("event_id") % 3 === 1)
+      .withColumn("score", (col("event_id") % 100).cast("long")), dir, "pdate")
+    val summaries = (0 to 1).map { v =>
+      val d = readVersion(spark, dir, v)
+      val scored =
+        if (d.columns.contains("score")) d
+        else d.withColumn("score", lit(null).cast("long"))
+      scored.agg(lit(v).as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        count(col("score")).cast("long").as("n_scored"),
+        coalesce(sum(col("score")), lit(0L)).cast("long").as("sum_score"))
+    }
+    summaries.reduce(_ unionByName _)
+      .select("version", "n_rows", "n_scored", "sum_score")
+      .orderBy("version")
+  }
+
+  def snapshotEvolveSql(): String =
+    """WITH a AS (SELECT event_id FROM events WHERE event_id % 3 = 0),
+      |b AS (SELECT event_id % 100 AS score FROM events WHERE event_id % 3 = 1)
+      |SELECT 0 AS version,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_scored,
+      |  CAST(0 AS BIGINT) AS sum_score
+      |UNION ALL SELECT 1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a)
+      |    + (SELECT CAST(count(*) AS BIGINT) FROM b),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b),
+      |  (SELECT CAST(coalesce(sum(score), 0) AS BIGINT) FROM b)
+      |ORDER BY version""".stripMargin
 
   def snapshotAsOfSql(): String =
     """WITH e AS (

@@ -117,20 +117,64 @@ class VersionedWorkflowSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, dir) === Seq(0, 1, 2))
   }
 
-  test("a failure after deletion auto-restores the pre-delete snapshot") {
+  test("a failure after the deletion committed auto-restores the pre-delete snapshot") {
     val dir = newTable(sampleData())
     val before = VersionedTable.readLatest(spark, dir)
       .orderBy("id").collect().toSeq
     val metrics = new Metrics
-    // retainVersions = 0 makes step 7 throw AFTER the deletion committed
-    // and validated — exercising catch -> rollback end-to-end
+    // failpoint at step 6: the deletion has COMMITTED (v1) but validation
+    // never passes — the hardest rollback case: the flip must retire a
+    // live post-delete head, not just a staged attempt
     val ok = VersionedDeletionWorkflow.run(spark, dir, "partition_id",
-      col("status") === "INACTIVE", metrics, retainVersions = 0)
+      col("status") === "INACTIVE", metrics,
+      onPhase = step => if (step == "6_post_validation")
+        throw new RuntimeException("injected validation-infrastructure failure"))
     assert(!ok, "workflow must report failure")
     assert(metrics.backupCreated, "failure happened after the backup step")
     val after = VersionedTable.readLatest(spark, dir)
       .orderBy("id").collect().toSeq
     assert(after === before, "auto-restore must leave the table byte-identical")
+    // history: v0 create, v1 the committed-then-abandoned delete, v2 the
+    // restore flip — all linear, nothing clobbered
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1, 2))
+  }
+
+  test("a step-7 cleanup failure does NOT roll back a validated deletion") {
+    // round-7 advice (medium): a vacuum failure after the deletion had
+    // committed and validated used to trigger rollback, resurrecting the
+    // just-validated-deleted rows (and, with retention 1, possibly
+    // committing a head that references vacuumed-away leaves). Step-7
+    // failure is cleanup-only now. Injection: the store lock is held, so
+    // the workflow's vacuum is refused loudly at exactly step 7.
+    val dir = newTable(sampleData())
+    val metrics = new Metrics
+    val ok = graft.pipeline.Locking.withStoreLock(spark, dir) {
+      VersionedDeletionWorkflow.run(spark, dir, "partition_id",
+        col("status") === "INACTIVE", metrics, retainVersions = 1)
+    }
+    assert(ok, "a cleanup-only failure must not fail the run")
+    assert(ids(dir) === Seq(1L, 3L, 4L, 6L, 7L, 9L, 10L),
+      "the deletion stands — no resurrection")
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1),
+      "vacuum did not run (and no rollback version was committed)")
+  }
+
+  test("age-based retention: step 7 vacuums versions older than the window") {
+    val dir = newTable(sampleData())
+    val metrics = new Metrics
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    // the pre-delete version is 8 days old; the reference GCs backups
+    // older than 7 days (HDFSBackupStrategy.java:100-129)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/manifests/v0.json"),
+      now - 8L * 24 * 3600 * 1000, -1)
+    assert(VersionedDeletionWorkflow.run(spark, dir, "partition_id",
+      col("status") === "INACTIVE", metrics,
+      retainAgeMs = Some(7L * 24 * 3600 * 1000)))
+    // v0 aged out; the fresh post-delete head survives
+    assert(VersionedTable.versions(spark, dir) === Seq(1))
+    assert(ids(dir) === Seq(1L, 3L, 4L, 6L, 7L, 9L, 10L))
   }
 
   test("workflow vacuum erases pre-delete versions (backup retention bound)") {

@@ -232,11 +232,26 @@ class VersionedTableSpec extends AnyFunSuite {
     fs.mkdirs(new Path(s"$dir/data/add-v0-deadbeef/pdate__p=2024-09-09"))
     fs.mkdirs(new Path(s"$dir/deletes/del-v0-deadbeef"))
     val before = VersionedTable.readLatest(spark, dir).count()
-    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    // grace 0: the planted orphans are brand new, and this table has no
+    // concurrent writer to protect
+    VersionedTable.vacuum(spark, dir, retainLast = 1, orphanGraceMs = 0L)
     assert(!fs.exists(new Path(s"$dir/data/add-v0-deadbeef")))
     assert(!fs.exists(new Path(s"$dir/deletes/del-v0-deadbeef")))
     // the committed version is untouched
     assert(VersionedTable.readLatest(spark, dir).count() === before)
+  }
+
+  test("a YOUNG orphan (an in-flight concurrent writer's staged dir) survives vacuum") {
+    val dir = Files.createTempDirectory("graft-vt-orphan-grace").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an optimistic appender staged against a stale base: its version
+    // number is <= the head, so only the AGE gate protects its bytes
+    // (round-7 advice, medium — maintain/vacuum used to delete these)
+    fs.mkdirs(new Path(s"$dir/data/add-v0-inflight0/pdate__p=2024-09-09"))
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(fs.exists(new Path(s"$dir/data/add-v0-inflight0")),
+      "default grace must protect a freshly-written staged dir")
   }
 
   test("delete vectors still apply when tableDir itself contains a data/add-v segment") {
@@ -250,21 +265,149 @@ class VersionedTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L, 5L, 6L))
   }
 
-  test("an append with a drifted schema is refused loudly") {
+  test("an append with a type drift or missing column is refused loudly") {
     val dir = Files.createTempDirectory("graft-vt-schema").toString
     VersionedTable.create(fixture(), dir, "pdate")
-    // multi-root parquet reads would silently drop (or null out) the new
-    // column depending on schema sampling — the refusal makes it loud
-    val drifted = Seq((7L, "a", "2024-01-04", 70L, "extra"))
-      .toDF("id", "kind", "pdate", "amount", "note")
+    // type drift: amount int vs the table's long — round-7 advice (low):
+    // a name-set-only check used to let this through, producing the
+    // order-dependent multi-root read corruption the check documents
+    val drifted = Seq((7, "a", "2024-01-04", 70))
+      .toDF("id", "kind", "pdate", "amount")
+      .select($"id".cast("long"), $"kind", $"pdate", $"amount") // amount stays int
     val e = intercept[IllegalArgumentException] {
       VersionedTable.append(drifted, dir, "pdate")
     }
-    assert(e.getMessage.contains("schema mismatch"))
+    assert(e.getMessage.contains("type drift"))
+    // dropping a column is refused too
+    val narrow = Seq((7L, "a", "2024-01-04")).toDF("id", "kind", "pdate")
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.append(narrow, dir, "pdate")
+    }
+    assert(e2.getMessage.contains("missing table column"))
     // same refusal on the idempotent path
     intercept[IllegalArgumentException] {
       VersionedTable.appendOnce(drifted, dir, "pdate", "s", "b0")
     }
+    assert(VersionedTable.versions(spark, dir) === Seq(0))
+  }
+
+  test("add-nullable-column evolution: old leaves read null, snapshots keep their schema") {
+    val dir = Files.createTempDirectory("graft-vt-evolve").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    // a strict-superset batch EVOLVES the schema (Delta/Iceberg
+    // add-nullable-column); the manifest schema drives every later read
+    val widened = Seq((5L, "a", "2024-01-03", 50L, "hi"),
+        (6L, "a", "2024-01-03", 60L, "yo"))
+      .toDF("id", "kind", "pdate", "amount", "note")
+    VersionedTable.append(widened, dir, "pdate")
+    // head: pre-evolution leaves project null into the new column
+    val head = VersionedTable.readLatest(spark, dir)
+      .select("id", "note").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(head === Seq(1L -> None, 2L -> None, 3L -> None, 4L -> None,
+      5L -> Some("hi"), 6L -> Some("yo")))
+    // pre-evolution snapshot still reads its own (narrower) schema
+    assert(VersionedTable.readVersion(spark, dir, 0).columns.toSeq ===
+      Seq("id", "kind", "pdate", "amount"))
+    // history records the schema change
+    val h = VersionedTable.history(spark, dir, includeSchema = true)
+      .orderBy("version")
+      .select("n_cols", "schema").as[(Long, String)].collect().toSeq
+    assert(h.map(_._1) === Seq(4L, 5L))
+    assert(h(1)._2.endsWith("note:string"))
+    // a delete on the evolved head keeps the widened schema working
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+    assert(VersionedTable.readLatest(spark, dir)
+      .filter($"note".isNull).count() === 3)
+    // merge does NOT evolve — widened batches must go through append
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(
+        Seq((9L, "z", "2024-01-05", 90L, "x", true))
+          .toDF("id", "kind", "pdate", "amount", "note", "flag"),
+        dir, "pdate", "id")
+    }
+    assert(e.getMessage.contains("does not evolve"))
+  }
+
+  test("the manifest CAS never lets a losing committer clobber the winner") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("graft-vt-cas").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    // 8 writers race to commit the SAME version with distinct payloads.
+    // POSIX rename(2) silently replaces an existing destination, so a
+    // rename-based commit plus an exists() probe is check-then-act: two
+    // racers could both report success with the loser overwriting the
+    // winner (round-7 advice, high). The hard-link CAS makes exactly one
+    // land, and the committed bytes must be the winner's.
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val won = new java.util.concurrent.ConcurrentLinkedQueue[Int]
+    val lost = new java.util.concurrent.ConcurrentLinkedQueue[Int]
+    for (w <- 0 until 8) pool.execute { () =>
+      start.await()
+      try {
+        VersionedTable.writeManifest(spark, dir, 1, Seq(s"data/fake-w$w"))
+        won.add(w)
+      } catch { case _: VersionedTable.CommitConflictException => lost.add(w) }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(won.size === 1, s"exactly one committer must win, got $won")
+    assert(lost.size === 7)
+    // the committed manifest carries the WINNER's payload — no clobber
+    val h = VersionedTable.history(spark, dir).orderBy("version").count()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$dir/manifests/v1.json"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(text.contains(s"data/fake-w${won.peek()}"))
+    assert(h === 2)
+  }
+
+  test("age-based vacuum drops only old versions and never the head") {
+    val dir = Files.createTempDirectory("graft-vt-age").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 2), dir, "pdate")   // v0
+    VersionedTable.append(df.filter($"id" === 3L), dir, "pdate") // v1
+    VersionedTable.append(df.filter($"id" === 4L), dir, "pdate") // v2
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    // age v0 and v1 past a 7-day retention; v2 stays young
+    for (v <- Seq(0, 1))
+      fs.setTimes(new Path(s"$dir/manifests/v$v.json"),
+        now - 8L * 24 * 3600 * 1000, -1)
+    VersionedTable.vacuumOlderThan(spark, dir,
+      maxAgeMs = 7L * 24 * 3600 * 1000, nowMs = now)
+    assert(VersionedTable.versions(spark, dir) === Seq(2))
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // head immunity: even when EVERY manifest is ancient, the head stays
+    for (v <- Seq(2))
+      fs.setTimes(new Path(s"$dir/manifests/v$v.json"),
+        now - 30L * 24 * 3600 * 1000, -1)
+    VersionedTable.vacuumOlderThan(spark, dir,
+      maxAgeMs = 7L * 24 * 3600 * 1000, nowMs = now)
+    assert(VersionedTable.versions(spark, dir) === Seq(2),
+      "the head must never be age-collected")
+    assert(VersionedTable.readLatest(spark, dir).count() === 4)
+  }
+
+  test("concurrent maintenance is refused loudly while the store lock is held") {
+    val dir = Files.createTempDirectory("graft-vt-lock").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    graft.pipeline.Locking.withStoreLock(spark, dir) {
+      val e = intercept[IllegalStateException] {
+        VersionedTable.vacuum(spark, dir, retainLast = 1)
+      }
+      assert(e.getMessage.contains("locked by writer"))
+      intercept[IllegalStateException] {
+        VersionedTable.maintain(spark, dir, "pdate")
+      }
+    }
+    // released on exit: maintenance proceeds
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
     assert(VersionedTable.versions(spark, dir) === Seq(0))
   }
 
