@@ -233,9 +233,9 @@ object SparkEntry {
     // maintained view must equal a recompute over the post-delete table
     "mv_incremental" -> ((s, d) => MaterializedView.mvIncremental(s, d)),
     "knn_lsh_pairs" -> ((s, d) => Similarity.cosineLshPairs(s, d)),
-    // multimodal plumbing
+    // multimodal: real javax.imageio decode (PNG/BMP round trip)
     "multimodal_features" -> (Multimodal.features _),
-    "multimodal_frame_sample" -> (Multimodal.frameSampleQuery _),
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     // video near-dup detection: frame signatures (inverted match, df-cap,
     // integer permille overlap) with planted clipped copies — catches a
     // prefix-clipped re-upload whole-file fingerprints never match
@@ -373,7 +373,7 @@ object SparkEntry {
     "mv_incremental" -> MaterializedView.mvIncrementalSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),
     "multimodal_features" -> Multimodal.featuresSql,
-    "multimodal_frame_sample" -> Multimodal.frameSampleSql,
+    "multimodal_frame_sample" -> Multimodal.frameSampleSql(),
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
     "events_zorder_layout" -> LayoutAudit.zorderLayoutSql(),
     "orders_bucketed_join" -> LayoutAudit.bucketedJoinSql(),

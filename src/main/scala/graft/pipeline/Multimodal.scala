@@ -7,19 +7,25 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
-  * metadata, decode/feature-extract/frame-sample stages.
+  * metadata, and REAL decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
-  * a clearly-marked deterministic fake ([[StubCodec]]). Everything around
-  * it is real and tested: the asset schema, the batched per-partition
-  * processing shape (the Scala analogue of `mapInPandas` — one iterator
-  * pass, no per-row JVM↔codec churn), partitioning behavior, and the
-  * feature/frame schemas.
+  * The decode is a genuine codec round trip: each asset is a deterministic
+  * RGB "filmstrip" image (pixel values are a closed-form function of the
+  * source id and the ABSOLUTE pixel coordinate), encoded to real PNG or
+  * BMP bytes with `javax.imageio` at build time and decoded back with
+  * `ImageIO.read` inside the per-partition feature stages. Both formats
+  * are lossless, so every downstream number (channel sums, per-frame
+  * signatures) is computed FROM DECODED PIXELS yet remains analytically
+  * recomputable by the DuckDB oracle from the generator's formula — the
+  * codec is real, and the oracle never needs to decode anything. (Video
+  * codecs are genuinely absent from this container; the filmstrip — one
+  * fixed-height band per frame — is the video stand-in, which is why
+  * frame signatures are band functions.)
   *
   * At 100 TB: assets are processed partition-by-partition with constant
-  * memory (iterator in, iterator out), never collected; frame sampling
-  * multiplies rows deterministically so downstream repartitioning can plan
-  * on exact cardinalities.
+  * memory (iterator in, iterator out), never collected; only (asset_id,
+  * signature)-shaped rows ever cross a shuffle — media bytes stay where
+  * they were read.
   */
 object Multimodal {
 
@@ -31,152 +37,279 @@ object Multimodal {
 
   val FeatureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_channels", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
     StructField("fingerprint", LongType, nullable = false)))
 
-  /** STUB codec: stands in for a real image/audio decoder (not available
-    * in this container). Deterministic pure function of the bytes so tests
-    * and the oracle can pin its outputs. Swap for a real codec by
-    * replacing these three functions only.
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("sig", LongType, nullable = false)))
+
+  /** Deterministic image generator + real JDK codec. The pixel formula
+    * uses the SOURCE id and the ABSOLUTE row (y0 + y), which is what
+    * makes a clipped copy's decoded bands byte-identical to its source's
+    * corresponding bands — the property frame-level dedup detects.
     */
-  object StubCodec {
-    def width(bytes: Array[Byte]): Int = 64 + math.floorMod(bytes.length, 577)
-    def height(bytes: Array[Byte]): Int = 64 + math.floorMod(bytes.length * 31, 419)
-    def fingerprint(bytes: Array[Byte]): Long = {
-      // FNV-1a 64-bit over the raw bytes — a stand-in for a perceptual hash
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-      h
+  object Codec {
+    val BandH = 4
+    def widthOf(id: Long): Int = 8 + (id % 25).toInt
+    def framesOf(id: Long): Int = 1 + (id % 12).toInt
+    def formatOf(id: Long): String = if (id % 2 == 0) "png" else "bmp"
+    def mediaTypeOf(id: Long): String = s"image/${formatOf(id)}"
+
+    private def ch(v: Long): Int = math.floorMod(v, 256L).toInt
+
+    /** Packed RGB of the generator at absolute coordinate (x, yAbs). */
+    def pixel(srcId: Long, x: Int, yAbs: Int): Int = {
+      val r = ch(x * 3L + yAbs * 5L + srcId)
+      val g = ch(x * 7L + yAbs * 11L + srcId * 13L)
+      val b = ch(x * 13L + yAbs * 17L + srcId * 19L)
+      (r << 16) | (g << 8) | b
     }
+
+    /** Encode the filmstrip starting at absolute row `y0` with `nFrames`
+      * bands to real PNG/BMP bytes (both lossless in the JDK).
+      */
+    def encode(srcId: Long, y0: Int, nFrames: Int, format: String): Array[Byte] = {
+      val w = widthOf(srcId)
+      val h = BandH * nFrames
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, pixel(srcId, x, y0 + y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
   }
 
-  /** Build a binary asset table from `documents` (text bytes as the opaque
-    * media payload — the shape is what matters; real corpora put
-    * jpeg/wav/mp4 bytes here).
+  // in-memory ImageIO only: the default on-disk stream cache would add a
+  // tmp-file write per decode on every executor thread
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private def assetEncoder =
+    org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(AssetSchema)
+
+  /** Build the binary asset table: one real encoded image per document id
+    * (PNG for even ids, BMP for odd — both decode paths stay exercised).
     */
   def assets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id").as("asset_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      concat(lit("fake/"), element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-        (col("doc_id") % 3 + 1).cast("int"))).as("media_type"),
-      octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Codec.encode(id, 0, Codec.framesOf(id), Codec.formatOf(id))
+          Row(id, bytes, Codec.mediaTypeOf(id), bytes.length.toLong)
+        }
+      }(assetEncoder)
 
-  /** Batched per-partition feature extraction through the stub codec —
-    * the `mapInPandas`-shaped stage: iterator-in/iterator-out, constant
-    * memory, no driver involvement.
+  /** Base corpus plus planted CLIPPED copies: every 37th document with at
+    * least 3 frames re-appears under `id + 1 000 000` with its first two
+    * frames removed — a separately ENCODED image whose decoded bands
+    * match the source's bands 2.. pixel-for-pixel (absolute-coordinate
+    * generator). This is what re-upload detection must catch.
+    */
+  def assetsWithClips(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val base = {
+            val bytes = Codec.encode(id, 0, Codec.framesOf(id), Codec.formatOf(id))
+            Row(id, bytes, Codec.mediaTypeOf(id), bytes.length.toLong)
+          }
+          if (id % 37 == 0 && Codec.framesOf(id) >= 3) {
+            val bytes = Codec.encode(id, 2 * Codec.BandH, Codec.framesOf(id) - 2,
+              Codec.formatOf(id))
+            Seq(base,
+              Row(id + 1000000L, bytes, Codec.mediaTypeOf(id), bytes.length.toLong))
+          } else Seq(base)
+        }
+      }(assetEncoder)
+
+  /** Per-partition feature extraction over REAL decoded pixels:
+    * dimensions, per-channel sums, and an FNV-1a fingerprint of the
+    * row-major pixel stream (the perceptual-hash stand-in). Iterator
+    * in/iterator out, constant memory, no driver involvement.
     */
   def extractFeatures(spark: SparkSession, assetsDf: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(FeatureSchema)
-    assetsDf.select("asset_id", "media").mapPartitions { rows =>
+    assetsDf.select("asset_id", "media", "media_type").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        Row(id, StubCodec.width(bytes), StubCodec.height(bytes), 3,
-          StubCodec.fingerprint(bytes))
+        val img = Codec.decode(r.getAs[Array[Byte]](1))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var fp = 0xcbf29ce484222325L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            fp ^= rgb & 0xffffffL; fp *= 0x100000001b3L
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, r.getString(2), w, h, 3, sr, sg, sb, fp)
       }
     }(enc)
   }
 
-  /** Deterministic frame sampling: one output row per sampled frame index
-    * (every `stride`-th frame of a fake duration derived from byte_len).
-    * Pure column expressions — the explode multiplies rows without
-    * shuffling.
+  /** Per-frame band signatures from REAL decoded pixels: one row per
+    * band, sig = Σ packedRGB(x,yl) · (1 + x + w·yl) over the band's
+    * LOCAL coordinates — local weights are what make a clip's band sig
+    * equal its source band's sig, and the closed-form weighted sum is
+    * what keeps the oracle decode-free. Fits a long with > 20 bits to
+    * spare (rgb < 2^24, weight ≤ 160, pixels ≤ 128).
     */
-  def frameSample(assetsDf: DataFrame, stride: Int = 10): DataFrame =
-    assetsDf
-      .withColumn("n_frames", (col("byte_len") % 97 + 1).cast("int"))
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
-      .select(col("asset_id"), col("n_frames"), col("frame_idx"))
+  def frameSignatures(spark: SparkSession, assetsDf: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(FrameSchema)
+    assetsDf.select("asset_id", "media").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val img = Codec.decode(r.getAs[Array[Byte]](1))
+        val w = img.getWidth
+        val nFrames = img.getHeight / Codec.BandH
+        (0 until nFrames).map { f =>
+          var sig = 0L
+          var yl = 0
+          while (yl < Codec.BandH) {
+            var x = 0
+            while (x < w) {
+              sig += (img.getRGB(x, f * Codec.BandH + yl) & 0xffffff).toLong *
+                (1 + x + w * yl)
+              x += 1
+            }
+            yl += 1
+          }
+          Row(id, nFrames, f, sig)
+        }
+      }
+    }(enc)
+  }
 
-  /** SQL-checkable surface: asset metadata + stub-decoded dimensions
-    * expressed as pure column arithmetic (the oracle mirrors the stub's
-    * arithmetic; the fingerprint goes through the real mapPartitions path
-    * and is covered by ScalaTest instead).
+  // shared SQL fragments: the generator's closed form, as the oracle
+  // recomputes it (x/yy are absolute coordinates, sid the source id)
+  private def chanSql(expr: String) = s"(($expr) % 256)"
+  // packed like TYPE_INT_RGB: r<<16 | g<<8 | b
+  private val rgbSql =
+    s"65536*${chanSql("x*3 + yy*5 + sid")}" +
+      s" + 256*${chanSql("x*7 + yy*11 + sid*13")}" +
+      s" + ${chanSql("x*13 + yy*17 + sid*19")}"
+
+  /** Oracle-gated feature surface: real decode on the Spark side, pure
+    * closed-form pixel arithmetic on the oracle side — equality proves
+    * the encode→PNG/BMP→decode round trip is lossless AND the decoded
+    * pixel stream is read correctly (fingerprint is spec-covered; its
+    * row-major order has no cheap SQL form).
     */
   def features(spark: SparkSession, sfDir: String): DataFrame =
-    assets(spark, sfDir).select(
-      col("asset_id"), col("media_type"), col("byte_len"),
-      (lit(64) + pmod(col("byte_len"), lit(577))).cast("int").as("width"),
-      (lit(64) + pmod(col("byte_len") * 31, lit(419))).cast("int").as("height"))
+    extractFeatures(spark, assets(spark, sfDir))
+      .select("asset_id", "media_type", "width", "height", "n_channels",
+        "sum_r", "sum_g", "sum_b")
       .orderBy("asset_id")
 
   val featuresSql: String =
-    """SELECT doc_id AS asset_id,
-      |  'fake/' || ['jpeg', 'png', 'webp'][(doc_id % 3 + 1)::INT] AS media_type,
-      |  octet_length(encode(text)) AS byte_len,
-      |  (64 + octet_length(encode(text)) % 577)::INT AS width,
-      |  (64 + (octet_length(encode(text)) * 31) % 419)::INT AS height
-      |FROM documents ORDER BY asset_id""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id AS asset_id, doc_id AS sid,
+       |         (8 + doc_id % 25)::INT AS w,
+       |         (4 * (1 + doc_id % 12))::INT AS h
+       |  FROM documents),
+       |xs AS (
+       |  SELECT asset_id, sid, w, h,
+       |         unnest(generate_series(0, w - 1)) AS x FROM d),
+       |px AS (
+       |  SELECT asset_id, sid, w, h, x,
+       |         unnest(generate_series(0, h - 1)) AS yy FROM xs)
+       |SELECT asset_id,
+       |  CASE WHEN asset_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END
+       |    AS media_type,
+       |  w AS width, h AS height, 3 AS n_channels,
+       |  CAST(sum((x*3 + yy*5 + sid) % 256) AS BIGINT) AS sum_r,
+       |  CAST(sum((x*7 + yy*11 + sid*13) % 256) AS BIGINT) AS sum_g,
+       |  CAST(sum((x*13 + yy*17 + sid*19) % 256) AS BIGINT) AS sum_b
+       |FROM px
+       |GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin
 
-  /** [[frameSample]] over the synthetic asset table — the frame-expansion
-    * plumbing (one row per sampled frame, explode with no shuffle) under
-    * the oracle gate.
+  /** Frame-sampling surface: every `stride`-th band of each decoded
+    * filmstrip with its pixel signature — the row-multiplying stage a
+    * video pipeline runs before frame-level dedup/embedding, over real
+    * decoded bytes.
     */
-  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame =
-    frameSample(assets(spark, sfDir))
+  def frameSampleQuery(spark: SparkSession, sfDir: String,
+      stride: Int = 2): DataFrame =
+    frameSignatures(spark, assets(spark, sfDir))
+      .filter(col("frame_idx") % stride === 0)
       .select(col("asset_id"), col("n_frames"),
-        col("frame_idx").cast("long").as("frame_idx"))
+        col("frame_idx").cast("long").as("frame_idx"), col("sig"))
       .orderBy("asset_id", "frame_idx")
 
-  val frameSampleSql: String =
-    """WITH a AS (
-      |  SELECT doc_id AS asset_id,
-      |    (octet_length(encode(text)) % 97 + 1)::INT AS n_frames
-      |  FROM documents)
-      |SELECT asset_id, n_frames,
-      |  unnest(generate_series(0, n_frames - 1, 10))::BIGINT AS frame_idx
-      |FROM a ORDER BY asset_id, frame_idx""".stripMargin
+  def frameSampleSql(stride: Int = 2): String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS asset_id, doc_id AS sid,
+       |         (8 + doc_id % 25)::INT AS w,
+       |         (1 + doc_id % 12)::INT AS nf
+       |  FROM documents),
+       |bands0 AS (
+       |  SELECT asset_id, sid, w, nf,
+       |         unnest(generate_series(0, nf - 1)) AS fi FROM d),
+       |bands AS (SELECT * FROM bands0 WHERE fi % $stride = 0),
+       |xs AS (
+       |  SELECT asset_id, sid, w, nf, fi,
+       |         unnest(generate_series(0, w - 1)) AS x FROM bands),
+       |ys AS (
+       |  SELECT asset_id, sid, w, nf, fi, x,
+       |         unnest(generate_series(0, 3)) AS yl FROM xs),
+       |px AS (
+       |  SELECT asset_id, nf, fi,
+       |         ($rgbSql) * (1 + x + w*yl) AS wv
+       |  FROM (SELECT *, fi*4 + yl AS yy FROM ys))
+       |SELECT asset_id, nf AS n_frames, fi::BIGINT AS frame_idx,
+       |       CAST(sum(wv) AS BIGINT) AS sig
+       |FROM px GROUP BY asset_id, nf, fi
+       |ORDER BY asset_id, frame_idx""".stripMargin
 
   // ------------------------------------------------- frame-level dedup
 
-  /** VIDEO NEAR-DUP DETECTION over the frame plumbing — the pipeline a
-    * multimodal corpus runs to catch re-uploads and clipped copies: cut
-    * each asset's content into fixed-width frames, signature each frame
-    * (per-frame perceptual hash in production; here the deterministic
-    * [[graft.functions.Hashes.polyHash]] of the frame content, so the
-    * WHOLE pipeline — not just the plumbing — is oracle-checkable), and
-    * score asset pairs by shared distinct signatures. Two assets are
-    * near-dups when they share ≥ `minPermille`/1000 of the smaller one's
-    * signature set — which catches a CLIPPED copy (missing prefix) that
-    * whole-file fingerprints can never match.
-    *
-    * The corpus is augmented with deterministic planted clips (every
-    * 37th document re-appears under `id + 1 000 000` with its first two
-    * frames removed — derived identically in both engines) so the match
-    * join is exercised with real rows at every sf.
+  /** VIDEO NEAR-DUP DETECTION over real decoded frames — the pipeline a
+    * multimodal corpus runs to catch re-uploads and clipped copies:
+    * decode each asset's filmstrip, signature each band from its pixels
+    * ([[frameSignatures]]), and score asset pairs by shared distinct
+    * signatures. Two assets are near-dups when they share ≥
+    * `minPermille`/1000 of the smaller one's signature set — which
+    * catches a CLIPPED copy (missing leading frames) that whole-file
+    * fingerprints can never match, because the clip is a different
+    * encoded artifact whose DECODED bands still equal the source's.
     *
     * Scale shape: NO all-pairs anywhere — the pair source is the
     * signature-keyed self-join (an inverted index: only assets sharing a
-    * frame meet), `maxDf` drops boilerplate signatures (the posting-cap
-    * discipline — a frame appearing in > maxDf assets is an intro card,
-    * not evidence), and only (asset, signature) id pairs shuffle — frame
-    * content never travels past the map side. Overlap ratios are integer
-    * permille (`n·1000 div min`) — exact in both engines, no float
-    * rounding at the contract boundary.
+    * band meet), `maxDf` drops boilerplate signatures (a band appearing
+    * in > maxDf assets is an intro card, not evidence), and only
+    * (asset, signature) id pairs shuffle — media bytes never travel past
+    * the map side. Overlap ratios are integer permille (`n·1000 div
+    * min`) — exact in both engines, no float rounding at the contract
+    * boundary.
     */
-  def frameDedup(spark: SparkSession, sfDir: String, frameLen: Int = 16,
-      maxDf: Int = 8, minPermille: Int = 500): DataFrame = {
-    import graft.functions.Hashes
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val base = docs.select(col("doc_id").as("asset_id"),
-      col("text").as("content"))
-    val clips = docs.filter(col("doc_id") % 37 === 0)
-      .select((col("doc_id") + 1000000L).as("asset_id"),
-        substring(col("text"), frameLen * 2 + 1, Int.MaxValue).as("content"))
-    val assets = base.unionByName(clips)
-      .filter(length(col("content")) >= frameLen)
-    val sigs = assets
-      .withColumn("frame_idx", explode(sequence(lit(0),
-        floor(length(col("content")) / frameLen).cast("int") - 1)))
-      .withColumn("piece",
-        expr(s"substring(content, frame_idx * $frameLen + 1, $frameLen)"))
-      .select(col("asset_id"), Hashes.polyHash(col("piece")).as("sig"))
-      .distinct()
+  def frameDedup(spark: SparkSession, sfDir: String, maxDf: Int = 8,
+      minPermille: Int = 500): DataFrame = {
+    val sigs = frameSignatures(spark, assetsWithClips(spark, sfDir))
+      .select("asset_id", "sig").distinct()
     val sizes = sigs.groupBy("asset_id")
       .agg(count(lit(1)).cast("long").as("n_sigs"))
     val rare = sigs.groupBy("sig").agg(count(lit(1)).as("df"))
@@ -199,31 +332,32 @@ object Multimodal {
       .orderBy("asset_a", "asset_b")
   }
 
-  def frameDedupSql(frameLen: Int = 16, maxDf: Int = 8,
-      minPermille: Int = 500): String = {
-    import graft.functions.Hashes
-    s"""WITH assets AS (
-       |  SELECT doc_id AS asset_id, text AS content FROM documents
+  def frameDedupSql(maxDf: Int = 8, minPermille: Int = 500): String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS asset_id, doc_id AS sid, 0 AS y0,
+       |         (8 + doc_id % 25)::INT AS w, (1 + doc_id % 12)::INT AS nf
+       |  FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000, substring(text, ${frameLen * 2 + 1})
-       |  FROM documents WHERE doc_id % 37 = 0),
-       |ok AS (SELECT * FROM assets WHERE length(content) >= $frameLen),
-       |frames AS (
-       |  SELECT asset_id,
-       |    unnest(generate_series(0,
-       |      CAST(floor(length(content) * 1.0 / $frameLen) AS INT) - 1)) AS fi,
-       |    content
-       |  FROM ok),
-       |pieces AS (
-       |  -- the piece is materialized BEFORE hashing: polyHashSql's fold
-       |  -- lambda binds its own index variable, which would capture a
-       |  -- same-named column referenced inside its argument expression
-       |  SELECT asset_id,
-       |    substring(content, fi * $frameLen + 1, $frameLen) AS piece
-       |  FROM frames),
-       |sigs AS (
-       |  SELECT DISTINCT asset_id, ${Hashes.polyHashSql("piece")} AS sig
-       |  FROM pieces),
+       |  SELECT doc_id + 1000000, doc_id, 8,
+       |         (8 + doc_id % 25)::INT, (doc_id % 12 - 1)::INT
+       |  FROM documents WHERE doc_id % 37 = 0 AND doc_id % 12 >= 2),
+       |bands AS (
+       |  SELECT asset_id, sid, y0, w,
+       |         unnest(generate_series(0, nf - 1)) AS fi FROM src),
+       |xs AS (
+       |  SELECT asset_id, sid, y0, w, fi,
+       |         unnest(generate_series(0, w - 1)) AS x FROM bands),
+       |ys AS (
+       |  SELECT asset_id, sid, y0, w, fi, x,
+       |         unnest(generate_series(0, 3)) AS yl FROM xs),
+       |px AS (
+       |  SELECT asset_id, fi,
+       |         ($rgbSql) * (1 + x + w*yl) AS wv
+       |  FROM (SELECT *, y0 + fi*4 + yl AS yy FROM ys)),
+       |sigs0 AS (
+       |  SELECT asset_id, fi, CAST(sum(wv) AS BIGINT) AS sig
+       |  FROM px GROUP BY asset_id, fi),
+       |sigs AS (SELECT DISTINCT asset_id, sig FROM sigs0),
        |sizes AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_sigs
        |          FROM sigs GROUP BY 1),
        |rare AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) <= $maxDf),
@@ -240,5 +374,4 @@ object Multimodal {
        |JOIN sizes sb ON p.asset_b = sb.asset_id
        |WHERE p.n_common * 1000 // least(sa.n_sigs, sb.n_sigs) >= $minPermille
        |ORDER BY asset_a, asset_b""".stripMargin
-  }
 }
