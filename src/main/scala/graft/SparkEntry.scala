@@ -79,6 +79,9 @@ object SparkEntry {
     // CCNet's head/middle/tail per-language split by LM score — exact
     // integer thirds over a total order, per-(lang,bucket) census
     "text_lm_buckets" -> ((s, d) => LanguageModel.perplexityBuckets(s, d)),
+    // the 100 TB form: approx_percentile cutoffs (partial-aggregable, no
+    // per-language total order), rank-window audit booleans pinned TRUE
+    "text_lm_buckets_approx" -> ((s, d) => LanguageModel.perplexityBucketsApprox(s, d)),
     // BM25-form ranked keyword retrieval (rational idf, integer score sum)
     "text_bm25_topk" -> ((s, d) => Search.bm25TopK(s, d)),
     // the same retrieval served from a PERSISTED inverted index (postings
@@ -294,6 +297,7 @@ object SparkEntry {
     "text_lm_score" -> LanguageModel.perplexityProxySql(),
     "text_lm_trigram" -> LanguageModel.stupidBackoffSql(),
     "text_lm_buckets" -> LanguageModel.perplexityBucketsSql(),
+    "text_lm_buckets_approx" -> LanguageModel.perplexityBucketsApproxSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
     // identical result contract — the store is a plan-level change
     "text_bm25_store" -> Search.bm25TopKSql(),

@@ -238,6 +238,63 @@ object LanguageModel {
       |  CAST(max(score) AS BIGINT) AS max_milli_bits
       |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The 100 TB form of [[perplexityBuckets]]: per-language HEAD/MIDDLE
+    * cutoffs from `approx_percentile` (Greenwald–Khanna, partial-
+    * aggregable, bounded memory) instead of the exact window sort — the
+    * deployment splits by `score ≤ cutoff` map-side after broadcasting
+    * the (lang × 2)-sized cutoff table, no per-language total order ever
+    * materializes. This entry gates that path with the established
+    * sketch-with-audit contract ([[TextAnalysis.lengthQuantiles]] /
+    * `events_approx_profile`): sketch values are engine-specific, so the
+    * hash-gated columns are the EXACT interpolated cutoffs plus one
+    * rank-window audit boolean per sketch — approx p33.3 must land
+    * within [exact p28.3, exact p38.3] (±5 percentile points; the 1e-4
+    * relative rank error sits far inside), with the [min, max]
+    * membership fallback on groups < 1000 where the summary is exact but
+    * its rank convention differs from the interpolated index. A sketch
+    * drifting out flips the boolean and fails the gate. Bucket-count
+    * corridors would be redundant: `count(score ≤ c)` is monotone in
+    * `c`, so the cutoff corridor already bounds the census.
+    */
+  def perplexityBucketsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val scored = stupidBackoff(spark, sfDir)
+      .select(col("doc_id"), col("milli_bits_per_trans").as("score"))
+      .join(docs, "doc_id")
+    def ex(p: Double): Column = percentile(col("score"), lit(p))
+    def ap(p: Double): Column = percentile_approx(col("score"), lit(p), lit(10000))
+    def ok(a: Column, lo: Column, hi: Column): Column =
+      a.between(col("mn"), col("mx")) &&
+        (col("n_docs") < 1000 || a.between(lo, hi))
+    val third = 1.0 / 3
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).cast("double").as("mn"),
+        max(col("score")).cast("double").as("mx"),
+        ex(third).as("e33"), ex(2 * third).as("e67"),
+        ex(third - 0.05).as("lo33"), ex(third + 0.05).as("hi33"),
+        ex(2 * third - 0.05).as("lo67"), ex(2 * third + 0.05).as("hi67"),
+        ap(third).as("a33"), ap(2 * third).as("a67"))
+      .select(col("lang"), col("n_docs"),
+        round(col("e33"), 2).as("p33_cutoff"),
+        round(col("e67"), 2).as("p67_cutoff"),
+        ok(col("a33"), col("lo33"), col("hi33")).as("c33_sketch_ok"),
+        ok(col("a67"), col("lo67"), col("hi67")).as("c67_sketch_ok"))
+      .orderBy("lang")
+  }
+
+  def perplexityBucketsApproxSql(): String =
+    s"""WITH scored AS (SELECT doc_id, milli_bits_per_trans AS score
+      |               FROM (${stupidBackoffSql()})),
+      |joined AS (
+      |  SELECT s.score, d.lang
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+      |SELECT lang, count(*) AS n_docs,
+      |  round(quantile_cont(score, 1.0/3), 2) AS p33_cutoff,
+      |  round(quantile_cont(score, 2.0/3), 2) AS p67_cutoff,
+      |  TRUE AS c33_sketch_ok, TRUE AS c67_sketch_ok
+      |FROM joined GROUP BY 1 ORDER BY lang""".stripMargin
+
   def stupidBackoffSql(): String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |tg AS (

@@ -90,6 +90,29 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(byLang.nonEmpty)
   }
 
+  test("approx buckets: sketch cutoffs stay inside the rank window and bracket the split") {
+    val rows = LanguageModel.perplexityBucketsApprox(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, p33, p67) = (r.getString(0), r.getDouble(2), r.getDouble(3))
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"$lang sketch audit flipped: $r")
+      assert(p33 <= p67, s"$lang cutoffs out of order")
+    }
+    // the approx split agrees with the exact thirds at the boundary: the
+    // exact head's max score never exceeds the exact middle's min, and
+    // the approx cutoff lies between the head band and the tail band
+    val exact = LanguageModel.perplexityBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val bands = exact(r.getString(0)).map(b => b._2 -> b).toMap
+      assert(r.getDouble(2) >= bands("head")._3.toDouble &&
+        r.getDouble(2) <= bands("tail")._4.toDouble,
+        s"${r.getString(0)} p33 cutoff outside the score range of the split")
+    }
+  }
+
   test("trigram plan: equi-joins only, no cartesian product") {
     val s = SparkTestSession.isolated()
     s.conf.set("spark.sql.adaptive.enabled", "false")
