@@ -250,6 +250,9 @@ object SparkEntry {
     "events_dpp_join" -> ((s, d) => LayoutAudit.dppJoin(s, d)),
     // hot-key salted join gated by a plain-join oracle; CBO stats census
     "events_salted_join" -> (Analytics.eventsSaltedJoin _),
+    // the load-bearing variant: hot key (50% of rows on one key) x a
+    // non-broadcast fact-derived side -> salted SORT-MERGE join
+    "events_salted_join_heavy" -> (Analytics.eventsSaltedJoinHeavy _),
     "table_stats" -> (Analytics.tableStats _)
   )
 
@@ -383,6 +386,7 @@ object SparkEntry {
     "orders_bucketed_join" -> LayoutAudit.bucketedJoinSql(),
     "events_dpp_join" -> LayoutAudit.dppJoinSql(),
     "events_salted_join" -> Analytics.eventsSaltedJoinSql,
+    "events_salted_join_heavy" -> Analytics.eventsSaltedJoinHeavySql,
     "table_stats" -> Analytics.tableStatsSql
   )
 }

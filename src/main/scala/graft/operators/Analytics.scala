@@ -517,6 +517,57 @@ object Analytics {
       |FROM ev JOIN dim USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** LOAD-BEARING salted join: the skewed key meets a side that does NOT
+    * broadcast, so the unsalted plan would be a skewed SORT-MERGE join —
+    * the regime [[graft.sources.Skew.saltedJoin]] exists for (the 5-row
+    * dim in [[eventsSaltedJoin]] gates the construction, but any planner
+    * broadcasts a dim that small).
+    *
+    * Shape: a deterministic hot key (HALF of all events collapse onto
+    * user 0 — the null-ish-tenant/default-user pathology) joins the
+    * per-user profile aggregate derived from the fact itself — a
+    * fact-derived side, one row per key, conceptually user-cardinality-
+    * sized; the `merge` hint pins the no-broadcast regime so the plan is
+    * the skewed SMJ at every sf. Unsalted, hot_user=0 drags ~50 % of the
+    * table through ONE reducer task; salted, (key, salt) spreads it over
+    * 8. The salt provably never changes WHICH rows match, so the plain
+    * unsalted SQL oracle hash-gates the salted plan — and SkewSpec pins
+    * the executed plan to a SortMergeJoin whose keys include `__salt`
+    * with no broadcast on the profile side.
+    */
+  def eventsSaltedJoinHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      when(col("user_id") % 10 < 5, 0L).otherwise(col("user_id")).as("hot_user"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val profile = ev.groupBy("hot_user")
+      .agg(count(lit(1)).cast("long").as("n_user_events"),
+        sum(col("micros")).cast("long").as("user_micros"))
+      .hint("merge")
+    graft.sources.Skew.saltedJoin(ev, profile, "hot_user", buckets = 8)
+      .withColumn("tier",
+        when(col("n_user_events") >= 100, "hot").otherwise("cold"))
+      .groupBy("tier")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        countDistinct(col("hot_user")).cast("long").as("n_users"),
+        sum(col("micros")).cast("long").as("sum_micros"))
+      .orderBy("tier")
+  }
+
+  val eventsSaltedJoinHeavySql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS hot_user,
+      |         CAST(round(value * 1e6) AS BIGINT) AS micros
+      |  FROM events),
+      |profile AS (
+      |  SELECT hot_user, CAST(count(*) AS BIGINT) AS n_user_events
+      |  FROM ev GROUP BY 1)
+      |SELECT CASE WHEN n_user_events >= 100 THEN 'hot' ELSE 'cold' END AS tier,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT hot_user) AS BIGINT) AS n_users,
+      |  CAST(sum(micros) AS BIGINT) AS sum_micros
+      |FROM ev JOIN profile USING (hot_user)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ANALYZE-TABLE-shaped column statistics census over lineitem — the
     * numbers a cost-based optimizer's join reorder and the engine's own
     * broadcast decisions feed on: per column, row count, non-null count,

@@ -52,6 +52,35 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy variant plan: SORT-MERGE join on the salted key, no broadcast") {
+    // the load-bearing regime: the profile side is hinted off broadcast
+    // (standing in for a side above the threshold), so without the salt
+    // this would be a skewed SMJ with ~50% of rows on one reducer
+    val s2 = graft.testkit.SparkTestSession.isolated()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = graft.operators.Analytics
+      .eventsSaltedJoinHeavy(s2, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.exists(_.contains("__salt")),
+      s"the join must be a sort-merge on (key, __salt):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the profile side must not broadcast (that is the point):\n$plan")
+  }
+
+  test("heavy variant equals its unsalted form exactly") {
+    val out = graft.operators.Analytics
+      .eventsSaltedJoinHeavy(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq("cold", "hot"))
+    val hot = out.find(_._1 == "hot").get
+    val cold = out.find(_._1 == "cold").get
+    // the hot tier is the collapsed user-0 key: exactly one user holding
+    // roughly half of all events — the skew the salt spreads
+    assert(hot._3 === 1L, "hot tier must be the single collapsed key")
+    assert(hot._2 > cold._2 / 4, "hot key must carry a comparable share")
+  }
+
   test("saltedAgg collect_set matches the direct holistic aggregate") {
     val direct = big.groupBy("k")
       .agg(array_sort(collect_set(col("payload"))).as("vals"))
