@@ -248,6 +248,9 @@ object SparkEntry {
     "events_zorder_layout" -> ((s, d) => LayoutAudit.zorderLayout(s, d)),
     "orders_bucketed_join" -> ((s, d) => LayoutAudit.bucketedJoin(s, d)),
     "events_dpp_join" -> ((s, d) => LayoutAudit.dppJoin(s, d)),
+    // the composed deployment layout: date partitions + in-partition
+    // z-order on one table; DPP and footer min/max skipping on one scan
+    "events_layout_composed" -> ((s, d) => LayoutAudit.composedLayoutJoin(s, d)),
     // hot-key salted join gated by a plain-join oracle; CBO stats census
     "events_salted_join" -> (Analytics.eventsSaltedJoin _),
     // the load-bearing variant: hot key (50% of rows on one key) x a
@@ -385,6 +388,7 @@ object SparkEntry {
     "events_zorder_layout" -> LayoutAudit.zorderLayoutSql(),
     "orders_bucketed_join" -> LayoutAudit.bucketedJoinSql(),
     "events_dpp_join" -> LayoutAudit.dppJoinSql(),
+    "events_layout_composed" -> LayoutAudit.composedLayoutJoinSql(),
     "events_salted_join" -> Analytics.eventsSaltedJoinSql,
     "events_salted_join_heavy" -> Analytics.eventsSaltedJoinHeavySql,
     "table_stats" -> Analytics.tableStatsSql

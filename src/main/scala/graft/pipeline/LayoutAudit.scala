@@ -212,4 +212,56 @@ object LayoutAudit {
       |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
       |FROM e WHERE week = 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** THE COMPOSED LAYOUT — [[dppJoin]]'s date partitioning AND
+    * [[zorderLayout]]'s multi-dimensional clustering on ONE table
+    * ([[graft.sources.Layout.writePartitionedZOrder]]): events are
+    * hive-partitioned by day and z-ordered on (user_id, hour) within
+    * each partition, then queried with a filtered-dimension join (no
+    * static date predicate — pruning must be the runtime
+    * `dynamicpruning` subquery) plus a selective user_id range predicate
+    * (data-relative: the bottom eighth of the id domain, so the entry
+    * stays selective at every sf). One scan gets BOTH prunings: DPP
+    * picks 7/30 partition directories; parquet footer min/max over the
+    * z-clustered files skips the high-z files inside each (any z ≥ 2^15
+    * forces the top user-id bit, so the top-of-z files provably contain
+    * no bottom-eighth ids). LayoutSpec pins the dynamic filter, the
+    * pushed user_id predicate, and intersecting-files < all-files on the
+    * same scan — the Delta OPTIMIZE deployment shape at 100 TB, where
+    * the two prunings multiply: 7/30 dirs × ~half the files in each.
+    */
+  def composedLayoutJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Layout
+    val dir = Stores.temp("graft_dppz")
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("hod", hour(col("ts")).cast("long"))
+    Layout.writePartitionedZOrder(ev, s"$dir/events", "pdate",
+      "user_id", "hod", numFiles = 96)
+    val fact = spark.read.parquet(s"$dir/events")
+    val cut = Tables.events(spark, sfDir)
+      .agg(expr("(max(user_id) + 1) div 8").cast("long")).first().getLong(0)
+    val dim = Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("date_key"),
+        weekofyear(col("ts")).cast("long").as("week"))
+      .distinct()
+    fact.filter(col("user_id") < cut)
+      .join(broadcast(dim.filter(col("week") === 2L)),
+        col("pdate") === col("date_key"))
+      .groupBy("pdate")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+      .orderBy("pdate")
+  }
+
+  def composedLayoutJoinSql(): String =
+    """WITH cut AS (SELECT (max(user_id) + 1) // 8 AS c FROM events),
+      |e AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS pdate, weekofyear(ts) AS week,
+      |         user_id, value
+      |  FROM events)
+      |SELECT pdate, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+      |FROM e, cut WHERE week = 2 AND user_id < c
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -48,6 +48,28 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** The COMPOSED deployment layout (the Delta `OPTIMIZE ZORDER BY` shape
+    * on a date-partitioned table): hive-partition on `partCol` AND
+    * z-order-cluster on (c1, c2) WITHIN each partition, by range-
+    * partitioning the write on (partCol, z) and sorting within tasks.
+    * Each partition directory then holds several files covering disjoint
+    * z-ranges, so one scan gets BOTH prunings: runtime partition pruning
+    * (dynamic partition pruning against a filtered dimension) picks the
+    * directories, and parquet footer min/max on the z-clustered columns
+    * skips files inside them. LayoutSpec pins both on a single plan.
+    */
+  def writePartitionedZOrder(df: DataFrame, path: String, partCol: String,
+      c1: String, c2: String, numFiles: Int, bits: Int = 8): Unit = {
+    val r = df.agg(min(col(c1)), max(col(c1)), min(col(c2)), max(col(c2))).first()
+    val (x0, x1, y0, y1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    df.withColumn("__z", zValue(col(c1), col(c2),
+        lit(x0), lit(x1), lit(y0), lit(y1), bits))
+      .repartitionByRange(numFiles, col(partCol), col("__z"))
+      .sortWithinPartitions(partCol, "__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+  }
+
   /** Write `df` z-order-clustered on two numeric columns: rows are
     * range-partitioned and sorted by their interleaved-bit Morton code, so
     * each output file covers a compact REGION of the (c1, c2) plane rather

@@ -84,6 +84,62 @@ class LayoutAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("composed layout: dynamicpruning AND file-level min/max skipping on ONE scan") {
+    import org.apache.spark.sql.functions._
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = LayoutAudit.composedLayoutJoin(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val fact = scans.filter(_.relation.partitionSchema.nonEmpty)
+      assert(fact.nonEmpty)
+      // pruning 1: the partition filter is the RUNTIME subquery (no
+      // static date predicate exists in the query)
+      assert(fact.exists(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))), plan.toString.take(2000))
+      // pruning 2 precondition: the user_id range predicate reaches the
+      // parquet reader, where footer min/max skips non-intersecting files
+      assert(fact.exists(_.metadata.get("PushedFilters")
+          .exists(_.contains("LessThan(user_id"))),
+        fact.map(_.metadata.get("PushedFilters")).mkString("\n"))
+      assert(df.collect().length === 7)
+
+      // pruning 2 evidence on the written layout itself: within each
+      // DPP-selected partition directory, the per-file user_id footer
+      // ranges leave a STRICT subset intersecting [0, cut) — z >= 2^15
+      // forces the top user-id bit, so top-of-z files cannot hold
+      // bottom-eighth ids. (Same audit Delta's OPTIMIZE metrics report.)
+      val factPath = fact.head.relation.location.rootPaths.head.toString
+      val cut = graft.sources.Tables.events(spark, sfDir)
+        .agg(expr("(max(user_id) + 1) div 8")).first().getLong(0)
+      val selectedDates = graft.sources.Tables.events(spark, sfDir)
+        .filter(weekofyear(col("ts")) === 2)
+        .select(date_format(col("ts"), "yyyy-MM-dd")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val fs = new org.apache.hadoop.fs.Path(factPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var (allFiles, hitFiles, multiFileDirs) = (0, 0, 0)
+      selectedDates.foreach { d =>
+        val dirPath = new org.apache.hadoop.fs.Path(s"$factPath/pdate=$d")
+        val files = fs.listStatus(dirPath).toSeq
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        if (files.size > 1) multiFileDirs += 1
+        files.foreach { f =>
+          val mm = spark.read.parquet(f)
+            .agg(min(col("user_id")), max(col("user_id"))).first()
+          allFiles += 1
+          if (mm.getLong(0) < cut) hitFiles += 1
+        }
+      }
+      assert(multiFileDirs > 0, "the in-partition split must yield multiple files")
+      assert(hitFiles < allFiles,
+        s"footer ranges must skip files: $hitFiles/$allFiles intersect [0,$cut)")
+      assert(hitFiles > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("bucketed join result equals the plain shuffled join") {
     val bucketed = LayoutAudit.bucketedJoin(spark, sfDir).collect().toSeq
     import org.apache.spark.sql.functions._
