@@ -256,7 +256,10 @@ object SparkEntry {
     // the load-bearing variant: hot key (50% of rows on one key) x a
     // non-broadcast fact-derived side -> salted SORT-MERGE join
     "events_salted_join_heavy" -> (Analytics.eventsSaltedJoinHeavy _),
-    "table_stats" -> (Analytics.tableStats _)
+    "table_stats" -> (Analytics.tableStats _),
+    // the 100 TB NDV leg: 6x HLL in ONE narrow-scan aggregate (no
+    // Expand, no distinct shuffle), exact NDV kept as in-query audit
+    "table_stats_approx" -> (Analytics.tableStatsApprox _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -391,6 +394,7 @@ object SparkEntry {
     "events_layout_composed" -> LayoutAudit.composedLayoutJoinSql(),
     "events_salted_join" -> Analytics.eventsSaltedJoinSql,
     "events_salted_join_heavy" -> Analytics.eventsSaltedJoinHeavySql,
-    "table_stats" -> Analytics.tableStatsSql
+    "table_stats" -> Analytics.tableStatsSql,
+    "table_stats_approx" -> Analytics.tableStatsApproxSql
   )
 }

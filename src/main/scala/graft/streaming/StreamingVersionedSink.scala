@@ -23,7 +23,13 @@ import graft.sources.VersionedTable
   * Scale shape per micro-batch: one O(batch) partitioned write + one
   * manifest CAS — never a table scan; version-count growth is bounded by
   * [[VersionedTable.compact]]/[[VersionedTable.vacuum]] cadence, the same
-  * maintenance contract as every journaled store here.
+  * maintenance contract as every journaled store here. Maintenance is
+  * safe to schedule ALONGSIDE the running sinks: vacuum/compact/maintain
+  * hold the table `_LOCK` against each other, and the vacuum orphan
+  * sweep is age-gated so an appender's freshly staged dir is never
+  * collected mid-write — a scheduler needs no coordination with the
+  * writer channels beyond not running two maintenance jobs at once
+  * (the second is refused loudly).
   */
 object StreamingVersionedSink {
 
