@@ -530,11 +530,21 @@ object AnnIndex {
     * codes/health subdirs swap via the retire-install rename discipline;
     * `vectors/` is untouched (id-sharded — independent of cell geometry
     * by design). Probes after recluster are bit-identical to a fresh
-    * [[buildStore]] over the same corpus (spec-pinned).
+    * [[buildStore]] over the same corpus (spec-pinned). Holds the store
+    * `_LOCK` for the whole retrain+swap ([[Locking.withStoreLock]]):
+    * two racing reclusters would clobber the shared staging dir and
+    * interleave the subdir swaps.
     */
   def reclusterStore(embeddings: DataFrame, storeDir: String,
       ivfStride: Int = 50, m: Int = 16, codeStride: Int = 40,
-      iters: Int = 2, dim: Int = 64): Unit = {
+      iters: Int = 2, dim: Int = 64): Unit =
+    Locking.withStoreLock(embeddings.sparkSession, storeDir) {
+      reclusterStoreLocked(embeddings, storeDir, ivfStride, m, codeStride,
+        iters, dim)
+    }
+
+  private def reclusterStoreLocked(embeddings: DataFrame, storeDir: String,
+      ivfStride: Int, m: Int, codeStride: Int, iters: Int, dim: Int): Unit = {
     val spark = embeddings.sparkSession
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration

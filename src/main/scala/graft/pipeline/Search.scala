@@ -283,10 +283,17 @@ object Search {
     * A crash before the READY marker leaves the live store untouched
     * (replay restarts staging); after it, re-running [[compactIndex]]
     * completes the installs (each is the idempotent retire-install swap).
-    * Single-writer maintenance op, like compact/recluster on the ANN side:
-    * no concurrent probes during the install window.
+    * Single-writer maintenance op, like compact/recluster on the ANN side
+    * — ENFORCED via the store `_LOCK` ([[Locking.withStoreLock]]): a
+    * second maintainer is refused loudly instead of racing the
+    * retire-install window. No concurrent probes during the install.
     */
-  def compactIndex(spark: SparkSession, storeDir: String): Unit = {
+  def compactIndex(spark: SparkSession, storeDir: String): Unit =
+    Locking.withStoreLock(spark, storeDir) {
+      compactIndexLocked(spark, storeDir)
+    }
+
+  private def compactIndexLocked(spark: SparkSession, storeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ready = new Path(s"$storeDir/compact_READY")
