@@ -330,6 +330,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not evolve"))
   }
 
+  test("schema evolution through the exactly-once path keeps idempotence") {
+    val dir = Files.createTempDirectory("graft-vt-evolve-once").toString
+    VersionedTable.create(fixture().filter($"id" <= 2), dir, "pdate")
+    val widened = Seq((7L, "c", "2024-01-04", 70L, 9L))
+      .toDF("id", "kind", "pdate", "amount", "score")
+    // a streaming channel's batch may carry the widened schema; the
+    // evolution commits once, the replay no-ops (no double evolution,
+    // no double rows)
+    VersionedTable.appendOnce(widened, dir, "pdate", "s", "b0")
+    VersionedTable.appendOnce(widened, dir, "pdate", "s", "b0") // replay
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1))
+    val head = VersionedTable.readLatest(spark, dir)
+    assert(head.count() === 3)
+    assert(head.filter($"score".isNull).count() === 2)
+    // the NEXT batch on the same channel may keep the widened schema
+    VersionedTable.appendOnce(
+      Seq((8L, "d", "2024-01-04", 80L, 2L))
+        .toDF("id", "kind", "pdate", "amount", "score"),
+      dir, "pdate", "s", "b1")
+    assert(VersionedTable.readLatest(spark, dir).count() === 4)
+  }
+
   test("the manifest CAS never lets a losing committer clobber the winner") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val dir = Files.createTempDirectory("graft-vt-cas").toString
