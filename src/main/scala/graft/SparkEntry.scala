@@ -194,6 +194,9 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => SemanticDedup.semanticPairs(s, d)),
     // similarity search
     "knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    // 1-bit quantization: 16-byte sign signatures, Hamming (popcount)
+    // shortlist, exact cosine rerank on the shortlist only
+    "knn_binary_hamming" -> ((s, d) => Similarity.knnBinaryHamming(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_ivf_nprobe" -> ((s, d) => Similarity.knnIvfProbe(s, d)),
     // k-means-trained cells (deterministic integer Lloyd rounds)
@@ -364,6 +367,7 @@ object SparkEntry {
     "dedup_embedding_ann" -> Similarity.cosineLshPairsPlantedSql(),
     "dedup_semantic" -> SemanticDedup.semanticPairsSql(),
     "knn_brute_force" -> Similarity.knnBruteForceSql(),
+    "knn_binary_hamming" -> Similarity.knnBinaryHammingSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_ivf_nprobe" -> Similarity.knnIvfProbeSql(),
     "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),

@@ -199,6 +199,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.join(exact, Seq("id_a", "id_b"), "left_anti").count() === 0)
   }
 
+  test("binary-Hamming rerank: valid shape, Hamming bounded, recall@5 vs exact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val bin = Similarity.knnBinaryHamming(spark, sfDir).cache()
+    val rows = bin.collect()
+    // shape: 5 contiguous ranks per query, hamming within [0, 64]
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to 5) })
+    assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 64))
+    // the 1-bit shortlist + exact rerank recovers most of the exact
+    // top-5 (deterministic on this fixture; the bound is the contract —
+    // a packing/popcount bug collapses recall toward random, 5/500)
+    val exact = Similarity.knnBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"binary shortlist recall@5 collapsed: $recall")
+  }
+
   test("identical vectors always collide in every LSH table (recall floor)") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
