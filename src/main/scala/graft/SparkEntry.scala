@@ -128,6 +128,9 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => Chunking.chunk(s, d)),
     // PII scrub: email/phone/IPv4 detection counts + chained redaction
     "text_pii_scrub" -> (Pii.scrub _),
+    // k-anonymity release census: per-segment suppression accounting of
+    // quasi-identifier groups below k
+    "privacy_k_anonymity" -> ((s, d) => Pii.kAnonymity(s, d)),
     // GPT-style packing layout: global prefix-sum offsets, two-phase plan
     "doc_pack_bins" -> ((s, d) => Packing.packBins(s, d)),
     // deterministic resumable training-order manifest: mixture replicas ×
@@ -334,6 +337,7 @@ object SparkEntry {
     "text_quality_trained" -> QualityModel.trainedSql(),
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
+    "privacy_k_anonymity" -> Pii.kAnonymitySql(),
     "doc_pack_bins" -> Packing.packBinsSql(),
     "train_manifest" -> Manifest.trainManifestSql(),
     "train_manifest_extend" -> Manifest.trainManifestExtendSql(),

@@ -79,4 +79,53 @@ object Pii {
        |    '$PhoneRe', '$PhoneToken', 'g') AS redacted
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** K-ANONYMITY AUDIT — the release-gating census a data-governance pass
+    * runs before publishing records keyed by quasi-identifiers (Sweeney's
+    * public k-anonymity model): group by the quasi-identifier tuple
+    * (nation, market segment — the kind of demographic pair that
+    * re-identifies when a group is small) and report, per segment, how
+    * many equivalence groups and rows fall BELOW the k threshold — the
+    * rows a k-anonymous release must suppress or generalize — alongside
+    * the published complement and the smallest/largest group. The
+    * suppression accounting is the same discipline as the takedown
+    * entries: the risky population is pinned by count, not by promise.
+    *
+    * Scale shape: one groupBy on the quasi tuple (partial-aggregated;
+    * group count bounded by the quasi domain, here nations × segments),
+    * then a segments-sized rollup — nothing row-sized past the first
+    * shuffle.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).cast("long").as("n"))
+    groups.groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(col("n")).cast("long").as("n_rows"),
+        min(col("n")).cast("long").as("min_group"),
+        max(col("n")).cast("long").as("max_group"),
+        sum(when(col("n") < k, lit(1L)).otherwise(0L)).cast("long")
+          .as("groups_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).cast("long")
+          .as("rows_suppressed"),
+        sum(when(col("n") >= k, col("n")).otherwise(0L)).cast("long")
+          .as("rows_published"))
+      .orderBy("segment")
+  }
+
+  def kAnonymitySql(k: Int = 5): String =
+    s"""WITH g AS (
+       |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c_mktsegment AS segment,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(min(n) AS BIGINT) AS min_group,
+       |  CAST(max(n) AS BIGINT) AS max_group,
+       |  CAST(sum(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+       |  CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS rows_suppressed,
+       |  CAST(sum(CASE WHEN n >= $k THEN n ELSE 0 END) AS BIGINT) AS rows_published
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 }
