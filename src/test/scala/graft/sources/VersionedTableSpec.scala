@@ -330,6 +330,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not evolve"))
   }
 
+  test("a pre-evolution delete vector still applies after the schema widens") {
+    val dir = Files.createTempDirectory("graft-vt-evolve-mor").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    // the vector references (file, pos) of the ORIGINAL leaves; the
+    // evolved read projects those same leaves through the widened
+    // schema — positions are schema-independent, so the anti-join must
+    // keep removing the deleted row
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 2L)
+    VersionedTable.append(
+      Seq((5L, "a", "2024-01-03", 50L, "x"))
+        .toDF("id", "kind", "pdate", "amount", "note"), dir, "pdate")
+    val head = VersionedTable.readLatest(spark, dir)
+    assert(head.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 4L, 5L), "vector-deleted row must stay deleted post-evolution")
+    assert(head.filter($"note".isNotNull).count() === 1)
+    // a COW delete over the evolved, vector-carrying table still works
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 3L)
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 4L, 5L))
+  }
+
   test("schema evolution through the exactly-once path keeps idempotence") {
     val dir = Files.createTempDirectory("graft-vt-evolve-once").toString
     VersionedTable.create(fixture().filter($"id" <= 2), dir, "pdate")
