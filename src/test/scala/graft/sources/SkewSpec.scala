@@ -81,6 +81,55 @@ class SkewSpec extends AnyFunSuite {
     assert(hot._2 > cold._2 / 4, "hot key must carry a comparable share")
   }
 
+  test("AQE splits raw-shuffle skew but CANNOT fix the aggregate-fed join salting covers") {
+    // the division of labor in the skew story, pinned live: AQE's
+    // skew-join splits an oversized partition only when BOTH SMJ inputs
+    // are raw shuffle stages; when one side is an aggregate over the
+    // same key — joining facts to a per-key profile, exactly the
+    // events_salted_join_heavy shape — the aggregate sits between the
+    // join and the shuffle stage and AQE must leave the hot partition
+    // whole. Salting is the fix there, not a redundant alternative.
+    val s2 = graft.testkit.SparkTestSession.isolated()
+    import s2.implicits._
+    import org.apache.spark.sql.functions.{col, count => cnt, lit, when}
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // a skewed reduce partition splits along MAPPER boundaries — the
+    // fixture is one single-row-group parquet file, i.e. ONE effective
+    // mapper, which leaves AQE nothing to split along; the round-robin
+    // repartition stands in for the many map tasks a real fact table has
+    val ev = graft.sources.Tables.events(s2, "/root/testdata/sf0.1").select(
+      when(col("user_id") % 10 < 5, 0L).otherwise(col("user_id")).as("hot_user"),
+      col("value")).repartition(8)
+    // case 1: raw two-table join (the dim is a plain relation, so both
+    // SMJ inputs are shuffle stages) -> AQE splits the hot partition
+    val userIds = ev.select("hot_user").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val dim = userIds.map(u => (u, s"u$u")).toDF("hot_user", "name")
+    val raw = ev.join(dim, "hot_user")
+    assert(raw.collect().length === 100000)
+    val rawPlan = raw.queryExecution.executedPlan.toString
+    assert(rawPlan.contains("skew=true"),
+      s"AQE must skew-split the raw hot-key SMJ:\n${rawPlan.take(3000)}")
+    // case 2: the profile side is an AGGREGATE over the same key -> the
+    // hot partition stays whole (no skew=true anywhere) even though the
+    // same skew is present — beyond AQE's reach, salting's territory
+    val profile = ev.groupBy("hot_user").agg(cnt(lit(1)).as("n_user_events"))
+    val agg = ev.join(profile, "hot_user")
+    assert(agg.collect().length === 100000)
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("isFinalPlan=true"))
+    assert(!aggPlan.contains("skew=true"),
+      "if AQE learns to split aggregate-fed joins, revisit whether " +
+        "events_salted_join_heavy still needs the salt")
+  }
+
   test("saltedAgg collect_set matches the direct holistic aggregate") {
     val direct = big.groupBy("k")
       .agg(array_sort(collect_set(col("payload"))).as("vals"))
