@@ -695,6 +695,47 @@ object VersionedTable {
       schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema))
   }
 
+  /** OPTIMIZE ZORDER BY — [[compact]] with a layout upgrade (the public
+    * Delta OPTIMIZE ZORDER shape on the snapshot table): every live leaf
+    * folds into one fresh data dir AND each partition's rows are written
+    * sorted by the Morton z-value of (c1, c2), so the parquet ROW GROUPS
+    * inside each leaf carry tight min/max on BOTH columns — selective
+    * scans skip row groups the way [[graft.sources.Layout]]'s multi-file
+    * layout skips files. `rowGroupBytes` bounds the row-group size (the
+    * skipping granularity); delete vectors fold into the data as in
+    * [[compact]]. Holds the store `_LOCK`; prior versions keep reading
+    * their own leaves until [[vacuum]].
+    */
+  def optimizeZOrder(spark: SparkSession, tableDir: String, partCol: String,
+      c1: String, c2: String, rowGroupBytes: Int = 1 << 20): Unit =
+    Locking.withStoreLock(spark, tableDir) {
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      val folded = readView(spark, tableDir, m)
+      val r = folded.agg(min(col(c1)), max(col(c1)),
+        min(col(c2)), max(col(c2))).first()
+      val z = Layout.zValue(col(c1), col(c2),
+        lit(r.getLong(0)), lit(r.getLong(1)),
+        lit(r.getLong(2)), lit(r.getLong(3)), bits = 8)
+      val rel = s"data/add-v$v-${nonce()}"
+      val pdir = partDirCol(partCol)
+      folded.withColumn(pdir, col(partCol))
+        .withColumn("__vt_z", z)
+        .repartition(col(pdir))
+        .sortWithinPartitions(pdir, "__vt_z")
+        .drop("__vt_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", rowGroupBytes.toString)
+        .partitionBy(pdir).parquet(s"$tableDir/$rel")
+      val f = fs(spark, tableDir)
+      val leaves = f.listStatus(new Path(s"$tableDir/$rel")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
+        .map(st => s"$rel/${st.getPath.getName}")
+        .sorted
+      writeManifest(spark, tableDir, v, leaves, txns = m.txns,
+        schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema))
+    }
+
   /** Grace period before an unreferenced (orphan) dir is swept: a
     * CONCURRENT optimistic writer's staged dir is indistinguishable from
     * a crashed commit's leftovers by name alone — if other channels

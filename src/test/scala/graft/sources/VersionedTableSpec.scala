@@ -477,6 +477,60 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(h.map(_._3) === Seq(5L), "all five rows survive")
   }
 
+  test("optimizeZOrder: content identical, row groups multi and skippable on BOTH dims") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-vt-optimize").toString
+    val n = 40000
+    val df = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) "p1" else "p2",
+        (i % 2000).toLong, ((i.toLong * 7) % 911))
+    }.toDF("id", "pcol", "c1", "c2")
+    VersionedTable.create(df, dir, "pcol")
+    val before = VersionedTable.readLatest(spark, dir)
+      .orderBy("id").collect().toSeq
+    VersionedTable.optimizeZOrder(spark, dir, "pcol", "c1", "c2",
+      rowGroupBytes = 32 * 1024)
+    // content is a pure representation change (compact semantics)
+    assert(VersionedTable.readLatest(spark, dir)
+      .orderBy("id").collect().toSeq === before)
+    // and the prior version still time-travels
+    assert(VersionedTable.readVersion(spark, dir, 0).count() === n)
+    // footer evidence: inside each optimized leaf, multiple row groups
+    // whose c1 min/max form tight z-regions — a bottom-eighth c1
+    // predicate must skip a strict subset of row groups (and same for a
+    // c2 band, the property a linear sort on c1 cannot give)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsys = new Path(dir).getFileSystem(conf)
+    val v1Dir = VersionedTable.physicalDataDir(spark, dir, 1)
+    var (groups, hitC1, hitC2) = (0, 0, 0)
+    for (leaf <- fsys.listStatus(new Path(v1Dir)) if leaf.isDirectory;
+         file <- fsys.listStatus(leaf.getPath)
+         if file.getPath.getName.endsWith(".parquet")) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(file.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        for (b <- blocks) {
+          groups += 1
+          def mn(name: String): Long = b.getColumns.asScala
+            .find(_.getPath.toDotString == name).get
+            .getStatistics.genericGetMin.asInstanceOf[java.lang.Long]
+          if (mn("c1") < 250L) hitC1 += 1   // c1 in [0, 2000)
+          def mx(name: String): Long = b.getColumns.asScala
+            .find(_.getPath.toDotString == name).get
+            .getStatistics.genericGetMax.asInstanceOf[java.lang.Long]
+          if (mn("c2") < 500L && mx("c2") >= 400L) hitC2 += 1 // c2 band [400,500)
+        }
+      } finally reader.close()
+    }
+    assert(groups >= 8, s"expected multiple row groups, got $groups")
+    assert(hitC1 > 0 && hitC1 < groups,
+      s"c1 bottom-eighth must skip row groups: $hitC1/$groups intersect")
+    assert(hitC2 > 0 && hitC2 < groups,
+      s"c2 band must skip row groups: $hitC2/$groups intersect")
+  }
+
   test("history reports each version's manifest footprint") {
     val dir = Files.createTempDirectory("graft-vt-hist").toString
     val df = fixture()
