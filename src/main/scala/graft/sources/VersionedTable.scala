@@ -344,6 +344,12 @@ object VersionedTable {
     * Legacy manifests (no recorded schema) fall back to one leaf footer
     * read — metadata-sized — and any accepted commit records the schema
     * going forward.
+    *
+    * Two CONCURRENT evolutions of different columns do not merge: the
+    * CAS serializes them, and the loser's retry re-resolves against the
+    * winner's widened schema — its batch now lacks the winner's column
+    * and is refused LOUDLY (the Delta concurrent-metadata-change
+    * behavior), never silently dropped or reordered.
     */
   private def resolveAppendSchema(df: DataFrame, spark: SparkSession,
       tableDir: String, m: VManifest, allowEvolution: Boolean): Seq[String] = {
