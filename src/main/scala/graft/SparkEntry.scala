@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AsOfJoin, DeletionOps, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, Decontaminate, Dedup, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.operators.{Analytics, AsOfJoin, DeletionOps, HeavyHitters, RangeJoin}
+import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, DataQuality, Decontaminate, Dedup, EntityResolution, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -265,7 +265,13 @@ object SparkEntry {
     "table_stats" -> (Analytics.tableStats _),
     // the 100 TB NDV leg: 6x HLL in ONE narrow-scan aggregate (no
     // Expand, no distinct shuffle), exact NDV kept as in-query audit
-    "table_stats_approx" -> (Analytics.tableStatsApprox _)
+    "table_stats_approx" -> (Analytics.tableStatsApprox _),
+    // Deequ-style constraint suite: row-local checks fused into ONE scan
+    "table_quality_report" -> (DataQuality.qualityReport _),
+    // complete dist<=1 record linkage via masked-position blocking
+    "er_name_match" -> (EntityResolution.nameMatchPairs _),
+    // exact heavy hitters: map-only Misra-Gries candidates + exact pass
+    "events_heavy_hitters" -> ((s, d) => HeavyHitters.userHeavyHitters(s, d))
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -403,6 +409,9 @@ object SparkEntry {
     "events_salted_join" -> Analytics.eventsSaltedJoinSql,
     "events_salted_join_heavy" -> Analytics.eventsSaltedJoinHeavySql,
     "table_stats" -> Analytics.tableStatsSql,
-    "table_stats_approx" -> Analytics.tableStatsApproxSql
+    "table_stats_approx" -> Analytics.tableStatsApproxSql,
+    "table_quality_report" -> DataQuality.qualityReportSql,
+    "er_name_match" -> EntityResolution.nameMatchPairsSql,
+    "events_heavy_hitters" -> HeavyHitters.userHeavyHittersSql()
   )
 }

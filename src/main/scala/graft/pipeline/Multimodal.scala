@@ -82,12 +82,14 @@ object Multimodal {
       val h = BandH * nFrames
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { img.setRGB(x, y, pixel(srcId, x, y0 + y)); x += 1 }
+        while (x < w) { buf(y * w + x) = pixel(srcId, x, y0 + y); x += 1 }
         y += 1
       }
+      img.setRGB(0, 0, w, h, buf, 0, w)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, format, bos)
       bos.toByteArray
@@ -104,11 +106,22 @@ object Multimodal {
   private def assetEncoder =
     org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(AssetSchema)
 
+  /** Fan the id projection out across every core before the codec stage.
+    * The documents table is one small parquet file → ONE input split, so
+    * without this every ImageIO encode/decode runs on a single thread
+    * (the whole features entry measured ~5 s single-threaded at sf0.1).
+    * Only 8-byte ids cross this exchange — it parallelizes the synthetic
+    * asset GENERATOR; in production assets arrive already distributed
+    * and no such fan-out stage exists.
+    */
+  private def fanOut(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** Build the binary asset table: one real encoded image per document id
     * (PNG for even ids, BMP for odd — both decode paths stay exercised).
     */
   def assets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select("doc_id")
+    fanOut(Tables.documents(spark, sfDir).select("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -124,7 +137,7 @@ object Multimodal {
     * generator). This is what re-upload detection must catch.
     */
   def assetsWithClips(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select("doc_id")
+    fanOut(Tables.documents(spark, sfDir).select("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -153,18 +166,15 @@ object Multimodal {
         val id = r.getLong(0)
         val img = Codec.decode(r.getAs[Array[Byte]](1))
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
         var (sr, sg, sb) = (0L, 0L, 0L)
         var fp = 0xcbf29ce484222325L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-            fp ^= rgb & 0xffffffL; fp *= 0x100000001b3L
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          fp ^= rgb & 0xffffffL; fp *= 0x100000001b3L
+          i += 1
         }
         Row(id, r.getString(2), w, h, 3, sr, sg, sb, fp)
       }
@@ -185,14 +195,16 @@ object Multimodal {
         val id = r.getLong(0)
         val img = Codec.decode(r.getAs[Array[Byte]](1))
         val w = img.getWidth
-        val nFrames = img.getHeight / Codec.BandH
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
+        val nFrames = h / Codec.BandH
         (0 until nFrames).map { f =>
           var sig = 0L
           var yl = 0
           while (yl < Codec.BandH) {
             var x = 0
             while (x < w) {
-              sig += (img.getRGB(x, f * Codec.BandH + yl) & 0xffffff).toLong *
+              sig += (px((f * Codec.BandH + yl) * w + x) & 0xffffff).toLong *
                 (1 + x + w * yl)
               x += 1
             }
