@@ -271,7 +271,9 @@ object SparkEntry {
     // complete dist<=1 record linkage via masked-position blocking
     "er_name_match" -> (EntityResolution.nameMatchPairs _),
     // exact heavy hitters: map-only Misra-Gries candidates + exact pass
-    "events_heavy_hitters" -> ((s, d) => HeavyHitters.userHeavyHitters(s, d))
+    "events_heavy_hitters" -> ((s, d) => HeavyHitters.userHeavyHitters(s, d)),
+    // per-file bloom skipping: point lookups on a layout-decorrelated key
+    "snapshot_point_lookup" -> (sources.BloomSkipIndex.pointLookup _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -412,6 +414,7 @@ object SparkEntry {
     "table_stats_approx" -> Analytics.tableStatsApproxSql,
     "table_quality_report" -> DataQuality.qualityReportSql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,
-    "events_heavy_hitters" -> HeavyHitters.userHeavyHittersSql()
+    "events_heavy_hitters" -> HeavyHitters.userHeavyHittersSql(),
+    "snapshot_point_lookup" -> sources.BloomSkipIndex.pointLookupSql
   )
 }
