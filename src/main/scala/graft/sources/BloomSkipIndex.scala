@@ -61,14 +61,27 @@ object BloomSkipIndex {
 
   /** Build the sidecar at `indexPath` for the LONG key column `keyCol`
     * of `df` — which must be a direct parquet scan (`input_file_name`
-    * attributes rows to files).
+    * attributes rows to files). `tableVersion` records which table head
+    * the index describes (−1 = unversioned source); [[lookupFresh]]
+    * refuses a sidecar whose version is not the current head.
     */
-  def build(df: DataFrame, keyCol: String, indexPath: String): Unit = {
+  def build(df: DataFrame, keyCol: String, indexPath: String,
+      tableVersion: Int = -1): Unit =
+    writeSidecar(df.sparkSession, indexPath, tableVersion, statsFor(df, keyCol))
+
+  /** One pass over `df`: per-file partial blooms fold locally, only
+    * sketch bytes shuffle, merged stats return file-count-sized. File
+    * paths are normalized to the URI path part so FS listings
+    * ([[VersionedTable.liveDataFiles]]) and `input_file_name` (which
+    * render the same file as `file:/…` vs `file:///…`) diff cleanly.
+    */
+  private def statsFor(df: DataFrame, keyCol: String): Seq[BloomPartial] = {
     val spark = df.sparkSession
     import spark.implicits._
     val partials = df
       .select(col(keyCol).cast("long").as("_1"), input_file_name().as("_2"))
       .as[(Long, String)]
+      .map { case (k, f) => (k, new java.net.URI(f).getPath) }
       .mapPartitions { it =>
         val acc = mutable.HashMap.empty[String, (BloomFilter, Array[Long])]
         it.foreach { case (k, f) =>
@@ -90,20 +103,54 @@ object BloomSkipIndex {
       }
       BloomPartial(f, ser(bloom), n, mn, mx)
     }.collect().sortBy(_.f) // file-count-sized; sorted for byte determinism
+    merged.toSeq
+  }
+
+  private def writeSidecar(spark: SparkSession, indexPath: String,
+      tableVersion: Int, entries: Seq[BloomPartial]): Unit = {
     val enc = java.util.Base64.getEncoder
-    val json = merged.map { p =>
+    val json = entries.sortBy(_.f).map { p =>
       s"""{"file":"${p.f}","n":${p.n},"min":${p.mn},"max":${p.mx},""" +
         s""""bloom":"${enc.encodeToString(p.bloom)}"}"""
-    }.mkString("[", ",", "]")
+    }.mkString(s"""{"table_version":$tableVersion,"entries":[""", ",", "]}")
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(indexPath), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** INCREMENTAL maintenance against a [[VersionedTable]] head: diff the
+    * sidecar's file list against the head's live files, index ONLY the
+    * new files (one scan of exactly those bytes — an append's refresh
+    * cost is O(batch), never O(table)), drop entries for files no live
+    * leaf references (a delete's rewrite retired them), keep surviving
+    * entries byte-identical, and stamp the new head version. Returns
+    * (newly indexed, kept, dropped) — the accounting the spec pins.
+    */
+  def refresh(spark: SparkSession, tableDir: String, keyCol: String,
+      indexPath: String): (Int, Int, Int) = {
+    val head = VersionedTable.latestVersion(spark, tableDir)
+    val live = VersionedTable.liveDataFiles(spark, tableDir)
+    val liveSet = live.toSet
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = if (fs.exists(new Path(indexPath)))
+      readSidecar(spark, indexPath)._2 else Nil
+    val (kept, dropped) = old.partition(st => liveSet.contains(st.f))
+    val keptSet = kept.map(_.f).toSet
+    val newFiles = live.filterNot(keptSet.contains)
+    val fresh =
+      if (newFiles.isEmpty) Nil
+      else statsFor(spark.read.parquet(newFiles: _*), keyCol)
+    val keptEntries = kept.map(st =>
+      BloomPartial(st.f, ser(st.bloom), st.n, st.mn, st.mx))
+    writeSidecar(spark, indexPath, head, keptEntries ++ fresh)
+    (fresh.size, kept.size, dropped.size)
+  }
+
   private case class FileStats(f: String, n: Long, mn: Long, mx: Long,
       bloom: BloomFilter)
 
-  private def readSidecar(spark: SparkSession, indexPath: String): Seq[FileStats] = {
+  private def readSidecar(spark: SparkSession,
+      indexPath: String): (Int, Seq[FileStats]) = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(indexPath))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -111,11 +158,15 @@ object BloomSkipIndex {
     val dec = java.util.Base64.getDecoder
     // hand-rolled parse of the hand-rolled JSON above (house pattern:
     // no JSON lib on the unmanaged classpath); fields are ordered
+    val ver = """^\{"table_version":(-?\d+),""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"bloom sidecar $indexPath has no table_version header"))
     val entry = """\{"file":"([^"]+)","n":(\d+),"min":(-?\d+),"max":(-?\d+),"bloom":"([^"]+)"\}""".r
-    entry.findAllMatchIn(text).map { m =>
+    (ver, entry.findAllMatchIn(text).map { m =>
       FileStats(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, deser(dec.decode(m.group(5))))
-    }.toSeq
+    }.toSeq)
   }
 
   /** Point lookup: prune files from the sidecar, scan only survivors,
@@ -124,7 +175,7 @@ object BloomSkipIndex {
     */
   def lookup(spark: SparkSession, indexPath: String, keyCol: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
-    val stats = readSidecar(spark, indexPath)
+    val stats = readSidecar(spark, indexPath)._2
     val kept = stats.filter(st =>
       keys.exists(k => k >= st.mn && k <= st.mx && st.bloom.mightContainLong(k)))
     val df =
@@ -133,6 +184,23 @@ object BloomSkipIndex {
         spark.read.parquet(stats.map(_.f): _*).limit(0)
       else spark.read.parquet(kept.map(_.f): _*)
     (df.filter(col(keyCol).isin(keys: _*)), kept.size, stats.size)
+  }
+
+  /** [[lookup]] with the staleness guard: the sidecar must describe the
+    * CURRENT head of `tableDir` — after any append/delete/compact the
+    * index is stale (its file list references retired files and misses
+    * new ones) and the lookup is refused loudly until [[refresh]] runs.
+    * The refusal, not a silent partial answer, is the contract: a stale
+    * bloom index can FAIL TO FIND a key that lives in an unindexed file.
+    */
+  def lookupFresh(spark: SparkSession, tableDir: String, indexPath: String,
+      keyCol: String, keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val (ver, _) = readSidecar(spark, indexPath)
+    val head = VersionedTable.latestVersion(spark, tableDir)
+    require(ver == head,
+      s"bloom index at $indexPath describes table version $ver but the " +
+        s"head is $head — run BloomSkipIndex.refresh before point lookups")
+    lookup(spark, indexPath, keyCol, keys)
   }
 
   // --------------------------- surface entry
@@ -156,7 +224,8 @@ object BloomSkipIndex {
     val dir = Stores.temp("graft_bloomidx")
     VersionedTable.create(ev, dir, "pdate")
     val index = s"$dir/index/bloom-uid.json"
-    build(VersionedTable.readLatest(spark, dir), "uid", index)
+    build(VersionedTable.readLatest(spark, dir), "uid", index,
+      tableVersion = VersionedTable.latestVersion(spark, dir))
     val keys = ev.filter(col("event_id") % 1000 === 7)
       .select("uid").collect().map(_.getLong(0)).toSeq
     val (rows, _, _) = lookup(spark, index, "uid", keys)

@@ -577,6 +577,22 @@ object VersionedTable {
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, latestVersion(spark, tableDir))
 
+  /** The head version's live DATA FILES as normalized absolute paths —
+    * one FS listing per live leaf, metadata-sized, no data scan. The
+    * file-granular view secondary indexes key on
+    * ([[graft.sources.BloomSkipIndex]] tracks files, not leaves, so an
+    * incremental refresh can diff against exactly this list).
+    */
+  def liveDataFiles(spark: SparkSession, tableDir: String): Seq[String] = {
+    val f = fs(spark, tableDir)
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    m.leaves.flatMap { l =>
+      f.listStatus(new Path(s"$tableDir/$l")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.toUri.getPath)
+    }.sorted
+  }
+
   /** MERGE (upsert) a batch by key — the reference's deletion kernel
     * generalized to updates: rows whose `keyCol` matches a batch key are
     * REPLACED by the batch row, unmatched batch rows are inserted, and
