@@ -273,7 +273,11 @@ object SparkEntry {
     // exact heavy hitters: map-only Misra-Gries candidates + exact pass
     "events_heavy_hitters" -> ((s, d) => HeavyHitters.userHeavyHitters(s, d)),
     // per-file bloom skipping: point lookups on a layout-decorrelated key
-    "snapshot_point_lookup" -> (sources.BloomSkipIndex.pointLookup _)
+    "snapshot_point_lookup" -> (sources.BloomSkipIndex.pointLookup _),
+    // cohort retention matrix: permille week-over-week survival
+    "events_retention_matrix" -> (Analytics.retentionMatrix _),
+    // day-sketch cube: range NDV from HLL merge, no corpus rescan
+    "events_hll_cube" -> (Analytics.hllCube _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -415,6 +419,8 @@ object SparkEntry {
     "table_quality_report" -> DataQuality.qualityReportSql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,
     "events_heavy_hitters" -> HeavyHitters.userHeavyHittersSql(),
-    "snapshot_point_lookup" -> sources.BloomSkipIndex.pointLookupSql
+    "snapshot_point_lookup" -> sources.BloomSkipIndex.pointLookupSql,
+    "events_retention_matrix" -> Analytics.retentionMatrixSql,
+    "events_hll_cube" -> Analytics.hllCubeSql
   )
 }

@@ -685,4 +685,109 @@ object Analytics {
          |FROM lineitem""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
+  /** COHORT RETENTION MATRIX — the week-over-week retention census every
+    * growth dashboard runs: users are cohorted by their FIRST active week
+    * and each (cohort, offset) cell counts how many are still active that
+    * many weeks later, as integer permille of the cohort (exact in both
+    * engines — no float at the contract boundary).
+    *
+    * Scale shape: one aggregate keyed on user_id finds first-weeks, one
+    * distinct on (user, week) bounds activity rows to users × weeks, one
+    * join back on user_id (the only corpus-keyed shuffle), and the final
+    * matrix is (cohorts × offsets)-sized. The cohort-size side of the
+    * permille join is cohort-count rows — broadcast.
+    */
+  def retentionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val activity = ev.distinct()
+    val cohorts = activity.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").cast("long")
+          .as("retention_permille"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionMatrixSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM cohorts GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_week, a.week, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM act a JOIN cohorts c ON a.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT strftime(ce.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', ce.cohort_week, ce.week) // 7 AS BIGINT)
+      |    AS week_offset,
+      |  ce.n_active, s.cohort_size,
+      |  ce.n_active * 1000 // s.cohort_size AS retention_permille
+      |FROM cells ce JOIN sizes s ON ce.cohort_week = s.cohort_week
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** HLL SKETCH CUBE — the pre-aggregation pattern that answers ad-hoc
+    * range distinct-counts WITHOUT rescanning the corpus: one scan folds
+    * each day's users into a Datasketches HLL sketch (fixed bytes per
+    * day), and any date-range NDV is then a MERGE of day sketches —
+    * here the weekly roll-up, `hll_union_agg` over 7 sketch rows per
+    * week. At 100 TB the day-sketch table is days × KB where the raw
+    * corpus is days × GB; re-answering a new range touches only
+    * sketches. Union is lossless for HLL (the merged sketch equals the
+    * sketch of the unioned data), so accuracy does not degrade with
+    * range length.
+    *
+    * Sketch-with-audit contract (`table_stats_approx`): the hash-gated
+    * columns are the exact weekly NDVs plus one boolean pinning the
+    * sketch estimate within ±5 % of exact; a deployment emits the
+    * estimates alone.
+    */
+  def hllCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      to_date(col("ts")).as("day"),
+      date_trunc("week", col("ts")).cast("date").as("week"))
+    // phase 1: the day-sketch cube (one corpus scan, days × KB output)
+    val daily = ev.groupBy("week", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    // phase 2: weekly answers from sketch MERGE — no corpus rescan
+    val weekly = daily.groupBy("week")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    // audit leg: exact weekly NDV (the deployment drops this)
+    val exact = ev.select("week", "user_id").distinct()
+      .groupBy("week").agg(count(lit(1)).cast("long").as("exact_users"))
+    weekly.join(exact, "week")
+      .select(
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_days"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1L), col("exact_users") * 5 / 100)).as("sketch_ok"))
+      .orderBy("week")
+  }
+
+  val hllCubeSql: String =
+    """WITH d AS (
+      |  SELECT user_id, date_trunc('week', ts) AS week,
+      |         CAST(ts AS DATE) AS day
+      |  FROM events)
+      |SELECT strftime(week, '%Y-%m-%d') AS week,
+      |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS sketch_ok
+      |FROM d GROUP BY d.week ORDER BY week""".stripMargin
 }

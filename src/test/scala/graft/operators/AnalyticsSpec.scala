@@ -120,4 +120,34 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getBoolean(5),
       s"HLL estimate drifted past 5% of exact NDV: $r"))
   }
+
+  test("retention matrix: offset-0 cells are full cohorts; cells never exceed them") {
+    val rows = Analytics.retentionMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, cells) =>
+      val zero = cells.filter(_._2 == 0L)
+      assert(zero.length === 1, s"cohort $c needs exactly one offset-0 cell")
+      // a user is by definition active in their cohort week
+      assert(zero.head._3 === zero.head._4,
+        s"cohort $c offset-0 must be the full cohort")
+      assert(zero.head._5 === 1000L)
+      cells.foreach { cell =>
+        assert(cell._3 <= cell._4, s"cell $cell exceeds its cohort")
+        assert(cell._5 >= 0L && cell._5 <= 1000L)
+      }
+    }
+  }
+
+  test("hll cube: day-sketch merge stays within the audit corridor") {
+    val rows = Analytics.hllCube(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"weekly sketch estimate drifted: $r")
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 7L,
+        s"a week merges 1..7 day sketches: $r")
+    }
+  }
 }
