@@ -277,7 +277,9 @@ object SparkEntry {
     // cohort retention matrix: permille week-over-week survival
     "events_retention_matrix" -> (Analytics.retentionMatrix _),
     // day-sketch cube: range NDV from HLL merge, no corpus rescan
-    "events_hll_cube" -> (Analytics.hllCube _)
+    "events_hll_cube" -> (Analytics.hllCube _),
+    // Iceberg-style partition-spec evolution: mixed-spec reads + deletes
+    "snapshot_spec_evolve" -> (sources.VersionedTable.snapshotSpecEvolve _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -421,6 +423,7 @@ object SparkEntry {
     "events_heavy_hitters" -> HeavyHitters.userHeavyHittersSql(),
     "snapshot_point_lookup" -> sources.BloomSkipIndex.pointLookupSql,
     "events_retention_matrix" -> Analytics.retentionMatrixSql,
-    "events_hll_cube" -> Analytics.hllCubeSql
+    "events_hll_cube" -> Analytics.hllCubeSql,
+    "snapshot_spec_evolve" -> sources.VersionedTable.snapshotSpecEvolveSql()
   )
 }

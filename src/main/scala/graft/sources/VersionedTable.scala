@@ -109,10 +109,12 @@ object VersionedTable {
     */
   private case class VManifest(leaves: Seq[String], deletes: Seq[String],
       dirty: Seq[String], txns: Seq[String] = Nil,
-      schema: Seq[String] = Nil) {
+      schema: Seq[String] = Nil, partcol: Seq[String] = Nil) {
     def dirtySet: Set[String] = dirty.toSet
     def schemaOpt: Option[StructType] =
       if (schema.isEmpty) None else Some(decodeSchema(schema))
+    /** Current partition spec; empty on legacy manifests. */
+    def specOpt: Option[String] = partcol.headOption
   }
 
   /** Schema entries are URL-encoded `name:type` tokens: encoding keeps
@@ -190,7 +192,7 @@ object VersionedTable {
     // absent keys (older manifests) parse as empty — back-compatible
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
       parseArray(text, "dirty"), parseArray(text, "txns"),
-      parseArray(text, "schema"))
+      parseArray(text, "schema"), parseArray(text, "partcol"))
   }
 
   /** Atomically publish `staging` as `committed`, REFUSING an existing
@@ -220,8 +222,8 @@ object VersionedTable {
   private[sources] def writeManifest(spark: SparkSession, tableDir: String,
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
       dirty: Seq[String] = Nil, txns: Seq[String] = Nil,
-      schema: Seq[String] = Nil): Unit = {
-    (leaves ++ deletes ++ dirty ++ txns ++ schema).foreach(e =>
+      schema: Seq[String] = Nil, partcol: Seq[String] = Nil): Unit = {
+    (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcol).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
           s"',', '\"' or ']'?): $e"))
@@ -232,7 +234,8 @@ object VersionedTable {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
       s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
-      s""""txns":${arr(txns)},"schema":${arr(schema)}}"""
+      s""""txns":${arr(txns)},"schema":${arr(schema)},""" +
+      s""""partcol":${arr(partcol)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
@@ -283,13 +286,52 @@ object VersionedTable {
     java.net.URLDecoder.decode(name.substring(name.indexOf('=') + 1), "UTF-8")
   }
 
+  /** The partition COLUMN a leaf was written under (leaf dirs are
+    * self-describing: `<col>__p=<value>`) — what makes a table with an
+    * EVOLVED partition spec navigable: same-spec leaves prune by value,
+    * foreign-spec leaves are recognized and handled by scan.
+    */
+  private def leafPartCol(leaf: String): String = {
+    val name = leaf.substring(leaf.lastIndexOf('/') + 1)
+    val raw = name.substring(0, name.indexOf('='))
+    if (raw.endsWith("__p")) raw.dropRight(3) else raw
+  }
+
+  /** Refuse a write whose `partCol` is not the table's CURRENT spec —
+    * partition-spec changes must go through [[evolvePartitionSpec]], not
+    * arrive silently on a write path. Legacy manifests (no recorded
+    * spec) accept and start recording.
+    */
+  private def requireSpec(m: VManifest, partCol: String, op: String): Unit =
+    m.specOpt.foreach(cur => require(cur == partCol,
+      s"$op under partition spec '$partCol' but the table's current spec " +
+        s"is '$cur' — change specs explicitly with evolvePartitionSpec"))
+
+  /** The subset of `leaves` that actually CONTAIN rows selected by
+    * `selector` — the scan-based fallback for foreign-spec leaves, whose
+    * dir values cannot be pruned against the current spec's predicate.
+    * One pass over exactly those leaves; the result is a driver-side
+    * leaf list (metadata-sized). This is the Iceberg spec-evolution
+    * cost model: old-spec data loses pruning until it is rewritten.
+    */
+  private def leavesContaining(spark: SparkSession, tableDir: String,
+      m: VManifest, leaves: Seq[String],
+      selector: DataFrame => DataFrame): Seq[String] =
+    if (leaves.isEmpty) Nil
+    else {
+      val files = selector(readView(spark, tableDir, m,
+          onlyLeaves = Some(leaves), keepPositions = true))
+        .select(PosFile).distinct().collect().map(_.getString(0)).toSet
+      leaves.filter(l => files.exists(_.startsWith(l + "/")))
+    }
+
   /** Create the table at version 0, recording its schema in the manifest. */
   def create(df: DataFrame, tableDir: String, partCol: String): Unit = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already exists at $tableDir")
     writeManifest(df.sparkSession, tableDir, 0,
       writeDataDir(df, tableDir, 0, partCol),
-      schema = encodeSchema(df.schema))
+      schema = encodeSchema(df.schema), partcol = Seq(partCol))
   }
 
   /** Append a batch as a new version: new leaves are ADDED to the live
@@ -318,11 +360,12 @@ object VersionedTable {
     val spark = df.sparkSession
     val v = baseVersion + 1
     val m = readManifestFull(spark, tableDir, baseVersion)
+    requireSpec(m, partCol, "append")
     val schema = resolveAppendSchema(df, spark, tableDir, m,
       allowEvolution = true)
     writeManifest(spark, tableDir, v,
       m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty,
-      m.txns, schema)
+      m.txns, schema, Seq(partCol))
   }
 
   /** Schema contract for a batch against the table, returning the schema
@@ -404,12 +447,13 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, base)
       val entry = s"$channel=$batchId"
       if (m.txns.contains(entry)) return // replayed commit: exactly-once
+      requireSpec(m, partCol, "appendOnce")
       val schema = resolveAppendSchema(df, spark, tableDir, m,
         allowEvolution = true)
       val txns = m.txns.filterNot(_.startsWith(channel + "=")) :+ entry
       writeManifest(spark, tableDir, base + 1,
         m.leaves ++ writeDataDir(df, tableDir, base + 1, partCol),
-        m.deletes, m.dirty, txns, schema)
+        m.deletes, m.dirty, txns, schema, Seq(partCol))
     }
   }
 
@@ -426,6 +470,7 @@ object VersionedTable {
       pred: Column): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
+    requireSpec(m, partCol, "delete")
     val current = readView(spark, tableDir, m)
     // affected partition values: metadata-sized driver list (the
     // reference core's identifyAffectedPartitions shape)
@@ -433,10 +478,22 @@ object VersionedTable {
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) {
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema)
+        m.schema, m.partcol)
       return
     }
-    val (hit, kept) = m.leaves.partition(l => affected.contains(leafPartValue(l)))
+    // spec-aware pruning: same-spec leaves prune by dir value; leaves
+    // written under an EARLIER partition spec cannot (their dir value is
+    // a different column) — those are selected by a scan restricted to
+    // exactly them, and their survivors rewrite under the CURRENT spec
+    // (every delete incrementally migrates old-spec data — the Iceberg
+    // spec-evolution cost model)
+    val (sameSpec, foreign) = m.leaves.partition(l => leafPartCol(l) == partCol)
+    val (hitSame, keptSame) =
+      sameSpec.partition(l => affected.contains(leafPartValue(l)))
+    val hitForeign = leavesContaining(spark, tableDir, m, foreign,
+      _.filter(pred))
+    val hit = hitSame ++ hitForeign
+    val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
     // survivors come from the VECTOR-APPLIED view of the hit leaves — a
     // copy-on-write rewrite must not resurrect rows a prior merge-on-read
     // delete already removed. Vector entries pointing at the rewritten
@@ -446,7 +503,7 @@ object VersionedTable {
       .filter(!pred)
     val newLeaves = writeDataDir(survivors, tableDir, v, partCol)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
-      m.dirty.filter(kept.contains), m.txns, m.schema)
+      m.dirty.filter(kept.contains), m.txns, m.schema, Seq(partCol))
   }
 
   /** Merge-on-read delete (position delete vectors — the public
@@ -485,14 +542,14 @@ object VersionedTable {
     if (touched.isEmpty) {
       fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema)
+        m.schema, m.partcol)
     } else
       // a commit failure (crash, concurrent-commit collision) must not
       // leave the vector dir as a permanent unreferenced orphan — no
       // manifest will ever point at it, so [[vacuum]]'s referenced-path
       // sweep would otherwise never collect it
       try writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
-        (m.dirtySet ++ touched).toSeq.sorted, m.txns, m.schema)
+        (m.dirtySet ++ touched).toSeq.sorted, m.txns, m.schema, m.partcol)
       catch { case e: Throwable =>
         fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
         throw e
@@ -614,13 +671,23 @@ object VersionedTable {
     // append() first (allowEvolution=false keeps a widened batch loud)
     val schema = resolveAppendSchema(batch, spark, tableDir, m,
       allowEvolution = false)
+    requireSpec(m, partCol, "merge")
     val current = readView(spark, tableDir, m)
     val batchKeys = batch.select(keyCol).distinct()
     val affected = (
       current.join(batchKeys, keyCol).select(col(partCol).cast("string")) unionByName
       batch.select(col(partCol).cast("string"))
     ).distinct().collect().map(_.getString(0)).toSet
-    val (hit, kept) = m.leaves.partition(l => affected.contains(leafPartValue(l)))
+    // spec-aware: foreign-spec leaves holding a batch key are rewritten
+    // (delete's migration rule, key-selected instead of predicate-selected)
+    val (sameSpec, foreignM) =
+      m.leaves.partition(l => leafPartCol(l) == partCol)
+    val (hitSame, keptSame) =
+      sameSpec.partition(l => affected.contains(leafPartValue(l)))
+    val hitForeign = leavesContaining(spark, tableDir, m, foreignM,
+      _.join(batchKeys, Seq(keyCol), "left_semi"))
+    val hit = hitSame ++ hitForeign
+    val kept = keptSame ++ foreignM.filterNot(hitForeign.toSet)
     val rewritten =
       (if (hit.isEmpty) batch
        else readView(spark, tableDir, m, onlyLeaves = Some(hit))
@@ -628,7 +695,7 @@ object VersionedTable {
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDir(rewritten, tableDir, v, partCol),
-      m.deletes, m.dirty.filter(kept.contains), m.txns, schema)
+      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, Seq(partCol))
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -694,8 +761,30 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, toVersion)
       val v = latestVersion(spark, tableDir) + 1
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema)
+        m.schema, m.partcol)
     }
+
+  /** PARTITION-SPEC EVOLUTION (the Iceberg capability Delta lacks): a
+    * METADATA-ONLY commit switching the spec future writes partition
+    * under. Existing leaves are untouched and stay readable — they keep
+    * their old `<col>__p=` dir names, which is what makes them
+    * recognizable as old-spec ([[leafPartCol]]): same-spec leaves keep
+    * value pruning, old-spec leaves are handled by a scan restricted to
+    * exactly them ([[leavesContaining]]) and migrate to the current spec
+    * whenever a delete/merge rewrites them, or wholesale via [[compact]].
+    * The new spec column must exist in the table schema (when recorded)
+    * — evolving to a column reads could not produce is refused loudly.
+    */
+  def evolvePartitionSpec(spark: SparkSession, tableDir: String,
+      newPartCol: String): Unit = withCommitRetry {
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    if (m.schema.nonEmpty)
+      require(decodeSchemaPairs(m.schema).exists(_._1 == newPartCol),
+        s"cannot evolve partition spec to '$newPartCol': not a table column")
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+      m.schema, Seq(newPartCol))
+  }
 
   /** Small-file maintenance: fold every live leaf into one fresh data dir
     * (one leaf per partition value again) as a new version — delete
@@ -711,10 +800,12 @@ object VersionedTable {
       partCol: String): Unit = {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
+    requireSpec(m, partCol, "compact")
     val folded = readView(spark, tableDir, m)
     writeManifest(spark, tableDir, v,
       writeDataDir(folded, tableDir, v, partCol), txns = m.txns,
-      schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema))
+      schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
+      partcol = Seq(partCol))
   }
 
   /** OPTIMIZE ZORDER BY — [[compact]] with a layout upgrade (the public
@@ -733,6 +824,7 @@ object VersionedTable {
     Locking.withStoreLock(spark, tableDir) {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
+      requireSpec(m, partCol, "optimizeZOrder")
       val folded = readView(spark, tableDir, m)
       val r = folded.agg(min(col(c1)), max(col(c1)),
         min(col(c2)), max(col(c2))).first()
@@ -755,7 +847,8 @@ object VersionedTable {
         .map(st => s"$rel/${st.getPath.getName}")
         .sorted
       writeManifest(spark, tableDir, v, leaves, txns = m.txns,
-        schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema))
+        schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
+        partcol = Seq(partCol))
     }
 
   /** Grace period before an unreferenced (orphan) dir is swept: a
@@ -883,7 +976,8 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
       val worst =
         if (m.leaves.isEmpty) 0
-        else m.leaves.groupBy(leafPartValue).values.map(_.size).max
+        else m.leaves.groupBy(l => (leafPartCol(l), leafPartValue(l)))
+          .values.map(_.size).max
       val ran = worst > maxLeavesPerPartition
       if (ran) compactLocked(spark, tableDir, partCol)
       val vs = versions(spark, tableDir)
@@ -1136,6 +1230,55 @@ object VersionedTable {
       .select("version", "n_rows", "n_scored", "sum_score")
       .orderBy("version")
   }
+
+  /** Partition-spec-evolution surface entry: v0 = events slice
+    * partitioned by DATE, v1 = metadata-only spec switch to event_type,
+    * v2 = a second slice appended under the NEW spec (mixed-spec table),
+    * v3 = a user-keyed delete whose matches live in BOTH specs' leaves —
+    * the correctness trap: an old-spec leaf pruned by its (wrong-column)
+    * dir value would silently keep rows. Each version reports its row
+    * count and how many matching rows remain (v3 pins 0); the oracle
+    * recomputes all four states from the slice predicates.
+    */
+  def snapshotSpecEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_type", "pdate")
+    val dir = Stores.temp("graft_vt_spec")
+    create(ev.filter(col("event_id") % 3 === 0), dir, "pdate")
+    evolvePartitionSpec(spark, dir, "event_type")
+    append(ev.filter(col("event_id") % 3 === 1), dir, "event_type")
+    delete(spark, dir, "event_type", col("user_id") % 7 === 3)
+    val summaries = (0 to 3).map { v =>
+      readVersion(spark, dir, v).agg(
+        lit(v).as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("user_id") % 7 === 3, 1L).otherwise(0L)).cast("long")
+          .as("n_matching"))
+    }
+    summaries.reduce(_ unionByName _)
+      .select("version", "n_rows", "n_matching")
+      .orderBy("version")
+  }
+
+  def snapshotSpecEvolveSql(): String =
+    """WITH a AS (SELECT event_id, user_id FROM events WHERE event_id % 3 = 0),
+      |b AS (SELECT event_id, user_id FROM events WHERE event_id % 3 = 1),
+      |ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+      |st AS (
+      |  SELECT 0 AS version, count(*) AS n,
+      |         sum(CASE WHEN user_id % 7 = 3 THEN 1 ELSE 0 END) AS m FROM a
+      |  UNION ALL SELECT 1, count(*),
+      |         sum(CASE WHEN user_id % 7 = 3 THEN 1 ELSE 0 END) FROM a
+      |  UNION ALL SELECT 2, count(*),
+      |         sum(CASE WHEN user_id % 7 = 3 THEN 1 ELSE 0 END) FROM ab
+      |  UNION ALL SELECT 3, count(*),
+      |         sum(CASE WHEN user_id % 7 = 3 THEN 1 ELSE 0 END)
+      |  FROM ab WHERE user_id % 7 <> 3)
+      |SELECT version, CAST(n AS BIGINT) AS n_rows,
+      |       CAST(coalesce(m, 0) AS BIGINT) AS n_matching
+      |FROM st ORDER BY version""".stripMargin
 
   def snapshotEvolveSql(): String =
     """WITH a AS (SELECT event_id FROM events WHERE event_id % 3 = 0),

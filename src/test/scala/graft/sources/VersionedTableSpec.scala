@@ -559,4 +559,82 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, dir) === Seq(0))
     assert(VersionedTable.latestVersion(spark, dir) === 0)
   }
+
+  test("partition-spec evolution: old-spec leaves stay readable and deletable") {
+    val dir = Files.createTempDirectory("graft-vt-spec").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate") // spec: pdate
+    // a write under a different spec without evolving is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.append(df.filter($"id" > 4), dir, "kind")
+    }
+    assert(ex.getMessage.contains("evolvePartitionSpec"))
+    VersionedTable.evolvePartitionSpec(spark, dir, "kind")
+    VersionedTable.append(df.filter($"id" > 4), dir, "kind") // new-spec leaves
+    // the mixed-spec head reads the full table
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === (1L to 6L))
+    // delete by a predicate matching rows in BOTH specs' leaves: kind=a
+    // lives in old-spec (ids 1,3) and new-spec (5,6) leaves alike — the
+    // spec-evolution correctness trap is an old-spec leaf pruned by its
+    // (wrong-column) dir value silently KEEPING rows
+    VersionedTable.delete(spark, dir, "kind", $"kind" === "a" && $"id" =!= 3L)
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+    // the one surviving old-spec row (id 3) migrated or survived; id 2,4
+    // (kind=b, old-spec, no match after the id-3 carve-out... id 3 IS
+    // kind=a) — pin exact survivors' kinds
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("kind").as[String].collect().sorted.toSeq === Seq("a", "b", "b"))
+  }
+
+  test("spec evolution: untouched foreign-spec leaves carry by reference") {
+    val dir = Files.createTempDirectory("graft-vt-spec2").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    VersionedTable.evolvePartitionSpec(spark, dir, "kind")
+    VersionedTable.append(df.filter($"id" > 4), dir, "kind")
+    val before = VersionedTable.history(spark, dir).collect()
+      .map(_.getLong(1)).toSeq
+    // delete matching ONLY new-spec rows (pdate 2024-01-03 lives only in
+    // the appended kind-spec leaves): every old-spec leaf must keep its
+    // exact manifest path (no rewrite, no scan-selected hit)
+    val manifestDir = java.nio.file.Paths.get(dir, "manifests")
+    def leaves(v: Int): Set[String] = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        manifestDir.resolve(s"v$v.json")), "UTF-8")
+      """data/[^"]+""".r.findAllIn(text).toSet
+    }
+    VersionedTable.delete(spark, dir, "kind", $"amount" >= 50L)
+    val v = VersionedTable.latestVersion(spark, dir)
+    val oldSpecLeaves = leaves(v - 1).filter(_.contains("pdate__p="))
+    assert(oldSpecLeaves.nonEmpty)
+    assert(oldSpecLeaves.subsetOf(leaves(v)),
+      "old-spec leaves with no matching rows must carry by reference")
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === (1L to 4L))
+  }
+
+  test("spec evolution: compact migrates every leaf to the current spec") {
+    val dir = Files.createTempDirectory("graft-vt-spec3").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    VersionedTable.evolvePartitionSpec(spark, dir, "kind")
+    VersionedTable.append(df.filter($"id" > 4), dir, "kind")
+    VersionedTable.compact(spark, dir, "kind")
+    val v = VersionedTable.latestVersion(spark, dir)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifests", s"v$v.json")), "UTF-8")
+    val leafCols = """data/[^"]+""".r.findAllIn(text).toSeq
+      .map(l => l.substring(l.lastIndexOf('/') + 1).takeWhile(_ != '='))
+    assert(leafCols.nonEmpty && leafCols.forall(_ == "kind__p"),
+      s"compact must rewrite under the current spec, got $leafCols")
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === (1L to 6L))
+    // evolving to a non-column is refused
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.evolvePartitionSpec(spark, dir, "no_such_col")
+    }
+    assert(ex.getMessage.contains("not a table column"))
+  }
 }
