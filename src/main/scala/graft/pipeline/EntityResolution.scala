@@ -50,7 +50,13 @@ object EntityResolution {
     * edits that prefix blocking would miss, distance-2 decoys,
     * insertions, exact duplicates) and check against brute force.
     */
-  def pairsFor(c: DataFrame): DataFrame = {
+  def pairsFor(cIn: DataFrame): DataFrame = {
+    // the single-file customer scan is ONE input split — without this
+    // fan-out the ×L variant explosion and both join map sides run on a
+    // single thread (measured 2× the whole entry's cost at sf0.1); only
+    // (ck, name) rows cross the exchange
+    val c = cIn.repartition(
+      cIn.sparkSession.sparkContext.defaultParallelism)
     val v = c
       .withColumn("p", explode(sequence(lit(1), length(col("name")))))
       .select(col("ck"), col("name"), col("p"),
