@@ -5,7 +5,7 @@ import java.util.Properties
 
 import org.slf4j.LoggerFactory
 
-import graft.core.{DeletionWorkflow, GraftSession}
+import graft.core.{DeletionWorkflow, GraftSession, VersionedDeletionWorkflow}
 import graft.catalog.CatalogOps
 import graft.model.{DeletionCriteria, JobConfig, Metrics}
 
@@ -16,6 +16,13 @@ import graft.model.{DeletionCriteria, JobConfig, Metrics}
   *  -bl/--backup-location -dr/--dry-run -c/--config -h/--help`.
   * Hand-rolled parsing (no commons-cli; offline-resolvable stack,
   * SURVEY.md §7).
+  *
+  * EXTENSION beyond the reference surface: `-b/--backend versioned`
+  * runs the same 7-step DAG against a path-addressed
+  * [[graft.sources.VersionedTable]] (`-td/--table-dir`) instead of the
+  * Hive catalog — backup becomes a version pointer (zero copy), restore
+  * a manifest flip, cleanup a vacuum
+  * ([[graft.core.VersionedDeletionWorkflow]]).
   */
 object Main {
   private val logger = LoggerFactory.getLogger(getClass)
@@ -34,6 +41,8 @@ object Main {
       | -bl,--backup-location <arg>  Backup location (for path strategy)
       | -dr,--dry-run                Dry run mode (no actual deletion)
       | -c,--config <arg>            Path to configuration properties file
+      | -b,--backend <arg>           Backend: hive (default) | versioned
+      | -td,--table-dir <arg>        Versioned table path (versioned backend)
       | -h,--help                    Print help message
       |""".stripMargin
 
@@ -42,6 +51,9 @@ object Main {
     try {
       val opts = parseArguments(args)
       if (opts.contains("help")) { println(Help); sys.exit(0) }
+      if (opts.getOrElse("backend", "hive") == "versioned") {
+        sys.exit(if (runVersioned(opts, metrics)) 0 else 1)
+      }
       val props = loadProperties(opts)
       val config = loadConfiguration(opts, props)
 
@@ -77,6 +89,36 @@ object Main {
     }
   }
 
+  /** The versioned-backend job: same criteria compiler, same audit
+    * channel and metrics report, the 7-step DAG from
+    * [[VersionedDeletionWorkflow]] (backup = version pointer, restore =
+    * manifest flip).
+    */
+  private def runVersioned(opts: Map[String, String], metrics: Metrics): Boolean = {
+    val criteriaBuilder = DeletionCriteria.builder()
+    opts.get("where").foreach(criteriaBuilder.whereClause)
+    opts.get("start-time").foreach(criteriaBuilder.startTime)
+    opts.get("end-time").foreach(criteriaBuilder.endTime)
+    opts.get("time-column").foreach(criteriaBuilder.timeColumn)
+    val criteria = criteriaBuilder.build()
+    criteria.validate()
+    val pred = criteria.deletePredicate.getOrElse(
+      throw new IllegalArgumentException(
+        "versioned backend needs a non-empty deletion criteria"))
+    val tableDir = opts("table-dir")
+    val partCol = opts.getOrElse("partition-column", "partition_id")
+    audit.info(s"JOB_START - Table: $tableDir (versioned), Criteria: $criteria")
+    val spark = GraftSession.create("versioned_deletion")
+    val ok =
+      try VersionedDeletionWorkflow.run(spark, tableDir, partCol, pred,
+        metrics, dryRun = opts.contains("dry-run"))
+      finally spark.stop()
+    metrics.markJobEnd()
+    logger.info(metrics.report)
+    if (ok) audit.info("JOB_SUCCESS") else audit.error("JOB_FAILED")
+    ok
+  }
+
   /** Parse `-x value` / `--long value` / boolean flags into a key→value map
     * keyed by long option name.
     */
@@ -93,6 +135,8 @@ object Main {
       "-bl" -> "backup-location", "--backup-location" -> "backup-location",
       "-dr" -> "dry-run", "--dry-run" -> "dry-run",
       "-c" -> "config", "--config" -> "config",
+      "-b" -> "backend", "--backend" -> "backend",
+      "-td" -> "table-dir", "--table-dir" -> "table-dir",
       "-h" -> "help", "--help" -> "help")
     val flags = Set("dry-run", "help")
 
@@ -113,10 +157,19 @@ object Main {
       }
     }
     if (!opts.contains("help")) {
-      Seq("database", "table").foreach { required =>
-        if (!opts.contains(required)) {
+      val backend = opts.getOrElse("backend", "hive")
+      if (backend != "hive" && backend != "versioned") {
+        System.err.println(Help)
+        throw new IllegalArgumentException(s"Unknown backend: $backend")
+      }
+      // the versioned backend is path-addressed: --table-dir replaces
+      // --database/--table; the hive backend keeps the reference contract
+      val required =
+        if (backend == "versioned") Seq("table-dir") else Seq("database", "table")
+      required.foreach { r =>
+        if (!opts.contains(r)) {
           System.err.println(Help)
-          throw new IllegalArgumentException(s"Missing required option: --$required")
+          throw new IllegalArgumentException(s"Missing required option: --$r")
         }
       }
     }

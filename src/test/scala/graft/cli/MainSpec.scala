@@ -56,4 +56,19 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.parseArguments(Array("--bogus", "x")))
     intercept[IllegalArgumentException](Main.parseArguments(Array("-d", "db_only")))
   }
+
+  test("versioned backend: parse accepts --table-dir, rejects bad/missing") {
+    val opts = Main.parseArguments(Array(
+      "-b", "versioned", "-td", "/tmp/t", "-w", "id = 5"))
+    assert(opts("backend") === "versioned")
+    assert(opts("table-dir") === "/tmp/t")
+    // versioned is path-addressed: database/table not required
+    assert(!opts.contains("database"))
+    intercept[IllegalArgumentException] {
+      Main.parseArguments(Array("-b", "versioned", "-w", "id = 5"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseArguments(Array("-b", "nosuch", "-d", "db", "-t", "t"))
+    }
+  }
 }
