@@ -268,6 +268,8 @@ object SparkEntry {
     "table_stats_approx" -> (Analytics.tableStatsApprox _),
     // Deequ-style constraint suite: row-local checks fused into ONE scan
     "table_quality_report" -> (DataQuality.qualityReport _),
+    // violation-counting path gated on a deterministically dirtied table
+    "table_quality_dirty" -> (DataQuality.qualityReportDirty _),
     // complete dist<=1 record linkage via masked-position blocking
     "er_name_match" -> (EntityResolution.nameMatchPairs _),
     // exact heavy hitters: map-only Misra-Gries candidates + exact pass
@@ -419,6 +421,7 @@ object SparkEntry {
     "table_stats" -> Analytics.tableStatsSql,
     "table_stats_approx" -> Analytics.tableStatsApproxSql,
     "table_quality_report" -> DataQuality.qualityReportSql,
+    "table_quality_dirty" -> DataQuality.qualityReportDirtySql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,
     "events_heavy_hitters" -> HeavyHitters.userHeavyHittersSql(),
     "snapshot_point_lookup" -> sources.BloomSkipIndex.pointLookupSql,

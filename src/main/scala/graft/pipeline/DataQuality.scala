@@ -89,6 +89,86 @@ object DataQuality {
       .orderBy("check_name")
   }
 
+  /** The DIRTY variant: the shipped tables are clean, so the plain entry
+    * only ever oracle-gates the all-green path. This one derives a
+    * deterministically corrupted orders table — nulled keys, a bad
+    * status domain, non-positive prices, duplicated keys, orphaned
+    * custkeys, each on its own orderkey residue class — and runs the
+    * SAME constraint engine, so the violation COUNTING path is gated by
+    * an independent engine, not just the spec's planted fixtures.
+    */
+  def qualityReportDirty(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val dirty = o.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % 89 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(col("o_orderkey") % 83 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % 79 === 0, lit(null))
+        .otherwise(col("o_orderdate")).as("o_orderdate"))
+      // duplicated keys: re-emit every 101st row
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate"))
+      // orphans: every 103rd row points at a customer that cannot exist
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 103 === 0, lit(-1L))
+          .otherwise(col("o_custkey")))
+    reportFor(dirty, Tables.customer(spark, sfDir))
+  }
+
+  val qualityReportDirtySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 103 = 0 THEN -1
+      |         WHEN o_orderkey % 97 = 0 THEN NULL
+      |         ELSE o_custkey END AS o_custkey,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 83 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 79 = 0 THEN NULL
+      |         ELSE o_orderdate END AS o_orderdate
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 103 = 0 THEN -1 ELSE o_custkey END,
+      |    o_orderstatus, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |t AS (SELECT count(*) AS total FROM base),
+      |fused AS (
+      |  SELECT
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,
+      |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v2,
+      |    sum(CASE WHEN o_orderstatus IS NULL
+      |             OR o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END) AS v3,
+      |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+      |             THEN 1 ELSE 0 END) AS v4
+      |  FROM base),
+      |dup AS (
+      |  SELECT coalesce(sum(cnt), 0) AS v5 FROM (
+      |    SELECT count(*) AS cnt FROM base GROUP BY o_orderkey
+      |    HAVING count(*) > 1)),
+      |ri AS (
+      |  SELECT count(*) AS v6 FROM base o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)),
+      |rows_ AS (
+      |  SELECT 'completeness:o_custkey' AS check_name,
+      |         CAST(v1 AS BIGINT) AS violations FROM fused
+      |  UNION ALL SELECT 'completeness:o_orderdate', CAST(v2 AS BIGINT) FROM fused
+      |  UNION ALL SELECT 'domain:o_orderstatus', CAST(v3 AS BIGINT) FROM fused
+      |  UNION ALL SELECT 'range:o_totalprice_positive', CAST(v4 AS BIGINT) FROM fused
+      |  UNION ALL SELECT 'uniqueness:o_orderkey', CAST(v5 AS BIGINT) FROM dup
+      |  UNION ALL SELECT 'referential:o_custkey->customer', CAST(v6 AS BIGINT) FROM ri)
+      |SELECT r.check_name, r.violations, CAST(t.total AS BIGINT) AS total,
+      |       r.violations = 0 AS passed
+      |FROM rows_ r CROSS JOIN t
+      |ORDER BY check_name""".stripMargin
+
   val qualityReportSql: String =
     """WITH t AS (SELECT count(*) AS total FROM orders),
       |fused AS (
