@@ -152,6 +152,7 @@ object SparkEntry {
     // train/test contamination guard: exact n-gram overlap vs the eval slice
     "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
     // same result via a Bloom runtime prefilter on the corpus side
+    "decontaminate_semantic" -> ((s, d) => Decontaminate.semantic(s, d)),
     "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
     // snapshot diff: added/removed/changed/unchanged by content fingerprint
     "corpus_diff" -> ((s, d) => CorpusDiff.diff(s, d)),
@@ -420,6 +421,7 @@ object SparkEntry {
     "events_salted_join_heavy" -> Analytics.eventsSaltedJoinHeavySql,
     "table_stats" -> Analytics.tableStatsSql,
     "table_stats_approx" -> Analytics.tableStatsApproxSql,
+    "decontaminate_semantic" -> Decontaminate.semanticSql(),
     "table_quality_report" -> DataQuality.qualityReportSql,
     "table_quality_dirty" -> DataQuality.qualityReportDirtySql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,

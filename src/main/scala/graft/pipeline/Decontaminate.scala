@@ -164,4 +164,51 @@ object Decontaminate {
        |FROM pairs GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY corpus_id, eval_id""".stripMargin
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram overlap check above: a paraphrased benchmark item shares no
+    * 8-gram with its source but sits next to it in embedding space, so
+    * production decontamination runs BOTH. A corpus vector is flagged
+    * when its cosine against ANY eval-slice vector reaches `threshold`;
+    * the report carries the hit count and the max similarity.
+    *
+    * Scale shape: the eval side is benchmark-sized — it BROADCASTS, and
+    * the corpus side is scanned ONCE map-side with no shuffle of
+    * embeddings at all (the broadcast nested-loop join is the right plan
+    * precisely because one side is tiny and the condition is a
+    * similarity, not an equality); only flagged (id, count, max) rows
+    * reach the aggregate. Threshold membership is engine-bit-stable: the
+    * codegen'd `graft_cosine` and DuckDB's `list_cosine_similarity` both
+    * accumulate sequentially in doubles, the same argument every
+    * threshold/ranking entry in the similarity family already leans on.
+    * At 100 TB, composition with the IVF cell layout (probe only cells
+    * whose centroid clears a looser bound) cuts the per-row eval loop;
+    * the brute-force form here is exact and is the oracle either way.
+    */
+  def semantic(spark: SparkSession, sfDir: String, threshold: Double = 0.35,
+      evalMod: Int = 20, evalRes: Int = 7): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val eval = e.filter(col("vec_id") % evalMod === evalRes)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val corpus = e.filter(col("vec_id") % evalMod =!= evalRes)
+    corpus.join(broadcast(eval),
+        Similarity.cosine(col("v"), col("ev")) >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        round(max(Similarity.cosine(col("v"), col("ev"))), 4).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  def semanticSql(threshold: Double = 0.35, evalMod: Int = 20,
+      evalRes: Int = 7): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e
+       |       WHERE vec_id % $evalMod = $evalRes),
+       |c AS (SELECT * FROM e WHERE vec_id % $evalMod <> $evalRes)
+       |SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       round(max(list_cosine_similarity(c.v, ev.evv)), 4) AS max_cos
+       |FROM c JOIN ev ON list_cosine_similarity(c.v, ev.evv) >= $threshold
+       |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
 }
