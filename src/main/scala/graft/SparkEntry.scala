@@ -153,6 +153,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Decontaminate.overlaps(s, d)),
     // same result via a Bloom runtime prefilter on the corpus side
     "decontaminate_semantic" -> ((s, d) => Decontaminate.semantic(s, d)),
+    "knn_filtered" -> ((s, d) => Similarity.knnFiltered(s, d)),
     "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
     // snapshot diff: added/removed/changed/unchanged by content fingerprint
     "corpus_diff" -> ((s, d) => CorpusDiff.diff(s, d)),
@@ -422,6 +423,7 @@ object SparkEntry {
     "table_stats" -> Analytics.tableStatsSql,
     "table_stats_approx" -> Analytics.tableStatsApproxSql,
     "decontaminate_semantic" -> Decontaminate.semanticSql(),
+    "knn_filtered" -> Similarity.knnFilteredSql(),
     "table_quality_report" -> DataQuality.qualityReportSql,
     "table_quality_dirty" -> DataQuality.qualityReportDirtySql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,

@@ -80,6 +80,56 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search — per-query metadata predicate + top-k (the
+    * faiss IDSelector / Milvus filtered-search shape): each query wants
+    * its k nearest neighbors AMONG vectors sharing its `label`. The
+    * filter becomes an EQUI-join key, so what brute-force kNN runs as a
+    * broadcast nested loop over the whole corpus here joins
+    * `(label)`-keyed — every query scores only its label's stratum,
+    * which is both the semantics (results outside the filter are
+    * worthless) and the cost win (corpus × selectivity per query).
+    *
+    * This is the PRE-FILTER strategy, correct at any selectivity; the
+    * post-filter alternative (ANN shortlist, then drop non-matching)
+    * under-fills k whenever the filter is selective — the classic
+    * filtered-ANN failure. At 100 TB the stratum scan composes with the
+    * IVF cell layout (probe cells within the label partition);
+    * label-partitioned storage makes the stratum scan a partition prune.
+    */
+  def knnFiltered(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val queries = e.where(col("vec_id") < nQueries).select(
+      col("vec_id").as("query_id"), col("label").as("qlabel"),
+      col("v").as("qv"))
+    val scored = e.join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def knnFilteredSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, CAST(e.label AS BIGINT) AS label,
+       |    e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+       |  FROM embeddings q JOIN embeddings e
+       |    ON e.label = q.label AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, label, rank, neighbor_id, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** IVF-style ANN: deterministic centroid set (`vec_id % centroidStride
     * == 0`), every vector assigned to its nearest centroid (cell), queries
     * search ONLY their own cell. At scale the cell assignment is a
