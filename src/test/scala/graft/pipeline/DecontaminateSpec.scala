@@ -74,4 +74,19 @@ class DecontaminateSpec extends AnyFunSuite {
     val out = Decontaminate.overlapsBloomOf(df).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 7L)))
   }
+
+  test("semantic variant: eval slice broadcasts; corpus embeddings never shuffle pre-flag") {
+    val df = Decontaminate.semantic(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the similarity condition with a broadcast side must plan as a
+    // BroadcastNestedLoopJoin - the corpus scan feeds it map-side; the
+    // only exchange below the final sort is the flagged-ids aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the fixture corpus must flag someone")
+    // flagged ids are never from the eval slice itself
+    assert(rows.forall(r => r.getLong(0) % 20 != 7))
+    assert(rows.forall(r => r.getLong(1) >= 1L))
+  }
 }
