@@ -154,6 +154,8 @@ object SparkEntry {
     // same result via a Bloom runtime prefilter on the corpus side
     "decontaminate_semantic" -> ((s, d) => Decontaminate.semantic(s, d)),
     "knn_filtered" -> ((s, d) => Similarity.knnFiltered(s, d)),
+    // Spark's runtime bloom-filter join: row-level sibling of DPP
+    "orders_bloom_join" -> ((s, d) => LayoutAudit.bloomJoin(s, d)),
     "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
     // snapshot diff: added/removed/changed/unchanged by content fingerprint
     "corpus_diff" -> ((s, d) => CorpusDiff.diff(s, d)),
@@ -424,6 +426,7 @@ object SparkEntry {
     "table_stats_approx" -> Analytics.tableStatsApproxSql,
     "decontaminate_semantic" -> Decontaminate.semanticSql(),
     "knn_filtered" -> Similarity.knnFilteredSql(),
+    "orders_bloom_join" -> LayoutAudit.bloomJoinSql,
     "table_quality_report" -> DataQuality.qualityReportSql,
     "table_quality_dirty" -> DataQuality.qualityReportDirtySql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,

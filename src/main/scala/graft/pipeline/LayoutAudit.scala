@@ -264,4 +264,61 @@ object LayoutAudit {
       |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
       |FROM e, cut WHERE week = 2 AND user_id < c
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RUNTIME BLOOM-FILTER JOIN — the shuffle-join sibling of [[dppJoin]]'s
+    * partition pruning: a selective filter on the dimension side makes
+    * Catalyst inject `bloom_filter_agg` over the dim keys and push
+    * `might_contain` into the FACT SCAN, so non-matching fact rows die
+    * before the join shuffle instead of after it. DPP prunes whole
+    * partition directories; the bloom prunes ROWS inside whatever must be
+    * scanned — at 100 TB they compose (this is Spark's own runtime
+    * filtering, switched on and thresholds sized for the fixture scale).
+    *
+    * The injected filter only changes WHERE rows are dropped, never which
+    * rows survive — which is what lets a plain-join DuckDB oracle
+    * hash-gate the bloom plan (the `events_salted_join` argument). Confs
+    * are scoped: set, EXECUTED inside (the plan must be compiled and run
+    * while they hold — a lazily returned frame would plan after the
+    * finally restored them), restored on any exit; the rows-sized result
+    * returns as a local frame.
+    */
+  def bloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "50MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val rows =
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        bloomJoinFrame(spark, sfDir).collect().toSeq
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      bloomJoinFrame(spark, sfDir).schema)
+  }
+
+  /** The join itself — separated so the plan spec can pin the injected
+    * bloom on the executed plan under an isolated session.
+    */
+  private[pipeline] def bloomJoinFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bloomJoinSql: String =
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

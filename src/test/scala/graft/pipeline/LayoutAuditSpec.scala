@@ -155,4 +155,23 @@ class LayoutAuditSpec extends AnyFunSuite {
       .collect().toSeq
     assert(bucketed === plain)
   }
+
+  test("bloom join: might_contain lands on the fact side; result equals plain join") {
+    val s2 = graft.testkit.SparkTestSession.isolated()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = LayoutAudit.bloomJoinFrame(s2, sfDir)
+    val withBloom = df.collect().map(_.toSeq).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_filter_agg"),
+      s"the dim side must build a runtime bloom:\n$plan")
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"the fact side must filter through might_contain:\n$plan")
+    // the injected filter never changes WHICH rows survive
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val plain = LayoutAudit.bloomJoinFrame(s2, sfDir).collect().map(_.toSeq).toSeq
+    assert(withBloom === plain)
+  }
 }
