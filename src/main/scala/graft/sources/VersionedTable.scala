@@ -24,7 +24,9 @@ import graft.pipeline.Locking
   *     column is DUPLICATED into the data (`<part>` keeps its value
   *     column; the directory key is `<part>__p`), so snapshot reads union
   *     leaf dirs directly — no partition-discovery reconstruction across
-  *     mixed roots.
+  *     mixed roots. Leaf dir names are SELF-DESCRIBING about which
+  *     partition spec wrote them — what [[evolvePartitionSpec]]'s
+  *     mixed-spec tables navigate by.
   *   - `manifests/v<N>.json` — the version: an ordered list of live leaf
   *     paths relative to `tableDir`. Committed by writing
   *     `manifests/_staging_v<N>.json` and ONE atomic rename — a crash
