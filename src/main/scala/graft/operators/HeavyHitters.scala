@@ -37,7 +37,7 @@ object HeavyHitters {
   /** Misra–Gries over one partition: returns the surviving keys
     * (every key with count > n_p/k is guaranteed to survive).
     */
-  private[operators] def misraGries(it: Iterator[Long], k: Int): Iterator[Long] = {
+  private[graft] def misraGries(it: Iterator[Long], k: Int): Iterator[Long] = {
     val counters = mutable.LongMap.empty[Long]
     it.foreach { x =>
       if (counters.contains(x)) counters(x) += 1L
