@@ -156,6 +156,8 @@ object SparkEntry {
     "knn_filtered" -> ((s, d) => Similarity.knnFiltered(s, d)),
     // Spark's runtime bloom-filter join: row-level sibling of DPP
     "orders_bloom_join" -> ((s, d) => LayoutAudit.bloomJoin(s, d)),
+    // bounded-shuffle top-k per group: local heaps, candidate-only window
+    "top_parts_two_phase" -> ((s, d) => Analytics.topPartsTwoPhase(s, d)),
     "decontaminate_bloom" -> ((s, d) => Decontaminate.overlapsBloom(s, d)),
     // snapshot diff: added/removed/changed/unchanged by content fingerprint
     "corpus_diff" -> ((s, d) => CorpusDiff.diff(s, d)),
@@ -427,6 +429,7 @@ object SparkEntry {
     "decontaminate_semantic" -> Decontaminate.semanticSql(),
     "knn_filtered" -> Similarity.knnFilteredSql(),
     "orders_bloom_join" -> LayoutAudit.bloomJoinSql,
+    "top_parts_two_phase" -> Analytics.topPartsSql,
     "table_quality_report" -> DataQuality.qualityReportSql,
     "table_quality_dirty" -> DataQuality.qualityReportDirtySql,
     "er_name_match" -> EntityResolution.nameMatchPairsSql,

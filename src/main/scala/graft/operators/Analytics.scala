@@ -124,6 +124,50 @@ object Analytics {
       |                               ORDER BY p_retailprice DESC, p_partkey) AS rank
       |  FROM part) WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin
 
+  /** TWO-PHASE top-k per group — the bounded-shuffle form of
+    * [[topPartsPerBrand]]: a corpus-wide `row_number` window ships EVERY
+    * row to its group's reducer before discarding all but k, which at
+    * 100 TB means shuffling the table to keep 3 rows per brand. Phase 1
+    * keeps each input split's local per-brand top-k in a bounded
+    * structure (mapPartitions, heap memory O(brands×k) per task) — any
+    * global top-k row is necessarily in its own split's local top-k, so
+    * the union is a lossless candidate superset of ≤ splits×brands×k
+    * rows. Phase 2 runs the window on just those candidates. Same
+    * result, shuffle shrunk from the corpus to the candidate set — the
+    * argument `doc_pack_bins`'s two-phase prefix sum makes for
+    * sequential numbering, applied to ranking.
+    */
+  def topPartsTwoPhase(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.part(spark, sfDir)
+      .select(col("p_brand").as("_1"), col("p_partkey").as("_2"),
+        col("p_name").as("_3"), col("p_retailprice").as("_4"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(String, Long, String, Double)]
+    // rank order: higher price first, tie-break lower partkey — encoded
+    // so that BETTER rows compare SMALLER; the queue's head (its max) is
+    // then the WORST kept row, the one a better arrival evicts
+    val better: Ordering[(String, Long, String, Double)] =
+      Ordering.by(r => (-r._4, r._2))
+    val local = rows.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Long, String, Double)]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r._1,
+          scala.collection.mutable.PriorityQueue.empty(better))
+        if (h.size < k) h.enqueue(r)
+        else if (better.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }.toDF("p_brand", "p_partkey", "p_name", "p_retailprice")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    local.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rank")
+  }
+
   /** Hourly tumbling-window aggregate over the event stream (batch form of
     * the Structured Streaming query in graft.streaming). Hour rendered as
     * text: the raw column is ns in parquet, µs in Spark.

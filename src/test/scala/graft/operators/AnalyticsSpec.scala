@@ -100,6 +100,34 @@ class AnalyticsSpec extends AnyFunSuite {
       .where(col("mx") =!= col("n")).count() === 0)
   }
 
+  test("two-phase top-k matches the corpus-wide window exactly") {
+    val single = Analytics.topPartsPerBrand(spark, sfDir).collect()
+    val two = Analytics.topPartsTwoPhase(spark, sfDir).collect()
+    assert(two.toSeq === single.toSeq,
+      "bounded-shuffle two-phase top-k must be row-identical to the window form")
+  }
+
+  test("two-phase top-k local phase is a lossless bounded candidate set") {
+    // ties at the cut boundary are broken by partkey, so every local heap
+    // keeps AT MOST k rows per brand per split — the shuffle input is
+    // candidates, not the corpus
+    val k = 2
+    val out = Analytics.topPartsTwoPhase(spark, sfDir, k = k).cache()
+    assert(out.groupBy("p_brand").count().where(col("count") > k).count() === 0)
+    assert(out.where(col("rank") < 1 || col("rank") > k).count() === 0)
+    // first-principles oracle at this k: driver-side sort per brand
+    val want = Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey", "p_retailprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (b, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case (r, i) => (b, i + 1, r._2) }
+      }.toSet
+    val got = out.select("p_brand", "rank", "p_partkey").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("approx table stats: HLL leg plans with NO Expand; audits hold") {
     // six approx_count_distinct in one aggregate are algebraic HLL
     // sketches — the plan must not Expand the corpus the way six exact
