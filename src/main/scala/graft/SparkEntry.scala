@@ -176,6 +176,9 @@ object SparkEntry {
     // add-nullable-column schema evolution: evolved head reads
     // pre-evolution leaves with nulls; old snapshots keep their schema
     "snapshot_evolve" -> ((s, d) => graft.sources.VersionedTable.snapshotEvolve(s, d)),
+    // the external read surface: spark.read.format("graft-snapshot") with
+    // manifest-driven file listing + leaf pruning + versionAsOf travel
+    "snapshot_connector" -> ((s, d) => graft.sources.SnapshotConnector.connectorRead(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "corpus_curation" -> ((s, d) => Curation.curate(s, d)),
     // every filter family composed on one scan: quality + repetition +
@@ -382,6 +385,7 @@ object SparkEntry {
     "snapshot_delete_mor" -> graft.sources.VersionedTable.snapshotDeleteMorSql(),
     "snapshot_history" -> graft.sources.VersionedTable.snapshotHistorySql(),
     "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
+    "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,
     "corpus_curation_full" -> Curation.curateFullSql,

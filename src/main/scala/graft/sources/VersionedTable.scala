@@ -629,6 +629,20 @@ object VersionedTable {
     }
   }
 
+  /** Connector-facing view of one version's manifest ([[GraftSnapshotSource]]):
+    * live leaves, whether any delete vectors are pending (the connector
+    * falls back to the anti-join read path when they are), the recorded
+    * schema, and the current partition spec.
+    */
+  private[sources] def manifestView(spark: SparkSession, tableDir: String,
+      version: Int): (Seq[String], Boolean, Option[StructType], Option[String]) = {
+    val m = readManifestFull(spark, tableDir, version)
+    (m.leaves, m.deletes.nonEmpty, m.schemaOpt, m.specOpt)
+  }
+
+  private[sources] def leafPartColOf(leaf: String): String = leafPartCol(leaf)
+  private[sources] def leafPartValueOf(leaf: String): String = leafPartValue(leaf)
+
   /** Snapshot read at a version (time travel), delete vectors applied. */
   def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame =
     readView(spark, tableDir, readManifestFull(spark, tableDir, version))

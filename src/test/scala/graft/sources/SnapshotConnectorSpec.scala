@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** Contract of the `graft-snapshot` read connector: format registration,
+  * head + time-travel reads equal to the library read path, manifest-level
+  * leaf pruning visible in the EXECUTED plan's file counts, parquet
+  * pushdown intact, the delete-vector fallback path, schema-evolution
+  * projection, and SQL `USING` DDL.
+  */
+class SnapshotConnectorSpec extends AnyFunSuite {
+  // isolated SQLConf: plan probes flip AQE off around execution
+  private lazy val spark = SparkTestSession.isolated()
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1L, "a", "2024-01-01", 10L), (2L, "b", "2024-01-01", 20L),
+    (3L, "a", "2024-01-02", 30L), (4L, "b", "2024-01-02", 40L),
+    (5L, "a", "2024-01-03", 50L), (6L, "a", "2024-01-03", 60L)
+  ).toDF("id", "kind", "pdate", "amount")
+
+  private def makeTable(): String = {
+    val dir = Files.createTempDirectory("graft-conn").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    VersionedTable.append(df.filter($"id" > 4), dir, "pdate")
+    dir
+  }
+
+  private def load(dir: String): DataFrame =
+    spark.read.format("graft-snapshot").load(dir)
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  /** Execute with AQE off and return (rows, scan-file-count). */
+  private def runCounting(df: => DataFrame): (Seq[Long], Long) = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val frame = df
+      // collect THIS frame (not a derived projection): metrics live on the
+      // QueryExecution that actually ran
+      val rows = frame.collect().map(_.getAs[Long]("id")).sorted.toSeq
+      val scans = frame.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.size === 1, "expected the vectorized file-scan fast path")
+      (rows, scans.head.metrics("numFiles").value)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("head and versionAsOf reads match the library read path exactly") {
+    val dir = makeTable()
+    VersionedTable.delete(spark, dir, "pdate", $"kind" === "a" && $"pdate" === "2024-01-01")
+    assert(ids(load(dir)) === ids(VersionedTable.readLatest(spark, dir)))
+    for (v <- 0 to 2)
+      assert(ids(spark.read.format("graft-snapshot")
+        .option("versionAsOf", v.toString).load(dir)) ===
+        ids(VersionedTable.readVersion(spark, dir, v)))
+  }
+
+  test("partition-value predicates prune whole leaves before the scan") {
+    val dir = makeTable()
+    val (allRows, allFiles) = runCounting(load(dir))
+    assert(allRows === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // equality on the partition column: only that leaf's files are planned
+    val (oneDay, prunedFiles) = runCounting(
+      load(dir).filter($"pdate" === "2024-01-02"))
+    assert(oneDay === Seq(3L, 4L))
+    assert(prunedFiles < allFiles,
+      s"pruned scan planned $prunedFiles files, unfiltered planned $allFiles")
+    // a range predicate prunes too (generic expression evaluation)
+    val (range, rangeFiles) = runCounting(
+      load(dir).filter($"pdate" >= "2024-01-03"))
+    assert(range === Seq(5L, 6L))
+    assert(rangeFiles < allFiles)
+    // non-partition predicates are conservative: nothing pruned, nothing lost
+    val (byAmount, amountFiles) = runCounting(load(dir).filter($"amount" > 25L))
+    assert(byAmount === Seq(3L, 4L, 5L, 6L))
+    assert(amountFiles === allFiles)
+  }
+
+  test("data filters are pushed down to the parquet scan") {
+    val dir = makeTable()
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = load(dir).filter($"amount" > 25L).queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head
+      assert(scan.metadata("PushedFilters").contains("GreaterThan(amount,25)"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("delete-vector snapshots serve the vector-applied view; compact restores the fast path") {
+    val dir = makeTable()
+    VersionedTable.deleteMergeOnRead(spark, dir, $"kind" === "a" && $"amount" >= 30L)
+    val dirty = load(dir)
+    assert(ids(dirty) === ids(VersionedTable.readLatest(spark, dir)))
+    assert(ids(dirty) === Seq(1L, 2L, 4L))
+    // the fallback path is NOT a bare file scan (anti-join underneath)
+    assert(dirty.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.isEmpty)
+    // pushed filters + projection still correct through the fallback
+    assert(dirty.filter($"amount" > 15L).select("id").as[Long].collect()
+      .sorted.toSeq === Seq(2L, 4L))
+    assert(dirty.filter($"kind" === "b").count() === 2)
+    VersionedTable.compact(spark, dir, "pdate")
+    val (rows, _) = runCounting(load(dir))
+    assert(rows === Seq(1L, 2L, 4L))
+  }
+
+  test("schema evolution: connector projects every snapshot through its manifest schema") {
+    val dir = makeTable()
+    VersionedTable.append(
+      Seq((7L, "c", "2024-01-04", 70L, "eu")).toDF("id", "kind", "pdate", "amount", "region"),
+      dir, "pdate")
+    val head = load(dir)
+    assert(head.schema.fieldNames.toSeq.contains("region"))
+    val byId = head.select("id", "region").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId(7L) === Some("eu"))
+    assert(byId(1L) === None) // pre-evolution leaf reads null, not a failure
+    // time travel to a pre-evolution version keeps the OLD schema
+    val v1 = spark.read.format("graft-snapshot").option("versionAsOf", "1").load(dir)
+    assert(!v1.schema.fieldNames.contains("region"))
+    assert(ids(v1) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("SQL USING DDL: the snapshot is queryable as a catalog table") {
+    val dir = makeTable()
+    spark.sql("DROP TABLE IF EXISTS conn_snapshot")
+    spark.sql(
+      s"CREATE TABLE conn_snapshot USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      val got = spark.sql(
+        "SELECT pdate, CAST(sum(amount) AS BIGINT) AS total FROM conn_snapshot GROUP BY pdate ORDER BY pdate")
+        .as[(String, Long)].collect().toSeq
+      assert(got === Seq(("2024-01-01", 30L), ("2024-01-02", 70L), ("2024-01-03", 110L)))
+    } finally spark.sql("DROP TABLE conn_snapshot")
+  }
+}
