@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Expr
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,17 +39,48 @@ import org.apache.spark.unsafe.types.UTF8String
   *     [[VersionedTable.compact]] returns the table to the fast path —
   *     the same cost model Delta documents for DV tables.
   *
-  * Options: `path` (required), `versionAsOf` (optional time travel;
-  * default = head).
+  * Read options: `path` (required), `versionAsOf` (optional time
+  * travel), `timestampAsOf` (optional — epoch millis or UTC
+  * `yyyy-MM-dd HH:mm:ss`, resolved to the latest version whose manifest
+  * committed at or before that instant, the same clock
+  * `vacuumOlderThan` retention runs on); default = head.
+  *
+  * Write path (`df.write.format("graft-snapshot")`): `Append` commits a
+  * new version via [[VersionedTable.append]] (schema-evolution
+  * contract included), `Overwrite` via [[VersionedTable.overwrite]]
+  * (truncate-and-load as a NEW VERSION — history stays readable),
+  * `ErrorIfExists`/`Ignore` behave per their contracts; a write to a
+  * fresh path creates the table. The partition spec comes from the
+  * existing table's manifest, or the `partitionCol` option on first
+  * create.
   *
   * 100 TB shape: the file list a query plans over is exactly the
   * manifest's live set — O(live files) driver metadata, no S3/HDFS
   * LIST-recursion storm; partition-value pruning cuts that list before
   * the scan; everything after is Spark's own distributed parquet path.
   */
-final class GraftSnapshotSource extends RelationProvider with DataSourceRegister {
+final class GraftSnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** `timestampAsOf` → version: the latest manifest committed at or
+    * before the instant (epoch millis, or UTC `yyyy-MM-dd HH:mm:ss`).
+    * An instant predating the table is a loud error, not an empty read.
+    */
+  private def versionAt(spark: SparkSession, tableDir: String,
+      spec: String): Int = {
+    val ts =
+      if (spec.trim.matches("\\d+")) spec.trim.toLong
+      else java.time.LocalDateTime
+        .parse(spec.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val eligible = VersionedTable.versions(spark, tableDir)
+      .filter(v => VersionedTable.manifestMtime(spark, tableDir, v) <= ts)
+    require(eligible.nonEmpty,
+      s"timestampAsOf $spec predates the first commit at $tableDir")
+    eligible.max
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -57,7 +89,10 @@ final class GraftSnapshotSource extends RelationProvider with DataSourceRegister
     val tableDir = ci.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-snapshot requires a path: spark.read.format(\"graft-snapshot\").load(dir)"))
+    require(!(ci.contains("versionasof") && ci.contains("timestampasof")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val version = ci.get("versionasof").map(_.trim.toInt)
+      .orElse(ci.get("timestampasof").map(versionAt(spark, tableDir, _)))
       .getOrElse(VersionedTable.latestVersion(spark, tableDir))
     val (leaves, hasDeletes, schemaOpt, _) =
       VersionedTable.manifestView(spark, tableDir, version)
@@ -73,6 +108,42 @@ final class GraftSnapshotSource extends RelationProvider with DataSourceRegister
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(spark)
     }
+  }
+
+  /** Write path: every mode maps onto a versioned-table commit, so a
+    * `df.write` user gets optimistic concurrency, schema-evolution
+    * checks and readable history without touching library code.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val ci = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val tableDir = ci.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot requires a path: df.write.format(\"graft-snapshot\").save(dir)"))
+    val exists = VersionedTable.versions(spark, tableDir).nonEmpty
+    val recordedSpec =
+      if (exists)
+        VersionedTable.manifestView(spark, tableDir,
+          VersionedTable.latestVersion(spark, tableDir))._4
+      else None
+    lazy val partCol = ci.get("partitioncol").orElse(recordedSpec)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-snapshot write requires option(\"partitionCol\", …) when " +
+          s"creating a new table at $tableDir"))
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"versioned table already exists at $tableDir (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        VersionedTable.append(data, tableDir, partCol)
+      case SaveMode.Overwrite if exists =>
+        VersionedTable.overwrite(data, tableDir, partCol)
+      case _ =>
+        VersionedTable.create(data, tableDir, partCol)
+    }
+    createRelation(sqlContext, parameters)
   }
 }
 

@@ -429,6 +429,38 @@ object VersionedTable {
     }
   }
 
+  /** TRUNCATE-and-load as a NEW VERSION: the head's rows are replaced by
+    * `df` wholesale, but every prior snapshot stays readable (and
+    * vacuum-governed) — nothing is physically removed here, which is what
+    * separates a versioned overwrite from `mode("overwrite")` on a plain
+    * path. Schema follows the append contract (identical or
+    * strict-superset evolution; drift refused loudly). Delete vectors do
+    * NOT carry (they reference only retired leaves); per-channel txn
+    * records DO carry — an overwrite between two [[appendOnce]] batches
+    * must not reopen a channel's idempotence window.
+    */
+  def overwrite(df: DataFrame, tableDir: String, partCol: String): Unit =
+    withCommitRetry {
+      val spark = df.sparkSession
+      val base = latestVersion(spark, tableDir)
+      val m = readManifestFull(spark, tableDir, base)
+      requireSpec(m, partCol, "overwrite")
+      val schema = resolveAppendSchema(df, spark, tableDir, m,
+        allowEvolution = true)
+      writeManifest(spark, tableDir, base + 1,
+        writeDataDir(df, tableDir, base + 1, partCol), Nil, Nil, m.txns,
+        schema, Seq(partCol))
+    }
+
+  /** A version's commit time = its manifest file's mtime — the clock
+    * [[vacuumOlderThan]] and the connector's `timestampAsOf` share.
+    */
+  private[sources] def manifestMtime(spark: SparkSession, tableDir: String,
+      version: Int): Long =
+    fs(spark, tableDir).getFileStatus(
+      new Path(s"${manifestsDir(tableDir)}/v$version.json"))
+      .getModificationTime
+
   /** IDEMPOTENT append — the public Delta `txn` (setTransaction) design:
     * the manifest records, per `channel`, the LATEST committed batch id;
     * an append whose (channel, batchId) matches the recorded one is a

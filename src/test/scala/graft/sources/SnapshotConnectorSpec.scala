@@ -135,6 +135,69 @@ class SnapshotConnectorSpec extends AnyFunSuite {
     assert(ids(v1) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("timestampAsOf resolves to the latest commit at or before the instant") {
+    val dir = Files.createTempDirectory("graft-conn-ts").toString
+    val df = fixture()
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    Thread.sleep(30)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedTable.append(df.filter($"id" > 4), dir, "pdate")
+    val atV0 = spark.read.format("graft-snapshot")
+      .option("timestampAsOf", betweenCommits.toString).load(dir)
+    assert(ids(atV0) === Seq(1L, 2L, 3L, 4L))
+    // an instant after the last commit reads the head
+    val atHead = spark.read.format("graft-snapshot")
+      .option("timestampAsOf", (System.currentTimeMillis() + 1000).toString)
+      .load(dir)
+    assert(ids(atHead) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // predating the table is a loud error, not an empty frame
+    val early = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("timestampAsOf", "1000").load(dir)
+    }
+    assert(early.getMessage.contains("predates"))
+    // versionAsOf + timestampAsOf together refused
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("versionAsOf", "0")
+        .option("timestampAsOf", betweenCommits.toString).load(dir)
+    }
+  }
+
+  test("write path: create, append, overwrite-as-new-version, mode refusals") {
+    val dir = Files.createTempDirectory("graft-conn-wr").toString + "/t"
+    val df = fixture()
+    // first write creates the table (partitionCol required then recorded)
+    intercept[IllegalArgumentException] {
+      df.filter($"id" <= 2).write.format("graft-snapshot").save(dir)
+    }
+    df.filter($"id" <= 2).write.format("graft-snapshot")
+      .option("partitionCol", "pdate").save(dir)
+    assert(ids(load(dir)) === Seq(1L, 2L))
+    // append takes the spec from the manifest — no option needed
+    df.filter($"id" > 2 && $"id" <= 4).write.format("graft-snapshot")
+      .mode("append").save(dir)
+    assert(ids(load(dir)) === Seq(1L, 2L, 3L, 4L))
+    // overwrite replaces the head but HISTORY stays readable
+    df.filter($"id" >= 5).write.format("graft-snapshot")
+      .mode("overwrite").save(dir)
+    assert(ids(load(dir)) === Seq(5L, 6L))
+    assert(ids(spark.read.format("graft-snapshot").option("versionAsOf", "1")
+      .load(dir)) === Seq(1L, 2L, 3L, 4L))
+    // default mode (ErrorIfExists) refuses an existing table; ignore no-ops
+    intercept[IllegalStateException] {
+      df.write.format("graft-snapshot").save(dir)
+    }
+    df.filter($"id" === 1L).write.format("graft-snapshot")
+      .mode("ignore").save(dir)
+    assert(ids(load(dir)) === Seq(5L, 6L))
+    // schema contract holds on the write path too: type drift refused
+    intercept[IllegalArgumentException] {
+      Seq((9L, "z", "2024-01-05", 1.5)).toDF("id", "kind", "pdate", "amount")
+        .write.format("graft-snapshot").mode("append").save(dir)
+    }
+  }
+
   test("SQL USING DDL: the snapshot is queryable as a catalog table") {
     val dir = makeTable()
     spark.sql("DROP TABLE IF EXISTS conn_snapshot")
