@@ -60,9 +60,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * the scan; everything after is Spark's own distributed parquet path.
   */
 final class GraftSnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** `spark.readStream.format("graft-snapshot")`: the table as a change
+    * STREAM — versions are the offsets. See [[VersionedChangeSource]].
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val ci = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val tableDir = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot streaming requires a path"))
+    val head = VersionedTable.latestVersion(spark, tableDir)
+    val (leaves, _, schemaOpt, _) =
+      VersionedTable.manifestView(spark, tableDir, head)
+    (shortName(), schemaOpt.getOrElse(
+      spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val ci = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val tableDir = ci("path")
+    new VersionedChangeSource(sqlContext, tableDir,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      startingVersion = ci.get("startingversion").map(_.trim.toInt),
+      ignoreChanges = ci.get("ignorechanges").exists(_.trim.toBoolean))
+  }
 
   /** `timestampAsOf` → version: the latest manifest committed at or
     * before the instant (epoch millis, or UTC `yyyy-MM-dd HH:mm:ss`).
@@ -94,9 +124,9 @@ final class GraftSnapshotSource extends RelationProvider
     val version = ci.get("versionasof").map(_.trim.toInt)
       .orElse(ci.get("timestampasof").map(versionAt(spark, tableDir, _)))
       .getOrElse(VersionedTable.latestVersion(spark, tableDir))
-    val (leaves, hasDeletes, schemaOpt, _) =
+    val (leaves, deletes, schemaOpt, _) =
       VersionedTable.manifestView(spark, tableDir, version)
-    if (hasDeletes) new SnapshotScanRelation(spark, tableDir, version)
+    if (deletes.nonEmpty) new SnapshotScanRelation(spark, tableDir, version)
     else {
       val schema = schemaOpt.getOrElse(
         spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*).schema)
@@ -279,6 +309,94 @@ final class SnapshotScanRelation(spark: SparkSession, tableDir: String,
       else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
     projected.rdd
   }
+}
+
+/** The versioned table as a Structured Streaming SOURCE — versions are
+  * the offsets, which is what makes the stream exactly-once for free:
+  * the engine's offset log records version ranges, and a replayed range
+  * deterministically re-reads the same manifest diff (no dedup state,
+  * no receiver). Batch (from, to] = rows in leaves ADDED by versions
+  * from+1..to; the first batch is the full snapshot at the stream's
+  * start (or the diff from `startingVersion`, Delta's semantics).
+  *
+  * Non-append commits are REFUSED loudly, not silently wrong: a
+  * copy-on-write delete/compact retires leaves (re-reading their
+  * replacements would re-emit surviving rows as duplicates) and a
+  * merge-on-read delete grows the vector list (appended leaves alone
+  * would miss the deletion) — either in a batch range raises unless
+  * `ignoreChanges` opts into Delta's documented re-emission behavior.
+  * Retention contract: vacuum must retain the stream's lag window —
+  * a vacuumed `from`-manifest fails the batch loudly (same as Delta).
+  *
+  * Projection is pinned to the stream's START schema: added leaves read
+  * through `spark.read.schema(...)`, so mid-stream column evolution
+  * neither shifts the output schema nor crashes — new columns surface
+  * after a restart.
+  */
+final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
+    streamSchema: StructType, startingVersion: Option[Int],
+    ignoreChanges: Boolean)
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val spark = sqlContext.sparkSession
+
+  override def schema: StructType = streamSchema
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(VersionedTable.latestVersion(spark, tableDir).toLong))
+
+  // offsets arrive as LongOffset from this run or SerializedOffset from a
+  // recovered checkpoint; LongOffset's json is its number either way
+  private def versionOf(o: Offset): Int = o.json.trim.toInt
+
+  private def emptyBatch: DataFrame =
+    org.apache.spark.sql.graft.GraftStreamingBridge.streamingFrame(
+      sqlContext, spark.sparkContext.emptyRDD, streamSchema)
+
+  private def asStreaming(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.GraftStreamingBridge.streamingFrame(
+      sqlContext,
+      df.select(streamSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .queryExecution.toRdd,
+      streamSchema)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val fromV = start.map(versionOf).orElse(startingVersion.map(_ - 1))
+    fromV match {
+      case None =>
+        // initial batch: the full snapshot (delete vectors applied)
+        asStreaming(VersionedTable.readVersion(spark, tableDir, endV))
+      case Some(f) if f >= endV => emptyBatch
+      case Some(f) =>
+        val (fromLeaves, fromDeletes, _, _) =
+          VersionedTable.manifestView(spark, tableDir, f)
+        val (toLeaves, toDeletes, _, _) =
+          VersionedTable.manifestView(spark, tableDir, endV)
+        val removed = fromLeaves.toSet -- toLeaves.toSet
+        val vectorsGrew = (toDeletes.toSet -- fromDeletes.toSet).nonEmpty
+        if ((removed.nonEmpty || vectorsGrew) && !ignoreChanges)
+          throw new IllegalStateException(
+            s"versions ${f + 1}..$endV at $tableDir contain a non-append " +
+              "change (copy-on-write rewrite, compaction or delete " +
+              "vector); an append-only change stream cannot represent " +
+              "it. Restart from a fresh checkpoint, or set " +
+              "ignoreChanges=true to re-emit rewritten rows")
+        val added = toLeaves.filterNot(fromLeaves.toSet)
+        if (added.isEmpty) emptyBatch
+        else asStreaming(spark.read.schema(streamSchema)
+          .parquet(added.map(l => s"$tableDir/$l"): _*))
+    }
+  }
+
+  override def commit(offset: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedChangeSource[$tableDir]"
 }
 
 /** Surface entry: the [[VersionedTable.snapshotAsOf]] scenario (create

@@ -662,14 +662,15 @@ object VersionedTable {
   }
 
   /** Connector-facing view of one version's manifest ([[GraftSnapshotSource]]):
-    * live leaves, whether any delete vectors are pending (the connector
-    * falls back to the anti-join read path when they are), the recorded
-    * schema, and the current partition spec.
+    * live leaves, live delete-vector dirs (the connector falls back to
+    * the anti-join read path when any are pending; the change source
+    * diffs the list to detect non-append commits), the recorded schema,
+    * and the current partition spec.
     */
   private[sources] def manifestView(spark: SparkSession, tableDir: String,
-      version: Int): (Seq[String], Boolean, Option[StructType], Option[String]) = {
+      version: Int): (Seq[String], Seq[String], Option[StructType], Option[String]) = {
     val m = readManifestFull(spark, tableDir, version)
-    (m.leaves, m.deletes.nonEmpty, m.schemaOpt, m.specOpt)
+    (m.leaves, m.deletes, m.schemaOpt, m.specOpt)
   }
 
   private[sources] def leafPartColOf(leaf: String): String = leafPartCol(leaf)
