@@ -34,5 +34,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity(_, _)))
     ext.injectFunction(binary("graft_eqcount", classOf[EqualComponentCount],
       EqualComponentCount(_, _)))
+    // SQL INSERT INTO/OVERWRITE against a registered graft-snapshot table
+    // resolves to InsertIntoHadoopFsRelationCommand, which writes files
+    // into the table dir OUTSIDE any manifest — committed-looking,
+    // invisible to every read; the OVERWRITE form even deletes the
+    // output dir before writing. Refusing here, at ANALYSIS, fires
+    // before the command's destructive run(); the connector's
+    // write-refusing ParquetFileFormat is the extension-less backstop
+    // (it fires after OVERWRITE's deletion, hence this rule is primary).
+    ext.injectCheckRule(_ => plan => plan.foreach {
+      case c: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+          if c.fileIndex.exists(_.isInstanceOf[graft.sources.ManifestFileIndex]) =>
+        throw new UnsupportedOperationException(
+          graft.sources.SnapshotConnector.InsertRefusal)
+      case _ => ()
+    })
   }
 }

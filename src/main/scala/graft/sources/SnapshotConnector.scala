@@ -135,7 +135,7 @@ final class GraftSnapshotSource extends RelationProvider
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
+        fileFormat = new ManifestParquetFormat,
         options = Map.empty)(spark)
     }
   }
@@ -175,6 +175,26 @@ final class GraftSnapshotSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** Parquet with the WRITE seam disabled — the fast-path relation's
+  * format. SQL `INSERT INTO` on a registered snapshot table resolves to
+  * Spark's `InsertIntoHadoopFsRelationCommand`, which writes files
+  * straight into the table dir OUTSIDE any manifest: the insert would
+  * look committed and be invisible to every read (and `INSERT
+  * OVERWRITE` deletes the output dir before writing). The primary guard
+  * is the analysis-time check rule in
+  * [[graft.plans.GraftExtensions]] (fires before the command can delete
+  * anything); this format-level refusal is the defense in depth for
+  * sessions running without the extension — `prepareWrite` is the first
+  * format call on any append-mode write path. Reads are untouched
+  * vectorized parquet.
+  */
+private[graft] final class ManifestParquetFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job, options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(SnapshotConnector.InsertRefusal)
 }
 
 /** Manifest-driven [[FileIndex]]: the planner's view of one snapshot's
@@ -409,6 +429,13 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
   * end-to-end by an independent engine.
   */
 object SnapshotConnector {
+
+  /** Shared refusal text for SQL INSERT against a snapshot table. */
+  val InsertRefusal: String =
+    "INSERT INTO/OVERWRITE a graft-snapshot table bypasses the manifest " +
+      "(files would land outside any committed version) and is not " +
+      "supported — append with df.write.format(\"graft-snapshot\")" +
+      ".mode(\"append\").save(dir), or call VersionedTable.append/overwrite"
 
   def connectorRead(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.pipeline.Stores

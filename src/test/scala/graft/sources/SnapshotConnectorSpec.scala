@@ -210,4 +210,27 @@ class SnapshotConnectorSpec extends AnyFunSuite {
       assert(got === Seq(("2024-01-01", 30L), ("2024-01-02", 70L), ("2024-01-03", 110L)))
     } finally spark.sql("DROP TABLE conn_snapshot")
   }
+
+  test("SQL INSERT is refused at analysis — no manifest bypass, no dir deletion") {
+    val dir = makeTable()
+    spark.sql("DROP TABLE IF EXISTS conn_ins")
+    spark.sql(s"CREATE TABLE conn_ins USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      val before = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+      val e1 = intercept[UnsupportedOperationException] {
+        spark.sql("INSERT INTO conn_ins VALUES (9, 'z', '2024-01-09', 90)")
+      }
+      assert(e1.getMessage.contains("bypasses the manifest"))
+      // INSERT OVERWRITE is the destructive one: the command's run()
+      // deletes the output dir BEFORE writing — the analysis-time
+      // refusal must land before that
+      val e2 = intercept[UnsupportedOperationException] {
+        spark.sql("INSERT OVERWRITE conn_ins VALUES (9, 'z', '2024-01-09', 90)")
+      }
+      assert(e2.getMessage.contains("bypasses the manifest"))
+      // table bytes untouched: same root entries, full content readable
+      assert(new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq === before)
+      assert(ids(load(dir)) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    } finally spark.sql("DROP TABLE conn_ins")
+  }
 }
