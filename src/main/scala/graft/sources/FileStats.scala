@@ -1,0 +1,180 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Per-FILE column min/max/null stats for the versioned table — the
+  * public Delta/Iceberg data-skipping design re-expressed minimally:
+  * stats live NEXT TO the commit that wrote the files (`_stats.tsv` in
+  * each `add-v<N>` dir), so the planner skips whole files on arbitrary
+  * column predicates without opening a single footer at query time.
+  *
+  * Harvest cost sits on the WRITE path and is metadata-sized: one
+  * driver-side parquet footer read per new file in the batch (the
+  * footer already holds per-row-group min/max/nulls; this folds them to
+  * file granularity) — never a data scan, never per-query work. At
+  * 100 TB the alternative — reading every live file's footer per query
+  * — is exactly the LIST/footer storm the lakehouse log designs exist
+  * to avoid.
+  *
+  * Only types whose parquet statistics order matches Spark's are
+  * recorded (integral, float/double, boolean, UTF8 string — parquet's
+  * unsigned-lexicographic binary order equals UTF8String's byte order);
+  * date/timestamp/decimal are deliberately left out rather than decoded
+  * approximately. Values serialize base64(UTF-8 of toString), dodging
+  * every escaping pitfall a hand-rolled format could hit; absent stats
+  * simply mean "no skipping" — conservative by construction.
+  */
+object FileStats {
+
+  val StatsFileName = "_stats.tsv"
+
+  /** One column's file-level stats. `min`/`max` are None when the column
+    * is all-null in the file (or the footer carried no stats).
+    */
+  final case class ColStats(min: Option[String], max: Option[String],
+      nulls: Long, rows: Long) {
+    def allNull: Boolean = nulls >= rows
+  }
+
+  /** Spark types whose stats we trust (see Scaladoc). */
+  private[sources] def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | StringType => true
+    case _ => false
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Fold one file's footer into (col -> stats). Row groups merge by
+    * min-of-mins / max-of-maxes on the DECODED values.
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, wanted: Map[String, DataType]): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val perCol = scala.collection.mutable.Map[String,
+        (Option[Any], Option[Any], Long, Long)]()
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val name = col.getPath.toDotString
+        if (wanted.contains(name)) {
+          val rows = block.getRowCount
+          val st = col.getStatistics
+          val (mn, mx, nulls) =
+            if (st == null || st.isEmpty) (None, None, 0L)
+            else {
+              val n = if (st.isNumNullsSet) st.getNumNulls else 0L
+              if (st.hasNonNullValue)
+                (Option(st.genericGetMin), Option(st.genericGetMax), n)
+              else (None, None, n)
+            }
+          val (pmn, pmx, pn, pr) =
+            perCol.getOrElse(name, (None, None, 0L, 0L))
+          perCol(name) = (mergeMin(pmn, mn), mergeMax(pmx, mx),
+            pn + nulls, pr + rows)
+        }
+      }
+      perCol.toMap.map { case (name, (mn, mx, nulls, rows)) =>
+        name -> ColStats(mn.map(render), mx.map(render), nulls, rows)
+      }
+    } finally reader.close()
+  }
+
+  private def render(v: Any): String = v match {
+    case b: Binary => b.toStringUsingUTF8
+    case other => other.toString
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Binary, y: Binary) => x.compareTo(y) // unsigned lexicographic
+    case (x: java.lang.Number, y: java.lang.Number)
+        if a.isInstanceOf[java.lang.Float] || a.isInstanceOf[java.lang.Double] =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case _ => 0
+  }
+
+  private def mergeMin(a: Option[Any], b: Option[Any]): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  private def mergeMax(a: Option[Any], b: Option[Any]): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  /** Harvest stats for every parquet file under `dataDirAbs` (recursing
+    * into the hive leaf dirs) and write `_stats.tsv` at its root. Called
+    * by [[VersionedTable]] right after each data-dir write; `schema` is
+    * the batch's, deciding which columns are recorded.
+    *
+    * Line format (tab-separated, one line per file×column):
+    * `relFile col rows nulls minB64 maxB64` with `-` for absent values.
+    */
+  def write(spark: SparkSession, dataDirAbs: String,
+      schema: StructType): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dataDirAbs)
+    val f = root.getFileSystem(conf)
+    val wanted = schema.fields.filter(fl => supported(fl.dataType))
+      .map(fl => fl.name -> fl.dataType).toMap
+    if (wanted.isEmpty) return
+    val files = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(d => f.listStatus(d.getPath).toSeq)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val lines = files.flatMap { st =>
+      val rel = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
+      footerStats(conf, st.getPath, wanted).toSeq.sortBy(_._1).map {
+        case (col, cs) =>
+          Seq(rel, col, cs.rows.toString, cs.nulls.toString,
+            cs.min.map(b64).getOrElse("-"), cs.max.map(b64).getOrElse("-"))
+            .mkString("\t")
+      }
+    }
+    val out = f.create(new Path(root, StatsFileName), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load one add-dir's stats: relFile -> (col -> stats). Absent or
+    * unreadable sidecar = empty map = no skipping for those files.
+    */
+  def load(fsys: FileSystem,
+      dataDirAbs: Path): Map[String, Map[String, ColStats]] = {
+    val p = new Path(dataDirAbs, StatsFileName)
+    if (!fsys.exists(p)) Map.empty
+    else {
+      val in = fsys.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, col, rows, nulls, mn, mx) =>
+            Some((rel, col, ColStats(
+              if (mn == "-") None else Some(unb64(mn)),
+              if (mx == "-") None else Some(unb64(mx)),
+              nulls.toLong, rows.toLong)))
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (rel, rowsFor) =>
+        rel -> rowsFor.map(t => t._2 -> t._3).toMap
+      }
+    }
+  }
+}

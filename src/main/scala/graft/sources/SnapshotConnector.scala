@@ -222,18 +222,26 @@ private[graft] final class ManifestParquetFormat extends ParquetFileFormat {
 final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     leaves: Seq[String], tableSchema: StructType) extends FileIndex {
 
-  // (partition column, decoded partition value, parquet files) per leaf
-  private var leafEntries: Seq[(String, String, Seq[FileStatus])] = list()
+  // (leaf rel path, partition column, decoded value, parquet files) per
+  // leaf, plus each referenced add-dir's file-level column stats (one
+  // tiny sidecar read per add dir) — both metadata-sized, listed once
+  private var (leafEntries, statsByAddDir): (
+      Seq[(String, String, String, Seq[FileStatus])],
+      Map[String, Map[String, Map[String, FileStats.ColStats]]]) = list()
 
-  private def list(): Seq[(String, String, Seq[FileStatus])] = {
+  private def list(): (Seq[(String, String, String, Seq[FileStatus])],
+      Map[String, Map[String, Map[String, FileStats.ColStats]]]) = {
     val f = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    leaves.map { l =>
+    val entries = leaves.map { l =>
       val files = f.listStatus(new Path(s"$tableDir/$l")).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      (VersionedTable.leafPartColOf(l), VersionedTable.leafPartValueOf(l),
+      (l, VersionedTable.leafPartColOf(l), VersionedTable.leafPartValueOf(l),
         files)
     }
+    val stats = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+      .map(d => d -> FileStats.load(f, new Path(s"$tableDir/$d"))).toMap
+    (entries, stats)
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(tableDir))
@@ -262,20 +270,113 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       }
     }
 
+  /** Can `f` be proven FALSE for every row of a file with these column
+    * stats? Interval logic per comparison shape; anything unrecognized
+    * (non-literal operand, unsupported type, absent stats) keeps the
+    * file. Null semantics make value predicates safe regardless of the
+    * file's null count — a null operand fails a filter anyway — and the
+    * all-null case short-circuits every value shape.
+    */
+  private def skipOne(f: Expression,
+      cs: Map[String, FileStats.ColStats]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThanOrEqual => Le, LessThan => Lt}
+    def stat(e: Expression): Option[(FileStats.ColStats, org.apache.spark.sql.types.DataType)] =
+      e match {
+        case ar: AttributeReference => for {
+          s <- cs.get(ar.name)
+          fld <- tableSchema.fields.find(_.name == ar.name)
+          if FileStats.supported(fld.dataType)
+        } yield (s, fld.dataType)
+        case _ => None
+      }
+    def litOf(e: Expression): Option[Any] = e match {
+      case Literal(x, _) if x != null => Some(x)
+      case _ => None
+    }
+    def decode(s: String, dt: org.apache.spark.sql.types.DataType): Any =
+      Cast(Literal(UTF8String.fromString(s), StringType), dt,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    def tru(e: Expression): Boolean =
+      java.lang.Boolean.TRUE.equals(e.eval(InternalRow.empty))
+    def lt(a: Any, b: Any, dt: org.apache.spark.sql.types.DataType) =
+      tru(Lt(Literal.create(a, dt), Literal.create(b, dt)))
+    def le(a: Any, b: Any, dt: org.apache.spark.sql.types.DataType) =
+      tru(Le(Literal.create(a, dt), Literal.create(b, dt)))
+    // each proof: "no value in [min, max] can satisfy the predicate"
+    def outside(s: FileStats.ColStats, v: Any,
+        dt: org.apache.spark.sql.types.DataType) =
+      s.min.exists(m => lt(v, decode(m, dt), dt)) ||
+        s.max.exists(m => lt(decode(m, dt), v, dt))
+    def maxLe(s: FileStats.ColStats, v: Any,
+        dt: org.apache.spark.sql.types.DataType) =
+      s.max.exists(m => le(decode(m, dt), v, dt))
+    def maxLt(s: FileStats.ColStats, v: Any,
+        dt: org.apache.spark.sql.types.DataType) =
+      s.max.exists(m => lt(decode(m, dt), v, dt))
+    def minGe(s: FileStats.ColStats, v: Any,
+        dt: org.apache.spark.sql.types.DataType) =
+      s.min.exists(m => le(v, decode(m, dt), dt))
+    def minGt(s: FileStats.ColStats, v: Any,
+        dt: org.apache.spark.sql.types.DataType) =
+      s.min.exists(m => lt(v, decode(m, dt), dt))
+    def withBoth(a: Expression, v: Expression)(
+        proof: (FileStats.ColStats, Any, org.apache.spark.sql.types.DataType) => Boolean) =
+      (for ((s, dt) <- stat(a); value <- litOf(v))
+        yield s.allNull || proof(s, value, dt)).getOrElse(false)
+    f match {
+      case EqualTo(a: AttributeReference, v) => withBoth(a, v)(outside(_, _, _))
+      case EqualTo(v, a: AttributeReference) => withBoth(a, v)(outside(_, _, _))
+      case EqualNullSafe(a: AttributeReference, v) if litOf(v).isDefined =>
+        withBoth(a, v)(outside(_, _, _))
+      case GreaterThan(a: AttributeReference, v) => withBoth(a, v)(maxLe(_, _, _))
+      case GreaterThan(v, a: AttributeReference) => withBoth(a, v)(minGe(_, _, _))
+      case GreaterThanOrEqual(a: AttributeReference, v) => withBoth(a, v)(maxLt(_, _, _))
+      case GreaterThanOrEqual(v, a: AttributeReference) => withBoth(a, v)(minGt(_, _, _))
+      case Lt(a: AttributeReference, v) => withBoth(a, v)(minGe(_, _, _))
+      case Lt(v, a: AttributeReference) => withBoth(a, v)(maxLe(_, _, _))
+      case Le(a: AttributeReference, v) => withBoth(a, v)(minGt(_, _, _))
+      case Le(v, a: AttributeReference) => withBoth(a, v)(maxLt(_, _, _))
+      case In(a: AttributeReference, vs) if vs.forall(litOf(_).isDefined) =>
+        stat(a).exists { case (s, dt) =>
+          s.allNull || vs.flatMap(litOf).forall(v => outside(s, v, dt))
+        }
+      case InSet(a: AttributeReference, vs) =>
+        stat(a).exists { case (s, dt) =>
+          s.allNull || vs.forall(v => v == null || outside(s, v, dt))
+        }
+      case IsNull(a: AttributeReference) =>
+        stat(a).exists { case (s, _) => s.nulls == 0 }
+      case IsNotNull(a: AttributeReference) =>
+        stat(a).exists { case (s, _) => s.allNull }
+      case _ => false
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = leafEntries.collect {
-      case (pcol, pval, files) if keepLeaf(dataFilters, pcol, pval) => files
+      case (leaf, pcol, pval, files) if keepLeaf(dataFilters, pcol, pval) =>
+        val addDir = leaf.substring(0, leaf.lastIndexOf('/'))
+        val leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+        val stats = statsByAddDir.getOrElse(addDir, Map.empty)
+        files.filter { st =>
+          stats.get(s"$leafName/${st.getPath.getName}")
+            .forall(cs => !dataFilters.exists(skipOne(_, cs)))
+        }
     }.flatten
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 
   override def inputFiles: Array[String] =
-    leafEntries.flatMap(_._3.map(_.getPath.toString)).toArray
+    leafEntries.flatMap(_._4.map(_.getPath.toString)).toArray
 
-  override def refresh(): Unit = leafEntries = list()
+  override def refresh(): Unit = {
+    val (e, s) = list()
+    leafEntries = e
+    statsByAddDir = s
+  }
 
-  override def sizeInBytes: Long = leafEntries.flatMap(_._3.map(_.getLen)).sum
+  override def sizeInBytes: Long = leafEntries.flatMap(_._4.map(_.getLen)).sum
 }
 
 /** Fallback relation for snapshots carrying merge-on-read delete vectors:

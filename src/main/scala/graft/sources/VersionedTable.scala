@@ -260,6 +260,11 @@ object VersionedTable {
     df.withColumn(pdir, col(partCol))
       .repartition(col(pdir))
       .write.mode("overwrite").partitionBy(pdir).parquet(s"$tableDir/$rel")
+    // file-level column stats next to the commit that wrote the files
+    // (footer folds, driver-side, O(batch files)) — what lets the
+    // connector's FileIndex skip whole files on data predicates without
+    // opening a footer at query time
+    FileStats.write(spark, s"$tableDir/$rel", df.schema)
     val f = fs(spark, tableDir)
     f.listStatus(new Path(s"$tableDir/$rel")).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))

@@ -82,10 +82,48 @@ class SnapshotConnectorSpec extends AnyFunSuite {
       load(dir).filter($"pdate" >= "2024-01-03"))
     assert(range === Seq(5L, 6L))
     assert(rangeFiles < allFiles)
-    // non-partition predicates are conservative: nothing pruned, nothing lost
+    // non-partition predicates prune too — via the per-FILE stats (the
+    // 01-01 file's amount range [10,20] cannot satisfy > 25)
     val (byAmount, amountFiles) = runCounting(load(dir).filter($"amount" > 25L))
     assert(byAmount === Seq(3L, 4L, 5L, 6L))
-    assert(amountFiles === allFiles)
+    assert(amountFiles === allFiles - 1)
+    // a predicate no stats can decide keeps everything, correctly
+    val (byKind, kindFiles) = runCounting(
+      load(dir).filter($"kind" === "a" || $"kind" === "b"))
+    assert(byKind === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(kindFiles === allFiles)
+  }
+
+  test("file-level min/max stats skip whole files on data-column predicates") {
+    val dir = Files.createTempDirectory("graft-conn-stats").toString
+    // two commits into the SAME partition: leaf pruning alone can never
+    // separate them — only the per-file stats can
+    VersionedTable.create(
+      Seq((1L, "a", "2024-01-01", 10L), (2L, "b", "2024-01-01", 20L))
+        .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+    VersionedTable.append(
+      Seq((3L, "c", "2024-01-01", 100L), (4L, "d", "2024-01-01", 200L))
+        .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+    val (all, allFiles) = runCounting(load(dir))
+    assert(all === Seq(1L, 2L, 3L, 4L))
+    assert(allFiles === 2)
+    val (hi, hiFiles) = runCounting(load(dir).filter($"amount" > 50L))
+    assert(hi === Seq(3L, 4L))
+    assert(hiFiles === 1, "range predicate should plan only the high-range file")
+    val (lo, loFiles) = runCounting(load(dir).filter($"amount" <= 20L))
+    assert(lo === Seq(1L, 2L))
+    assert(loFiles === 1)
+    val (eq, eqFiles) = runCounting(load(dir).filter($"id" === 4L))
+    assert(eq === Seq(4L))
+    assert(eqFiles === 1)
+    // string stats skip too (parquet's binary order = Spark's UTF8 order)
+    val (str, strFiles) = runCounting(load(dir).filter($"kind" >= "c"))
+    assert(str === Seq(3L, 4L))
+    assert(strFiles === 1)
+    // a predicate satisfiable in both ranges keeps both files, correctly
+    val (span, spanFiles) = runCounting(load(dir).filter($"amount" >= 20L))
+    assert(span === Seq(2L, 3L, 4L))
+    assert(spanFiles === 2)
   }
 
   test("data filters are pushed down to the parquet scan") {
