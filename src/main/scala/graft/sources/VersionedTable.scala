@@ -874,7 +874,8 @@ object VersionedTable {
     * their own leaves until [[vacuum]].
     */
   def optimizeZOrder(spark: SparkSession, tableDir: String, partCol: String,
-      c1: String, c2: String, rowGroupBytes: Int = 1 << 20): Unit =
+      c1: String, c2: String, rowGroupBytes: Int = 1 << 20,
+      numSlices: Int = 8): Unit =
     Locking.withStoreLock(spark, tableDir) {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
@@ -887,14 +888,21 @@ object VersionedTable {
         lit(r.getLong(2)), lit(r.getLong(3)), bits = 8)
       val rel = s"data/add-v$v-${nonce()}"
       val pdir = partDirCol(partCol)
+      // RANGE repartition on (partition, z): each task holds a contiguous
+      // z slice of (mostly) one partition, so every output FILE covers a
+      // tight range on BOTH z-columns — with the footer-stats harvest
+      // below, the connector then skips whole files two-dimensionally,
+      // not just row groups inside them. `numSlices` is the file
+      // granularity knob (at scale: table bytes / target file size).
       folded.withColumn(pdir, col(partCol))
         .withColumn("__vt_z", z)
-        .repartition(col(pdir))
+        .repartitionByRange(numSlices, col(pdir), col("__vt_z"))
         .sortWithinPartitions(pdir, "__vt_z")
         .drop("__vt_z")
         .write.mode("overwrite")
         .option("parquet.block.size", rowGroupBytes.toString)
         .partitionBy(pdir).parquet(s"$tableDir/$rel")
+      FileStats.write(spark, s"$tableDir/$rel", folded.schema)
       val f = fs(spark, tableDir)
       val leaves = f.listStatus(new Path(s"$tableDir/$rel")).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))

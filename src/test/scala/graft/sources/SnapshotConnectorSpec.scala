@@ -126,6 +126,27 @@ class SnapshotConnectorSpec extends AnyFunSuite {
     assert(spanFiles === 2)
   }
 
+  test("OPTIMIZE ZORDER + file stats: the connector skips files on BOTH z-columns") {
+    val dir = Files.createTempDirectory("graft-conn-z").toString
+    val n = 8000
+    val rows = (0 until n).map(i => (i.toLong,
+      if (i % 2 == 0) "p1" else "p2", (i % 400).toLong, (i.toLong * 7) % 911))
+    VersionedTable.create(rows.toDF("id", "pcol", "c1", "c2"), dir, "pcol")
+    VersionedTable.optimizeZOrder(spark, dir, "pcol", "c1", "c2")
+    val (all, allFiles) = runCounting(load(dir))
+    assert(all === rows.map(_._1).sorted)
+    assert(allFiles >= 6, s"range slicing should emit several files, got $allFiles")
+    // a bottom-c1 slice hits only the files whose z-range covers low c1
+    val (lo, loFiles) = runCounting(load(dir).filter($"c1" < 50L))
+    assert(lo === rows.filter(_._3 < 50).map(_._1).sorted)
+    assert(loFiles < allFiles, s"c1 predicate planned $loFiles/$allFiles files")
+    // and a top-c2 band skips too — the property a linear sort on c1
+    // cannot give, now at FILE granularity, through the connector
+    val (hi, hiFiles) = runCounting(load(dir).filter($"c2" >= 800L))
+    assert(hi === rows.filter(_._4 >= 800).map(_._1).sorted)
+    assert(hiFiles < allFiles, s"c2 predicate planned $hiFiles/$allFiles files")
+  }
+
   test("data filters are pushed down to the parquet scan") {
     val dir = makeTable()
     val old = spark.conf.get("spark.sql.adaptive.enabled")
