@@ -531,6 +531,23 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
   */
 object SnapshotConnector {
 
+  /** A leaf set as a manifest-driven relation frame — the ONE scan
+    * construction the connector and [[VersionedTable]]'s own read path
+    * share, so library reads (`readVersion`, the delete/merge pruned
+    * scans) get the same leaf pruning and file-level stats skipping as
+    * `spark.read.format("graft-snapshot")` users.
+    */
+  private[sources] def relationFrame(spark: SparkSession, tableDir: String,
+      leaves: Seq[String], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(HadoopFsRelation(
+        location = new ManifestFileIndex(spark, tableDir, leaves, schema),
+        partitionSchema = new StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ManifestParquetFormat,
+        options = Map.empty)(spark))
+
   /** Shared refusal text for SQL INSERT against a snapshot table. */
   val InsertRefusal: String =
     "INSERT INTO/OVERWRITE a graft-snapshot table bypasses the manifest " +

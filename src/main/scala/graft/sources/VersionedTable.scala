@@ -595,15 +595,23 @@ object VersionedTable {
       }
   }
 
-  /** Multi-root scan of a leaf set. With `schema` (the manifest's), every
-    * leaf projects through the TABLE schema — columns a pre-evolution
-    * leaf lacks read as nulls, and schema sampling never decides anything.
+  /** Scan of a leaf set. With `schema` (the manifest's — every DATA
+    * read), the scan goes through the connector's manifest-driven
+    * relation ([[SnapshotConnector.relationFrame]]): every leaf projects
+    * through the TABLE schema (columns a pre-evolution leaf lacks read
+    * as nulls, schema sampling never decides anything) AND the scan gets
+    * leaf-level partition pruning plus file-level min/max stats skipping
+    * — the library read path and the `spark.read.format` path are the
+    * same machinery. Schema-less calls (delete-vector dirs, legacy
+    * tables without a recorded schema) stay plain multi-root parquet.
     */
   private def readLeaves(spark: SparkSession, tableDir: String,
       leaves: Seq[String], schema: Option[StructType] = None): DataFrame = {
     require(leaves.nonEmpty, "cannot read an empty leaf set")
-    schema.fold(spark.read)(spark.read.schema)
-      .parquet(leaves.map(l => s"$tableDir/$l"): _*)
+    schema match {
+      case Some(s) => SnapshotConnector.relationFrame(spark, tableDir, leaves, s)
+      case None => spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*)
+    }
   }
 
   // internal position column names — double-underscored to stay clear of
