@@ -257,6 +257,28 @@ class SnapshotConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed partition specs: connector reads and prunes an evolved table correctly") {
+    val dir = Files.createTempDirectory("graft-conn-spec").toString
+    val df = fixture()
+    // v0 partitioned by pdate; spec evolves to kind; v2 appends under kind
+    VersionedTable.create(df.filter($"id" <= 4), dir, "pdate")
+    VersionedTable.evolvePartitionSpec(spark, dir, "kind")
+    VersionedTable.append(df.filter($"id" > 4), dir, "kind")
+    assert(ids(load(dir)) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a predicate on the CURRENT spec prunes new-spec leaves; old-spec
+    // leaves are conservatively kept (the documented evolution cost) —
+    // correctness must hold either way
+    val (byKind, byKindFiles) = runCounting(load(dir).filter($"kind" === "b"))
+    assert(byKind === Seq(2L, 4L))
+    val (_, allFiles) = runCounting(load(dir))
+    assert(byKindFiles < allFiles,
+      s"kind predicate planned $byKindFiles/$allFiles files")
+    // and a predicate on the OLD spec column still prunes the old leaves
+    val (byDate, byDateFiles) = runCounting(load(dir).filter($"pdate" === "2024-01-01"))
+    assert(byDate === Seq(1L, 2L))
+    assert(byDateFiles < allFiles)
+  }
+
   test("SQL USING DDL: the snapshot is queryable as a catalog table") {
     val dir = makeTable()
     spark.sql("DROP TABLE IF EXISTS conn_snapshot")
