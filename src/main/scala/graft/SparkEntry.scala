@@ -173,6 +173,11 @@ object SparkEntry {
     // DESCRIBE HISTORY: per-version manifest footprint, leaf counts
     // recomputed independently by the oracle from the slice predicates
     "snapshot_history" -> ((s, d) => graft.sources.VersionedTable.snapshotHistory(s, d)),
+    // zero-copy hardlink CLONE, then both sides diverge independently
+    "snapshot_clone" -> ((s, d) => graft.sources.VersionedTable.snapshotClone(s, d)),
+    // per-partition count(*) from footer-stats sidecars + DV cardinality
+    // alone — no scan of the base data
+    "snapshot_count_meta" -> ((s, d) => graft.sources.VersionedTable.snapshotCountMeta(s, d)),
     // add-nullable-column schema evolution: evolved head reads
     // pre-evolution leaves with nulls; old snapshots keep their schema
     "snapshot_evolve" -> ((s, d) => graft.sources.VersionedTable.snapshotEvolve(s, d)),
@@ -384,6 +389,8 @@ object SparkEntry {
     "snapshot_changes" -> graft.sources.VersionedTable.snapshotChangesSql(),
     "snapshot_delete_mor" -> graft.sources.VersionedTable.snapshotDeleteMorSql(),
     "snapshot_history" -> graft.sources.VersionedTable.snapshotHistorySql(),
+    "snapshot_clone" -> graft.sources.VersionedTable.snapshotCloneSql(),
+    "snapshot_count_meta" -> graft.sources.VersionedTable.snapshotCountMetaSql(),
     "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),

@@ -1380,4 +1380,204 @@ object VersionedTable {
       |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
       |       CAST(count(DISTINCT pdate) AS BIGINT) AS n_partitions
       |FROM v GROUP BY version ORDER BY version""".stripMargin
+
+  // ─────────────────────── zero-copy table clone ───────────────────────
+
+  /** ZERO-COPY CLONE of the table's head into a fresh table dir —
+    * branch a corpus for an experiment (try a filter, a dedup config, a
+    * schema migration) without copying a byte of data. Every live data
+    * file, delete-vector file and stats sidecar is HARD-LINKED into the
+    * clone (same relative layout, so delete-vector `file` anchors stay
+    * valid verbatim), and the clone commits its own v0 manifest carrying
+    * the source head's leaves, pending vectors, dirty set, txn channel
+    * offsets, schema and partition spec. Cost is O(live files) driver
+    * metadata ops; zero data bytes move — the 100 TB branch is as cheap
+    * as the 100 MB one.
+    *
+    * Divergence is total from the instant the clone commits: both sides
+    * append/delete/compact/vacuum independently, and because links are
+    * refcounted inodes (not manifest references into the source, the
+    * Delta/Iceberg shallow-clone design), a VACUUM on either side can
+    * NEVER break the other — the FS frees a file only when its last
+    * link drops. On a non-local FS (no hardlink API) files are copied
+    * instead and counted separately; the returned pair is
+    * (filesLinked, filesCopied).
+    */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    require(versions(spark, dstDir).isEmpty,
+      s"clone destination is already a table: $dstDir")
+    val m = readManifestFull(spark, srcDir, latestVersion(spark, srcDir))
+    val f = fs(spark, srcDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val local = f.getScheme == "file"
+    var linkedN = 0L
+    var copiedN = 0L
+    def bring(rel: String, fileName: String): Unit = {
+      val src = new Path(s"$srcDir/$rel/$fileName")
+      val dst = new Path(s"$dstDir/$rel/$fileName")
+      f.mkdirs(dst.getParent)
+      val linked = local && (try {
+        JFiles.createLink(JPaths.get(dst.toUri.getPath),
+          JPaths.get(src.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false })
+      if (linked) linkedN += 1
+      else {
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, conf)
+        copiedN += 1
+      }
+    }
+    for (rel <- (m.leaves ++ m.deletes).distinct;
+         st <- f.listStatus(new Path(s"$srcDir/$rel")).toSeq if st.isFile)
+      bring(rel, st.getPath.getName)
+    // stats sidecars live at the add-dir root (parent of the hive
+    // leaves) — they ride along so the clone keeps file-level skipping
+    // and metadata-only counts without a re-harvest
+    for (root <- m.leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+         if f.exists(new Path(s"$srcDir/$root/${FileStats.StatsFileName}")))
+      bring(root, FileStats.StatsFileName)
+    writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,
+      m.schema, m.partcol)
+    (linkedN, copiedN)
+  }
+
+  // ─────────────────────── metadata-only counts ───────────────────────
+
+  /** METADATA-ONLY per-partition row counts at the head — the answer to
+    * `SELECT pdate, count(*) ... GROUP BY pdate` WITHOUT scanning a data
+    * byte. Per live leaf, rows come from the footer-stats sidecar the
+    * write already harvested ([[FileStats]]); when merge-on-read delete
+    * vectors are pending, their cardinality is subtracted per dirty
+    * file — vectors are the only thing read, and they are deletion-sized,
+    * not table-sized. At 100 TB this is O(files) sidecar folds plus one
+    * tiny vector scan where a naive count is a full-corpus scan; it is
+    * exactly what lakehouse engines answer `count(*)` from (Delta's
+    * numRecords / DV cardinality bookkeeping), hash-gated here against a
+    * real count by an independent engine. Keys are each leaf's OWN
+    * partition value (on a spec-evolved table, values of mixed columns).
+    *
+    * Loud refusal when any live file lacks sidecar coverage (table
+    * written before harvesting, or an all-unsupported-type schema) —
+    * a silently wrong count is worse than a scan.
+    */
+  def countMeta(spark: SparkSession, tableDir: String): Seq[(String, Long)] = {
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    val f = fs(spark, tableDir)
+    val byRoot = m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+    val perLeaf = scala.collection.mutable.Map[String, Long]()
+    for ((root, leaves) <- byRoot) {
+      val stats = FileStats.load(f, new Path(s"$tableDir/$root"))
+      for (leaf <- leaves) {
+        val leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+        val rows = f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val key = s"$leafName/${st.getPath.getName}"
+            val cols = stats.getOrElse(key, throw new IllegalStateException(
+              s"no footer stats for $key under $root — countMeta needs the " +
+                "sidecar (table written before stats harvesting, or an " +
+                "all-unsupported-type schema); run a compact to backfill"))
+            cols.values.map(_.rows).max
+          }.sum
+        perLeaf(leaf) = rows
+      }
+    }
+    // pending delete vectors: subtract DISTINCT (file,pos) cardinality per
+    // dirty leaf — the anti-join read path dedups vector entries, so the
+    // count must too
+    if (m.deletes.nonEmpty && m.dirty.nonEmpty) {
+      val dirtySet = m.dirtySet
+      val perFile = readLeaves(spark, tableDir, m.deletes)
+        .select(col("file"), col("pos")).distinct()
+        .groupBy(col("file")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      for ((file, n) <- perFile; leaf <- dirtySet.find(l => file.startsWith(l + "/")))
+        perLeaf(leaf) = perLeaf(leaf) - n
+    }
+    perLeaf.toSeq
+      .map { case (leaf, n) => leafPartValue(leaf) -> n }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      .toSeq
+      // a fully-vector-deleted partition has no group under count(*)
+      // GROUP BY — drop exact zeros; a NEGATIVE count would mean broken
+      // bookkeeping and stays visible so the oracle fails loudly
+      .filter(_._2 != 0L)
+      .sortBy(_._1)
+  }
+
+  /** Surface entry: create thirds → append rest → merge-on-read delete,
+    * then report per-partition counts derived ONLY from footer-stats
+    * sidecars and delete-vector cardinalities — no scan of the base
+    * data. The oracle recomputes the surviving counts from the raw rows
+    * with an independent engine, so the metadata bookkeeping (footer row
+    * counts, distinct-vector subtraction) is hash-checked end-to-end.
+    */
+  def snapshotCountMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_meta")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    append(events.filter(col("event_id") % 3 =!= 0), dir, "pdate")
+    deleteMergeOnRead(spark, dir,
+      col("event_type") === "click" && col("user_id") % 5 === 2)
+    countMeta(spark, dir).toDF("pdate", "n_rows").orderBy("pdate")
+  }
+
+  def snapshotCountMetaSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events)
+      |SELECT pdate, count(*) AS n_rows
+      |FROM e
+      |WHERE NOT (event_type = 'click' AND user_id % 5 = 2)
+      |GROUP BY pdate ORDER BY pdate""".stripMargin
+
+  /** Surface entry for [[cloneTable]]: build a two-version table, clone
+    * it, then diverge BOTH sides — a copy-on-write delete on the source,
+    * an extra-slice append on the clone — and summarize each head. The
+    * oracle recomputes both sides from the raw rows, so the clone's
+    * independence (neither mutation leaks across the link boundary) is
+    * hash-checked, not just spec-asserted.
+    */
+  def snapshotClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val src = Stores.temp("graft_vt_clsrc")
+    val dst = Stores.temp("graft_vt_cldst")
+    create(events.filter(col("event_id") % 3 === 0), src, "pdate")
+    append(events.filter(col("event_id") % 3 =!= 0), src, "pdate")
+    cloneTable(spark, src, dst)
+    delete(spark, src, "pdate",
+      col("event_type") === "click" && col("user_id") % 5 === 2)
+    append(events.filter(col("event_id") % 7 === 0), dst, "pdate")
+    Seq("src" -> src, "clone" -> dst).map { case (side, d) =>
+      readLatest(spark, d).agg(
+        lit(side).as("side"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(round(col("value") * 1e6).cast("long")).cast("long").as("sum_micros"))
+    }.reduce(_ unionByName _)
+      .select("side", "n_rows", "sum_micros").orderBy("side")
+  }
+
+  def snapshotCloneSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events),
+      |sides AS (
+      |  SELECT 'src' AS side, value FROM e
+      |  WHERE NOT (event_type = 'click' AND user_id % 5 = 2)
+      |  UNION ALL
+      |  SELECT 'clone', value FROM e
+      |  UNION ALL
+      |  SELECT 'clone', value FROM e WHERE event_id % 7 = 0)
+      |SELECT side,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+      |FROM sides GROUP BY side ORDER BY side""".stripMargin
 }
