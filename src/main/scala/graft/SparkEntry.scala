@@ -178,6 +178,9 @@ object SparkEntry {
     // per-partition count(*) from footer-stats sidecars + DV cardinality
     // alone — no scan of the base data
     "snapshot_count_meta" -> ((s, d) => graft.sources.VersionedTable.snapshotCountMeta(s, d)),
+    // global min/max per column from the sidecars alone (typed merge,
+    // unsigned-UTF-8 string order) — count(*)'s metadata-query siblings
+    "snapshot_bounds_meta" -> ((s, d) => graft.sources.VersionedTable.snapshotBoundsMeta(s, d)),
     // add-nullable-column schema evolution: evolved head reads
     // pre-evolution leaves with nulls; old snapshots keep their schema
     "snapshot_evolve" -> ((s, d) => graft.sources.VersionedTable.snapshotEvolve(s, d)),
@@ -391,6 +394,7 @@ object SparkEntry {
     "snapshot_history" -> graft.sources.VersionedTable.snapshotHistorySql(),
     "snapshot_clone" -> graft.sources.VersionedTable.snapshotCloneSql(),
     "snapshot_count_meta" -> graft.sources.VersionedTable.snapshotCountMetaSql(),
+    "snapshot_bounds_meta" -> graft.sources.VersionedTable.snapshotBoundsMetaSql(),
     "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),

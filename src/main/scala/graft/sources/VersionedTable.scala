@@ -5,7 +5,7 @@ import scala.util.matching.Regex
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, FloatType, StringType, StructField, StructType}
 
 import graft.pipeline.Locking
 
@@ -1506,6 +1506,84 @@ object VersionedTable {
       .sortBy(_._1)
   }
 
+  /** METADATA-ONLY column bounds at the head — `SELECT min(c), max(c),
+    * count(*) FILTER (c IS NULL)` per requested column, answered from the
+    * footer-stats sidecars alone (count(*)'s siblings in the lakehouse
+    * metadata-query family; see [[countMeta]]). Strings compare in
+    * unsigned UTF-8 byte order — parquet's truncation-free comparator,
+    * Spark's UTF8String order and DuckDB's binary collation alike, so all
+    * three engines agree on the extremum.
+    *
+    * Soundness refusals, loud rather than silently wrong:
+    * - pending delete vectors (a vector may have removed the extremal
+    *   row — compact folds them, then bounds are sound again);
+    * - a live file whose sidecar lacks the column, or carries no min/max
+    *   despite non-null rows (parquet omits oversized binary stats);
+    * - a legacy manifest without a recorded schema (no comparator).
+    * Returns (col, min, max, nulls); min/max are None for an
+    * all-null column.
+    */
+  def boundsMeta(spark: SparkSession, tableDir: String, cols: Seq[String])
+      : Seq[(String, Option[String], Option[String], Long)] = {
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    require(m.deletes.isEmpty, "boundsMeta: pending delete vectors may " +
+      "have removed an extremum — compact first, then bounds are sound")
+    val sch = m.schemaOpt.getOrElse(throw new IllegalStateException(
+      "boundsMeta: legacy manifest without a recorded schema"))
+    val types = cols.map { c =>
+      val fld = sch.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"boundsMeta: no column '$c'"))
+      require(FileStats.supported(fld.dataType),
+        s"boundsMeta: unsupported stats type for '$c': ${fld.dataType}")
+      c -> fld.dataType
+    }.toMap
+    def less(a: String, b: String, dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => a.toDouble < b.toDouble
+      case BooleanType => !a.toBoolean && b.toBoolean
+      case StringType =>
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n && x(i) == y(i)) i += 1
+        if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+      case _ => a.toLong < b.toLong
+    }
+    val f = fs(spark, tableDir)
+    val acc = scala.collection.mutable.Map[String,
+      (Option[String], Option[String], Long)]()
+    cols.foreach(c => acc(c) = (None, None, 0L))
+    for ((root, leaves) <- m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))) {
+      val stats = FileStats.load(f, new Path(s"$tableDir/$root"))
+      for (leaf <- leaves;
+           st <- f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
+           if st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val key = s"${leaf.substring(leaf.lastIndexOf('/') + 1)}/${st.getPath.getName}"
+        val fileCols = stats.getOrElse(key, throw new IllegalStateException(
+          s"boundsMeta: no footer stats for $key under $root"))
+        for (c <- cols) {
+          val cs = fileCols.getOrElse(c, throw new IllegalStateException(
+            s"boundsMeta: sidecar lacks column '$c' for $key"))
+          if (!cs.allNull && (cs.min.isEmpty || cs.max.isEmpty))
+            throw new IllegalStateException(
+              s"boundsMeta: '$c' has non-null rows but no min/max in $key " +
+                "(oversized stats omitted by the writer?) — bounds unknowable")
+          val (mn, mx, nulls) = acc(c)
+          val dt = types(c)
+          def keepMin(x: Option[String]) = (mn, x) match {
+            case (Some(a), Some(b)) => Some(if (less(b, a, dt)) b else a)
+            case _ => mn.orElse(x)
+          }
+          def keepMax(x: Option[String]) = (mx, x) match {
+            case (Some(a), Some(b)) => Some(if (less(a, b, dt)) b else a)
+            case _ => mx.orElse(x)
+          }
+          acc(c) = (keepMin(cs.min), keepMax(cs.max), nulls + cs.nulls)
+        }
+      }
+    }
+    cols.map { c => val (mn, mx, n) = acc(c); (c, mn, mx, n) }
+  }
+
   /** Surface entry: create thirds → append rest → merge-on-read delete,
     * then report per-partition counts derived ONLY from footer-stats
     * sidecars and delete-vector cardinalities — no scan of the base
@@ -1535,6 +1613,52 @@ object VersionedTable {
       |FROM e
       |WHERE NOT (event_type = 'click' AND user_id % 5 = 2)
       |GROUP BY pdate ORDER BY pdate""".stripMargin
+
+  /** Surface entry for [[boundsMeta]]: create thirds → append rest (no
+    * pending vectors — bounds refuse those loudly), then report global
+    * min/max per column derived ONLY from the sidecars. The oracle
+    * recomputes them from the raw rows with an independent engine, so
+    * the footer-stats merge (typed comparators, unsigned-UTF-8 strings)
+    * is hash-checked end-to-end.
+    */
+  def snapshotBoundsMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_bounds")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    append(events.filter(col("event_id") % 3 =!= 0), dir, "pdate")
+    val b = boundsMeta(spark, dir,
+        Seq("user_id", "event_type", "pdate", "value"))
+      .map { case (c, mn, mx, nulls) => c -> ((mn.get, mx.get, nulls)) }
+      .toMap
+    def micros(s: String): Long =
+      BigDecimal(s.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    Seq((
+      b("user_id")._1.toLong, b("user_id")._2.toLong,
+      b("event_type")._1, b("event_type")._2,
+      b("pdate")._1, b("pdate")._2,
+      micros(b("value")._1), micros(b("value")._2)
+    )).toDF("min_user", "max_user", "min_type", "max_type",
+      "first_date", "last_date", "min_value_micros", "max_value_micros")
+  }
+
+  def snapshotBoundsMetaSql(): String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events)
+      |SELECT CAST(min(user_id) AS BIGINT) AS min_user,
+      |       CAST(max(user_id) AS BIGINT) AS max_user,
+      |       min(event_type) AS min_type,
+      |       max(event_type) AS max_type,
+      |       min(pdate) AS first_date,
+      |       max(pdate) AS last_date,
+      |       CAST(round(min(value) * 1000000) AS BIGINT) AS min_value_micros,
+      |       CAST(round(max(value) * 1000000) AS BIGINT) AS max_value_micros
+      |FROM e""".stripMargin
 
   /** Surface entry for [[cloneTable]]: build a two-version table, clone
     * it, then diverge BOTH sides — a copy-on-write delete on the source,

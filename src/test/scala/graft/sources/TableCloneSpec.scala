@@ -135,6 +135,47 @@ class TableCloneSpec extends AnyFunSuite {
     assert(real() === Map("2024-01-02" -> 1L, "2024-01-03" -> 2L))
   }
 
+  test("boundsMeta matches real min/max/nulls, including an all-null column") {
+    val dir = tmp("graft-bounds")
+    val df = Seq(
+      (1L, Some("bb"), Some(1.5), "2024-01-01"),
+      (2L, Some("aa"), None, "2024-01-01"),
+      (3L, None, Some(-2.25), "2024-01-02"),
+      (4L, Some("cc"), Some(9.75), "2024-01-02")
+    ).toDF("id", "name", "score", "pdate")
+      .withColumn("void", lit(null).cast("string"))
+    VersionedTable.create(df.filter($"id" <= 2), dir, "pdate")
+    VersionedTable.append(df.filter($"id" > 2), dir, "pdate")
+    val b = VersionedTable.boundsMeta(spark, dir,
+      Seq("id", "name", "score", "void")).map {
+        case (c, mn, mx, n) => c -> ((mn, mx, n)) }.toMap
+    assert(b("id") === ((Some("1"), Some("4"), 0L)))
+    assert(b("name") === ((Some("aa"), Some("cc"), 1L)))
+    val (smn, smx, snulls) = b("score")
+    assert(smn.get.toDouble === -2.25)
+    assert(smx.get.toDouble === 9.75)
+    assert(snulls === 1L)
+    assert(b("void") === ((None, None, 4L)))
+  }
+
+  test("boundsMeta refuses pending delete vectors and unknown columns") {
+    val dir = tmp("graft-bounds-refuse")
+    VersionedTable.create(fixture(), dir, "pdate")
+    intercept[IllegalArgumentException] {
+      VersionedTable.boundsMeta(spark, dir, Seq("nope"))
+    }
+    VersionedTable.deleteMergeOnRead(spark, dir, $"kind" === "b")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.boundsMeta(spark, dir, Seq("id"))
+    }
+    assert(e.getMessage.contains("compact first"))
+    // compact folds the vectors; bounds are sound again and reflect the
+    // delete (id 2 and 4 gone, but extremes 1/6 survive)
+    VersionedTable.compact(spark, dir, "pdate")
+    val b = VersionedTable.boundsMeta(spark, dir, Seq("id")).head
+    assert(b === (("id", Some("1"), Some("6"), 0L)))
+  }
+
   test("countMeta refuses a table without sidecar coverage") {
     val dir = tmp("graft-meta-refuse")
     VersionedTable.create(fixture(), dir, "pdate")
