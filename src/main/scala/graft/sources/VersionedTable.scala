@@ -986,15 +986,38 @@ object VersionedTable {
     * fresh table's first commit invisible, the age bound protects an
     * in-flight concurrent writer (see [[DefaultOrphanGraceMs]]).
     */
+  private def manifestRefs(spark: SparkSession, tableDir: String,
+      v: Int): Seq[String] = {
+    val m = readManifestFull(spark, tableDir, v)
+    m.leaves ++ m.deletes
+  }
+
+  /** Top-level data/deletes dirs the orphan rule would collect RIGHT
+    * NOW: version-named, at or below `latest`, older than the grace
+    * cutoff, and not an ancestor of any live ref. Shared by [[sweep]]
+    * (which deletes them) and [[vacuumDryRun]] (which reports them).
+    */
+  private def orphanDirs(f: FileSystem, tableDir: String, latest: Int,
+      ageCutoff: Long, live: Set[String]): Seq[String] = {
+    val verRe = "^(?:add|del)-v(\\d+)\\b.*".r
+    for {
+      root <- Seq("data", "deletes")
+      rp = new Path(s"$tableDir/$root")
+      if f.exists(rp)
+      st <- f.listStatus(rp).toSeq
+      name = st.getPath.getName
+      rel = s"$root/$name"
+      n <- verRe.findFirstMatchIn(name).map(_.group(1).toInt)
+      if n <= latest && st.getModificationTime <= ageCutoff &&
+        !live.exists(l => l == rel || l.startsWith(rel + "/"))
+    } yield rel
+  }
+
   private def sweep(spark: SparkSession, tableDir: String, drop: Seq[Int],
       keep: Seq[Int], orphanGraceMs: Long): Unit = {
     val f = fs(spark, tableDir)
-    def refs(v: Int) = {
-      val m = readManifestFull(spark, tableDir, v)
-      m.leaves ++ m.deletes
-    }
-    val live = keep.flatMap(refs).toSet
-    val dead = drop.flatMap(refs).toSet -- live
+    val live = keep.flatMap(manifestRefs(spark, tableDir, _)).toSet
+    val dead = drop.flatMap(manifestRefs(spark, tableDir, _)).toSet -- live
     // remove dead leaves first, manifests second: a crash in between
     // leaves old manifests pointing at missing leaves — unreadable, but
     // re-running vacuum completes; retained versions are never touched
@@ -1003,27 +1026,43 @@ object VersionedTable {
       f.delete(new Path(s"${manifestsDir(tableDir)}/v$n.json"), false))
     val latest = (drop ++ keep).max
     val ageCutoff = System.currentTimeMillis() - orphanGraceMs
-    val verRe = "^(?:add|del)-v(\\d+)\\b.*".r
-    for (root <- Seq("data", "deletes")) {
-      val rp = new Path(s"$tableDir/$root")
-      if (f.exists(rp)) f.listStatus(rp).foreach { st =>
-        val name = st.getPath.getName
-        val rel = s"$root/$name"
-        name match {
-          case verRe(n) if n.toInt <= latest &&
-              st.getModificationTime <= ageCutoff &&
-              !live.exists(l => l == rel || l.startsWith(rel + "/")) =>
-            f.delete(st.getPath, true)
-          case _ => ()
-        }
-      }
-    }
+    // scanned AFTER the dead-leaf pass: deleting a child touches the
+    // parent dir's mtime, so a dir fully emptied just now waits out a
+    // fresh grace period before the orphan rule collects it
+    orphanDirs(f, tableDir, latest, ageCutoff, live)
+      .foreach(rel => f.delete(new Path(s"$tableDir/$rel"), true))
     val md = new Path(manifestsDir(tableDir))
     if (f.exists(md)) f.listStatus(md).foreach { st =>
       if (st.getPath.getName.startsWith("_staging_") &&
           st.getModificationTime <= ageCutoff)
         f.delete(st.getPath, false)
     }
+  }
+
+  /** VACUUM DRY RUN — the (dead leaf dirs, dropped manifest versions,
+    * orphan dirs) a `vacuum(retainLast)` would collect right now,
+    * computed from the same retention rules, deleting nothing and taking
+    * no lock (it reads committed manifests and listings only). The ops
+    * answer to "what exactly will this reclaim?" before pointing a
+    * destructive sweep at a 100 TB table. Orphans are evaluated against
+    * the PRE-sweep dir mtimes, so a dir the real sweep would empty (and
+    * thereby freshen) can appear here one run before the sweep collects
+    * it — the dry run reports eligibility now, not the sweep's exact
+    * same-call deletions.
+    */
+  def vacuumDryRun(spark: SparkSession, tableDir: String, retainLast: Int,
+      orphanGraceMs: Long = DefaultOrphanGraceMs)
+      : (Seq[String], Seq[Int], Seq[String]) = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val vs = versions(spark, tableDir)
+    if (vs.isEmpty) return (Nil, Nil, Nil)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+    val live = keep.flatMap(manifestRefs(spark, tableDir, _)).toSet
+    val dead = drop.flatMap(manifestRefs(spark, tableDir, _)).toSet -- live
+    val f = fs(spark, tableDir)
+    val ageCutoff = System.currentTimeMillis() - orphanGraceMs
+    (dead.toSeq.sorted, drop,
+      orphanDirs(f, tableDir, vs.max, ageCutoff, live).sorted)
   }
 
   /** Maintenance policy: compact only when some partition's leaf debt
@@ -1440,6 +1479,37 @@ object VersionedTable {
     writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,
       m.schema, m.partcol)
     (linkedN, copiedN)
+  }
+
+  /** DESCRIBE DETAIL — the one-row metadata summary every lakehouse
+    * table exposes: head version, retained-version count, live
+    * leaf/file/byte footprint, pending delete-vector and dirty-leaf
+    * counts, current partition spec, schema DDL and streaming txn
+    * channels. Pure manifest metadata plus one listing per live leaf
+    * (O(files) driver-side, no data scan) — the sibling of [[history]]
+    * for the head alone.
+    */
+  def describeDetail(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no table at $tableDir")
+    val head = vs.max
+    val m = readManifestFull(spark, tableDir, head)
+    val f = fs(spark, tableDir)
+    var files = 0L
+    var bytes = 0L
+    for (leaf <- m.leaves;
+         st <- f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
+         if st.isFile && st.getPath.getName.endsWith(".parquet")) {
+      files += 1
+      bytes += st.getLen
+    }
+    Seq((tableDir, head, vs.size, m.leaves.size, files, bytes,
+        m.deletes.size, m.dirty.size, m.specOpt.getOrElse(""),
+        m.schemaOpt.map(_.toDDL).getOrElse(""), m.txns.size))
+      .toDF("location", "version", "num_versions", "num_leaves",
+        "num_files", "size_bytes", "num_delete_dirs", "num_dirty_leaves",
+        "partition_spec", "schema_ddl", "num_txn_channels")
   }
 
   // ─────────────────────── metadata-only counts ───────────────────────
