@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, HeavyHitters, RangeJoin}
-import graft.pipeline.{AnnIndex, Chunking, CorpusDiff, Curation, DataQuality, Decontaminate, Dedup, EntityResolution, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Audio, Chunking, CorpusDiff, Curation, DataQuality, Decontaminate, Dedup, EntityResolution, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -266,6 +266,10 @@ object SparkEntry {
     // integer permille overlap) with planted clipped copies — catches a
     // prefix-clipped re-upload whole-file fingerprints never match
     "multimodal_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
+    // audio: real RIFF/WAVE codec round trips (chunk-walking parser)
+    "audio_features" -> (Audio.features _),
+    "audio_silence" -> (Audio.silence _),
+    "audio_downsample" -> (Audio.downsample _),
     // physical layout: z-order multi-dim skipping + shuffle-free
     // bucketed co-located join (the amortize-the-shuffle-once design)
     "events_zorder_layout" -> ((s, d) => LayoutAudit.zorderLayout(s, d)),
@@ -433,6 +437,9 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql(),
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
+    "audio_features" -> Audio.featuresSql,
+    "audio_silence" -> Audio.silenceSql,
+    "audio_downsample" -> Audio.downsampleSql,
     "events_zorder_layout" -> LayoutAudit.zorderLayoutSql(),
     "orders_bucketed_join" -> LayoutAudit.bucketedJoinSql(),
     "events_dpp_join" -> LayoutAudit.dppJoinSql(),
