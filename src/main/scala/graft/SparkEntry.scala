@@ -184,6 +184,9 @@ object SparkEntry {
     // add-nullable-column schema evolution: evolved head reads
     // pre-evolution leaves with nulls; old snapshots keep their schema
     "snapshot_evolve" -> ((s, d) => graft.sources.VersionedTable.snapshotEvolve(s, d)),
+    // CHECK constraints: add-gated on head data, atomic batch refusal,
+    // dry-run violation probe — all accounting oracle-recomputed
+    "snapshot_constraints" -> ((s, d) => graft.sources.VersionedTable.snapshotConstraints(s, d)),
     // the external read surface: spark.read.format("graft-snapshot") with
     // manifest-driven file listing + leaf pruning + versionAsOf travel
     "snapshot_connector" -> ((s, d) => graft.sources.SnapshotConnector.connectorRead(s, d)),
@@ -400,6 +403,7 @@ object SparkEntry {
     "snapshot_count_meta" -> graft.sources.VersionedTable.snapshotCountMetaSql(),
     "snapshot_bounds_meta" -> graft.sources.VersionedTable.snapshotBoundsMetaSql(),
     "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
+    "snapshot_constraints" -> graft.sources.VersionedTable.snapshotConstraintsSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,

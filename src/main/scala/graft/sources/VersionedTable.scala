@@ -111,13 +111,24 @@ object VersionedTable {
     */
   private case class VManifest(leaves: Seq[String], deletes: Seq[String],
       dirty: Seq[String], txns: Seq[String] = Nil,
-      schema: Seq[String] = Nil, partcol: Seq[String] = Nil) {
+      schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
+      constraints: Seq[String] = Nil) {
     def dirtySet: Set[String] = dirty.toSet
     def schemaOpt: Option[StructType] =
       if (schema.isEmpty) None else Some(decodeSchema(schema))
     /** Current partition spec; empty on legacy manifests. */
     def specOpt: Option[String] = partcol.headOption
+    /** Decoded (name, check-expression) pairs. */
+    def constraintPairs: Seq[(String, String)] = decodeSchemaPairs(constraints)
   }
+
+  /** A write was refused because rows violate a table CHECK constraint.
+    * SQL-standard semantics: a row violates only when the expression
+    * evaluates to definite FALSE (UNKNOWN/null passes — which is why
+    * NOT NULL is spelled `col IS NOT NULL`, never null-valued).
+    */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
 
   /** Schema entries are URL-encoded `name:type` tokens: encoding keeps
     * them clear of the manifest JSON separators (`"` `,` `]`) that
@@ -194,7 +205,8 @@ object VersionedTable {
     // absent keys (older manifests) parse as empty — back-compatible
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
       parseArray(text, "dirty"), parseArray(text, "txns"),
-      parseArray(text, "schema"), parseArray(text, "partcol"))
+      parseArray(text, "schema"), parseArray(text, "partcol"),
+      parseArray(text, "constraints"))
   }
 
   /** Atomically publish `staging` as `committed`, REFUSING an existing
@@ -224,8 +236,10 @@ object VersionedTable {
   private[sources] def writeManifest(spark: SparkSession, tableDir: String,
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
       dirty: Seq[String] = Nil, txns: Seq[String] = Nil,
-      schema: Seq[String] = Nil, partcol: Seq[String] = Nil): Unit = {
-    (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcol).foreach(e =>
+      schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
+      constraints: Seq[String] = Nil): Unit = {
+    (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcol ++
+      constraints).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
           s"',', '\"' or ']'?): $e"))
@@ -237,7 +251,7 @@ object VersionedTable {
     val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
       s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
       s""""txns":${arr(txns)},"schema":${arr(schema)},""" +
-      s""""partcol":${arr(partcol)}}"""
+      s""""partcol":${arr(partcol)},"constraints":${arr(constraints)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
@@ -314,6 +328,40 @@ object VersionedTable {
       s"$op under partition spec '$partCol' but the table's current spec " +
         s"is '$cur' — change specs explicitly with evolvePartitionSpec"))
 
+  /** Count, in ONE aggregate pass over `df`, how many rows violate each
+    * of the manifest's CHECK constraints (violation = expression
+    * evaluates to definite FALSE; UNKNOWN passes, per SQL). Returns
+    * (name, expression, violations) for every constraint.
+    */
+  private def constraintViolationCounts(df: DataFrame,
+      m: VManifest): Seq[(String, String, Long)] = {
+    val cs = m.constraintPairs
+    if (cs.isEmpty) return Nil
+    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(!expr(e), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cs.zipWithIndex.map { case ((n, e), i) =>
+      (n, e, if (row.isNullAt(i)) 0L else row.getLong(i)) // null = empty df
+    }
+  }
+
+  /** Enforce the table's CHECK constraints on a batch about to be
+    * written: one aggregate pass counting every constraint's violations
+    * at once, then a loud [[ConstraintViolationException]] naming each
+    * violated constraint and its row count. Runs only when the manifest
+    * carries constraints — unconstrained tables pay nothing.
+    */
+  private def requireConstraints(df: DataFrame, m: VManifest,
+      op: String): Unit = {
+    val bad = constraintViolationCounts(df, m).filter(_._3 > 0)
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(
+        s"$op refused: " + bad.map { case (n, e, c) =>
+          s"$c row(s) violate CHECK constraint '$n' ($e)"
+        }.mkString("; "))
+  }
+
   /** The subset of `leaves` that actually CONTAIN rows selected by
     * `selector` — the scan-based fallback for foreign-spec leaves, whose
     * dir values cannot be pruned against the current spec's predicate.
@@ -370,9 +418,10 @@ object VersionedTable {
     requireSpec(m, partCol, "append")
     val schema = resolveAppendSchema(df, spark, tableDir, m,
       allowEvolution = true)
+    requireConstraints(df, m, "append")
     writeManifest(spark, tableDir, v,
       m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty,
-      m.txns, schema, Seq(partCol))
+      m.txns, schema, Seq(partCol), m.constraints)
   }
 
   /** Schema contract for a batch against the table, returning the schema
@@ -452,9 +501,10 @@ object VersionedTable {
       requireSpec(m, partCol, "overwrite")
       val schema = resolveAppendSchema(df, spark, tableDir, m,
         allowEvolution = true)
+      requireConstraints(df, m, "overwrite")
       writeManifest(spark, tableDir, base + 1,
         writeDataDir(df, tableDir, base + 1, partCol), Nil, Nil, m.txns,
-        schema, Seq(partCol))
+        schema, Seq(partCol), m.constraints)
     }
 
   /** A version's commit time = its manifest file's mtime — the clock
@@ -490,9 +540,10 @@ object VersionedTable {
       val schema = resolveAppendSchema(df, spark, tableDir, m,
         allowEvolution = true)
       val txns = m.txns.filterNot(_.startsWith(channel + "=")) :+ entry
+      requireConstraints(df, m, "appendOnce")
       writeManifest(spark, tableDir, base + 1,
         m.leaves ++ writeDataDir(df, tableDir, base + 1, partCol),
-        m.deletes, m.dirty, txns, schema, Seq(partCol))
+        m.deletes, m.dirty, txns, schema, Seq(partCol), m.constraints)
     }
   }
 
@@ -517,7 +568,7 @@ object VersionedTable {
       .distinct().collect().map(_.getString(0)).toSet
     if (affected.isEmpty) {
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol)
+        m.schema, m.partcol, m.constraints)
       return
     }
     // spec-aware pruning: same-spec leaves prune by dir value; leaves
@@ -542,7 +593,8 @@ object VersionedTable {
       .filter(!pred)
     val newLeaves = writeDataDir(survivors, tableDir, v, partCol)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
-      m.dirty.filter(kept.contains), m.txns, m.schema, Seq(partCol))
+      m.dirty.filter(kept.contains), m.txns, m.schema, Seq(partCol),
+      m.constraints)
   }
 
   /** Merge-on-read delete (position delete vectors — the public
@@ -581,14 +633,15 @@ object VersionedTable {
     if (touched.isEmpty) {
       fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol)
+        m.schema, m.partcol, m.constraints)
     } else
       // a commit failure (crash, concurrent-commit collision) must not
       // leave the vector dir as a permanent unreferenced orphan — no
       // manifest will ever point at it, so [[vacuum]]'s referenced-path
       // sweep would otherwise never collect it
       try writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
-        (m.dirtySet ++ touched).toSeq.sorted, m.txns, m.schema, m.partcol)
+        (m.dirtySet ++ touched).toSeq.sorted, m.txns, m.schema, m.partcol,
+        m.constraints)
       catch { case e: Throwable =>
         fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
         throw e
@@ -734,6 +787,7 @@ object VersionedTable {
     val schema = resolveAppendSchema(batch, spark, tableDir, m,
       allowEvolution = false)
     requireSpec(m, partCol, "merge")
+    requireConstraints(batch, m, "merge") // before any rewrite work
     val current = readView(spark, tableDir, m)
     val batchKeys = batch.select(keyCol).distinct()
     val affected = (
@@ -757,7 +811,8 @@ object VersionedTable {
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDir(rewritten, tableDir, v, partCol),
-      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, Seq(partCol))
+      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, Seq(partCol),
+      m.constraints)
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -823,7 +878,7 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, toVersion)
       val v = latestVersion(spark, tableDir) + 1
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol)
+        m.schema, m.partcol, m.constraints)
     }
 
   /** PARTITION-SPEC EVOLUTION (the Iceberg capability Delta lacks): a
@@ -845,7 +900,78 @@ object VersionedTable {
       require(decodeSchemaPairs(m.schema).exists(_._1 == newPartCol),
         s"cannot evolve partition spec to '$newPartCol': not a table column")
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-      m.schema, Seq(newPartCol))
+      m.schema, Seq(newPartCol), m.constraints)
+  }
+
+  /** ADD CONSTRAINT — record a named CHECK constraint (a boolean SQL
+    * expression over table columns) as a metadata-only commit, after
+    * verifying the current HEAD data already satisfies it (the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract: existing violations refuse
+    * the constraint, they are not grandfathered in). From this version
+    * on, every data-adding write (append / appendOnce / overwrite /
+    * merge) validates its batch in one aggregate pass and refuses with
+    * a per-constraint violation count. Enforcement is SQL-standard:
+    * a row violates only when the expression is definite FALSE, so
+    * NOT NULL is spelled `col IS NOT NULL`. Constraint entries ride the
+    * manifest like the schema does (URL-encoded `name:expr`), so they
+    * survive delete/compact/zorder/spec-evolution/clone/rollback and
+    * time travel reads see the constraint set of their version.
+    */
+  def addCheckConstraint(spark: SparkSession, tableDir: String,
+      name: String, check: String): Unit = withCommitRetry {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+: '$name'")
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    require(!m.constraintPairs.exists(_._1 == name),
+      s"constraint '$name' already exists at $tableDir")
+    val head = readView(spark, tableDir, m)
+    // resolves the expression against the table schema (loud analysis
+    // error on an unknown column) and pins its type to boolean
+    require(head.select(expr(check)).schema.head.dataType == BooleanType,
+      s"CHECK expression is not boolean: $check")
+    val entry = java.net.URLEncoder.encode(name, "UTF-8") + ":" +
+      java.net.URLEncoder.encode(check, "UTF-8")
+    requireConstraints(head,
+      VManifest(Nil, Nil, Nil, constraints = Seq(entry)),
+      s"ADD CONSTRAINT '$name' (existing rows already violate it)")
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+      m.schema, m.partcol, m.constraints :+ entry)
+  }
+
+  /** DROP CONSTRAINT — metadata-only commit removing a named CHECK
+    * constraint; refuses an unknown name loudly.
+    */
+  def dropCheckConstraint(spark: SparkSession, tableDir: String,
+      name: String): Unit = withCommitRetry {
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    require(m.constraintPairs.exists(_._1 == name),
+      s"no constraint '$name' at $tableDir")
+    val kept = m.constraints.filterNot(e =>
+      decodeSchemaPairs(Seq(e)).head._1 == name)
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+      m.schema, m.partcol, kept)
+  }
+
+  /** The head's (name, check-expression) constraint pairs. */
+  def checkConstraints(spark: SparkSession, tableDir: String)
+      : Seq[(String, String)] =
+    readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+      .constraintPairs
+
+  /** Dry-run probe: per-constraint violation counts a batch WOULD incur
+    * against the head's constraint set, without writing anything — the
+    * pre-flight an ingestion pipeline runs to route bad rows to a
+    * quarantine sink instead of failing the whole batch.
+    */
+  def constraintViolations(df: DataFrame, tableDir: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    constraintViolationCounts(df, m)
+      .map { case (n, e, c) => (n, e, c) }
+      .toDF("constraint", "check_expr", "violations")
   }
 
   /** Small-file maintenance: fold every live leaf into one fresh data dir
@@ -867,7 +993,7 @@ object VersionedTable {
     writeManifest(spark, tableDir, v,
       writeDataDir(folded, tableDir, v, partCol), txns = m.txns,
       schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
-      partcol = Seq(partCol))
+      partcol = Seq(partCol), constraints = m.constraints)
   }
 
   /** OPTIMIZE ZORDER BY — [[compact]] with a layout upgrade (the public
@@ -918,7 +1044,7 @@ object VersionedTable {
         .sorted
       writeManifest(spark, tableDir, v, leaves, txns = m.txns,
         schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
-        partcol = Seq(partCol))
+        partcol = Seq(partCol), constraints = m.constraints)
     }
 
   /** Grace period before an unreferenced (orphan) dir is swept: a
@@ -1127,6 +1253,60 @@ object VersionedTable {
       .select("version", "n_rows", "sum_micros", "n_partitions")
       .orderBy("version")
   }
+
+  /** CHECK-constraint surface entry: create a third of events, add two
+    * constraints (metadata-only commits gated on the head data), then
+    * attempt an append whose every `event_id % 7 = 0` row has a mangled
+    * negative value — the whole batch refuses ATOMICALLY (no version, no
+    * rows), the dry-run probe reports the per-constraint violation
+    * counts, and the cleaned batch commits. The oracle recomputes every
+    * number from the slice predicates alone, so enforcement, atomic
+    * refusal and the accounting all hash-check against an independent
+    * engine.
+    */
+  def snapshotConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_ck")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    addCheckConstraint(spark, dir, "value_nonneg", "value >= 0")
+    addCheckConstraint(spark, dir, "eid_nonneg", "event_id >= 0")
+    val rest = events.filter(col("event_id") % 3 =!= 0)
+    val mangled = rest.withColumn("value",
+      when(col("event_id") % 7 === 0, -col("value") - lit(1.0))
+        .otherwise(col("value")))
+    val probe = constraintViolations(mangled, dir)
+      .select("constraint", "violations").as[(String, Long)].collect().toMap
+    val refused =
+      try { append(mangled, dir, "pdate"); false }
+      catch { case _: ConstraintViolationException => true }
+    require(refused, "the mangled batch must refuse")
+    append(rest.filter(col("event_id") % 7 =!= 0), dir, "pdate")
+    Seq(
+      ("head_rows", readLatest(spark, dir).count()),
+      ("head_version", latestVersion(spark, dir).toLong),
+      ("n_constraints", checkConstraints(spark, dir).size.toLong),
+      ("refused_eid_nonneg", probe("eid_nonneg")),
+      ("refused_value_nonneg", probe("value_nonneg")))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  def snapshotConstraintsSql(): String =
+    """WITH a AS (SELECT * FROM events WHERE event_id % 3 = 0),
+      |b AS (SELECT * FROM events WHERE event_id % 3 <> 0)
+      |SELECT 'head_rows' AS metric,
+      |  (SELECT count(*) FROM a)
+      |    + (SELECT count(*) FROM b WHERE event_id % 7 <> 0) AS value
+      |UNION ALL SELECT 'head_version',
+      |  3  -- v0 create, v1+v2 add-constraint commits, refused append
+      |     -- commits NOTHING, v3 the clean append
+      |UNION ALL SELECT 'n_constraints', 2
+      |UNION ALL SELECT 'refused_eid_nonneg', 0
+      |UNION ALL SELECT 'refused_value_nonneg',
+      |  (SELECT count(*) FROM b WHERE event_id % 7 = 0)
+      |ORDER BY metric""".stripMargin
 
   /** DESCRIBE HISTORY surface entry over the [[snapshotAsOf]] scenario
     * (create thirds → append rest → COW delete): the oracle recomputes
@@ -1477,7 +1657,7 @@ object VersionedTable {
          if f.exists(new Path(s"$srcDir/$root/${FileStats.StatsFileName}")))
       bring(root, FileStats.StatsFileName)
     writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,
-      m.schema, m.partcol)
+      m.schema, m.partcol, m.constraints)
     (linkedN, copiedN)
   }
 
@@ -1506,10 +1686,12 @@ object VersionedTable {
     }
     Seq((tableDir, head, vs.size, m.leaves.size, files, bytes,
         m.deletes.size, m.dirty.size, m.specOpt.getOrElse(""),
-        m.schemaOpt.map(_.toDDL).getOrElse(""), m.txns.size))
+        m.schemaOpt.map(_.toDDL).getOrElse(""), m.txns.size,
+        m.constraints.size))
       .toDF("location", "version", "num_versions", "num_leaves",
         "num_files", "size_bytes", "num_delete_dirs", "num_dirty_leaves",
-        "partition_spec", "schema_ddl", "num_txn_channels")
+        "partition_spec", "schema_ddl", "num_txn_channels",
+        "num_constraints")
   }
 
   // ─────────────────────── metadata-only counts ───────────────────────
