@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, AsOfJoin, DeletionOps, HeavyHitters, RangeJoin}
-import graft.pipeline.{AnnIndex, Audio, Chunking, CorpusDiff, Curation, DataQuality, Decontaminate, Dedup, EntityResolution, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
+import graft.pipeline.{AnnIndex, Audio, Chunking, CorpusDiff, Curation, DataQuality, Decontaminate, Dedup, EntityResolution, GraphRank, HybridSearch, ImportanceSampling, IncrementalDedup, LanguageModel, LayoutAudit, Manifest, MaterializedView, Multimodal, Ngrams, Packing, Pii, ProductQuant, Quantization, QualityModel, Repetition, Sampling, Search, SemanticDedup, Similarity, SubstringDedup, Subword, Takedown, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -269,6 +269,9 @@ object SparkEntry {
     // integer permille overlap) with planted clipped copies — catches a
     // prefix-clipped re-upload whole-file fingerprints never match
     "multimodal_frame_dedup" -> ((s, d) => Multimodal.frameDedup(s, d)),
+    // link-graph ranking: integer fixed-point PageRank (8 power
+    // iterations as join+agg rounds; bit-exact across engines)
+    "docs_pagerank" -> ((s, d) => GraphRank.pagerank(s, d)),
     // audio: real RIFF/WAVE codec round trips (chunk-walking parser)
     "audio_features" -> (Audio.features _),
     "audio_silence" -> (Audio.silence _),
@@ -441,6 +444,7 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frame_sample" -> Multimodal.frameSampleSql(),
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
+    "docs_pagerank" -> GraphRank.pagerankSql(),
     "audio_features" -> Audio.featuresSql,
     "audio_silence" -> Audio.silenceSql,
     "audio_downsample" -> Audio.downsampleSql,

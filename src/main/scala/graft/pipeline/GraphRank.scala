@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Link-graph ranking for corpus curation — the PageRank-family signal
+  * crawl pipelines use to weight domains/documents before sampling
+  * (CommonCrawl-style harmonic/centrality ranks). Re-expressed
+  * Spark-first as iterated relational algebra: each power iteration is
+  * one equi-join (edges ⨝ ranks on src) plus one aggregation (sum of
+  * contributions by dst) plus one left join back to the node set — all
+  * key-partitioned operators with no driver-side graph state, which is
+  * exactly the shape that scales: at 100 TB the edge list is
+  * hash-partitioned on src ONCE and every iteration reuses that
+  * partitioning; ranks arrive already partitioned by node from the
+  * previous iteration's aggregation, so the per-iteration cost is one
+  * shuffle of (node, rank) pairs — never the edge list again, and never
+  * any text.
+  *
+  * Arithmetic is integer FIXED-POINT (micro-units, floor division), not
+  * floating point: integer addition is associative, so the result is
+  * bit-identical regardless of partitioning, aggregation order, or
+  * engine — what makes the DuckDB oracle an exact hash gate rather than
+  * a tolerance check. Damping 0.85 is `(85 * inc) div 100`; the teleport
+  * term is the constant 150 000 micro-units.
+  *
+  * The graph itself is deterministic: node v links to
+  * `(v * 31 + j * 17) mod N` for j in 1..(v mod 3 + 1), so out-degrees
+  * are 1..3, every node has an out-edge (no dangling-mass handling
+  * needed), and the oracle regenerates the identical edge list from the
+  * documents table alone. Fixed 8 iterations — fixed-iteration ranks
+  * are reproducible artifacts (a convergence-threshold stop would make
+  * the output depend on FP comparison order).
+  */
+object GraphRank {
+
+  val Iters = 8
+  val BaseMicro = 1000000L
+
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node"))
+    val n = docs.count() // one metadata-cheap scalar; N is a plan literal
+    val edges = docs
+      .withColumn("j",
+        explode(sequence(lit(1), (col("node") % 3 + 1).cast("int"))))
+      .select(col("node").as("src"),
+        ((col("node") * 31 + col("j") * 17) % lit(n)).as("dst"))
+      .repartition(col("src")) // partitioned once, reused every iteration
+      .persist()
+    var ranks = docs.withColumn("rank", lit(BaseMicro))
+    for (i <- 1 to Iters) {
+      val contribs = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("rank div (src % 3 + 1)").as("c"))
+        .groupBy("dst").agg(sum("c").as("inc"))
+      ranks = docs.join(contribs, docs("node") === contribs("dst"), "left")
+        .select(docs("node"),
+          expr("150000 + (85 * coalesce(inc, 0)) div 100").as("rank"))
+      // trim lineage so 8 chained join-agg rounds don't stack into one
+      // giant plan (the Subword training-loop pattern)
+      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks.orderBy("node")
+  }
+
+  def pagerankSql(): String = {
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT)
+         |           AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // (e.src % 3 + 1)) AS inc
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+       |edges AS (
+       |  SELECT node AS src,
+       |         (node * 31 + j * 17) % (SELECT count(*) FROM documents) AS dst
+       |  FROM (SELECT node, unnest(generate_series(1, node % 3 + 1)) AS j
+       |        FROM nodes)),
+       |r0 AS (SELECT node, CAST($BaseMicro AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+  }
+}
