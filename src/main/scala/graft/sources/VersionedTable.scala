@@ -954,6 +954,12 @@ object VersionedTable {
       m.schema, m.partcol, kept)
   }
 
+  /** The head's live leaf dirs, relative to the table dir — the ops
+    * probe [[binpack]]'s by-reference guarantees are asserted against.
+    */
+  def liveLeaves(spark: SparkSession, tableDir: String): Seq[String] =
+    readManifestFull(spark, tableDir, latestVersion(spark, tableDir)).leaves
+
   /** The head's (name, check-expression) constraint pairs. */
   def checkConstraints(spark: SparkSession, tableDir: String)
       : Seq[(String, String)] =
@@ -995,6 +1001,60 @@ object VersionedTable {
       schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
       partcol = Seq(partCol), constraints = m.constraints)
   }
+
+  /** OPTIMIZE (bin-packing) — the Delta OPTIMIZE / Iceberg
+    * rewriteDataFiles shape at THIS table's manifest granularity
+    * (leaves): per partition value, live same-spec leaves whose parquet
+    * bytes total under `minLeafBytes` are SMALL; a partition folds when
+    * it has ≥ 2 small leaves (coalescing pays) or a small DIRTY leaf
+    * (folding purges its delete vectors into the data). Folded leaves
+    * rewrite into ONE fresh leaf per partition; everything else — large
+    * leaves, single-small clean partitions, foreign-spec leaves (their
+    * migration is [[compact]]'s job) — is carried BY REFERENCE,
+    * byte-untouched. Unlike [[compact]], cost is proportional to the
+    * small-file debt, not the table: at 100 TB an ingestion cadence
+    * produces thousands of small leaves against a petabyte of settled
+    * ones, and only the debt is read or written. No-op (no new version)
+    * when nothing qualifies. Holds the store `_LOCK`. Returns
+    * (folded leaf count, new leaf count).
+    */
+  def binpack(spark: SparkSession, tableDir: String, partCol: String,
+      minLeafBytes: Long): (Int, Int) =
+    Locking.withStoreLock(spark, tableDir)(
+      binpackLocked(spark, tableDir, partCol, minLeafBytes))
+
+  private def binpackLocked(spark: SparkSession, tableDir: String,
+      partCol: String, minLeafBytes: Long): (Int, Int) = {
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      requireSpec(m, partCol, "binpack")
+      val f = fs(spark, tableDir)
+      def leafBytes(l: String): Long =
+        f.listStatus(new Path(s"$tableDir/$l")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      val fold = m.leaves
+        .filter(l => leafPartCol(l) == partCol && leafBytes(l) < minLeafBytes)
+        .groupBy(leafPartValue)
+        .filter { case (_, ls) =>
+          ls.size >= 2 || ls.exists(m.dirtySet.contains)
+        }
+        .values.flatten.toSeq.sorted
+      if (fold.isEmpty) (0, 0)
+      else {
+        val kept = m.leaves.filterNot(fold.toSet)
+        // vectors of folded dirty leaves APPLY here (readView anti-joins
+        // them); vectors for still-kept dirty leaves remain live, so the
+        // delete dirs stay in the manifest — entries pointing at replaced
+        // files match nothing by construction
+        val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
+        val newLeaves = writeDataDir(folded, tableDir, v, partCol)
+        writeManifest(spark, tableDir, v, (kept ++ newLeaves).sorted,
+          m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema,
+          Seq(partCol), m.constraints)
+        (fold.size, newLeaves.size)
+      }
+    }
 
   /** OPTIMIZE ZORDER BY — [[compact]] with a layout upgrade (the public
     * Delta OPTIMIZE ZORDER shape on the snapshot table): every live leaf
@@ -1191,12 +1251,18 @@ object VersionedTable {
       orphanDirs(f, tableDir, vs.max, ageCutoff, live).sorted)
   }
 
-  /** Maintenance policy: compact only when some partition's leaf debt
-    * (live leaves per partition value) exceeds `maxLeavesPerPartition`,
-    * then vacuum to `retainLast`. The check is pure manifest metadata
-    * (no data scan) — the cheap gate an ingestion scheduler calls after
-    * every batch so small-file debt is bounded without paying a rewrite
-    * per append. Returns true if a compaction ran.
+  /** Maintenance policy: fold leaf debt only when some partition's
+    * count of live leaves exceeds `maxLeavesPerPartition`, then vacuum
+    * to `retainLast`. The check is pure manifest metadata (no data
+    * scan) — the cheap gate an ingestion scheduler calls after every
+    * batch so small-file debt is bounded without paying a rewrite per
+    * append. The fold is [[binpack]] with an unbounded size threshold,
+    * NOT a full [[compact]]: only multi-leaf partitions (and dirty
+    * leaves, purging their vectors) rewrite, so the cost is
+    * proportional to the debt the appends created — settled single-leaf
+    * partitions are carried by reference untouched, which at 100 TB is
+    * the difference between rewriting gigabytes and rewriting the
+    * table. Returns true if a fold ran.
     *
     * The whole call holds the table's `_LOCK`: a second maintainer is
     * refused loudly instead of racing the compaction (round-7 advice,
@@ -1214,7 +1280,7 @@ object VersionedTable {
         else m.leaves.groupBy(l => (leafPartCol(l), leafPartValue(l)))
           .values.map(_.size).max
       val ran = worst > maxLeavesPerPartition
-      if (ran) compactLocked(spark, tableDir, partCol)
+      if (ran) binpackLocked(spark, tableDir, partCol, Long.MaxValue)
       val vs = versions(spark, tableDir)
       if (vs.nonEmpty) {
         val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
