@@ -131,6 +131,8 @@ object SparkEntry {
     // k-anonymity release census: per-segment suppression accounting of
     // quasi-identifier groups below k
     "privacy_k_anonymity" -> ((s, d) => Pii.kAnonymity(s, d)),
+    // homogeneity-attack audit: distinct sensitive classes per QI group
+    "privacy_l_diversity" -> ((s, d) => Pii.lDiversity(s, d)),
     // GPT-style packing layout: global prefix-sum offsets, two-phase plan
     "doc_pack_bins" -> ((s, d) => Packing.packBins(s, d)),
     // deterministic resumable training-order manifest: mixture replicas ×
@@ -381,6 +383,7 @@ object SparkEntry {
     "doc_chunks" -> Chunking.chunkSql(),
     "text_pii_scrub" -> Pii.scrubSql,
     "privacy_k_anonymity" -> Pii.kAnonymitySql(),
+    "privacy_l_diversity" -> Pii.lDiversitySql(),
     "doc_pack_bins" -> Packing.packBinsSql(),
     "train_manifest" -> Manifest.trainManifestSql(),
     "train_manifest_extend" -> Manifest.trainManifestExtendSql(),

@@ -115,6 +115,51 @@ object Pii {
       .orderBy("segment")
   }
 
+  /** l-diversity audit — k-anonymity's necessary complement: a group can
+    * be large (k-safe) yet expose its members anyway when everyone in it
+    * shares the sensitive value (homogeneity attack). Per quasi-identifier
+    * group (segment, nation) this counts DISTINCT sensitive classes
+    * (account-balance bands of 1000), then reports per segment how many
+    * groups fall below `l` and how many rows sit in them — the rows a
+    * publisher must generalize or suppress. Same two-level aggregation
+    * shape as [[kAnonymity]]: partial-aggregable, one shuffle on the QI
+    * key, no row ever leaves its partition unaggregated.
+    */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 3): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .withColumn("sens", floor(col("c_acctbal") / 1000.0).cast("long"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(countDistinct(col("sens")).cast("long").as("ldiv"),
+        count(lit(1)).cast("long").as("n"))
+    groups.groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        min(col("ldiv")).cast("long").as("min_l"),
+        max(col("ldiv")).cast("long").as("max_l"),
+        sum(when(col("ldiv") < l, lit(1L)).otherwise(0L)).cast("long")
+          .as("groups_below_l"),
+        sum(when(col("ldiv") < l, col("n")).otherwise(0L)).cast("long")
+          .as("rows_at_risk"))
+      .orderBy("segment")
+  }
+
+  def lDiversitySql(l: Int = 3): String =
+    s"""WITH g AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+       |         AS BIGINT) AS ldiv,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT c_mktsegment AS segment,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(min(ldiv) AS BIGINT) AS min_l,
+       |  CAST(max(ldiv) AS BIGINT) AS max_l,
+       |  CAST(sum(CASE WHEN ldiv < $l THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS groups_below_l,
+       |  CAST(sum(CASE WHEN ldiv < $l THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_at_risk
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   def kAnonymitySql(k: Int = 5): String =
     s"""WITH g AS (
        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n

@@ -49,4 +49,28 @@ class PiiSpec extends AnyFunSuite {
     assert(p === 0)
     assert(red === "order 9555-123-45678 is fine")
   }
+
+  test("l-diversity flags a k-large but homogeneous group, not a diverse one") {
+    val spark = graft.testkit.SparkTestSession.spark
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    // QI group (SEG, 1): 5 members, ALL in balance band 1 → l = 1 (at
+    // risk despite being k=5-safe); group (SEG, 2): 3 members in bands
+    // 0/2/7 → l = 3 (safe)
+    val rows = (1 to 5).map(i => (i.toLong, s"c$i", 1, 1500.0 + i, "SEG")) ++
+      Seq((6L, "c6", 2, 10.0, "SEG"), (7L, "c7", 2, 2500.0, "SEG"),
+        (8L, "c8", 2, 7999.0, "SEG"))
+    val dir = Files.createTempDirectory("graft-ldiv").toString
+    import spark.implicits._
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = Pii.lDiversity(spark, dir, l = 3).collect().head
+    assert(r.getAs[String]("segment") === "SEG")
+    assert(r.getAs[Long]("n_groups") === 2)
+    assert(r.getAs[Long]("min_l") === 1)
+    assert(r.getAs[Long]("max_l") === 3)
+    assert(r.getAs[Long]("groups_below_l") === 1)
+    assert(r.getAs[Long]("rows_at_risk") === 5)
+  }
 }
