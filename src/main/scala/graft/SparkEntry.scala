@@ -259,6 +259,9 @@ object SparkEntry {
     // one-call GDPR/takedown propagation through ALL persisted derived
     // stores (BM25, ANN, MinHash) with per-artifact accounting
     "takedown_propagate" -> ((s, d) => Takedown.takedownPropagate(s, d)),
+    // GDPR subject-access report: read-only per-artifact hit counts,
+    // including every retained snapshot of the versioned base
+    "takedown_access_report" -> ((s, d) => Takedown.takedownAccessReport(s, d)),
     // incrementally-maintained materialized aggregate with RETRACTION
     // support: build → append delta → deletion retraction → read; the
     // maintained view must equal a recompute over the post-delete table
@@ -441,6 +444,7 @@ object SparkEntry {
     "ann_recall_audit" -> ProductQuant.annRecallSql(),
     "ann_recall_nprobe" -> AnnIndex.annRecallNprobeSql(),
     "takedown_propagate" -> Takedown.takedownPropagateSql(),
+    "takedown_access_report" -> Takedown.takedownAccessReportSql(),
     // maintained view ≡ direct recompute over the post-delete base table
     "mv_incremental" -> MaterializedView.mvIncrementalSql(),
     "knn_lsh_pairs" -> Similarity.cosineLshPairsSql(),

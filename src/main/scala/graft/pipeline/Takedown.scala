@@ -204,6 +204,75 @@ object Takedown {
     rows.toSeq.toDF("artifact", "before_v", "after_v", "residual")
   }
 
+  /** Membership hit count with the same IN-list→broadcast-join switch as
+    * the takedown legs ([[AnnIndex.IdFilterMax]]): how many rows of `df`
+    * carry one of `ids` in `key`. Read-only, one aggregate job.
+    */
+  private def countHits(spark: SparkSession, df: DataFrame, key: String,
+      ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val hit =
+      if (ids.length <= AnnIndex.IdFilterMax) df.filter(col(key).isin(ids: _*))
+      else {
+        val idDf = spark.createDataset(ids)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF(key)
+        df.join(broadcast(idDf), Seq(key), "left_semi")
+      }
+    hit.count()
+  }
+
+  /** SUBJECT ACCESS REPORT — the read-only sibling of [[propagate]]: the
+    * GDPR/DSAR answer to "what data do you hold about me", as one row per
+    * artifact with the subject's row count in it. Queries every
+    * registered store WITHOUT writing anything: the retrieval stores by
+    * id membership (same IN-list/broadcast switch as the deletes), and
+    * the versioned base both at the HEAD and across EVERY retained
+    * version (`versioned/retained_total`) — retained snapshots are
+    * disclosable copies, exactly the rows a follow-up [[propagate]] must
+    * erase. The MV is deliberately absent: it holds aggregates, not
+    * subject rows; its exposure is audited at retraction time.
+    *
+    * Scale shape: one column-pruned membership count per artifact —
+    * each underlying store is id-sharded, so the membership filter
+    * prunes to the subject's shards; nothing corpus-sized is collected.
+    */
+  def accessReport(spark: SparkSession, set: StoreSet,
+      docIds: Seq[Long], vecIds: Seq[Long],
+      basePred: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    require(basePred.isDefined || set.versioned.isEmpty,
+      "the versioned access leg needs the base-row predicate (basePred)")
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    set.ann.foreach { dir =>
+      rows += (("ann/codes", countHits(spark,
+        spark.read.parquet(AnnIndex.codesPath(dir)), "vec_id", vecIds)))
+    }
+    set.bm25.foreach { dir =>
+      rows += (("bm25/postings", countHits(spark,
+        Search.postingsDf(spark, dir), "doc_id", docIds)))
+      rows += (("bm25/doclens", countHits(spark,
+        Search.doclensDf(spark, dir), "doc_id", docIds)))
+    }
+    set.minhash.foreach { dir =>
+      rows += (("minhash/signatures", countHits(spark,
+        spark.read.parquet(IncrementalDedup.signaturesPath(dir)),
+        "doc_id", docIds)))
+      rows += (("minhash/buckets", countHits(spark,
+        spark.read.parquet(IncrementalDedup.bucketsPath(dir)),
+        "doc_id", docIds)))
+    }
+    set.versioned.foreach { case VersionedRef(dir, _) =>
+      val pred = basePred.get
+      rows += (("versioned/head",
+        VersionedTable.readLatest(spark, dir).filter(pred).count()))
+      rows += (("versioned/retained_total",
+        VersionedTable.versions(spark, dir)
+          .map(v => VersionedTable.readVersion(spark, dir, v)
+            .filter(pred).count()).sum))
+    }
+    rows.toSeq.toDF("artifact", "hits").orderBy("artifact")
+  }
+
   /** Total row count the view currently represents (Σ n over groups). */
   private def mvTotal(spark: SparkSession, mvDir: String): Long =
     MaterializedView.readView(spark, mvDir)
@@ -252,6 +321,77 @@ object Takedown {
         Some(VersionedRef(vtDir, "pdate"))),
       docIds, vecIds, batchId = "takedown-oracle",
       basePred = Some(col("user_id") % modulus === resid))
+  }
+
+  /** The access-report surface entry: same inline store builds as
+    * [[takedownPropagate]] (BM25, ANN, MinHash over base slices), a
+    * TWO-version versioned table (create the `event_id % 3 = 0` third,
+    * append the rest — so the retained-snapshot disclosure is
+    * non-trivial), then a read-only [[accessReport]] for the subject ids
+    * (`% modulus == resid`). The oracle recomputes every hit count from
+    * the base tables — and pins that the report itself wrote nothing by
+    * re-deriving `versioned/retained_total` from the two slice
+    * predicates, which only hold if both versions are intact.
+    */
+  def takedownAccessReport(spark: SparkSession, sfDir: String,
+      sliceMax: Long = 600L, modulus: Long = 17L, resid: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < sliceMax)
+    val embs = Tables.embeddings(spark, sfDir).where(col("vec_id") < sliceMax)
+    val events = Tables.events(spark, sfDir)
+      .where(col("event_id") < sliceMax * 10)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val bmDir = Stores.temp("access-bm25")
+    val annDir = Stores.temp("access-ann")
+    val sigDir = Stores.temp("access-minhash")
+    val vtDir = Stores.temp("access-vt")
+    Search.buildIndex(docs, bmDir)
+    AnnIndex.buildStore(embs, annDir, m = 8, iters = 1)
+    IncrementalDedup.buildStore(docs, sigDir)
+    VersionedTable.create(events.where(col("event_id") % 3 === 0), vtDir, "pdate")
+    VersionedTable.append(events.where(col("event_id") % 3 =!= 0), vtDir, "pdate")
+    val docIds = docs.where(col("doc_id") % modulus === resid)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val vecIds = embs.where(col("vec_id") % modulus === resid)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    accessReport(spark,
+      StoreSet(Some(bmDir), Some(annDir), Some(sigDir), None,
+        Some(VersionedRef(vtDir, "pdate"))),
+      docIds, vecIds, basePred = Some(col("user_id") % modulus === resid))
+  }
+
+  /** DuckDB mirror of [[takedownAccessReport]]: hit counts recomputed
+    * from the base tables with the same tokenization/band arithmetic;
+    * `versioned/retained_total` = head hits + the create-slice's hits
+    * (v0 ⊂ v1 by construction).
+    */
+  def takedownAccessReportSql(sliceMax: Long = 600L, modulus: Long = 17L,
+      resid: Long = 3L): String = {
+    val bands = Dedup.NumBands
+    s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < $sliceMax),
+       |embs AS (SELECT * FROM embeddings WHERE vec_id < $sliceMax),
+       |evts AS (SELECT * FROM events WHERE event_id < ${sliceMax * 10}),
+       |sub_docs AS (SELECT * FROM docs WHERE doc_id % $modulus = $resid),
+       |sub_embs AS (SELECT * FROM embs WHERE vec_id % $modulus = $resid),
+       |sub_evts AS (SELECT * FROM evts WHERE user_id % $modulus = $resid),
+       |sub_posts AS (SELECT DISTINCT doc_id,
+       |  unnest(string_split(text, ' ')) AS term FROM sub_docs)
+       |SELECT 'ann/codes' AS artifact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sub_embs) AS hits
+       |UNION ALL SELECT 'bm25/doclens',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sub_docs)
+       |UNION ALL SELECT 'bm25/postings',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sub_posts)
+       |UNION ALL SELECT 'minhash/buckets',
+       |  (SELECT CAST($bands * count(*) AS BIGINT) FROM sub_docs)
+       |UNION ALL SELECT 'minhash/signatures',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sub_docs)
+       |UNION ALL SELECT 'versioned/head',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sub_evts)
+       |UNION ALL SELECT 'versioned/retained_total',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sub_evts)
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM sub_evts
+       |       WHERE event_id % 3 = 0)
+       |ORDER BY artifact""".stripMargin
   }
 
   /** DuckDB mirror of [[takedownPropagate]]'s report: expected row counts

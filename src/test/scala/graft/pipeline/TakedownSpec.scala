@@ -190,4 +190,34 @@ class TakedownSpec extends AnyFunSuite {
     assert(report.keySet === Set("minhash/signatures", "minhash/buckets"))
     report.foreach { case (_, (before, after)) => assert(before === after) }
   }
+
+  test("the access report is read-only and a post-takedown report reads all zeros") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
+    val mh = Stores.temp("tds-ar-mh")
+    val vt = Stores.temp("tds-ar-vt")
+    IncrementalDedup.buildStore(docs, mh)
+    graft.sources.VersionedTable.create(
+      docs.select(col("doc_id"), col("lang")), vt, "lang")
+    val set = Takedown.StoreSet(minhash = Some(mh),
+      versioned = Some(Takedown.VersionedRef(vt, "lang")))
+    val subject = Seq(7L, 14L, 21L)
+    val pred = col("doc_id").isin(subject: _*)
+    val before = Takedown.accessReport(spark, set, subject, Nil,
+        basePred = Some(pred))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before("minhash/signatures") === 3)
+    assert(before("versioned/head") === 3)
+    // read-only: no store version moved, no journal entry appeared
+    assert(graft.sources.VersionedTable.versions(spark, vt) === Seq(0))
+    // takedown, then the same report must read zero everywhere —
+    // including every retained snapshot
+    Takedown.propagate(spark, set, subject, Nil, "tds-ar-del",
+      basePred = Some(pred))
+    val after = Takedown.accessReport(spark, set, subject, Nil,
+        basePred = Some(pred))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.values.forall(_ === 0L),
+      s"post-takedown access report must be all zeros: $after")
+  }
 }
