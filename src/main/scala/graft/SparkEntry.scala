@@ -133,6 +133,8 @@ object SparkEntry {
     "privacy_k_anonymity" -> ((s, d) => Pii.kAnonymity(s, d)),
     // homogeneity-attack audit: distinct sensitive classes per QI group
     "privacy_l_diversity" -> ((s, d) => Pii.lDiversity(s, d)),
+    // publishable view: pseudonymize / generalize / pass-through policy
+    "privacy_mask_columns" -> ((s, d) => Pii.maskColumns(s, d)),
     // GPT-style packing layout: global prefix-sum offsets, two-phase plan
     "doc_pack_bins" -> ((s, d) => Packing.packBins(s, d)),
     // deterministic resumable training-order manifest: mixture replicas ×
@@ -387,6 +389,7 @@ object SparkEntry {
     "text_pii_scrub" -> Pii.scrubSql,
     "privacy_k_anonymity" -> Pii.kAnonymitySql(),
     "privacy_l_diversity" -> Pii.lDiversitySql(),
+    "privacy_mask_columns" -> Pii.maskColumnsSql(),
     "doc_pack_bins" -> Packing.packBinsSql(),
     "train_manifest" -> Manifest.trainManifestSql(),
     "train_manifest_extend" -> Manifest.trainManifestExtendSql(),

@@ -59,8 +59,9 @@ object GraphRank {
         .select(docs("node"),
           expr("150000 + (85 * coalesce(inc, 0)) div 100").as("rank"))
       // trim lineage so 8 chained join-agg rounds don't stack into one
-      // giant plan (the Subword training-loop pattern)
-      if (i % 4 == 0) ranks = ranks.localCheckpoint()
+      // giant plan (the Subword training-loop pattern); never on the
+      // last round — the returned frame keeps a real, inspectable plan
+      if (i % 4 == 0 && i < Iters) ranks = ranks.localCheckpoint()
     }
     ranks.orderBy("node")
   }

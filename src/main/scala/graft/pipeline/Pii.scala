@@ -160,6 +160,31 @@ object Pii {
        |    AS rows_at_risk
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Column-masking policy — the "publishable view" a data owner derives
+    * before sharing a table: direct identifiers PSEUDONYMIZE (md5 —
+    * deterministic, so joins/linkage across masked datasets still work,
+    * unlike suppression), quantitative attributes GENERALIZE to bands
+    * (the k-anonymity lever), and structural keys pass through. Pure
+    * codegen'd column expressions — map-only, no shuffle, no UDF; at
+    * 100 TB this is a projection over the scan.
+    */
+  def maskColumns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      md5(col("c_name").cast("binary")).as("name_pseudo"),
+      col("c_nationkey"),
+      (floor(col("c_acctbal") / 1000.0).cast("long") * 1000L).as("acctbal_band"),
+      col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  def maskColumnsSql(): String =
+    """SELECT c_custkey,
+      |  md5(c_name) AS name_pseudo,
+      |  c_nationkey,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 AS acctbal_band,
+      |  c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def kAnonymitySql(k: Int = 5): String =
     s"""WITH g AS (
        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n

@@ -34,4 +34,13 @@ class GraphRankSpec extends AnyFunSuite {
     // sanity: mass is conserved within teleport rounding and ranks spread
     assert(rank.distinct.length > n / 10, "ranks should differentiate")
   }
+
+  test("the iteration plan reuses the persisted edge list and never goes cartesian") {
+    val plan = GraphRank.pagerank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "every iteration must join on a key")
+    assert(plan.contains("InMemoryTableScan"),
+      "iterations must reuse the persisted edge list, not regenerate it")
+  }
 }

@@ -73,4 +73,19 @@ class PiiSpec extends AnyFunSuite {
     assert(r.getAs[Long]("groups_below_l") === 1)
     assert(r.getAs[Long]("rows_at_risk") === 5)
   }
+
+  test("masking pseudonymizes deterministically and leaks no raw identifier") {
+    val spark = graft.testkit.SparkTestSession.spark
+    val masked = Pii.maskColumns(spark, "/root/testdata/sf0.001")
+    val rows = masked.collect()
+    val names = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_name").collect().map(_.getString(0)).toSet
+    // no raw name survives, pseudonyms are md5-shaped and collision-free
+    // (deterministic: the same subject masks identically across exports)
+    val pseudo = rows.map(_.getAs[String]("name_pseudo"))
+    assert(pseudo.forall(p => p.length == 32 && !names.contains(p)))
+    assert(pseudo.distinct.length === names.size)
+    // balances only ever appear generalized to the 1000 band
+    assert(rows.forall(_.getAs[Long]("acctbal_band") % 1000 === 0))
+  }
 }
