@@ -191,6 +191,8 @@ object SparkEntry {
     // CHECK constraints: add-gated on head data, atomic batch refusal,
     // dry-run violation probe — all accounting oracle-recomputed
     "snapshot_constraints" -> ((s, d) => graft.sources.VersionedTable.snapshotConstraints(s, d)),
+    // metadata-only count/min/max through the SQL surface, plan-audited
+    "snapshot_agg_pushdown" -> ((s, d) => graft.sources.VersionedTable.snapshotAggPushdown(s, d)),
     // the external read surface: spark.read.format("graft-snapshot") with
     // manifest-driven file listing + leaf pruning + versionAsOf travel
     "snapshot_connector" -> ((s, d) => graft.sources.SnapshotConnector.connectorRead(s, d)),
@@ -416,6 +418,7 @@ object SparkEntry {
     "snapshot_bounds_meta" -> graft.sources.VersionedTable.snapshotBoundsMetaSql(),
     "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
     "snapshot_constraints" -> graft.sources.VersionedTable.snapshotConstraintsSql(),
+    "snapshot_agg_pushdown" -> graft.sources.VersionedTable.snapshotAggPushdownSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,

@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity(_, _)))
     ext.injectFunction(binary("graft_eqcount", classOf[EqualComponentCount],
       EqualComponentCount(_, _)))
+    // count(*)/min/max/count(col) over a bare snapshot relation answer
+    // from the footer-stats sidecars — a one-row LocalRelation instead
+    // of a scan; falls back untouched whenever coverage is incomplete
+    ext.injectOptimizerRule(_ => MetaAggregateRule)
     // SQL INSERT INTO/OVERWRITE against a registered graft-snapshot table
     // resolves to InsertIntoHadoopFsRelationCommand, which writes files
     // into the table dir OUTSIDE any manifest — committed-looking,

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{FileStats, ManifestFileIndex}
+
+/** METADATA-ONLY AGGREGATES through the SQL surface — the optimizer
+  * rewrite Delta/Iceberg apply to `SELECT count(*) / min / max / count
+  * (col) FROM table`: when the whole answer is already in the
+  * footer-stats sidecars, replace the Aggregate-over-scan with a
+  * one-row [[LocalRelation]] and read NOTHING. At 100 TB this turns the
+  * most common health-check queries from a full-table scan into a
+  * driver-side sidecar fold.
+  *
+  * Soundness is delegated to [[ManifestFileIndex.metaRowCount]] /
+  * [[ManifestFileIndex.metaColStats]], which return None the moment any
+  * live file lacks coverage — the rule then leaves the plan UNTOUCHED
+  * (an optimizer rewrite must fall back, never fail). The rewrite only
+  * fires on a GLOBAL aggregate directly over a bare (column-pruning
+  * Project at most) manifest relation: any Filter, join, grouping,
+  * DISTINCT or FILTER clause keeps the scan, and a table with pending
+  * delete vectors never presents a bare relation in the first place
+  * (its reads are anti-join plans), so vector-deleted rows can never
+  * leak into a metadata answer. The answer matches the relation's OWN
+  * leaf list — time-travel relations get their version's numbers, not
+  * the head's.
+  */
+object MetaAggregateRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupingExprs, aggExprs, child, _)
+        if groupingExprs.isEmpty =>
+      underlyingIndex(child) match {
+        case Some((idx, schema)) =>
+          rewrite(agg, aggExprs, idx, schema).getOrElse(agg)
+        case None => agg
+      }
+  }
+
+  /** The manifest index under a bare relation, looking through
+    * column-pruning Projects only — anything else (Filter, Join, …)
+    * changes the row set and disqualifies the rewrite.
+    */
+  private def underlyingIndex(plan: LogicalPlan)
+      : Option[(ManifestFileIndex, StructType)] = plan match {
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      underlyingIndex(child)
+    case lr: LogicalRelation if !lr.isStreaming =>
+      lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case m: ManifestFileIndex => Some((m, h.dataSchema))
+          case _ => None
+        }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, exprs: Seq[NamedExpression],
+      idx: ManifestFileIndex, schema: StructType): Option[LogicalPlan] = {
+    def stats(a: AttributeReference) =
+      if (schema.fields.exists(f => f.name == a.name &&
+          f.dataType == a.dataType && FileStats.supported(f.dataType)))
+        idx.metaColStats(a.name, a.dataType)
+      else None
+    val values: Seq[Option[Any]] = exprs.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => idx.metaRowCount
+          case Count(Seq(a: AttributeReference)) =>
+            stats(a).map { case (_, _, nulls, rows) => rows - nulls }
+          case Min(a: AttributeReference) =>
+            stats(a).map { case (mn, _, _, _) =>
+              mn.map(decode(_, a.dataType)).orNull
+            }
+          case Max(a: AttributeReference) =>
+            stats(a).map { case (_, mx, _, _) =>
+              mx.map(decode(_, a.dataType)).orNull
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) None
+    else Some(LocalRelation(agg.output,
+      Seq(InternalRow.fromSeq(values.map(_.get)))))
+  }
+
+  /** Rendered sidecar value → Catalyst internal value. */
+  private def decode(v: String, dt: DataType): Any = dt match {
+    case ByteType    => v.toByte
+    case ShortType   => v.toShort
+    case IntegerType => v.toInt
+    case LongType    => v.toLong
+    case FloatType   => v.toFloat
+    case DoubleType  => v.toDouble
+    case BooleanType => v.toBoolean
+    case StringType  => UTF8String.fromString(v)
+    case other => throw new IllegalStateException(
+      s"metadata aggregate over unsupported type $other") // unreachable:
+      // FileStats.supported gates the column before decode
+  }
+}

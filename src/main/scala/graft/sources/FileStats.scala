@@ -44,10 +44,28 @@ object FileStats {
   }
 
   /** Spark types whose stats we trust (see Scaladoc). */
-  private[sources] def supported(dt: DataType): Boolean = dt match {
+  private[graft] def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | BooleanType | StringType => true
     case _ => false
+  }
+
+  /** Order two RENDERED stat values under `dt`'s comparator — the one
+    * comparison rule every stats consumer (bounds queries, file
+    * skipping, the metadata-aggregate rewrite) must share: numerics by
+    * value, strings in unsigned UTF-8 byte order (parquet's comparator =
+    * Spark's UTF8String order = DuckDB's binary collation).
+    */
+  def statLess(a: String, b: String, dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => a.toDouble < b.toDouble
+    case BooleanType => !a.toBoolean && b.toBoolean
+    case StringType =>
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+    case _ => a.toLong < b.toLong
   }
 
   private def b64(s: String): String =

@@ -248,6 +248,62 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
 
   override def partitionSchema: StructType = new StructType()
 
+  /** Sidecar stats entry for EVERY live file, or None the moment one
+    * file lacks coverage — the soundness gate for the metadata-aggregate
+    * rewrite ([[graft.plans.MetaAggregateRule]]): a single uncovered
+    * file means fall back to the scan, never guess.
+    */
+  private def allFileStats: Option[Seq[Map[String, FileStats.ColStats]]] = {
+    val perFile = for {
+      (leaf, _, _, files) <- leafEntries
+      root = leaf.substring(0, leaf.lastIndexOf('/'))
+      leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+      st <- files
+    } yield statsByAddDir.getOrElse(root, Map.empty)
+      .get(s"$leafName/${st.getPath.getName}")
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
+  }
+
+  /** Σ rows over every live file, from the sidecars alone. This equals
+    * what a scan of THIS index returns by construction: a bare
+    * manifest-relation never applies delete vectors (pending vectors
+    * route reads through the anti-join plan, which is not a bare
+    * relation), so file row counts are the scan's row count.
+    */
+  private[graft] def metaRowCount: Option[Long] =
+    allFileStats.map(_.map(m => m.values.map(_.rows).max).sum)
+
+  /** Merged (min, max, nulls, rows) for one column across every live
+    * file, or None when unanswerable soundly: a file missing the
+    * column's entry, or carrying non-null rows without min/max (parquet
+    * omits oversized stats) — same refusals as `boundsMeta`, expressed
+    * as fall-back instead of throw because the optimizer must never
+    * fail a query it could have scanned.
+    */
+  private[graft] def metaColStats(colName: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[(Option[String], Option[String], Long, Long)] =
+    allFileStats.flatMap { files =>
+      files.foldLeft(Option((Option.empty[String], Option.empty[String], 0L, 0L))) {
+        case (None, _) => None
+        case (Some((mn, mx, nulls, rows)), m) =>
+          m.get(colName) match {
+            case None => None
+            case Some(cs) if !cs.allNull && (cs.min.isEmpty || cs.max.isEmpty) =>
+              None
+            case Some(cs) =>
+              def keep(cur: Option[String], cand: Option[String],
+                  wantMin: Boolean) = (cur, cand) match {
+                case (Some(a), Some(b)) =>
+                  Some(if (FileStats.statLess(b, a, dt) == wantMin) b else a)
+                case _ => cur.orElse(cand)
+              }
+              Some((keep(mn, cs.min, wantMin = true),
+                keep(mx, cs.max, wantMin = false),
+                nulls + cs.nulls, rows + cs.rows))
+          }
+      }
+    }
+
   /** Keep a leaf unless some pushed predicate over its partition column
     * evaluates to definite FALSE at the leaf's value.
     */

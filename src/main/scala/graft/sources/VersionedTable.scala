@@ -1374,6 +1374,45 @@ object VersionedTable {
       |  (SELECT count(*) FROM b WHERE event_id % 7 = 0)
       |ORDER BY metric""".stripMargin
 
+  /** Metadata-aggregate pushdown surface entry: load the events fixture
+    * into a snapshot table, aggregate through the SQL surface
+    * (count(*) / count(col) / min / max on a long and a string column),
+    * and pin IN-QUERY that the optimizer answered from the sidecars —
+    * `meta_only` is true only when the executed plan contains NO scan
+    * node of either kind ([[graft.plans.MetaAggregateRule]]). The oracle
+    * recomputes the aggregates from the raw rows and pins `meta_only`
+    * TRUE, so a silently-degraded rewrite (falling back to the scan)
+    * fails the gate even though the VALUES would still match.
+    */
+  def snapshotAggPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_metaagg")
+    create(events, dir, "pdate")
+    val out = spark.read.format("graft-snapshot").load(dir).agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      count(col("value")).cast("long").as("n_value"),
+      min(col("user_id")).cast("long").as("min_user"),
+      max(col("user_id")).cast("long").as("max_user"),
+      min(col("event_type")).as("min_type"),
+      max(col("event_type")).as("max_type"))
+    val planStr = out.queryExecution.executedPlan.toString
+    val metaOnly =
+      !planStr.contains("FileScan") && !planStr.contains("SnapshotScanRelation")
+    out.withColumn("meta_only", lit(metaOnly))
+  }
+
+  def snapshotAggPushdownSql(): String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(value) AS BIGINT) AS n_value,
+      |  CAST(min(user_id) AS BIGINT) AS min_user,
+      |  CAST(max(user_id) AS BIGINT) AS max_user,
+      |  min(event_type) AS min_type,
+      |  max(event_type) AS max_type,
+      |  TRUE AS meta_only
+      |FROM events""".stripMargin
+
   /** DESCRIBE HISTORY surface entry over the [[snapshotAsOf]] scenario
     * (create thirds → append rest → COW delete): the oracle recomputes
     * every version's LEAF COUNT from the slice predicates — v0 = distinct
@@ -1855,17 +1894,8 @@ object VersionedTable {
         s"boundsMeta: unsupported stats type for '$c': ${fld.dataType}")
       c -> fld.dataType
     }.toMap
-    def less(a: String, b: String, dt: DataType): Boolean = dt match {
-      case FloatType | DoubleType => a.toDouble < b.toDouble
-      case BooleanType => !a.toBoolean && b.toBoolean
-      case StringType =>
-        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
-        val n = math.min(x.length, y.length)
-        var i = 0
-        while (i < n && x(i) == y(i)) i += 1
-        if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
-      case _ => a.toLong < b.toLong
-    }
+    def less(a: String, b: String, dt: DataType): Boolean =
+      FileStats.statLess(a, b, dt)
     val f = fs(spark, tableDir)
     val acc = scala.collection.mutable.Map[String,
       (Option[String], Option[String], Long)]()

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** The metadata-aggregate rewrite: count(*)/min/max/count(col) over a
+  * bare snapshot relation must come from the sidecars (a plan with NO
+  * file scan) and equal the scanned answer exactly; anything that could
+  * change the row set — filters, vectors, unsupported aggregates —
+  * must keep the scan.
+  */
+class MetaAggregateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.isolated()
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val dir = Files.createTempDirectory("graft-metaagg").toString
+    val df = Seq(
+      (1L, Some(10L), "alpha", "2024-01-01"),
+      (2L, None, "Beta", "2024-01-01"),
+      (3L, Some(-5L), "gamma", "2024-01-02"),
+      (4L, Some(40L), "z", "2024-01-02")
+    ).toDF("id", "amount", "name", "pdate")
+    VersionedTable.create(df.filter($"id" <= 2), dir, "pdate")
+    VersionedTable.append(df.filter($"id" > 2), dir, "pdate")
+    dir
+  }
+  private def load(dir: String): DataFrame =
+    spark.read.format("graft-snapshot").load(dir)
+  // string probe: plan `collect` does not descend into AQE wrappers, and
+  // the delete-vector fallback scans via SnapshotScanRelation (a row
+  // scan), not FileScan — both must count as "scanned"
+  private def scanless(df: DataFrame): Boolean = {
+    val s = df.queryExecution.executedPlan.toString
+    !s.contains("FileScan") && !s.contains("SnapshotScanRelation")
+  }
+
+  test("count/min/max/count(col) answer from metadata with no file scan") {
+    val dir = mkTable()
+    val df = load(dir).agg(
+      count(lit(1)).as("n"),
+      count($"amount").as("n_amount"),
+      min($"amount").as("mn"),
+      max($"amount").as("mx"),
+      min($"name").as("name_mn"),
+      max($"name").as("name_mx"))
+    assert(scanless(df), s"expected a metadata answer:\n${df.queryExecution}")
+    val r = df.collect().head
+    assert(r.getLong(0) === 4 && r.getLong(1) === 3)
+    assert(r.getLong(2) === -5 && r.getLong(3) === 40)
+    // unsigned UTF-8 byte order: uppercase 'B' sorts before lowercase
+    assert(r.getString(4) === "Beta" && r.getString(5) === "z")
+  }
+
+  test("a filter keeps the scan; so does an unsupported aggregate") {
+    val dir = mkTable()
+    val filtered = load(dir).filter($"id" > 1).agg(count(lit(1)).as("n"))
+    assert(!scanless(filtered), "a filter changes the row set — must scan")
+    assert(filtered.collect().head.getLong(0) === 3)
+    val summed = load(dir).agg(sum($"amount").as("s"))
+    assert(!scanless(summed), "sum is not in the sidecars — must scan")
+    assert(summed.collect().head.getLong(0) === 45)
+    val distinct = load(dir).agg(countDistinct($"name").as("d"))
+    assert(!scanless(distinct))
+    assert(distinct.collect().head.getLong(0) === 4)
+  }
+
+  test("pending delete vectors never leak into a metadata answer") {
+    val dir = mkTable()
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 1L)
+    val df = load(dir).agg(count(lit(1)).as("n"), max($"amount").as("mx"))
+    // the vector table's read is an anti-join plan, not a bare relation:
+    // the rewrite must not fire, and the answer reflects the deletion
+    assert(!scanless(df))
+    val r = df.collect().head
+    assert(r.getLong(0) === 3 && r.getLong(1) === 40)
+  }
+
+  test("time travel answers with the version's own numbers, still scanless") {
+    val dir = mkTable()
+    val v0 = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "0").load(dir)
+      .agg(count(lit(1)).as("n"), max($"id").as("mx"))
+    assert(scanless(v0))
+    val r = v0.collect().head
+    assert(r.getLong(0) === 2 && r.getLong(1) === 2)
+  }
+
+  test("the rewrite equals the scan on real data at sf0.001") {
+    val dir = Files.createTempDirectory("graft-metaagg-ev").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    VersionedTable.create(events, dir, "pdate")
+    val meta = load(dir).agg(count(lit(1)).as("n"),
+      min($"user_id").as("mn"), max($"event_type").as("mx"))
+    assert(scanless(meta))
+    val m = meta.collect().head
+    val e = events.agg(count(lit(1)), min($"user_id"), max($"event_type"))
+      .collect().head
+    assert((m.getLong(0), m.getLong(1), m.getString(2)) ===
+      ((e.getLong(0), e.getLong(1), e.getString(2))))
+  }
+}
