@@ -193,6 +193,7 @@ object SparkEntry {
     "snapshot_constraints" -> ((s, d) => graft.sources.VersionedTable.snapshotConstraints(s, d)),
     // metadata-only count/min/max through the SQL surface, plan-audited
     "snapshot_agg_pushdown" -> ((s, d) => graft.sources.VersionedTable.snapshotAggPushdown(s, d)),
+    "snapshot_count_by_sql" -> ((s, d) => graft.sources.VersionedTable.snapshotCountBySql(s, d)),
     // the external read surface: spark.read.format("graft-snapshot") with
     // manifest-driven file listing + leaf pruning + versionAsOf travel
     "snapshot_connector" -> ((s, d) => graft.sources.SnapshotConnector.connectorRead(s, d)),
@@ -419,6 +420,7 @@ object SparkEntry {
     "snapshot_evolve" -> graft.sources.VersionedTable.snapshotEvolveSql(),
     "snapshot_constraints" -> graft.sources.VersionedTable.snapshotConstraintsSql(),
     "snapshot_agg_pushdown" -> graft.sources.VersionedTable.snapshotAggPushdownSql(),
+    "snapshot_count_by_sql" -> graft.sources.VersionedTable.snapshotCountBySqlSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,

@@ -37,11 +37,126 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.isEmpty =>
+      stripProjects(child) match {
+        // count(*) WHERE <partition-column predicate>: evaluate the
+        // predicate once per leaf value, fold matching leaves' rows
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, fc) =>
+          underlyingIndex(fc) match {
+            case Some((idx, schema)) =>
+              filteredCount(agg, aggExprs, cond, idx, schema).getOrElse(agg)
+            case None => agg
+          }
+        case other =>
+          underlyingIndex(other) match {
+            case Some((idx, schema)) =>
+              rewrite(agg, aggExprs, idx, schema).getOrElse(agg)
+            case None => agg
+          }
+      }
+    // count(*) GROUP BY <partition column>: per-value sidecar sums
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
       underlyingIndex(child) match {
         case Some((idx, schema)) =>
-          rewrite(agg, aggExprs, idx, schema).getOrElse(agg)
+          groupedCount(agg, g, aggExprs, idx, schema).getOrElse(agg)
         case None => agg
       }
+  }
+
+  /** Column-pruning Projects are transparent to the rewrite. */
+  private def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(child)
+    case p => p
+  }
+
+  /** Is every aggregate a bare `count(1)`? (The only function the
+    * filtered/grouped shapes can answer — min/max per partition are not
+    * folded per leaf.)
+    */
+  private def allBareCounts(exprs: Seq[NamedExpression]): Boolean =
+    exprs.forall {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => true
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** Leaf counts usable for value-exact rewrites: every file covered AND
+    * the partition column is a STRING in the schema — the leaf dir value
+    * then IS the column value (identity decode), so per-leaf predicate
+    * evaluation and group keys are exact, not approximations.
+    */
+  private def stringLeafCounts(idx: ManifestFileIndex, schema: StructType)
+      : Option[(String, Seq[(String, Long)])] =
+    idx.metaLeafCounts.flatMap { leaves =>
+      leaves.map(_._1).distinct match {
+        case Seq(pcol)
+            if schema.fields.exists(f =>
+              f.name == pcol && f.dataType == StringType) =>
+          Some((pcol, leaves.map { case (_, v, n) => (v, n) }))
+        case _ => None // mixed-spec leaves or a non-string partition column
+      }
+    }
+
+  private def filteredCount(agg: Aggregate, exprs: Seq[NamedExpression],
+      cond: Expression, idx: ManifestFileIndex, schema: StructType)
+      : Option[LogicalPlan] = {
+    if (!allBareCounts(exprs)) return None
+    if (!cond.deterministic || cond.references.isEmpty ||
+        !cond.references.forall(r =>
+          schema.fields.exists(f => f.name == r.name &&
+            f.dataType == StringType))) return None
+    stringLeafCounts(idx, schema).flatMap { case (pcol, leaves) =>
+      if (!cond.references.forall(_.name == pcol)) None
+      else try {
+        // the value is constant across a leaf's rows, so the filter
+        // keeps the whole leaf iff the predicate is definite TRUE at it
+        // (null excludes, exactly like row-level filter semantics)
+        val total = leaves.collect {
+          case (v, n) if java.lang.Boolean.TRUE.equals(
+            cond.transform {
+              case a: AttributeReference if a.name == pcol =>
+                Literal(UTF8String.fromString(v), StringType)
+            }.eval(InternalRow.empty)) => n
+        }.sum
+        Some(LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(exprs.map(_ => total)))))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  private def groupedCount(agg: Aggregate, g: AttributeReference,
+      exprs: Seq[NamedExpression], idx: ManifestFileIndex,
+      schema: StructType): Option[LogicalPlan] = {
+    // every output is either the grouping column or a bare count
+    val shapeOk = exprs.forall {
+      case a: AttributeReference => a.name == g.name
+      case Alias(a: AttributeReference, _) => a.name == g.name
+      case e => allBareCounts(Seq(e))
+    }
+    if (!shapeOk) return None
+    stringLeafCounts(idx, schema).flatMap { case (pcol, leaves) =>
+      if (g.name != pcol) None
+      else {
+        val sums = leaves.groupBy(_._1).view
+          .mapValues(_.map(_._2).sum)
+          // a zero-row value produces no group under a real scan
+          // (countMeta's rule) — drop exact zeros to match
+          .filter(_._2 != 0L).toSeq
+        val rows = sums.map { case (v, n) =>
+          InternalRow.fromSeq(exprs.map {
+            case _: AttributeReference | Alias(_: AttributeReference, _) =>
+              UTF8String.fromString(v)
+            case _ => n
+          })
+        }
+        Some(LocalRelation(agg.output, rows))
+      }
+    }
   }
 
   /** The manifest index under a bare relation, looking through

@@ -273,6 +273,24 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
   private[graft] def metaRowCount: Option[Long] =
     allFileStats.map(_.map(m => m.values.map(_.rows).max).sum)
 
+  /** Per-leaf (partition column, partition value, rows) from the
+    * sidecars, or None when any live file lacks coverage — what the
+    * filtered / GROUP-BY-partition count rewrites fold over.
+    */
+  private[graft] def metaLeafCounts: Option[Seq[(String, String, Long)]] = {
+    val per = leafEntries.map { case (leaf, pcol, pval, files) =>
+      val addDir = leaf.substring(0, leaf.lastIndexOf('/'))
+      val leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+      val stats = statsByAddDir.getOrElse(addDir, Map.empty)
+      val counts = files.map(st =>
+        stats.get(s"$leafName/${st.getPath.getName}")
+          .map(m => m.values.map(_.rows).max))
+      if (counts.exists(_.isEmpty)) None
+      else Some((pcol, pval, counts.flatten.sum))
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten)
+  }
+
   /** Merged (min, max, nulls, rows) for one column across every live
     * file, or None when unanswerable soundly: a file missing the
     * column's entry, or carrying non-null rows without min/max (parquet

@@ -1413,6 +1413,34 @@ object VersionedTable {
       |  TRUE AS meta_only
       |FROM events""".stripMargin
 
+  /** GROUP-BY-partition metadata counts through the SQL surface — the
+    * SQL twin of [[snapshotCountMeta]] (which drives the library call):
+    * `SELECT pdate, count(*) GROUP BY pdate` over the snapshot relation
+    * must fold per-leaf sidecar rows with NO scan, pinned in-query by
+    * `meta_only` exactly like [[snapshotAggPushdown]].
+    */
+  def snapshotCountBySql(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_groupmeta")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    append(events.filter(col("event_id") % 3 =!= 0), dir, "pdate")
+    val out = spark.read.format("graft-snapshot").load(dir)
+      .groupBy(col("pdate"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val planStr = out.queryExecution.executedPlan.toString
+    val metaOnly =
+      !planStr.contains("FileScan") && !planStr.contains("SnapshotScanRelation")
+    out.withColumn("meta_only", lit(metaOnly)).orderBy("pdate")
+  }
+
+  def snapshotCountBySqlSql(): String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS pdate,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  TRUE AS meta_only
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DESCRIBE HISTORY surface entry over the [[snapshotAsOf]] scenario
     * (create thirds → append rest → COW delete): the oracle recomputes
     * every version's LEAF COUNT from the slice predicates — v0 = distinct

@@ -91,6 +91,33 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(r.getLong(0) === 2 && r.getLong(1) === 2)
   }
 
+  test("a partition-column filter folds only the matching leaves, scanless") {
+    val dir = mkTable()
+    val df = load(dir).filter($"pdate" === "2024-01-01").agg(count(lit(1)).as("n"))
+    assert(scanless(df), s"expected a metadata answer:\n${df.queryExecution}")
+    assert(df.collect().head.getLong(0) === 2)
+    // a range predicate over the string partition values works too
+    val range = load(dir).filter($"pdate" > "2024-01-01").agg(count(lit(1)).as("n"))
+    assert(scanless(range))
+    assert(range.collect().head.getLong(0) === 2)
+    // a data-column filter keeps the scan
+    val dataF = load(dir).filter($"id" > 1).agg(count(lit(1)).as("n"))
+    assert(!scanless(dataF))
+    assert(dataF.collect().head.getLong(0) === 3)
+  }
+
+  test("GROUP BY the partition column answers per-value counts scanless") {
+    val dir = mkTable()
+    val df = load(dir).groupBy($"pdate").agg(count(lit(1)).as("n"))
+    assert(scanless(df), s"expected a metadata answer:\n${df.queryExecution}")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+    // grouping by a data column keeps the scan
+    val byName = load(dir).groupBy($"name").agg(count(lit(1)).as("n"))
+    assert(!scanless(byName))
+    assert(byName.count() === 4)
+  }
+
   test("the rewrite equals the scan on real data at sf0.001") {
     val dir = Files.createTempDirectory("graft-metaagg-ev").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
