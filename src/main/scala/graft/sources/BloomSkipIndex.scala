@@ -203,6 +203,34 @@ object BloomSkipIndex {
     lookup(spark, indexPath, keyCol, keys)
   }
 
+  /** Conventional sidecar location for connector-integrated skipping:
+    * `<tableDir>/_bloom/<col>.json`. [[attach]] (re)builds it against
+    * the current head; [[ManifestFileIndex]] discovers every attached
+    * column there and prunes files on equality predicates.
+    */
+  def attachedPath(tableDir: String, keyCol: String): String =
+    s"$tableDir/_bloom/$keyCol.json"
+
+  /** Build-or-refresh the bloom index for `keyCol` at its conventional
+    * in-table location. Incremental: only files absent from the sidecar
+    * are scanned ([[refresh]]).
+    */
+  def attach(spark: SparkSession, tableDir: String,
+      keyCol: String): (Int, Int, Int) =
+    refresh(spark, tableDir, keyCol, attachedPath(tableDir, keyCol))
+
+  /** Per-file membership probes for the connector: file path →
+    * (key might be present). Missing files simply have no probe —
+    * the caller must KEEP a file it has no entry for, which is what
+    * makes a stale sidecar safe (new files unprunable, never wrong).
+    */
+  private[sources] def fileSkippers(spark: SparkSession,
+      indexPath: String): Map[String, Long => Boolean] =
+    readSidecar(spark, indexPath)._2.map { st =>
+      st.f -> ((k: Long) =>
+        k >= st.mn && k <= st.mx && st.bloom.mightContainLong(k))
+    }.toMap
+
   // --------------------------- surface entry
 
   /** Oracle-gated point-lookup entry: a versioned events table carries a

@@ -426,8 +426,55 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     }
   }
 
+  /** Attached bloom indexes (`<tableDir>/_bloom/<col>.json`): column →
+    * (file path → key-might-be-present). Loaded once per relation
+    * instance; a new relation picks up newly attached columns. Stale
+    * sidecars are SAFE here by construction: pruning starts from the
+    * live file list and a file without an entry is always kept — only
+    * positive per-file evidence (key outside [min,max] or bloom-absent)
+    * ever drops a file, and data files are immutable under their paths.
+    */
+  private lazy val bloomByCol: Map[String, Map[String, Long => Boolean]] = {
+    val f = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/_bloom")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        st.getPath.getName.stripSuffix(".json") ->
+          BloomSkipIndex.fileSkippers(spark, st.getPath.toString)
+      }.toMap
+  }
+
+  /** Long-valued equality keys per referenced column in `f`, when `f`
+    * can only pass rows holding one of them — the shapes a bloom probe
+    * can refute (EqualTo either way round, IN over literals).
+    */
+  private def equalityKeys(f: Expression): Option[(String, Seq[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In}
+    def longOf(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(a: AttributeReference, l) => longOf(l).map(v => (a.name, Seq(v)))
+      case EqualTo(l, a: AttributeReference) => longOf(l).map(v => (a.name, Seq(v)))
+      case In(a: AttributeReference, vs) =>
+        val keys = vs.map(longOf)
+        if (keys.forall(_.isDefined)) Some((a.name, keys.flatten))
+        else None
+      case _ => None
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val probes = dataFilters.flatMap(equalityKeys).flatMap {
+      case (colName, keys) =>
+        bloomByCol.get(colName).map(skippers => (skippers, keys))
+    }
     val kept = leafEntries.collect {
       case (leaf, pcol, pval, files) if keepLeaf(dataFilters, pcol, pval) =>
         val addDir = leaf.substring(0, leaf.lastIndexOf('/'))
@@ -435,7 +482,11 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
         val stats = statsByAddDir.getOrElse(addDir, Map.empty)
         files.filter { st =>
           stats.get(s"$leafName/${st.getPath.getName}")
-            .forall(cs => !dataFilters.exists(skipOne(_, cs)))
+            .forall(cs => !dataFilters.exists(skipOne(_, cs))) &&
+          probes.forall { case (skippers, keys) =>
+            skippers.get(st.getPath.toUri.getPath)
+              .forall(might => keys.exists(might))
+          }
         }
     }.flatten
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
