@@ -105,26 +105,50 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
   private def filteredCount(agg: Aggregate, exprs: Seq[NamedExpression],
       cond: Expression, idx: ManifestFileIndex, schema: StructType)
       : Option[LogicalPlan] = {
-    if (!allBareCounts(exprs)) return None
     if (!cond.deterministic || cond.references.isEmpty ||
         !cond.references.forall(r =>
           schema.fields.exists(f => f.name == r.name &&
             f.dataType == StringType))) return None
-    stringLeafCounts(idx, schema).flatMap { case (pcol, leaves) =>
+    stringLeafCounts(idx, schema).flatMap { case (pcol, _) =>
       if (!cond.references.forall(_.name == pcol)) None
       else try {
         // the value is constant across a leaf's rows, so the filter
         // keeps the whole leaf iff the predicate is definite TRUE at it
         // (null excludes, exactly like row-level filter semantics)
-        val total = leaves.collect {
-          case (v, n) if java.lang.Boolean.TRUE.equals(
+        val keepValue: String => Boolean = v =>
+          java.lang.Boolean.TRUE.equals(
             cond.transform {
               case a: AttributeReference if a.name == pcol =>
                 Literal(UTF8String.fromString(v), StringType)
-            }.eval(InternalRow.empty)) => n
-        }.sum
-        Some(LocalRelation(agg.output,
-          Seq(InternalRow.fromSeq(exprs.map(_ => total)))))
+            }.eval(InternalRow.empty))
+        def statsWhere(a: AttributeReference) =
+          if (schema.fields.exists(f => f.name == a.name &&
+              f.dataType == a.dataType && FileStats.supported(f.dataType)))
+            idx.metaColStatsWhere(keepValue, a.name, a.dataType)
+          else None
+        val values: Seq[Option[Any]] = exprs.map {
+          case Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case Count(Seq(Literal(v, _))) if v != null =>
+                idx.metaRowCountWhere(keepValue)
+              case Count(Seq(a: AttributeReference)) =>
+                statsWhere(a).map { case (_, _, nulls, rows) => rows - nulls }
+              case Min(a: AttributeReference) =>
+                statsWhere(a).map { case (mn, _, _, _) =>
+                  mn.map(decode(_, a.dataType)).orNull
+                }
+              case Max(a: AttributeReference) =>
+                statsWhere(a).map { case (_, mx, _, _) =>
+                  mx.map(decode(_, a.dataType)).orNull
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+        if (values.exists(_.isEmpty)) None
+        else Some(LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(values.map(_.get)))))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }

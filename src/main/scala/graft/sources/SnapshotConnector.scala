@@ -253,9 +253,17 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     * rewrite ([[graft.plans.MetaAggregateRule]]): a single uncovered
     * file means fall back to the scan, never guess.
     */
-  private def allFileStats: Option[Seq[Map[String, FileStats.ColStats]]] = {
+  private def allFileStats: Option[Seq[Map[String, FileStats.ColStats]]] =
+    fileStatsForLeaves(_ => true)
+
+  /** Like [[allFileStats]] but over the leaves whose PARTITION VALUE the
+    * predicate admits — what the filtered min/max/count rewrite folds.
+    */
+  private[sources] def fileStatsForLeaves(keepValue: String => Boolean)
+      : Option[Seq[Map[String, FileStats.ColStats]]] = {
     val perFile = for {
-      (leaf, _, _, files) <- leafEntries
+      (leaf, _, pval, files) <- leafEntries
+      if keepValue(pval)
       root = leaf.substring(0, leaf.lastIndexOf('/'))
       leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
       st <- files
@@ -272,6 +280,17 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     */
   private[graft] def metaRowCount: Option[Long] =
     allFileStats.map(_.map(m => m.values.map(_.rows).max).sum)
+
+  /** [[metaRowCount]] / [[metaColStats]] restricted to the leaves whose
+    * partition value passes `keepValue` — the filtered-aggregate forms.
+    */
+  private[graft] def metaRowCountWhere(keepValue: String => Boolean): Option[Long] =
+    fileStatsForLeaves(keepValue).map(_.map(m => m.values.map(_.rows).max).sum)
+
+  private[graft] def metaColStatsWhere(keepValue: String => Boolean,
+      colName: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[(Option[String], Option[String], Long, Long)] =
+    fileStatsForLeaves(keepValue).flatMap(foldColStats(_, colName, dt))
 
   /** Per-leaf (partition column, partition value, rows) from the
     * sidecars, or None when any live file lacks coverage — what the
@@ -300,7 +319,11 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     */
   private[graft] def metaColStats(colName: String, dt: org.apache.spark.sql.types.DataType)
       : Option[(Option[String], Option[String], Long, Long)] =
-    allFileStats.flatMap { files =>
+    allFileStats.flatMap(foldColStats(_, colName, dt))
+
+  private def foldColStats(files: Seq[Map[String, FileStats.ColStats]],
+      colName: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[(Option[String], Option[String], Long, Long)] = {
       files.foldLeft(Option((Option.empty[String], Option.empty[String], 0L, 0L))) {
         case (None, _) => None
         case (Some((mn, mx, nulls, rows)), m) =>

@@ -100,6 +100,19 @@ class MetaAggregateSpec extends AnyFunSuite {
     val range = load(dir).filter($"pdate" > "2024-01-01").agg(count(lit(1)).as("n"))
     assert(scanless(range))
     assert(range.collect().head.getLong(0) === 2)
+    // min/max/count(col) under the partition filter fold the same leaves
+    val mm = load(dir).filter($"pdate" === "2024-01-01")
+      .agg(min($"amount").as("mn"), max($"amount").as("mx"),
+        count($"amount").as("nv"))
+    assert(scanless(mm), s"expected a metadata answer:\n${mm.queryExecution}")
+    val r = mm.collect().head
+    assert(r.getLong(0) === 10 && r.getLong(1) === 10 && r.getLong(2) === 1)
+    // an empty filtered set: count 0, min/max null — still scanless
+    val empty = load(dir).filter($"pdate" === "2030-01-01")
+      .agg(count(lit(1)).as("n"), min($"amount").as("mn"))
+    assert(scanless(empty))
+    val er = empty.collect().head
+    assert(er.getLong(0) === 0 && er.isNullAt(1))
     // a data-column filter keeps the scan
     val dataF = load(dir).filter($"id" > 1).agg(count(lit(1)).as("n"))
     assert(!scanless(dataF))
