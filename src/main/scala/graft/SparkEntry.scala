@@ -194,6 +194,8 @@ object SparkEntry {
     // metadata-only count/min/max through the SQL surface, plan-audited
     "snapshot_agg_pushdown" -> ((s, d) => graft.sources.VersionedTable.snapshotAggPushdown(s, d)),
     "snapshot_count_by_sql" -> ((s, d) => graft.sources.VersionedTable.snapshotCountBySql(s, d)),
+    // dead-letter ingestion: violators route to a quarantine table
+    "snapshot_quarantine" -> ((s, d) => graft.sources.VersionedTable.snapshotQuarantine(s, d)),
     // the external read surface: spark.read.format("graft-snapshot") with
     // manifest-driven file listing + leaf pruning + versionAsOf travel
     "snapshot_connector" -> ((s, d) => graft.sources.SnapshotConnector.connectorRead(s, d)),
@@ -421,6 +423,7 @@ object SparkEntry {
     "snapshot_constraints" -> graft.sources.VersionedTable.snapshotConstraintsSql(),
     "snapshot_agg_pushdown" -> graft.sources.VersionedTable.snapshotAggPushdownSql(),
     "snapshot_count_by_sql" -> graft.sources.VersionedTable.snapshotCountBySqlSql(),
+    "snapshot_quarantine" -> graft.sources.VersionedTable.snapshotQuarantineSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "corpus_curation" -> Curation.curateSql,

@@ -966,6 +966,51 @@ object VersionedTable {
     readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
       .constraintPairs
 
+  /** QUARANTINE-ROUTING APPEND — the dead-letter ingestion pattern over
+    * CHECK constraints: rows satisfying every constraint append
+    * normally; violating rows are routed to a SEPARATE versioned
+    * quarantine table (same partition spec) with a `violated_constraint`
+    * column naming the FIRST failed constraint in declaration order —
+    * so one bad row cannot refuse a whole batch, and nothing is ever
+    * silently dropped: every input row lands in exactly one of the two
+    * tables. Returns (appended, quarantined).
+    *
+    * One projection pass computes the routing reason; both legs are
+    * ordinary optimistic appends (the clean leg re-validates by
+    * construction-clean rows — the paranoid double-check is one
+    * aggregate over the batch). At 100 TB the quarantine table is the
+    * triage queue: id-partitioned like its source, vacuumable,
+    * re-ingestable after repair through this same call.
+    */
+  def appendQuarantine(df: DataFrame, tableDir: String, partCol: String,
+      quarantineDir: String): (Long, Long) = {
+    val spark = df.sparkSession
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    val cs = m.constraintPairs
+    if (cs.isEmpty) {
+      val n = df.count()
+      append(df, tableDir, partCol)
+      return (n, 0L)
+    }
+    // first violated constraint name, in declaration order; null = clean
+    val reason = coalesce(cs.map { case (n, e) =>
+      when(!expr(e), lit(n))
+    }: _*)
+    val marked = df.withColumn("__graft_viol", reason).localCheckpoint()
+    val good = marked.filter(col("__graft_viol").isNull).drop("__graft_viol")
+    val bad = marked.filter(col("__graft_viol").isNotNull)
+      .withColumnRenamed("__graft_viol", "violated_constraint")
+    val nBad = bad.count()
+    val nGood = marked.count() - nBad
+    if (nGood > 0) append(good, tableDir, partCol)
+    if (nBad > 0) {
+      if (versions(spark, quarantineDir).isEmpty)
+        create(bad, quarantineDir, partCol)
+      else append(bad, quarantineDir, partCol)
+    }
+    (nGood, nBad)
+  }
+
   /** Dry-run probe: per-constraint violation counts a batch WOULD incur
     * against the head's constraint set, without writing anything — the
     * pre-flight an ingestion pipeline runs to route bad rows to a
@@ -1412,6 +1457,56 @@ object VersionedTable {
       |  max(event_type) AS max_type,
       |  TRUE AS meta_only
       |FROM events""".stripMargin
+
+  /** Quarantine-routing surface entry — [[snapshotConstraints]]' sibling
+    * with routing instead of refusal: the same mangled batch flows
+    * through [[appendQuarantine]], clean rows commit, violators land in
+    * the quarantine table labeled with the violated constraint, and the
+    * oracle recomputes the whole accounting (head rows, quarantine rows,
+    * per-constraint labels) from the slice predicates — pinning that
+    * every input row landed in exactly one table.
+    */
+  def snapshotQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_quar")
+    val qDir = Stores.temp("graft_vt_quar_q")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    addCheckConstraint(spark, dir, "value_nonneg", "value >= 0")
+    addCheckConstraint(spark, dir, "eid_nonneg", "event_id >= 0")
+    val rest = events.filter(col("event_id") % 3 =!= 0)
+    val mangled = rest.withColumn("value",
+      when(col("event_id") % 7 === 0, -col("value") - lit(1.0))
+        .otherwise(col("value")))
+    val (appended, quarantined) =
+      appendQuarantine(mangled, dir, "pdate", qDir)
+    val byConstraint = readLatest(spark, qDir)
+      .groupBy("violated_constraint").count()
+      .as[(String, Long)].collect().toMap
+    Seq(
+      ("appended", appended),
+      ("head_rows", readLatest(spark, dir).count()),
+      ("quarantine_eid_nonneg", byConstraint.getOrElse("eid_nonneg", 0L)),
+      ("quarantine_rows", quarantined),
+      ("quarantine_value_nonneg", byConstraint.getOrElse("value_nonneg", 0L)))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  def snapshotQuarantineSql(): String =
+    """WITH a AS (SELECT * FROM events WHERE event_id % 3 = 0),
+      |b AS (SELECT * FROM events WHERE event_id % 3 <> 0),
+      |bad AS (SELECT * FROM b WHERE event_id % 7 = 0)
+      |SELECT 'appended' AS metric,
+      |  (SELECT count(*) FROM b WHERE event_id % 7 <> 0) AS value
+      |UNION ALL SELECT 'head_rows',
+      |  (SELECT count(*) FROM a)
+      |    + (SELECT count(*) FROM b WHERE event_id % 7 <> 0)
+      |UNION ALL SELECT 'quarantine_eid_nonneg', 0
+      |UNION ALL SELECT 'quarantine_rows', (SELECT count(*) FROM bad)
+      |UNION ALL SELECT 'quarantine_value_nonneg', (SELECT count(*) FROM bad)
+      |ORDER BY metric""".stripMargin
 
   /** GROUP-BY-partition metadata counts through the SQL surface — the
     * SQL twin of [[snapshotCountMeta]] (which drives the library call):

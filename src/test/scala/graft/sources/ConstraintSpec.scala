@@ -127,6 +127,35 @@ class ConstraintSpec extends AnyFunSuite {
     val _ = constrainedV // rollback-style reads use readVersion; detail is head-only
   }
 
+  test("quarantine routing: every row lands in exactly one table, labeled") {
+    val dir = mkTable("quar")
+    VersionedTable.addCheckConstraint(spark, dir, "kind_known", "kind IN ('a','b')")
+    val qDir = Files.createTempDirectory("graft-ck-quar-q").toString + "/q"
+    val batch = Seq(
+      (5L, "a", "2024-01-03", 50L),   // clean
+      (6L, "z", "2024-01-03", 60L),   // violates kind_known
+      (7L, "z", "2024-01-03", -7L),   // violates BOTH → first in decl order
+      (8L, "b", "2024-01-03", 80L)    // clean
+    ).toDF("id", "kind", "pdate", "amount")
+    val (appended, quarantined) =
+      VersionedTable.appendQuarantine(batch, dir, "pdate", qDir)
+    assert((appended, quarantined) === ((2L, 2L)))
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 8L))
+    val q = VersionedTable.readLatest(spark, qDir)
+      .select("id", "violated_constraint").as[(Long, String)]
+      .collect().toMap
+    // row 7 violates amount_pos AND kind_known: declaration order wins
+    assert(q === Map(6L -> "kind_known", 7L -> "amount_pos"))
+    // a clean batch through the same call takes the fast path
+    val (a2, q2) = VersionedTable.appendQuarantine(
+      Seq((9L, "a", "2024-01-04", 90L)).toDF("id", "kind", "pdate", "amount"),
+      dir, "pdate", qDir)
+    assert((a2, q2) === ((1L, 0L)))
+    assert(VersionedTable.readLatest(spark, qDir).count() === 2,
+      "a clean batch must not touch the quarantine table")
+  }
+
   test("the dry-run probe reports per-constraint counts without writing") {
     val dir = mkTable("probe")
     VersionedTable.addCheckConstraint(spark, dir, "kind_known", "kind IN ('a','b')")
