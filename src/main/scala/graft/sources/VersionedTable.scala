@@ -381,11 +381,20 @@ object VersionedTable {
     }
 
   /** Create the table at version 0, recording its schema in the manifest. */
-  def create(df: DataFrame, tableDir: String, partCol: String): Unit = {
+  /** Create the table as v0. `txn` optionally records a (channel,
+    * batchId) in the very first manifest — what lets a streaming sink
+    * LAZILY create a side table from its first non-empty batch and keep
+    * exactly-once across a crash-replay: the replay finds the table
+    * existing with its (channel, batchId) already recorded, and the
+    * [[appendOnce]] it falls through to no-ops.
+    */
+  def create(df: DataFrame, tableDir: String, partCol: String,
+      txn: Option[(String, String)] = None): Unit = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already exists at $tableDir")
     writeManifest(df.sparkSession, tableDir, 0,
       writeDataDir(df, tableDir, 0, partCol),
+      txns = txn.map { case (c, b) => s"$c=$b" }.toSeq,
       schema = encodeSchema(df.schema), partcol = Seq(partCol))
   }
 
@@ -965,6 +974,29 @@ object VersionedTable {
       : Seq[(String, String)] =
     readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
       .constraintPairs
+
+  /** Split a batch by the table's HEAD constraints: (clean rows, labeled
+    * violators). The violator frame carries `violated_constraint` — the
+    * FIRST failed constraint in declaration order. With no constraints,
+    * everything is clean and the violator frame is empty (schema still
+    * carries the label column). One projection, no action.
+    */
+  def splitByConstraints(df: DataFrame, tableDir: String)
+      : (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val cs = checkConstraints(spark, tableDir)
+    if (cs.isEmpty)
+      (df, df.limit(0).withColumn("violated_constraint", lit("")))
+    else {
+      val reason = coalesce(cs.map { case (n, e) =>
+        when(!expr(e), lit(n))
+      }: _*)
+      val marked = df.withColumn("__graft_viol", reason)
+      (marked.filter(col("__graft_viol").isNull).drop("__graft_viol"),
+        marked.filter(col("__graft_viol").isNotNull)
+          .withColumnRenamed("__graft_viol", "violated_constraint"))
+    }
+  }
 
   /** QUARANTINE-ROUTING APPEND — the dead-letter ingestion pattern over
     * CHECK constraints: rows satisfying every constraint append

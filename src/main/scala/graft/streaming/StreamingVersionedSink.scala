@@ -49,4 +49,46 @@ object StreamingVersionedSink {
       }
       .start()
   }
+
+  /** [[run]] with CONSTRAINT quarantine routing: each micro-batch splits
+    * against the table's head constraints, clean rows commit to the main
+    * table and labeled violators to `quarantineDir` — BOTH legs
+    * exactly-once per (channel, epoch): the clean leg through
+    * [[VersionedTable.appendOnce]], the quarantine leg likewise, with the
+    * lazy first-bad-batch table creation recording the same txn entry in
+    * its v0 manifest so a crash replay after the create still no-ops.
+    * Leg order (clean first) plus the per-leg txn records make every
+    * crash point heal on replay without double rows in either table.
+    *
+    * Contract: constraint changes must not interleave a crashed batch's
+    * replay — the replay re-splits against the NEW head constraints, and
+    * the already-committed leg no-ops with the OLD split. The same
+    * single-coordinator assumption every exactly-once foreachBatch sink
+    * carries.
+    */
+  def runQuarantined(stream: DataFrame, tableDir: String, partCol: String,
+      quarantineDir: String, checkpointDir: String,
+      channel: String = "stream",
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val (good, bad) =
+          VersionedTable.splitByConstraints(batch.localCheckpoint(), tableDir)
+        VersionedTable.appendOnce(good, tableDir, partCol, channel, s"b$batchId")
+        if (!bad.isEmpty) {
+          if (VersionedTable.versions(spark, quarantineDir).isEmpty)
+            VersionedTable.create(bad, quarantineDir, partCol,
+              txn = Some((channel, s"b$batchId")))
+          else
+            VersionedTable.appendOnce(bad, quarantineDir, partCol,
+              channel, s"b$batchId")
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -92,4 +92,51 @@ class StreamingVersionedSinkSpec extends AnyFunSuite {
     VersionedTable.appendOnce(batch, dir, "pdate", "stream", "b0")
     assert(ids(dir) === Seq(2L), "replay after a delete must still no-op")
   }
+
+  test("quarantined streaming: violators route per batch, both legs exactly-once") {
+    val dir = newTable()
+    VersionedTable.addCheckConstraint(spark, dir, "amount_pos", "amount > 0")
+    val qDir = Files.createTempDirectory("graft-svs-q").toString + "/q"
+    val in = MemoryStream[(Long, String, Long)](spark)
+    val q = StreamingVersionedSink.runQuarantined(
+      in.toDF().toDF("id", "pdate", "amount"), dir, "pdate", qDir,
+      Stores.temp("svs-q-ckpt"))
+    try {
+      in.addData((2L, "2024-01-01", 20L), (3L, "2024-01-01", -3L))
+      q.processAllAvailable()
+      in.addData((4L, "2024-01-02", -4L), (5L, "2024-01-02", 50L))
+      q.processAllAvailable()
+      in.addData((6L, "2024-01-03", 60L)) // clean batch: quarantine untouched
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(dir) === Seq(1L, 2L, 5L, 6L))
+    val quar = VersionedTable.readLatest(spark, qDir)
+      .select("id", "violated_constraint").as[(Long, String)]
+      .collect().toMap
+    assert(quar === Map(3L -> "amount_pos", 4L -> "amount_pos"))
+    // crash-replay of the LATEST quarantine-writing epoch (the only
+    // epoch Structured Streaming can replay — checkpoint progress is
+    // monotonic) must no-op on the quarantine leg
+    val qv = VersionedTable.latestVersion(spark, qDir)
+    VersionedTable.appendOnce(
+      Seq((4L, "2024-01-02", -4L, "amount_pos"))
+        .toDF("id", "pdate", "amount", "violated_constraint"),
+      qDir, "pdate", "stream", "b1")
+    assert(VersionedTable.latestVersion(spark, qDir) === qv,
+      "a replay of the latest epoch must not double the quarantine rows")
+  }
+
+  test("quarantine create records its txn: replaying the creating epoch no-ops") {
+    // the lazy-create crash shape in isolation: first bad batch CREATES
+    // the quarantine table with (channel, b0) in its v0 manifest; a
+    // replay of b0 before any further epoch must find it and no-op
+    val qDir = Files.createTempDirectory("graft-svs-qc").toString + "/q"
+    val bad = Seq((3L, "2024-01-01", -3L, "amount_pos"))
+      .toDF("id", "pdate", "amount", "violated_constraint")
+    VersionedTable.create(bad, qDir, "pdate", txn = Some(("stream", "b0")))
+    VersionedTable.appendOnce(bad, qDir, "pdate", "stream", "b0")
+    assert(VersionedTable.latestVersion(spark, qDir) === 0,
+      "the creating epoch's replay must no-op against the v0 txn record")
+    assert(VersionedTable.readLatest(spark, qDir).count() === 1)
+  }
 }
