@@ -284,6 +284,8 @@ object SparkEntry {
     // link-graph ranking: integer fixed-point PageRank (8 power
     // iterations as join+agg rounds; bit-exact across engines)
     "docs_pagerank" -> ((s, d) => GraphRank.pagerank(s, d)),
+    // topic-conditioned: teleport mass lands only on the seed set
+    "docs_pagerank_seeded" -> ((s, d) => GraphRank.pagerankSeeded(s, d)),
     // audio: real RIFF/WAVE codec round trips (chunk-walking parser)
     "audio_features" -> (Audio.features _),
     "audio_silence" -> (Audio.silence _),
@@ -463,6 +465,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> Multimodal.frameSampleSql(),
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
     "docs_pagerank" -> GraphRank.pagerankSql(),
+    "docs_pagerank_seeded" -> GraphRank.pagerankSeededSql(),
     "audio_features" -> Audio.featuresSql,
     "audio_silence" -> Audio.silenceSql,
     "audio_downsample" -> Audio.downsampleSql,

@@ -66,6 +66,68 @@ object GraphRank {
     ranks.orderBy("node")
   }
 
+  /** PERSONALIZED PageRank — the topic-conditioned variant curation
+    * pipelines use to rank documents around a seed set (every
+    * `doc_id % 19 == 0` node here): the teleport mass lands ONLY on
+    * seeds, scaled so total teleport equals the uniform variant's
+    * (`15 % · N` micro-units split over `S` seeds, integer floor), and
+    * authority flows outward along links. Same iterated join-agg shape
+    * and fixed-point arithmetic as [[pagerank]]; non-seed nodes rank
+    * only as high as their link-distance from the seed set carries them.
+    */
+  def pagerankSeeded(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node"))
+    val n = docs.count()
+    val s = docs.filter(col("node") % 19 === 0).count()
+    val teleport = 15L * BaseMicro * n / (100L * s)
+    val edges = docs
+      .withColumn("j",
+        explode(sequence(lit(1), (col("node") % 3 + 1).cast("int"))))
+      .select(col("node").as("src"),
+        ((col("node") * 31 + col("j") * 17) % lit(n)).as("dst"))
+      .repartition(col("src"))
+      .persist()
+    var ranks = docs.withColumn("rank", lit(BaseMicro))
+    for (i <- 1 to Iters) {
+      val contribs = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("rank div (src % 3 + 1)").as("c"))
+        .groupBy("dst").agg(sum("c").as("inc"))
+      ranks = docs.join(contribs, docs("node") === contribs("dst"), "left")
+        .select(docs("node"),
+          expr(s"CASE WHEN node % 19 = 0 THEN ${teleport}L ELSE 0L END" +
+            " + (85 * coalesce(inc, 0)) div 100").as("rank"))
+      if (i % 4 == 0 && i < Iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.orderBy("node")
+  }
+
+  def pagerankSeededSql(): String = {
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN n.node % 19 = 0
+         |              THEN (SELECT t FROM tp) ELSE 0 END
+         |           + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // (e.src % 3 + 1)) AS inc
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+       |tp AS (
+       |  SELECT (15 * $BaseMicro * (SELECT count(*) FROM nodes))
+       |    // (100 * (SELECT count(*) FROM nodes WHERE node % 19 = 0)) AS t),
+       |edges AS (
+       |  SELECT node AS src,
+       |         (node * 31 + j * 17) % (SELECT count(*) FROM documents) AS dst
+       |  FROM (SELECT node, unnest(generate_series(1, node % 3 + 1)) AS j
+       |        FROM nodes)),
+       |r0 AS (SELECT node, CAST($BaseMicro AS BIGINT) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
+  }
+
   def pagerankSql(): String = {
     val iters = (1 to Iters).map { i =>
       s"""r$i AS (

@@ -35,6 +35,29 @@ class GraphRankSpec extends AnyFunSuite {
     assert(rank.distinct.length > n / 10, "ranks should differentiate")
   }
 
+  test("seeded ranks equal a sequential reference; non-seeds rank by distance") {
+    val got = GraphRank.pagerankSeeded(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 500
+    val seeds = (0 until n).filter(_ % 19 == 0)
+    val teleport = 15L * GraphRank.BaseMicro * n / (100L * seeds.size)
+    val edges = for {
+      v <- 0 until n
+      j <- 1 to (v % 3 + 1)
+    } yield (v, ((v.toLong * 31 + j * 17) % n).toInt)
+    var rank = Array.fill(n)(GraphRank.BaseMicro)
+    for (_ <- 1 to GraphRank.Iters) {
+      val inc = Array.fill(n)(0L)
+      for ((u, v) <- edges) inc(v) += rank(u) / (u % 3 + 1)
+      rank = Array.tabulate(n)(v =>
+        (if (v % 19 == 0) teleport else 0L) + 85L * inc(v) / 100)
+    }
+    for (v <- 0 until n)
+      assert(got(v.toLong) === rank(v), s"seeded rank of node $v diverged")
+    // topic conditioning is visible: seeds dominate the uniform teleport
+    assert(seeds.map(rank(_)).min > teleport / 2)
+  }
+
   test("the iteration plan reuses the persisted edge list and never goes cartesian") {
     val plan = GraphRank.pagerank(spark, sfDir)
       .queryExecution.executedPlan.toString
