@@ -70,21 +70,6 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
     case p => p
   }
 
-  /** Is every aggregate a bare `count(1)`? (The only function the
-    * filtered/grouped shapes can answer — min/max per partition are not
-    * folded per leaf.)
-    */
-  private def allBareCounts(exprs: Seq[NamedExpression]): Boolean =
-    exprs.forall {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(Literal(v, _))) if v != null => true
-          case _ => false
-        }
-      case _ => false
-    }
-
   /** Leaf counts usable for value-exact rewrites: every file covered AND
     * the partition column is a STRING in the schema — the leaf dir value
     * then IS the column value (identity decode), so per-leaf predicate
@@ -155,33 +140,58 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
 
   private def groupedCount(agg: Aggregate, g: AttributeReference,
       exprs: Seq[NamedExpression], idx: ManifestFileIndex,
-      schema: StructType): Option[LogicalPlan] = {
-    // every output is either the grouping column or a bare count
-    val shapeOk = exprs.forall {
-      case a: AttributeReference => a.name == g.name
-      case Alias(a: AttributeReference, _) => a.name == g.name
-      case e => allBareCounts(Seq(e))
-    }
-    if (!shapeOk) return None
+      schema: StructType): Option[LogicalPlan] =
     stringLeafCounts(idx, schema).flatMap { case (pcol, leaves) =>
       if (g.name != pcol) None
       else {
-        val sums = leaves.groupBy(_._1).view
-          .mapValues(_.map(_._2).sum)
-          // a zero-row value produces no group under a real scan
-          // (countMeta's rule) — drop exact zeros to match
-          .filter(_._2 != 0L).toSeq
-        val rows = sums.map { case (v, n) =>
-          InternalRow.fromSeq(exprs.map {
-            case _: AttributeReference | Alias(_: AttributeReference, _) =>
-              UTF8String.fromString(v)
-            case _ => n
-          })
-        }
-        Some(LocalRelation(agg.output, rows))
+        def statsW(a: AttributeReference, keep: String => Boolean) =
+          if (schema.fields.exists(f => f.name == a.name &&
+              f.dataType == a.dataType && FileStats.supported(f.dataType)))
+            idx.metaColStatsWhere(keep, a.name, a.dataType)
+          else None
+        val values = leaves.map(_._1).distinct.sorted
+        values.foldLeft(Option(Vector.empty[InternalRow])) {
+          case (None, _) => None
+          case (Some(acc), v) =>
+            val keep = (x: String) => x == v
+            idx.metaRowCountWhere(keep) match {
+              case None => None
+              // a zero-row value produces no group under a real scan
+              // (countMeta's rule) — drop exact zeros to match
+              case Some(0L) => Some(acc)
+              case Some(total) =>
+                val cells: Seq[Option[Any]] = exprs.map {
+                  case a: AttributeReference if a.name == pcol =>
+                    Some(UTF8String.fromString(v))
+                  case Alias(a: AttributeReference, _) if a.name == pcol =>
+                    Some(UTF8String.fromString(v))
+                  case Alias(ae: AggregateExpression, _)
+                      if !ae.isDistinct && ae.filter.isEmpty =>
+                    ae.aggregateFunction match {
+                      case Count(Seq(Literal(x, _))) if x != null =>
+                        Some(total)
+                      case Count(Seq(a: AttributeReference)) =>
+                        statsW(a, keep).map { case (_, _, nulls, rows) =>
+                          rows - nulls
+                        }
+                      case Min(a: AttributeReference) =>
+                        statsW(a, keep).map { case (mn, _, _, _) =>
+                          mn.map(decode(_, a.dataType)).orNull
+                        }
+                      case Max(a: AttributeReference) =>
+                        statsW(a, keep).map { case (_, mx, _, _) =>
+                          mx.map(decode(_, a.dataType)).orNull
+                        }
+                      case _ => None
+                    }
+                  case _ => None
+                }
+                if (cells.exists(_.isEmpty)) None
+                else Some(acc :+ InternalRow.fromSeq(cells.map(_.get)))
+            }
+        }.map(rows => LocalRelation(agg.output, rows))
       }
     }
-  }
 
   /** The manifest index under a bare relation, looking through
     * column-pruning Projects only — anything else (Filter, Join, …)

@@ -125,6 +125,16 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(scanless(df), s"expected a metadata answer:\n${df.queryExecution}")
     val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+    // grouped min/max/count(col) fold per-value sidecars
+    val gmm = load(dir).groupBy($"pdate").agg(
+      min($"amount").as("mn"), max($"amount").as("mx"),
+      count($"amount").as("nv"))
+    assert(scanless(gmm), s"expected a metadata answer:\n${gmm.queryExecution}")
+    val m = gmm.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m === Map("2024-01-01" -> ((10L, 10L, 1L)),
+      "2024-01-02" -> ((-5L, 40L, 2L))))
     // grouping by a data column keeps the scan
     val byName = load(dir).groupBy($"name").agg(count(lit(1)).as("n"))
     assert(!scanless(byName))
