@@ -119,11 +119,11 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
                 idx.metaRowCountWhere(keepValue)
               case Count(Seq(a: AttributeReference)) =>
                 statsWhere(a).map { case (_, _, nulls, rows) => rows - nulls }
-              case Min(a: AttributeReference) =>
+              case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
                 statsWhere(a).map { case (mn, _, _, _) =>
                   mn.map(decode(_, a.dataType)).orNull
                 }
-              case Max(a: AttributeReference) =>
+              case Max(a: AttributeReference) if minMaxSafe(a.dataType) =>
                 statsWhere(a).map { case (_, mx, _, _) =>
                   mx.map(decode(_, a.dataType)).orNull
                 }
@@ -174,11 +174,11 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
                         statsW(a, keep).map { case (_, _, nulls, rows) =>
                           rows - nulls
                         }
-                      case Min(a: AttributeReference) =>
+                      case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
                         statsW(a, keep).map { case (mn, _, _, _) =>
                           mn.map(decode(_, a.dataType)).orNull
                         }
-                      case Max(a: AttributeReference) =>
+                      case Max(a: AttributeReference) if minMaxSafe(a.dataType) =>
                         statsW(a, keep).map { case (_, mx, _, _) =>
                           mx.map(decode(_, a.dataType)).orNull
                         }
@@ -213,6 +213,16 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** min/max rewrites exclude float/double even though their sidecar
+    * stats exist: a NaN-bearing column breaks the contract both ways —
+    * Spark's max() orders NaN ABOVE every double while parquet writers
+    * variously omit or mis-order NaN in footer stats — so a metadata
+    * extremum could silently disagree with the scan. Counts (rows,
+    * nulls) stay safe for every supported type.
+    */
+  private def minMaxSafe(dt: DataType): Boolean =
+    FileStats.supported(dt) && dt != FloatType && dt != DoubleType
+
   private def rewrite(agg: Aggregate, exprs: Seq[NamedExpression],
       idx: ManifestFileIndex, schema: StructType): Option[LogicalPlan] = {
     def stats(a: AttributeReference) =
@@ -227,11 +237,11 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
           case Count(Seq(Literal(v, _))) if v != null => idx.metaRowCount
           case Count(Seq(a: AttributeReference)) =>
             stats(a).map { case (_, _, nulls, rows) => rows - nulls }
-          case Min(a: AttributeReference) =>
+          case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
             stats(a).map { case (mn, _, _, _) =>
               mn.map(decode(_, a.dataType)).orNull
             }
-          case Max(a: AttributeReference) =>
+          case Max(a: AttributeReference) if minMaxSafe(a.dataType) =>
             stats(a).map { case (_, mx, _, _) =>
               mx.map(decode(_, a.dataType)).orNull
             }

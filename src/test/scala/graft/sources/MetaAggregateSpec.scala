@@ -70,6 +70,27 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(distinct.collect().head.getLong(0) === 4)
   }
 
+  test("float/double min/max keep the scan: NaN breaks footer-stat ordering") {
+    val dir = Files.createTempDirectory("graft-metaagg-nan").toString
+    VersionedTable.create(Seq((1L, 1.5d, "p1"), (2L, Double.NaN, "p1"))
+      .toDF("id", "v", "pdate"), dir, "pdate")
+    // Spark orders NaN above every double; footer stats do not — the
+    // rewrite must refuse the type entirely, not risk a wrong extremum
+    val df = load(dir).agg(max($"v").as("mx"), count(lit(1)).as("n"))
+    assert(!scanless(df), "double max must scan")
+    val r = df.collect().head
+    assert(r.getDouble(0).isNaN && r.getLong(1) === 2)
+    // count(*) (row counts only, no column stats) still answers from
+    // metadata; count(v) rightly scans too — the NaN file's footer
+    // omits the column's stats, so its null count is untrustworthy
+    val c = load(dir).agg(count(lit(1)).as("n"))
+    assert(scanless(c))
+    assert(c.collect().head.getLong(0) === 2)
+    val cv = load(dir).agg(count($"v").as("nv"))
+    assert(!scanless(cv))
+    assert(cv.collect().head.getLong(0) === 2)
+  }
+
   test("pending delete vectors never leak into a metadata answer") {
     val dir = mkTable()
     VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 1L)
