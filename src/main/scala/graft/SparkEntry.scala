@@ -194,6 +194,7 @@ object SparkEntry {
     // metadata-only count/min/max through the SQL surface, plan-audited
     "snapshot_agg_pushdown" -> ((s, d) => graft.sources.VersionedTable.snapshotAggPushdown(s, d)),
     "snapshot_count_by_sql" -> ((s, d) => graft.sources.VersionedTable.snapshotCountBySql(s, d)),
+    "snapshot_group_stats" -> ((s, d) => graft.sources.VersionedTable.snapshotGroupStats(s, d)),
     // dead-letter ingestion: violators route to a quarantine table
     "snapshot_quarantine" -> ((s, d) => graft.sources.VersionedTable.snapshotQuarantine(s, d)),
     // the external read surface: spark.read.format("graft-snapshot") with
@@ -425,6 +426,7 @@ object SparkEntry {
     "snapshot_constraints" -> graft.sources.VersionedTable.snapshotConstraintsSql(),
     "snapshot_agg_pushdown" -> graft.sources.VersionedTable.snapshotAggPushdownSql(),
     "snapshot_count_by_sql" -> graft.sources.VersionedTable.snapshotCountBySqlSql(),
+    "snapshot_group_stats" -> graft.sources.VersionedTable.snapshotGroupStatsSql(),
     "snapshot_quarantine" -> graft.sources.VersionedTable.snapshotQuarantineSql(),
     "snapshot_connector" -> graft.sources.SnapshotConnector.connectorReadSql(),
     "dedup_clusters" -> Dedup.clustersSql(),

@@ -1568,6 +1568,44 @@ object VersionedTable {
       |  TRUE AS meta_only
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Grouped metadata STATS through the SQL surface — the per-partition
+    * profile (`count(*), count(col), min, max GROUP BY pdate`) answered
+    * entirely from sidecars, plan-audited in-query like its siblings.
+    * This is the table-profile query every ops dashboard polls; at
+    * 100 TB it runs against metadata however often it is asked.
+    */
+  def snapshotGroupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val events = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Stores.temp("graft_vt_groupstats")
+    create(events.filter(col("event_id") % 3 === 0), dir, "pdate")
+    append(events.filter(col("event_id") % 3 =!= 0), dir, "pdate")
+    val out = spark.read.format("graft-snapshot").load(dir)
+      .groupBy(col("pdate"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        count(col("user_id")).cast("long").as("n_user"),
+        min(col("user_id")).cast("long").as("min_user"),
+        max(col("user_id")).cast("long").as("max_user"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"))
+    val planStr = out.queryExecution.executedPlan.toString
+    val metaOnly =
+      !planStr.contains("FileScan") && !planStr.contains("SnapshotScanRelation")
+    out.withColumn("meta_only", lit(metaOnly)).orderBy("pdate")
+  }
+
+  def snapshotGroupStatsSql(): String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS pdate,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(user_id) AS BIGINT) AS n_user,
+      |  CAST(min(user_id) AS BIGINT) AS min_user,
+      |  CAST(max(user_id) AS BIGINT) AS max_user,
+      |  min(event_type) AS min_type,
+      |  max(event_type) AS max_type,
+      |  TRUE AS meta_only
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DESCRIBE HISTORY surface entry over the [[snapshotAsOf]] scenario
     * (create thirds → append rest → COW delete): the oracle recomputes
     * every version's LEAF COUNT from the slice predicates — v0 = distinct
