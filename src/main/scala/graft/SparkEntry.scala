@@ -287,6 +287,8 @@ object SparkEntry {
     "docs_pagerank" -> ((s, d) => GraphRank.pagerank(s, d)),
     // topic-conditioned: teleport mass lands only on the seed set
     "docs_pagerank_seeded" -> ((s, d) => GraphRank.pagerankSeeded(s, d)),
+    // structural health check: in-degree histogram of the link graph
+    "docs_graph_degrees" -> ((s, d) => GraphRank.degreeProfile(s, d)),
     // audio: real RIFF/WAVE codec round trips (chunk-walking parser)
     "audio_features" -> (Audio.features _),
     "audio_silence" -> (Audio.silence _),
@@ -468,6 +470,7 @@ object SparkEntry {
     "multimodal_frame_dedup" -> Multimodal.frameDedupSql(),
     "docs_pagerank" -> GraphRank.pagerankSql(),
     "docs_pagerank_seeded" -> GraphRank.pagerankSeededSql(),
+    "docs_graph_degrees" -> GraphRank.degreeProfileSql(),
     "audio_features" -> Audio.featuresSql,
     "audio_silence" -> Audio.silenceSql,
     "audio_downsample" -> Audio.downsampleSql,

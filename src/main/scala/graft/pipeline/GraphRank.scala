@@ -128,6 +128,42 @@ object GraphRank {
        |SELECT node, rank FROM r$Iters ORDER BY node""".stripMargin
   }
 
+  /** Degree profile of the link graph — the structural health check run
+    * before any ranking job: the in-degree DISTRIBUTION (how many nodes
+    * receive k links, k ascending) plus totals. One aggregation over the
+    * edge list; the histogram is node-count-bounded. Dangling or
+    * never-linked nodes show up as the in-degree-0 bucket — the rows a
+    * centrality signal would starve.
+    */
+  def degreeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node"))
+    val n = docs.count()
+    val edges = docs
+      .withColumn("j",
+        explode(sequence(lit(1), (col("node") % 3 + 1).cast("int"))))
+      .select(((col("node") * 31 + col("j") * 17) % lit(n)).as("dst"))
+    val indeg = docs.join(edges, docs("node") === edges("dst"), "left")
+      .groupBy(docs("node"))
+      .agg(count(edges("dst")).as("in_deg"))
+    indeg.groupBy(col("in_deg"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy("in_deg")
+  }
+
+  def degreeProfileSql(): String =
+    """WITH nodes AS (SELECT doc_id AS node FROM documents),
+      |edges AS (
+      |  SELECT (node * 31 + j * 17) % (SELECT count(*) FROM documents) AS dst
+      |  FROM (SELECT node, unnest(generate_series(1, node % 3 + 1)) AS j
+      |        FROM nodes)),
+      |indeg AS (
+      |  SELECT n.node, count(e.dst) AS in_deg
+      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+      |  GROUP BY n.node)
+      |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM indeg GROUP BY in_deg ORDER BY in_deg""".stripMargin
+
   def pagerankSql(): String = {
     val iters = (1 to Iters).map { i =>
       s"""r$i AS (
