@@ -39,31 +39,57 @@ object GraphRank {
   val Iters = 8
   val BaseMicro = 1000000L
 
-  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("node"))
-    val n = docs.count() // one metadata-cheap scalar; N is a plan literal
-    val edges = docs
-      .withColumn("j",
-        explode(sequence(lit(1), (col("node") % 3 + 1).cast("int"))))
-      .select(col("node").as("src"),
-        ((col("node") * 31 + col("j") * 17) % lit(n)).as("dst"))
-      .repartition(col("src")) // partitioned once, reused every iteration
-      .persist()
+  /** The deterministic link graph (see object Scaladoc) as (src, dst). */
+  private[pipeline] def edgesOf(docs: DataFrame, n: Long): DataFrame = docs
+    .withColumn("j",
+      explode(sequence(lit(1), (col("node") % 3 + 1).cast("int"))))
+    .select(col("node").as("src"),
+      ((col("node") * 31 + col("j") * 17) % lit(n)).as("dst"))
+
+  /** `Iters` power-iteration rounds as ONE lazy plan: per round, an
+    * equi-join of edges to ranks, a sum-by-dst, and a left join back to
+    * the node set, with `update` (over `node` and `inc`) producing the
+    * next rank. Exposed lazily so the plan-shape spec can audit the
+    * iteration (key joins only, edge list reused from cache) without
+    * the materialize-then-release wrapper below truncating the lineage.
+    */
+  private[pipeline] def iterated(docs: DataFrame, edges: DataFrame,
+      update: String): DataFrame = {
     var ranks = docs.withColumn("rank", lit(BaseMicro))
-    for (i <- 1 to Iters) {
+    for (_ <- 1 to Iters) {
       val contribs = edges.join(ranks, edges("src") === ranks("node"))
         .select(col("dst"), expr("rank div (src % 3 + 1)").as("c"))
         .groupBy("dst").agg(sum("c").as("inc"))
       ranks = docs.join(contribs, docs("node") === contribs("dst"), "left")
-        .select(docs("node"),
-          expr("150000 + (85 * coalesce(inc, 0)) div 100").as("rank"))
-      // trim lineage so 8 chained join-agg rounds don't stack into one
-      // giant plan (the Subword training-loop pattern); never on the
-      // last round — the returned frame keeps a real, inspectable plan
-      if (i % 4 == 0 && i < Iters) ranks = ranks.localCheckpoint()
+        .select(docs("node"), expr(update).as("rank"))
     }
-    ranks.orderBy("node")
+    ranks
+  }
+
+  /** Run the iteration with the edge list pinned, materialize the final
+    * ranks (one eager checkpoint — also the lineage trim for the 8
+    * chained join-agg rounds), then RELEASE the pin before returning:
+    * the returned frame reads its own materialized rows, so nothing
+    * re-reads the cache and a leaked persist would only ever pin an
+    * O(N·3)-row RDD for the session's lifetime (QualityModel's
+    * consume-then-unpersist pattern). At most the result's own backing
+    * RDD stays registered — spec-pinned in GraphRankSpec.
+    */
+  private def materializedRanks(docs: DataFrame, n: Long,
+      update: String): DataFrame = {
+    val edges = edgesOf(docs, n)
+      .repartition(col("src")) // partitioned once, reused every iteration
+      .persist()
+    try iterated(docs, edges, update).localCheckpoint() // eager
+    finally edges.unpersist()
+  }
+
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("node"))
+    val n = docs.count() // one metadata-cheap scalar; N is a plan literal
+    materializedRanks(docs, n,
+      "150000 + (85 * coalesce(inc, 0)) div 100").orderBy("node")
   }
 
   /** PERSONALIZED PageRank — the topic-conditioned variant curation
@@ -81,25 +107,9 @@ object GraphRank {
     val n = docs.count()
     val s = docs.filter(col("node") % 19 === 0).count()
     val teleport = 15L * BaseMicro * n / (100L * s)
-    val edges = docs
-      .withColumn("j",
-        explode(sequence(lit(1), (col("node") % 3 + 1).cast("int"))))
-      .select(col("node").as("src"),
-        ((col("node") * 31 + col("j") * 17) % lit(n)).as("dst"))
-      .repartition(col("src"))
-      .persist()
-    var ranks = docs.withColumn("rank", lit(BaseMicro))
-    for (i <- 1 to Iters) {
-      val contribs = edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("rank div (src % 3 + 1)").as("c"))
-        .groupBy("dst").agg(sum("c").as("inc"))
-      ranks = docs.join(contribs, docs("node") === contribs("dst"), "left")
-        .select(docs("node"),
-          expr(s"CASE WHEN node % 19 = 0 THEN ${teleport}L ELSE 0L END" +
-            " + (85 * coalesce(inc, 0)) div 100").as("rank"))
-      if (i % 4 == 0 && i < Iters) ranks = ranks.localCheckpoint()
-    }
-    ranks.orderBy("node")
+    materializedRanks(docs, n,
+      s"CASE WHEN node % 19 = 0 THEN ${teleport}L ELSE 0L END" +
+        " + (85 * coalesce(inc, 0)) div 100").orderBy("node")
   }
 
   def pagerankSeededSql(): String = {

@@ -78,7 +78,12 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
   private def stringLeafCounts(idx: ManifestFileIndex, schema: StructType)
       : Option[(String, Seq[(String, Long)])] =
     idx.metaLeafCounts.flatMap { leaves =>
-      leaves.map(_._1).distinct match {
+      // a null-partition sentinel leaf disqualifies value-exact rewrites
+      // outright: its dir value is a string stand-in for NULL, so
+      // per-leaf predicate evaluation and group keys would be wrong
+      if (leaves.exists(_._2 == graft.sources.VersionedTable.NullPartSentinel))
+        None
+      else leaves.map(_._1).distinct match {
         case Seq(pcol)
             if schema.fields.exists(f =>
               f.name == pcol && f.dataType == StringType) =>
@@ -118,7 +123,10 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
               case Count(Seq(Literal(v, _))) if v != null =>
                 idx.metaRowCountWhere(keepValue)
               case Count(Seq(a: AttributeReference)) =>
-                statsWhere(a).map { case (_, _, nulls, rows) => rows - nulls }
+                // needs a KNOWN null count — unknown (footer unset) refuses
+                statsWhere(a).flatMap { case (_, _, nulls, rows) =>
+                  nulls.map(rows - _)
+                }
               case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
                 statsWhere(a).map { case (mn, _, _, _) =>
                   mn.map(decode(_, a.dataType)).orNull
@@ -171,8 +179,8 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
                       case Count(Seq(Literal(x, _))) if x != null =>
                         Some(total)
                       case Count(Seq(a: AttributeReference)) =>
-                        statsW(a, keep).map { case (_, _, nulls, rows) =>
-                          rows - nulls
+                        statsW(a, keep).flatMap { case (_, _, nulls, rows) =>
+                          nulls.map(rows - _)
                         }
                       case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
                         statsW(a, keep).map { case (mn, _, _, _) =>
@@ -214,14 +222,11 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
   }
 
   /** min/max rewrites exclude float/double even though their sidecar
-    * stats exist: a NaN-bearing column breaks the contract both ways —
-    * Spark's max() orders NaN ABOVE every double while parquet writers
-    * variously omit or mis-order NaN in footer stats — so a metadata
-    * extremum could silently disagree with the scan. Counts (rows,
-    * nulls) stay safe for every supported type.
+    * stats exist (NaN ordering — see [[FileStats.minMaxSafe]], the
+    * shared exclusion every min/max-proof consumer applies). Counts
+    * (rows, nulls) stay safe for every supported type.
     */
-  private def minMaxSafe(dt: DataType): Boolean =
-    FileStats.supported(dt) && dt != FloatType && dt != DoubleType
+  private def minMaxSafe(dt: DataType): Boolean = FileStats.minMaxSafe(dt)
 
   private def rewrite(agg: Aggregate, exprs: Seq[NamedExpression],
       idx: ManifestFileIndex, schema: StructType): Option[LogicalPlan] = {
@@ -236,7 +241,9 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case Count(Seq(Literal(v, _))) if v != null => idx.metaRowCount
           case Count(Seq(a: AttributeReference)) =>
-            stats(a).map { case (_, _, nulls, rows) => rows - nulls }
+            stats(a).flatMap { case (_, _, nulls, rows) =>
+              nulls.map(rows - _)
+            }
           case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
             stats(a).map { case (mn, _, _, _) =>
               mn.map(decode(_, a.dataType)).orNull

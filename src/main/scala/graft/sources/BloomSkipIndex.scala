@@ -67,7 +67,8 @@ object BloomSkipIndex {
     */
   def build(df: DataFrame, keyCol: String, indexPath: String,
       tableVersion: Int = -1): Unit =
-    writeSidecar(df.sparkSession, indexPath, tableVersion, statsFor(df, keyCol))
+    writeSidecar(df.sparkSession, indexPath, tableVersion, statsFor(df, keyCol),
+      Some(df.schema))
 
   /** One pass over `df`: per-file partial blooms fold locally, only
     * sketch bytes shuffle, merged stats return file-count-sized. File
@@ -107,12 +108,21 @@ object BloomSkipIndex {
   }
 
   private def writeSidecar(spark: SparkSession, indexPath: String,
-      tableVersion: Int, entries: Seq[BloomPartial]): Unit = {
+      tableVersion: Int, entries: Seq[BloomPartial],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val enc = java.util.Base64.getEncoder
+    // the indexed frame's schema rides the sidecar (base64 of the
+    // StructType json) so a lookup over an EMPTY entry list — index
+    // built on an empty table, or every entry dropped by refresh — can
+    // still answer with a correctly-shaped empty frame
+    val schemaField = schema.map(s =>
+      s""""schema":"${enc.encodeToString(s.json.getBytes("UTF-8"))}",""")
+      .getOrElse("")
     val json = entries.sortBy(_.f).map { p =>
       s"""{"file":"${p.f}","n":${p.n},"min":${p.mn},"max":${p.mx},""" +
         s""""bloom":"${enc.encodeToString(p.bloom)}"}"""
-    }.mkString(s"""{"table_version":$tableVersion,"entries":[""", ",", "]}")
+    }.mkString(s"""{"table_version":$tableVersion,$schemaField"entries":[""",
+      ",", "]}")
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(indexPath), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -137,20 +147,27 @@ object BloomSkipIndex {
     val (kept, dropped) = old.partition(st => liveSet.contains(st.f))
     val keptSet = kept.map(_.f).toSet
     val newFiles = live.filterNot(keptSet.contains)
-    val fresh =
-      if (newFiles.isEmpty) Nil
-      else statsFor(spark.read.parquet(newFiles: _*), keyCol)
+    val (fresh, freshSchema) =
+      if (newFiles.isEmpty) (Nil, None)
+      else {
+        val frame = spark.read.parquet(newFiles: _*)
+        (statsFor(frame, keyCol), Some(frame.schema))
+      }
     val keptEntries = kept.map(st =>
       BloomPartial(st.f, ser(st.bloom), st.n, st.mn, st.mx))
-    writeSidecar(spark, indexPath, head, keptEntries ++ fresh)
+    // keep the previously recorded schema when no new files were read
+    val schema = freshSchema.orElse(
+      if (fs.exists(new Path(indexPath)))
+        readSidecar(spark, indexPath)._3 else None)
+    writeSidecar(spark, indexPath, head, keptEntries ++ fresh, schema)
     (fresh.size, kept.size, dropped.size)
   }
 
   private case class FileStats(f: String, n: Long, mn: Long, mx: Long,
       bloom: BloomFilter)
 
-  private def readSidecar(spark: SparkSession,
-      indexPath: String): (Int, Seq[FileStats]) = {
+  private def readSidecar(spark: SparkSession, indexPath: String)
+      : (Int, Seq[FileStats], Option[org.apache.spark.sql.types.StructType]) = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(indexPath))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -162,11 +179,17 @@ object BloomSkipIndex {
       .findFirstMatchIn(text).map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"bloom sidecar $indexPath has no table_version header"))
+    // optional (legacy sidecars lack it) — base64 of StructType json
+    val schema = """"schema":"([^"]+)"""".r.findFirstMatchIn(text).map { m =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(dec.decode(m.group(1)), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     val entry = """\{"file":"([^"]+)","n":(\d+),"min":(-?\d+),"max":(-?\d+),"bloom":"([^"]+)"\}""".r
     (ver, entry.findAllMatchIn(text).map { m =>
       FileStats(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, deser(dec.decode(m.group(5))))
-    }.toSeq)
+    }.toSeq, schema)
   }
 
   /** Point lookup: prune files from the sidecar, scan only survivors,
@@ -175,14 +198,24 @@ object BloomSkipIndex {
     */
   def lookup(spark: SparkSession, indexPath: String, keyCol: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
-    val stats = readSidecar(spark, indexPath)._2
+    val (_, stats, schema) = readSidecar(spark, indexPath)
     val kept = stats.filter(st =>
       keys.exists(k => k >= st.mn && k <= st.mx && st.bloom.mightContainLong(k)))
     val df =
-      if (kept.isEmpty)
+      if (kept.nonEmpty) spark.read.parquet(kept.map(_.f): _*)
+      else if (stats.nonEmpty)
         // schema comes from the full file set without scanning data
         spark.read.parquet(stats.map(_.f): _*).limit(0)
-      else spark.read.parquet(kept.map(_.f): _*)
+      else schema match {
+        // empty entry list (index over an empty table, or refresh
+        // dropped everything): zero parquet paths can't even derive a
+        // schema, so answer from the one the sidecar recorded
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => throw new IllegalStateException(
+          s"bloom sidecar $indexPath has no entries and no recorded " +
+            "schema (legacy build over an empty table) — rebuild the index")
+      }
     (df.filter(col(keyCol).isin(keys: _*)), kept.size, stats.size)
   }
 
@@ -195,7 +228,7 @@ object BloomSkipIndex {
     */
   def lookupFresh(spark: SparkSession, tableDir: String, indexPath: String,
       keyCol: String, keys: Seq[Long]): (DataFrame, Int, Int) = {
-    val (ver, _) = readSidecar(spark, indexPath)
+    val (ver, _, _) = readSidecar(spark, indexPath)
     val head = VersionedTable.latestVersion(spark, tableDir)
     require(ver == head,
       s"bloom index at $indexPath describes table version $ver but the " +

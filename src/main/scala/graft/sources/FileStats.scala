@@ -36,11 +36,18 @@ object FileStats {
   val StatsFileName = "_stats.tsv"
 
   /** One column's file-level stats. `min`/`max` are None when the column
-    * is all-null in the file (or the footer carried no stats).
+    * is all-null in the file (or the footer carried no stats). `nulls` is
+    * None when the footer did NOT record a null count — "unknown" must
+    * never collapse to 0, or absent statistics would become positive
+    * evidence (IS NULL skipping would drop a file that might hold nulls,
+    * and count(col) = rows − nulls would over-count).
     */
   final case class ColStats(min: Option[String], max: Option[String],
-      nulls: Long, rows: Long) {
-    def allNull: Boolean = nulls >= rows
+      nulls: Option[Long], rows: Long) {
+    /** Proven all-null: requires a KNOWN null count covering every row. */
+    def allNull: Boolean = nulls.exists(_ >= rows)
+    /** Proven null-free: requires a KNOWN zero null count. */
+    def noNulls: Boolean = nulls.contains(0L)
   }
 
   /** Spark types whose stats we trust (see Scaladoc). */
@@ -49,6 +56,16 @@ object FileStats {
          DoubleType | BooleanType | StringType => true
     case _ => false
   }
+
+  /** Types whose footer min/max can prove anything: float/double are
+    * excluded everywhere a min/max PROOF is consumed (file skipping,
+    * metadata extrema, bounds) — Spark orders NaN above every double
+    * while parquet writers variously omit or mis-order NaN in footer
+    * stats, so a float extremum from stats could silently disagree with
+    * a scan. Counts/nulls stay usable for every supported type.
+    */
+  private[graft] def minMaxSafe(dt: DataType): Boolean =
+    supported(dt) && dt != FloatType && dt != DoubleType
 
   /** Order two RENDERED stat values under `dt`'s comparator — the one
     * comparison rule every stats consumer (bounds queries, file
@@ -83,27 +100,38 @@ object FileStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val perCol = scala.collection.mutable.Map[String,
-        (Option[Any], Option[Any], Long, Long)]()
+        (Option[Any], Option[Any], Option[Long], Long, Boolean)]()
       for (block <- blocks; col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
         if (wanted.contains(name)) {
           val rows = block.getRowCount
           val st = col.getStatistics
+          // absent stats stay UNKNOWN (None), never 0: a row group whose
+          // footer lacks stats (or a null count) makes the whole file's
+          // null count unknowable
           val (mn, mx, nulls) =
-            if (st == null || st.isEmpty) (None, None, 0L)
+            if (st == null || st.isEmpty) (None, None, None)
             else {
-              val n = if (st.isNumNullsSet) st.getNumNulls else 0L
+              val n = if (st.isNumNullsSet) Some(st.getNumNulls) else None
               if (st.hasNonNullValue)
                 (Option(st.genericGetMin), Option(st.genericGetMax), n)
               else (None, None, n)
             }
-          val (pmn, pmx, pn, pr) =
-            perCol.getOrElse(name, (None, None, 0L, 0L))
-          perCol(name) = (mergeMin(pmn, mn), mergeMax(pmx, mx),
-            pn + nulls, pr + rows)
+          val statsAbsent = st == null || st.isEmpty
+          val (pmn, pmx, pn, pr, seen) =
+            perCol.getOrElse(name,
+              (None, None, Some(0L): Option[Long], 0L, false))
+          val mergedNulls =
+            for (a <- pn; b <- nulls) yield a + b
+          // a stats-less row group also poisons min/max: values may
+          // exist outside the recorded range of the other row groups
+          perCol(name) =
+            if (statsAbsent || seen) (None, None, mergedNulls, pr + rows, true)
+            else (mergeMin(pmn, mn), mergeMax(pmx, mx), mergedNulls,
+              pr + rows, false)
         }
       }
-      perCol.toMap.map { case (name, (mn, mx, nulls, rows)) =>
+      perCol.toMap.map { case (name, (mn, mx, nulls, rows, _)) =>
         name -> ColStats(mn.map(render), mx.map(render), nulls, rows)
       }
     } finally reader.close()
@@ -160,7 +188,8 @@ object FileStats {
       val rel = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
       footerStats(conf, st.getPath, wanted).toSeq.sortBy(_._1).map {
         case (col, cs) =>
-          Seq(rel, col, cs.rows.toString, cs.nulls.toString,
+          Seq(rel, col, cs.rows.toString,
+            cs.nulls.map(_.toString).getOrElse("-"),
             cs.min.map(b64).getOrElse("-"), cs.max.map(b64).getOrElse("-"))
             .mkString("\t")
       }
@@ -187,7 +216,7 @@ object FileStats {
             Some((rel, col, ColStats(
               if (mn == "-") None else Some(unb64(mn)),
               if (mx == "-") None else Some(unb64(mx)),
-              nulls.toLong, rows.toLong)))
+              if (nulls == "-") None else Some(nulls.toLong), rows.toLong)))
           case _ => None
         }
       }.groupBy(_._1).map { case (rel, rowsFor) =>

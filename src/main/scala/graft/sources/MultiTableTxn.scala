@@ -112,28 +112,47 @@ object MultiTableTxn {
     id
   }
 
-  /** Heal the transaction log after a crash: completed transactions
-    * (marker present) roll forward, partial ones (intent alone) roll
-    * every participant back to its recorded head. Idempotent; safe to
-    * run at every startup. Returns (rolledForward, rolledBack) counts.
+  /** Intents younger than this are presumed LIVE and left alone by
+    * [[recover]] — the same stance [[VersionedTable.DefaultOrphanGraceMs]]
+    * takes on staged dirs: a coordinator concurrently inside [[run]] has
+    * an intent but no marker, and rolling it back would abort a healthy
+    * transaction's committed prefix. Pass 0 only when the caller KNOWS
+    * no transaction can be in flight (single-coordinator startup).
     */
-  def recover(spark: SparkSession, txnDir: String): (Int, Int) = {
+  val DefaultIntentGraceMs: Long = 3600L * 1000
+
+  /** Heal the transaction log after a crash: completed transactions
+    * (marker present) roll forward; partial ones (intent alone) roll
+    * every participant back to its recorded head — but only once the
+    * intent is older than `intentGraceMs`, because an intent-without-
+    * marker is also what a LIVE transaction looks like from outside
+    * (see [[DefaultIntentGraceMs]]). Idempotent; safe to run at every
+    * startup under the grace default. Returns (rolledForward,
+    * rolledBack) counts; skipped young intents count in neither.
+    */
+  def recover(spark: SparkSession, txnDir: String,
+      intentGraceMs: Long = DefaultIntentGraceMs): (Int, Int) = {
     val f = fs(spark, txnDir)
     if (!f.exists(new Path(txnDir))) return (0, 0)
-    val names = f.listStatus(new Path(txnDir)).toSeq.map(_.getPath.getName)
+    val statuses = f.listStatus(new Path(txnDir)).toSeq
+    val names = statuses.map(_.getPath.getName)
+    val mtimes = statuses.map(st => st.getPath.getName ->
+      st.getModificationTime).toMap
     val intents = names.filter(_.endsWith(".intent")).map(_.stripSuffix(".intent"))
     val markers = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    val now = System.currentTimeMillis()
     var fwd = 0
     var back = 0
     intents.foreach { id =>
       if (markers.contains(id)) {
         f.delete(markerPath(txnDir, id), false)
+        f.delete(intentPath(txnDir, id), false)
         fwd += 1
-      } else {
+      } else if (now - mtimes.getOrElse(s"$id.intent", now) >= intentGraceMs) {
         rollbackAll(spark, readLog(spark, intentPath(txnDir, id)))
+        f.delete(intentPath(txnDir, id), false)
         back += 1
-      }
-      f.delete(intentPath(txnDir, id), false)
+      } // else: young intent — possibly a live transaction; leave it
     }
     // a marker whose intent is already gone is a fully committed txn
     // whose cleanup lost only the last delete — just remove it

@@ -289,7 +289,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
 
   private[graft] def metaColStatsWhere(keepValue: String => Boolean,
       colName: String, dt: org.apache.spark.sql.types.DataType)
-      : Option[(Option[String], Option[String], Long, Long)] =
+      : Option[(Option[String], Option[String], Option[Long], Long)] =
     fileStatsForLeaves(keepValue).flatMap(foldColStats(_, colName, dt))
 
   /** Per-leaf (partition column, partition value, rows) from the
@@ -318,13 +318,21 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     * fail a query it could have scanned.
     */
   private[graft] def metaColStats(colName: String, dt: org.apache.spark.sql.types.DataType)
-      : Option[(Option[String], Option[String], Long, Long)] =
+      : Option[(Option[String], Option[String], Option[Long], Long)] =
     allFileStats.flatMap(foldColStats(_, colName, dt))
 
+  /** Folded (min, max, nulls, rows): the whole fold refuses (None) when
+    * any file lacks the column or carries non-null rows without min/max;
+    * the NULL COUNT alone degrades to None when any file's footer left
+    * it unset — min/max stay provable (bounds of the non-null values
+    * need no null count) while count(col) consumers must refuse rather
+    * than treat "unknown" as 0.
+    */
   private def foldColStats(files: Seq[Map[String, FileStats.ColStats]],
       colName: String, dt: org.apache.spark.sql.types.DataType)
-      : Option[(Option[String], Option[String], Long, Long)] = {
-      files.foldLeft(Option((Option.empty[String], Option.empty[String], 0L, 0L))) {
+      : Option[(Option[String], Option[String], Option[Long], Long)] = {
+      files.foldLeft(Option((Option.empty[String], Option.empty[String],
+          Option(0L), 0L))) {
         case (None, _) => None
         case (Some((mn, mx, nulls, rows)), m) =>
           m.get(colName) match {
@@ -340,16 +348,22 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
               }
               Some((keep(mn, cs.min, wantMin = true),
                 keep(mx, cs.max, wantMin = false),
-                nulls + cs.nulls, rows + cs.rows))
+                for (a <- nulls; b <- cs.nulls) yield a + b,
+                rows + cs.rows))
           }
       }
     }
 
   /** Keep a leaf unless some pushed predicate over its partition column
-    * evaluates to definite FALSE at the leaf's value.
+    * evaluates to definite FALSE at the leaf's value. A null-partition
+    * leaf (hive's `__HIVE_DEFAULT_PARTITION__` sentinel — the write path
+    * refuses to create one, but a foreign or legacy layout might) is
+    * ALWAYS kept: substituting the sentinel as a string value would make
+    * `IS NULL` definite-FALSE at exactly the leaf holding the nulls.
     */
   private def keepLeaf(filters: Seq[Expression], pcol: String,
       pval: String): Boolean =
+    pval == VersionedTable.NullPartSentinel ||
     tableSchema.fields.find(_.name == pcol).forall { field =>
       val cast = Cast(Literal(UTF8String.fromString(pval), StringType),
         field.dataType, Some(spark.sessionState.conf.sessionLocalTimeZone))
@@ -377,7 +391,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
   private def skipOne(f: Expression,
       cs: Map[String, FileStats.ColStats]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThanOrEqual => Le, LessThan => Lt}
-    def stat(e: Expression): Option[(FileStats.ColStats, org.apache.spark.sql.types.DataType)] =
+    def statNulls(e: Expression): Option[(FileStats.ColStats, org.apache.spark.sql.types.DataType)] =
       e match {
         case ar: AttributeReference => for {
           s <- cs.get(ar.name)
@@ -386,6 +400,11 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
         } yield (s, fld.dataType)
         case _ => None
       }
+    // range/equality proofs consume min/max — float/double excluded
+    // (NaN ordering, see FileStats.minMaxSafe); null-count shapes keep
+    // every supported type
+    def stat(e: Expression): Option[(FileStats.ColStats, org.apache.spark.sql.types.DataType)] =
+      statNulls(e).filter { case (_, dt) => FileStats.minMaxSafe(dt) }
     def litOf(e: Expression): Option[Any] = e match {
       case Literal(x, _) if x != null => Some(x)
       case _ => None
@@ -442,9 +461,10 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
           s.allNull || vs.forall(v => v == null || outside(s, v, dt))
         }
       case IsNull(a: AttributeReference) =>
-        stat(a).exists { case (s, _) => s.nulls == 0 }
+        // a PROVEN zero null count — an unknown count keeps the file
+        statNulls(a).exists { case (s, _) => s.noNulls }
       case IsNotNull(a: AttributeReference) =>
-        stat(a).exists { case (s, _) => s.allNull }
+        statNulls(a).exists { case (s, _) => s.allNull }
       case _ => false
     }
   }

@@ -96,6 +96,13 @@ object VersionedTable {
 
   private def partDirCol(partCol: String) = s"${partCol}__p"
 
+  /** Hive's directory spelling for a NULL partition value. The write
+    * path refuses to create such a leaf ([[writeDataDir]]); readers
+    * treat one conservatively (never pruned, disqualifies value-exact
+    * metadata rewrites) in case a foreign layout carries it.
+    */
+  private[graft] val NullPartSentinel = "__HIVE_DEFAULT_PARTITION__"
+
   /** A version's full state: live data leaves, live position-delete dirs
     * (merge-on-read — see [[deleteMergeOnRead]]), the subset of leaves
     * any delete vector touches (`dirty`), the per-channel latest
@@ -274,12 +281,28 @@ object VersionedTable {
     df.withColumn(pdir, col(partCol))
       .repartition(col(pdir))
       .write.mode("overwrite").partitionBy(pdir).parquet(s"$tableDir/$rel")
+    val f = fs(spark, tableDir)
+    // NULL partition values are REFUSED, not silently written: hive's
+    // layout spells them `<col>=__HIVE_DEFAULT_PARTITION__`, a string
+    // sentinel that poisons every value-based consumer (leaf pruning
+    // would evaluate IS NULL to definite FALSE at exactly the leaf
+    // holding the nulls; the metadata rewrites would emit the sentinel
+    // as a group value where a scan returns NULL). Detection is free —
+    // the written leaf names already say it — and happens BEFORE the
+    // manifest commit, so the refused batch never becomes visible.
+    if (f.listStatus(new Path(s"$tableDir/$rel")).exists(st =>
+        st.isDirectory && st.getPath.getName == s"$pdir=$NullPartSentinel")) {
+      f.delete(new Path(s"$tableDir/$rel"), true)
+      throw new IllegalArgumentException(
+        s"batch contains NULL values in partition column '$partCol' — " +
+          "null partition values break pruning and metadata queries; " +
+          "filter or fill them before writing")
+    }
     // file-level column stats next to the commit that wrote the files
     // (footer folds, driver-side, O(batch files)) — what lets the
     // connector's FileIndex skip whole files on data predicates without
     // opening a footer at query time
     FileStats.write(spark, s"$tableDir/$rel", df.schema)
-    val f = fs(spark, tableDir)
     f.listStatus(new Path(s"$tableDir/$rel")).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
       .map(st => s"$rel/${st.getPath.getName}")
@@ -2069,6 +2092,13 @@ object VersionedTable {
     *   row — compact folds them, then bounds are sound again);
     * - a live file whose sidecar lacks the column, or carries no min/max
     *   despite non-null rows (parquet omits oversized binary stats);
+    * - a file whose footer left the null count unset (unknown is not 0);
+    * - a float/double extremum that IS NaN — Spark orders NaN above
+    *   every double while other engines differ, so a NaN bound from
+    *   stats cannot be served as "the" max (non-NaN float extrema are
+    *   sound for this library's tables: the closed Spark write path
+    *   propagates NaN into footer stats, so NaN-bearing files are
+    *   detected here rather than silently skipped);
     * - a legacy manifest without a recorded schema (no comparator).
     * Returns (col, min, max, nulls); min/max are None for an
     * all-null column.
@@ -2110,6 +2140,14 @@ object VersionedTable {
                 "(oversized stats omitted by the writer?) — bounds unknowable")
           val (mn, mx, nulls) = acc(c)
           val dt = types(c)
+          if ((dt == FloatType || dt == DoubleType) &&
+              (cs.min ++ cs.max).exists(v => v.toDouble.isNaN))
+            throw new IllegalStateException(
+              s"boundsMeta: '$c' has a NaN extremum in $key — NaN " +
+                "ordering differs across engines; bounds refused")
+          val csNulls = cs.nulls.getOrElse(throw new IllegalStateException(
+            s"boundsMeta: '$c' has no recorded null count in $key — " +
+              "unknown is not zero; bounds refused"))
           def keepMin(x: Option[String]) = (mn, x) match {
             case (Some(a), Some(b)) => Some(if (less(b, a, dt)) b else a)
             case _ => mn.orElse(x)
@@ -2118,7 +2156,7 @@ object VersionedTable {
             case (Some(a), Some(b)) => Some(if (less(a, b, dt)) b else a)
             case _ => mx.orElse(x)
           }
-          acc(c) = (keepMin(cs.min), keepMax(cs.max), nulls + cs.nulls)
+          acc(c) = (keepMin(cs.min), keepMax(cs.max), nulls + csNulls)
         }
       }
     }

@@ -59,11 +59,33 @@ class GraphRankSpec extends AnyFunSuite {
   }
 
   test("the iteration plan reuses the persisted edge list and never goes cartesian") {
-    val plan = GraphRank.pagerank(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      "every iteration must join on a key")
-    assert(plan.contains("InMemoryTableScan"),
-      "iterations must reuse the persisted edge list, not regenerate it")
+    import org.apache.spark.sql.functions._
+    // audit the LAZY iteration plan — the public entry materializes and
+    // truncates lineage, so the loop shape is only visible here
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("node"))
+    val edges = GraphRank.edgesOf(docs, docs.count())
+      .repartition(col("src")).persist()
+    try {
+      val plan = GraphRank
+        .iterated(docs, edges, "150000 + (85 * coalesce(inc, 0)) div 100")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "every iteration must join on a key")
+      assert(plan.contains("InMemoryTableScan"),
+        "iterations must reuse the persisted edge list, not regenerate it")
+    } finally edges.unpersist()
+  }
+
+  test("the entries release their pinned edge list before returning") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    GraphRank.pagerank(spark, sfDir)
+    val leak1 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // at most the returned frame's own materialized backing RDD — the
+    // O(N·3)-row cached edge list must be gone
+    assert(leak1.size <= 1, s"pagerank leaked cached RDDs: $leak1")
+    GraphRank.pagerankSeeded(spark, sfDir)
+    val leak2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leak2.size <= 2, s"pagerankSeeded leaked cached RDDs: $leak2")
   }
 }

@@ -62,11 +62,17 @@ class MultiTableTxnSpec extends AnyFunSuite {
     Files.write(Paths.get(s"$txn/crash1.intent"),
       s"0\t$a\n0\t$b".getBytes("UTF-8"))
     VersionedTable.append(Seq((2L, "p1")).toDF("id", "p"), a, "p")
-    assert(MultiTableTxn.recover(spark, txn) === ((0, 1)))
+    // under the default grace the fresh intent is presumed LIVE — a
+    // coordinator mid-run looks exactly like this — so recover must
+    // NOT roll it back...
+    assert(MultiTableTxn.recover(spark, txn) === ((0, 0)))
+    assert(ids(a) === Seq(1L, 2L), "live-looking txn left untouched")
+    // ...and only an explicit no-transactions-in-flight call heals it
+    assert(MultiTableTxn.recover(spark, txn, intentGraceMs = 0) === ((0, 1)))
     assert(ids(a) === Seq(1L) && ids(b) === Seq(10L))
     assert(Files.list(Paths.get(txn)).count() === 0)
     // idempotent
-    assert(MultiTableTxn.recover(spark, txn) === ((0, 0)))
+    assert(MultiTableTxn.recover(spark, txn, intentGraceMs = 0) === ((0, 0)))
   }
 
   test("crash after the marker: recover rolls forward (mutations stand)") {
