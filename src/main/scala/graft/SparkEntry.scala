@@ -306,6 +306,9 @@ object SparkEntry {
     // the load-bearing variant: hot key (50% of rows on one key) x a
     // non-broadcast fact-derived side -> salted SORT-MERGE join
     "events_salted_join_heavy" -> (Analytics.eventsSaltedJoinHeavy _),
+    // the same regime handled by AQE's runtime skew split, unsalted —
+    // the executed plan's skew flag rides the oracle-gated row
+    "events_aqe_skew_join" -> (Analytics.eventsAqeSkewJoin _),
     "table_stats" -> (Analytics.tableStats _),
     // the 100 TB NDV leg: 6x HLL in ONE narrow-scan aggregate (no
     // Expand, no distinct shuffle), exact NDV kept as in-query audit
@@ -480,6 +483,7 @@ object SparkEntry {
     "events_layout_composed" -> LayoutAudit.composedLayoutJoinSql(),
     "events_salted_join" -> Analytics.eventsSaltedJoinSql,
     "events_salted_join_heavy" -> Analytics.eventsSaltedJoinHeavySql,
+    "events_aqe_skew_join" -> Analytics.eventsAqeSkewJoinSql,
     "table_stats" -> Analytics.tableStatsSql,
     "table_stats_approx" -> Analytics.tableStatsApproxSql,
     "decontaminate_semantic" -> Decontaminate.semanticSql(),

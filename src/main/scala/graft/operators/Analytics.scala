@@ -612,6 +612,110 @@ object Analytics {
       |FROM ev JOIN profile USING (hot_user)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The [[eventsSaltedJoinHeavy]] regime handled by SPARK'S OWN runtime
+    * mitigation instead of a hand salt: AQE's `OptimizeSkewedJoin`
+    * splits the hot reducer partition of the sort-merge join into
+    * advisory-sized slices AFTER seeing the map output sizes — the
+    * first thing a platform engineer reaches for at 100 TB before
+    * salting by hand.
+    *
+    * The regime has to change in exactly one way for AQE to apply, and
+    * that boundary is the point of the entry pair: SkewSpec pins live
+    * that `OptimizeSkewedJoin` only matches an SMJ whose BOTH inputs
+    * are raw shuffle stages — the salted entry's profile side is an
+    * aggregate over the same key, which sits between the join and its
+    * shuffle and leaves AQE nothing to split. So here the profile is
+    * MATERIALIZED first (one parquet write, the real-world profile
+    * table), making both join inputs raw shuffles; the fact side is
+    * round-robin pre-partitioned to stand in for the many input splits
+    * a real fact table has (a skewed partition splits along MAPPER
+    * boundaries — one single-file mapper gives AQE nothing to cut).
+    * Thresholds are sized so the deterministic hot_user=0 partition
+    * (~50 % of the fact) splits at every test sf; the EXECUTED adaptive
+    * plan is checked for the split and `skew_split` rides the
+    * oracle-gated row, so the mitigation itself is hash-gated, not just
+    * the arithmetic.
+    *
+    * When the manual salt still wins (PLANS.md): an aggregate-fed join
+    * side (this very shape un-materialized), holistic aggregation after
+    * the join, and broadcast-pressure regimes without runtime re-plan.
+    */
+  def eventsAqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // force: splitting the join adds a shuffle before the tier
+      // aggregation that follows — accept it, that IS the mitigation
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // thresholds sized to the SMALLEST test sf (1k events → the hot
+      // partition is ~10 KB): skew = >2 KB and >2× median; advisory
+      // 4 KB splits it into a handful of slices there and a few hundred
+      // at sf0.1 — a production deployment keeps the 256 MB defaults
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val ev = Tables.events(spark, sfDir).select(
+        when(col("user_id") % 10 < 5, 0L).otherwise(col("user_id")).as("hot_user"),
+        round(col("value") * 1e6).cast("long").as("micros"))
+        .repartition(8) // stand-in for a real fact table's many mappers
+      // materialize the per-user profile: a RAW relation on the join's
+      // build side is what puts this regime inside AQE's reach
+      val profDir = graft.pipeline.Stores.temp("graft_aqe_profile")
+      ev.groupBy("hot_user")
+        .agg(count(lit(1)).cast("long").as("n_user_events"))
+        .write.mode("overwrite").parquet(profDir)
+      val profile = spark.read.parquet(profDir).hint("merge") // pin SMJ
+      val joined = ev.join(profile, Seq("hot_user"))
+        .withColumn("tier",
+          when(col("n_user_events") >= 100, "hot").otherwise("cold"))
+        .groupBy("tier")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          countDistinct(col("hot_user")).cast("long").as("n_users"),
+          sum(col("micros")).cast("long").as("sum_micros"))
+      val rows = joined.collect() // 2 rows; executes the adaptive plan
+      // the executed plan must show the skew split — a run that merely
+      // survived the skewed SMJ unsplit is the failure mode this entry
+      // exists to catch, so the flag rides the oracle-gated row
+      val split = joined.queryExecution.executedPlan.toString
+        .contains("skew=true")
+      import spark.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), split))
+        .toDF("tier", "n_events", "n_users", "sum_micros", "skew_split")
+        .orderBy("tier")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val eventsAqeSkewJoinSql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS hot_user,
+      |         CAST(round(value * 1e6) AS BIGINT) AS micros
+      |  FROM events),
+      |profile AS (
+      |  SELECT hot_user, CAST(count(*) AS BIGINT) AS n_user_events
+      |  FROM ev GROUP BY 1)
+      |SELECT CASE WHEN n_user_events >= 100 THEN 'hot' ELSE 'cold' END AS tier,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT hot_user) AS BIGINT) AS n_users,
+      |  CAST(sum(micros) AS BIGINT) AS sum_micros,
+      |  TRUE AS skew_split
+      |FROM ev JOIN profile USING (hot_user)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ANALYZE-TABLE-shaped column statistics census over lineitem — the
     * numbers a cost-based optimizer's join reorder and the engine's own
     * broadcast decisions feed on: per column, row count, non-null count,

@@ -35,6 +35,17 @@ object FileStats {
 
   val StatsFileName = "_stats.tsv"
 
+  /** File-level manifest sidecar (`_files.tsv` in each add-dir): one
+    * line per data file, `relFile size mtimeMs`. What lets
+    * [[graft.sources.ManifestFileIndex]] construct a snapshot's file
+    * list from metadata alone — ZERO per-leaf `listStatus` calls on the
+    * read path. At a million-file table the alternative is a million
+    * NameNode RPCs per relation build; recording names+sizes in the
+    * commit is exactly why the Delta log carries `add` actions with
+    * `path`+`size`.
+    */
+  val FileListName = "_files.tsv"
+
   /** One column's file-level stats. `min`/`max` are None when the column
     * is all-null in the file (or the footer carried no stats). `nulls` is
     * None when the footer did NOT record a null count — "unknown" must
@@ -178,12 +189,22 @@ object FileStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dataDirAbs)
     val f = root.getFileSystem(conf)
-    val wanted = schema.fields.filter(fl => supported(fl.dataType))
-      .map(fl => fl.name -> fl.dataType).toMap
-    if (wanted.isEmpty) return
     val files = f.listStatus(root).toSeq.filter(_.isDirectory)
       .flatMap(d => f.listStatus(d.getPath).toSeq)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // the file-level manifest rides every commit regardless of schema —
+    // the read path's zero-listing construction must never depend on
+    // which column types were stats-recordable
+    val fileLines = files.map { st =>
+      val rel = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
+      s"$rel\t${st.getLen}\t${st.getModificationTime}"
+    }.sorted
+    val fout = f.create(new Path(root, FileListName), true)
+    try fout.write((fileLines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally fout.close()
+    val wanted = schema.fields.filter(fl => supported(fl.dataType))
+      .map(fl => fl.name -> fl.dataType).toMap
+    if (wanted.isEmpty) return
     val lines = files.flatMap { st =>
       val rel = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
       footerStats(conf, st.getPath, wanted).toSeq.sortBy(_._1).map {
@@ -197,6 +218,28 @@ object FileStats {
     val out = f.create(new Path(root, StatsFileName), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Load one add-dir's file-level manifest: relFile -> (size, mtimeMs),
+    * or None when the sidecar is absent (legacy add-dir — the reader
+    * falls back to listing that dir's leaves).
+    */
+  def loadFileList(fsys: FileSystem,
+      dataDirAbs: Path): Option[Map[String, (Long, Long)]] = {
+    val p = new Path(dataDirAbs, FileListName)
+    if (!fsys.exists(p)) None
+    else {
+      val in = fsys.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, size, mtime) =>
+            Some(rel -> ((size.toLong, mtime.toLong)))
+          case _ => None
+        }
+      }.toMap)
+    }
   }
 
   /** Load one add-dir's stats: relFile -> (col -> stats). Absent or

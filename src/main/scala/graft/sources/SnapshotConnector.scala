@@ -212,9 +212,17 @@ private[graft] final class ManifestParquetFormat extends ParquetFileFormat {
   * row-group-wise by parquet min/max stats, since within one leaf the
   * partition column is constant.
   *
-  * Listing cost: one `listStatus` per live leaf at construction,
-  * metadata-sized, never repeated per query stage ([[refresh]] re-lists
-  * on demand). Foreign-spec leaves (partition-spec evolution) keep their
+  * Listing cost: ZERO `listStatus` calls for a fully-covered table —
+  * each add-dir's `_files.tsv` sidecar ([[FileStats.FileListName]],
+  * written with the commit) carries every data file's name+size+mtime,
+  * so construction is one tiny sidecar read per ADD DIR (shared with
+  * the stats sidecar read), not one namenode listing per leaf. At a
+  * million-leaf table that is the difference between a metadata read
+  * and a million RPCs per relation build — the Delta `add`-action
+  * design. Legacy add-dirs without the sidecar fall back to one
+  * `listStatus` per leaf ([[leafListings]] counts them — spec-pinned
+  * at zero for covered tables). [[refresh]] re-reads on demand.
+  * Foreign-spec leaves (partition-spec evolution) keep their
   * own dir column name and simply never match the current predicate's
   * reference — they are retained, which is the documented
   * lost-pruning-until-rewrite cost model.
@@ -222,9 +230,15 @@ private[graft] final class ManifestParquetFormat extends ParquetFileFormat {
 final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     leaves: Seq[String], tableSchema: StructType) extends FileIndex {
 
+  /** Per-leaf `listStatus` calls this index has issued — 0 when every
+    * add-dir carried its file-level manifest (the instrumentation seam
+    * the zero-listing spec pins).
+    */
+  private[sources] var leafListings: Long = 0L
+
   // (leaf rel path, partition column, decoded value, parquet files) per
   // leaf, plus each referenced add-dir's file-level column stats (one
-  // tiny sidecar read per add dir) — both metadata-sized, listed once
+  // tiny sidecar read per add dir) — both metadata-sized, read once
   private var (leafEntries, statsByAddDir): (
       Seq[(String, String, String, Seq[FileStatus])],
       Map[String, Map[String, Map[String, FileStats.ColStats]]]) = list()
@@ -233,13 +247,34 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       Map[String, Map[String, Map[String, FileStats.ColStats]]]) = {
     val f = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+    // one sidecar read per add dir, legacy dirs → None
+    val fileLists: Map[String, Option[Map[String, (Long, Long)]]] =
+      roots.map(d =>
+        d -> FileStats.loadFileList(f, new Path(s"$tableDir/$d"))).toMap
     val entries = leaves.map { l =>
-      val files = f.listStatus(new Path(s"$tableDir/$l")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val root = l.substring(0, l.lastIndexOf('/'))
+      val leafName = l.substring(l.lastIndexOf('/') + 1)
+      val fromSidecar: Option[Seq[FileStatus]] =
+        fileLists(root).map { m =>
+          m.toSeq.collect {
+            case (rel, (len, mtime))
+                if rel.startsWith(leafName + "/") && rel.endsWith(".parquet") =>
+              val name = rel.substring(leafName.length + 1)
+              new FileStatus(len, false, 1, 128L << 20, mtime,
+                f.makeQualified(new Path(s"$tableDir/$l/$name")))
+          }.sortBy(_.getPath.getName)
+        }.filter(_.nonEmpty) // a covered leaf always has files; an empty
+                             // slice means a foreign sidecar — list it
+      val files = fromSidecar.getOrElse {
+        leafListings += 1
+        f.listStatus(new Path(s"$tableDir/$l")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
       (l, VersionedTable.leafPartColOf(l), VersionedTable.leafPartValueOf(l),
         files)
     }
-    val stats = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+    val stats = roots
       .map(d => d -> FileStats.load(f, new Path(s"$tableDir/$d"))).toMap
     (entries, stats)
   }
@@ -565,6 +600,17 @@ final class SnapshotScanRelation(spark: SparkSession, tableDir: String,
   override def sqlContext: SQLContext = spark.sqlContext
 
   override val schema: StructType = view.schema
+
+  /** Live data bytes from the file-level manifest — an upper bound on
+    * the vector-applied view (deleted rows only shrink it), which is
+    * the safe direction for join planning. Without this override the
+    * relation inherits `defaultSizeInBytes` (≈Long.Max) and a small
+    * DIRTY snapshot could never be auto-broadcast until compacted —
+    * at scale that turns a dimension-table join into a full shuffle
+    * for exactly the window between a delete and its compaction.
+    */
+  override val sizeInBytes: Long =
+    VersionedTable.liveBytes(spark, tableDir, version)
 
   /** Source filters translated back to Columns where expressible; `None`
     * for shapes we don't push (Spark re-evaluates every filter above).

@@ -787,6 +787,38 @@ object VersionedTable {
     * ([[graft.sources.BloomSkipIndex]] tracks files, not leaves, so an
     * incremental refresh can diff against exactly this list).
     */
+  /** Byte sum of a version's live data files, answered from the
+    * `_files.tsv` sidecars where present (zero listings — the same
+    * metadata the connector's FileIndex builds from) with a per-leaf
+    * listing fallback for legacy add-dirs. What the MOR fallback
+    * relation reports as `sizeInBytes`: without it Spark assumes
+    * `defaultSizeInBytes` (≈Long.Max) and a SMALL dirty snapshot can
+    * never be auto-broadcast in a join until compacted.
+    */
+  private[sources] def liveBytes(spark: SparkSession, tableDir: String,
+      version: Int): Long = {
+    val f = fs(spark, tableDir)
+    val m = readManifestFull(spark, tableDir, version)
+    val byRoot = m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+    byRoot.iterator.map { case (root, ls) =>
+      FileStats.loadFileList(f, new Path(s"$tableDir/$root")) match {
+        case Some(list) =>
+          val leafNames = ls.map(l => l.substring(l.lastIndexOf('/') + 1)).toSet
+          list.iterator.collect {
+            case (rel, (len, _))
+                if rel.endsWith(".parquet") &&
+                  leafNames.contains(rel.take(math.max(0, rel.indexOf('/')))) =>
+              len
+          }.sum
+        case None => ls.iterator.map { l =>
+          f.listStatus(new Path(s"$tableDir/$l")).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+        }.sum
+      }
+    }.sum
+  }
+
   def liveDataFiles(spark: SparkSession, tableDir: String): Seq[String] = {
     val f = fs(spark, tableDir)
     val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
@@ -1971,12 +2003,15 @@ object VersionedTable {
     for (rel <- (m.leaves ++ m.deletes).distinct;
          st <- f.listStatus(new Path(s"$srcDir/$rel")).toSeq if st.isFile)
       bring(rel, st.getPath.getName)
-    // stats sidecars live at the add-dir root (parent of the hive
-    // leaves) — they ride along so the clone keeps file-level skipping
-    // and metadata-only counts without a re-harvest
-    for (root <- m.leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
-         if f.exists(new Path(s"$srcDir/$root/${FileStats.StatsFileName}")))
-      bring(root, FileStats.StatsFileName)
+    // stats + file-list sidecars live at the add-dir root (parent of
+    // the hive leaves) — they ride along so the clone keeps file-level
+    // skipping, metadata-only counts AND zero-listing relation builds
+    // without a re-harvest (relative paths and sizes are unchanged;
+    // hard links even keep the recorded mtimes exact)
+    for (root <- m.leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct;
+         sidecar <- Seq(FileStats.StatsFileName, FileStats.FileListName)
+         if f.exists(new Path(s"$srcDir/$root/$sidecar")))
+      bring(root, sidecar)
     writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,
       m.schema, m.partcol, m.constraints)
     (linkedN, copiedN)

@@ -130,6 +130,22 @@ class SkewSpec extends AnyFunSuite {
         "events_salted_join_heavy still needs the salt")
   }
 
+  test("events_aqe_skew_join: the adaptive plan splits the hot partition and equals the salted form") {
+    val sfDir = "/root/testdata/sf0.001"
+    val aqe = graft.operators.Analytics.eventsAqeSkewJoin(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    // the in-row plan audit: the skew split MUST have fired (the entry
+    // reads its own executed adaptive plan)
+    assert(aqe.forall(_._5), s"skew split did not fire: $aqe")
+    val salted = graft.operators.Analytics
+      .eventsSaltedJoinHeavy(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(aqe.map(t => (t._1, t._2, t._3, t._4)) === salted,
+      "AQE-mitigated and salt-mitigated joins must agree exactly")
+  }
+
   test("saltedAgg collect_set matches the direct holistic aggregate") {
     val direct = big.groupBy("k")
       .agg(array_sort(collect_set(col("payload"))).as("vals"))

@@ -314,4 +314,83 @@ class SnapshotConnectorSpec extends AnyFunSuite {
       assert(ids(load(dir)) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
     } finally spark.sql("DROP TABLE conn_ins")
   }
+
+  private def indexOf(df: DataFrame): ManifestFileIndex =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[ManifestFileIndex]
+    }.head
+
+  test("relation construction issues ZERO per-leaf listings on a covered table") {
+    val dir = makeTable()
+    val covered = load(dir)
+    val idx = indexOf(covered)
+    assert(idx.leafListings === 0L,
+      "a table whose add-dirs all carry _files.tsv must build its file " +
+        "list from sidecar metadata alone — every listStatus here is a " +
+        "NameNode RPC per relation build at scale")
+    assert(ids(covered) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val coveredSize = idx.sizeInBytes
+    assert(coveredSize > 0)
+
+    // strip the file manifests -> legacy table: same answers, but the
+    // index must fall back to one listing per leaf and say so
+    val dataRoot = new java.io.File(s"$dir/data")
+    val stripped = dataRoot.listFiles().filter(_.isDirectory).map { add =>
+      new java.io.File(add, FileStats.FileListName).delete()
+    }
+    assert(stripped.forall(identity) && stripped.nonEmpty)
+    val legacy = load(dir)
+    val lidx = indexOf(legacy)
+    assert(lidx.leafListings > 0L, "legacy add-dirs must list, not fail")
+    assert(ids(legacy) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // sidecar-recorded sizes are the physical truth the planner sees
+    assert(lidx.sizeInBytes === coveredSize)
+  }
+
+  test("sidecar-built file list preserves pruning, skipping and bloom probes") {
+    val dir = makeTable()
+    // leaf pruning by partition predicate, from sidecar-built statuses
+    val (rows, files) = runCounting(
+      load(dir).filter($"pdate" === "2024-01-01"))
+    assert(rows === Seq(1L, 2L))
+    val (_, allFiles) = runCounting(load(dir))
+    assert(files < allFiles, "partition pruning must drop files")
+    // file-level stats skipping on a data column still engages
+    val (hi, hiFiles) = runCounting(load(dir).filter($"amount" >= 50L))
+    assert(hi === Seq(5L, 6L))
+    assert(hiFiles < allFiles, "footer-stats skipping must drop files")
+    // metadata-only aggregate still fires (counts ride the same sidecars)
+    val n = load(dir).agg(count(lit(1)).as("n"))
+    val plan = n.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"))
+    assert(n.collect().head.getLong(0) === 6L)
+  }
+
+  test("a small DIRTY snapshot auto-broadcasts in a join: the MOR relation reports real bytes") {
+    val dir = makeTable()
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 2L)
+    val dim = load(dir) // pending vectors -> SnapshotScanRelation fallback
+    assert(dim.queryExecution.executedPlan.toString
+      .contains("SnapshotScanRelation"), "fixture must be on the MOR path")
+    val fact = spark.range(0, 10000)
+      .select(($"id" % 7 + 1).as("fk"), $"id".as("v"))
+    val joined = fact.join(dim, $"fk" === dim("id"))
+    val jplan = joined.queryExecution.executedPlan.toString
+    // without the sizeInBytes override the relation advertises
+    // defaultSizeInBytes (~Long.Max) and this would be a shuffle join
+    assert(jplan.contains("BroadcastHashJoin"),
+      s"small dirty snapshot must broadcast:\n$jplan")
+    val got = joined.agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().head
+    // result equality vs the compacted (vector-free) table
+    VersionedTable.compact(spark, dir, "pdate")
+    val clean = load(dir)
+    val want = fact.join(clean, $"fk" === clean("id"))
+      .agg(sum($"v").as("s"), count(lit(1)).as("n")).collect().head
+    assert(got.getLong(0) === want.getLong(0) &&
+      got.getLong(1) === want.getLong(1))
+  }
 }
