@@ -822,6 +822,34 @@ object Analytics {
       .orderBy("column_name")
   }
 
+  /** The PRODUCTION leg of [[tableStatsApprox]] alone: one narrow-scan
+    * aggregate carrying the algebraic stats AND the six HLL sketches,
+    * no exact-NDV audit. Not oracle-gated (HLL estimates are
+    * engine-specific) — this exists to be TIMED: the surface entry pays
+    * sketch + exact audit inline, so its headline number measures the
+    * audit harness; the bench's probe block times this leg on its own,
+    * making "the sketch beats the exact census" a committed number
+    * rather than a claim.
+    */
+  def tableStatsSketchOnly(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, sfDir)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}__andv"))
+    }
+    val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n, ${c}__nn, ${c}__min, ${c}__max, ${c}__andv").mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nonnull, min_v, max_v, approx_ndv)"))
+      .orderBy("column_name")
+  }
+
   val tableStatsApproxSql: String = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_returnflag", "l_linestatus")
