@@ -640,6 +640,28 @@ object Analytics {
     * side (this very shape un-materialized), holistic aggregation after
     * the join, and broadcast-pressure regimes without runtime re-plan.
     */
+  /** True when any shuffled join in the EXECUTED plan was skew-split.
+    * Walks through the AQE wrappers explicitly: `QueryStageExec` is a
+    * leaf to TreeNode traversal, so a plain `collect` would miss a join
+    * that finished inside a materialized intermediate stage.
+    */
+  private[graft] def planHasSkewJoin(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val here = plan match {
+      case s: SortMergeJoinExec => s.isSkewJoin
+      case s: ShuffledHashJoinExec => s.isSkewJoin
+      case _ => false
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here || kids.exists(planHasSkewJoin)
+  }
+
   def eventsAqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val keep = Seq(
       "spark.sql.adaptive.enabled",
@@ -686,9 +708,16 @@ object Analytics {
       val rows = joined.collect() // 2 rows; executes the adaptive plan
       // the executed plan must show the skew split — a run that merely
       // survived the skewed SMJ unsplit is the failure mode this entry
-      // exists to catch, so the flag rides the oracle-gated row
-      val split = joined.queryExecution.executedPlan.toString
-        .contains("skew=true")
+      // exists to catch, so the flag rides the oracle-gated row.
+      // Detection is STRUCTURAL (isSkewJoin on the join nodes, descending
+      // into materialized query stages), not a plan-string match — the
+      // "skew=true" spelling is a Spark-version detail, and a missing
+      // split must read as a mitigation regression, not a data mismatch
+      val split = planHasSkewJoin(joined.queryExecution.executedPlan)
+      if (!split) throw new IllegalStateException(
+        "events_aqe_skew_join: OptimizeSkewedJoin did NOT split the " +
+          "skewed sort-merge join — mitigation regression (thresholds, " +
+          "AQE confs, or a plan-shape change put the join out of reach)")
       import spark.implicits._
       rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), split))

@@ -80,7 +80,12 @@ object GraphRank {
     val edges = edgesOf(docs, n)
       .repartition(col("src")) // partitioned once, reused every iteration
       .persist()
-    try iterated(docs, edges, update).localCheckpoint() // eager
+    // the presentation sort runs BEFORE the eager checkpoint, so the
+    // final ranks materialize exactly once, already in node order — a
+    // post-checkpoint orderBy would re-shuffle the rows it just wrote
+    // (the round-9 1.3–1.4× drift); checkpointed partitions read back
+    // in index order, preserving the sort
+    try iterated(docs, edges, update).orderBy("node").localCheckpoint()
     finally edges.unpersist()
   }
 
@@ -89,7 +94,7 @@ object GraphRank {
       .select(col("doc_id").as("node"))
     val n = docs.count() // one metadata-cheap scalar; N is a plan literal
     materializedRanks(docs, n,
-      "150000 + (85 * coalesce(inc, 0)) div 100").orderBy("node")
+      "150000 + (85 * coalesce(inc, 0)) div 100")
   }
 
   /** PERSONALIZED PageRank — the topic-conditioned variant curation
@@ -109,7 +114,7 @@ object GraphRank {
     val teleport = 15L * BaseMicro * n / (100L * s)
     materializedRanks(docs, n,
       s"CASE WHEN node % 19 = 0 THEN ${teleport}L ELSE 0L END" +
-        " + (85 * coalesce(inc, 0)) div 100").orderBy("node")
+        " + (85 * coalesce(inc, 0)) div 100")
   }
 
   def pagerankSeededSql(): String = {

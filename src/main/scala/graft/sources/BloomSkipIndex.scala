@@ -142,8 +142,14 @@ object BloomSkipIndex {
     val live = VersionedTable.liveDataFiles(spark, tableDir)
     val liveSet = live.toSet
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = if (fs.exists(new Path(indexPath)))
-      readSidecar(spark, indexPath)._2 else Nil
+    // ONE sidecar read recovers both the prior entries and the prior
+    // schema (the bloom bytes are the bulk of the sidecar — re-reading
+    // it a second time just for the schema doubled the maintenance I/O)
+    val (old, oldSchema) =
+      if (fs.exists(new Path(indexPath))) {
+        val (_, entries, sch) = readSidecar(spark, indexPath)
+        (entries, sch)
+      } else (Nil, None)
     val (kept, dropped) = old.partition(st => liveSet.contains(st.f))
     val keptSet = kept.map(_.f).toSet
     val newFiles = live.filterNot(keptSet.contains)
@@ -155,10 +161,12 @@ object BloomSkipIndex {
       }
     val keptEntries = kept.map(st =>
       BloomPartial(st.f, ser(st.bloom), st.n, st.mn, st.mx))
-    // keep the previously recorded schema when no new files were read
-    val schema = freshSchema.orElse(
-      if (fs.exists(new Path(indexPath)))
-        readSidecar(spark, indexPath)._3 else None)
+    // recorded schema prefers the MANIFEST's full-table shape: a schema
+    // inferred from only the refresh batch's files covers just that
+    // batch's columns, and the previously recorded schema is one
+    // evolution behind — both diverge from the table after evolution
+    val schema = VersionedTable.headSchemaOpt(spark, tableDir)
+      .orElse(freshSchema).orElse(oldSchema)
     writeSidecar(spark, indexPath, head, keptEntries ++ fresh, schema)
     (fresh.size, kept.size, dropped.size)
   }

@@ -129,15 +129,21 @@ object FileStats {
               else (None, None, n)
             }
           val statsAbsent = st == null || st.isEmpty
+          // a row group without usable min/max poisons the file's min/max:
+          // stats fully absent, OR stats present with no recorded value
+          // while the group is not provably all-null (parquet-mr omits
+          // oversized >4KB binary min/max but keeps null_count — those
+          // rows hold values outside the other groups' recorded range)
+          val valuesUnbounded = !statsAbsent && !st.hasNonNullValue &&
+            !nulls.contains(rows)
           val (pmn, pmx, pn, pr, seen) =
             perCol.getOrElse(name,
               (None, None, Some(0L): Option[Long], 0L, false))
           val mergedNulls =
             for (a <- pn; b <- nulls) yield a + b
-          // a stats-less row group also poisons min/max: values may
-          // exist outside the recorded range of the other row groups
           perCol(name) =
-            if (statsAbsent || seen) (None, None, mergedNulls, pr + rows, true)
+            if (statsAbsent || valuesUnbounded || seen)
+              (None, None, mergedNulls, pr + rows, true)
             else (mergeMin(pmn, mn), mergeMax(pmx, mx), mergedNulls,
               pr + rows, false)
         }

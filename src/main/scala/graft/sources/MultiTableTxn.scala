@@ -130,6 +130,17 @@ object MultiTableTxn {
     * startup under the grace default. Returns (rolledForward,
     * rolledBack) counts; skipped young intents count in neither.
     */
+  /** Startup recovery for a SINGLE-coordinator deployment: no transaction
+    * can be in flight before this process starts, so every intent is a
+    * crash leftover and rolls back immediately (grace 0). Multi-writer
+    * deployments must use [[recover]] with the grace default and accept
+    * its visibility window: a crashed partial transaction's committed
+    * prefix stays visible for up to `DefaultIntentGraceMs` before the
+    * next recover rolls it back.
+    */
+  def recoverAtStartup(spark: SparkSession, txnDir: String): (Int, Int) =
+    recover(spark, txnDir, intentGraceMs = 0L)
+
   def recover(spark: SparkSession, txnDir: String,
       intentGraceMs: Long = DefaultIntentGraceMs): (Int, Int) = {
     val f = fs(spark, txnDir)

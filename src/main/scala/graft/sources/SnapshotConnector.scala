@@ -609,7 +609,10 @@ final class SnapshotScanRelation(spark: SparkSession, tableDir: String,
     * at scale that turns a dimension-table join into a full shuffle
     * for exactly the window between a delete and its compaction.
     */
-  override val sizeInBytes: Long =
+  // lazy: the planner asks BaseRelation.sizeInBytes on demand — on a
+  // legacy table without _files.tsv sidecars liveBytes falls back to one
+  // listStatus per live leaf, a cost only join planning should ever pay
+  override lazy val sizeInBytes: Long =
     VersionedTable.liveBytes(spark, tableDir, version)
 
   /** Source filters translated back to Columns where expressible; `None`

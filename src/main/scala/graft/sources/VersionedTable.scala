@@ -216,6 +216,16 @@ object VersionedTable {
       parseArray(text, "constraints"))
   }
 
+  /** The head manifest's recorded table schema, when present — the
+    * authoritative full-table shape (evolution lands here first), which
+    * sidecar indexes should prefer over any schema inferred from a
+    * SUBSET of files. One manifest read; no data access.
+    */
+  def headSchemaOpt(spark: SparkSession,
+      tableDir: String): Option[StructType] =
+    readManifestFull(spark, tableDir,
+      latestVersion(spark, tableDir)).schemaOpt
+
   /** Atomically publish `staging` as `committed`, REFUSING an existing
     * destination — the CAS under every commit. HDFS `rename` refuses an
     * existing destination atomically at the NameNode, but POSIX

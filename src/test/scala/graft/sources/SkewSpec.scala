@@ -114,18 +114,18 @@ class SkewSpec extends AnyFunSuite {
     val dim = userIds.map(u => (u, s"u$u")).toDF("hot_user", "name")
     val raw = ev.join(dim, "hot_user")
     assert(raw.collect().length === 100000)
-    val rawPlan = raw.queryExecution.executedPlan.toString
-    assert(rawPlan.contains("skew=true"),
-      s"AQE must skew-split the raw hot-key SMJ:\n${rawPlan.take(3000)}")
+    val rawPlan = raw.queryExecution.executedPlan
+    assert(graft.operators.Analytics.planHasSkewJoin(rawPlan),
+      s"AQE must skew-split the raw hot-key SMJ:\n${rawPlan.toString.take(3000)}")
     // case 2: the profile side is an AGGREGATE over the same key -> the
     // hot partition stays whole (no skew=true anywhere) even though the
     // same skew is present — beyond AQE's reach, salting's territory
     val profile = ev.groupBy("hot_user").agg(cnt(lit(1)).as("n_user_events"))
     val agg = ev.join(profile, "hot_user")
     assert(agg.collect().length === 100000)
-    val aggPlan = agg.queryExecution.executedPlan.toString
-    assert(aggPlan.contains("isFinalPlan=true"))
-    assert(!aggPlan.contains("skew=true"),
+    val aggPlan = agg.queryExecution.executedPlan
+    assert(aggPlan.toString.contains("isFinalPlan=true"))
+    assert(!graft.operators.Analytics.planHasSkewJoin(aggPlan),
       "if AQE learns to split aggregate-fed joins, revisit whether " +
         "events_salted_join_heavy still needs the salt")
   }
