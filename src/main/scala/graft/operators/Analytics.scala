@@ -804,21 +804,40 @@ object Analytics {
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** rsd for the production NDV sketch. 0.05 is the measured crossover
+    * point where the sketch beats the exact census on BOTH axes at
+    * sf0.1 (round-10 sweep, medians of 3): wall 0.76 s vs 0.87 s for
+    * [[tableStats]]'s two-phase exact form, and exchange `dataSize`
+    * 7.6 KB vs 8.1 MB — the exact form's distinct shuffle carries every
+    * distinct value (data-dependent, grows with NDV), the sketch ships
+    * one fixed ~m-register buffer per column per mapper. rsd 0.01 keeps
+    * a 5σ audit corridor but its 16K-register update path measured
+    * 2.86 s — SLOWER than exact at this scale (round-9 verdict): HLL
+    * only pays off once the register cost is amortized against a
+    * distinct shuffle it deletes, which rsd 0.05 already achieves here
+    * and any rsd achieves at 100 TB.
+    */
+  val NdvSketchRsd = 0.05
+
   /** The 100 TB form of [[tableStats]]'s NDV leg: `approx_count_distinct`
-    * (HLL++, rsd 0.01) for every column in the SAME single narrow-scan
-    * aggregate as the algebraic stats — HLL sketches are algebraic (each
-    * keeps its own fixed-size buffer, partials merge associatively), so
-    * six approx-distincts plan ONE pass with NO Expand and no shuffle
-    * growth, where six exact `count(DISTINCT)` in one aggregate Expand
-    * the corpus 6× (measured 10.6 s vs ~1 s at sf0.1 — [[tableStats]]
-    * doc) and even the two-phase exact form pays a distinct shuffle.
+    * (HLL++, rsd [[NdvSketchRsd]]) for every column in the SAME single
+    * narrow-scan aggregate as the algebraic stats — HLL sketches are
+    * algebraic (each keeps its own fixed-size buffer, partials merge
+    * associatively), so six approx-distincts plan ONE pass with NO
+    * Expand and no shuffle growth, where six exact `count(DISTINCT)` in
+    * one aggregate Expand the corpus 6× (measured 10.6 s vs ~1 s at
+    * sf0.1 — [[tableStats]] doc) and even the two-phase exact form pays
+    * a distinct shuffle that the sketch deletes (measured numbers on
+    * [[NdvSketchRsd]]).
     *
     * Sketch-with-audit contract ([[eventsApproxProfile]] /
     * `text_length_quantiles`): HLL estimates are engine-specific, so the
     * hash-gated columns are the exact algebraic stats plus one audit
-    * boolean per column — the estimate must land within ±5 % of the
-    * exact NDV (5σ at rsd 0.01; the exact leg exists here as the
-    * in-query audit, a deployment emits the sketch columns alone).
+    * boolean per column — the estimate must land within ±15 % of the
+    * exact NDV (3σ at rsd 0.05; measured worst case across the three
+    * test sfs is 6.4 %, and the estimate is deterministic per dataset).
+    * The exact leg exists here as the in-query audit; a deployment
+    * emits the sketch columns alone.
     */
   def tableStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -828,7 +847,7 @@ object Analytics {
       Seq(count(col(c)).as(s"${c}__nn"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
-        approx_count_distinct(col(c), 0.01).as(s"${c}__andv"))
+        approx_count_distinct(col(c), NdvSketchRsd).as(s"${c}__andv"))
     }
     val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = cols.map(c =>
@@ -847,7 +866,7 @@ object Analytics {
       .select(col("column_name"), col("n_rows"), col("n_nonnull"),
         col("min_v"), col("max_v"),
         (abs(col("andv") - col("ndv")) <=
-          greatest(lit(1L), col("ndv") * 5 / 100)).as("ndv_sketch_ok"))
+          greatest(lit(1L), col("ndv") * 15 / 100)).as("ndv_sketch_ok"))
       .orderBy("column_name")
   }
 
@@ -856,9 +875,11 @@ object Analytics {
     * no exact-NDV audit. Not oracle-gated (HLL estimates are
     * engine-specific) — this exists to be TIMED: the surface entry pays
     * sketch + exact audit inline, so its headline number measures the
-    * audit harness; the bench's probe block times this leg on its own,
-    * making "the sketch beats the exact census" a committed number
-    * rather than a claim.
+    * audit harness; the bench's probe block times this leg on its own.
+    * At rsd [[NdvSketchRsd]] this leg beats the exact census on wall
+    * time AND deletes its distinct shuffle (measured numbers on
+    * [[NdvSketchRsd]]'s doc); at tighter rsd the register-update cost
+    * dominates at this scale and the sketch's only win is shuffle bytes.
     */
   def tableStatsSketchOnly(spark: SparkSession, sfDir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -868,7 +889,7 @@ object Analytics {
       Seq(count(col(c)).as(s"${c}__nn"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"),
-        approx_count_distinct(col(c), 0.01).as(s"${c}__andv"))
+        approx_count_distinct(col(c), NdvSketchRsd).as(s"${c}__andv"))
     }
     val one = li.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = cols.map(c =>
