@@ -791,12 +791,14 @@ object VersionedTable {
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, latestVersion(spark, tableDir))
 
-  /** The head version's live DATA FILES as normalized absolute paths —
-    * one FS listing per live leaf, metadata-sized, no data scan. The
-    * file-granular view secondary indexes key on
-    * ([[graft.sources.BloomSkipIndex]] tracks files, not leaves, so an
-    * incremental refresh can diff against exactly this list).
+  /** Fallback-listing counter for [[liveDataFiles]]/[[liveBytes]]: each
+    * per-leaf `listStatus` a missing `_files.tsv` forces bumps this —
+    * the spec pins it at 0 for sidecar-complete tables (maintenance
+    * paths are zero-listing too, not just relation builds) and >0 with
+    * identical answers on legacy tables. Test instrumentation only.
     */
+  private[sources] var fallbackLeafListings: Long = 0L
+
   /** Byte sum of a version's live data files, answered from the
     * `_files.tsv` sidecars where present (zero listings — the same
     * metadata the connector's FileIndex builds from) with a per-leaf
@@ -821,6 +823,7 @@ object VersionedTable {
               len
           }.sum
         case None => ls.iterator.map { l =>
+          fallbackLeafListings += 1
           f.listStatus(new Path(s"$tableDir/$l")).toSeq
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
             .map(_.getLen).sum
@@ -829,14 +832,39 @@ object VersionedTable {
     }.sum
   }
 
+  /** The head version's live DATA FILES as normalized absolute paths,
+    * answered from the `_files.tsv` sidecars where present (one sidecar
+    * read per ADD-DIR, zero per-leaf listings — the same metadata the
+    * connector's FileIndex builds from) with a per-leaf listing fallback
+    * for legacy add-dirs. The file-granular view secondary indexes key
+    * on ([[graft.sources.BloomSkipIndex]] tracks files, not leaves, so
+    * an incremental refresh can diff against exactly this list) — and
+    * the takedown paths call it per store, so at a million-file table
+    * the sidecar answer is what keeps MAINTENANCE off the NameNode too,
+    * not just queries.
+    */
   def liveDataFiles(spark: SparkSession, tableDir: String): Seq[String] = {
     val f = fs(spark, tableDir)
     val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
-    m.leaves.flatMap { l =>
-      f.listStatus(new Path(s"$tableDir/$l")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => st.getPath.toUri.getPath)
-    }.sorted
+    val byRoot = m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+    byRoot.iterator.flatMap { case (root, ls) =>
+      FileStats.loadFileList(f, new Path(s"$tableDir/$root")) match {
+        case Some(list) =>
+          val leafNames = ls.map(l => l.substring(l.lastIndexOf('/') + 1)).toSet
+          list.iterator.collect {
+            case (rel, _)
+                if rel.endsWith(".parquet") &&
+                  leafNames.contains(rel.take(math.max(0, rel.indexOf('/')))) =>
+              f.makeQualified(new Path(s"$tableDir/$root/$rel")).toUri.getPath
+          }
+        case None => ls.iterator.flatMap { l =>
+          fallbackLeafListings += 1
+          f.listStatus(new Path(s"$tableDir/$l")).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => st.getPath.toUri.getPath)
+        }
+      }
+    }.toSeq.sorted
   }
 
   /** MERGE (upsert) a batch by key — the reference's deletion kernel

@@ -350,6 +350,33 @@ class SnapshotConnectorSpec extends AnyFunSuite {
     assert(lidx.sizeInBytes === coveredSize)
   }
 
+  test("liveDataFiles and bloom refresh answer from sidecars: zero per-leaf listings") {
+    val dir = makeTable()
+    VersionedTable.fallbackLeafListings = 0L
+    val files = VersionedTable.liveDataFiles(spark, dir)
+    assert(files.nonEmpty)
+    assert(VersionedTable.fallbackLeafListings === 0L,
+      "a sidecar-complete table must enumerate live files from " +
+        "_files.tsv alone — maintenance paths, not just relation builds")
+    // BloomSkipIndex.refresh keys on exactly this list, so index
+    // maintenance inherits the zero-listing property
+    val idxPath = s"$dir/bloom_sidecar.json"
+    BloomSkipIndex.refresh(spark, dir, "id", idxPath)
+    assert(VersionedTable.fallbackLeafListings === 0L,
+      "bloom refresh must not re-list leaves on a covered table")
+    // strip the sidecars -> legacy fallback lists, with identical answers
+    val dataRoot = new java.io.File(s"$dir/data")
+    val stripped = dataRoot.listFiles().filter(_.isDirectory).map { add =>
+      new java.io.File(add, FileStats.FileListName).delete()
+    }
+    assert(stripped.forall(identity) && stripped.nonEmpty)
+    val legacyFiles = VersionedTable.liveDataFiles(spark, dir)
+    assert(VersionedTable.fallbackLeafListings > 0L,
+      "legacy add-dirs must list, not fail")
+    assert(legacyFiles === files,
+      "sidecar and listing enumeration must agree file-for-file")
+  }
+
   test("sidecar-built file list preserves pruning, skipping and bloom probes") {
     val dir = makeTable()
     // leaf pruning by partition predicate, from sidecar-built statuses
