@@ -248,6 +248,89 @@ object FileStats {
     }
   }
 
+  /** One table-wide CHECKPOINT body: every sidecar-covered add-root's
+    * `_files.tsv` + `_stats.tsv` folded into a single text blob, so a
+    * relation build reads ONE file instead of two sidecars per commit —
+    * the Delta checkpoint-parquet / Iceberg manifest-list idea in the
+    * house TSV dialect. Content per covered root reproduces the sidecar
+    * maps byte-for-equal (same base64 value encoding, same "unknown"
+    * dashes), which is what lets the reader treat checkpoint hits and
+    * sidecar reads as the same evidence. Legacy roots (no `_files.tsv`)
+    * are simply not covered — the reader keeps their listing path.
+    *
+    * Line grammar (tab-separated):
+    * {{{
+    * V <version>
+    * R <root>                                    root is checkpoint-covered
+    * F <root> <rel> <size> <mtimeMs>             one per data file
+    * S <root> <rel> <col> <rows> <nulls> <minB64> <maxB64>
+    * }}}
+    * Returns None when no root is covered (nothing to checkpoint).
+    */
+  def checkpointBody(fsys: FileSystem, tableDir: String, version: Int,
+      roots: Seq[String]): Option[String] = {
+    val sb = new StringBuilder
+    sb.append(s"V\t$version\n")
+    var covered = 0
+    roots.sorted.foreach { root =>
+      loadFileList(fsys, new Path(s"$tableDir/$root")).foreach { files =>
+        covered += 1
+        sb.append(s"R\t$root\n")
+        files.toSeq.sortBy(_._1).foreach { case (rel, (size, mtime)) =>
+          sb.append(s"F\t$root\t$rel\t$size\t$mtime\n")
+        }
+        load(fsys, new Path(s"$tableDir/$root")).toSeq.sortBy(_._1)
+          .foreach { case (rel, cols) =>
+            cols.toSeq.sortBy(_._1).foreach { case (cname, cs) =>
+              sb.append(Seq("S", root, rel, cname, cs.rows.toString,
+                cs.nulls.map(_.toString).getOrElse("-"),
+                cs.min.map(b64).getOrElse("-"),
+                cs.max.map(b64).getOrElse("-")).mkString("\t"))
+              sb.append('\n')
+            }
+          }
+      }
+    }
+    if (covered == 0) None else Some(sb.toString)
+  }
+
+  /** Parsed checkpoint: (version, root -> fileList, root -> statsMap).
+    * Covered roots are exactly `fileLists.keySet`; a covered root absent
+    * from the stats map had no `_stats.tsv` (= empty stats, no skipping)
+    * — identical semantics to reading the sidecars directly.
+    */
+  def parseCheckpoint(text: String): (Int, Map[String, Map[String, (Long, Long)]],
+      Map[String, Map[String, Map[String, ColStats]]]) = {
+    var version = -1
+    val files = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[String, (Long, Long)]]()
+    val stats = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, ColStats]]]()
+    text.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array("V", v) => version = v.toInt
+        case Array("R", root) =>
+          files.getOrElseUpdate(root, scala.collection.mutable.Map.empty)
+        case Array("F", root, rel, size, mtime) =>
+          files.getOrElseUpdate(root, scala.collection.mutable.Map.empty)
+            .update(rel, (size.toLong, mtime.toLong))
+        case Array("S", root, rel, cname, rows, nulls, mn, mx) =>
+          stats.getOrElseUpdate(root, scala.collection.mutable.Map.empty)
+            .getOrElseUpdate(rel, scala.collection.mutable.Map.empty)
+            .update(cname, ColStats(
+              if (mn == "-") None else Some(unb64(mn)),
+              if (mx == "-") None else Some(unb64(mx)),
+              if (nulls == "-") None else Some(nulls.toLong), rows.toLong))
+        case _ => // tolerate unknown line kinds (forward compatibility)
+      }
+    }
+    (version,
+      files.iterator.map { case (k, v) => k -> v.toMap }.toMap,
+      stats.iterator.map { case (k, v) =>
+        k -> v.iterator.map { case (r, c) => r -> c.toMap }.toMap
+      }.toMap)
+  }
+
   /** Load one add-dir's stats: relFile -> (col -> stats). Absent or
     * unreadable sidecar = empty map = no skipping for those files.
     */

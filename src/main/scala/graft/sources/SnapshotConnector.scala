@@ -236,6 +236,14 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     */
   private[sources] var leafListings: Long = 0L
 
+  /** Per-add-dir SIDECAR reads this index has issued (each counts the
+    * `_files.tsv`+`_stats.tsv` pair once). With a manifest checkpoint
+    * this is the post-checkpoint TAIL only — spec-pinned ≤
+    * [[VersionedTable.CheckpointInterval]] on a many-commit table,
+    * where the pre-checkpoint form paid one pair per commit ever made.
+    */
+  private[sources] var sidecarReads: Long = 0L
+
   // (leaf rel path, partition column, decoded value, parquet files) per
   // leaf, plus each referenced add-dir's file-level column stats (one
   // tiny sidecar read per add dir) — both metadata-sized, read once
@@ -248,10 +256,28 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     val f = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
-    // one sidecar read per add dir, legacy dirs → None
+    // checkpoint first: ONE file covers every root folded at checkpoint
+    // time (leaves are immutable, so any checkpoint is a valid cache for
+    // any version); only the post-checkpoint TAIL — and any leaf retired
+    // before the checkpoint that a time travel resurrects — pays a
+    // sidecar read. Without this, a 10k-commit table re-reads ~20k tiny
+    // sidecars per relation build, every query, forever.
+    val (ckptFiles, ckptStats) =
+      VersionedTable.loadLatestCheckpoint(spark, tableDir) match {
+        case Some((_, fl, st)) => (fl, st)
+        case None => (Map.empty[String, Map[String, (Long, Long)]],
+          Map.empty[String, Map[String, Map[String, FileStats.ColStats]]])
+      }
+    // one sidecar read per NON-checkpointed add dir, legacy dirs → None
     val fileLists: Map[String, Option[Map[String, (Long, Long)]]] =
-      roots.map(d =>
-        d -> FileStats.loadFileList(f, new Path(s"$tableDir/$d"))).toMap
+      roots.map { d =>
+        d -> (ckptFiles.get(d) match {
+          case hit @ Some(_) => hit
+          case None =>
+            sidecarReads += 1
+            FileStats.loadFileList(f, new Path(s"$tableDir/$d"))
+        })
+      }.toMap
     val entries = leaves.map { l =>
       val root = l.substring(0, l.lastIndexOf('/'))
       val leafName = l.substring(l.lastIndexOf('/') + 1)
@@ -274,8 +300,13 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       (l, VersionedTable.leafPartColOf(l), VersionedTable.leafPartValueOf(l),
         files)
     }
-    val stats = roots
-      .map(d => d -> FileStats.load(f, new Path(s"$tableDir/$d"))).toMap
+    val stats = roots.map { d =>
+      // covered-by-checkpoint roots take the folded stats (absent from
+      // the stats section = the root had no _stats.tsv = empty map, the
+      // exact semantics of reading the sidecar directly)
+      d -> (if (ckptFiles.contains(d)) ckptStats.getOrElse(d, Map.empty)
+            else FileStats.load(f, new Path(s"$tableDir/$d")))
+    }.toMap
     (entries, stats)
   }
 

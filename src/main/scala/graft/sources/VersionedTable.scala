@@ -277,6 +277,81 @@ object VersionedTable {
       throw new CommitConflictException(
         s"version $version already committed at $tableDir")
     }
+    // periodic manifest CHECKPOINT (best-effort, never fails a commit):
+    // folds every covered add-root's sidecars into one file so relation
+    // builds read checkpoint + post-checkpoint tail instead of
+    // O(commits) sidecar pairs — a long-lived table's per-query plan
+    // cost stops growing with its commit history (the Delta checkpoint
+    // cadence; every 10th commit like Delta's default)
+    if (version > 0 && version % CheckpointInterval == 0)
+      try writeCheckpoint(spark, tableDir, version, leaves)
+      catch { case _: Exception => () }
+  }
+
+  /** Commits between checkpoints — the tail a relation build still pays
+    * sidecar reads for. Delta's default cadence.
+    */
+  val CheckpointInterval = 10
+
+  private def checkpointsDir(tableDir: String) = s"$tableDir/checkpoints"
+  private val CheckpointRe = "^v(\\d+)\\.tsv$".r
+
+  /** Write `checkpoints/v<version>.tsv` folding the live leaves'
+    * sidecars ([[FileStats.checkpointBody]]); atomic publish, loser
+    * skips. Older checkpoints are deleted after a successful publish:
+    * leaves are immutable once committed, so ANY checkpoint is a valid
+    * cache for any version (missing leaves fall back to their add-dir
+    * sidecars) and only the newest is worth keeping. Returns true when
+    * a checkpoint was published.
+    */
+  private[sources] def writeCheckpoint(spark: SparkSession,
+      tableDir: String, version: Int, leaves: Seq[String]): Boolean = {
+    val f = fs(spark, tableDir)
+    val roots = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+    FileStats.checkpointBody(f, tableDir, version, roots) match {
+      case None => false
+      case Some(body) =>
+        f.mkdirs(new Path(checkpointsDir(tableDir)))
+        val staging = new Path(
+          s"${checkpointsDir(tableDir)}/_staging_v$version-${nonce()}.tsv")
+        val out = f.create(staging, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        val committed = new Path(s"${checkpointsDir(tableDir)}/v$version.tsv")
+        val ok = publishNoClobber(f, staging, committed)
+        if (!ok) f.delete(staging, false)
+        else f.listStatus(new Path(checkpointsDir(tableDir))).toSeq
+          .foreach(st => st.getPath.getName match {
+            case CheckpointRe(n) if n.toInt < version =>
+              f.delete(st.getPath, false)
+            case _ => ()
+          })
+        ok
+    }
+  }
+
+  /** The newest committed checkpoint, parsed — or None (young or legacy
+    * table). One dir listing + one file read, regardless of history
+    * length.
+    */
+  private[sources] def loadLatestCheckpoint(spark: SparkSession,
+      tableDir: String): Option[(Int, Map[String, Map[String, (Long, Long)]],
+      Map[String, Map[String, Map[String, FileStats.ColStats]]])] = {
+    val f = fs(spark, tableDir)
+    val dir = new Path(checkpointsDir(tableDir))
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case CheckpointRe(n) => Some(n.toInt)
+        case _ => None
+      })
+    if (versions.isEmpty) None
+    else {
+      val p = new Path(dir, s"v${versions.max}.tsv")
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(FileStats.parseCheckpoint(text))
+    }
   }
 
   /** Write a frame as a new immutable data dir, return its leaf paths

@@ -377,6 +377,77 @@ class SnapshotConnectorSpec extends AnyFunSuite {
       "sidecar and listing enumeration must agree file-for-file")
   }
 
+  test("manifest checkpoint: relation builds read checkpoint + tail, not O(commits) sidecars") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    // 24 single-row commits -> checkpoints at v10 and v20; the head
+    // relation build must pay sidecar reads only for the post-v20 TAIL
+    VersionedTable.create(Seq((0L, "a", "2024-01-01", 0L))
+      .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+    (1 to 23).foreach { i =>
+      VersionedTable.append(
+        Seq((i.toLong, "a", s"2024-01-${"%02d".format(i % 5 + 1)}", i * 10L))
+          .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+    }
+    assert(new java.io.File(s"$dir/checkpoints/v20.tsv").isFile,
+      "every 10th commit must publish a checkpoint")
+    assert(!new java.io.File(s"$dir/checkpoints/v10.tsv").exists(),
+      "superseded checkpoints are deleted (any checkpoint caches any version)")
+    val head = load(dir)
+    val idx = indexOf(head)
+    assert(idx.leafListings === 0L)
+    assert(idx.sidecarReads <= VersionedTable.CheckpointInterval,
+      s"checkpoint+tail means ≤ interval sidecar reads; got ${idx.sidecarReads}")
+    assert(ids(head) === (0L to 23L))
+    // evidence quality is unchanged through the checkpoint: the
+    // metadata-only count rewrite still fires off the folded stats
+    val n = head.agg(count(lit(1)).as("n"))
+    assert(!n.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(n.collect().head.getLong(0) === 24L)
+    // file skipping still engages from checkpointed stats
+    val (hi, hiFiles) = runCounting(load(dir).filter($"amount" >= 200L))
+    assert(hi === (20L to 23L))
+    val (_, allFiles) = runCounting(load(dir))
+    assert(hiFiles < allFiles)
+    // a checkpoint-less table pays the O(commits) fan-in (the regime
+    // the checkpoint exists to kill) with identical answers
+    val del = new java.io.File(s"$dir/checkpoints")
+    del.listFiles().foreach(_.delete()); del.delete()
+    val legacy = load(dir)
+    val lidx = indexOf(legacy)
+    assert(lidx.sidecarReads >= 24L, "no checkpoint -> one read per commit")
+    assert(ids(legacy) === (0L to 23L))
+    // time travel BEHIND the checkpoint: retired... nothing is retired
+    // by appends, but an early version's roots all miss the v20-era
+    // tail guarantee — correctness must hold regardless
+    val v3 = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "3").load(dir)
+    assert(ids(v3) === (0L to 3L))
+  }
+
+  test("checkpoint entries for rewritten leaves: COW delete after checkpoint stays correct") {
+    val dir = Files.createTempDirectory("graft-ckpt-del").toString
+    VersionedTable.create(fixture(), dir, "pdate")
+    (1 to 10).foreach { i =>
+      VersionedTable.append(
+        Seq((100L + i, "z", "2024-01-05", 1000L + i))
+          .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+    }
+    assert(new java.io.File(s"$dir/checkpoints/v10.tsv").isFile)
+    // COW delete rewrites the 2024-01-05 leaves into a NEW add-dir (the
+    // tail); the checkpoint still holds the retired leaves' entries,
+    // which must simply never be consulted for the head
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 105L)
+    val head = load(dir)
+    assert(indexOf(head).leafListings === 0L)
+    assert(ids(head) === Seq(1L, 2L, 3L, 4L, 5L, 6L) ++
+      (101L to 110L).filterNot(_ == 105L))
+    // and the PRE-delete version still reads the retired leaves (their
+    // entries come from the checkpoint, sidecars or either — equal)
+    val before = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "10").load(dir)
+    assert(ids(before) === Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ (101L to 110L))
+  }
+
   test("sidecar-built file list preserves pruning, skipping and bloom probes") {
     val dir = makeTable()
     // leaf pruning by partition predicate, from sidecar-built statuses
