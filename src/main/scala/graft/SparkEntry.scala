@@ -328,7 +328,9 @@ object SparkEntry {
     // day-sketch cube: range NDV from HLL merge, no corpus rescan
     "events_hll_cube" -> (Analytics.hllCube _),
     // Iceberg-style partition-spec evolution: mixed-spec reads + deletes
-    "snapshot_spec_evolve" -> (sources.VersionedTable.snapshotSpecEvolve _)
+    "snapshot_spec_evolve" -> (sources.VersionedTable.snapshotSpecEvolve _),
+    "snapshot_multicol_spec" -> (sources.VersionedTable.snapshotMultiCol _),
+    "snapshot_orc" -> (sources.VersionedTable.snapshotOrc _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -497,6 +499,8 @@ object SparkEntry {
     "snapshot_point_lookup" -> sources.BloomSkipIndex.pointLookupSql,
     "events_retention_matrix" -> Analytics.retentionMatrixSql,
     "events_hll_cube" -> Analytics.hllCubeSql,
-    "snapshot_spec_evolve" -> sources.VersionedTable.snapshotSpecEvolveSql()
+    "snapshot_spec_evolve" -> sources.VersionedTable.snapshotSpecEvolveSql(),
+    "snapshot_multicol_spec" -> sources.VersionedTable.snapshotMultiColSql(),
+    "snapshot_orc" -> sources.VersionedTable.snapshotOrcSql()
   )
 }

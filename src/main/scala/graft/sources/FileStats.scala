@@ -182,28 +182,83 @@ object FileStats {
       case _ => a.orElse(b)
     }
 
-  /** Harvest stats for every parquet file under `dataDirAbs` (recursing
+  /** A data file of either supported format — the one extension test
+    * every consumer (file lists, byte sums, index builds) shares.
+    */
+  def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") || name.endsWith(".orc")
+
+  /** Fold one ORC file's FILE-LEVEL statistics into (col -> stats) —
+    * the ORC sibling of [[footerStats]]. ORC readers expose file-level
+    * ColumnStatistics directly (no row-group fold needed); null counts
+    * derive from `rows − getNumberOfValues` (ORC counts non-null
+    * values), and min/max are taken only where the reader yields
+    * untruncated typed extrema (integral + string; a truncated or
+    * absent extremum stays None — consumers already treat
+    * "values present, bounds unknown" as a refusal).
+    */
+  private def orcStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, wanted: Map[String, DataType]): Map[String, ColStats] = {
+    val reader = org.apache.orc.OrcFile.createReader(file,
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val rows = reader.getNumberOfRows
+      val stats = reader.getStatistics
+      val schema = reader.getSchema
+      val names = schema.getFieldNames.asScala.toSeq
+      val kids = schema.getChildren.asScala.toSeq
+      names.zip(kids).collect {
+        case (name, td) if wanted.contains(name) =>
+          val cs = stats(td.getId)
+          val nulls = Some(rows - cs.getNumberOfValues)
+          val (mn, mx) = cs match {
+            case s: org.apache.orc.IntegerColumnStatistics
+                if cs.getNumberOfValues > 0 =>
+              (Some(s.getMinimum.toString), Some(s.getMaximum.toString))
+            case s: org.apache.orc.StringColumnStatistics
+                if cs.getNumberOfValues > 0 &&
+                  s.getMinimum != null && s.getMaximum != null =>
+              (Some(s.getMinimum), Some(s.getMaximum))
+            case _ => (None, None) // float/double/bool/truncated: no proof
+          }
+          name -> ColStats(mn, mx, nulls, rows)
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Harvest stats for every data file under `dataDirAbs` (recursing
     * into the hive leaf dirs) and write `_stats.tsv` at its root. Called
     * by [[VersionedTable]] right after each data-dir write; `schema` is
-    * the batch's, deciding which columns are recorded.
+    * the batch's, deciding which columns are recorded; `fmt` picks the
+    * footer harvester (parquet row-group fold vs ORC file statistics).
     *
     * Line format (tab-separated, one line per file×column):
     * `relFile col rows nulls minB64 maxB64` with `-` for absent values.
     */
   def write(spark: SparkSession, dataDirAbs: String,
-      schema: StructType): Unit = {
+      schema: StructType, fmt: String = "parquet"): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dataDirAbs)
     val f = root.getFileSystem(conf)
+    val rootAbs = f.makeQualified(root).toUri.getPath
+    // recursive walk: multi-column partition specs nest leaf dirs, so
+    // data files can sit at any depth under the add-dir; `rel` is the
+    // full root-relative path either way
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap {
+        case st if st.isDirectory => walk(st.getPath)
+        case st if st.isFile && isDataFile(st.getPath.getName) => Seq(st)
+        case _ => Nil
+      }
     val files = f.listStatus(root).toSeq.filter(_.isDirectory)
-      .flatMap(d => f.listStatus(d.getPath).toSeq)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .flatMap(d => walk(d.getPath))
+    def relOf(st: org.apache.hadoop.fs.FileStatus): String =
+      f.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootAbs + "/")
     // the file-level manifest rides every commit regardless of schema —
     // the read path's zero-listing construction must never depend on
     // which column types were stats-recordable
     val fileLines = files.map { st =>
-      val rel = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
-      s"$rel\t${st.getLen}\t${st.getModificationTime}"
+      s"${relOf(st)}\t${st.getLen}\t${st.getModificationTime}"
     }.sorted
     val fout = f.create(new Path(root, FileListName), true)
     try fout.write((fileLines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -212,8 +267,11 @@ object FileStats {
       .map(fl => fl.name -> fl.dataType).toMap
     if (wanted.isEmpty) return
     val lines = files.flatMap { st =>
-      val rel = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
-      footerStats(conf, st.getPath, wanted).toSeq.sortBy(_._1).map {
+      val rel = relOf(st)
+      val perCol =
+        if (fmt == "orc") orcStats(conf, st.getPath, wanted)
+        else footerStats(conf, st.getPath, wanted)
+      perCol.toSeq.sortBy(_._1).map {
         case (col, cs) =>
           Seq(rel, col, cs.rows.toString,
             cs.nulls.map(_.toString).getOrElse("-"),

@@ -77,10 +77,10 @@ final class GraftSnapshotSource extends RelationProvider
     val tableDir = ci.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot streaming requires a path"))
     val head = VersionedTable.latestVersion(spark, tableDir)
-    val (leaves, _, schemaOpt, _) =
+    val (leaves, _, schemaOpt, _, fmt) =
       VersionedTable.manifestView(spark, tableDir, head)
     (shortName(), schemaOpt.getOrElse(
-      spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*).schema))
+      spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*).schema))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -124,18 +124,19 @@ final class GraftSnapshotSource extends RelationProvider
     val version = ci.get("versionasof").map(_.trim.toInt)
       .orElse(ci.get("timestampasof").map(versionAt(spark, tableDir, _)))
       .getOrElse(VersionedTable.latestVersion(spark, tableDir))
-    val (leaves, deletes, schemaOpt, _) =
+    val (leaves, deletes, schemaOpt, _, fmt) =
       VersionedTable.manifestView(spark, tableDir, version)
     if (deletes.nonEmpty) new SnapshotScanRelation(spark, tableDir, version)
     else {
       val schema = schemaOpt.getOrElse(
-        spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*).schema)
+        spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*).schema)
       HadoopFsRelation(
         location = new ManifestFileIndex(spark, tableDir, leaves, schema),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
-        fileFormat = new ManifestParquetFormat,
+        fileFormat =
+          if (fmt == "orc") new ManifestOrcFormat else new ManifestParquetFormat,
         options = Map.empty)(spark)
     }
   }
@@ -197,6 +198,18 @@ private[graft] final class ManifestParquetFormat extends ParquetFileFormat {
     throw new UnsupportedOperationException(SnapshotConnector.InsertRefusal)
 }
 
+/** ORC sibling of [[ManifestParquetFormat]] — the fast-path format for
+  * ORC-native versioned tables (the reference engine's storage format),
+  * with the same write-seam refusal.
+  */
+private[graft] final class ManifestOrcFormat
+    extends org.apache.spark.sql.execution.datasources.orc.OrcFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job, options: Map[String, String],
+      dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(SnapshotConnector.InsertRefusal)
+}
+
 /** Manifest-driven [[FileIndex]]: the planner's view of one snapshot's
   * live files.
   *
@@ -244,18 +257,20 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     */
   private[sources] var sidecarReads: Long = 0L
 
-  // (leaf rel path, partition column, decoded value, parquet files) per
-  // leaf, plus each referenced add-dir's file-level column stats (one
-  // tiny sidecar read per add dir) — both metadata-sized, read once
+  // (leaf rel path, partition (column, value) pairs outermost-first,
+  // parquet files) per leaf, plus each referenced add-dir's file-level
+  // column stats (one tiny sidecar read per add dir) — both
+  // metadata-sized, read once. Multi-column specs carry one pair per
+  // nesting level; pruning evaluates predicates at the full tuple.
   private var (leafEntries, statsByAddDir): (
-      Seq[(String, String, String, Seq[FileStatus])],
+      Seq[(String, Seq[(String, String)], Seq[FileStatus])],
       Map[String, Map[String, Map[String, FileStats.ColStats]]]) = list()
 
-  private def list(): (Seq[(String, String, String, Seq[FileStatus])],
+  private def list(): (Seq[(String, Seq[(String, String)], Seq[FileStatus])],
       Map[String, Map[String, Map[String, FileStats.ColStats]]]) = {
     val f = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val roots = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+    val roots = leaves.map(VersionedTable.addRootOf).distinct
     // checkpoint first: ONE file covers every root folded at checkpoint
     // time (leaves are immutable, so any checkpoint is a valid cache for
     // any version); only the post-checkpoint TAIL — and any leaf retired
@@ -279,14 +294,15 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
         })
       }.toMap
     val entries = leaves.map { l =>
-      val root = l.substring(0, l.lastIndexOf('/'))
-      val leafName = l.substring(l.lastIndexOf('/') + 1)
+      val root = VersionedTable.addRootOf(l)
+      val leafRel = VersionedTable.leafRelOf(l)
       val fromSidecar: Option[Seq[FileStatus]] =
         fileLists(root).map { m =>
           m.toSeq.collect {
             case (rel, (len, mtime))
-                if rel.startsWith(leafName + "/") && rel.endsWith(".parquet") =>
-              val name = rel.substring(leafName.length + 1)
+                if rel.startsWith(leafRel + "/") &&
+                  FileStats.isDataFile(rel) =>
+              val name = rel.substring(leafRel.length + 1)
               new FileStatus(len, false, 1, 128L << 20, mtime,
                 f.makeQualified(new Path(s"$tableDir/$l/$name")))
           }.sortBy(_.getPath.getName)
@@ -295,10 +311,9 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       val files = fromSidecar.getOrElse {
         leafListings += 1
         f.listStatus(new Path(s"$tableDir/$l")).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
       }
-      (l, VersionedTable.leafPartColOf(l), VersionedTable.leafPartValueOf(l),
-        files)
+      (l, VersionedTable.leafPartPairs(l), files)
     }
     val stats = roots.map { d =>
       // covered-by-checkpoint roots take the folded stats (absent from
@@ -328,15 +343,25 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
   private[sources] def fileStatsForLeaves(keepValue: String => Boolean)
       : Option[Seq[Map[String, FileStats.ColStats]]] = {
     val perFile = for {
-      (leaf, _, pval, files) <- leafEntries
-      if keepValue(pval)
-      root = leaf.substring(0, leaf.lastIndexOf('/'))
-      leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+      (leaf, pairs, files) <- leafEntries
+      if keepValue(deepestValue(pairs))
+      root = VersionedTable.addRootOf(leaf)
+      leafRel = VersionedTable.leafRelOf(leaf)
       st <- files
     } yield statsByAddDir.getOrElse(root, Map.empty)
-      .get(s"$leafName/${st.getPath.getName}")
+      .get(s"$leafRel/${st.getPath.getName}")
     if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
   }
+
+  /** The value the single-column metadata rewrites key on: the DEEPEST
+    * level's value (constant per leaf like any partition value). A leaf
+    * carrying a null-partition sentinel at ANY level surfaces the
+    * sentinel, so the value-exact rewrites' sentinel guard trips
+    * regardless of which level holds it.
+    */
+  private def deepestValue(pairs: Seq[(String, String)]): String =
+    pairs.map(_._2).find(_ == VersionedTable.NullPartSentinel)
+      .orElse(pairs.lastOption.map(_._2)).getOrElse("")
 
   /** Σ rows over every live file, from the sidecars alone. This equals
     * what a scan of THIS index returns by construction: a bare
@@ -363,15 +388,20 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     * filtered / GROUP-BY-partition count rewrites fold over.
     */
   private[graft] def metaLeafCounts: Option[Seq[(String, String, Long)]] = {
-    val per = leafEntries.map { case (leaf, pcol, pval, files) =>
-      val addDir = leaf.substring(0, leaf.lastIndexOf('/'))
-      val leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+    val per = leafEntries.map { case (leaf, pairs, files) =>
+      val addDir = VersionedTable.addRootOf(leaf)
+      val leafRel = VersionedTable.leafRelOf(leaf)
       val stats = statsByAddDir.getOrElse(addDir, Map.empty)
       val counts = files.map(st =>
-        stats.get(s"$leafName/${st.getPath.getName}")
+        stats.get(s"$leafRel/${st.getPath.getName}")
           .map(m => m.values.map(_.rows).max))
+      // multi-level leaves surface their DEEPEST pair (its value is
+      // constant per leaf, so single-column rewrites on that column
+      // stay exact); mixed-depth or foreign specs then fail the rule's
+      // single-column uniformity check and fall back to the scan
+      val pcol = pairs.lastOption.map(_._1).getOrElse("")
       if (counts.exists(_.isEmpty)) None
-      else Some((pcol, pval, counts.flatten.sum))
+      else Some((pcol, deepestValue(pairs), counts.flatten.sum))
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten)
   }
@@ -420,26 +450,37 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       }
     }
 
-  /** Keep a leaf unless some pushed predicate over its partition column
-    * evaluates to definite FALSE at the leaf's value. A null-partition
-    * leaf (hive's `__HIVE_DEFAULT_PARTITION__` sentinel — the write path
-    * refuses to create one, but a foreign or legacy layout might) is
-    * ALWAYS kept: substituting the sentinel as a string value would make
-    * `IS NULL` definite-FALSE at exactly the leaf holding the nulls.
+  /** Keep a leaf unless some pushed predicate over its partition
+    * column(s) evaluates to definite FALSE at the leaf's value tuple.
+    * Multi-column specs intersect naturally: a predicate is applicable
+    * when EVERY column it references is one of the leaf's partition
+    * levels (so `c1 = x`, `c2 = y` and `c1 = x AND c2 = y` all prune),
+    * and every reference binds to its own level's value. A
+    * null-partition leaf (hive's `__HIVE_DEFAULT_PARTITION__` sentinel —
+    * the write path refuses to create one, but a foreign or legacy
+    * layout might) is ALWAYS kept: substituting the sentinel as a string
+    * value would make `IS NULL` definite-FALSE at exactly the leaf
+    * holding the nulls.
     */
-  private def keepLeaf(filters: Seq[Expression], pcol: String,
-      pval: String): Boolean =
-    pval == VersionedTable.NullPartSentinel ||
-    tableSchema.fields.find(_.name == pcol).forall { field =>
-      val cast = Cast(Literal(UTF8String.fromString(pval), StringType),
-        field.dataType, Some(spark.sessionState.conf.sessionLocalTimeZone))
-      val valueLit = Literal.create(cast.eval(null), field.dataType)
+  private def keepLeaf(filters: Seq[Expression],
+      pairs: Seq[(String, String)]): Boolean =
+    pairs.exists(_._2 == VersionedTable.NullPartSentinel) || {
+      val valueLits: Map[String, Option[Literal]] = pairs.map {
+        case (pcol, pval) =>
+          pcol -> tableSchema.fields.find(_.name == pcol).map { field =>
+            val cast = Cast(Literal(UTF8String.fromString(pval), StringType),
+              field.dataType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone))
+            Literal.create(cast.eval(null), field.dataType)
+          }
+      }.toMap
       filters.forall { f =>
         val applicable = f.deterministic && f.references.nonEmpty &&
-          f.references.forall(_.name == pcol)
+          f.references.forall(r => valueLits.get(r.name).exists(_.isDefined))
         !applicable || {
           val bound = f.transform {
-            case a: AttributeReference if a.name == pcol => valueLit
+            case a: AttributeReference if valueLits.contains(a.name) =>
+              valueLits(a.name).get
           }
           val r = bound.eval(InternalRow.empty)
           r == null || java.lang.Boolean.TRUE.equals(r)
@@ -585,12 +626,12 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
         bloomByCol.get(colName).map(skippers => (skippers, keys))
     }
     val kept = leafEntries.collect {
-      case (leaf, pcol, pval, files) if keepLeaf(dataFilters, pcol, pval) =>
-        val addDir = leaf.substring(0, leaf.lastIndexOf('/'))
-        val leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+      case (leaf, pairs, files) if keepLeaf(dataFilters, pairs) =>
+        val addDir = VersionedTable.addRootOf(leaf)
+        val leafRel = VersionedTable.leafRelOf(leaf)
         val stats = statsByAddDir.getOrElse(addDir, Map.empty)
         files.filter { st =>
-          stats.get(s"$leafName/${st.getPath.getName}")
+          stats.get(s"$leafRel/${st.getPath.getName}")
             .forall(cs => !dataFilters.exists(skipOne(_, cs))) &&
           probes.forall { case (skippers, keys) =>
             skippers.get(st.getPath.toUri.getPath)
@@ -602,7 +643,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
   }
 
   override def inputFiles: Array[String] =
-    leafEntries.flatMap(_._4.map(_.getPath.toString)).toArray
+    leafEntries.flatMap(_._3.map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = {
     val (e, s) = list()
@@ -610,7 +651,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     statsByAddDir = s
   }
 
-  override def sizeInBytes: Long = leafEntries.flatMap(_._4.map(_.getLen)).sum
+  override def sizeInBytes: Long = leafEntries.flatMap(_._3.map(_.getLen)).sum
 }
 
 /** Fallback relation for snapshots carrying merge-on-read delete vectors:
@@ -741,9 +782,9 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
         asStreaming(VersionedTable.readVersion(spark, tableDir, endV))
       case Some(f) if f >= endV => emptyBatch
       case Some(f) =>
-        val (fromLeaves, fromDeletes, _, _) =
+        val (fromLeaves, fromDeletes, _, _, _) =
           VersionedTable.manifestView(spark, tableDir, f)
-        val (toLeaves, toDeletes, _, _) =
+        val (toLeaves, toDeletes, _, _, fmt) =
           VersionedTable.manifestView(spark, tableDir, endV)
         val removed = fromLeaves.toSet -- toLeaves.toSet
         val vectorsGrew = (toDeletes.toSet -- fromDeletes.toSet).nonEmpty
@@ -757,7 +798,7 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
         val added = toLeaves.filterNot(fromLeaves.toSet)
         if (added.isEmpty) emptyBatch
         else asStreaming(spark.read.schema(streamSchema)
-          .parquet(added.map(l => s"$tableDir/$l"): _*))
+          .format(fmt).load(added.map(l => s"$tableDir/$l"): _*))
     }
   }
 
@@ -786,14 +827,16 @@ object SnapshotConnector {
     * `spark.read.format("graft-snapshot")` users.
     */
   private[sources] def relationFrame(spark: SparkSession, tableDir: String,
-      leaves: Seq[String], schema: StructType): DataFrame =
+      leaves: Seq[String], schema: StructType,
+      fmt: String = "parquet"): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(HadoopFsRelation(
         location = new ManifestFileIndex(spark, tableDir, leaves, schema),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
-        fileFormat = new ManifestParquetFormat,
+        fileFormat =
+          if (fmt == "orc") new ManifestOrcFormat else new ManifestParquetFormat,
         options = Map.empty)(spark))
 
   /** Shared refusal text for SQL INSERT against a snapshot table. */

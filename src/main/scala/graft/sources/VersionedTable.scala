@@ -96,6 +96,19 @@ object VersionedTable {
 
   private def partDirCol(partCol: String) = s"${partCol}__p"
 
+  /** Parse the public spec string: a comma-separated ORDERED column
+    * list (`"region"`, `"region,day"`). One string keeps every existing
+    * single-column call site unchanged while multi-column specs ride
+    * the same parameter — the manifest records the parsed list.
+    */
+  private[sources] def specOf(partCol: String): Seq[String] = {
+    val cols = partCol.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty, s"empty partition spec: '$partCol'")
+    require(cols.distinct == cols,
+      s"partition spec repeats a column: '$partCol'")
+    cols
+  }
+
   /** Hive's directory spelling for a NULL partition value. The write
     * path refuses to create such a leaf ([[writeDataDir]]); readers
     * treat one conservatively (never pruned, disqualifies value-exact
@@ -119,12 +132,25 @@ object VersionedTable {
   private case class VManifest(leaves: Seq[String], deletes: Seq[String],
       dirty: Seq[String], txns: Seq[String] = Nil,
       schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
-      constraints: Seq[String] = Nil) {
+      constraints: Seq[String] = Nil, format: Seq[String] = Nil) {
+    /** Data file format of every leaf ("parquet" default — legacy
+      * manifests predate the field). One format per table: mixed-format
+      * leaf sets are not a thing this design supports.
+      */
+    def fmt: String = format.headOption.getOrElse("parquet")
     def dirtySet: Set[String] = dirty.toSet
     def schemaOpt: Option[StructType] =
       if (schema.isEmpty) None else Some(decodeSchema(schema))
-    /** Current partition spec; empty on legacy manifests. */
-    def specOpt: Option[String] = partcol.headOption
+    /** Current partition spec as the ordered column list; empty on
+      * legacy manifests. Multi-column specs nest leaf dirs in this
+      * order (`c1__p=v1/c2__p=v2`).
+      */
+    def specCols: Seq[String] = partcol
+    /** Spec as the public comma-joined string ([[specOf]] parses it
+      * back); None on legacy manifests.
+      */
+    def specOpt: Option[String] =
+      if (partcol.isEmpty) None else Some(partcol.mkString(","))
     /** Decoded (name, check-expression) pairs. */
     def constraintPairs: Seq[(String, String)] = decodeSchemaPairs(constraints)
   }
@@ -213,7 +239,7 @@ object VersionedTable {
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
       parseArray(text, "dirty"), parseArray(text, "txns"),
       parseArray(text, "schema"), parseArray(text, "partcol"),
-      parseArray(text, "constraints"))
+      parseArray(text, "constraints"), parseArray(text, "format"))
   }
 
   /** The head manifest's recorded table schema, when present — the
@@ -254,9 +280,9 @@ object VersionedTable {
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
       dirty: Seq[String] = Nil, txns: Seq[String] = Nil,
       schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
-      constraints: Seq[String] = Nil): Unit = {
+      constraints: Seq[String] = Nil, format: Seq[String] = Nil): Unit = {
     (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcol ++
-      constraints).foreach(e =>
+      constraints ++ format).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
           s"',', '\"' or ']'?): $e"))
@@ -268,7 +294,8 @@ object VersionedTable {
     val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
       s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
       s""""txns":${arr(txns)},"schema":${arr(schema)},""" +
-      s""""partcol":${arr(partcol)},"constraints":${arr(constraints)}}"""
+      s""""partcol":${arr(partcol)},"constraints":${arr(constraints)},""" +
+      s""""format":${arr(format)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
@@ -307,7 +334,7 @@ object VersionedTable {
   private[sources] def writeCheckpoint(spark: SparkSession,
       tableDir: String, version: Int, leaves: Seq[String]): Boolean = {
     val f = fs(spark, tableDir)
-    val roots = leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct
+    val roots = leaves.map(addRootOf).distinct
     FileStats.checkpointBody(f, tableDir, version, roots) match {
       case None => false
       case Some(body) =>
@@ -359,39 +386,66 @@ object VersionedTable {
     * duplicate drives the directory layout.
     */
   private def writeDataDir(df: DataFrame, tableDir: String, version: Int,
-      partCol: String): Seq[String] = {
+      partCol: String): Seq[String] =
+    writeDataDirCols(df, tableDir, version, specOf(partCol))
+
+  /** Data file formats a versioned table can commit. ORC is first-class
+    * (the reference engine is ORC-native): the writer emits `.orc`
+    * leaves, [[FileStats.write]] harvests ORC file statistics for the
+    * same sidecars, and the read path scans through Spark's ORC format.
+    */
+  private[sources] val SupportedFormats = Set("parquet", "orc")
+
+  private def writeDataDirCols(df: DataFrame, tableDir: String,
+      version: Int, partCols: Seq[String],
+      fmt: String = "parquet"): Seq[String] = {
+    require(SupportedFormats.contains(fmt),
+      s"unsupported versioned-table format '$fmt' — one of " +
+        SupportedFormats.mkString("/"))
     val spark = df.sparkSession
     val rel = s"data/add-v$version-${nonce()}"
-    val pdir = partDirCol(partCol)
-    df.withColumn(pdir, col(partCol))
-      .repartition(col(pdir))
-      .write.mode("overwrite").partitionBy(pdir).parquet(s"$tableDir/$rel")
+    val pdirs = partCols.map(partDirCol)
+    // the spec columns stay in the data; their duplicates drive the
+    // (possibly nested) directory layout in spec order
+    partCols.zip(pdirs).foldLeft(df) { case (d, (c, p)) =>
+      d.withColumn(p, col(c))
+    }
+      .repartition(pdirs.map(col): _*)
+      .write.mode("overwrite").partitionBy(pdirs: _*)
+      .format(fmt).save(s"$tableDir/$rel")
     val f = fs(spark, tableDir)
-    // NULL partition values are REFUSED, not silently written: hive's
-    // layout spells them `<col>=__HIVE_DEFAULT_PARTITION__`, a string
-    // sentinel that poisons every value-based consumer (leaf pruning
-    // would evaluate IS NULL to definite FALSE at exactly the leaf
-    // holding the nulls; the metadata rewrites would emit the sentinel
-    // as a group value where a scan returns NULL). Detection is free —
-    // the written leaf names already say it — and happens BEFORE the
-    // manifest commit, so the refused batch never becomes visible.
-    if (f.listStatus(new Path(s"$tableDir/$rel")).exists(st =>
-        st.isDirectory && st.getPath.getName == s"$pdir=$NullPartSentinel")) {
+    // leaf enumeration: one directory level per spec column. Nested
+    // listings here are write-path cost over the BATCH's own dirs only —
+    // the read path never re-walks them (the _files.tsv sidecar below).
+    def level(dirs: Seq[Path], pdir: String): Seq[Path] =
+      dirs.flatMap(d => f.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
+        .map(_.getPath))
+    val leafDirs = pdirs.foldLeft(Seq(new Path(s"$tableDir/$rel")))(level)
+    // NULL partition values are REFUSED at EVERY level, not silently
+    // written: hive's layout spells them `<col>=__HIVE_DEFAULT_PARTITION__`,
+    // a string sentinel that poisons every value-based consumer (leaf
+    // pruning would evaluate IS NULL to definite FALSE at exactly the
+    // leaf holding the nulls; the metadata rewrites would emit the
+    // sentinel as a group value where a scan returns NULL). Detection is
+    // free — the written leaf names already say it — and happens BEFORE
+    // the manifest commit, so the refused batch never becomes visible.
+    if (leafDirs.exists(_.toUri.getPath.contains(s"=$NullPartSentinel"))) {
       f.delete(new Path(s"$tableDir/$rel"), true)
       throw new IllegalArgumentException(
-        s"batch contains NULL values in partition column '$partCol' — " +
-          "null partition values break pruning and metadata queries; " +
-          "filter or fill them before writing")
+        s"batch contains NULL values in partition column(s) " +
+          s"'${partCols.mkString(",")}' — null partition values break " +
+          "pruning and metadata queries; filter or fill them before writing")
     }
     // file-level column stats next to the commit that wrote the files
     // (footer folds, driver-side, O(batch files)) — what lets the
     // connector's FileIndex skip whole files on data predicates without
     // opening a footer at query time
-    FileStats.write(spark, s"$tableDir/$rel", df.schema)
-    f.listStatus(new Path(s"$tableDir/$rel")).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
-      .map(st => s"$rel/${st.getPath.getName}")
-      .sorted
+    FileStats.write(spark, s"$tableDir/$rel", df.schema, fmt)
+    val rootPath = f.makeQualified(new Path(s"$tableDir/$rel")).toUri.getPath
+    leafDirs.map { d =>
+      s"$rel/${f.makeQualified(d).toUri.getPath.stripPrefix(rootPath + "/")}"
+    }.sorted
   }
 
   /** The physical data dir a version's commit wrote (test/inspection
@@ -418,7 +472,9 @@ object VersionedTable {
   /** The partition COLUMN a leaf was written under (leaf dirs are
     * self-describing: `<col>__p=<value>`) — what makes a table with an
     * EVOLVED partition spec navigable: same-spec leaves prune by value,
-    * foreign-spec leaves are recognized and handled by scan.
+    * foreign-spec leaves are recognized and handled by scan. For a
+    * NESTED (multi-column) leaf this is the DEEPEST segment's column;
+    * [[leafPartPairs]] exposes every level.
     */
   private def leafPartCol(leaf: String): String = {
     val name = leaf.substring(leaf.lastIndexOf('/') + 1)
@@ -426,15 +482,63 @@ object VersionedTable {
     if (raw.endsWith("__p")) raw.dropRight(3) else raw
   }
 
+  /** A leaf's ADD-DIR root (`data/add-v<N>-<nonce>`): the prefix the
+    * sidecars (`_files.tsv`/`_stats.tsv`) live under. With multi-column
+    * specs a leaf nests below the root (`root/c1__p=v1/c2__p=v2`), so
+    * "strip the last segment" is no longer the root — this finds the
+    * `add-v` segment explicitly, falling back to the parent for any
+    * foreign layout.
+    */
+  private[sources] def addRootOf(leaf: String): String = {
+    val segs = leaf.split('/')
+    val i = segs.indexWhere(_.startsWith("add-v"))
+    if (i >= 0) segs.take(i + 1).mkString("/")
+    else leaf.substring(0, leaf.lastIndexOf('/'))
+  }
+
+  /** The leaf's path RELATIVE to its add-dir root — the key the sidecar
+    * `rel` entries (`<leafRel>/<file>.parquet`) are matched under.
+    */
+  private[sources] def leafRelOf(leaf: String): String =
+    leaf.stripPrefix(addRootOf(leaf) + "/")
+
+  /** Every (column, decoded value) level of a leaf, outermost first —
+    * `data/add-v3-x/a__p=1/b__p=2` → `Seq((a,1), (b,2))`. The full spec
+    * view pruning and spec-matching consume; single-column leaves yield
+    * one pair (= ([[leafPartColOf]], [[leafPartValueOf]])).
+    */
+  private[sources] def leafPartPairs(leaf: String): Seq[(String, String)] =
+    leafRelOf(leaf).split('/').toSeq.filter(_.contains('=')).map { seg =>
+      val raw = seg.substring(0, seg.indexOf('='))
+      val colName = if (raw.endsWith("__p")) raw.dropRight(3) else raw
+      val value = java.net.URLDecoder.decode(
+        seg.substring(seg.indexOf('=') + 1), "UTF-8")
+      (colName, value)
+    }
+
   /** Refuse a write whose `partCol` is not the table's CURRENT spec —
     * partition-spec changes must go through [[evolvePartitionSpec]], not
     * arrive silently on a write path. Legacy manifests (no recorded
     * spec) accept and start recording.
     */
-  private def requireSpec(m: VManifest, partCol: String, op: String): Unit =
-    m.specOpt.foreach(cur => require(cur == partCol,
-      s"$op under partition spec '$partCol' but the table's current spec " +
-        s"is '$cur' — change specs explicitly with evolvePartitionSpec"))
+  private def requireSpec(m: VManifest, partCols: Seq[String],
+      op: String): Unit =
+    if (m.specCols.nonEmpty) require(m.specCols == partCols,
+      s"$op under partition spec '${partCols.mkString(",")}' but the " +
+        s"table's current spec is '${m.specCols.mkString(",")}' — change " +
+        "specs explicitly with evolvePartitionSpec")
+
+  /** [[requireSpec]] plus a loud refusal for operations whose
+    * partition-value grouping is still single-column: a multi-column
+    * table must never be silently mis-grouped by its deepest level.
+    */
+  private def requireSingleSpec(m: VManifest, partCols: Seq[String],
+      op: String): Unit = {
+    requireSpec(m, partCols, op)
+    require(partCols.size == 1,
+      s"$op does not yet support multi-column partition specs " +
+        s"(got '${partCols.mkString(",")}') — use delete/compact, which do")
+  }
 
   /** Count, in ONE aggregate pass over `df`, how many rows violate each
     * of the manifest's CHECK constraints (violation = expression
@@ -497,13 +601,15 @@ object VersionedTable {
     * [[appendOnce]] it falls through to no-ops.
     */
   def create(df: DataFrame, tableDir: String, partCol: String,
-      txn: Option[(String, String)] = None): Unit = {
+      txn: Option[(String, String)] = None,
+      format: String = "parquet"): Unit = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already exists at $tableDir")
     writeManifest(df.sparkSession, tableDir, 0,
-      writeDataDir(df, tableDir, 0, partCol),
+      writeDataDirCols(df, tableDir, 0, specOf(partCol), format),
       txns = txn.map { case (c, b) => s"$c=$b" }.toSeq,
-      schema = encodeSchema(df.schema), partcol = Seq(partCol))
+      schema = encodeSchema(df.schema), partcol = specOf(partCol),
+      format = Seq(format))
   }
 
   /** Append a batch as a new version: new leaves are ADDED to the live
@@ -532,13 +638,14 @@ object VersionedTable {
     val spark = df.sparkSession
     val v = baseVersion + 1
     val m = readManifestFull(spark, tableDir, baseVersion)
-    requireSpec(m, partCol, "append")
+    val cols = specOf(partCol)
+    requireSpec(m, cols, "append")
     val schema = resolveAppendSchema(df, spark, tableDir, m,
       allowEvolution = true)
     requireConstraints(df, m, "append")
     writeManifest(spark, tableDir, v,
-      m.leaves ++ writeDataDir(df, tableDir, v, partCol), m.deletes, m.dirty,
-      m.txns, schema, Seq(partCol), m.constraints)
+      m.leaves ++ writeDataDirCols(df, tableDir, v, cols, m.fmt), m.deletes,
+      m.dirty, m.txns, schema, cols, m.constraints, m.format)
   }
 
   /** Schema contract for a batch against the table, returning the schema
@@ -572,7 +679,8 @@ object VersionedTable {
     val table: Seq[(String, String)] =
       if (m.schema.nonEmpty) decodeSchemaPairs(m.schema)
       else if (m.leaves.isEmpty) return encodeSchema(df.schema)
-      else readLeaves(spark, tableDir, m.leaves.take(1)).schema.fields.toSeq
+      else readLeaves(spark, tableDir, m.leaves.take(1), None, m.fmt)
+        .schema.fields.toSeq
         .map(f => (f.name, f.dataType.catalogString))
     val batch = df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
     val batchMap = batch.toMap
@@ -615,13 +723,14 @@ object VersionedTable {
       val spark = df.sparkSession
       val base = latestVersion(spark, tableDir)
       val m = readManifestFull(spark, tableDir, base)
-      requireSpec(m, partCol, "overwrite")
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "overwrite")
       val schema = resolveAppendSchema(df, spark, tableDir, m,
         allowEvolution = true)
       requireConstraints(df, m, "overwrite")
       writeManifest(spark, tableDir, base + 1,
-        writeDataDir(df, tableDir, base + 1, partCol), Nil, Nil, m.txns,
-        schema, Seq(partCol), m.constraints)
+        writeDataDirCols(df, tableDir, base + 1, cols, m.fmt), Nil, Nil,
+        m.txns, schema, cols, m.constraints, m.format)
     }
 
   /** A version's commit time = its manifest file's mtime — the clock
@@ -653,14 +762,15 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, base)
       val entry = s"$channel=$batchId"
       if (m.txns.contains(entry)) return // replayed commit: exactly-once
-      requireSpec(m, partCol, "appendOnce")
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "appendOnce")
       val schema = resolveAppendSchema(df, spark, tableDir, m,
         allowEvolution = true)
       val txns = m.txns.filterNot(_.startsWith(channel + "=")) :+ entry
       requireConstraints(df, m, "appendOnce")
       writeManifest(spark, tableDir, base + 1,
-        m.leaves ++ writeDataDir(df, tableDir, base + 1, partCol),
-        m.deletes, m.dirty, txns, schema, Seq(partCol), m.constraints)
+        m.leaves ++ writeDataDirCols(df, tableDir, base + 1, cols, m.fmt),
+        m.deletes, m.dirty, txns, schema, cols, m.constraints, m.format)
     }
   }
 
@@ -677,15 +787,19 @@ object VersionedTable {
       pred: Column): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
-    requireSpec(m, partCol, "delete")
+    val cols = specOf(partCol)
+    requireSpec(m, cols, "delete")
     val current = readView(spark, tableDir, m)
-    // affected partition values: metadata-sized driver list (the
-    // reference core's identifyAffectedPartitions shape)
-    val affected = current.filter(pred).select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // affected partition VALUE TUPLES (one value per spec column, spec
+    // order): metadata-sized driver list (the reference core's
+    // identifyAffectedPartitions shape)
+    val affected: Set[Seq[String]] = current.filter(pred)
+      .select(cols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     if (affected.isEmpty) {
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol, m.constraints)
+        m.schema, m.partcol, m.constraints, m.format)
       return
     }
     // spec-aware pruning: same-spec leaves prune by dir value; leaves
@@ -694,9 +808,10 @@ object VersionedTable {
     // exactly them, and their survivors rewrite under the CURRENT spec
     // (every delete incrementally migrates old-spec data — the Iceberg
     // spec-evolution cost model)
-    val (sameSpec, foreign) = m.leaves.partition(l => leafPartCol(l) == partCol)
+    val (sameSpec, foreign) =
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
     val (hitSame, keptSame) =
-      sameSpec.partition(l => affected.contains(leafPartValue(l)))
+      sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign = leavesContaining(spark, tableDir, m, foreign,
       _.filter(pred))
     val hit = hitSame ++ hitForeign
@@ -708,10 +823,10 @@ object VersionedTable {
     // and erase them.
     val survivors = readView(spark, tableDir, m, onlyLeaves = Some(hit))
       .filter(!pred)
-    val newLeaves = writeDataDir(survivors, tableDir, v, partCol)
+    val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
-      m.dirty.filter(kept.contains), m.txns, m.schema, Seq(partCol),
-      m.constraints)
+      m.dirty.filter(kept.contains), m.txns, m.schema, cols,
+      m.constraints, m.format)
   }
 
   /** Merge-on-read delete (position delete vectors — the public
@@ -735,6 +850,14 @@ object VersionedTable {
       pred: Column): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
+    // position vectors anchor on `_metadata.row_index`, which Spark's
+    // ORC reader does not expose (parquet-only metadata field) — an ORC
+    // table must use the copy-on-write delete; silently mis-anchored
+    // vectors would be a correctness hole, so this is a loud refusal
+    require(m.fmt == "parquet",
+      s"deleteMergeOnRead needs _metadata.row_index, which Spark exposes " +
+        s"for parquet only — this table is '${m.fmt}'; use delete() " +
+        "(copy-on-write) instead")
     val matches = readView(spark, tableDir, m, keepPositions = true)
       .filter(pred)
       .select(col(PosFile).as("file"), col(PosIdx).as("pos"))
@@ -750,7 +873,7 @@ object VersionedTable {
     if (touched.isEmpty) {
       fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol, m.constraints)
+        m.schema, m.partcol, m.constraints, m.format)
     } else
       // a commit failure (crash, concurrent-commit collision) must not
       // leave the vector dir as a permanent unreferenced orphan — no
@@ -758,7 +881,7 @@ object VersionedTable {
       // sweep would otherwise never collect it
       try writeManifest(spark, tableDir, v, m.leaves, m.deletes :+ rel,
         (m.dirtySet ++ touched).toSeq.sorted, m.txns, m.schema, m.partcol,
-        m.constraints)
+        m.constraints, m.format)
       catch { case e: Throwable =>
         fs(spark, tableDir).delete(new Path(s"$tableDir/$rel"), true)
         throw e
@@ -776,11 +899,14 @@ object VersionedTable {
     * tables without a recorded schema) stay plain multi-root parquet.
     */
   private def readLeaves(spark: SparkSession, tableDir: String,
-      leaves: Seq[String], schema: Option[StructType] = None): DataFrame = {
+      leaves: Seq[String], schema: Option[StructType] = None,
+      fmt: String = "parquet"): DataFrame = {
     require(leaves.nonEmpty, "cannot read an empty leaf set")
     schema match {
-      case Some(s) => SnapshotConnector.relationFrame(spark, tableDir, leaves, s)
-      case None => spark.read.parquet(leaves.map(l => s"$tableDir/$l"): _*)
+      case Some(s) =>
+        SnapshotConnector.relationFrame(spark, tableDir, leaves, s, fmt)
+      case None =>
+        spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*)
     }
   }
 
@@ -821,18 +947,21 @@ object VersionedTable {
     val sch = m.schemaOpt
     def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
     if (m.deletes.isEmpty) {
-      val plain = readLeaves(spark, tableDir, leaves, sch)
+      val plain = readLeaves(spark, tableDir, leaves, sch, m.fmt)
       return if (keepPositions) withPositions(plain, tableDir) else plain
     }
     val (dirty, clean) = leaves.partition(m.dirtySet.contains)
+    // delete-vector dirs are ENGINE data, always parquet — only the
+    // user-visible leaves follow the table's recorded format
     val del = readLeaves(spark, tableDir, m.deletes)
       .select(col("file").as(PosFile), col("pos").as(PosIdx))
     val dirtyView = if (dirty.isEmpty) None
-      else Some(finish(withPositions(readLeaves(spark, tableDir, dirty, sch), tableDir)
+      else Some(finish(withPositions(
+        readLeaves(spark, tableDir, dirty, sch, m.fmt), tableDir)
         .join(del, Seq(PosFile, PosIdx), "left_anti")))
     val cleanView = if (clean.isEmpty) None
       else {
-        val c = readLeaves(spark, tableDir, clean, sch)
+        val c = readLeaves(spark, tableDir, clean, sch, m.fmt)
         Some(if (keepPositions) withPositions(c, tableDir) else c)
       }
     (cleanView, dirtyView) match {
@@ -851,9 +980,10 @@ object VersionedTable {
     * and the current partition spec.
     */
   private[sources] def manifestView(spark: SparkSession, tableDir: String,
-      version: Int): (Seq[String], Seq[String], Option[StructType], Option[String]) = {
+      version: Int): (Seq[String], Seq[String], Option[StructType],
+      Option[String], String) = {
     val m = readManifestFull(spark, tableDir, version)
-    (m.leaves, m.deletes, m.schemaOpt, m.specOpt)
+    (m.leaves, m.deletes, m.schemaOpt, m.specOpt, m.fmt)
   }
 
   private[sources] def leafPartColOf(leaf: String): String = leafPartCol(leaf)
@@ -886,21 +1016,21 @@ object VersionedTable {
       version: Int): Long = {
     val f = fs(spark, tableDir)
     val m = readManifestFull(spark, tableDir, version)
-    val byRoot = m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+    val byRoot = m.leaves.groupBy(addRootOf)
     byRoot.iterator.map { case (root, ls) =>
       FileStats.loadFileList(f, new Path(s"$tableDir/$root")) match {
         case Some(list) =>
-          val leafNames = ls.map(l => l.substring(l.lastIndexOf('/') + 1)).toSet
+          val leafRels = ls.map(leafRelOf)
           list.iterator.collect {
             case (rel, (len, _))
-                if rel.endsWith(".parquet") &&
-                  leafNames.contains(rel.take(math.max(0, rel.indexOf('/')))) =>
+                if FileStats.isDataFile(rel) &&
+                  leafRels.exists(lr => rel.startsWith(lr + "/")) =>
               len
           }.sum
         case None => ls.iterator.map { l =>
           fallbackLeafListings += 1
           f.listStatus(new Path(s"$tableDir/$l")).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
             .map(_.getLen).sum
         }.sum
       }
@@ -921,21 +1051,21 @@ object VersionedTable {
   def liveDataFiles(spark: SparkSession, tableDir: String): Seq[String] = {
     val f = fs(spark, tableDir)
     val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
-    val byRoot = m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+    val byRoot = m.leaves.groupBy(addRootOf)
     byRoot.iterator.flatMap { case (root, ls) =>
       FileStats.loadFileList(f, new Path(s"$tableDir/$root")) match {
         case Some(list) =>
-          val leafNames = ls.map(l => l.substring(l.lastIndexOf('/') + 1)).toSet
+          val leafRels = ls.map(leafRelOf)
           list.iterator.collect {
             case (rel, _)
-                if rel.endsWith(".parquet") &&
-                  leafNames.contains(rel.take(math.max(0, rel.indexOf('/')))) =>
+                if FileStats.isDataFile(rel) &&
+                  leafRels.exists(lr => rel.startsWith(lr + "/")) =>
               f.makeQualified(new Path(s"$tableDir/$root/$rel")).toUri.getPath
           }
         case None => ls.iterator.flatMap { l =>
           fallbackLeafListings += 1
           f.listStatus(new Path(s"$tableDir/$l")).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
             .map(st => st.getPath.toUri.getPath)
         }
       }
@@ -963,7 +1093,7 @@ object VersionedTable {
     // append() first (allowEvolution=false keeps a widened batch loud)
     val schema = resolveAppendSchema(batch, spark, tableDir, m,
       allowEvolution = false)
-    requireSpec(m, partCol, "merge")
+    requireSingleSpec(m, specOf(partCol), "merge")
     requireConstraints(batch, m, "merge") // before any rewrite work
     val current = readView(spark, tableDir, m)
     val batchKeys = batch.select(keyCol).distinct()
@@ -987,9 +1117,9 @@ object VersionedTable {
          .join(batchKeys, Seq(keyCol), "left_anti")
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
-      kept ++ writeDataDir(rewritten, tableDir, v, partCol),
+      kept ++ writeDataDirCols(rewritten, tableDir, v, specOf(partCol), m.fmt),
       m.deletes, m.dirty.filter(kept.contains), m.txns, schema, Seq(partCol),
-      m.constraints)
+      m.constraints, m.format)
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -1055,7 +1185,7 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, toVersion)
       val v = latestVersion(spark, tableDir) + 1
       writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol, m.constraints)
+        m.schema, m.partcol, m.constraints, m.format)
     }
 
   /** PARTITION-SPEC EVOLUTION (the Iceberg capability Delta lacks): a
@@ -1073,11 +1203,14 @@ object VersionedTable {
       newPartCol: String): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
-    if (m.schema.nonEmpty)
-      require(decodeSchemaPairs(m.schema).exists(_._1 == newPartCol),
-        s"cannot evolve partition spec to '$newPartCol': not a table column")
+    val cols = specOf(newPartCol)
+    if (m.schema.nonEmpty) {
+      val names = decodeSchemaPairs(m.schema).map(_._1).toSet
+      cols.foreach(c => require(names.contains(c),
+        s"cannot evolve partition spec to '$c': not a table column"))
+    }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-      m.schema, Seq(newPartCol), m.constraints)
+      m.schema, cols, m.constraints, m.format)
   }
 
   /** ADD CONSTRAINT — record a named CHECK constraint (a boolean SQL
@@ -1113,7 +1246,7 @@ object VersionedTable {
       VManifest(Nil, Nil, Nil, constraints = Seq(entry)),
       s"ADD CONSTRAINT '$name' (existing rows already violate it)")
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-      m.schema, m.partcol, m.constraints :+ entry)
+      m.schema, m.partcol, m.constraints :+ entry, m.format)
   }
 
   /** DROP CONSTRAINT — metadata-only commit removing a named CHECK
@@ -1239,12 +1372,13 @@ object VersionedTable {
       partCol: String): Unit = {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
-    requireSpec(m, partCol, "compact")
+    val cols = specOf(partCol)
+    requireSpec(m, cols, "compact")
     val folded = readView(spark, tableDir, m)
     writeManifest(spark, tableDir, v,
-      writeDataDir(folded, tableDir, v, partCol), txns = m.txns,
+      writeDataDirCols(folded, tableDir, v, cols, m.fmt), txns = m.txns,
       schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
-      partcol = Seq(partCol), constraints = m.constraints)
+      partcol = cols, constraints = m.constraints, format = m.format)
   }
 
   /** OPTIMIZE (bin-packing) — the Delta OPTIMIZE / Iceberg
@@ -1272,11 +1406,11 @@ object VersionedTable {
       partCol: String, minLeafBytes: Long): (Int, Int) = {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
-      requireSpec(m, partCol, "binpack")
+      requireSingleSpec(m, specOf(partCol), "binpack")
       val f = fs(spark, tableDir)
       def leafBytes(l: String): Long =
         f.listStatus(new Path(s"$tableDir/$l")).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
           .map(_.getLen).sum
       val fold = m.leaves
         .filter(l => leafPartCol(l) == partCol && leafBytes(l) < minLeafBytes)
@@ -1293,10 +1427,11 @@ object VersionedTable {
         // delete dirs stay in the manifest — entries pointing at replaced
         // files match nothing by construction
         val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
-        val newLeaves = writeDataDir(folded, tableDir, v, partCol)
+        val newLeaves = writeDataDirCols(folded, tableDir, v,
+          specOf(partCol), m.fmt)
         writeManifest(spark, tableDir, v, (kept ++ newLeaves).sorted,
           m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema,
-          Seq(partCol), m.constraints)
+          Seq(partCol), m.constraints, m.format)
         (fold.size, newLeaves.size)
       }
     }
@@ -1318,7 +1453,10 @@ object VersionedTable {
     Locking.withStoreLock(spark, tableDir) {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
-      requireSpec(m, partCol, "optimizeZOrder")
+      requireSingleSpec(m, specOf(partCol), "optimizeZOrder")
+      require(m.fmt == "parquet",
+        "optimizeZOrder writes row-group-sized parquet (parquet.block." +
+          s"size) — not supported on a '${m.fmt}' table; compact instead")
       val folded = readView(spark, tableDir, m)
       val r = folded.agg(min(col(c1)), max(col(c1)),
         min(col(c2)), max(col(c2))).first()
@@ -1349,7 +1487,8 @@ object VersionedTable {
         .sorted
       writeManifest(spark, tableDir, v, leaves, txns = m.txns,
         schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
-        partcol = Seq(partCol), constraints = m.constraints)
+        partcol = Seq(partCol), constraints = m.constraints,
+        format = m.format)
     }
 
   /** Grace period before an unreferenced (orphan) dir is swept: a
@@ -1520,9 +1659,10 @@ object VersionedTable {
     Locking.withStoreLock(spark, tableDir) {
       require(maxLeavesPerPartition >= 1, "maxLeavesPerPartition must be >= 1")
       val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+      requireSingleSpec(m, specOf(partCol), "maintain")
       val worst =
         if (m.leaves.isEmpty) 0
-        else m.leaves.groupBy(l => (leafPartCol(l), leafPartValue(l)))
+        else m.leaves.groupBy(leafPartPairs)
           .values.map(_.size).max
       val ran = worst > maxLeavesPerPartition
       if (ran) binpackLocked(spark, tableDir, partCol, Long.MaxValue)
@@ -2035,6 +2175,166 @@ object VersionedTable {
       |       CAST(coalesce(m, 0) AS BIGINT) AS n_matching
       |FROM st ORDER BY version""".stripMargin
 
+  /** Oracle-gated MULTI-COLUMN partition spec entry: a two-level
+    * (event_type, pdate) versioned table built from events — create,
+    * append, then a COW delete whose predicate names BOTH levels, so the
+    * rewrite touches exactly the affected (type, day) tuples. Every
+    * version's census is recomputed by the oracle from the slice
+    * predicates alone, and the gated row carries pruning evidence from
+    * the EXECUTED head read: the tuple-filtered scan plans strictly
+    * fewer files than the one-level filter, which plans strictly fewer
+    * than the full scan — the intersection property nested specs exist
+    * for. At 100 TB this layout is the hour-under-date (or
+    * tenant-under-region) shape: predicates on either level prune
+    * without the other, and on both levels prune multiplicatively.
+    */
+  def snapshotMultiCol(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_type", "value", "pdate")
+    val dir = Stores.temp("graft_vt_mcol")
+    create(ev.filter(col("event_id") % 2 === 0), dir, "event_type,pdate")
+    append(ev.filter(col("event_id") % 2 === 1), dir, "event_type,pdate")
+    delete(spark, dir, "event_type,pdate",
+      col("event_type") === "click" && col("user_id") % 5 === 2)
+    // executed-plan file counts (AQE stages walked explicitly)
+    def filesOf(df: DataFrame): Long = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val head = spark.read.format("graft-snapshot").load(dir)
+    val day0 = ev.agg(min(col("pdate"))).collect()(0).getString(0)
+    val allFiles = filesOf(head)
+    val typeFiles = filesOf(head.filter(col("event_type") === "view"))
+    val tupleFiles = filesOf(
+      head.filter(col("event_type") === "view" && col("pdate") === day0))
+    val pruneOk = tupleFiles < typeFiles && typeFiles < allFiles
+    val summaries = (0 to 2).map { v =>
+      readVersion(spark, dir, v).agg(
+        lit(v).as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(round(col("value") * 1e6).cast("long")).cast("long")
+          .as("sum_micros"),
+        countDistinct(col("pdate")).cast("long").as("n_days"))
+    }
+    summaries.reduce(_ unionByName _)
+      .withColumn("prune_depth2_ok", lit(pruneOk))
+      .select("version", "n_rows", "sum_micros", "n_days", "prune_depth2_ok")
+      .orderBy("version")
+  }
+
+  def snapshotMultiColSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events),
+      |v AS (
+      |  SELECT 0 AS version, * FROM e WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 1, * FROM e
+      |  UNION ALL
+      |  SELECT 2, * FROM e
+      |  WHERE NOT (event_type = 'click' AND user_id % 5 = 2))
+      |SELECT version, count(*) AS n_rows,
+      |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+      |         AS sum_micros,
+      |       CAST(count(DISTINCT pdate) AS BIGINT) AS n_days,
+      |       TRUE AS prune_depth2_ok
+      |FROM v GROUP BY version ORDER BY version""".stripMargin
+
+  /** Oracle-gated ORC surface entry: the create→append→COW-delete
+    * lifecycle on an ORC-format versioned table (the reference engine's
+    * native format), consumed through `spark.read.format
+    * ("graft-snapshot")`. The gated row carries per-version censuses the
+    * oracle recomputes from the slice predicates, plus file-skip
+    * evidence from the EXECUTED head read: an amount-range predicate
+    * plans strictly fewer files than the full scan, proving the ORC
+    * footer harvest feeds the same `_stats.tsv` skipping ladder the
+    * parquet path uses.
+    */
+  def snapshotOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("micros"), col("pdate"))
+    val dir = Stores.temp("graft_vt_orc")
+    create(ev.filter(col("event_id") % 3 === 0), dir, "pdate", format = "orc")
+    append(ev.filter(col("event_id") % 3 =!= 0), dir, "pdate")
+    delete(spark, dir, "pdate",
+      col("event_type") === "view" && col("user_id") % 7 === 1)
+    def filesOf(df: DataFrame): Long = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val head = spark.read.format("graft-snapshot").load(dir)
+    // the micros ceiling splits files: value is uniform, so a tight top
+    // band proves per-file ORC min/max skipping without a magic constant
+    val hiBand = ev.agg(max(col("micros"))).collect()(0).getLong(0)
+    val skipOk =
+      filesOf(head.filter(col("micros") > lit(hiBand))) <
+        filesOf(head)
+    val summaries = (0 to 2).map { v =>
+      readVersion(spark, dir, v).agg(
+        lit(v).as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("micros")).cast("long").as("sum_micros"),
+        countDistinct(col("pdate")).cast("long").as("n_days"))
+    }
+    summaries.reduce(_ unionByName _)
+      .withColumn("orc_file_skip_ok", lit(skipOk))
+      .select("version", "n_rows", "sum_micros", "n_days", "orc_file_skip_ok")
+      .orderBy("version")
+  }
+
+  def snapshotOrcSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros,
+      |         strftime(ts, '%Y-%m-%d') AS pdate
+      |  FROM events),
+      |v AS (
+      |  SELECT 0 AS version, * FROM e WHERE event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 1, * FROM e
+      |  UNION ALL
+      |  SELECT 2, * FROM e
+      |  WHERE NOT (event_type = 'view' AND user_id % 7 = 1))
+      |SELECT version, count(*) AS n_rows,
+      |       CAST(sum(micros) AS BIGINT) AS sum_micros,
+      |       CAST(count(DISTINCT pdate) AS BIGINT) AS n_days,
+      |       TRUE AS orc_file_skip_ok
+      |FROM v GROUP BY version ORDER BY version""".stripMargin
+
   def snapshotEvolveSql(): String =
     """WITH a AS (SELECT event_id FROM events WHERE event_id % 3 = 0),
       |b AS (SELECT event_id % 100 AS score FROM events WHERE event_id % 3 = 1)
@@ -2121,12 +2421,12 @@ object VersionedTable {
     // skipping, metadata-only counts AND zero-listing relation builds
     // without a re-harvest (relative paths and sizes are unchanged;
     // hard links even keep the recorded mtimes exact)
-    for (root <- m.leaves.map(l => l.substring(0, l.lastIndexOf('/'))).distinct;
+    for (root <- m.leaves.map(addRootOf).distinct;
          sidecar <- Seq(FileStats.StatsFileName, FileStats.FileListName)
          if f.exists(new Path(s"$srcDir/$root/$sidecar")))
       bring(root, sidecar)
     writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,
-      m.schema, m.partcol, m.constraints)
+      m.schema, m.partcol, m.constraints, m.format)
     (linkedN, copiedN)
   }
 
@@ -2149,7 +2449,7 @@ object VersionedTable {
     var bytes = 0L
     for (leaf <- m.leaves;
          st <- f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
-         if st.isFile && st.getPath.getName.endsWith(".parquet")) {
+         if st.isFile && FileStats.isDataFile(st.getPath.getName)) {
       files += 1
       bytes += st.getLen
     }
@@ -2185,16 +2485,16 @@ object VersionedTable {
   def countMeta(spark: SparkSession, tableDir: String): Seq[(String, Long)] = {
     val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
     val f = fs(spark, tableDir)
-    val byRoot = m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))
+    val byRoot = m.leaves.groupBy(addRootOf)
     val perLeaf = scala.collection.mutable.Map[String, Long]()
     for ((root, leaves) <- byRoot) {
       val stats = FileStats.load(f, new Path(s"$tableDir/$root"))
       for (leaf <- leaves) {
-        val leafName = leaf.substring(leaf.lastIndexOf('/') + 1)
+        val leafRel = leafRelOf(leaf)
         val rows = f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
           .map { st =>
-            val key = s"$leafName/${st.getPath.getName}"
+            val key = s"$leafRel/${st.getPath.getName}"
             val cols = stats.getOrElse(key, throw new IllegalStateException(
               s"no footer stats for $key under $root — countMeta needs the " +
                 "sidecar (table written before stats harvesting, or an " +
@@ -2271,12 +2571,12 @@ object VersionedTable {
     val acc = scala.collection.mutable.Map[String,
       (Option[String], Option[String], Long)]()
     cols.foreach(c => acc(c) = (None, None, 0L))
-    for ((root, leaves) <- m.leaves.groupBy(l => l.substring(0, l.lastIndexOf('/')))) {
+    for ((root, leaves) <- m.leaves.groupBy(addRootOf)) {
       val stats = FileStats.load(f, new Path(s"$tableDir/$root"))
       for (leaf <- leaves;
            st <- f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
-           if st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val key = s"${leaf.substring(leaf.lastIndexOf('/') + 1)}/${st.getPath.getName}"
+           if st.isFile && FileStats.isDataFile(st.getPath.getName)) {
+        val key = s"${leafRelOf(leaf)}/${st.getPath.getName}"
         val fileCols = stats.getOrElse(key, throw new IllegalStateException(
           s"boundsMeta: no footer stats for $key under $root"))
         for (c <- cols) {
