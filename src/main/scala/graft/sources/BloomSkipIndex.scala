@@ -66,9 +66,9 @@ object BloomSkipIndex {
     * refuses a sidecar whose version is not the current head.
     */
   def build(df: DataFrame, keyCol: String, indexPath: String,
-      tableVersion: Int = -1): Unit =
+      tableVersion: Int = -1, fmt: String = "parquet"): Unit =
     writeSidecar(df.sparkSession, indexPath, tableVersion, statsFor(df, keyCol),
-      Some(df.schema))
+      Some(df.schema), fmt)
 
   /** One pass over `df`: per-file partial blooms fold locally, only
     * sketch bytes shuffle, merged stats return file-count-sized. File
@@ -109,7 +109,8 @@ object BloomSkipIndex {
 
   private def writeSidecar(spark: SparkSession, indexPath: String,
       tableVersion: Int, entries: Seq[BloomPartial],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      fmt: String = "parquet"): Unit = {
     val enc = java.util.Base64.getEncoder
     // the indexed frame's schema rides the sidecar (base64 of the
     // StructType json) so a lookup over an EMPTY entry list — index
@@ -121,7 +122,8 @@ object BloomSkipIndex {
     val json = entries.sortBy(_.f).map { p =>
       s"""{"file":"${p.f}","n":${p.n},"min":${p.mn},"max":${p.mx},""" +
         s""""bloom":"${enc.encodeToString(p.bloom)}"}"""
-    }.mkString(s"""{"table_version":$tableVersion,$schemaField"entries":[""",
+    }.mkString(
+      s"""{"table_version":$tableVersion,"fmt":"$fmt",$schemaField"entries":[""",
       ",", "]}")
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(indexPath), true)
@@ -145,9 +147,10 @@ object BloomSkipIndex {
     // ONE sidecar read recovers both the prior entries and the prior
     // schema (the bloom bytes are the bulk of the sidecar — re-reading
     // it a second time just for the schema doubled the maintenance I/O)
+    val tableFmt = VersionedTable.headFormat(spark, tableDir)
     val (old, oldSchema) =
       if (fs.exists(new Path(indexPath))) {
-        val (_, entries, sch) = readSidecar(spark, indexPath)
+        val (_, entries, sch, _) = readSidecar(spark, indexPath)
         (entries, sch)
       } else (Nil, None)
     val (kept, dropped) = old.partition(st => liveSet.contains(st.f))
@@ -156,7 +159,7 @@ object BloomSkipIndex {
     val (fresh, freshSchema) =
       if (newFiles.isEmpty) (Nil, None)
       else {
-        val frame = spark.read.parquet(newFiles: _*)
+        val frame = spark.read.format(tableFmt).load(newFiles: _*)
         (statsFor(frame, keyCol), Some(frame.schema))
       }
     val keptEntries = kept.map(st =>
@@ -167,7 +170,8 @@ object BloomSkipIndex {
     // evolution behind — both diverge from the table after evolution
     val schema = VersionedTable.headSchemaOpt(spark, tableDir)
       .orElse(freshSchema).orElse(oldSchema)
-    writeSidecar(spark, indexPath, head, keptEntries ++ fresh, schema)
+    writeSidecar(spark, indexPath, head, keptEntries ++ fresh, schema,
+      tableFmt)
     (fresh.size, kept.size, dropped.size)
   }
 
@@ -175,7 +179,8 @@ object BloomSkipIndex {
       bloom: BloomFilter)
 
   private def readSidecar(spark: SparkSession, indexPath: String)
-      : (Int, Seq[FileStats], Option[org.apache.spark.sql.types.StructType]) = {
+      : (Int, Seq[FileStats], Option[org.apache.spark.sql.types.StructType],
+        String) = {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(indexPath))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -187,6 +192,9 @@ object BloomSkipIndex {
       .findFirstMatchIn(text).map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"bloom sidecar $indexPath has no table_version header"))
+    // data-file format of the indexed files (legacy sidecars: parquet)
+    val fmt = """"fmt":"([a-z]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("parquet")
     // optional (legacy sidecars lack it) — base64 of StructType json
     val schema = """"schema":"([^"]+)"""".r.findFirstMatchIn(text).map { m =>
       org.apache.spark.sql.types.DataType.fromJson(
@@ -197,7 +205,7 @@ object BloomSkipIndex {
     (ver, entry.findAllMatchIn(text).map { m =>
       FileStats(m.group(1), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, deser(dec.decode(m.group(5))))
-    }.toSeq, schema)
+    }.toSeq, schema, fmt)
   }
 
   /** Point lookup: prune files from the sidecar, scan only survivors,
@@ -206,14 +214,14 @@ object BloomSkipIndex {
     */
   def lookup(spark: SparkSession, indexPath: String, keyCol: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
-    val (_, stats, schema) = readSidecar(spark, indexPath)
+    val (_, stats, schema, fmt) = readSidecar(spark, indexPath)
     val kept = stats.filter(st =>
       keys.exists(k => k >= st.mn && k <= st.mx && st.bloom.mightContainLong(k)))
     val df =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(_.f): _*)
+      if (kept.nonEmpty) spark.read.format(fmt).load(kept.map(_.f): _*)
       else if (stats.nonEmpty)
         // schema comes from the full file set without scanning data
-        spark.read.parquet(stats.map(_.f): _*).limit(0)
+        spark.read.format(fmt).load(stats.map(_.f): _*).limit(0)
       else schema match {
         // empty entry list (index over an empty table, or refresh
         // dropped everything): zero parquet paths can't even derive a
@@ -236,7 +244,7 @@ object BloomSkipIndex {
     */
   def lookupFresh(spark: SparkSession, tableDir: String, indexPath: String,
       keyCol: String, keys: Seq[Long]): (DataFrame, Int, Int) = {
-    val (ver, _, _) = readSidecar(spark, indexPath)
+    val (ver, _, _, _) = readSidecar(spark, indexPath)
     val head = VersionedTable.latestVersion(spark, tableDir)
     require(ver == head,
       s"bloom index at $indexPath describes table version $ver but the " +

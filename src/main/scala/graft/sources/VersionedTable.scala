@@ -252,6 +252,13 @@ object VersionedTable {
     readManifestFull(spark, tableDir,
       latestVersion(spark, tableDir)).schemaOpt
 
+  /** The head manifest's recorded data-file format ("parquet" default) —
+    * what file-granular consumers ([[graft.sources.BloomSkipIndex]])
+    * must read [[liveDataFiles]] entries with.
+    */
+  def headFormat(spark: SparkSession, tableDir: String): String =
+    readManifestFull(spark, tableDir, latestVersion(spark, tableDir)).fmt
+
   /** Atomically publish `staging` as `committed`, REFUSING an existing
     * destination — the CAS under every commit. HDFS `rename` refuses an
     * existing destination atomically at the NameNode, but POSIX

@@ -135,6 +135,26 @@ class OrcSnapshotSpec extends AnyFunSuite {
     assert(ids(load(dir)) === (1L to 6L))
   }
 
+  test("bloom skip index builds, refreshes and looks up over ORC leaves") {
+    val dir = makeOrcTable()
+    val idxPath = s"$dir/bloom_orc.json"
+    val (fresh0, kept0, dropped0) =
+      BloomSkipIndex.refresh(spark, dir, "id", idxPath)
+    assert(fresh0 > 0 && kept0 === 0 && dropped0 === 0)
+    val (rows, scanned, total) =
+      BloomSkipIndex.lookupFresh(spark, dir, idxPath, "id", Seq(5L))
+    assert(rows.select("id").as[Long].collect().toSeq === Seq(5L))
+    assert(scanned < total, "bloom must prune ORC files too")
+    // append -> refresh indexes only the new ORC files
+    VersionedTable.append(Seq((7L, "c", "2024-01-04", 70L))
+      .toDF("id", "kind", "pdate", "amount"), dir, "pdate")
+    val (fresh1, kept1, _) = BloomSkipIndex.refresh(spark, dir, "id", idxPath)
+    assert(fresh1 >= 1 && kept1 === fresh0)
+    val (rows1, _, _) =
+      BloomSkipIndex.lookupFresh(spark, dir, idxPath, "id", Seq(7L))
+    assert(rows1.select("id").as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("unsupported formats refuse loudly at create") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val e = intercept[IllegalArgumentException] {
