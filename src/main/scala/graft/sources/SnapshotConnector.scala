@@ -172,7 +172,10 @@ final class GraftSnapshotSource extends RelationProvider
       case SaveMode.Overwrite if exists =>
         VersionedTable.overwrite(data, tableDir, partCol)
       case _ =>
-        VersionedTable.create(data, tableDir, partCol)
+        // data-file format applies at CREATE only ("format" option,
+        // default parquet); existing tables carry their recorded format
+        VersionedTable.create(data, tableDir, partCol,
+          format = ci.getOrElse("format", "parquet"))
     }
     createRelation(sqlContext, parameters)
   }

@@ -544,7 +544,7 @@ object VersionedTable {
     requireSpec(m, partCols, op)
     require(partCols.size == 1,
       s"$op does not yet support multi-column partition specs " +
-        s"(got '${partCols.mkString(",")}') — use delete/compact, which do")
+        s"(got '${partCols.mkString(",")}')")
   }
 
   /** Count, in ONE aggregate pass over `df`, how many rows violate each
@@ -1011,6 +1011,25 @@ object VersionedTable {
     */
   private[sources] var fallbackLeafListings: Long = 0L
 
+  /** Checkpoint-aware per-root file lists: the latest checkpoint
+    * answers every root it covers from ONE read; only the tail (and
+    * legacy roots) fall to per-root sidecar reads — the same resolution
+    * order as the connector's relation build, shared by the maintenance
+    * paths below.
+    */
+  private def fileListsFor(spark: SparkSession, tableDir: String,
+      roots: Seq[String]): Map[String, Option[Map[String, (Long, Long)]]] = {
+    val f = fs(spark, tableDir)
+    val ckpt = loadLatestCheckpoint(spark, tableDir)
+      .map(_._2).getOrElse(Map.empty)
+    roots.map { root =>
+      root -> (ckpt.get(root) match {
+        case hit @ Some(_) => hit
+        case None => FileStats.loadFileList(f, new Path(s"$tableDir/$root"))
+      })
+    }.toMap
+  }
+
   /** Byte sum of a version's live data files, answered from the
     * `_files.tsv` sidecars where present (zero listings — the same
     * metadata the connector's FileIndex builds from) with a per-leaf
@@ -1024,8 +1043,9 @@ object VersionedTable {
     val f = fs(spark, tableDir)
     val m = readManifestFull(spark, tableDir, version)
     val byRoot = m.leaves.groupBy(addRootOf)
+    val lists = fileListsFor(spark, tableDir, byRoot.keys.toSeq)
     byRoot.iterator.map { case (root, ls) =>
-      FileStats.loadFileList(f, new Path(s"$tableDir/$root")) match {
+      lists(root) match {
         case Some(list) =>
           val leafRels = ls.map(leafRelOf)
           list.iterator.collect {
@@ -1059,8 +1079,9 @@ object VersionedTable {
     val f = fs(spark, tableDir)
     val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
     val byRoot = m.leaves.groupBy(addRootOf)
+    val lists = fileListsFor(spark, tableDir, byRoot.keys.toSeq)
     byRoot.iterator.flatMap { case (root, ls) =>
-      FileStats.loadFileList(f, new Path(s"$tableDir/$root")) match {
+      lists(root) match {
         case Some(list) =>
           val leafRels = ls.map(leafRelOf)
           list.iterator.collect {
@@ -1100,20 +1121,23 @@ object VersionedTable {
     // append() first (allowEvolution=false keeps a widened batch loud)
     val schema = resolveAppendSchema(batch, spark, tableDir, m,
       allowEvolution = false)
-    requireSingleSpec(m, specOf(partCol), "merge")
+    val cols = specOf(partCol)
+    requireSpec(m, cols, "merge")
     requireConstraints(batch, m, "merge") // before any rewrite work
     val current = readView(spark, tableDir, m)
     val batchKeys = batch.select(keyCol).distinct()
-    val affected = (
-      current.join(batchKeys, keyCol).select(col(partCol).cast("string")) unionByName
-      batch.select(col(partCol).cast("string"))
-    ).distinct().collect().map(_.getString(0)).toSet
+    val affected: Set[Seq[String]] = (
+      current.join(batchKeys, keyCol)
+        .select(cols.map(c => col(c).cast("string")): _*) unionByName
+      batch.select(cols.map(c => col(c).cast("string")): _*)
+    ).distinct().collect()
+      .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     // spec-aware: foreign-spec leaves holding a batch key are rewritten
     // (delete's migration rule, key-selected instead of predicate-selected)
     val (sameSpec, foreignM) =
-      m.leaves.partition(l => leafPartCol(l) == partCol)
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
     val (hitSame, keptSame) =
-      sameSpec.partition(l => affected.contains(leafPartValue(l)))
+      sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign = leavesContaining(spark, tableDir, m, foreignM,
       _.join(batchKeys, Seq(keyCol), "left_semi"))
     val hit = hitSame ++ hitForeign
@@ -1124,8 +1148,8 @@ object VersionedTable {
          .join(batchKeys, Seq(keyCol), "left_anti")
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
-      kept ++ writeDataDirCols(rewritten, tableDir, v, specOf(partCol), m.fmt),
-      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, Seq(partCol),
+      kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
+      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, cols,
       m.constraints, m.format)
   }
 
@@ -1413,15 +1437,17 @@ object VersionedTable {
       partCol: String, minLeafBytes: Long): (Int, Int) = {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
-      requireSingleSpec(m, specOf(partCol), "binpack")
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "binpack")
       val f = fs(spark, tableDir)
       def leafBytes(l: String): Long =
         f.listStatus(new Path(s"$tableDir/$l")).toSeq
           .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
           .map(_.getLen).sum
       val fold = m.leaves
-        .filter(l => leafPartCol(l) == partCol && leafBytes(l) < minLeafBytes)
-        .groupBy(leafPartValue)
+        .filter(l => leafPartPairs(l).map(_._1) == cols &&
+          leafBytes(l) < minLeafBytes)
+        .groupBy(l => leafPartPairs(l).map(_._2))
         .filter { case (_, ls) =>
           ls.size >= 2 || ls.exists(m.dirtySet.contains)
         }
@@ -1434,11 +1460,10 @@ object VersionedTable {
         // delete dirs stay in the manifest — entries pointing at replaced
         // files match nothing by construction
         val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
-        val newLeaves = writeDataDirCols(folded, tableDir, v,
-          specOf(partCol), m.fmt)
+        val newLeaves = writeDataDirCols(folded, tableDir, v, cols, m.fmt)
         writeManifest(spark, tableDir, v, (kept ++ newLeaves).sorted,
           m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema,
-          Seq(partCol), m.constraints, m.format)
+          cols, m.constraints, m.format)
         (fold.size, newLeaves.size)
       }
     }
@@ -1666,7 +1691,7 @@ object VersionedTable {
     Locking.withStoreLock(spark, tableDir) {
       require(maxLeavesPerPartition >= 1, "maxLeavesPerPartition must be >= 1")
       val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
-      requireSingleSpec(m, specOf(partCol), "maintain")
+      requireSpec(m, specOf(partCol), "maintain")
       val worst =
         if (m.leaves.isEmpty) 0
         else m.leaves.groupBy(leafPartPairs)

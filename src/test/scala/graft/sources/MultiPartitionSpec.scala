@@ -163,21 +163,40 @@ class MultiPartitionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("evolvePartitionSpec"))
   }
 
-  test("ops without multi-column grouping refuse loudly") {
+  test("merge upserts by key under a multi-column spec; tuples rewrite exactly") {
     val dir = makeTable()
-    val e1 = intercept[IllegalArgumentException] {
-      VersionedTable.merge(Seq((1L, "a", "2024-01-01", 99L))
+    // update id=1 (may keep its tuple) and insert id=9 into a NEW tuple
+    VersionedTable.merge(
+      Seq((1L, "a", "2024-01-01", 99L), (9L, "c", "2024-01-03", 90L))
         .toDF("id", "kind", "pdate", "amount"), dir, "kind,pdate", "id")
-    }
-    assert(e1.getMessage.contains("multi-column"))
-    val e2 = intercept[IllegalArgumentException] {
-      VersionedTable.binpack(spark, dir, "kind,pdate", 1L << 20)
-    }
-    assert(e2.getMessage.contains("multi-column"))
-    val e3 = intercept[IllegalArgumentException] {
+    val head = load(dir)
+    assert(ids(head) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L))
+    assert(head.filter($"id" === 1L).collect().head
+      .getAs[Long]("amount") === 99L)
+    // the (b, *) tuples were untouched by the merge
+    assert(ids(head.filter($"kind" === "b")) === Seq(3L, 4L, 6L))
+  }
+
+  test("binpack and maintain fold multi-leaf tuples under a multi-column spec") {
+    val dir = makeTable() // create+append -> (a, 2024-01-01) has 2 leaves
+    val before = VersionedTable.latestVersion(spark, dir)
+    val (folded, fresh) = VersionedTable.binpack(spark, dir, "kind,pdate",
+      Long.MaxValue)
+    assert(folded >= 2, "the doubled tuple must fold")
+    assert(fresh >= 1)
+    assert(ids(load(dir)) === (1L to 6L))
+    assert(VersionedTable.latestVersion(spark, dir) === before + 1)
+    // maintain's debt gate groups by the full tuple
+    assert(!VersionedTable.maintain(spark, dir, "kind,pdate",
+      maxLeavesPerPartition = 4))
+  }
+
+  test("optimizeZOrder (single-column layout op) refuses loudly on multi-column specs") {
+    val dir = makeTable()
+    val e = intercept[IllegalArgumentException] {
       VersionedTable.optimizeZOrder(spark, dir, "kind,pdate", "id", "amount")
     }
-    assert(e3.getMessage.contains("multi-column"))
+    assert(e.getMessage.contains("multi-column"))
   }
 
   test("null values in ANY spec column refuse before the commit") {
