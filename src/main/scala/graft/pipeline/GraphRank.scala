@@ -66,28 +66,27 @@ object GraphRank {
     ranks
   }
 
-  /** Run the iteration with the edge list pinned, materialize the final
-    * ranks (one eager checkpoint — also the lineage trim for the 8
-    * chained join-agg rounds), then RELEASE the pin before returning:
-    * the returned frame reads its own materialized rows, so nothing
-    * re-reads the cache and a leaked persist would only ever pin an
-    * O(N·3)-row RDD for the session's lifetime (QualityModel's
-    * consume-then-unpersist pattern). At most the result's own backing
-    * RDD stays registered — spec-pinned in GraphRankSpec.
+  /** The entry form: ONE fully-lazy adaptive query, no executor-cache
+    * pin, no eager materialization. Measured at sf0.1 (round 10): the
+    * persist-then-materialize forms (r2–r9) all cost ~2.4–3.7 s because
+    * an InMemoryRelation segment executes WITHOUT AQE's partition
+    * coalescing — 8 rounds of 32-task micro-shuffles of scheduling
+    * overhead — while the lazy plan runs as one adaptive query at
+    * ~0.8 s with bit-identical output (checksum-verified). The edges
+    * subplan is re-derived per round, which is the honest trade: at
+    * 100 TB a link graph is an INPUT TABLE in partitioned storage (the
+    * explode here synthesizes the fixture), so each round's real cost
+    * is the edges⨝ranks shuffle regardless of caching — and pinning a
+    * corpus-scale edge list in executor memory was never available
+    * anyway. A deployment that CAN cache (graph ≪ cluster memory)
+    * passes a persisted frame to [[iterated]] directly, the shape the
+    * plan spec audits. Nothing persists ⇒ nothing can leak — the
+    * GraphRankSpec lingering-RDD pin holds by construction.
     */
   private def materializedRanks(docs: DataFrame, n: Long,
-      update: String): DataFrame = {
-    val edges = edgesOf(docs, n)
-      .repartition(col("src")) // partitioned once, reused every iteration
-      .persist()
-    // the presentation sort runs BEFORE the eager checkpoint, so the
-    // final ranks materialize exactly once, already in node order — a
-    // post-checkpoint orderBy would re-shuffle the rows it just wrote
-    // (the round-9 1.3–1.4× drift); checkpointed partitions read back
-    // in index order, preserving the sort
-    try iterated(docs, edges, update).orderBy("node").localCheckpoint()
-    finally edges.unpersist()
-  }
+      update: String): DataFrame =
+    iterated(docs, edgesOf(docs, n).repartition(col("src")), update)
+      .orderBy("node")
 
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
