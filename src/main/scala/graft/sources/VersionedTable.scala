@@ -1412,6 +1412,36 @@ object VersionedTable {
       partcol = cols, constraints = m.constraints, format = m.format)
   }
 
+  /** FORMAT MIGRATION — rewrite the head into a new data-file format
+    * as one versioned commit (the ORC-native-to-parquet-lakehouse move,
+    * or the reverse): [[compact]]'s fold with the format switched, so
+    * delete vectors fold in, the schema carries, and every PRIOR
+    * snapshot keeps reading its own leaves in their own format (the
+    * manifest records the format per version — time travel across the
+    * migration boundary just works). Cost is one full rewrite, the
+    * honest price of changing bytes-on-disk; vacuum reclaims the old
+    * format's leaves under the normal retention rules.
+    */
+  def convertFormat(spark: SparkSession, tableDir: String, partCol: String,
+      newFormat: String): Unit =
+    Locking.withStoreLock(spark, tableDir)(withCommitRetry {
+      require(SupportedFormats.contains(newFormat),
+        s"unsupported versioned-table format '$newFormat' — one of " +
+          SupportedFormats.mkString("/"))
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "convertFormat")
+      val folded = readView(spark, tableDir, m)
+      writeManifest(spark, tableDir, v,
+        writeDataDirCols(folded, tableDir, v, cols, newFormat),
+        txns = m.txns,
+        schema =
+          if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
+        partcol = cols, constraints = m.constraints,
+        format = Seq(newFormat))
+    })
+
   /** OPTIMIZE (bin-packing) — the Delta OPTIMIZE / Iceberg
     * rewriteDataFiles shape at THIS table's manifest granularity
     * (leaves): per partition value, live same-spec leaves whose parquet

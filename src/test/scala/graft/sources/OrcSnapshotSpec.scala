@@ -155,6 +155,29 @@ class OrcSnapshotSpec extends AnyFunSuite {
     assert(rows1.select("id").as[Long].collect().toSeq === Seq(7L))
   }
 
+  test("convertFormat migrates ORC -> parquet; history reads both sides of the boundary") {
+    val dir = makeOrcTable()
+    val preVersion = VersionedTable.latestVersion(spark, dir)
+    VersionedTable.convertFormat(spark, dir, "pdate", "parquet")
+    // head is parquet now: rows identical, MOR deletes become available
+    assert(ids(load(dir)) === (1L to 6L))
+    val head = VersionedTable.liveDataFiles(spark, dir)
+    assert(head.nonEmpty && head.forall(_.endsWith(".parquet")))
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 2L)
+    assert(ids(load(dir)) === Seq(1L, 3L, 4L, 5L, 6L))
+    // time travel BEHIND the migration still reads the ORC leaves
+    assert(ids(spark.read.format("graft-snapshot")
+      .option("versionAsOf", preVersion.toString).load(dir)) === (1L to 6L))
+    // file skipping works on the migrated (parquet-harvested) sidecars
+    val (hi, hiFiles) = runCounting(spark.read.format("graft-snapshot")
+      .option("versionAsOf", (preVersion + 1).toString).load(dir)
+      .filter($"amount" >= 50L))
+    assert(hi === Seq(5L, 6L))
+    val (_, allF) = runCounting(spark.read.format("graft-snapshot")
+      .option("versionAsOf", (preVersion + 1).toString).load(dir))
+    assert(hiFiles < allF)
+  }
+
   test("unsupported formats refuse loudly at create") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val e = intercept[IllegalArgumentException] {
