@@ -70,27 +70,21 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
     case p => p
   }
 
-  /** Leaf counts usable for value-exact rewrites: every file covered AND
-    * the partition column is a STRING in the schema — the leaf dir value
-    * then IS the column value (identity decode), so per-leaf predicate
-    * evaluation and group keys are exact, not approximations.
+  /** Leaf (value, rows) pairs at the partition LEVEL named `colName`,
+    * usable for value-exact rewrites: every file covered, the level
+    * present exactly once in every leaf with no null-partition sentinel
+    * (the index refuses those), AND the column is a STRING in the
+    * schema — the leaf dir value then IS the column value (identity
+    * decode), so per-leaf predicate evaluation and group keys are
+    * exact, not approximations. Works at ANY level of a multi-column
+    * spec: `GROUP BY region` and `GROUP BY day` both rewrite on a
+    * (region, day)-nested table.
     */
-  private def stringLeafCounts(idx: ManifestFileIndex, schema: StructType)
-      : Option[(String, Seq[(String, Long)])] =
-    idx.metaLeafCounts.flatMap { leaves =>
-      // a null-partition sentinel leaf disqualifies value-exact rewrites
-      // outright: its dir value is a string stand-in for NULL, so
-      // per-leaf predicate evaluation and group keys would be wrong
-      if (leaves.exists(_._2 == graft.sources.VersionedTable.NullPartSentinel))
-        None
-      else leaves.map(_._1).distinct match {
-        case Seq(pcol)
-            if schema.fields.exists(f =>
-              f.name == pcol && f.dataType == StringType) =>
-          Some((pcol, leaves.map { case (_, v, n) => (v, n) }))
-        case _ => None // mixed-spec leaves or a non-string partition column
-      }
-    }
+  private def leafValuesAt(idx: ManifestFileIndex, schema: StructType,
+      colName: String): Option[Seq[(String, Long)]] =
+    if (!schema.fields.exists(f =>
+        f.name == colName && f.dataType == StringType)) None
+    else idx.metaLeafValuesAt(colName)
 
   private def filteredCount(agg: Aggregate, exprs: Seq[NamedExpression],
       cond: Expression, idx: ManifestFileIndex, schema: StructType)
@@ -99,9 +93,14 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
         !cond.references.forall(r =>
           schema.fields.exists(f => f.name == r.name &&
             f.dataType == StringType))) return None
-    stringLeafCounts(idx, schema).flatMap { case (pcol, _) =>
-      if (!cond.references.forall(_.name == pcol)) None
-      else try {
+    // the predicate must reference exactly ONE column, and that column
+    // must be a uniform partition level of the relation
+    val pcol = cond.references.map(_.name).toSeq.distinct match {
+      case Seq(one) => one
+      case _ => return None
+    }
+    leafValuesAt(idx, schema, pcol).flatMap { _ =>
+      try {
         // the value is constant across a leaf's rows, so the filter
         // keeps the whole leaf iff the predicate is definite TRUE at it
         // (null excludes, exactly like row-level filter semantics)
@@ -114,14 +113,14 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
         def statsWhere(a: AttributeReference) =
           if (schema.fields.exists(f => f.name == a.name &&
               f.dataType == a.dataType && FileStats.supported(f.dataType)))
-            idx.metaColStatsWhere(keepValue, a.name, a.dataType)
+            idx.metaColStatsWhereAt(pcol, keepValue, a.name, a.dataType)
           else None
         val values: Seq[Option[Any]] = exprs.map {
           case Alias(ae: AggregateExpression, _)
               if !ae.isDistinct && ae.filter.isEmpty =>
             ae.aggregateFunction match {
               case Count(Seq(Literal(v, _))) if v != null =>
-                idx.metaRowCountWhere(keepValue)
+                idx.metaRowCountWhereAt(pcol, keepValue)
               case Count(Seq(a: AttributeReference)) =>
                 // needs a KNOWN null count — unknown (footer unset) refuses
                 statsWhere(a).flatMap { case (_, _, nulls, rows) =>
@@ -149,20 +148,20 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
   private def groupedCount(agg: Aggregate, g: AttributeReference,
       exprs: Seq[NamedExpression], idx: ManifestFileIndex,
       schema: StructType): Option[LogicalPlan] =
-    stringLeafCounts(idx, schema).flatMap { case (pcol, leaves) =>
-      if (g.name != pcol) None
-      else {
+    leafValuesAt(idx, schema, g.name).flatMap { leaves =>
+      {
+        val pcol = g.name
         def statsW(a: AttributeReference, keep: String => Boolean) =
           if (schema.fields.exists(f => f.name == a.name &&
               f.dataType == a.dataType && FileStats.supported(f.dataType)))
-            idx.metaColStatsWhere(keep, a.name, a.dataType)
+            idx.metaColStatsWhereAt(pcol, keep, a.name, a.dataType)
           else None
         val values = leaves.map(_._1).distinct.sorted
         values.foldLeft(Option(Vector.empty[InternalRow])) {
           case (None, _) => None
           case (Some(acc), v) =>
             val keep = (x: String) => x == v
-            idx.metaRowCountWhere(keep) match {
+            idx.metaRowCountWhereAt(pcol, keep) match {
               case None => None
               // a zero-row value produces no group under a real scan
               // (countMeta's rule) — drop exact zeros to match

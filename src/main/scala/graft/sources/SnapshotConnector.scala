@@ -340,14 +340,50 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
   private def allFileStats: Option[Seq[Map[String, FileStats.ColStats]]] =
     fileStatsForLeaves(_ => true)
 
-  /** Like [[allFileStats]] but over the leaves whose PARTITION VALUE the
-    * predicate admits — what the filtered min/max/count rewrite folds.
+  /** The leaf's value at the partition level named `colName` — defined
+    * only when that level occurs EXACTLY ONCE in the leaf's pairs (a
+    * missing or ambiguous level disqualifies value-exact rewrites for
+    * that column), and never the null-partition sentinel (a sentinel at
+    * the requested level means the dir value is a string stand-in for
+    * NULL — substituting it would be wrong at exactly that leaf).
+    */
+  private def levelValueOf(pairs: Seq[(String, String)],
+      colName: String): Option[String] =
+    pairs.filter(_._1 == colName) match {
+      case Seq((_, v)) if v != VersionedTable.NullPartSentinel => Some(v)
+      case _ => None
+    }
+
+  /** Like [[allFileStats]] but over the leaves whose value AT THE LEVEL
+    * named `colName` the predicate admits — what the filtered
+    * min/max/count rewrite folds. Works at ANY level of a multi-column
+    * spec; refuses (None) when any leaf lacks a usable value at that
+    * level (foreign spec, sentinel, mixed depths).
+    */
+  private[sources] def fileStatsForLeavesAt(colName: String,
+      keepValue: String => Boolean)
+      : Option[Seq[Map[String, FileStats.ColStats]]] = {
+    if (leafEntries.exists(e => levelValueOf(e._2, colName).isEmpty)) None
+    else {
+      val perFile = for {
+        (leaf, pairs, files) <- leafEntries
+        if keepValue(levelValueOf(pairs, colName).get)
+        root = VersionedTable.addRootOf(leaf)
+        leafRel = VersionedTable.leafRelOf(leaf)
+        st <- files
+      } yield statsByAddDir.getOrElse(root, Map.empty)
+        .get(s"$leafRel/${st.getPath.getName}")
+      if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
+    }
+  }
+
+  /** Every-file-covered stats regardless of partition value — the
+    * global-aggregate fold.
     */
   private[sources] def fileStatsForLeaves(keepValue: String => Boolean)
       : Option[Seq[Map[String, FileStats.ColStats]]] = {
     val perFile = for {
-      (leaf, pairs, files) <- leafEntries
-      if keepValue(deepestValue(pairs))
+      (leaf, _, files) <- leafEntries
       root = VersionedTable.addRootOf(leaf)
       leafRel = VersionedTable.leafRelOf(leaf)
       st <- files
@@ -355,16 +391,6 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       .get(s"$leafRel/${st.getPath.getName}")
     if (perFile.exists(_.isEmpty)) None else Some(perFile.map(_.get))
   }
-
-  /** The value the single-column metadata rewrites key on: the DEEPEST
-    * level's value (constant per leaf like any partition value). A leaf
-    * carrying a null-partition sentinel at ANY level surfaces the
-    * sentinel, so the value-exact rewrites' sentinel guard trips
-    * regardless of which level holds it.
-    */
-  private def deepestValue(pairs: Seq[(String, String)]): String =
-    pairs.map(_._2).find(_ == VersionedTable.NullPartSentinel)
-      .orElse(pairs.lastOption.map(_._2)).getOrElse("")
 
   /** Σ rows over every live file, from the sidecars alone. This equals
     * what a scan of THIS index returns by construction: a bare
@@ -376,21 +402,32 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     allFileStats.map(_.map(m => m.values.map(_.rows).max).sum)
 
   /** [[metaRowCount]] / [[metaColStats]] restricted to the leaves whose
-    * partition value passes `keepValue` — the filtered-aggregate forms.
+    * value AT the partition level `levelCol` passes `keepValue` — the
+    * filtered-aggregate forms, usable at any level of the spec.
     */
-  private[graft] def metaRowCountWhere(keepValue: String => Boolean): Option[Long] =
-    fileStatsForLeaves(keepValue).map(_.map(m => m.values.map(_.rows).max).sum)
+  private[graft] def metaRowCountWhereAt(levelCol: String,
+      keepValue: String => Boolean): Option[Long] =
+    fileStatsForLeavesAt(levelCol, keepValue)
+      .map(_.map(m => m.values.map(_.rows).max).sum)
 
-  private[graft] def metaColStatsWhere(keepValue: String => Boolean,
+  private[graft] def metaColStatsWhereAt(levelCol: String,
+      keepValue: String => Boolean,
       colName: String, dt: org.apache.spark.sql.types.DataType)
       : Option[(Option[String], Option[String], Option[Long], Long)] =
-    fileStatsForLeaves(keepValue).flatMap(foldColStats(_, colName, dt))
+    fileStatsForLeavesAt(levelCol, keepValue)
+      .flatMap(foldColStats(_, colName, dt))
 
   /** Per-leaf (partition column, partition value, rows) from the
     * sidecars, or None when any live file lacks coverage — what the
     * filtered / GROUP-BY-partition count rewrites fold over.
     */
-  private[graft] def metaLeafCounts: Option[Seq[(String, String, Long)]] = {
+  /** Per-leaf (value at `colName`, rows) with every file covered —
+    * what the GROUP-BY-partition rewrite folds, at ANY level of a
+    * multi-column spec. None when any leaf lacks a usable value at the
+    * level (foreign spec, sentinel, missing stats).
+    */
+  private[graft] def metaLeafValuesAt(colName: String)
+      : Option[Seq[(String, Long)]] = {
     val per = leafEntries.map { case (leaf, pairs, files) =>
       val addDir = VersionedTable.addRootOf(leaf)
       val leafRel = VersionedTable.leafRelOf(leaf)
@@ -398,16 +435,20 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       val counts = files.map(st =>
         stats.get(s"$leafRel/${st.getPath.getName}")
           .map(m => m.values.map(_.rows).max))
-      // multi-level leaves surface their DEEPEST pair (its value is
-      // constant per leaf, so single-column rewrites on that column
-      // stay exact); mixed-depth or foreign specs then fail the rule's
-      // single-column uniformity check and fall back to the scan
-      val pcol = pairs.lastOption.map(_._1).getOrElse("")
-      if (counts.exists(_.isEmpty)) None
-      else Some((pcol, deepestValue(pairs), counts.flatten.sum))
+      for {
+        v <- levelValueOf(pairs, colName)
+        if !counts.exists(_.isEmpty)
+      } yield (v, counts.flatten.sum)
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten)
   }
+
+  /** Partition level names present in EVERY leaf — the columns the
+    * value-exact rewrites can key on for this relation.
+    */
+  private[graft] def uniformLevels: Seq[String] =
+    if (leafEntries.isEmpty) Nil
+    else leafEntries.map(_._2.map(_._1).toSet).reduce(_ intersect _).toSeq
 
   /** Merged (min, max, nulls, rows) for one column across every live
     * file, or None when unanswerable soundly: a file missing the

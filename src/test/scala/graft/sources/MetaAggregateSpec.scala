@@ -162,6 +162,42 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(byName.count() === 4)
   }
 
+  test("multi-column specs: filters and GROUP BY rewrite at ANY level, scanless") {
+    val dir = Files.createTempDirectory("graft-metaagg-mc").toString
+    val df = Seq(
+      (1L, 10L, "a", "2024-01-01"), (2L, 20L, "a", "2024-01-02"),
+      (3L, 30L, "b", "2024-01-01"), (4L, 40L, "b", "2024-01-02"),
+      (5L, 50L, "a", "2024-01-01")
+    ).toDF("id", "amount", "kind", "pdate")
+    VersionedTable.create(df.filter($"id" <= 3), dir, "kind,pdate")
+    VersionedTable.append(df.filter($"id" > 3), dir, "kind,pdate")
+    // filter at the OUTER level
+    val outer = load(dir).filter($"kind" === "a").agg(count(lit(1)).as("n"))
+    assert(scanless(outer), "outer-level filter kept the scan")
+    assert(outer.collect().head.getLong(0) === 3L)
+    // filter at the INNER level
+    val inner = load(dir).filter($"pdate" === "2024-01-01")
+      .agg(count(lit(1)).as("n"), min($"amount").as("mn"))
+    assert(scanless(inner), "inner-level filter kept the scan")
+    val ir = inner.collect().head
+    assert(ir.getLong(0) === 3L && ir.getLong(1) === 10L)
+    // GROUP BY either level
+    val byKind = load(dir).groupBy($"kind").agg(count(lit(1)).as("n"))
+    assert(scanless(byKind))
+    assert(byKind.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map("a" -> 3L, "b" -> 2L))
+    val byDay = load(dir).groupBy($"pdate").agg(count(lit(1)).as("n"))
+    assert(scanless(byDay))
+    assert(byDay.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map("2024-01-01" -> 3L, "2024-01-02" -> 2L))
+    // a TWO-column predicate keeps the scan (single-level contract) and
+    // still answers correctly
+    val both = load(dir)
+      .filter($"kind" === "a" && $"pdate" === "2024-01-01")
+      .agg(count(lit(1)).as("n"))
+    assert(both.collect().head.getLong(0) === 2L)
+  }
+
   test("the rewrite equals the scan on real data at sf0.001") {
     val dir = Files.createTempDirectory("graft-metaagg-ev").toString
     val events = Tables.events(spark, "/root/testdata/sf0.001")
