@@ -2556,21 +2556,30 @@ object VersionedTable {
     val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
     val f = fs(spark, tableDir)
     val byRoot = m.leaves.groupBy(addRootOf)
+    // file enumeration from the _files.tsv sidecars / checkpoint (zero
+    // per-leaf listings, like every other metadata path); only legacy
+    // roots without a file manifest fall back to listing
+    val lists = fileListsFor(spark, tableDir, byRoot.keys.toSeq)
     val perLeaf = scala.collection.mutable.Map[String, Long]()
     for ((root, leaves) <- byRoot) {
       val stats = FileStats.load(f, new Path(s"$tableDir/$root"))
       for (leaf <- leaves) {
         val leafRel = leafRelOf(leaf)
-        val rows = f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
-          .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
-          .map { st =>
-            val key = s"$leafRel/${st.getPath.getName}"
-            val cols = stats.getOrElse(key, throw new IllegalStateException(
-              s"no footer stats for $key under $root — countMeta needs the " +
-                "sidecar (table written before stats harvesting, or an " +
-                "all-unsupported-type schema); run a compact to backfill"))
-            cols.values.map(_.rows).max
-          }.sum
+        val keys: Seq[String] = lists(root) match {
+          case Some(list) => list.keysIterator
+            .filter(rel => FileStats.isDataFile(rel) &&
+              rel.startsWith(leafRel + "/")).toSeq
+          case None => f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
+            .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
+            .map(st => s"$leafRel/${st.getPath.getName}")
+        }
+        val rows = keys.map { key =>
+          val cols = stats.getOrElse(key, throw new IllegalStateException(
+            s"no footer stats for $key under $root — countMeta needs the " +
+              "sidecar (table written before stats harvesting, or an " +
+              "all-unsupported-type schema); run a compact to backfill"))
+          cols.values.map(_.rows).max
+        }.sum
         perLeaf(leaf) = rows
       }
     }
@@ -2641,12 +2650,19 @@ object VersionedTable {
     val acc = scala.collection.mutable.Map[String,
       (Option[String], Option[String], Long)]()
     cols.foreach(c => acc(c) = (None, None, 0L))
-    for ((root, leaves) <- m.leaves.groupBy(addRootOf)) {
+    val byRoot = m.leaves.groupBy(addRootOf)
+    val lists = fileListsFor(spark, tableDir, byRoot.keys.toSeq)
+    for ((root, leaves) <- byRoot) {
       val stats = FileStats.load(f, new Path(s"$tableDir/$root"))
-      for (leaf <- leaves;
-           st <- f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
-           if st.isFile && FileStats.isDataFile(st.getPath.getName)) {
-        val key = s"${leafRelOf(leaf)}/${st.getPath.getName}"
+      def keysOf(leaf: String): Seq[String] = lists(root) match {
+        case Some(list) => list.keysIterator
+          .filter(rel => FileStats.isDataFile(rel) &&
+            rel.startsWith(leafRelOf(leaf) + "/")).toSeq
+        case None => f.listStatus(new Path(s"$tableDir/$leaf")).toSeq
+          .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
+          .map(st => s"${leafRelOf(leaf)}/${st.getPath.getName}")
+      }
+      for (leaf <- leaves; key <- keysOf(leaf)) {
         val fileCols = stats.getOrElse(key, throw new IllegalStateException(
           s"boundsMeta: no footer stats for $key under $root"))
         for (c <- cols) {
