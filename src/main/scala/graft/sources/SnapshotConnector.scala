@@ -443,12 +443,6 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     if (per.exists(_.isEmpty)) None else Some(per.flatten)
   }
 
-  /** Partition level names present in EVERY leaf — the columns the
-    * value-exact rewrites can key on for this relation.
-    */
-  private[graft] def uniformLevels: Seq[String] =
-    if (leafEntries.isEmpty) Nil
-    else leafEntries.map(_._2.map(_._1).toSet).reduce(_ intersect _).toSeq
 
   /** Merged (min, max, nulls, rows) for one column across every live
     * file, or None when unanswerable soundly: a file missing the
