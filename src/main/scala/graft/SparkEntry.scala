@@ -330,7 +330,8 @@ object SparkEntry {
     // Iceberg-style partition-spec evolution: mixed-spec reads + deletes
     "snapshot_spec_evolve" -> (sources.VersionedTable.snapshotSpecEvolve _),
     "snapshot_multicol_spec" -> (sources.VersionedTable.snapshotMultiCol _),
-    "snapshot_orc" -> (sources.VersionedTable.snapshotOrc _)
+    "snapshot_orc" -> (sources.VersionedTable.snapshotOrc _),
+    "snapshot_convert_format" -> (sources.VersionedTable.snapshotConvertFormat _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -501,6 +502,7 @@ object SparkEntry {
     "events_hll_cube" -> Analytics.hllCubeSql,
     "snapshot_spec_evolve" -> sources.VersionedTable.snapshotSpecEvolveSql(),
     "snapshot_multicol_spec" -> sources.VersionedTable.snapshotMultiColSql(),
-    "snapshot_orc" -> sources.VersionedTable.snapshotOrcSql()
+    "snapshot_orc" -> sources.VersionedTable.snapshotOrcSql(),
+    "snapshot_convert_format" -> sources.VersionedTable.snapshotConvertFormatSql()
   )
 }

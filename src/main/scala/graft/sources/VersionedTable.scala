@@ -2405,6 +2405,61 @@ object VersionedTable {
       |       TRUE AS orc_file_skip_ok
       |FROM v GROUP BY version ORDER BY version""".stripMargin
 
+  /** Oracle-gated FORMAT-MIGRATION entry: an ORC-native table (the
+    * reference's storage format) converts to parquet in one commit,
+    * then takes a merge-on-read delete — the operation the migration
+    * UNLOCKS (position vectors need parquet's `_metadata.row_index`).
+    * Censuses per version are oracle-recomputed from the slice
+    * predicates; the gated row also carries the physical evidence
+    * (pre-convert leaves all `.orc`, post-convert all `.parquet`) as
+    * booleans, so the migration itself is hash-checked, not assumed.
+    */
+  def snapshotConvertFormat(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("pdate", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("micros"), col("pdate"))
+    val dir = Stores.temp("graft_vt_convert")
+    create(ev, dir, "pdate", format = "orc")
+    val orcLeavesOk =
+      liveDataFiles(spark, dir).forall(_.endsWith(".orc"))
+    convertFormat(spark, dir, "pdate", "parquet")
+    val parquetLeavesOk =
+      liveDataFiles(spark, dir).forall(_.endsWith(".parquet"))
+    deleteMergeOnRead(spark, dir,
+      col("event_type") === "click" && col("user_id") % 5 === 2)
+    val summaries = (0 to 2).map { v =>
+      readVersion(spark, dir, v).agg(
+        lit(v).as("version"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("micros")).cast("long").as("sum_micros"))
+    }
+    summaries.reduce(_ unionByName _)
+      .withColumn("orc_before", lit(orcLeavesOk))
+      .withColumn("parquet_after", lit(parquetLeavesOk))
+      .select("version", "n_rows", "sum_micros", "orc_before",
+        "parquet_after")
+      .orderBy("version")
+  }
+
+  def snapshotConvertFormatSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |v AS (
+      |  SELECT 0 AS version, * FROM e
+      |  UNION ALL
+      |  SELECT 1, * FROM e
+      |  UNION ALL
+      |  SELECT 2, * FROM e
+      |  WHERE NOT (event_type = 'click' AND user_id % 5 = 2))
+      |SELECT version, count(*) AS n_rows,
+      |       CAST(sum(micros) AS BIGINT) AS sum_micros,
+      |       TRUE AS orc_before, TRUE AS parquet_after
+      |FROM v GROUP BY version ORDER BY version""".stripMargin
+
   def snapshotEvolveSql(): String =
     """WITH a AS (SELECT event_id FROM events WHERE event_id % 3 = 0),
       |b AS (SELECT event_id % 100 AS score FROM events WHERE event_id % 3 = 1)
