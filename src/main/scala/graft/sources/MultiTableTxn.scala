@@ -121,15 +121,6 @@ object MultiTableTxn {
     */
   val DefaultIntentGraceMs: Long = 3600L * 1000
 
-  /** Heal the transaction log after a crash: completed transactions
-    * (marker present) roll forward; partial ones (intent alone) roll
-    * every participant back to its recorded head — but only once the
-    * intent is older than `intentGraceMs`, because an intent-without-
-    * marker is also what a LIVE transaction looks like from outside
-    * (see [[DefaultIntentGraceMs]]). Idempotent; safe to run at every
-    * startup under the grace default. Returns (rolledForward,
-    * rolledBack) counts; skipped young intents count in neither.
-    */
   /** Startup recovery for a SINGLE-coordinator deployment: no transaction
     * can be in flight before this process starts, so every intent is a
     * crash leftover and rolls back immediately (grace 0). Multi-writer
@@ -141,6 +132,15 @@ object MultiTableTxn {
   def recoverAtStartup(spark: SparkSession, txnDir: String): (Int, Int) =
     recover(spark, txnDir, intentGraceMs = 0L)
 
+  /** Heal the transaction log after a crash: completed transactions
+    * (marker present) roll forward; partial ones (intent alone) roll
+    * every participant back to its recorded head — but only once the
+    * intent is older than `intentGraceMs`, because an intent-without-
+    * marker is also what a LIVE transaction looks like from outside
+    * (see [[DefaultIntentGraceMs]]). Idempotent; safe to run at every
+    * startup under the grace default. Returns (rolledForward,
+    * rolledBack) counts; skipped young intents count in neither.
+    */
   def recover(spark: SparkSession, txnDir: String,
       intentGraceMs: Long = DefaultIntentGraceMs): (Int, Int) = {
     val f = fs(spark, txnDir)

@@ -332,14 +332,6 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
 
   override def partitionSchema: StructType = new StructType()
 
-  /** Sidecar stats entry for EVERY live file, or None the moment one
-    * file lacks coverage — the soundness gate for the metadata-aggregate
-    * rewrite ([[graft.plans.MetaAggregateRule]]): a single uncovered
-    * file means fall back to the scan, never guess.
-    */
-  private def allFileStats: Option[Seq[Map[String, FileStats.ColStats]]] =
-    fileStatsForLeaves(_ => true)
-
   /** The leaf's value at the partition level named `colName` — defined
     * only when that level occurs EXACTLY ONCE in the leaf's pairs (a
     * missing or ambiguous level disqualifies value-exact rewrites for
@@ -377,10 +369,16 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     }
   }
 
-  /** Every-file-covered stats regardless of partition value — the
-    * global-aggregate fold.
+  /** Sidecar stats entry for EVERY live file regardless of partition
+    * value, or None the moment one file lacks coverage — the soundness
+    * gate for the metadata-aggregate rewrite
+    * ([[graft.plans.MetaAggregateRule]]): a single uncovered file means
+    * fall back to the scan, never guess. Deliberately takes NO
+    * predicate: value filtering lives in [[fileStatsForLeavesAt]],
+    * which binds the level to filter on; a predicate here would
+    * silently go unapplied.
     */
-  private[sources] def fileStatsForLeaves(keepValue: String => Boolean)
+  private[sources] def allFileStats
       : Option[Seq[Map[String, FileStats.ColStats]]] = {
     val perFile = for {
       (leaf, _, files) <- leafEntries

@@ -372,19 +372,34 @@ object VersionedTable {
       Map[String, Map[String, Map[String, FileStats.ColStats]]])] = {
     val f = fs(spark, tableDir)
     val dir = new Path(checkpointsDir(tableDir))
-    if (!f.exists(dir)) return None
-    val versions = f.listStatus(dir).toSeq.flatMap(st =>
-      st.getPath.getName match {
-        case CheckpointRe(n) => Some(n.toInt)
-        case _ => None
-      })
-    if (versions.isEmpty) None
-    else {
-      val p = new Path(dir, s"v${versions.max}.tsv")
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      Some(FileStats.parseCheckpoint(text))
+    // A concurrent writer deletes superseded checkpoints AFTER
+    // publishing a new one, so the max-version file seen in a listing
+    // can vanish before we open it. Mirror the writer's best-effort
+    // stance: re-list and retry once (the newer checkpoint is there by
+    // then), and fall back to None — sidecar reads are always a valid,
+    // merely slower, resolution path. A hot query must never fail on a
+    // checkpoint races it only ever treats as a cache.
+    def attempt(): Option[(Int, Map[String, Map[String, (Long, Long)]],
+        Map[String, Map[String, Map[String, FileStats.ColStats]]])] = {
+      if (!f.exists(dir)) return None
+      val versions = f.listStatus(dir).toSeq.flatMap(st =>
+        st.getPath.getName match {
+          case CheckpointRe(n) => Some(n.toInt)
+          case _ => None
+        })
+      if (versions.isEmpty) None
+      else {
+        val p = new Path(dir, s"v${versions.max}.tsv")
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(FileStats.parseCheckpoint(text))
+      }
+    }
+    try attempt()
+    catch {
+      case _: java.io.IOException =>
+        try attempt() catch { case _: java.io.IOException => None }
     }
   }
 
@@ -470,10 +485,39 @@ object VersionedTable {
     hits.head.toString
   }
 
+  /** Decode a Hive-escaped partition-dir value: ONLY `%XX` sequences
+    * decode; everything else — including `+` — stays literal. Spark's
+    * partitioned writer escapes leaf values with Hive's
+    * `escapePathName`, which never escapes `+`; `URLDecoder` would map
+    * a literal `+` to a space, so a string partition value containing
+    * '+' would decode wrong — pruning would silently drop its leaf and
+    * COW tuple-matching would silently skip it.
+    */
+  private[sources] def unescapePathValue(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        val code = (Character.digit(s.charAt(i + 1), 16) << 4) +
+          Character.digit(s.charAt(i + 2), 16)
+        sb.append(code.toChar)
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   private def leafPartValue(leaf: String): String = {
     val name = leaf.substring(leaf.lastIndexOf('/') + 1)
-    // hive leaf names are <key>=<url-encoded value>
-    java.net.URLDecoder.decode(name.substring(name.indexOf('=') + 1), "UTF-8")
+    // hive leaf names are <key>=<hive-escaped value>
+    unescapePathValue(name.substring(name.indexOf('=') + 1))
   }
 
   /** The partition COLUMN a leaf was written under (leaf dirs are
@@ -518,8 +562,7 @@ object VersionedTable {
     leafRelOf(leaf).split('/').toSeq.filter(_.contains('=')).map { seg =>
       val raw = seg.substring(0, seg.indexOf('='))
       val colName = if (raw.endsWith("__p")) raw.dropRight(3) else raw
-      val value = java.net.URLDecoder.decode(
-        seg.substring(seg.indexOf('=') + 1), "UTF-8")
+      val value = unescapePathValue(seg.substring(seg.indexOf('=') + 1))
       (colName, value)
     }
 

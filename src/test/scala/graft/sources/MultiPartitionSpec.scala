@@ -211,4 +211,27 @@ class MultiPartitionSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(spark, dir) === headBefore)
     assert(ids(load(dir)) === (1L to 6L))
   }
+
+  test("partition values with '+' and Hive-escaped chars round-trip " +
+      "through pruning and COW delete") {
+    // Hive's escapePathName never escapes '+', so a URL-style decoder
+    // would read "a+b" back as "a b" — pruning would drop the leaf and
+    // deletes would silently miss it. ':' IS Hive-escaped (%3A), so the
+    // same fixture also proves %XX decoding still works.
+    val dir = Files.createTempDirectory("graft-plus").toString
+    val df = Seq(
+      (1L, "a+b", "x:y", 10L), (2L, "a+b", "z", 20L),
+      (3L, "plain", "x:y", 30L)
+    ).toDF("id", "kind", "pdate", "amount")
+    VersionedTable.create(df, dir, "kind,pdate")
+    assert(ids(load(dir)) === Seq(1L, 2L, 3L))
+    // value-exact pruning must FIND the '+' leaf (wrong decoding loses it)
+    assert(ids(load(dir).filter($"kind" === "a+b")) === Seq(1L, 2L))
+    assert(ids(load(dir).filter($"pdate" === "x:y")) === Seq(1L, 3L))
+    // COW delete must match the '+'-containing tuple exactly
+    VersionedTable.delete(spark, dir, "kind,pdate",
+      $"kind" === "a+b" && $"pdate" === "x:y")
+    assert(ids(load(dir)) === Seq(2L, 3L))
+    assert(ids(load(dir).filter($"kind" === "a+b")) === Seq(2L))
+  }
 }
