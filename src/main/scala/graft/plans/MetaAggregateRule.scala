@@ -53,11 +53,17 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
             case None => agg
           }
       }
-    // count(*) GROUP BY <partition column>: per-value sidecar sums
-    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+    // count(*) GROUP BY <partition column(s)>: per-tuple sidecar sums —
+    // `GROUP BY region, day` rewrites on a (region, day)-nested table
+    // exactly like the single-level forms
+    case agg @ Aggregate(gexprs, aggExprs, child, _)
+        if gexprs.nonEmpty &&
+          gexprs.forall(_.isInstanceOf[AttributeReference]) =>
       underlyingIndex(child) match {
         case Some((idx, schema)) =>
-          groupedCount(agg, g, aggExprs, idx, schema).getOrElse(agg)
+          groupedCount(agg,
+            gexprs.map(_.asInstanceOf[AttributeReference]),
+            aggExprs, idx, schema).getOrElse(agg)
         case None => agg
       }
   }
@@ -70,22 +76,6 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
     case p => p
   }
 
-  /** Leaf (value, rows) pairs at the partition LEVEL named `colName`,
-    * usable for value-exact rewrites: every file covered, the level
-    * present exactly once in every leaf with no null-partition sentinel
-    * (the index refuses those), AND the column is a STRING in the
-    * schema — the leaf dir value then IS the column value (identity
-    * decode), so per-leaf predicate evaluation and group keys are
-    * exact, not approximations. Works at ANY level of a multi-column
-    * spec: `GROUP BY region` and `GROUP BY day` both rewrite on a
-    * (region, day)-nested table.
-    */
-  private def leafValuesAt(idx: ManifestFileIndex, schema: StructType,
-      colName: String): Option[Seq[(String, Long)]] =
-    if (!schema.fields.exists(f =>
-        f.name == colName && f.dataType == StringType)) None
-    else idx.metaLeafValuesAt(colName)
-
   private def filteredCount(agg: Aggregate, exprs: Seq[NamedExpression],
       cond: Expression, idx: ManifestFileIndex, schema: StructType)
       : Option[LogicalPlan] = {
@@ -93,112 +83,133 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
         !cond.references.forall(r =>
           schema.fields.exists(f => f.name == r.name &&
             f.dataType == StringType))) return None
-    // the predicate must reference exactly ONE column, and that column
-    // must be a uniform partition level of the relation
-    val pcol = cond.references.map(_.name).toSeq.distinct match {
-      case Seq(one) => one
-      case _ => return None
-    }
-    leafValuesAt(idx, schema, pcol).flatMap { _ =>
-      try {
-        // the value is constant across a leaf's rows, so the filter
-        // keeps the whole leaf iff the predicate is definite TRUE at it
-        // (null excludes, exactly like row-level filter semantics)
-        val keepValue: String => Boolean = v =>
-          java.lang.Boolean.TRUE.equals(
-            cond.transform {
-              case a: AttributeReference if a.name == pcol =>
-                Literal(UTF8String.fromString(v), StringType)
-            }.eval(InternalRow.empty))
-        def statsWhere(a: AttributeReference) =
-          if (schema.fields.exists(f => f.name == a.name &&
-              f.dataType == a.dataType && FileStats.supported(f.dataType)))
-            idx.metaColStatsWhereAt(pcol, keepValue, a.name, a.dataType)
-          else None
-        val values: Seq[Option[Any]] = exprs.map {
-          case Alias(ae: AggregateExpression, _)
-              if !ae.isDistinct && ae.filter.isEmpty =>
-            ae.aggregateFunction match {
-              case Count(Seq(Literal(v, _))) if v != null =>
-                idx.metaRowCountWhereAt(pcol, keepValue)
-              case Count(Seq(a: AttributeReference)) =>
-                // needs a KNOWN null count — unknown (footer unset) refuses
-                statsWhere(a).flatMap { case (_, _, nulls, rows) =>
-                  nulls.map(rows - _)
-                }
-              case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
-                statsWhere(a).map { case (mn, _, _, _) =>
-                  mn.map(decode(_, a.dataType)).orNull
-                }
-              case Max(a: AttributeReference) if minMaxSafe(a.dataType) =>
-                statsWhere(a).map { case (_, mx, _, _) =>
-                  mx.map(decode(_, a.dataType)).orNull
-                }
-              case _ => None
-            }
-          case _ => None
-        }
-        if (values.exists(_.isEmpty)) None
-        else Some(LocalRelation(agg.output,
-          Seq(InternalRow.fromSeq(values.map(_.get)))))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
+    // EVERY referenced column must be a uniform partition level of the
+    // relation — the tuple fold below refuses otherwise (a
+    // non-partition conjunct keeps the scan). One column is the common
+    // case; a conjunction over several levels of a multi-column spec
+    // binds each level to the leaf's value at it.
+    val pcols: Seq[String] =
+      cond.collect { case a: AttributeReference => a.name }.distinct
+    try {
+      // values are constant across a leaf's rows, so the filter keeps
+      // the whole leaf iff the predicate is definite TRUE with every
+      // referenced level bound to the leaf's value at it (null
+      // excludes, exactly like row-level filter semantics)
+      val keepTuple: Seq[String] => Boolean = t => {
+        val bind = pcols.zip(t).toMap
+        java.lang.Boolean.TRUE.equals(
+          cond.transform {
+            case a: AttributeReference if bind.contains(a.name) =>
+              Literal(UTF8String.fromString(bind(a.name)), StringType)
+          }.eval(InternalRow.empty))
+      }
+      def statsWhere(a: AttributeReference) =
+        if (schema.fields.exists(f => f.name == a.name &&
+            f.dataType == a.dataType && FileStats.supported(f.dataType)))
+          idx.metaColStatsWhereTuple(pcols, keepTuple, a.name, a.dataType)
+        else None
+      val values: Seq[Option[Any]] = exprs.map {
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(v, _))) if v != null =>
+              idx.metaRowCountWhereTuple(pcols, keepTuple)
+            case Count(Seq(a: AttributeReference)) =>
+              // needs a KNOWN null count — unknown (footer unset) refuses
+              statsWhere(a).flatMap { case (_, _, nulls, rows) =>
+                nulls.map(rows - _)
+              }
+            case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
+              statsWhere(a).map { case (mn, _, _, _) =>
+                mn.map(decode(_, a.dataType)).orNull
+              }
+            case Max(a: AttributeReference) if minMaxSafe(a.dataType) =>
+              statsWhere(a).map { case (_, mx, _, _) =>
+                mx.map(decode(_, a.dataType)).orNull
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) None
+      else Some(LocalRelation(agg.output,
+        Seq(InternalRow.fromSeq(values.map(_.get)))))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def groupedCount(agg: Aggregate, g: AttributeReference,
+  /** GROUP BY one or more partition levels. Group keys must all be
+    * STRING columns in the schema — the leaf dir value then IS the
+    * column value (identity decode), so group keys are exact, not
+    * approximations; the index refuses (None) unless every leaf binds
+    * every named level (foreign spec, sentinel, mixed depths all keep
+    * the scan). ONE index pass per needed quantity: counts for all
+    * groups come from a single fold, and each referenced column's
+    * per-tuple stats from one more — a per-value rescan of every leaf
+    * would be O(values × leaves), a 10⁸-step driver loop at a
+    * 10k-partition table.
+    */
+  private def groupedCount(agg: Aggregate, gs: Seq[AttributeReference],
       exprs: Seq[NamedExpression], idx: ManifestFileIndex,
-      schema: StructType): Option[LogicalPlan] =
-    leafValuesAt(idx, schema, g.name).flatMap { leaves =>
-      {
-        val pcol = g.name
-        def statsW(a: AttributeReference, keep: String => Boolean) =
-          if (schema.fields.exists(f => f.name == a.name &&
-              f.dataType == a.dataType && FileStats.supported(f.dataType)))
-            idx.metaColStatsWhereAt(pcol, keep, a.name, a.dataType)
-          else None
-        val values = leaves.map(_._1).distinct.sorted
-        values.foldLeft(Option(Vector.empty[InternalRow])) {
-          case (None, _) => None
-          case (Some(acc), v) =>
-            val keep = (x: String) => x == v
-            idx.metaRowCountWhereAt(pcol, keep) match {
-              case None => None
-              // a zero-row value produces no group under a real scan
-              // (countMeta's rule) — drop exact zeros to match
-              case Some(0L) => Some(acc)
-              case Some(total) =>
-                val cells: Seq[Option[Any]] = exprs.map {
-                  case a: AttributeReference if a.name == pcol =>
-                    Some(UTF8String.fromString(v))
-                  case Alias(a: AttributeReference, _) if a.name == pcol =>
-                    Some(UTF8String.fromString(v))
-                  case Alias(ae: AggregateExpression, _)
-                      if !ae.isDistinct && ae.filter.isEmpty =>
-                    ae.aggregateFunction match {
-                      case Count(Seq(Literal(x, _))) if x != null =>
-                        Some(total)
-                      case Count(Seq(a: AttributeReference)) =>
-                        statsW(a, keep).flatMap { case (_, _, nulls, rows) =>
-                          nulls.map(rows - _)
-                        }
-                      case Min(a: AttributeReference) if minMaxSafe(a.dataType) =>
-                        statsW(a, keep).map { case (mn, _, _, _) =>
-                          mn.map(decode(_, a.dataType)).orNull
-                        }
-                      case Max(a: AttributeReference) if minMaxSafe(a.dataType) =>
-                        statsW(a, keep).map { case (_, mx, _, _) =>
-                          mx.map(decode(_, a.dataType)).orNull
-                        }
-                      case _ => None
-                    }
-                  case _ => None
-                }
-                if (cells.exists(_.isEmpty)) None
-                else Some(acc :+ InternalRow.fromSeq(cells.map(_.get)))
-            }
-        }.map(rows => LocalRelation(agg.output, rows))
-      }
+      schema: StructType): Option[LogicalPlan] = {
+    val gcols = gs.map(_.name).distinct
+    if (!gcols.forall(c => schema.fields.exists(f =>
+        f.name == c && f.dataType == StringType))) None
+    else idx.metaRowCountsByTupleAt(gcols).flatMap { counts =>
+      val statsCache = scala.collection.mutable.Map.empty[String,
+        Option[Map[Seq[String], Option[(Option[String], Option[String],
+          Option[Long], Long)]]]]
+      def statsW(a: AttributeReference, t: Seq[String]) =
+        if (schema.fields.exists(f => f.name == a.name &&
+            f.dataType == a.dataType && FileStats.supported(f.dataType)))
+          statsCache.getOrElseUpdate(a.name,
+            idx.metaColStatsByTupleAt(gcols, a.name, a.dataType))
+            .flatMap(_.getOrElse(t, None))
+        else None
+      val tuples = counts.keys.toSeq.sortBy(_.mkString(" "))
+      tuples.foldLeft(Option(Vector.empty[InternalRow])) {
+        case (None, _) => None
+        case (Some(acc), t) =>
+          val bind = gcols.zip(t).toMap
+          counts(t) match {
+            // a zero-row tuple produces no group under a real scan
+            // (countMeta's rule) — drop exact zeros to match
+            case 0L => Some(acc)
+            case total =>
+              val cells: Seq[Option[Any]] = exprs.map {
+                case a: AttributeReference if bind.contains(a.name) =>
+                  Some(UTF8String.fromString(bind(a.name)))
+                case Alias(a: AttributeReference, _)
+                    if bind.contains(a.name) =>
+                  Some(UTF8String.fromString(bind(a.name)))
+                case Alias(ae: AggregateExpression, _)
+                    if !ae.isDistinct && ae.filter.isEmpty =>
+                  ae.aggregateFunction match {
+                    case Count(Seq(Literal(x, _))) if x != null =>
+                      Some(total)
+                    case Count(Seq(a: AttributeReference)) =>
+                      statsW(a, t).flatMap { case (_, _, nulls, rows) =>
+                        nulls.map(rows - _)
+                      }
+                    case Min(a: AttributeReference)
+                        if minMaxSafe(a.dataType) =>
+                      statsW(a, t).map { case (mn, _, _, _) =>
+                        mn.map(decode(_, a.dataType)).orNull
+                      }
+                    case Max(a: AttributeReference)
+                        if minMaxSafe(a.dataType) =>
+                      statsW(a, t).map { case (_, mx, _, _) =>
+                        mx.map(decode(_, a.dataType)).orNull
+                      }
+                    case _ => None
+                  }
+                case _ => None
+              }
+              if (cells.exists(_.isEmpty)) None
+              else Some(acc :+ InternalRow.fromSeq(cells.map(_.get)))
+          }
+      }.map(rows => LocalRelation(agg.output, rows))
     }
+  }
 
   /** The manifest index under a bare relation, looking through
     * column-pruning Projects only — anything else (Filter, Join, …)

@@ -67,7 +67,13 @@ final class GraftSnapshotSource extends RelationProvider
   override def shortName(): String = "graft-snapshot"
 
   /** `spark.readStream.format("graft-snapshot")`: the table as a change
-    * STREAM — versions are the offsets. See [[VersionedChangeSource]].
+    * STREAM — versions are the offsets. Two forms:
+    *   - default: append-only rows ([[VersionedChangeSource]]; non-append
+    *     commits refuse loudly unless `ignoreChanges`);
+    *   - `readChangeFeed=true`: Delta-CDF-style change rows — table
+    *     columns + `_change_type` (insert|delete) + `_commit_version` —
+    *     representing EVERY commit kind exactly, COW and MOR included
+    *     ([[VersionedChangeFeedSource]]).
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -79,8 +85,13 @@ final class GraftSnapshotSource extends RelationProvider
     val head = VersionedTable.latestVersion(spark, tableDir)
     val (leaves, _, schemaOpt, _, fmt) =
       VersionedTable.manifestView(spark, tableDir, head)
-    (shortName(), schemaOpt.getOrElse(
-      spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*).schema))
+    val base = schemaOpt.getOrElse(
+      spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*).schema)
+    val out =
+      if (ci.get("readchangefeed").exists(_.trim.toBoolean))
+        VersionedChangeFeedSource.feedSchema(base)
+      else base
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -88,8 +99,11 @@ final class GraftSnapshotSource extends RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val ci = parameters.map { case (k, v) => (k.toLowerCase, v) }
     val tableDir = ci("path")
-    new VersionedChangeSource(sqlContext, tableDir,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+    val resolved = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    if (ci.get("readchangefeed").exists(_.trim.toBoolean))
+      new VersionedChangeFeedSource(sqlContext, tableDir, resolved,
+        startingVersion = ci.get("startingversion").map(_.trim.toInt))
+    else new VersionedChangeSource(sqlContext, tableDir, resolved,
       startingVersion = ci.get("startingversion").map(_.trim.toInt),
       ignoreChanges = ci.get("ignorechanges").exists(_.trim.toBoolean))
   }
@@ -105,11 +119,7 @@ final class GraftSnapshotSource extends RelationProvider
       else java.time.LocalDateTime
         .parse(spec.trim.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    val eligible = VersionedTable.versions(spark, tableDir)
-      .filter(v => VersionedTable.manifestMtime(spark, tableDir, v) <= ts)
-    require(eligible.nonEmpty,
-      s"timestampAsOf $spec predates the first commit at $tableDir")
-    eligible.max
+    VersionedTable.versionAtMillis(spark, tableDir, ts)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -346,20 +356,34 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       case _ => None
     }
 
-  /** Like [[allFileStats]] but over the leaves whose value AT THE LEVEL
-    * named `colName` the predicate admits — what the filtered
-    * min/max/count rewrite folds. Works at ANY level of a multi-column
-    * spec; refuses (None) when any leaf lacks a usable value at that
-    * level (foreign spec, sentinel, mixed depths).
+  /** A leaf's value TUPLE at the named levels (in `cols` order), or
+    * None when ANY named level is missing, ambiguous, or the null
+    * sentinel — one bad level disqualifies the leaf for every
+    * tuple-exact rewrite, same stance as [[levelValueOf]].
     */
-  private[sources] def fileStatsForLeavesAt(colName: String,
-      keepValue: String => Boolean)
+  private def tupleValueOf(pairs: Seq[(String, String)],
+      cols: Seq[String]): Option[Seq[String]] =
+    cols.foldLeft(Option(Vector.empty[String])) { (acc, c) =>
+      acc.flatMap(vs => levelValueOf(pairs, c).map(vs :+ _))
+    }
+
+  /** Like [[allFileStats]] but over the leaves whose value TUPLE at the
+    * named levels the predicate admits — what the filtered
+    * min/max/count rewrite folds, now over ANY subset of a multi-column
+    * spec's levels (`WHERE region='EU' AND day='…'` binds both).
+    * Refuses (None) when any leaf lacks a usable value at ANY named
+    * level (foreign spec, sentinel, mixed depths) or any file lacks
+    * sidecar coverage.
+    */
+  private[sources] def fileStatsForLeavesWhereTuple(cols: Seq[String],
+      keep: Seq[String] => Boolean)
       : Option[Seq[Map[String, FileStats.ColStats]]] = {
-    if (leafEntries.exists(e => levelValueOf(e._2, colName).isEmpty)) None
+    if (cols.isEmpty ||
+        leafEntries.exists(e => tupleValueOf(e._2, cols).isEmpty)) None
     else {
       val perFile = for {
         (leaf, pairs, files) <- leafEntries
-        if keepValue(levelValueOf(pairs, colName).get)
+        if keep(tupleValueOf(pairs, cols).get)
         root = VersionedTable.addRootOf(leaf)
         leafRel = VersionedTable.leafRelOf(leaf)
         st <- files
@@ -369,12 +393,84 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     }
   }
 
+  /** Filtered count/stats over a MULTI-level tuple predicate — the
+    * conjunctive forms `WHERE region='EU' AND day='…'` rewrite from.
+    * One O(files) pass each; refusal scope identical to
+    * [[fileStatsForLeavesWhereTuple]].
+    */
+  private[graft] def metaRowCountWhereTuple(cols: Seq[String],
+      keep: Seq[String] => Boolean): Option[Long] =
+    fileStatsForLeavesWhereTuple(cols, keep)
+      .map(_.map(m => m.values.map(_.rows).max).sum)
+
+  private[graft] def metaColStatsWhereTuple(cols: Seq[String],
+      keep: Seq[String] => Boolean,
+      statCol: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[(Option[String], Option[String], Option[Long], Long)] =
+    fileStatsForLeavesWhereTuple(cols, keep)
+      .flatMap(foldColStats(_, statCol, dt))
+
+  /** ONE-pass grouping of per-file stats by each leaf's value TUPLE at
+    * the named levels — what the GROUP-BY-partition rewrite folds ALL
+    * its groups from, single- and multi-column alike. Replaces a
+    * per-value rescan of every leaf (O(values × leaves); a
+    * 10k-partition table would pay a 10⁸-step driver loop) with a
+    * single O(files) pass. Refuses (None) exactly like
+    * [[fileStatsForLeavesWhereTuple]]: any leaf without a usable value
+    * at any named level, or any file without sidecar coverage.
+    */
+  private[sources] def fileStatsByTupleAt(cols: Seq[String])
+      : Option[Map[Seq[String], Seq[Map[String, FileStats.ColStats]]]] = {
+    if (cols.isEmpty ||
+        leafEntries.exists(e => tupleValueOf(e._2, cols).isEmpty)) None
+    else {
+      val perFile
+          : Seq[(Seq[String], Option[Map[String, FileStats.ColStats]])] =
+        for {
+          (leaf, pairs, files) <- leafEntries
+          t = tupleValueOf(pairs, cols).get
+          root = VersionedTable.addRootOf(leaf)
+          leafRel = VersionedTable.leafRelOf(leaf)
+          st <- files
+        } yield t -> statsByAddDir.getOrElse(root, Map.empty)
+          .get(s"$leafRel/${st.getPath.getName}")
+      if (perFile.exists(_._2.isEmpty)) None
+      else Some(perFile.map { case (t, s) => t -> s.get }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) })
+    }
+  }
+
+  /** tuple → Σ rows, every group from the single [[fileStatsByTupleAt]]
+    * pass. A tuple all of whose leaves are empty maps to 0 only if its
+    * leaves still carry (empty) file lists; absent tuples read as 0 at
+    * the caller.
+    */
+  private[graft] def metaRowCountsByTupleAt(cols: Seq[String])
+      : Option[Map[Seq[String], Long]] =
+    fileStatsByTupleAt(cols).map(_.map { case (t, fss) =>
+      t -> fss.map(m => m.values.map(_.rows).max).sum
+    })
+
+  /** tuple → folded (min, max, nulls, rows) for ONE column, every group
+    * from the single [[fileStatsByTupleAt]] pass. Outer None = coverage
+    * refusal (same as [[metaColStatsWhereTuple]]); inner None = that
+    * one tuple's fold refused (e.g. oversized stats omitted), letting
+    * the caller refuse the rewrite without re-scanning other groups.
+    */
+  private[graft] def metaColStatsByTupleAt(cols: Seq[String],
+      statCol: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[Map[Seq[String], Option[(Option[String], Option[String],
+        Option[Long], Long)]]] =
+    fileStatsByTupleAt(cols).map(_.map { case (t, fss) =>
+      t -> foldColStats(fss, statCol, dt)
+    })
+
   /** Sidecar stats entry for EVERY live file regardless of partition
     * value, or None the moment one file lacks coverage — the soundness
     * gate for the metadata-aggregate rewrite
     * ([[graft.plans.MetaAggregateRule]]): a single uncovered file means
     * fall back to the scan, never guess. Deliberately takes NO
-    * predicate: value filtering lives in [[fileStatsForLeavesAt]],
+    * predicate: value filtering lives in [[fileStatsForLeavesWhereTuple]],
     * which binds the level to filter on; a predicate here would
     * silently go unapplied.
     */
@@ -398,49 +494,6 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     */
   private[graft] def metaRowCount: Option[Long] =
     allFileStats.map(_.map(m => m.values.map(_.rows).max).sum)
-
-  /** [[metaRowCount]] / [[metaColStats]] restricted to the leaves whose
-    * value AT the partition level `levelCol` passes `keepValue` — the
-    * filtered-aggregate forms, usable at any level of the spec.
-    */
-  private[graft] def metaRowCountWhereAt(levelCol: String,
-      keepValue: String => Boolean): Option[Long] =
-    fileStatsForLeavesAt(levelCol, keepValue)
-      .map(_.map(m => m.values.map(_.rows).max).sum)
-
-  private[graft] def metaColStatsWhereAt(levelCol: String,
-      keepValue: String => Boolean,
-      colName: String, dt: org.apache.spark.sql.types.DataType)
-      : Option[(Option[String], Option[String], Option[Long], Long)] =
-    fileStatsForLeavesAt(levelCol, keepValue)
-      .flatMap(foldColStats(_, colName, dt))
-
-  /** Per-leaf (partition column, partition value, rows) from the
-    * sidecars, or None when any live file lacks coverage — what the
-    * filtered / GROUP-BY-partition count rewrites fold over.
-    */
-  /** Per-leaf (value at `colName`, rows) with every file covered —
-    * what the GROUP-BY-partition rewrite folds, at ANY level of a
-    * multi-column spec. None when any leaf lacks a usable value at the
-    * level (foreign spec, sentinel, missing stats).
-    */
-  private[graft] def metaLeafValuesAt(colName: String)
-      : Option[Seq[(String, Long)]] = {
-    val per = leafEntries.map { case (leaf, pairs, files) =>
-      val addDir = VersionedTable.addRootOf(leaf)
-      val leafRel = VersionedTable.leafRelOf(leaf)
-      val stats = statsByAddDir.getOrElse(addDir, Map.empty)
-      val counts = files.map(st =>
-        stats.get(s"$leafRel/${st.getPath.getName}")
-          .map(m => m.values.map(_.rows).max))
-      for {
-        v <- levelValueOf(pairs, colName)
-        if !counts.exists(_.isEmpty)
-      } yield (v, counts.flatten.sum)
-    }
-    if (per.exists(_.isEmpty)) None else Some(per.flatten)
-  }
-
 
   /** Merged (min, max, nulls, rows) for one column across every live
     * file, or None when unanswerable soundly: a file missing the
@@ -723,33 +776,10 @@ final class SnapshotScanRelation(spark: SparkSession, tableDir: String,
   override lazy val sizeInBytes: Long =
     VersionedTable.liveBytes(spark, tableDir, version)
 
-  /** Source filters translated back to Columns where expressible; `None`
-    * for shapes we don't push (Spark re-evaluates every filter above).
-    */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
-    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
-    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case sources.LessThan(a, v) => Some(col(a) < lit(v))
-    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case sources.IsNull(a) => Some(col(a).isNull)
-    case sources.IsNotNull(a) => Some(col(a).isNotNull)
-    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case sources.StringEndsWith(a, s) => Some(col(a).endsWith(s))
-    case sources.StringContains(a, s) => Some(col(a).contains(s))
-    case sources.And(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case sources.Or(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case sources.Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
-
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(toColumn).foldLeft(view)(_ filter _)
+    val filtered = filters.flatMap(SnapshotConnector.filterColumn)
+      .foldLeft(view)(_ filter _)
     val projected =
       if (requiredColumns.isEmpty) filtered.select() // count(*): 0-field rows
       else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
@@ -829,8 +859,10 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
             s"versions ${f + 1}..$endV at $tableDir contain a non-append " +
               "change (copy-on-write rewrite, compaction or delete " +
               "vector); an append-only change stream cannot represent " +
-              "it. Restart from a fresh checkpoint, or set " +
-              "ignoreChanges=true to re-emit rewritten rows")
+              "it. Read with readChangeFeed=true for exact " +
+              "insert/delete change rows, restart from a fresh " +
+              "checkpoint, or set ignoreChanges=true to re-emit " +
+              "rewritten rows")
         val added = toLeaves.filterNot(fromLeaves.toSet)
         if (added.isEmpty) emptyBatch
         else asStreaming(spark.read.schema(streamSchema)
@@ -843,6 +875,77 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"VersionedChangeSource[$tableDir]"
+}
+
+/** The versioned table as a CHANGE FEED stream
+  * (`readChangeFeed=true`) — the Delta-CDF shape: every commit between
+  * two offsets (versions) emits its exact change rows via
+  * [[VersionedTable.changeFeed]]'s manifest-restricted multiset diff, so
+  * COW deletes/updates/merges and MOR vectors are all representable —
+  * no blanket non-append refusal, no whole-leaf re-emission. An UPDATE
+  * arrives as its delete+insert pair; carried rows cancel; replaying a
+  * committed offset range reproduces identical rows (versions are
+  * immutable), which is what makes a downstream `foreachBatch` consumer
+  * exactly-once under the engine's offset log. The first batch with no
+  * starting version is the current snapshot as `insert` rows — the
+  * natural consumer (an incremental MV, a takedown auditor) needs the
+  * base state before the deltas.
+  */
+final class VersionedChangeFeedSource(sqlContext: SQLContext,
+    tableDir: String, feedSchema: StructType, startingVersion: Option[Int])
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val spark = sqlContext.sparkSession
+
+  override def schema: StructType = feedSchema
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(VersionedTable.latestVersion(spark, tableDir).toLong))
+
+  private def versionOf(o: Offset): Int = o.json.trim.toInt
+
+  private def asStreaming(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.GraftStreamingBridge.streamingFrame(
+      sqlContext,
+      df.select(feedSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .queryExecution.toRdd,
+      feedSchema)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val fromV = start.map(versionOf).orElse(startingVersion.map(_ - 1))
+    fromV match {
+      case None =>
+        // initial batch: the current snapshot as insert rows
+        asStreaming(VersionedTable.readVersion(spark, tableDir, endV)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV.toLong)))
+      case Some(f) if f >= endV =>
+        org.apache.spark.sql.graft.GraftStreamingBridge.streamingFrame(
+          sqlContext, spark.sparkContext.emptyRDD, feedSchema)
+      case Some(f) =>
+        asStreaming(VersionedTable.changeFeed(spark, tableDir, f, endV))
+    }
+  }
+
+  override def commit(offset: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedChangeFeedSource[$tableDir]"
+}
+
+object VersionedChangeFeedSource {
+  /** Table schema + the two CDF columns. */
+  def feedSchema(base: StructType): StructType = StructType(
+    base.fields.toIndexedSeq :+
+      org.apache.spark.sql.types.StructField("_change_type", StringType,
+        nullable = false) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
 }
 
 /** Surface entry: the [[VersionedTable.snapshotAsOf]] scenario (create
@@ -874,6 +977,32 @@ object SnapshotConnector {
         fileFormat =
           if (fmt == "orc") new ManifestOrcFormat else new ManifestParquetFormat,
         options = Map.empty)(spark))
+
+  /** V1 source filters translated back to Columns where expressible;
+    * `None` for shapes we don't evaluate (callers re-apply or refuse).
+    * Shared by the dirty-snapshot `PrunedFilteredScan`, the V2 catalog
+    * scan, and `DELETE FROM`'s predicate translation.
+    */
+  private[graft] def filterColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, s) => Some(col(a).endsWith(s))
+    case sources.StringContains(a, s) => Some(col(a).contains(s))
+    case sources.And(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+    case sources.Not(c) => filterColumn(c).map(!_)
+    case _ => None
+  }
 
   /** Shared refusal text for SQL INSERT against a snapshot table. */
   val InsertRefusal: String =

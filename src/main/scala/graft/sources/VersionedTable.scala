@@ -435,23 +435,37 @@ object VersionedTable {
       .repartition(pdirs.map(col): _*)
       .write.mode("overwrite").partitionBy(pdirs: _*)
       .format(fmt).save(s"$tableDir/$rel")
+    publishDataDir(spark, tableDir, rel, partCols, df.schema, fmt)
+  }
+
+  /** Publication contract for a freshly-written add-dir — shared by
+    * [[writeDataDirCols]] and the layout writers ([[optimizeZOrder]])
+    * whose writer SHAPES differ but whose commit obligations are
+    * identical: enumerate leaves (one directory level per spec column),
+    * refuse NULL-sentinel leaves BEFORE the manifest commit, harvest the
+    * file-stats sidecars, return sorted tableDir-relative leaf paths.
+    *
+    * NULL partition values are REFUSED at EVERY level, not silently
+    * written: hive's layout spells them
+    * `<col>=__HIVE_DEFAULT_PARTITION__`, a string sentinel that poisons
+    * every value-based consumer (leaf pruning would evaluate IS NULL to
+    * definite FALSE at exactly the leaf holding the nulls; the metadata
+    * rewrites would emit the sentinel as a group value where a scan
+    * returns NULL). Detection is free — the written leaf names already
+    * say it. Nested listings here are write-path cost over the BATCH's
+    * own dirs only — the read path never re-walks them (the
+    * `_files.tsv` sidecar).
+    */
+  private def publishDataDir(spark: SparkSession, tableDir: String,
+      rel: String, partCols: Seq[String],
+      schema: StructType, fmt: String): Seq[String] = {
     val f = fs(spark, tableDir)
-    // leaf enumeration: one directory level per spec column. Nested
-    // listings here are write-path cost over the BATCH's own dirs only —
-    // the read path never re-walks them (the _files.tsv sidecar below).
+    val pdirs = partCols.map(partDirCol)
     def level(dirs: Seq[Path], pdir: String): Seq[Path] =
       dirs.flatMap(d => f.listStatus(d).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
         .map(_.getPath))
     val leafDirs = pdirs.foldLeft(Seq(new Path(s"$tableDir/$rel")))(level)
-    // NULL partition values are REFUSED at EVERY level, not silently
-    // written: hive's layout spells them `<col>=__HIVE_DEFAULT_PARTITION__`,
-    // a string sentinel that poisons every value-based consumer (leaf
-    // pruning would evaluate IS NULL to definite FALSE at exactly the
-    // leaf holding the nulls; the metadata rewrites would emit the
-    // sentinel as a group value where a scan returns NULL). Detection is
-    // free — the written leaf names already say it — and happens BEFORE
-    // the manifest commit, so the refused batch never becomes visible.
     if (leafDirs.exists(_.toUri.getPath.contains(s"=$NullPartSentinel"))) {
       f.delete(new Path(s"$tableDir/$rel"), true)
       throw new IllegalArgumentException(
@@ -463,7 +477,7 @@ object VersionedTable {
     // (footer folds, driver-side, O(batch files)) — what lets the
     // connector's FileIndex skip whole files on data predicates without
     // opening a footer at query time
-    FileStats.write(spark, s"$tableDir/$rel", df.schema, fmt)
+    FileStats.write(spark, s"$tableDir/$rel", schema, fmt)
     val rootPath = f.makeQualified(new Path(s"$tableDir/$rel")).toUri.getPath
     leafDirs.map { d =>
       s"$rel/${f.makeQualified(d).toUri.getPath.stripPrefix(rootPath + "/")}"
@@ -577,18 +591,6 @@ object VersionedTable {
       s"$op under partition spec '${partCols.mkString(",")}' but the " +
         s"table's current spec is '${m.specCols.mkString(",")}' — change " +
         "specs explicitly with evolvePartitionSpec")
-
-  /** [[requireSpec]] plus a loud refusal for operations whose
-    * partition-value grouping is still single-column: a multi-column
-    * table must never be silently mis-grouped by its deepest level.
-    */
-  private def requireSingleSpec(m: VManifest, partCols: Seq[String],
-      op: String): Unit = {
-    requireSpec(m, partCols, op)
-    require(partCols.size == 1,
-      s"$op does not yet support multi-column partition specs " +
-        s"(got '${partCols.mkString(",")}')")
-  }
 
   /** Count, in ONE aggregate pass over `df`, how many rows violate each
     * of the manifest's CHECK constraints (violation = expression
@@ -783,6 +785,64 @@ object VersionedTable {
         m.txns, schema, cols, m.constraints, m.format)
     }
 
+  /** DYNAMIC-partition overwrite as ONE manifest commit — the semantics
+    * the reference engine's whole delete kernel is built on
+    * (`partitionOverwriteMode=dynamic`, SparkSessionManager.java:30-39;
+    * the Hive backend's S4 `insertInto(overwrite=true)` rewrite): every
+    * partition VALUE TUPLE present in `df` is replaced wholesale, every
+    * other partition carries by reference. Same-spec leaves resolve by
+    * dir value (driver metadata, no scan); leaves written under an
+    * EARLIER spec are selected by a scan restricted to exactly them and
+    * their non-replaced survivors migrate to the current spec —
+    * [[delete]]'s spec-evolution cost model. Unlike two commits
+    * (delete + append), a reader can never observe the gap.
+    */
+  def overwritePartitions(df: DataFrame, tableDir: String,
+      partCol: String): Unit = withCommitRetry {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val cols = specOf(partCol)
+    requireSpec(m, cols, "overwritePartitions")
+    requireConstraints(df, m, "overwritePartitions")
+    val affected: Set[Seq[String]] = df
+      .select(cols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+    if (affected.isEmpty) {
+      // empty input replaces nothing: a no-op commit, not a truncate
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+        m.txns, m.schema, m.partcol, m.constraints, m.format)
+      return
+    }
+    val inAffected: Column = affected.toSeq.map(t =>
+      cols.zip(t).map { case (c, value) =>
+        col(c).cast("string") === lit(value)
+      }.reduce(_ && _)).reduce(_ || _)
+    val (sameSpec, foreign) =
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+    // replaced same-spec leaves simply drop out of the manifest — df's
+    // rows are their replacement
+    val keptSame = sameSpec
+      .filterNot(l => affected.contains(leafPartPairs(l).map(_._2)))
+    val hitForeign = leavesContaining(spark, tableDir, m, foreign,
+      _.filter(inAffected))
+    val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
+    // foreign-leaf rows OUTSIDE the replaced tuples survive and migrate
+    // to the current spec; replaced-tuple rows are dropped in favor of df
+    val survivors =
+      if (hitForeign.isEmpty) df
+      else {
+        val carried = readView(spark, tableDir, m,
+          onlyLeaves = Some(hitForeign)).filter(!inAffected)
+        df.unionByName(carried.select(df.columns.toIndexedSeq.map(col): _*))
+      }
+    val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
+    writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
+      m.dirty.filter(kept.contains), m.txns, m.schema, cols,
+      m.constraints, m.format)
+  }
+
   /** A version's commit time = its manifest file's mtime — the clock
     * [[vacuumOlderThan]] and the connector's `timestampAsOf` share.
     */
@@ -791,6 +851,20 @@ object VersionedTable {
     fs(spark, tableDir).getFileStatus(
       new Path(s"${manifestsDir(tableDir)}/v$version.json"))
       .getModificationTime
+
+  /** The latest version committed at or before the instant (epoch
+    * millis) — the shared `timestampAsOf` resolution for the V1 read
+    * option and the V2 catalog's `TIMESTAMP AS OF`. An instant
+    * predating the table is a loud error, not an empty read.
+    */
+  private[sources] def versionAtMillis(spark: SparkSession,
+      tableDir: String, ts: Long): Int = {
+    val eligible = versions(spark, tableDir)
+      .filter(v => manifestMtime(spark, tableDir, v) <= ts)
+    require(eligible.nonEmpty,
+      s"timestampAsOf $ts predates the first commit at $tableDir")
+    eligible.max
+  }
 
   /** IDEMPOTENT append — the public Delta `txn` (setTransaction) design:
     * the manifest records, per `channel`, the LATEST committed batch id;
@@ -878,6 +952,67 @@ object VersionedTable {
       m.dirty.filter(kept.contains), m.txns, m.schema, cols,
       m.constraints, m.format)
   }
+
+  /** Copy-on-write UPDATE — the SQL `UPDATE t SET c = e WHERE p` shape,
+    * same affected-partition model as [[delete]]: affected value tuples
+    * are driver-side metadata, only hit leaves rewrite (matched rows
+    * with their assignments applied, unmatched rows carried verbatim),
+    * untouched leaves carry by reference. Every assignment RHS
+    * evaluates against the OLD row (one `select`, not chained
+    * `withColumn`s — SQL UPDATE semantics), casts to the column's
+    * declared type, and the updated frame re-validates the table's
+    * constraints before any leaf is written. An assignment may target a
+    * partition column: the rewrite re-partitions by value, so moved
+    * rows land in their new tuple's leaf within the same commit.
+    */
+  def update(spark: SparkSession, tableDir: String, partCol: String,
+      cond: Column, assignments: Seq[(String, Column)]): Unit =
+    withCommitRetry {
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "update")
+      require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+      val assignMap = assignments.toMap
+      require(assignMap.size == assignments.size,
+        s"duplicate assignment targets in ${assignments.map(_._1)}")
+      val current = readView(spark, tableDir, m)
+      assignMap.keys.foreach(n => require(current.columns.contains(n),
+        s"UPDATE target column '$n' is not in the table schema " +
+          s"${current.columns.mkString("(", ", ", ")")}"))
+      val affected: Set[Seq[String]] = current.filter(cond)
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+      if (affected.isEmpty) {
+        writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+          m.txns, m.schema, m.partcol, m.constraints, m.format)
+        return
+      }
+      val (sameSpec, foreign) =
+        m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      val (hitSame, keptSame) =
+        sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
+      val hitForeign = leavesContaining(spark, tableDir, m, foreign,
+        _.filter(cond))
+      val hit = hitSame ++ hitForeign
+      val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
+      val view = readView(spark, tableDir, m, onlyLeaves = Some(hit))
+      val types = view.schema.fields.map(f => f.name -> f.dataType).toMap
+      val outCols = view.columns.toIndexedSeq.map { c =>
+        assignMap.get(c) match {
+          case Some(value) =>
+            when(cond, value.cast(types(c))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      val updated = view.select(outCols: _*)
+      requireConstraints(updated, m, "update")
+      val newLeaves = writeDataDirCols(updated, tableDir, v, cols, m.fmt)
+      writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
+        m.dirty.filter(kept.contains), m.txns, m.schema, cols,
+        m.constraints, m.format)
+    }
 
   /** Merge-on-read delete (position delete vectors — the public
     * Iceberg/Delta deletion-vector design): instead of rewriting any data
@@ -1046,6 +1181,16 @@ object VersionedTable {
   def readLatest(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir, latestVersion(spark, tableDir))
 
+  /** The parent dir of a sidecar file rel (`a__p=1/b__p=2/f.parquet` →
+    * `a__p=1/b__p=2`) — the exact leaf-rel key [[liveBytes]]/
+    * [[liveDataFiles]] probe leaf sets with. Root-level rels (no '/')
+    * map to "" and never match a leaf.
+    */
+  private def parentRelOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
   /** Fallback-listing counter for [[liveDataFiles]]/[[liveBytes]]: each
     * per-leaf `listStatus` a missing `_files.tsv` forces bumps this —
     * the spec pins it at 0 for sidecar-complete tables (maintenance
@@ -1090,11 +1235,16 @@ object VersionedTable {
     byRoot.iterator.map { case (root, ls) =>
       lists(root) match {
         case Some(list) =>
-          val leafRels = ls.map(leafRelOf)
+          // sidecar rels are exactly `<leafRel>/<file>` (files sit
+          // DIRECTLY under their leaf dir), so membership is one hash
+          // probe on the file's parent dir — O(files), not the
+          // O(files × leaves) prefix scan a 10k-partition table would
+          // turn into a 10⁸-step driver loop
+          val leafRels = ls.iterator.map(leafRelOf).toSet
           list.iterator.collect {
             case (rel, (len, _))
                 if FileStats.isDataFile(rel) &&
-                  leafRels.exists(lr => rel.startsWith(lr + "/")) =>
+                  leafRels.contains(parentRelOf(rel)) =>
               len
           }.sum
         case None => ls.iterator.map { l =>
@@ -1126,11 +1276,12 @@ object VersionedTable {
     byRoot.iterator.flatMap { case (root, ls) =>
       lists(root) match {
         case Some(list) =>
-          val leafRels = ls.map(leafRelOf)
+          // one hash probe per file on its parent dir (see liveBytes)
+          val leafRels = ls.iterator.map(leafRelOf).toSet
           list.iterator.collect {
             case (rel, _)
                 if FileStats.isDataFile(rel) &&
-                  leafRels.exists(lr => rel.startsWith(lr + "/")) =>
+                  leafRels.contains(parentRelOf(rel)) =>
               f.makeQualified(new Path(s"$tableDir/$root/$rel")).toUri.getPath
           }
         case None => ls.iterator.flatMap { l =>
@@ -1218,6 +1369,71 @@ object VersionedTable {
           .when(col("fp_from") =!= col("fp_to"), "changed")
           .otherwise("unchanged").as("status"))
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
+  /** CHANGE FEED between two versions — Delta-CDF-style rows: every
+    * table column plus `_change_type` (`insert` | `delete`) and
+    * `_commit_version` (the commit that produced the change). An UPDATE
+    * appears as its delete+insert pair; a COW rewrite's CARRIED rows
+    * (unchanged, rewritten into a new leaf) cancel out and emit
+    * nothing. Exactness without row tracking comes from a multiset diff
+    * (`exceptAll`) — restricted to the leaves that actually changed
+    * between the two manifests (removed/added leaves, plus
+    * vector-dirty common leaves when a MOR vector landed), so the cost
+    * is proportional to the commit's touched bytes, not the table.
+    * Rows in common untouched leaves are byte-identical by construction
+    * (leaves are immutable) and never enter the diff.
+    *
+    * Honest cost note: a commit that rewrites a whole partition
+    * (COW delete/update) re-reads that partition's old AND new leaves —
+    * inherent to diff-based CDF; engines that avoid it carry per-row
+    * tracking metadata the storage format here does not.
+    */
+  def changeFeed(spark: SparkSession, tableDir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"changeFeed needs fromV <= toV ($fromV > $toV)")
+    (fromV + 1 to toV).map(v => changeStep(spark, tableDir, v))
+      .reduceOption(_ unionByName _)
+      .getOrElse(changeStep(spark, tableDir, toV).limit(0))
+  }
+
+  /** One commit's change rows (version `toV` vs `toV - 1`). */
+  private[sources] def changeStep(spark: SparkSession, tableDir: String,
+      toV: Int): DataFrame = {
+    val mf = readManifestFull(spark, tableDir, toV - 1)
+    val mt = readManifestFull(spark, tableDir, toV)
+    val removed = mf.leaves.toSet -- mt.leaves.toSet
+    val added = mt.leaves.toSet -- mf.leaves.toSet
+    // when a vector landed, every common dirty leaf enters BOTH sides —
+    // conservative (extra identical rows cancel in the diff), exact
+    val commonTouched: Set[String] =
+      if (mf.deletes.toSet == mt.deletes.toSet) Set.empty
+      else (mf.dirtySet ++ mt.dirtySet)
+        .intersect(mf.leaves.toSet.intersect(mt.leaves.toSet))
+    val touchedFrom = (removed ++ commonTouched).toSeq.sorted
+    val touchedTo = (added ++ commonTouched).toSeq.sorted
+    val schema: StructType = mt.schemaOpt.orElse(mf.schemaOpt).getOrElse(
+      readVersion(spark, tableDir, toV).schema)
+    def slice(m: VManifest, leaves: Seq[String]): DataFrame =
+      if (leaves.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        // an evolution commit's FROM side lacks the new columns — align
+        // both sides to the TO schema (missing columns read as null,
+        // exactly what a post-evolution scan of the old rows returns)
+        val df = readView(spark, tableDir, m, onlyLeaves = Some(leaves))
+        df.select(schema.fields.toIndexedSeq.map { fld =>
+          if (df.columns.contains(fld.name)) col(fld.name)
+          else lit(null).cast(fld.dataType).as(fld.name)
+        }: _*)
+      }
+    val old = slice(mf, touchedFrom)
+    val nw = slice(mt, touchedTo)
+    old.exceptAll(nw).withColumn("_change_type", lit("delete"))
+      .unionByName(
+        nw.exceptAll(old).withColumn("_change_type", lit("insert")))
+      .withColumn("_commit_version", lit(toV.toLong))
   }
 
   /** Version history as a frame — the DESCRIBE HISTORY surface: one row
@@ -1544,13 +1760,18 @@ object VersionedTable {
   /** OPTIMIZE ZORDER BY — [[compact]] with a layout upgrade (the public
     * Delta OPTIMIZE ZORDER shape on the snapshot table): every live leaf
     * folds into one fresh data dir AND each partition's rows are written
-    * sorted by the Morton z-value of (c1, c2), so the parquet ROW GROUPS
-    * inside each leaf carry tight min/max on BOTH columns — selective
-    * scans skip row groups the way [[graft.sources.Layout]]'s multi-file
-    * layout skips files. `rowGroupBytes` bounds the row-group size (the
-    * skipping granularity); delete vectors fold into the data as in
-    * [[compact]]. Holds the store `_LOCK`; prior versions keep reading
-    * their own leaves until [[vacuum]].
+    * sorted by the Morton z-value of (c1, c2), so the ROW GROUPS
+    * (parquet) / STRIPES (ORC) inside each leaf carry tight min/max on
+    * BOTH columns — selective scans skip inside files the way
+    * [[graft.sources.Layout]]'s multi-file layout skips files.
+    * `rowGroupBytes` bounds the skipping granularity
+    * (`parquet.block.size` / `orc.stripe.size` — each format's native
+    * intra-file statistics unit); delete vectors fold into the data as
+    * in [[compact]]. Works under ANY partition spec depth: the range
+    * repartition and sort key every spec level ahead of z, so each
+    * output file sits inside one value tuple with a tight z range.
+    * Holds the store `_LOCK`; prior versions keep reading their own
+    * leaves until [[vacuum]].
     */
   def optimizeZOrder(spark: SparkSession, tableDir: String, partCol: String,
       c1: String, c2: String, rowGroupBytes: Int = 1 << 20,
@@ -1558,10 +1779,8 @@ object VersionedTable {
     Locking.withStoreLock(spark, tableDir) {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
-      requireSingleSpec(m, specOf(partCol), "optimizeZOrder")
-      require(m.fmt == "parquet",
-        "optimizeZOrder writes row-group-sized parquet (parquet.block." +
-          s"size) — not supported on a '${m.fmt}' table; compact instead")
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "optimizeZOrder")
       val folded = readView(spark, tableDir, m)
       val r = folded.agg(min(col(c1)), max(col(c1)),
         min(col(c2)), max(col(c2))).first()
@@ -1569,30 +1788,32 @@ object VersionedTable {
         lit(r.getLong(0)), lit(r.getLong(1)),
         lit(r.getLong(2)), lit(r.getLong(3)), bits = 8)
       val rel = s"data/add-v$v-${nonce()}"
-      val pdir = partDirCol(partCol)
-      // RANGE repartition on (partition, z): each task holds a contiguous
-      // z slice of (mostly) one partition, so every output FILE covers a
-      // tight range on BOTH z-columns — with the footer-stats harvest
-      // below, the connector then skips whole files two-dimensionally,
-      // not just row groups inside them. `numSlices` is the file
-      // granularity knob (at scale: table bytes / target file size).
-      folded.withColumn(pdir, col(partCol))
+      val pdirs = cols.map(partDirCol)
+      // RANGE repartition on (spec levels…, z): each task holds a
+      // contiguous z slice of (mostly) one value tuple, so every output
+      // FILE covers a tight range on BOTH z-columns — with the
+      // footer-stats harvest in publishDataDir, the connector then skips
+      // whole files two-dimensionally, not just row groups inside them.
+      // `numSlices` is the file granularity knob (at scale: table bytes
+      // / target file size).
+      val sizeKey =
+        if (m.fmt == "orc") "orc.stripe.size" else "parquet.block.size"
+      cols.zip(pdirs).foldLeft(folded) { case (d, (c, p)) =>
+          d.withColumn(p, col(c))
+        }
         .withColumn("__vt_z", z)
-        .repartitionByRange(numSlices, col(pdir), col("__vt_z"))
-        .sortWithinPartitions(pdir, "__vt_z")
+        .repartitionByRange(numSlices,
+          (pdirs.map(col) :+ col("__vt_z")): _*)
+        .sortWithinPartitions((pdirs :+ "__vt_z").map(col): _*)
         .drop("__vt_z")
         .write.mode("overwrite")
-        .option("parquet.block.size", rowGroupBytes.toString)
-        .partitionBy(pdir).parquet(s"$tableDir/$rel")
-      FileStats.write(spark, s"$tableDir/$rel", folded.schema)
-      val f = fs(spark, tableDir)
-      val leaves = f.listStatus(new Path(s"$tableDir/$rel")).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
-        .map(st => s"$rel/${st.getPath.getName}")
-        .sorted
+        .option(sizeKey, rowGroupBytes.toString)
+        .partitionBy(pdirs: _*).format(m.fmt).save(s"$tableDir/$rel")
+      val leaves =
+        publishDataDir(spark, tableDir, rel, cols, folded.schema, m.fmt)
       writeManifest(spark, tableDir, v, leaves, txns = m.txns,
         schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
-        partcol = Seq(partCol), constraints = m.constraints,
+        partcol = cols, constraints = m.constraints,
         format = m.format)
     }
 
@@ -2280,6 +2501,36 @@ object VersionedTable {
       |       CAST(coalesce(m, 0) AS BIGINT) AS n_matching
       |FROM st ORDER BY version""".stripMargin
 
+  /** Plan-evidence gates for the oracle rows below. Evidence failure
+    * throws NAMED, like `events_aqe_skew_join`'s skew flag
+    * ([[graft.operators.Analytics]]): a pruning/skipping regression must
+    * read as THAT regression, not as an inscrutable data-hash mismatch
+    * against the oracle side's hardcoded TRUE. Return true so the flag
+    * can still ride the gated row (the row only ever ships true; false
+    * is unreachable past the throw).
+    */
+  private[sources] def requireDepth2Prune(tupleFiles: Long,
+      levelFiles: Long, allFiles: Long): Boolean = {
+    if (!(tupleFiles < levelFiles && levelFiles < allFiles))
+      throw new IllegalStateException(
+        "snapshot_multicol_spec: depth-2 partition pruning did NOT " +
+          s"reduce executed file counts (tuple=$tupleFiles, " +
+          s"level=$levelFiles, all=$allFiles) — multi-column pruning " +
+          "regression in the manifest file index, not a data mismatch")
+    true
+  }
+
+  private[sources] def requireOrcSkip(skippedFiles: Long,
+      totalFiles: Long): Boolean = {
+    if (!(skippedFiles < totalFiles))
+      throw new IllegalStateException(
+        "snapshot_orc: ORC file statistics did NOT skip any file on an " +
+          s"above-max predicate (read $skippedFiles of $totalFiles) — " +
+          "sidecar min/max harvesting or skip-planning regression, not " +
+          "a data mismatch")
+    true
+  }
+
   /** Oracle-gated MULTI-COLUMN partition spec entry: a two-level
     * (event_type, pdate) versioned table built from events — create,
     * append, then a COW delete whose predicate names BOTH levels, so the
@@ -2336,7 +2587,7 @@ object VersionedTable {
     val typeFiles = filesOf(head.filter(col("event_type") === "view"))
     val tupleFiles = filesOf(
       head.filter(col("event_type") === "view" && col("dbucket") === "b0"))
-    val pruneOk = tupleFiles < typeFiles && typeFiles < allFiles
+    val pruneOk = requireDepth2Prune(tupleFiles, typeFiles, allFiles)
     val summaries = (0 to 2).map { v =>
       readVersion(spark, dir, v).agg(
         lit(v).as("version"),
@@ -2413,9 +2664,8 @@ object VersionedTable {
     // the micros ceiling splits files: value is uniform, so a tight top
     // band proves per-file ORC min/max skipping without a magic constant
     val hiBand = ev.agg(max(col("micros"))).collect()(0).getLong(0)
-    val skipOk =
-      filesOf(head.filter(col("micros") > lit(hiBand))) <
-        filesOf(head)
+    val skipOk = requireOrcSkip(
+      filesOf(head.filter(col("micros") > lit(hiBand))), filesOf(head))
     val summaries = (0 to 2).map { v =>
       readVersion(spark, dir, v).agg(
         lit(v).as("version"),
@@ -2502,6 +2752,86 @@ object VersionedTable {
       |       CAST(sum(micros) AS BIGINT) AS sum_micros,
       |       TRUE AS orc_before, TRUE AS parquet_after
       |FROM v GROUP BY version ORDER BY version""".stripMargin
+
+  /** Oracle-gated SQL DML entry: the catalog surface end-to-end — the
+    * whole mutation lifecycle driven by the statements a Delta/Iceberg
+    * user actually types, against one versioned table:
+    * v0 `VersionedTable.create`, v1 `INSERT INTO … SELECT`,
+    * v2 `DELETE FROM … WHERE` (modulo predicate — no V1 Filter form, so
+    * this exercises the DML rule's arbitrary-Catalyst path, not
+    * `SupportsDelete`), v3 `UPDATE … SET … WHERE` (RHS reads the old
+    * row), v4 canonical-upsert `MERGE INTO` (updates matched keys,
+    * inserts new ones — including rows for a partition value that did
+    * not exist before). Every version's census is then read back
+    * through SQL time travel (`VERSION AS OF v`), and the oracle
+    * recomputes all five from the slice predicates alone. `DELETE FROM`
+    * IS the reference's product as a statement
+    * (deletion/DeletionExecutor.java:139-230).
+    */
+  def snapshotSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val dir = Stores.temp("graft_vt_sqldml")
+    create(ev.filter(col("event_id") % 2 === 0), dir, "event_type")
+    val t = s"graft.`$dir`"
+    ev.filter(col("event_id") % 2 === 1)
+      .createOrReplaceTempView("graft_sqldml_odds")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sqldml_odds")
+    spark.sql(
+      s"DELETE FROM $t WHERE event_type = 'click' AND user_id % 5 = 2")
+    spark.sql(s"UPDATE $t SET micros = micros + user_id " +
+      "WHERE event_type = 'view' AND user_id % 7 = 3")
+    val synthetic = spark.createDataFrame(Seq(
+      (-1L, 0L, "merged", 111L), (-2L, 0L, "merged", 222L)))
+      .toDF("event_id", "user_id", "event_type", "micros")
+    ev.filter(col("event_id") % 97 === 0)
+      .withColumn("micros", col("micros") * 2)
+      .unionByName(synthetic)
+      .createOrReplaceTempView("graft_sqldml_src")
+    spark.sql(s"""MERGE INTO $t tg USING graft_sqldml_src s
+      ON tg.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    (0 to 4).map { v =>
+      spark.sql(s"""SELECT $v AS version, count(*) AS n_rows,
+        CAST(sum(micros) AS BIGINT) AS sum_micros,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM $t VERSION AS OF $v""")
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  def snapshotSqlDmlSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |v2 AS (SELECT * FROM e
+      |       WHERE NOT (event_type = 'click' AND user_id % 5 = 2)),
+      |v3 AS (SELECT event_id, user_id, event_type,
+      |         CASE WHEN event_type = 'view' AND user_id % 7 = 3
+      |              THEN micros + user_id ELSE micros END AS micros
+      |       FROM v2),
+      |src AS (SELECT event_id, user_id, event_type, micros * 2 AS micros
+      |        FROM e WHERE event_id % 97 = 0
+      |        UNION ALL
+      |        SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'merged', CAST(111 AS BIGINT)),
+      |                              (CAST(-2 AS BIGINT), CAST(0 AS BIGINT), 'merged', CAST(222 AS BIGINT)))
+      |          AS s(event_id, user_id, event_type, micros)),
+      |v4 AS (SELECT * FROM v3
+      |       WHERE event_id NOT IN (SELECT event_id FROM src)
+      |       UNION ALL SELECT * FROM src),
+      |u AS (
+      |  SELECT 0 AS version, * FROM e WHERE event_id % 2 = 0
+      |  UNION ALL SELECT 1, * FROM e
+      |  UNION ALL SELECT 2, * FROM v2
+      |  UNION ALL SELECT 3, * FROM v3
+      |  UNION ALL SELECT 4, * FROM v4)
+      |SELECT version, count(*) AS n_rows,
+      |       CAST(sum(micros) AS BIGINT) AS sum_micros,
+      |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM u GROUP BY version ORDER BY version""".stripMargin
 
   def snapshotEvolveSql(): String =
     """WITH a AS (SELECT event_id FROM events WHERE event_id % 3 = 0),

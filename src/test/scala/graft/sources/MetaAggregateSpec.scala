@@ -190,12 +190,33 @@ class MetaAggregateSpec extends AnyFunSuite {
     assert(scanless(byDay))
     assert(byDay.collect().map(r => (r.getString(0), r.getLong(1))).toMap
       === Map("2024-01-01" -> 3L, "2024-01-02" -> 2L))
-    // a TWO-column predicate keeps the scan (single-level contract) and
-    // still answers correctly
+    // a TWO-level conjunction rewrites too: every leaf knows its full
+    // value tuple, so the conjunctive fold is exactly computable
     val both = load(dir)
       .filter($"kind" === "a" && $"pdate" === "2024-01-01")
+      .agg(count(lit(1)).as("n"), min($"amount").as("mn"),
+        max($"amount").as("mx"))
+    assert(scanless(both), "two-level filter kept the scan")
+    val br = both.collect().head
+    assert(br.getLong(0) === 2L && br.getLong(1) === 10L &&
+      br.getLong(2) === 50L)
+    // GROUP BY both levels answers per-tuple counts scanless
+    val byBoth = load(dir).groupBy($"kind", $"pdate")
+      .agg(count(lit(1)).as("n"), max($"amount").as("mx"))
+    assert(scanless(byBoth), "two-level GROUP BY kept the scan")
+    assert(byBoth.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      === Map(("a", "2024-01-01") -> ((2L, 50L)),
+        ("a", "2024-01-02") -> ((1L, 20L)),
+        ("b", "2024-01-01") -> ((1L, 30L)),
+        ("b", "2024-01-02") -> ((1L, 40L))))
+    // a conjunct on a NON-partition column keeps the scan, still correct
+    val nonPart = load(dir)
+      .filter($"kind" === "a" && $"id" > 1L)
       .agg(count(lit(1)).as("n"))
-    assert(both.collect().head.getLong(0) === 2L)
+    assert(!scanless(nonPart), "non-partition conjunct must keep the scan")
+    assert(nonPart.collect().head.getLong(0) === 2L)
   }
 
   test("the rewrite equals the scan on real data at sf0.001") {

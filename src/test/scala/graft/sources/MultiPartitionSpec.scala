@@ -191,12 +191,24 @@ class MultiPartitionSpec extends AnyFunSuite {
       maxLeavesPerPartition = 4))
   }
 
-  test("optimizeZOrder (single-column layout op) refuses loudly on multi-column specs") {
+  test("optimizeZOrder under a multi-column spec: content identical, " +
+      "nested leaves preserved, wrong-spec call still refuses") {
     val dir = makeTable()
+    val before = VersionedTable.readLatest(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    VersionedTable.optimizeZOrder(spark, dir, "kind,pdate", "id", "amount")
+    val after = VersionedTable.readLatest(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // the rewritten layout still nests one level per spec column, so
+    // tuple pruning keeps working
+    assert(ids(load(dir).filter($"kind" === "a" && $"pdate" === "2024-01-01"))
+      === Seq(1L, 5L))
+    // and a call under a DIFFERENT spec string refuses before rewriting
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.optimizeZOrder(spark, dir, "kind,pdate", "id", "amount")
+      VersionedTable.optimizeZOrder(spark, dir, "kind", "id", "amount")
     }
-    assert(e.getMessage.contains("multi-column"))
+    assert(e.getMessage.contains("spec"))
   }
 
   test("null values in ANY spec column refuse before the commit") {
@@ -210,6 +222,23 @@ class MultiPartitionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
     assert(VersionedTable.latestVersion(spark, dir) === headBefore)
     assert(ids(load(dir)) === (1L to 6L))
+  }
+
+  test("plan-evidence gates throw NAMED on regression, pass on healthy counts") {
+    // healthy: strict intersection ordering / strict skip
+    assert(VersionedTable.requireDepth2Prune(2, 5, 12))
+    assert(VersionedTable.requireOrcSkip(3, 9))
+    // regression reads as a NAMED refusal, never a data-hash mismatch
+    val e1 = intercept[IllegalStateException] {
+      VersionedTable.requireDepth2Prune(5, 5, 12) // tuple didn't prune
+    }
+    assert(e1.getMessage.contains("snapshot_multicol_spec"))
+    assert(e1.getMessage.contains("pruning regression"))
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.requireOrcSkip(9, 9) // no file skipped
+    }
+    assert(e2.getMessage.contains("snapshot_orc"))
+    assert(e2.getMessage.contains("skip"))
   }
 
   test("partition values with '+' and Hive-escaped chars round-trip " +

@@ -178,6 +178,30 @@ class OrcSnapshotSpec extends AnyFunSuite {
     assert(hiFiles < allF)
   }
 
+  test("optimizeZOrder on ORC: content identical, leaves stay .orc, " +
+      "file skipping holds on both z-dimensions") {
+    val dir = makeOrcTable()
+    val before = VersionedTable.readLatest(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    // stripe-sized ORC (orc.stripe.size is the intra-file skipping
+    // granularity, parquet.block.size's ORC analogue); several slices so
+    // the per-file min/max stats have something to separate
+    VersionedTable.optimizeZOrder(spark, dir, "pdate", "id", "amount",
+      rowGroupBytes = 1 << 18, numSlices = 4)
+    val after = VersionedTable.readLatest(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    assert(VersionedTable.liveDataFiles(spark, dir).forall(_.endsWith(".orc")),
+      "z-order must preserve the table's recorded format")
+    // an above-max predicate still skips files via the harvested ORC
+    // file statistics
+    val (rows, files) = runCounting(load(dir).filter($"amount" > lit(60L)))
+    assert(rows.isEmpty)
+    val (_, allFiles) = runCounting(load(dir).filter(lit(true)))
+    assert(files < allFiles,
+      s"expected ORC file skipping after z-order ($files vs $allFiles)")
+  }
+
   test("unsupported formats refuse loudly at create") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val e = intercept[IllegalArgumentException] {

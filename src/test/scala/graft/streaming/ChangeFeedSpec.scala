@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Stores
+import graft.sources.VersionedTable
+import graft.testkit.SparkTestSession
+
+/** The CDF stream (`readChangeFeed=true`) — Delta-CDF-style
+  * `_change_type`/`_commit_version` rows for EVERY commit kind: appends
+  * are inserts, a COW delete emits exactly the removed rows as deletes
+  * (carried rows cancel — the rewrite re-wrote them byte-identical), an
+  * UPDATE is its delete+insert pair, a MOR vector emits the
+  * vector-removed rows, and restart from a checkpoint resumes without
+  * re-emitting. The batch [[VersionedTable.changeFeed]] behind it is
+  * spec-gated through the same cases.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newTable(rows: (Long, String, Long)*): String = {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    VersionedTable.create(rows.toSeq.toDF("id", "pdate", "amount"),
+      dir, "pdate")
+    dir
+  }
+
+  private def appendRows(dir: String, rows: (Long, String, Long)*): Unit =
+    VersionedTable.append(rows.toSeq.toDF("id", "pdate", "amount"),
+      dir, "pdate")
+
+  /** (change_type, id, commit_version) triples, sorted. */
+  private def triples(df: DataFrame): Seq[(String, Long, Long)] =
+    df.select("_change_type", "id", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1, t._2)).toSeq
+
+  private def startFeed(dir: String, ckpt: String) = {
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Long, Long)]]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = triples(df)
+        if (got.nonEmpty) batches.add(got)
+        ()
+      }
+      .start()
+    (q, batches)
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  test("batch changeFeed: append=inserts, COW delete=exact deletes " +
+      "(carried rows cancel), MOR vector=deletes, update=delete+insert") {
+    val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-01", 20L),
+      (3L, "2024-01-02", 30L))
+    appendRows(dir, (4L, "2024-01-02", 40L)) // v1
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L) // v2 (COW)
+    VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 3L) // v3 (MOR)
+    VersionedTable.update(spark, dir, "pdate", $"id" === 2L,
+      Seq("amount" -> lit(222L))) // v4
+    assert(triples(VersionedTable.changeFeed(spark, dir, 0, 1))
+      === Seq(("insert", 4L, 1L)))
+    // COW: id=1 deleted; id=2 carried into the rewritten leaf — cancels
+    assert(triples(VersionedTable.changeFeed(spark, dir, 1, 2))
+      === Seq(("delete", 1L, 2L)))
+    assert(triples(VersionedTable.changeFeed(spark, dir, 2, 3))
+      === Seq(("delete", 3L, 3L)))
+    assert(triples(VersionedTable.changeFeed(spark, dir, 3, 4))
+      === Seq(("delete", 2L, 4L), ("insert", 2L, 4L)))
+    // a multi-commit range is the union of its steps
+    assert(triples(VersionedTable.changeFeed(spark, dir, 0, 4)) === Seq(
+      ("insert", 4L, 1L), ("delete", 1L, 2L), ("delete", 3L, 3L),
+      ("delete", 2L, 4L), ("insert", 2L, 4L)))
+    // the update's insert row carries the NEW value
+    val up = VersionedTable.changeFeed(spark, dir, 3, 4)
+      .filter($"_change_type" === "insert").select("amount")
+      .as[Long].collect().toSeq
+    assert(up === Seq(222L))
+  }
+
+  test("CDF stream: initial snapshot as inserts, then exact per-commit " +
+      "changes — COW and MOR commits stream instead of refusing") {
+    val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+    val (q, batches) = startFeed(dir, Stores.temp("cdf-ckpt"))
+    try {
+      q.processAllAvailable()
+      VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+      q.processAllAvailable()
+      appendRows(dir, (3L, "2024-01-01", 30L))
+      VersionedTable.deleteMergeOnRead(spark, dir, $"id" === 2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = batches.asScala.toSeq
+    assert(got.head === Seq(("insert", 1L, 0L), ("insert", 2L, 0L)))
+    assert(got.flatten.drop(2) === Seq(("delete", 1L, 1L),
+      ("insert", 3L, 2L), ("delete", 2L, 3L)))
+  }
+
+  test("restart from the checkpoint resumes the feed without re-emission") {
+    val dir = newTable((1L, "2024-01-01", 10L))
+    val ckpt = Stores.temp("cdf-restart")
+    val (q1, b1) = startFeed(dir, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(b1.asScala.toSeq === Seq(Seq(("insert", 1L, 0L))))
+    // commits while the stream is DOWN, including a non-append
+    appendRows(dir, (2L, "2024-01-02", 20L))
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+    val (q2, b2) = startFeed(dir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(b2.asScala.toSeq.flatten ===
+      Seq(("insert", 2L, 1L), ("delete", 1L, 2L)))
+  }
+
+  test("schema evolution across the diff: pre-evolution rows align to " +
+      "the new schema with nulls") {
+    val dir = newTable((1L, "2024-01-01", 10L))
+    // evolution append adds a column (v1), then a COW delete (v2)
+    VersionedTable.append(
+      Seq((2L, "2024-01-02", 20L, "x")).toDF("id", "pdate", "amount", "tag"),
+      dir, "pdate")
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+    val step = VersionedTable.changeFeed(spark, dir, 1, 2)
+    val rows = step.select("_change_type", "id", "tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+      .toSeq
+    assert(rows === Seq(("delete", 1L, None)))
+  }
+}
