@@ -331,7 +331,8 @@ object SparkEntry {
     "snapshot_spec_evolve" -> (sources.VersionedTable.snapshotSpecEvolve _),
     "snapshot_multicol_spec" -> (sources.VersionedTable.snapshotMultiCol _),
     "snapshot_orc" -> (sources.VersionedTable.snapshotOrc _),
-    "snapshot_convert_format" -> (sources.VersionedTable.snapshotConvertFormat _)
+    "snapshot_convert_format" -> (sources.VersionedTable.snapshotConvertFormat _),
+    "snapshot_sql_dml" -> (sources.VersionedTable.snapshotSqlDml _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -503,6 +504,7 @@ object SparkEntry {
     "snapshot_spec_evolve" -> sources.VersionedTable.snapshotSpecEvolveSql(),
     "snapshot_multicol_spec" -> sources.VersionedTable.snapshotMultiColSql(),
     "snapshot_orc" -> sources.VersionedTable.snapshotOrcSql(),
-    "snapshot_convert_format" -> sources.VersionedTable.snapshotConvertFormatSql()
+    "snapshot_convert_format" -> sources.VersionedTable.snapshotConvertFormatSql(),
+    "snapshot_sql_dml" -> sources.VersionedTable.snapshotSqlDmlSql()
   )
 }

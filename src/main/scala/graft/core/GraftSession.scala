@@ -24,6 +24,10 @@ object GraftSession {
   val FixedConfs: Map[String, String] = Map(
     // native Catalyst surface (graft_cosine, …) — see graft.plans.GraftExtensions
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // versioned tables as SQL: SELECT/INSERT/DELETE/UPDATE/MERGE and
+    // VERSION/TIMESTAMP AS OF against graft.`/table/dir` — see
+    // graft.sources.GraftCatalog
+    "spark.sql.catalog.graft" -> "graft.sources.GraftCatalog",
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
     "spark.sql.orc.impl" -> "native",
     "spark.sql.orc.enableVectorizedReader" -> "true",

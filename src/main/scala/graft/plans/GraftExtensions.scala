@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // from the footer-stats sidecars — a one-row LocalRelation instead
     // of a scan; falls back untouched whenever coverage is incomplete
     ext.injectOptimizerRule(_ => MetaAggregateRule)
+    // DELETE FROM / UPDATE / MERGE INTO over graft.`dir` catalog tables
+    // route to the library's copy-on-write executors (see GraftDmlRule)
+    ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
     // SQL INSERT INTO/OVERWRITE against a registered graft-snapshot table
     // resolves to InsertIntoHadoopFsRelationCommand, which writes files
     // into the table dir OUTSIDE any manifest — committed-looking,

@@ -1,0 +1,320 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The versioned table as a DataSource V2 CATALOG — the SQL surface a
+  * Delta/Iceberg user actually types, over the exact same manifest
+  * machinery the V1 connector and library calls commit through:
+  *
+  * {{{
+  *   SET spark.sql.catalog.graft = graft.sources.GraftCatalog  // (set
+  *       by GraftSession automatically)
+  *   SELECT * FROM graft.`/warehouse/events`
+  *   SELECT * FROM graft.`/warehouse/events` VERSION AS OF 3
+  *   SELECT * FROM graft.`/warehouse/events` TIMESTAMP AS OF '2026-08-01 00:00:00'
+  *   INSERT INTO graft.`/warehouse/events` SELECT ...
+  *   INSERT OVERWRITE graft.`/warehouse/events` SELECT ...
+  *   DELETE FROM graft.`/warehouse/events` WHERE status = 'INACTIVE'
+  *   UPDATE graft.`/warehouse/events` SET status = 'CLOSED' WHERE ...
+  *   MERGE INTO graft.`/warehouse/events` t USING src s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * `DELETE FROM` IS the reference engine's product as a SQL statement
+  * (criteria → affected partitions → rewrite-the-complement,
+  * `deletion/DeletionExecutor.java:139-230`); here it executes through
+  * [[VersionedTable.delete]]'s copy-on-write kernel. UPDATE and MERGE
+  * route through [[VersionedTable.update]]/[[VersionedTable.merge]] via
+  * the DML resolution rule in [[graft.plans.GraftExtensions]].
+  *
+  * V1/V2 COEXISTENCE (deliberate): this catalog is the DML + time-travel
+  * SQL surface; scans resolve through a [[V1Scan]] that delegates to the
+  * `graft-snapshot` V1 relation — ONE read implementation (manifest file
+  * index, leaf pruning, sidecar stats skipping, MOR vector anti-join)
+  * serves both surfaces, so the two can never disagree about a table's
+  * contents. Hot analytical reads keep the V1 `HadoopFsRelation` fast
+  * path (vectorized scan inside WholeStageCodegen); the V1Scan hand-off
+  * costs one Row conversion at the boundary, which is the surface for
+  * DML predicates and exploration, not the 100 TB scan path.
+  *
+  * Identifiers are Delta-style path tables: the single name part is the
+  * table directory (`graft.`/abs/path``); namespaces are refused loudly
+  * rather than silently joined into a relative path.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def dirOf(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchTableException(ident)
+    ident.name()
+  }
+
+  private def tableAt(ident: Identifier, version: Option[Int]): Table = {
+    val dir = dirOf(ident)
+    val ok =
+      try { VersionedTable.latestVersion(spark, dir); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!ok) throw new NoSuchTableException(ident)
+    new GraftV2Table(dir, version)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** `VERSION AS OF <v>` — the catalog-level time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(version.trim.toInt))
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds; the manifest
+    * clock ([[VersionedTable.versionAtMillis]]) runs on millis.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    val v =
+      try VersionedTable.versionAtMillis(spark, dir, timestamp / 1000L)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new NoSuchTableException(ident)
+      }
+    tableAt(ident, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch { case _: NoSuchTableException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path catalog: tables are directories, not a registry
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table =
+    throw new UnsupportedOperationException(
+      "CREATE TABLE through the graft catalog is not supported — create " +
+        "with VersionedTable.create(df, dir, spec) or " +
+        "df.write.format(\"graft-snapshot\").option(\"partitionCol\", …)" +
+        ".save(dir), then query it as graft.`<dir>`")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE through the graft catalog is not supported — schema " +
+        "evolution rides appends (VersionedTable.append's evolution " +
+        "contract) and constraints ride addConstraint/dropConstraint")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE through the graft catalog is refused: a versioned " +
+        "table's history is the product — delete the directory " +
+        "explicitly if you truly mean to destroy every version")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME through the graft catalog is not supported — a table IS " +
+        "its directory; move the directory and re-query")
+}
+
+/** One versioned table (optionally pinned to a time-travel version) as a
+  * V2 [[Table]]: reads via a V1-delegating scan, appends/overwrites via
+  * the V1 write fallback onto the manifest commit path, deletes via
+  * [[SupportsDelete]] → [[VersionedTable.delete]]'s COW kernel. A pinned
+  * (time-traveled) table REFUSES every mutation — history is immutable.
+  */
+final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[graft] def resolvedVersion: Int = pinnedVersion.getOrElse(
+    VersionedTable.latestVersion(spark, tableDir))
+
+  private lazy val view: (Seq[String], Seq[String], Option[StructType],
+      Option[String], String) =
+    VersionedTable.manifestView(spark, tableDir, resolvedVersion)
+
+  /** The current partition spec as the public comma-joined string every
+    * [[VersionedTable]] mutator takes. DML on a legacy manifest (no
+    * recorded spec) is refused loudly — a mutation must never guess the
+    * grouping it rewrites under.
+    */
+  private[graft] def specString: String = view._4.getOrElse(
+    throw new UnsupportedOperationException(
+      s"table $tableDir has no recorded partition spec (legacy " +
+        "manifest) — SQL DML needs one; run any append to record it"))
+
+  private[graft] def requireMutable(op: String): Unit =
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      s"$op on a time-traveled table (VERSION/TIMESTAMP AS OF " +
+        s"${pinnedVersion.get}) is refused — history is immutable; " +
+        "run the statement against the head table")
+
+  override def name(): String = s"graft.`$tableDir`" +
+    pinnedVersion.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType = view._3.getOrElse(
+    spark.read.format(view._5)
+      .load(view._1.map(l => s"$tableDir/$l"): _*).schema)
+
+  override def partitioning(): Array[Transform] =
+    view._4.toSeq.flatMap(_.split(',').toSeq)
+      .map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("format" -> view._5, "location" -> tableDir,
+      "version" -> resolvedVersion.toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  // ---- read: V1Scan delegation (see the coexistence note above) ----
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(tableDir, resolvedVersion, schema())
+
+  // ---- DELETE FROM (translatable predicates; the DML rule in
+  //      GraftExtensions handles the rest + UPDATE/MERGE) ----
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(f => SnapshotConnector.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireMutable("DELETE")
+    val pred = filters.flatMap(SnapshotConnector.filterColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    VersionedTable.delete(spark, tableDir, specString, pred)
+  }
+
+  override def truncateTable(): Boolean = {
+    requireMutable("TRUNCATE")
+    VersionedTable.delete(spark, tableDir, specString, lit(true))
+    true
+  }
+
+  // ---- INSERT INTO / INSERT OVERWRITE via the V1 write fallback:
+  //      both are manifest COMMITS (append / truncate-and-load as a new
+  //      version), never loose files — the exact bypass the V1 surface
+  //      refuses SQL INSERT to prevent is structurally closed here ----
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireMutable("INSERT")
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with SupportsDynamicOverwrite {
+      // append | truncate (whole-table overwrite) | dynamic (replace
+      // exactly the partition tuples present in the data — the
+      // reference's S4 `insertInto(overwrite=true)` semantics under
+      // partitionOverwriteMode=dynamic, as ONE manifest commit)
+      private var mode: String = "append"
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        // only the whole-table form maps onto the versioned overwrite;
+        // a real filter would need row-level replace semantics
+        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+          "INSERT OVERWRITE with a partition/filter spec is not " +
+            "supported — only whole-table INSERT OVERWRITE (a " +
+            "truncate-and-load commit); use DELETE + INSERT for a slice")
+        mode = "truncate"; this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spec = specString
+              mode match {
+                case "dynamic" =>
+                  VersionedTable.overwritePartitions(data, tableDir, spec)
+                case "truncate" =>
+                  VersionedTable.overwrite(data, tableDir, spec)
+                case _ =>
+                  if (overwrite)
+                    VersionedTable.overwrite(data, tableDir, spec)
+                  else VersionedTable.append(data, tableDir, spec)
+              }
+            }
+          }
+      }
+    }
+  }
+}
+
+/** Column pruning + filter collection for the V1-delegating scan. Every
+  * filter is reported back as residual (Spark re-evaluates above — free
+  * correctness), while still being applied INSIDE the V1 plan where the
+  * manifest index turns it into leaf pruning and sidecar file skipping.
+  */
+final class GraftScanBuilder(tableDir: String, version: Int,
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var collected: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    collected = filters
+    filters // all residual: Spark keeps its own Filter node above
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftV1Scan(tableDir, version, required, collected)
+}
+
+/** The scan itself: hands Spark a V1 `TableScan` whose `buildScan` is
+  * the `graft-snapshot` V1 read (manifest index, pruning, skipping, MOR
+  * anti-join) with the collected filters and projection applied inside.
+  */
+final class GraftV1Scan(tableDir: String, version: Int,
+    prunedSchema: StructType, filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = prunedSchema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = prunedSchema
+      override def buildScan(): RDD[Row] = {
+        val base = context.sparkSession.read.format("graft-snapshot")
+          .option("versionAsOf", version.toString).load(tableDir)
+        val filtered = filters.flatMap(SnapshotConnector.filterColumn)
+          .foldLeft(base)(_ filter _)
+        val projected =
+          if (prunedSchema.isEmpty) filtered.select() // count(*): 0-field rows
+          else filtered.select(
+            prunedSchema.fieldNames.toIndexedSeq.map(col): _*)
+        projected.rdd
+      }
+    }.asInstanceOf[T]
+}

@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** The DataSource V2 catalog surface: versioned tables as SQL —
+  * SELECT (incl. VERSION/TIMESTAMP AS OF), INSERT INTO/OVERWRITE as
+  * manifest commits, and the DML trio (DELETE/UPDATE/MERGE) running the
+  * library's copy-on-write executors. The V1 `graft-snapshot` read path
+  * and the catalog must agree on every answer — one manifest machinery
+  * under two surfaces.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.isolated()
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val df = Seq(
+      (1L, "a", "ACTIVE", 10L), (2L, "a", "INACTIVE", 20L),
+      (3L, "b", "ACTIVE", 30L), (4L, "b", "INACTIVE", 40L)
+    ).toDF("id", "kind", "status", "amount")
+    VersionedTable.create(df, dir, "kind")
+    dir
+  }
+
+  private def sqlTable(dir: String): String = s"graft.`$dir`"
+
+  private def v1(dir: String): DataFrame =
+    spark.read.format("graft-snapshot").load(dir)
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("SELECT through the catalog equals the V1 read; filters and " +
+      "projections work") {
+    val dir = mkTable()
+    assert(ids(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) === (1L to 4L))
+    assert(ids(spark.sql(
+      s"SELECT id FROM ${sqlTable(dir)} WHERE kind = 'a'")) === Seq(1L, 2L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(dir)}")
+      .collect().head.getLong(0) === 4L)
+    assert(ids(v1(dir)) === (1L to 4L))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF read each version's own rows") {
+    val dir = mkTable()
+    VersionedTable.append(
+      Seq((5L, "a", "ACTIVE", 50L)).toDF("id", "kind", "status", "amount"),
+      dir, "kind")
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)}")) === (1L to 5L))
+    // a timestamp far in the future resolves to the head version
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} TIMESTAMP AS OF '2099-01-01 00:00:00'"))
+      === (1L to 5L))
+  }
+
+  test("INSERT INTO appends a manifest commit; INSERT OVERWRITE is " +
+      "dynamic-partition replace under the session default, whole-table " +
+      "truncate under static — history intact either way") {
+    val dir = mkTable()
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+      "VALUES (5, 'b', 'ACTIVE', 50)")
+    assert(ids(v1(dir)) === (1L to 5L))
+    assert(VersionedTable.latestVersion(spark, dir) === 1)
+    // session default is partitionOverwriteMode=dynamic (the reference's
+    // correctness-critical conf): only the partitions PRESENT in the
+    // data replace — kind='a' rewritten, kind='b' untouched
+    spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} " +
+      "VALUES (10, 'a', 'ACTIVE', 100)")
+    assert(ids(v1(dir)) === Seq(3L, 4L, 5L, 10L))
+    // static mode = whole-table truncate-and-load as a NEW version
+    val old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} " +
+        "VALUES (9, 'c', 'ACTIVE', 90)")
+      assert(ids(v1(dir)) === Seq(9L))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    // history is readable: every pre-overwrite version still answers
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 1")) === (1L to 5L))
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 2"))
+      === Seq(3L, 4L, 5L, 10L))
+  }
+
+  test("DELETE FROM runs the COW kernel: translatable AND " +
+      "non-translatable predicates, untouched leaves carried by reference") {
+    val dir = mkTable()
+    def leafFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = leafFiles()
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE status = 'INACTIVE' AND kind = 'a'")
+    assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
+    val after = leafFiles()
+    before.foreach { case (path, mtime) =>
+      if (after.contains(path))
+        assert(after(path) === mtime, s"leaf rewritten in place: $path")
+    }
+    // modulo arithmetic has no V1 Filter form — this exercises the DML
+    // rule's arbitrary-Catalyst-predicate path, not SupportsDelete
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE id % 2 = 0")
+    assert(ids(v1(dir)) === Seq(1L, 3L))
+    // every delete is a version: time travel reads the full history
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+  }
+
+  test("UPDATE rewrites only affected partitions; RHS reads the OLD row") {
+    val dir = mkTable()
+    // swap-shape assignment: both RHS must see pre-update values
+    spark.sql(s"UPDATE ${sqlTable(dir)} " +
+      "SET amount = amount + id, status = 'CLOSED' WHERE kind = 'a'")
+    val got = v1(dir).orderBy("id")
+      .select("id", "status", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "CLOSED", 11L), (2L, "CLOSED", 22L),
+      (3L, "ACTIVE", 30L), (4L, "INACTIVE", 40L)))
+    // literal assignment casts to the column type (int literal, long col)
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET amount = 0 WHERE id = 3")
+    assert(v1(dir).filter($"id" === 3L).select("amount")
+      .as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("MERGE INTO: canonical upsert updates matched and inserts new; " +
+      "exotic shapes refuse loudly") {
+    val dir = mkTable()
+    Seq((2L, "a", "MERGED", 222L), (9L, "c", "NEW", 90L))
+      .toDF("id", "kind", "status", "amount")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = v1(dir).orderBy("id")
+      .select("id", "status", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "ACTIVE", 10L), (2L, "MERGED", 222L),
+      (3L, "ACTIVE", 30L), (4L, "INACTIVE", 40L), (9L, "NEW", 90L)))
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
+        ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("canonical upsert"))
+  }
+
+  test("time-traveled tables refuse every mutation; legacy no-spec " +
+      "identifiers and namespaces refuse as missing tables") {
+    val dir = mkTable()
+    VersionedTable.append(
+      Seq((5L, "a", "ACTIVE", 50L)).toDF("id", "kind", "status", "amount"),
+      dir, "kind")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"DELETE FROM ${sqlTable(dir)} VERSION AS OF 0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("immutable") ||
+      e.getMessage.toLowerCase.contains("version"), e.getMessage)
+    val missing = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/definitely/not/a/table`").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("TRUNCATE TABLE empties the head as a new version") {
+    val dir = mkTable()
+    spark.sql(s"TRUNCATE TABLE ${sqlTable(dir)}")
+    assert(v1(dir).count() === 0L)
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+  }
+}
