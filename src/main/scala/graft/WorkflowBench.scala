@@ -29,8 +29,10 @@ object WorkflowBench {
     println(json)
     val jsonVersioned = runVersioned(sfDir, cpus)
     println(jsonVersioned)
-    if (json.contains(""""ok":false""") ||
-        jsonVersioned.contains(""""ok":false""")) sys.exit(1)
+    val jsonMcOrc = runVersionedMultiColOrc(sfDir, cpus)
+    println(jsonMcOrc)
+    if (Seq(json, jsonVersioned, jsonMcOrc)
+        .exists(_.contains(""""ok":false"""))) sys.exit(1)
   }
 
   /** The measured workflow as one JSON object string — callable from
@@ -146,6 +148,61 @@ object WorkflowBench {
       .map { case (k, ms) => s""""$k":${ms / 1000.0}""" }.mkString("{", ",", "}")
     val json = s"""{"metric":"workflow_versioned_total","value":$totalSec,""" +
       s""""unit":"sec","ok":$ok,"phases":$phases,"setup_sec":$setupSec,""" +
+      s""""rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
+      s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}"""
+    spark.stop()
+    json
+  }
+
+  /** The SAME 7-step deletion once more, against the round-10 layouts
+    * BOTH at once: a MULTI-COLUMN spec (event_type, partition_id) on an
+    * ORC-format versioned table — the reference-shaped path (the
+    * reference engine is ORC-native and its tables nest type under day
+    * in practice) measured on exactly the machinery those features
+    * added, so a layout-specific regression (tuple grouping, ORC stats
+    * harvest, ORC COW rewrite) trips the same per-round protocol as the
+    * parquet single-column block above.
+    */
+  def runVersionedMultiColOrc(sfDir: String, cpus: String): String = {
+    val spark = GraftSession.builder(
+        appName = "graft-wfbench-mcorc",
+        master = Some(s"local[$cpus]"),
+        hiveSupport = false,
+        shufflePartitions = Some(cpus.toInt),
+        extraConfs = Map("spark.ui.enabled" -> "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-wfbench-mcorc").toString
+
+    val tSetup0 = System.nanoTime()
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), date_format(col("ts"), "yyyyMMdd").as("partition_id"))
+    graft.sources.VersionedTable.create(events, dir,
+      "event_type,partition_id", format = "orc")
+    val rowsBefore = graft.sources.VersionedTable.readLatest(spark, dir).count()
+    val setupSec = (System.nanoTime() - tSetup0) / 1e9
+
+    def utcTs(s: String): Timestamp = Timestamp.from(
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC))
+    val pred = col("ts") >= lit(utcTs("2024-01-05T12:00:00")) &&
+      col("ts") < lit(utcTs("2024-01-08T00:00:00"))
+
+    val metrics = new Metrics
+    val t0 = System.nanoTime()
+    val ok = graft.core.VersionedDeletionWorkflow.run(
+      spark, dir, "event_type,partition_id", pred, metrics)
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    metrics.markJobEnd()
+
+    val rowsAfter = graft.sources.VersionedTable.readLatest(spark, dir).count()
+    val allOrc = graft.sources.VersionedTable.liveDataFiles(spark, dir)
+      .forall(_.endsWith(".orc"))
+    val phases = metrics.phaseTimings
+      .map { case (k, ms) => s""""$k":${ms / 1000.0}""" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"workflow_versioned_multicol_orc_total",""" +
+      s""""value":$totalSec,"unit":"sec","ok":${ok && allOrc},""" +
+      s""""phases":$phases,"setup_sec":$setupSec,""" +
       s""""rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
       s""""records_deleted":${metrics.totalRecordsDeleted},"sf":"$sfDir"}"""
     spark.stop()

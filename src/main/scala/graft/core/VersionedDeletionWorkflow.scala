@@ -73,10 +73,18 @@ object VersionedDeletionWorkflow {
     var backupVersion: Option[Int] = None
     try {
       logger.info("Step 1: Identifying affected partitions")
+      // `partCol` is the public comma-joined spec string — under a
+      // multi-column spec the affected list is value TUPLES (rendered
+      // joined for metrics/logging), exactly the grouping the delete
+      // kernel rewrites by
+      val specCols = partCol.split(',').map(_.trim).filter(_.nonEmpty)
       val affected = phase("1_identify_partitions") {
         VersionedTable.readLatest(spark, tableDir)
-          .filter(pred).select(col(partCol).cast("string"))
-          .distinct().collect().map(_.getString(0)).toSeq.sorted
+          .filter(pred)
+          .select(specCols.toIndexedSeq.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => specCols.indices.map(r.getString).mkString(","))
+          .toSeq.sorted
       }
       if (affected.isEmpty) {
         logger.warn("No partitions affected by deletion criteria. Exiting.")

@@ -30,6 +30,10 @@ NON_QUERY_KEYS = {
     "value", "reps", "n", "rc", "cpus", "sf", "metric", "ok",
     "identify", "backup", "delete", "post_validate", "pre_validate",
     "workflow_total", "total",
+    # gate-block keys (never query medians) — keep the lossy tail-regex
+    # recovery from mistaking gate fields for queries
+    "threshold", "min_sec", "compared", "common_ratio",
+    "recheck_reps", "recheck_ratio", "queries_omitted",
 }
 
 
