@@ -332,7 +332,8 @@ object SparkEntry {
     "snapshot_multicol_spec" -> (sources.VersionedTable.snapshotMultiCol _),
     "snapshot_orc" -> (sources.VersionedTable.snapshotOrc _),
     "snapshot_convert_format" -> (sources.VersionedTable.snapshotConvertFormat _),
-    "snapshot_sql_dml" -> (sources.VersionedTable.snapshotSqlDml _)
+    "snapshot_sql_dml" -> (sources.VersionedTable.snapshotSqlDml _),
+    "snapshot_change_feed" -> (sources.VersionedTable.snapshotChangeFeed _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -505,6 +506,7 @@ object SparkEntry {
     "snapshot_multicol_spec" -> sources.VersionedTable.snapshotMultiColSql(),
     "snapshot_orc" -> sources.VersionedTable.snapshotOrcSql(),
     "snapshot_convert_format" -> sources.VersionedTable.snapshotConvertFormatSql(),
-    "snapshot_sql_dml" -> sources.VersionedTable.snapshotSqlDmlSql()
+    "snapshot_sql_dml" -> sources.VersionedTable.snapshotSqlDmlSql(),
+    "snapshot_change_feed" -> sources.VersionedTable.snapshotChangeFeedSql()
   )
 }

@@ -108,14 +108,44 @@ final class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path catalog: tables are directories, not a registry
 
+  /** `CREATE TABLE graft.`/dir`` (…) PARTITIONED BY (c1[, c2…])` — an
+    * EMPTY v0 commit recording schema + ordered spec, ready for
+    * `INSERT INTO`. CTAS works as Spark's non-staging two-step
+    * (createTable, then the append write) — the intermediate empty
+    * version is visible, which is exactly the honest non-atomic CTAS
+    * contract of a non-staging catalog. Only identity partitioning maps
+    * onto the directory layout; bucket/days/hours transforms refuse
+    * loudly (a user can materialize the derived column and identity-
+    * partition on it). An unpartitioned CREATE refuses too: every
+    * versioned-table kernel groups work by partition values.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
-      : Table =
-    throw new UnsupportedOperationException(
-      "CREATE TABLE through the graft catalog is not supported — create " +
-        "with VersionedTable.create(df, dir, spec) or " +
-        "df.write.format(\"graft-snapshot\").option(\"partitionCol\", …)" +
-        ".save(dir), then query it as graft.`<dir>`")
+      : Table = {
+    val dir = dirOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val specCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 ||
+          refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft tables support only identity partitioning — got " +
+            s"'${t.describe()}'; materialize the derived column and " +
+            "partition on it")
+      refs(0).fieldNames()(0)
+    }
+    require(specCols.nonEmpty,
+      "CREATE TABLE through the graft catalog needs PARTITIONED BY — " +
+        "every versioned-table kernel (delete/update/merge/maintenance) " +
+        "groups its work by partition values")
+    val fmt = Option(properties.get("format")).getOrElse("parquet")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    VersionedTable.create(empty, dir, specCols.mkString(","), format = fmt)
+    new GraftV2Table(dir, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

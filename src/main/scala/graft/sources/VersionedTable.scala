@@ -2833,6 +2833,61 @@ object VersionedTable {
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
       |FROM u GROUP BY version ORDER BY version""".stripMargin
 
+  /** Oracle-gated CHANGE FEED entry: one versioned table through four
+    * commit kinds — append, COW delete, MOR vector delete, COW update —
+    * then [[changeFeed]] over the whole range, aggregated per
+    * (commit, change type). The oracle recomputes every commit's exact
+    * delta from the slice predicates alone, so the diff engine
+    * (manifest-restricted exceptAll, carried-row cancellation, vector
+    * application) is hash-checked end-to-end by an independent engine.
+    */
+  def snapshotChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val dir = Stores.temp("graft_vt_cdf")
+    create(ev.filter(col("event_id") % 2 === 0), dir, "event_type")
+    append(ev.filter(col("event_id") % 2 === 1), dir, "event_type") // v1
+    delete(spark, dir, "event_type",
+      col("event_type") === "click" && col("user_id") % 5 === 2) // v2 COW
+    deleteMergeOnRead(spark, dir, col("user_id") % 11 === 7) // v3 MOR
+    update(spark, dir, "event_type",
+      col("event_type") === "view" && col("user_id") % 7 === 3,
+      Seq("micros" -> (col("micros") + col("user_id")))) // v4 COW update
+    changeFeed(spark, dir, 0, 4)
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("micros")).cast("long").as("sum_micros"))
+      .orderBy("version", "change_type")
+  }
+
+  def snapshotChangeFeedSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |d2 AS (SELECT * FROM e
+      |       WHERE event_type = 'click' AND user_id % 5 = 2),
+      |v2 AS (SELECT * FROM e
+      |       WHERE NOT (event_type = 'click' AND user_id % 5 = 2)),
+      |d3 AS (SELECT * FROM v2 WHERE user_id % 11 = 7),
+      |v3 AS (SELECT * FROM v2 WHERE user_id % 11 <> 7),
+      |upd AS (SELECT * FROM v3
+      |        WHERE event_type = 'view' AND user_id % 7 = 3),
+      |u AS (
+      |  SELECT 1 AS version, 'insert' AS change_type, micros
+      |  FROM e WHERE event_id % 2 = 1
+      |  UNION ALL SELECT 2, 'delete', micros FROM d2
+      |  UNION ALL SELECT 3, 'delete', micros FROM d3
+      |  UNION ALL SELECT 4, 'delete', micros FROM upd
+      |  UNION ALL SELECT 4, 'insert', micros + user_id FROM upd)
+      |SELECT CAST(version AS BIGINT) AS version, change_type,
+      |       count(*) AS n_rows, CAST(sum(micros) AS BIGINT) AS sum_micros
+      |FROM u GROUP BY version, change_type
+      |ORDER BY version, change_type""".stripMargin
+
   def snapshotEvolveSql(): String =
     """WITH a AS (SELECT event_id FROM events WHERE event_id % 3 = 0),
       |b AS (SELECT event_id % 100 AS score FROM events WHERE event_id % 3 = 1)

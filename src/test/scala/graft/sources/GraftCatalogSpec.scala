@@ -178,6 +178,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(missing.getMessage.toLowerCase.contains("table"))
   }
 
+  test("CREATE TABLE makes an empty v0 ready for INSERT; CTAS works as " +
+      "the non-staging two-step; non-identity/unpartitioned refuse") {
+    val dir = Files.createTempDirectory("graft-ddl").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, kind STRING, amount BIGINT) PARTITIONED BY (kind)")
+    assert(v1(dir).count() === 0L)
+    assert(VersionedTable.latestVersion(spark, dir) === 0)
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a', 10)")
+    assert(ids(v1(dir)) === Seq(1L))
+    // duplicate CREATE refuses as already-exists
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, kind STRING) " +
+        "PARTITIONED BY (kind)")
+    }
+    // CTAS: create + append (non-atomic, documented)
+    val dir2 = Files.createTempDirectory("graft-ddl2").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir2` PARTITIONED BY (kind) " +
+      s"AS SELECT * FROM graft.`$dir`")
+    assert(ids(v1(dir2)) === Seq(1L))
+    // unpartitioned CREATE refuses loudly
+    val dir3 = Files.createTempDirectory("graft-ddl3").toString + "/t"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir3` (id BIGINT)")
+    }
+    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
+  }
+
   test("TRUNCATE TABLE empties the head as a new version") {
     val dir = mkTable()
     spark.sql(s"TRUNCATE TABLE ${sqlTable(dir)}")
