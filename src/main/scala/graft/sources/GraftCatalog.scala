@@ -147,11 +147,41 @@ final class GraftCatalog extends TableCatalog {
     new GraftV2Table(dir, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE through the graft catalog is not supported — schema " +
-        "evolution rides appends (VersionedTable.append's evolution " +
-        "contract) and constraints ride addConstraint/dropConstraint")
+  override def capabilities()
+      : util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** `ALTER TABLE … ADD/DROP CONSTRAINT` maps onto the manifest's CHECK
+    * constraint machinery (a metadata commit that first validates every
+    * existing row). Only CHECK is supported: UNIQUE/PK/FK need global
+    * uniqueness enforcement the storage layout does not carry — refusing
+    * is honest; silently recording an unenforced key would not be.
+    * Every other ALTER refuses: schema evolution rides appends
+    * (VersionedTable.append's evolution contract), not DDL.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    changes.foreach {
+      case add: TableChange.AddConstraint => add.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          VersionedTable.addCheckConstraint(spark, dir, c.name(),
+            c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are supported — got '${other.toDDL}' " +
+            "(UNIQUE/PRIMARY KEY/FOREIGN KEY would be recorded but " +
+            "unenforced, which is worse than refusing)")
+      }
+      case drop: TableChange.DropConstraint =>
+        if (!(drop.ifExists() && !VersionedTable
+            .checkConstraints(spark, dir).exists(_._1 == drop.name())))
+          VersionedTable.dropCheckConstraint(spark, dir, drop.name())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change '$other' is not supported through the " +
+          "graft catalog — schema evolution rides appends " +
+          "(VersionedTable.append's evolution contract)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -213,6 +243,23 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
   override def properties(): util.Map[String, String] =
     Map("format" -> view._5, "location" -> tableDir,
       "version" -> resolvedVersion.toString).asJava
+
+  /** The manifest's CHECK constraints, reported through the V2 surface
+    * (DESCRIBE TABLE, the analyzer's constraint-aware paths). Enforced:
+    * every write path re-validates ([[VersionedTable]]'s
+    * requireConstraints), so enforced+validated is the true status.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    VersionedTable.checkConstraints(spark, tableDir).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

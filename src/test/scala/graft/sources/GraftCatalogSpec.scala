@@ -205,6 +205,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT rides the manifest CHECK " +
+      "machinery; violating writes refuse; non-CHECK kinds refuse") {
+    val dir = mkTable()
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+      "ADD CONSTRAINT amount_pos CHECK (amount > 0)")
+    assert(VersionedTable.checkConstraints(spark, dir)
+      .exists(_._1 == "amount_pos"))
+    // the constraint ENFORCES on SQL writes (the insert routes through
+    // the same commit path as the library API)
+    val bad = intercept[Exception] {
+      spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (9, 'c', 'X', -5)")
+    }
+    assert(bad.getMessage.contains("amount_pos"), bad.getMessage)
+    // adding a constraint existing rows violate refuses the DDL itself —
+    // Spark's analyzer validates against the table's data BEFORE calling
+    // alterTable (NEW_CHECK_CONSTRAINT_VIOLATION), and the manifest-side
+    // addCheckConstraint re-validates as the library-path backstop
+    val preViolated = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+        "ADD CONSTRAINT amount_huge CHECK (amount > 1000)")
+    }
+    assert(preViolated.getMessage.contains("amount_huge") ||
+      preViolated.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"),
+      preViolated.getMessage)
+    assert(!VersionedTable.checkConstraints(spark, dir)
+      .exists(_._1 == "amount_huge"))
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} DROP CONSTRAINT amount_pos")
+    assert(VersionedTable.checkConstraints(spark, dir).isEmpty)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (9, 'c', 'X', -5)")
+    assert(ids(v1(dir)).contains(9L))
+  }
+
   test("TRUNCATE TABLE empties the head as a new version") {
     val dir = mkTable()
     spark.sql(s"TRUNCATE TABLE ${sqlTable(dir)}")
