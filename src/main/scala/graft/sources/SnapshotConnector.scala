@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, TableScan}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -43,7 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * travel), `timestampAsOf` (optional — epoch millis or UTC
   * `yyyy-MM-dd HH:mm:ss`, resolved to the latest version whose manifest
   * committed at or before that instant, the same clock
-  * `vacuumOlderThan` retention runs on); default = head.
+  * `vacuumOlderThan` retention runs on); default = head. Or
+  * `readChangeFeed=true` (+ optional `startingVersion`/`endingVersion`)
+  * for the BATCH change feed: `_change_type`/`_commit_version` rows
+  * between two versions instead of a snapshot ([[ChangeFeedRelation]]).
   *
   * Write path (`df.write.format("graft-snapshot")`): `Append` commits a
   * new version via [[VersionedTable.append]] (schema-evolution
@@ -129,6 +132,19 @@ final class GraftSnapshotSource extends RelationProvider
     val tableDir = ci.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-snapshot requires a path: spark.read.format(\"graft-snapshot\").load(dir)"))
+    // batch CDF (the Delta table_changes shape): change rows between two
+    // versions instead of a snapshot — `startingVersion` is the EXCLUSIVE
+    // base (changes of startingVersion+1 .. endingVersion inclusive),
+    // endingVersion defaults to head
+    if (ci.get("readchangefeed").exists(_.trim.toBoolean)) {
+      require(!ci.contains("versionasof") && !ci.contains("timestampasof"),
+        "readChangeFeed and versionAsOf/timestampAsOf are mutually " +
+          "exclusive — the feed IS a version range")
+      val from = ci.get("startingversion").map(_.trim.toInt).getOrElse(0)
+      val endV = ci.get("endingversion").map(_.trim.toInt)
+        .getOrElse(VersionedTable.latestVersion(spark, tableDir))
+      return new ChangeFeedRelation(spark, tableDir, from, endV)
+    }
     require(!(ci.contains("versionasof") && ci.contains("timestampasof")),
       "versionAsOf and timestampAsOf are mutually exclusive")
     val version = ci.get("versionasof").map(_.trim.toInt)
@@ -946,6 +962,30 @@ object VersionedChangeFeedSource {
         nullable = false) :+
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false))
+}
+
+/** BATCH change-feed relation
+  * (`spark.read.format("graft-snapshot").option("readChangeFeed","true")
+  * .option("startingVersion", f).option("endingVersion", t)`): the same
+  * [[VersionedTable.changeFeed]] diff the streaming source serves, as a
+  * one-shot frame — Delta's batch `table_changes` shape. Versions are
+  * immutable, so the same option pair always returns identical rows.
+  */
+final class ChangeFeedRelation(spark: SparkSession, tableDir: String,
+    fromV: Int, toV: Int) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext =
+    spark.sqlContext
+
+  override val schema: StructType = VersionedChangeFeedSource.feedSchema(
+    VersionedTable.manifestView(spark, tableDir, toV)._3.getOrElse(
+      VersionedTable.readVersion(spark, tableDir, toV).schema))
+
+  override def buildScan(): RDD[Row] =
+    VersionedTable.changeFeed(spark, tableDir, fromV, toV).rdd
+
+  override def toString: String =
+    s"ChangeFeedRelation[$tableDir v$fromV..v$toV]"
 }
 
 /** Surface entry: the [[VersionedTable.snapshotAsOf]] scenario (create

@@ -119,6 +119,29 @@ class ChangeFeedSpec extends AnyFunSuite {
       Seq(("insert", 2L, 1L), ("delete", 1L, 2L)))
   }
 
+  test("batch CDF read option equals the library changeFeed; refuses " +
+      "combined with time travel") {
+    val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+    appendRows(dir, (3L, "2024-01-01", 30L))
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+    val viaOption = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "2")
+      .load(dir)
+    assert(triples(viaOption) ===
+      triples(VersionedTable.changeFeed(spark, dir, 0, 2)))
+    // endingVersion defaults to head; startingVersion to 0
+    val defaulted = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(dir)
+    assert(triples(defaulted) === triples(viaOption))
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("versionAsOf", "1")
+        .load(dir).collect()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("schema evolution across the diff: pre-evolution rows align to " +
       "the new schema with nulls") {
     val dir = newTable((1L, "2024-01-01", 10L))
