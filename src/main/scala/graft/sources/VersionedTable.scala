@@ -1430,10 +1430,25 @@ object VersionedTable {
       }
     val old = slice(mf, touchedFrom)
     val nw = slice(mt, touchedTo)
-    old.exceptAll(nw).withColumn("_change_type", lit("delete"))
-      .unionByName(
-        nw.exceptAll(old).withColumn("_change_type", lit("insert")))
+    // ONE-pass multiset diff: tag each side ±1, group by the full row,
+    // keep nonzero signed counts, re-expand to |delta| change rows. The
+    // naive two-exceptAll form scans BOTH slices twice and shuffles
+    // them twice (it was the profile's #2 shuffle writer); this is one
+    // scan of each side and one exchange — the same null-safe multiset
+    // semantics (GROUP BY and exceptAll both treat NULL keys as equal),
+    // half the bytes on the wire.
+    val rowCols = schema.fieldNames.toIndexedSeq
+    old.withColumn("__vt_side", lit(-1L))
+      .unionByName(nw.withColumn("__vt_side", lit(1L)))
+      .groupBy(rowCols.map(col): _*)
+      .agg(sum(col("__vt_side")).as("__vt_delta"))
+      .filter(col("__vt_delta") =!= 0L)
+      .withColumn("__vt_copy",
+        explode(sequence(lit(1L), abs(col("__vt_delta")))))
+      .withColumn("_change_type",
+        when(col("__vt_delta") < 0, "delete").otherwise("insert"))
       .withColumn("_commit_version", lit(toV.toLong))
+      .drop("__vt_delta", "__vt_copy")
   }
 
   /** Version history as a frame — the DESCRIBE HISTORY surface: one row
