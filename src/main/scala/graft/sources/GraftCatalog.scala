@@ -183,11 +183,28 @@ final class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** DROP TABLE is allowed for exactly ONE shape: a v0-only EMPTY shell
+    * (what CREATE TABLE just made) — which is also what Spark's
+    * non-atomic CTAS hands back for cleanup when its write fails, so
+    * that path must not throw and mask the write's real error. Any
+    * table with data or history refuses: versions are the product;
+    * destroying them is a filesystem decision, not a statement.
+    */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE through the graft catalog is refused: a versioned " +
-        "table's history is the product — delete the directory " +
-        "explicitly if you truly mean to destroy every version")
+    if (!tableExists(ident)) false
+    else {
+      val dir = dirOf(ident)
+      val emptyShell =
+        VersionedTable.versions(spark, dir) == Seq(0) &&
+          VersionedTable.liveLeaves(spark, dir).isEmpty
+      if (!emptyShell) throw new UnsupportedOperationException(
+        "DROP TABLE through the graft catalog is refused for a table " +
+          "with data or history — the versions ARE the product; delete " +
+          "the directory explicitly if you truly mean to destroy them")
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -237,6 +237,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(v1(dir)).contains(9L))
   }
 
+  test("DROP TABLE: an empty v0 shell drops (the non-atomic CTAS " +
+      "cleanup shape); any table with data or history refuses") {
+    val dir = Files.createTempDirectory("graft-drop").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, kind STRING) " +
+      "PARTITIONED BY (kind)")
+    spark.sql(s"DROP TABLE graft.`$dir`")
+    assert(!new java.io.File(dir).exists())
+    // a data-bearing table refuses — versions are the product
+    val dataDir = mkTable()
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE ${sqlTable(dataDir)}")
+    }
+    assert(e.getMessage.contains("data or history"), e.getMessage)
+    assert(ids(v1(dataDir)) === (1L to 4L))
+    // so does an EMPTIED table (its history is still readable)
+    val truncDir = mkTable()
+    spark.sql(s"TRUNCATE TABLE ${sqlTable(truncDir)}")
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE ${sqlTable(truncDir)}")
+    }
+  }
+
   test("TRUNCATE TABLE empties the head as a new version") {
     val dir = mkTable()
     spark.sql(s"TRUNCATE TABLE ${sqlTable(dir)}")
