@@ -190,4 +190,24 @@ class VersionedWorkflowSpec extends AnyFunSuite {
     assert(VersionedTable.readVersion(spark, dir, vs.head)
       .filter(col("status") === "INACTIVE").count() === 0)
   }
+
+  test("multi-column spec: affected partitions identify as value TUPLES " +
+      "and the workflow deletes exactly the matching rows") {
+    val df = (1 to 12).map { i =>
+      val status = if (i % 3 == 2) "INACTIVE" else "ACTIVE"
+      val day = if (i <= 6) "20260213" else "20260214"
+      (i.toLong, s"User$i", status,
+        Timestamp.valueOf("2026-02-13 09:00:00"), day,
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("id", "name", "status", "row_create_ts", "partition_id", "kind")
+    val dir = Files.createTempDirectory("graft-vwf-mc").toString
+    VersionedTable.create(df, dir, "kind,partition_id")
+    val metrics = new Metrics
+    assert(VersionedDeletionWorkflow.run(spark, dir, "kind,partition_id",
+      col("status") === "INACTIVE", metrics))
+    assert(ids(dir) === Seq(1L, 3L, 4L, 6L, 7L, 9L, 10L, 12L))
+    // INACTIVE ids are 2,5,8,11 → tuples (a,20260213), (b,20260213),
+    // (a,20260214), (b,20260214) — all four counted as affected
+    assert(metrics.partitionsProcessed === 4)
+  }
 }
