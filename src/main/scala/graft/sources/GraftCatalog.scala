@@ -215,11 +215,19 @@ final class GraftCatalog extends TableCatalog {
 /** One versioned table (optionally pinned to a time-travel version) as a
   * V2 [[Table]]: reads via a V1-delegating scan, appends/overwrites via
   * the V1 write fallback onto the manifest commit path, deletes via
-  * [[SupportsDelete]] → [[VersionedTable.delete]]'s COW kernel. A pinned
-  * (time-traveled) table REFUSES every mutation — history is immutable.
+  * [[SupportsDelete]] → [[VersionedTable.delete]]'s COW kernel, and
+  * partition management ([[SupportsPartitionManagement]]) for the
+  * read-plus-drop subset: `SHOW PARTITIONS` lists value tuples from the
+  * manifest (a pruned scan covers only foreign-spec leaves, the delete
+  * kernel's own cost model), `ALTER TABLE … DROP PARTITION` is the
+  * reference's D5 as a COW delete of exactly that tuple, and
+  * ADD/RENAME partition refuse (partitions exist because data does). A
+  * pinned (time-traveled) table REFUSES every mutation — history is
+  * immutable.
   */
 final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -283,6 +291,88 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
+
+  // ---- partition management: SHOW PARTITIONS / DROP PARTITION ----
+
+  override def partitionSchema(): StructType = {
+    val bySchema = schema().fields.map(f => f.name -> f.dataType).toMap
+    StructType(view._4.toSeq.flatMap(_.split(',').toSeq).map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        bySchema.getOrElse(c, org.apache.spark.sql.types.StringType),
+        nullable = false)))
+  }
+
+  /** Leaf-dir string value → Catalyst internal value of the partition
+    * column's declared type (the dir rendering is Cast-compatible for
+    * every type the writer can lay out).
+    */
+  private def internalValue(v: String,
+      dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType),
+      dt, Some("UTC")).eval(null)
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    val rows = VersionedTable.partitionTuples(spark, tableDir).map { t =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        ps.fields.toIndexedSeq.zip(t).map { case (f, v) =>
+          internalValue(v, f.dataType)
+        })
+    }
+    // partial spec (SHOW PARTITIONS t PARTITION(kind='a')): keep tuples
+    // whose named positions equal the given values
+    val idx = names.map(ps.fieldIndex)
+    rows.filter(r => idx.indices.forall { i =>
+      val dt = ps.fields(idx(i)).dataType
+      r.get(idx(i), dt) == ident.get(i, dt)
+    }).toArray
+  }
+
+  /** `ALTER TABLE … DROP PARTITION (…)` — the reference's DROP PARTITION
+    * (`catalog/CatalogOps` D5) on the versioned backend: a COW delete of
+    * exactly that value tuple, history intact. Returns false for an
+    * absent tuple (Spark's IF EXISTS contract).
+    */
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    requireMutable("DROP PARTITION")
+    if (!partitionExists(ident)) false
+    else {
+      val ps = partitionSchema()
+      val pred = ps.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        col(f.name) === lit(org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.convertToScala(
+            ident.get(i, f.dataType), f.dataType))
+      }.reduce(_ && _)
+      VersionedTable.delete(spark, tableDir, specString, pred)
+      true
+    }
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "ADD PARTITION is not supported — a graft partition exists exactly " +
+        "when data for its value tuple exists; INSERT the data instead")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partition metadata is derived from the manifest and cannot be " +
+        "replaced")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] =
+    Map("location" -> tableDir).asJava // leaves move across versions;
+    // the manifest, not a fixed dir, is the authority
 
   // ---- read: V1Scan delegation (see the coexistence note above) ----
 

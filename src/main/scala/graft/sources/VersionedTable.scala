@@ -1575,6 +1575,33 @@ object VersionedTable {
   def liveLeaves(spark: SparkSession, tableDir: String): Seq[String] =
     readManifestFull(spark, tableDir, latestVersion(spark, tableDir)).leaves
 
+  /** The head's distinct partition VALUE TUPLES (current spec order) —
+    * the SHOW PARTITIONS answer. Same-spec leaves answer from the
+    * manifest alone (driver metadata, zero listings); leaves written
+    * under an EARLIER spec have no current-spec dir value, so exactly
+    * they are resolved by a scan restricted to those leaves — the
+    * delete kernel's spec-evolution cost model. Like Hive's SHOW
+    * PARTITIONS, presence is METADATA presence: a leaf whose rows are
+    * all vector-deleted still lists until compaction retires it.
+    */
+  def partitionTuples(spark: SparkSession, tableDir: String)
+      : Seq[Seq[String]] = {
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    val cols = m.specCols
+    require(cols.nonEmpty,
+      s"table $tableDir has no recorded partition spec (legacy manifest)")
+    val (sameSpec, foreign) =
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+    val metaTuples = sameSpec.map(l => leafPartPairs(l).map(_._2))
+    val scanned: Seq[Seq[String]] =
+      if (foreign.isEmpty) Nil
+      else readView(spark, tableDir, m, onlyLeaves = Some(foreign))
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => cols.indices.map(r.getString): Seq[String]).toSeq
+    (metaTuples ++ scanned).distinct.sortBy(_.mkString(" "))
+  }
+
   /** The head's (name, check-expression) constraint pairs. */
   def checkConstraints(spark: SparkSession, tableDir: String)
       : Seq[(String, String)] =

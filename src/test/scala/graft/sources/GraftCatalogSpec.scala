@@ -259,6 +259,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW PARTITIONS lists value tuples from the manifest; " +
+      "DROP PARTITION is a COW delete of exactly that tuple") {
+    val dir = Files.createTempDirectory("graft-parts").toString
+    val df = Seq(
+      (1L, "a", "2024-01-01", 10L), (2L, "a", "2024-01-02", 20L),
+      (3L, "b", "2024-01-01", 30L)
+    ).toDF("id", "kind", "pdate", "amount")
+    VersionedTable.create(df, dir, "kind,pdate")
+    val parts = spark.sql(s"SHOW PARTITIONS ${sqlTable(dir)}")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts === Seq("kind=a/pdate=2024-01-01", "kind=a/pdate=2024-01-02",
+      "kind=b/pdate=2024-01-01"))
+    // partial spec filters
+    val onlyA = spark.sql(
+      s"SHOW PARTITIONS ${sqlTable(dir)} PARTITION (kind='a')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(onlyA === Seq("kind=a/pdate=2024-01-01", "kind=a/pdate=2024-01-02"))
+    // DROP PARTITION deletes exactly the tuple, as a new version
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+      "DROP PARTITION (kind='a', pdate='2024-01-01')")
+    assert(ids(v1(dir)) === Seq(2L, 3L))
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 3L))
+    // IF EXISTS on an absent tuple no-ops; without it, Spark errors
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+      "DROP IF EXISTS PARTITION (kind='zz', pdate='2024-01-01')")
+    assert(ids(v1(dir)) === Seq(2L, 3L))
+    // ADD PARTITION refuses: partitions exist because data does
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+        "ADD PARTITION (kind='c', pdate='2024-01-01')")
+    }
+    assert(e.getMessage.contains("INSERT the data"), e.getMessage)
+  }
+
   test("TRUNCATE TABLE empties the head as a new version") {
     val dir = mkTable()
     spark.sql(s"TRUNCATE TABLE ${sqlTable(dir)}")
