@@ -143,15 +143,20 @@ object Bench {
             fnames.filter(rs(_).nonEmpty)
               .map(n => n -> median(rs(n))).toMap
           }
+        // a flagged query with ZERO successful recheck samples regressed
+        // to ERRORING — the strongest confirmation, not absence of
+        // evidence; letting it drop out of `rechecks` and read as
+        // not_confirmed would PASS a query that no longer runs
         def confirmedOf(k: String): Boolean =
-          rechecks.get(k).exists(_ / prev(k) >= 1.5)
+          rechecks.get(k).map(_ / prev(k) >= 1.5).getOrElse(true)
         val regressions = flagged.map { case (k, r) =>
           "\"" + k + "\":" + fmt(r)
         }
         val recheckJson = flagged.map { case (k, _) =>
           val rr = rechecks.get(k).map(_ / prev(k))
           "\"" + k + "\":{" +
-            rr.map(x => "\"recheck_ratio\":" + fmt(x) + ",").getOrElse("") +
+            rr.map(x => "\"recheck_ratio\":" + fmt(x) + ",")
+              .getOrElse("\"status\":\"recheck_failed\",") +
             "\"confirmed\":" + confirmedOf(k) + "}"
         }
         val watch = common.collect {

@@ -66,8 +66,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       m.targetTable match {
         case GraftRel(t) =>
           t.requireMutable("MERGE")
-          GraftMergeCommand(t.tableDir, t.specString,
-            canonicalMergeKey(m), m.sourceTable)
+          translateMerge(m, t)
         case _ => plan
       }
 
@@ -116,53 +115,100 @@ private[plans] object GraftDml {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 
-  /** The canonical-upsert key of a MERGE, or a loud refusal naming the
-    * first non-canonical part. Canonical = `ON t.k = s.k` (same column
-    * name both sides), `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT
-    * MATCHED THEN INSERT *` (star forms arrive expanded to identity
-    * assignments by the analyzer), no action conditions, no
-    * NOT MATCHED BY SOURCE clause, no schema evolution — exactly
-    * [[VersionedTable.merge]]'s replace-matched-insert-rest contract.
+  /** Translate a resolved MERGE into the library's executors, or refuse
+    * loudly naming the first unsupported part. Supported: `ON t.k = s.k`
+    * (one same-named target/source column equality), any ordered mix of
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE`, and an
+    * optional `WHEN NOT MATCHED [AND cond] THEN INSERT *` (star forms
+    * arrive expanded to identity assignments by the analyzer). The
+    * exact canonical upsert (one unconditional UPDATE SET * + one
+    * unconditional INSERT *) keeps [[VersionedTable.merge]]'s
+    * replace-matched-insert-rest fast path; every other shape runs
+    * [[VersionedTable.mergeInto]]'s clause kernel. Still refused, with
+    * the reason named: WITH SCHEMA EVOLUTION, NOT MATCHED BY SOURCE
+    * clauses, non-identity assignments, and subquery conditions.
     */
-  def canonicalMergeKey(m: MergeIntoTable): String = {
+  def translateMerge(m: MergeIntoTable, t: GraftV2Table): LogicalPlan = {
     def refuse(what: String): Nothing =
       throw new UnsupportedOperationException(
-        s"MERGE INTO a graft table supports only the canonical upsert " +
-          s"(ON t.k = s.k, WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED " +
-          s"INSERT *) — $what is not supported; use " +
-          "VersionedTable.merge or explicit DELETE + INSERT")
+        s"MERGE INTO a graft table supports ON t.k = s.k with matched " +
+          s"UPDATE SET */DELETE clauses and NOT MATCHED INSERT * — " +
+          s"$what is not supported; use VersionedTable.merge/mergeInto " +
+          "or explicit DELETE + INSERT")
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE")
+    val sourceOut = m.sourceTable.outputSet
+    val targetOut = m.targetTable.outputSet
     val key = m.mergeCondition match {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
           l: AttributeReference, r: AttributeReference)
-          if l.name == r.name => l.name
+          if l.name == r.name &&
+            ((targetOut.contains(l) && sourceOut.contains(r)) ||
+              (sourceOut.contains(l) && targetOut.contains(r))) => l.name
       case other =>
         refuse(s"the ON condition '${other.sql}' (need a single " +
-          "equality on one same-named column)")
+          "equality between one same-named target and source column)")
     }
+    // each assignment must take the SOURCE's value — name equality alone
+    // would accept `SET amount = tg.amount` (keep the target's value)
+    // while merge replaces the whole matched row with the source row:
+    // accepted statement, silently wrong data. The exprId membership
+    // check makes source-ness structural, not lexical.
     def identityAssigns(assigns: Seq[Assignment], act: String): Unit =
       assigns.foreach { a =>
         (a.key, a.value) match {
           case (k: AttributeReference, v: AttributeReference)
-              if k.name == v.name => ()
+              if k.name == v.name && sourceOut.contains(v) => ()
+          case (_, v: AttributeReference) if !sourceOut.contains(v) =>
+            refuse(s"a $act assignment whose value is not the source's " +
+              s"column ('${a.key.sql} = ${a.value.sql}') — merge " +
+              "replaces the matched row with the SOURCE row, so every " +
+              "assignment must read from the source")
           case _ =>
             refuse(s"a non-identity $act assignment " +
               s"('${a.key.sql} = ${a.value.sql}')")
         }
       }
-    m.matchedActions match {
-      case Seq(UpdateAction(None, assigns, _)) =>
-        identityAssigns(assigns, "UPDATE")
-      case other => refuse(s"matched actions $other")
+    // clause conditions re-resolve inside the kernel's two-alias join:
+    // target attributes as `__t.<col>`, source attributes as `__s.<col>`
+    def qualified(e: Expression): Expression = {
+      requireNoSubquery(e, "MERGE")
+      e.transform {
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute(Seq("__t", a.name))
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute(Seq("__s", a.name))
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      }
     }
-    m.notMatchedActions match {
-      case Seq(InsertAction(None, assigns)) =>
-        identityAssigns(assigns, "INSERT")
+    // conditions become Columns HERE (not Expression fields of the
+    // command): a stored unresolved Expression would be traversed by
+    // later analyzer batches (UpdateAttributeNullability calls exprId),
+    // while a Column field is opaque to plan traversal
+    val matched: Seq[(Option[Column], Boolean)] =
+      m.matchedActions.map {
+        case u: UpdateAction =>
+          identityAssigns(u.assignments, "UPDATE")
+          (u.condition.map(c => GraftSqlBridge.column(qualified(c))), false)
+        case d: DeleteAction =>
+          (d.condition.map(c => GraftSqlBridge.column(qualified(c))), true)
+        case other => refuse(s"matched action $other")
+      }
+    val insert: Option[Option[Column]] = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(i: InsertAction) =>
+        identityAssigns(i.assignments, "INSERT")
+        Some(i.condition.map(c => GraftSqlBridge.column(qualified(c))))
       case other => refuse(s"not-matched actions $other")
     }
-    key
+    (matched, insert) match {
+      case (Seq((None, false)), Some(None)) =>
+        GraftMergeCommand(t.tableDir, t.specString, key, m.sourceTable)
+      case _ =>
+        GraftMergeClausesCommand(t.tableDir, t.specString, key, matched,
+          insert, m.sourceTable)
+    }
   }
 }
 
@@ -210,6 +256,22 @@ case class GraftMergeCommand(tableDir: String, spec: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val batch = GraftSqlBridge.ofRows(spark, source)
     VersionedTable.merge(batch, tableDir, spec, keyCol)
+    Seq.empty
+  }
+}
+
+/** Clause-form `MERGE INTO` (matched UPDATE/DELETE with optional
+  * conditions, optional conditional INSERT) →
+  * [[VersionedTable.mergeInto]]. Conditions arrive pre-rebound to
+  * `__t.<col>`/`__s.<col>` and re-resolve inside the kernel's join.
+  */
+case class GraftMergeClausesCommand(tableDir: String, spec: String,
+    keyCol: String, matched: Seq[(Option[Column], Boolean)],
+    insert: Option[Option[Column]], source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val batch = GraftSqlBridge.ofRows(spark, source)
+    VersionedTable.mergeInto(batch, tableDir, spec, keyCol, matched, insert)
     Seq.empty
   }
 }

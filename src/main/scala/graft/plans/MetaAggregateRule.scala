@@ -165,7 +165,7 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
             idx.metaColStatsByTupleAt(gcols, a.name, a.dataType))
             .flatMap(_.getOrElse(t, None))
         else None
-      val tuples = counts.keys.toSeq.sortBy(_.mkString(" "))
+      val tuples = counts.keys.toSeq.sortBy(_.mkString("\u0000"))
       tuples.foldLeft(Option(Vector.empty[InternalRow])) {
         case (None, _) => None
         case (Some(acc), t) =>

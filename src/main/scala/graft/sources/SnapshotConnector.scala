@@ -133,14 +133,17 @@ final class GraftSnapshotSource extends RelationProvider
       throw new IllegalArgumentException(
         "graft-snapshot requires a path: spark.read.format(\"graft-snapshot\").load(dir)"))
     // batch CDF (the Delta table_changes shape): change rows between two
-    // versions instead of a snapshot — `startingVersion` is the EXCLUSIVE
-    // base (changes of startingVersion+1 .. endingVersion inclusive),
-    // endingVersion defaults to head
+    // versions instead of a snapshot — `startingVersion` is INCLUSIVE
+    // (changes of startingVersion .. endingVersion), matching both the
+    // streaming sources' reading of the same option name and Delta's
+    // table_changes; startingVersion=0 (the default) therefore includes
+    // version 0's initial snapshot as insert rows. endingVersion
+    // defaults to head.
     if (ci.get("readchangefeed").exists(_.trim.toBoolean)) {
       require(!ci.contains("versionasof") && !ci.contains("timestampasof"),
         "readChangeFeed and versionAsOf/timestampAsOf are mutually " +
           "exclusive — the feed IS a version range")
-      val from = ci.get("startingversion").map(_.trim.toInt).getOrElse(0)
+      val from = ci.get("startingversion").map(_.trim.toInt - 1).getOrElse(-1)
       val endV = ci.get("endingversion").map(_.trim.toInt)
         .getOrElse(VersionedTable.latestVersion(spark, tableDir))
       return new ChangeFeedRelation(spark, tableDir, from, endV)

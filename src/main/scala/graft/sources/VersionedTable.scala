@@ -1347,6 +1347,126 @@ object VersionedTable {
       m.constraints, m.format)
   }
 
+  /** Generalized MERGE — the Delta clause family over the same COW
+    * kernel as [[merge]]: an ordered list of `WHEN MATCHED [AND cond]
+    * THEN UPDATE SET * | DELETE` clauses (first applicable clause wins,
+    * SQL MERGE order semantics) plus an optional `WHEN NOT MATCHED
+    * [AND cond] THEN INSERT *`. `matched` carries `(condition,
+    * isDelete)` pairs; conditions reference the target row as
+    * `__t.<col>` and the source row as `__s.<col>` (the SQL rule
+    * rebinds them that way). [[merge]] stays the canonical-upsert fast
+    * path — it never scans the whole table's keys, because replacing
+    * every matched row and inserting every source row needs no
+    * matched/not-matched split. This kernel pays that split only when
+    * an insert clause is present (one key-projected scan), requires the
+    * source key-unique whenever a matched clause exists (several source
+    * rows matching one target row would make the applied clause
+    * row-arbitrary — the same contract Delta enforces), and lets a
+    * delete-only merge (`WHEN MATCHED THEN DELETE` — the takedown
+    * idiom) run with a source that carries just the key column.
+    *
+    * Scale: the matched path joins only HIT leaves against the source
+    * on the key (key-partitioned or broadcast — never all-pairs);
+    * inserts are written as new leaves without rewriting the partitions
+    * they land in; untouched leaves carry by reference.
+    */
+  def mergeInto(batch: DataFrame, tableDir: String, partCol: String,
+      keyCol: String, matched: Seq[(Option[Column], Boolean)],
+      insert: Option[Option[Column]]): Unit = withCommitRetry {
+    require(matched.nonEmpty || insert.isDefined,
+      "mergeInto needs at least one clause")
+    val spark = batch.sparkSession
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val cols = specOf(partCol)
+    requireSpec(m, cols, "mergeInto")
+    require(batch.columns.contains(keyCol),
+      s"merge source has no key column '$keyCol' " +
+        s"(${batch.columns.mkString(", ")})")
+    val hasUpdate = matched.exists(!_._2)
+    val needsFullBatch = hasUpdate || insert.isDefined
+    val current = readView(spark, tableDir, m)
+    val tableCols = current.columns.toIndexedSeq
+    // rows an UPDATE/INSERT clause writes come from the source — it must
+    // carry (at least) the table's columns, schema-exact after projection
+    val schema =
+      if (needsFullBatch) {
+        val aligned = batch.select(tableCols.map(col): _*)
+        requireConstraints(aligned, m, "mergeInto")
+        resolveAppendSchema(aligned, spark, tableDir, m,
+          allowEvolution = false)
+      } else m.schema
+    if (matched.nonEmpty)
+      require(batch.groupBy(col(keyCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"merge source has several rows sharing a '$keyCol' value — " +
+          "with matched clauses the applied clause would be " +
+          "row-arbitrary; de-duplicate the source first")
+    val batchKeys = batch.select(keyCol).distinct()
+    // NOT MATCHED = the key is absent from the WHOLE table, so the
+    // insert side pays one key-projected anti-join against the current
+    // view; the insert condition (source-only by SQL rules) filters
+    // before the join
+    val insertRows: Option[DataFrame] = insert.map { condOpt =>
+      condOpt.foldLeft(batch.alias("__s"))(_ filter _)
+        .join(current.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+        .select(tableCols.map(col): _*)
+    }
+    // only partitions holding a MATCHED key rewrite; insert rows land as
+    // new leaves in their partitions without touching existing ones
+    val affected: Set[Seq[String]] =
+      if (matched.isEmpty) Set.empty
+      else current.join(batchKeys, keyCol)
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+    val (sameSpec, foreignM) =
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+    val (hitSame, keptSame) =
+      sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
+    val hitForeign =
+      if (matched.isEmpty) Seq.empty[String]
+      else leavesContaining(spark, tableDir, m, foreignM,
+        _.join(batchKeys, Seq(keyCol), "left_semi"))
+    val hit = hitSame ++ hitForeign
+    val kept = keptSame ++ foreignM.filterNot(hitForeign.toSet)
+    val survivors =
+      if (hit.isEmpty) current.limit(0)
+      else {
+        val t = readView(spark, tableDir, m, onlyLeaves = Some(hit))
+          .alias("__t")
+        val s = batch.withColumn("__vt_merge_m", lit(true)).alias("__s")
+        val j = t.join(s, col(s"__t.$keyCol") === col(s"__s.$keyCol"),
+          "left_outer")
+        val isMatched = coalesce(col("__s.__vt_merge_m"), lit(false))
+        // first-applicable-clause-wins: applies(i) = matched ∧ cond_i ∧
+        // no earlier clause's condition held
+        var priorHeld: Column = lit(false)
+        val applies = matched.map { case (condOpt, _) =>
+          val holds = isMatched && condOpt.getOrElse(lit(true))
+          val a = holds && !priorHeld
+          priorHeld = priorHeld || holds
+          a
+        }
+        def anyOf(isDelete: Boolean): Column =
+          matched.zip(applies)
+            .collect { case ((_, d), a) if d == isDelete => a }
+            .reduceOption(_ || _).getOrElse(lit(false))
+        val updApplies = anyOf(isDelete = false)
+        val outCols = tableCols.map { c =>
+          if (hasUpdate)
+            when(updApplies, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
+          else col(s"__t.$c").as(c)
+        }
+        j.filter(!anyOf(isDelete = true)).select(outCols: _*)
+      }
+    val rewritten = insertRows.foldLeft(survivors)(_ unionByName _)
+    writeManifest(spark, tableDir, v,
+      kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
+      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, cols,
+      m.constraints, m.format)
+  }
+
   /** CDC between two snapshots: full-outer join on `keyCol`, content
     * compared via a caller-supplied deterministic fingerprint column list
     * (stringable columns — no raw doubles: float formatting is engine-
@@ -1392,14 +1512,40 @@ object VersionedTable {
   def changeFeed(spark: SparkSession, tableDir: String,
       fromV: Int, toV: Int): DataFrame = {
     require(fromV <= toV, s"changeFeed needs fromV <= toV ($fromV > $toV)")
-    (fromV + 1 to toV).map(v => changeStep(spark, tableDir, v))
+    require(fromV >= -1,
+      s"changeFeed fromV must be >= -1 (-1 = include version 0's " +
+        s"initial snapshot as inserts) — got $fromV")
+    // every step aligns to the range-END schema, so a range crossing a
+    // schema-evolution commit unions cleanly: pre-evolution change rows
+    // read null in the later-added columns, exactly what a
+    // post-evolution scan of the old rows returns
+    val mEnd = readManifestFull(spark, tableDir, toV)
+    val endSchema: StructType = mEnd.schemaOpt.getOrElse(
+      readVersion(spark, tableDir, toV).schema)
+    (fromV + 1 to toV).map(v => changeStep(spark, tableDir, v, endSchema))
       .reduceOption(_ unionByName _)
-      .getOrElse(changeStep(spark, tableDir, toV).limit(0))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        VersionedChangeFeedSource.feedSchema(endSchema)))
   }
 
-  /** One commit's change rows (version `toV` vs `toV - 1`). */
+  /** One commit's change rows (version `toV` vs `toV - 1`), aligned to
+    * `schema` (the caller's range-end schema). Version 0 has no
+    * predecessor: its change rows are the initial snapshot as inserts —
+    * what makes `fromV = -1` (and an inclusive batch
+    * `startingVersion = 0`) mean "the table's whole history".
+    */
   private[sources] def changeStep(spark: SparkSession, tableDir: String,
-      toV: Int): DataFrame = {
+      toV: Int, schema: StructType): DataFrame = {
+    def aligned(df: DataFrame): DataFrame =
+      df.select(schema.fields.toIndexedSeq.map { fld =>
+        if (df.columns.contains(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
+    if (toV == 0)
+      return aligned(readVersion(spark, tableDir, 0))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
     val mf = readManifestFull(spark, tableDir, toV - 1)
     val mt = readManifestFull(spark, tableDir, toV)
     val removed = mf.leaves.toSet -- mt.leaves.toSet
@@ -1412,22 +1558,15 @@ object VersionedTable {
         .intersect(mf.leaves.toSet.intersect(mt.leaves.toSet))
     val touchedFrom = (removed ++ commonTouched).toSeq.sorted
     val touchedTo = (added ++ commonTouched).toSeq.sorted
-    val schema: StructType = mt.schemaOpt.orElse(mf.schemaOpt).getOrElse(
-      readVersion(spark, tableDir, toV).schema)
     def slice(m: VManifest, leaves: Seq[String]): DataFrame =
       if (leaves.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        // an evolution commit's FROM side lacks the new columns — align
-        // both sides to the TO schema (missing columns read as null,
-        // exactly what a post-evolution scan of the old rows returns)
-        val df = readView(spark, tableDir, m, onlyLeaves = Some(leaves))
-        df.select(schema.fields.toIndexedSeq.map { fld =>
-          if (df.columns.contains(fld.name)) col(fld.name)
-          else lit(null).cast(fld.dataType).as(fld.name)
-        }: _*)
-      }
+      else
+        // a pre-evolution side lacks the later-added columns — aligning
+        // to the range-end schema reads them as null on both sides, so
+        // unchanged rows still cancel in the diff
+        aligned(readView(spark, tableDir, m, onlyLeaves = Some(leaves)))
     val old = slice(mf, touchedFrom)
     val nw = slice(mt, touchedTo)
     // ONE-pass multiset diff: tag each side ±1, group by the full row,
@@ -1599,7 +1738,7 @@ object VersionedTable {
         .select(cols.map(c => col(c).cast("string")): _*)
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSeq
-    (metaTuples ++ scanned).distinct.sortBy(_.mkString(" "))
+    (metaTuples ++ scanned).distinct.sortBy(_.mkString("\u0000"))
   }
 
   /** The head's (name, check-expression) constraint pairs. */

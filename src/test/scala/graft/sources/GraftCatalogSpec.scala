@@ -152,12 +152,65 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, "ACTIVE", 10L), (2L, "MERGED", 222L),
       (3L, "ACTIVE", 30L), (4L, "INACTIVE", 40L), (9L, "NEW", 90L)))
+    // an assignment that keeps the TARGET's value must refuse: merge
+    // replaces the whole matched row with the source row, so accepting
+    // `SET amount = t.amount` would silently write the source's amount
     val e = intercept[UnsupportedOperationException] {
       spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
         ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET status = s.status, amount = t.amount
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("source"), e.getMessage)
+    val bySource = intercept[UnsupportedOperationException] {
+      spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
+  test("MERGE clause family: matched DELETE (takedown idiom, key-only " +
+      "source), clause conditions, first-clause-wins ordering, " +
+      "conditional INSERT") {
+    val dir = mkTable()
+    // WHEN MATCHED THEN DELETE with a source carrying ONLY the key
+    Seq(2L, 9L).toDF("id").createOrReplaceTempView("del_ids")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING del_ids s
+      ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
+    // conditional clauses, first applicable wins: id=1 (amount 10 < 100)
+    // deletes; id=3 (amount 30, no delete cond) updates from source;
+    // id=77 inserts only when its status passes the insert condition
+    Seq((1L, "a", "SRC", 100L), (3L, "b", "SRC", 25L),
+      (77L, "c", "NEW", 70L), (88L, "c", "SKIP", 80L))
+      .toDF("id", "kind", "status", "amount")
+      .createOrReplaceTempView("cond_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING cond_src s
+      ON t.id = s.id
+      WHEN MATCHED AND t.amount < s.amount THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.status != 'SKIP' THEN INSERT *""")
+    val got = v1(dir).orderBy("id")
+      .select("id", "status", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((3L, "SRC", 25L), (4L, "INACTIVE", 40L),
+      (77L, "NEW", 70L)))
+    // several source rows matching one target key refuse loudly
+    Seq((4L, "b", "X", 1L), (4L, "b", "Y", 2L))
+      .toDF("id", "kind", "status", "amount")
+      .createOrReplaceTempView("dup_src")
+    val dup = intercept[Exception] {
+      spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING dup_src s
+        ON t.id = s.id
         WHEN MATCHED THEN DELETE""")
     }
-    assert(e.getMessage.contains("canonical upsert"))
+    assert(dup.getMessage.contains("de-duplicate"), dup.getMessage)
+    // every clause commit is a version — history intact
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
 
   test("time-traveled tables refuse every mutation; legacy no-spec " +

@@ -128,7 +128,19 @@ class ChangeFeedSpec extends AnyFunSuite {
       .option("readChangeFeed", "true")
       .option("startingVersion", "0").option("endingVersion", "2")
       .load(dir)
+    // startingVersion is INCLUSIVE (the streams' and Delta's reading of
+    // the option): version 0's changes are its initial snapshot as
+    // insert rows at commit 0
     assert(triples(viaOption) ===
+      triples(VersionedTable.changeFeed(spark, dir, -1, 2)))
+    assert(triples(viaOption) === Seq(
+      ("insert", 1L, 0L), ("insert", 2L, 0L),
+      ("insert", 3L, 1L), ("delete", 1L, 2L)))
+    // startingVersion=1 = changes of v1..head, the library's (0, head]
+    val fromOne = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(dir)
+    assert(triples(fromOne) ===
       triples(VersionedTable.changeFeed(spark, dir, 0, 2)))
     // endingVersion defaults to head; startingVersion to 0
     val defaulted = spark.read.format("graft-snapshot")
@@ -155,5 +167,27 @@ class ChangeFeedSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
       .toSeq
     assert(rows === Seq(("delete", 1L, None)))
+    // a RANGE crossing the evolution commit: every step aligns to the
+    // range-end schema, so the union is clean and pre-evolution rows
+    // read null in the added column
+    val range = VersionedTable.changeFeed(spark, dir, -1, 2)
+      .select("_change_type", "id", "tag", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)),
+        r.getLong(3)))
+      .toSeq.sortBy(t => (t._4, t._1, t._2))
+    assert(range === Seq(
+      ("insert", 1L, None, 0L), ("insert", 2L, Some("x"), 1L),
+      ("delete", 1L, None, 2L)))
+  }
+
+  test("empty range on a fresh v0-only table is an empty feed, not a " +
+      "missing-manifest error; fromV=-1 yields the v0 snapshot as inserts") {
+    val dir = newTable((1L, "2024-01-01", 10L))
+    val empty = VersionedTable.changeFeed(spark, dir, 0, 0)
+    assert(empty.columns.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    assert(empty.count() === 0L)
+    assert(triples(VersionedTable.changeFeed(spark, dir, -1, 0))
+      === Seq(("insert", 1L, 0L)))
   }
 }
