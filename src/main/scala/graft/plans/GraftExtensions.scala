@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DELETE FROM / UPDATE / MERGE INTO over graft.`dir` catalog tables
     // route to the library's copy-on-write executors (see GraftDmlRule)
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    // AFTER the DML rule: every remaining (pure-read) V2 relation over a
+    // graft table swaps to the vectorized V1 LogicalRelation — catalog
+    // SELECTs plan FileSourceScanExec inside WholeStageCodegen instead
+    // of the per-row V1Scan conversion (see GraftV2ReadRule)
+    ext.injectPostHocResolutionRule(session => new GraftV2ReadRule(session))
     // SQL INSERT INTO/OVERWRITE against a registered graft-snapshot table
     // resolves to InsertIntoHadoopFsRelationCommand, which writes files
     // into the table dir OUTSIDE any manifest — committed-looking,

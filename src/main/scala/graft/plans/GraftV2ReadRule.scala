@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.GraftV2Table
+
+/** Vectorized reads through the DSv2 catalog: rewrite every PURE-READ
+  * `DataSourceV2Relation` over a [[GraftV2Table]] into the V1
+  * `graft-snapshot` `LogicalRelation` — the inverse hand-off of
+  * [[GraftDmlRule]], registered immediately AFTER it in the post-hoc
+  * resolution batch so DML targets are already translated to commands
+  * by the time this rule walks the plan.
+  *
+  * Why: the catalog's own scan path is a [[org.apache.spark.sql
+  * .connector.read.V1Scan]] delegation whose `buildScan` hands Spark an
+  * `RDD[Row]` — planned as `RowDataSourceScanExec`, a per-row
+  * InternalRow↔Row conversion with no columnar batches and no
+  * WholeStageCodegen input. Pruning and pushdown are intact there (the
+  * filters and projection are applied inside the inner V1 frame), so
+  * I/O is right, but a 100 TB `SELECT` typed against the same
+  * identifier the user just ran `DELETE FROM` on would pay a
+  * non-vectorized CPU path. After this rewrite the SELECT plans a
+  * `FileSourceScanExec` over the manifest file index — vectorized
+  * parquet/ORC batches inside WholeStageCodegen, identical pruning —
+  * so the V1Scan delegation remains only as the extension-less
+  * fallback surface.
+  *
+  * Scope guards (each deliberate):
+  *   - DML roots (`DeleteFromTable`/`UpdateTable`) keep their V2 target
+  *     untouched — anything [[GraftDmlRule]] left unconverted belongs
+  *     to Spark's own handling; `MergeIntoTable` rewrites only its
+  *     SOURCE side (the target must stay a V2 relation for the rule
+  *     machinery).
+  *   - V2 write commands (`AppendData`, `OverwriteByExpression`,
+  *     `OverwritePartitionsDynamic`) hold their target as a FIELD, not
+  *     a child, so recursing through children rewrites only the query
+  *     side — the write path structurally cannot lose its table.
+  *   - The rewrite preserves the relation's output attribute ids via
+  *     aliases (name- and type-matched against the V1 relation), so
+  *     every parent expression stays resolved; any mismatch (e.g. a
+  *     legacy manifest whose inferred schema drifts) falls back to the
+  *     correct-but-slower V2 path instead of failing.
+  *   - Time travel is already pinned in the table instance
+  *     ([[GraftV2Table.resolvedVersion]]); the V1 relation reads the
+  *     same version via `versionAsOf`, and an unpinned table pins the
+  *     head version HERE, at analysis — snapshot isolation for the
+  *     whole statement.
+  *   - Subquery plans rewrite too ([[SubqueryExpression.withNewPlan]]):
+  *     a scalar/IN subquery over a catalog table is a read like any
+  *     other.
+  */
+class GraftV2ReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    // ALTER TABLE ADD CONSTRAINT: the node's child is Spark's
+    // existing-rows validation scan and the V2 strategy pattern-matches
+    // the relation inside it — swapping it would leave the command
+    // unplannable. A one-shot metadata-sized scan keeps the V2 path.
+    case a: AddConstraint => a
+    case a: AddCheckConstraint => a
+    case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftV2Table => toV1(r, t).getOrElse(r)
+      case _ => r
+    }
+    case other =>
+      other.withNewChildren(other.children.map(rewrite))
+        .transformExpressions {
+          case s: SubqueryExpression => s.withNewPlan(rewrite(s.plan))
+        }
+  }
+
+  /** The V1 `graft-snapshot` relation at the table's resolved version,
+    * projected back onto the V2 relation's exact output attributes
+    * (same names, same exprIds — parents never notice the swap). None
+    * when any output column fails to line up by name+type: the V2 path
+    * is correct, just slower, and a silent mis-bind would not be.
+    */
+  private def toV1(r: DataSourceV2Relation,
+      t: GraftV2Table): Option[LogicalPlan] = {
+    val v1 = session.read.format("graft-snapshot")
+      .option("versionAsOf", t.resolvedVersion.toString)
+      .load(t.tableDir)
+      .queryExecution.analyzed
+    val byName = v1.output.map(a => a.name -> a).toMap
+    val aliases = r.output.map { old =>
+      byName.get(old.name).filter(_.dataType == old.dataType)
+        .map(a => Alias(a, old.name)(exprId = old.exprId))
+    }
+    if (aliases.exists(_.isEmpty)) None
+    else Some(Project(aliases.map(_.get), v1))
+  }
+}
