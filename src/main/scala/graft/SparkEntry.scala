@@ -333,6 +333,7 @@ object SparkEntry {
     "snapshot_orc" -> (sources.VersionedTable.snapshotOrc _),
     "snapshot_convert_format" -> (sources.VersionedTable.snapshotConvertFormat _),
     "snapshot_sql_dml" -> (sources.VersionedTable.snapshotSqlDml _),
+    "snapshot_sql_subquery" -> (sources.VersionedTable.snapshotSqlSubquery _),
     "snapshot_change_feed" -> (sources.VersionedTable.snapshotChangeFeed _)
   )
 
@@ -507,6 +508,7 @@ object SparkEntry {
     "snapshot_orc" -> sources.VersionedTable.snapshotOrcSql(),
     "snapshot_convert_format" -> sources.VersionedTable.snapshotConvertFormatSql(),
     "snapshot_sql_dml" -> sources.VersionedTable.snapshotSqlDmlSql(),
+    "snapshot_sql_subquery" -> sources.VersionedTable.snapshotSqlSubquerySql(),
     "snapshot_change_feed" -> sources.VersionedTable.snapshotChangeFeedSql()
   )
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, InSubquery, ListQuery, Literal, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -33,9 +33,13 @@ import graft.sources.{GraftV2Table, VersionedTable}
   * Conditions are rebound by NAME (attribute refs → unresolved
   * attributes) and re-resolved against the freshly-planned current
   * frame inside the executors — exprIds from the analyzed statement
-  * cannot leak into a different plan. Subquery conditions are refused
-  * loudly (a correlated delete needs a join rewrite, not a silent
-  * mis-evaluation).
+  * cannot leak into a different plan. Subqueries: uncorrelated
+  * single-column `col IN (SELECT …)` conjuncts run as JOIN-form
+  * membership ([[VersionedTable.deleteMatching]]/`updateMatching`) and
+  * uncorrelated scalars materialize to literals at run time; every
+  * other shape (correlated, NOT IN, EXISTS, multi-column) refuses
+  * loudly naming itself — each would need a different join rewrite,
+  * and a silent approximation would be worse than the refusal.
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -44,12 +48,16 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftRel(t), cond) if d.resolved =>
       t.requireMutable("DELETE")
-      requireNoSubquery(cond, "DELETE")
-      GraftDeleteCommand(t.tableDir, t.specString, cond)
+      val (keys, residual) = extractInSubqueries(cond, "DELETE")
+      if (keys.isEmpty) GraftDeleteCommand(t.tableDir, t.specString, cond)
+      else GraftDeleteMatchingCommand(t.tableDir, t.specString, keys,
+        residual)
 
     case u @ UpdateTable(GraftRel(t), assignments, cond) if u.resolved =>
       t.requireMutable("UPDATE")
-      cond.foreach(requireNoSubquery(_, "UPDATE"))
+      val (keys, residual) = cond
+        .map(extractInSubqueries(_, "UPDATE"))
+        .getOrElse((Nil, None))
       val assigns = assignments.map { a =>
         a.key match {
           case k: AttributeReference => k.name -> a.value
@@ -58,9 +66,13 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               "— assign whole top-level columns")
         }
       }
-      assigns.foreach { case (_, v) => requireNoSubquery(v, "UPDATE") }
-      GraftUpdateCommand(t.tableDir, t.specString, assigns,
-        cond.getOrElse(Literal.TrueLiteral))
+      assigns.foreach { case (_, v) =>
+        requireSupportedSubqueries(v, "UPDATE") }
+      if (keys.isEmpty)
+        GraftUpdateCommand(t.tableDir, t.specString, assigns,
+          cond.getOrElse(Literal.TrueLiteral))
+      else GraftUpdateMatchingCommand(t.tableDir, t.specString, assigns,
+        keys, residual)
 
     case m: MergeIntoTable if m.resolved =>
       m.targetTable match {
@@ -103,9 +115,78 @@ private[plans] object GraftDml {
   def requireNoSubquery(e: Expression, op: String): Unit =
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       throw new UnsupportedOperationException(
-        s"$op with a subquery condition is not supported on graft " +
-          "tables — materialize the subquery (e.g. into an IN-list or a " +
-          "joinable frame) and use the library API")
+        s"$op supports subqueries only as UNCORRELATED single-column " +
+          "`col IN (SELECT …)` conjuncts on graft tables — " +
+          s"'${e.sql}' is not one (correlated, NOT IN, scalar and " +
+          "multi-column forms refuse); materialize it into a joinable " +
+          "frame and use the library API")
+
+  /** Accept uncorrelated SCALAR subqueries (they materialize to a
+    * literal at command run time — [[GraftDml.resolveScalars]]); refuse
+    * every other subquery shape, naming it. The distinction from
+    * [[requireNoSubquery]]: residual conjuncts and assignment values CAN
+    * carry a scalar (`amount > (SELECT avg(amount) …)` is a
+    * one-value-then-compare), while a non-conjunct IN / EXISTS /
+    * correlated form would need a join rewrite this path does not do.
+    */
+  def requireSupportedSubqueries(e: Expression, op: String): Unit =
+    e.foreach {
+      case s: ScalarSubquery if s.outerAttrs.isEmpty => ()
+      case s: SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          s"$op supports only UNCORRELATED `col IN (SELECT …)` conjuncts " +
+            s"and UNCORRELATED scalar subqueries on graft tables — " +
+            s"'${s.sql}' is neither (correlated, NOT IN, EXISTS and " +
+            "multi-column forms refuse); materialize it into a joinable " +
+            "frame and use the library API")
+      case _ => ()
+    }
+
+  /** Evaluate every uncorrelated scalar subquery in `e` to a literal —
+    * run-time companion of [[requireSupportedSubqueries]]. SQL scalar
+    * semantics: empty result is NULL, more than one row refuses.
+    */
+  def resolveScalars(spark: SparkSession, e: Expression): Expression =
+    e.transform {
+      case s: ScalarSubquery if s.outerAttrs.isEmpty =>
+        val rows = GraftSqlBridge.ofRows(spark, s.plan).take(2)
+        require(rows.length <= 1,
+          "scalar subquery in a DML condition returned more than one row")
+        val value = if (rows.isEmpty) null else rows.head.get(0)
+        Literal.create(value, s.dataType)
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Decompose a DML condition into uncorrelated single-column
+    * `attr IN (subquery)` conjuncts — each becomes a (key name,
+    * subquery plan) pair the command executors turn into a JOIN-form
+    * membership test ([[VersionedTable.deleteMatching]] /
+    * [[VersionedTable.updateMatching]]) — plus the residual, in which
+    * only uncorrelated SCALAR subqueries may remain (they materialize
+    * at run time). Any other subquery shape (correlated, `NOT IN`,
+    * multi-column tuples) refuses loudly: each would need a different
+    * rewrite (a join with outer references / null-aware anti-join /
+    * scalar materialization) and a silent approximation of their
+    * semantics is worse than the refusal.
+    */
+  def extractInSubqueries(cond: Expression, op: String)
+      : (Seq[(String, LogicalPlan)], Option[Expression]) = {
+    val (ins, rest) = splitConjuncts(cond).partition {
+      case InSubquery(Seq(_: AttributeReference), l: ListQuery) =>
+        l.outerAttrs.isEmpty
+      case _ => false
+    }
+    rest.foreach(requireSupportedSubqueries(_, op))
+    val keys = ins.collect {
+      case InSubquery(Seq(a: AttributeReference), l: ListQuery) =>
+        a.name -> l.plan
+    }
+    (keys, rest.reduceOption(And))
+  }
 
   /** Rebind a resolved expression by NAME so it re-resolves against the
     * executor's freshly-planned frame.
@@ -124,20 +205,21 @@ private[plans] object GraftDml {
     * exact canonical upsert (one unconditional UPDATE SET * + one
     * unconditional INSERT *) keeps [[VersionedTable.merge]]'s
     * replace-matched-insert-rest fast path; every other shape runs
-    * [[VersionedTable.mergeInto]]'s clause kernel. Still refused, with
-    * the reason named: WITH SCHEMA EVOLUTION, NOT MATCHED BY SOURCE
-    * clauses, non-identity assignments, and subquery conditions.
+    * [[VersionedTable.mergeInto]]'s clause kernel — including
+    * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET …`
+    * (the table-sync idiom; updates assign TARGET-side expressions).
+    * Still refused, with the reason named: WITH SCHEMA EVOLUTION,
+    * non-identity matched/insert assignments, and subquery conditions.
     */
   def translateMerge(m: MergeIntoTable, t: GraftV2Table): LogicalPlan = {
     def refuse(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"MERGE INTO a graft table supports ON t.k = s.k with matched " +
-          s"UPDATE SET */DELETE clauses and NOT MATCHED INSERT * — " +
+          s"UPDATE SET */DELETE clauses, NOT MATCHED INSERT *, and NOT " +
+          s"MATCHED BY SOURCE UPDATE/DELETE — " +
           s"$what is not supported; use VersionedTable.merge/mergeInto " +
           "or explicit DELETE + INSERT")
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE")
     val sourceOut = m.sourceTable.outputSet
     val targetOut = m.targetTable.outputSet
     val key = m.mergeCondition match {
@@ -202,12 +284,34 @@ private[plans] object GraftDml {
         Some(i.condition.map(c => GraftSqlBridge.column(qualified(c))))
       case other => refuse(s"not-matched actions $other")
     }
-    (matched, insert) match {
-      case (Seq((None, false)), Some(None)) =>
+    // NOT MATCHED BY SOURCE: clauses over target rows with no source
+    // match — DELETE (the table-sync idiom) or UPDATE with TARGET-side
+    // assignments (SQL forbids source references here; Spark's analyzer
+    // enforces it, `qualified` maps what remains to `__t`)
+    val bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] =
+      m.notMatchedBySourceActions.map {
+        case u: UpdateAction =>
+          val assigns = u.assignments.map { a =>
+            a.key match {
+              case k: AttributeReference =>
+                k.name -> GraftSqlBridge.column(qualified(a.value))
+              case other => refuse("a NOT MATCHED BY SOURCE assignment " +
+                s"to a nested field (${other.sql})")
+            }
+          }
+          (u.condition.map(c => GraftSqlBridge.column(qualified(c))),
+            false, assigns)
+        case d: DeleteAction =>
+          (d.condition.map(c => GraftSqlBridge.column(qualified(c))),
+            true, Seq.empty[(String, Column)])
+        case other => refuse(s"not-matched-by-source action $other")
+      }
+    (matched, insert, bySource) match {
+      case (Seq((None, false)), Some(None), Seq()) =>
         GraftMergeCommand(t.tableDir, t.specString, key, m.sourceTable)
       case _ =>
         GraftMergeClausesCommand(t.tableDir, t.specString, key, matched,
-          insert, m.sourceTable)
+          insert, bySource, m.sourceTable)
     }
   }
 }
@@ -218,7 +322,48 @@ private[plans] object GraftDml {
 case class GraftDeleteCommand(tableDir: String, spec: String,
     cond: Expression) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.delete(spark, tableDir, spec, GraftDml.rebound(cond))
+    VersionedTable.delete(spark, tableDir, spec,
+      GraftDml.rebound(GraftDml.resolveScalars(spark, cond)))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM graft.`dir`` WHERE k IN (SELECT …) [AND …]` — the GDPR
+  * id-list delete as one statement. Each subquery materializes at run
+  * time and the membership test executes as a JOIN inside
+  * [[VersionedTable.deleteMatching]]'s COW kernel; nothing key-set-sized
+  * is ever collected to the driver.
+  */
+case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
+    keys: Seq[(String, LogicalPlan)], residual: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val frames = keys.map { case (k, plan) =>
+      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k)
+    }
+    VersionedTable.deleteMatching(spark, tableDir, spec, frames,
+      residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))))
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.`dir`` SET … WHERE k IN (SELECT …) [AND …]` →
+  * [[VersionedTable.updateMatching]] — same JOIN-form membership as
+  * [[GraftDeleteMatchingCommand]].
+  */
+case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
+    assignments: Seq[(String, Expression)],
+    keys: Seq[(String, LogicalPlan)], residual: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val frames = keys.map { case (k, plan) =>
+      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k)
+    }
+    VersionedTable.updateMatching(spark, tableDir, spec, frames,
+      residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))),
+      assignments.map { case (n, e) =>
+        n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
+      })
     Seq.empty
   }
 }
@@ -228,8 +373,11 @@ case class GraftUpdateCommand(tableDir: String, spec: String,
     assignments: Seq[(String, Expression)], cond: Expression)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.update(spark, tableDir, spec, GraftDml.rebound(cond),
-      assignments.map { case (n, e) => n -> GraftDml.rebound(e) })
+    VersionedTable.update(spark, tableDir, spec,
+      GraftDml.rebound(GraftDml.resolveScalars(spark, cond)),
+      assignments.map { case (n, e) =>
+        n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
+      })
     Seq.empty
   }
 }
@@ -261,17 +409,21 @@ case class GraftMergeCommand(tableDir: String, spec: String,
 }
 
 /** Clause-form `MERGE INTO` (matched UPDATE/DELETE with optional
-  * conditions, optional conditional INSERT) →
-  * [[VersionedTable.mergeInto]]. Conditions arrive pre-rebound to
+  * conditions, optional conditional INSERT, optional NOT MATCHED BY
+  * SOURCE UPDATE/DELETE) → [[VersionedTable.mergeInto]]. Conditions and
+  * by-source assignment values arrive pre-rebound to
   * `__t.<col>`/`__s.<col>` and re-resolve inside the kernel's join.
   */
 case class GraftMergeClausesCommand(tableDir: String, spec: String,
     keyCol: String, matched: Seq[(Option[Column], Boolean)],
-    insert: Option[Option[Column]], source: LogicalPlan)
+    insert: Option[Option[Column]],
+    bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
+    source: LogicalPlan)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val batch = GraftSqlBridge.ofRows(spark, source)
-    VersionedTable.mergeInto(batch, tableDir, spec, keyCol, matched, insert)
+    VersionedTable.mergeInto(batch, tableDir, spec, keyCol, matched,
+      insert, bySource)
     Seq.empty
   }
 }

@@ -664,6 +664,34 @@ object VersionedTable {
       format = Seq(format))
   }
 
+  /** Atomic-CTAS staging, step 1 ([[GraftStagedTable]]): write v0's
+    * data files into the table's own layout WITHOUT publishing a
+    * manifest — no reader can observe the table yet (existence IS the
+    * v0 manifest). Returns the leaf rels for the commit step.
+    */
+  private[sources] def stageCreateData(df: DataFrame, tableDir: String,
+      partCol: String, format: String): Seq[String] = {
+    require(versions(df.sparkSession, tableDir).isEmpty,
+      s"table already exists at $tableDir")
+    writeDataDirCols(df, tableDir, 0, specOf(partCol), format)
+  }
+
+  /** Atomic-CTAS staging, step 2: publish the v0 manifest over the
+    * staged leaves — the single atomic step that makes the table exist.
+    * Re-checks emptiness so a racing CREATE loses loudly instead of
+    * silently overwriting.
+    */
+  private[sources] def commitStagedCreate(spark: SparkSession,
+      tableDir: String, leaves: Seq[String], schema: StructType,
+      partCol: String, format: String): Unit = {
+    require(versions(spark, tableDir).isEmpty,
+      s"concurrent create: a manifest appeared at $tableDir while this " +
+        "CTAS was staging")
+    writeManifest(spark, tableDir, 0, leaves,
+      schema = encodeSchema(schema), partcol = specOf(partCol),
+      format = Seq(format))
+  }
+
   /** Append a batch as a new version: new leaves are ADDED to the live
     * list; existing leaves are untouched (same-partition batches coexist
     * as multiple leaves until [[compact]]). The prior version's delete
@@ -908,7 +936,63 @@ object VersionedTable {
     * two-step contract as Delta's DELETE + VACUUM.
     */
   def delete(spark: SparkSession, tableDir: String, partCol: String,
-      pred: Column): Unit = withCommitRetry {
+      pred: Column): Unit =
+    deleteCore(spark, tableDir, partCol, _.filter(pred),
+      // survivors are the rows where pred is NOT definitely true — SQL
+      // DELETE semantics: a NULL-predicate row survives. `!pred` alone
+      // would drop NULL rows from rewritten leaves while identical rows
+      // in untouched leaves carried over — silently wrong, and
+      // inconsistent with [[deleteMergeOnRead]] (whose filter(pred)
+      // vector write keeps NULL rows by construction).
+      df => df.filter(!coalesce(pred, lit(false))))
+
+  /** Copy-on-write delete keyed on MEMBERSHIP: rows whose `keys`
+    * column values each appear in the paired frame (AND all residual
+    * conjuncts) disappear — the SQL
+    * `DELETE FROM t WHERE k IN (SELECT …) [AND …]` shape, and the
+    * GDPR/takedown id-list delete as one statement. The membership
+    * test is a JOIN, never a collected IN-list: the key frames can be
+    * table-sized (Spark broadcasts small ones automatically), nothing
+    * key-set-sized ever lands on the driver.
+    */
+  def deleteMatching(spark: SparkSession, tableDir: String,
+      partCol: String, keys: Seq[(String, DataFrame)],
+      residual: Option[Column]): Unit = {
+    require(keys.nonEmpty, "deleteMatching needs at least one key frame")
+    val res = residual.getOrElse(lit(true))
+    def hits(df: DataFrame): DataFrame =
+      keys.foldLeft(df.filter(res)) { case (acc, (k, kdf)) =>
+        acc.join(kdf.select(col(k)).distinct(), Seq(k), "left_semi")
+      }
+    // survivor iff NOT (residual definitely true AND every key matched):
+    // one left-join marker per key frame, a single pass over hit leaves
+    def keep(df: DataFrame): DataFrame = {
+      val out = df.columns.toIndexedSeq
+      var acc = df
+      val markers = keys.zipWithIndex.map { case ((k, kdf), i) =>
+        val mCol = s"__vt_in_hit_$i"
+        acc = acc.join(
+          kdf.select(col(k)).distinct().withColumn(mCol, lit(1)),
+          Seq(k), "left")
+        mCol
+      }
+      val matchedAll = markers.map(col(_).isNotNull).reduce(_ && _)
+      acc.filter(!(coalesce(res, lit(false)) && matchedAll))
+        .select(out.map(col): _*) // using-joins reorder; restore schema order
+    }
+    deleteCore(spark, tableDir, partCol, hits, keep)
+  }
+
+  /** The COW delete kernel shared by [[delete]] (predicate form) and
+    * [[deleteMatching]] (key-membership form): `hits` selects the rows
+    * to remove (drives the affected-tuple probe and foreign-leaf
+    * discovery), `keep` selects the survivors of a hit leaf — the two
+    * must partition every row between them under SQL's three-valued
+    * logic (a row neither definitely hit nor kept would vanish).
+    */
+  private def deleteCore(spark: SparkSession, tableDir: String,
+      partCol: String, hits: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val cols = specOf(partCol)
@@ -917,7 +1001,7 @@ object VersionedTable {
     // affected partition VALUE TUPLES (one value per spec column, spec
     // order): metadata-sized driver list (the reference core's
     // identifyAffectedPartitions shape)
-    val affected: Set[Seq[String]] = current.filter(pred)
+    val affected: Set[Seq[String]] = hits(current)
       .select(cols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => cols.indices.map(r.getString): Seq[String]).toSet
@@ -936,8 +1020,7 @@ object VersionedTable {
       m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
     val (hitSame, keptSame) =
       sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
-    val hitForeign = leavesContaining(spark, tableDir, m, foreign,
-      _.filter(pred))
+    val hitForeign = leavesContaining(spark, tableDir, m, foreign, hits)
     val hit = hitSame ++ hitForeign
     val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
     // survivors come from the VECTOR-APPLIED view of the hit leaves — a
@@ -945,8 +1028,7 @@ object VersionedTable {
     // delete already removed. Vector entries pointing at the rewritten
     // (now-unreferenced) leaves become inert; [[compact]]/[[vacuum]] fold
     // and erase them.
-    val survivors = readView(spark, tableDir, m, onlyLeaves = Some(hit))
-      .filter(!pred)
+    val survivors = keep(readView(spark, tableDir, m, onlyLeaves = Some(hit)))
     val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
       m.dirty.filter(kept.contains), m.txns, m.schema, cols,
@@ -967,6 +1049,46 @@ object VersionedTable {
     */
   def update(spark: SparkSession, tableDir: String, partCol: String,
       cond: Column, assignments: Seq[(String, Column)]): Unit =
+    updateCore(spark, tableDir, partCol, df => (df, cond), assignments)
+
+  /** Copy-on-write UPDATE keyed on MEMBERSHIP — the SQL
+    * `UPDATE t SET … WHERE k IN (SELECT …) [AND …]` shape: rows whose
+    * `keys` column values each appear in the paired frame (AND all
+    * residual conjuncts) take the assignments, every other row carries
+    * verbatim. Membership is a JOIN (left-join markers), never a
+    * collected IN-list — same scale contract as [[deleteMatching]].
+    */
+  def updateMatching(spark: SparkSession, tableDir: String,
+      partCol: String, keys: Seq[(String, DataFrame)],
+      residual: Option[Column],
+      assignments: Seq[(String, Column)]): Unit = {
+    require(keys.nonEmpty, "updateMatching needs at least one key frame")
+    val res = residual.getOrElse(lit(true))
+    def prepare(df: DataFrame): (DataFrame, Column) = {
+      var acc = df
+      val markers = keys.zipWithIndex.map { case ((k, kdf), i) =>
+        val mCol = s"__vt_in_hit_$i"
+        acc = acc.join(
+          kdf.select(col(k)).distinct().withColumn(mCol, lit(1)),
+          Seq(k), "left")
+        mCol
+      }
+      val matchedAll = markers.map(col(_).isNotNull).reduce(_ && _)
+      (acc, res && matchedAll)
+    }
+    updateCore(spark, tableDir, partCol, prepare, assignments)
+  }
+
+  /** The COW update kernel shared by [[update]] and [[updateMatching]]:
+    * `prepare` maps the table frame to (an augmented frame, the
+    * effective condition column over it) — the predicate form augments
+    * nothing; the membership form adds join markers. The final select
+    * projects exactly the table's own columns, so helper columns never
+    * reach a data file.
+    */
+  private def updateCore(spark: SparkSession, tableDir: String,
+      partCol: String, prepare: DataFrame => (DataFrame, Column),
+      assignments: Seq[(String, Column)]): Unit =
     withCommitRetry {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
@@ -980,7 +1102,8 @@ object VersionedTable {
       assignMap.keys.foreach(n => require(current.columns.contains(n),
         s"UPDATE target column '$n' is not in the table schema " +
           s"${current.columns.mkString("(", ", ", ")")}"))
-      val affected: Set[Seq[String]] = current.filter(cond)
+      val (probe, probeCond) = prepare(current)
+      val affected: Set[Seq[String]] = probe.filter(probeCond)
         .select(cols.map(c => col(c).cast("string")): _*)
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
@@ -994,11 +1117,12 @@ object VersionedTable {
       val (hitSame, keptSame) =
         sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
       val hitForeign = leavesContaining(spark, tableDir, m, foreign,
-        _.filter(cond))
+        df => { val (f, c) = prepare(df); f.filter(c) })
       val hit = hitSame ++ hitForeign
       val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
       val view = readView(spark, tableDir, m, onlyLeaves = Some(hit))
       val types = view.schema.fields.map(f => f.name -> f.dataType).toMap
+      val (aug, cond) = prepare(view)
       val outCols = view.columns.toIndexedSeq.map { c =>
         assignMap.get(c) match {
           case Some(value) =>
@@ -1006,7 +1130,9 @@ object VersionedTable {
           case None => col(c)
         }
       }
-      val updated = view.select(outCols: _*)
+      // projecting the VIEW's columns only: helper (marker) columns the
+      // membership form joined on never reach a data file
+      val updated = aug.select(outCols: _*)
       requireConstraints(updated, m, "update")
       val newLeaves = writeDataDirCols(updated, tableDir, v, cols, m.fmt)
       writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
@@ -1369,11 +1495,22 @@ object VersionedTable {
     * on the key (key-partitioned or broadcast — never all-pairs);
     * inserts are written as new leaves without rewriting the partitions
     * they land in; untouched leaves carry by reference.
+    *
+    * `bySource` carries `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * DELETE | UPDATE SET …` clauses as (condition, isDelete,
+    * assignments) triples — the table-sync idiom: clauses fire on
+    * TARGET rows whose key has no source match, first-applicable wins,
+    * updates assign target-side expressions column-wise. Their
+    * partition probe is the anti-join complement of the matched probe
+    * (restricted to rows some by-source condition definitely hits), so
+    * a conditioned sync still rewrites only the partitions it touches.
     */
   def mergeInto(batch: DataFrame, tableDir: String, partCol: String,
       keyCol: String, matched: Seq[(Option[Column], Boolean)],
-      insert: Option[Option[Column]]): Unit = withCommitRetry {
-    require(matched.nonEmpty || insert.isDefined,
+      insert: Option[Option[Column]],
+      bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] = Nil)
+      : Unit = withCommitRetry {
+    require(matched.nonEmpty || insert.isDefined || bySource.nonEmpty,
       "mergeInto needs at least one clause")
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
@@ -1412,22 +1549,55 @@ object VersionedTable {
         .join(current.select(keyCol).distinct(), Seq(keyCol), "left_anti")
         .select(tableCols.map(col): _*)
     }
-    // only partitions holding a MATCHED key rewrite; insert rows land as
-    // new leaves in their partitions without touching existing ones
-    val affected: Set[Seq[String]] =
+    // clause conditions follow SQL three-valued logic: a clause APPLIES
+    // only when its condition is definitely TRUE (a NULL condition must
+    // not fire a DELETE — the raw `holds && !prior` would otherwise
+    // reach the survivor filter as NULL and silently drop the row)
+    def definitely(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(true)), lit(false))
+    // any NOT-MATCHED-BY-SOURCE clause may fire on any unmatched target
+    // row — its partition probe is the anti-join complement of the
+    // matched probe, restricted to rows some by-source condition hits
+    val anyBySource: Option[Column] =
+      if (bySource.isEmpty) None
+      else Some(bySource.map(c => definitely(c._1)).reduce(_ || _))
+    // only partitions holding a MATCHED key (or a by-source hit) rewrite;
+    // insert rows land as new leaves without touching existing ones
+    val affectedMatched: Set[Seq[String]] =
       if (matched.isEmpty) Set.empty
       else current.join(batchKeys, keyCol)
         .select(cols.map(c => col(c).cast("string")): _*)
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+    // probes alias the target frame as `__t`: by-source conditions are
+    // pre-qualified to `__t.<col>` by the SQL translation
+    val affectedBySource: Set[Seq[String]] = anyBySource.map { cond =>
+      current.alias("__t").join(batchKeys, Seq(keyCol), "left_anti")
+        .filter(cond)
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+    }.getOrElse(Set.empty)
+    val affected = affectedMatched ++ affectedBySource
     val (sameSpec, foreignM) =
       m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
     val (hitSame, keptSame) =
       sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign =
-      if (matched.isEmpty) Seq.empty[String]
-      else leavesContaining(spark, tableDir, m, foreignM,
-        _.join(batchKeys, Seq(keyCol), "left_semi"))
+      if (matched.isEmpty && bySource.isEmpty) Seq.empty[String]
+      else leavesContaining(spark, tableDir, m, foreignM, df =>
+        anyBySource match {
+          case None => df.join(batchKeys, Seq(keyCol), "left_semi")
+          case Some(cond) =>
+            val marked = df.alias("__t").join(
+              batchKeys.withColumn("__vt_merge_k", lit(1)),
+              Seq(keyCol), "left")
+            val hitExpr =
+              if (matched.isEmpty) col("__vt_merge_k").isNull && cond
+              else col("__vt_merge_k").isNotNull ||
+                (col("__vt_merge_k").isNull && cond)
+            marked.filter(hitExpr)
+        })
     val hit = hitSame ++ hitForeign
     val kept = keptSame ++ foreignM.filterNot(hitForeign.toSet)
     val survivors =
@@ -1440,10 +1610,11 @@ object VersionedTable {
           "left_outer")
         val isMatched = coalesce(col("__s.__vt_merge_m"), lit(false))
         // first-applicable-clause-wins: applies(i) = matched ∧ cond_i ∧
-        // no earlier clause's condition held
+        // no earlier clause's condition held (conditions gate through
+        // `definitely` — a NULL condition never fires a clause)
         var priorHeld: Column = lit(false)
         val applies = matched.map { case (condOpt, _) =>
-          val holds = isMatched && condOpt.getOrElse(lit(true))
+          val holds = isMatched && definitely(condOpt)
           val a = holds && !priorHeld
           priorHeld = priorHeld || holds
           a
@@ -1452,15 +1623,45 @@ object VersionedTable {
           matched.zip(applies)
             .collect { case ((_, d), a) if d == isDelete => a }
             .reduceOption(_ || _).getOrElse(lit(false))
-        val updApplies = anyOf(isDelete = false)
-        val outCols = tableCols.map { c =>
-          if (hasUpdate)
-            when(updApplies, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
-          else col(s"__t.$c").as(c)
+        // the NOT-MATCHED-BY-SOURCE side: same first-wins ladder over
+        // the UNmatched target rows; updates assign target-side
+        // expressions column-wise (never the source row)
+        var priorHeldB: Column = lit(false)
+        val appliesB = bySource.map { case (condOpt, _, _) =>
+          val holds = !isMatched && definitely(condOpt)
+          val a = holds && !priorHeldB
+          priorHeldB = priorHeldB || holds
+          a
         }
-        j.filter(!anyOf(isDelete = true)).select(outCols: _*)
+        def anyOfB(isDelete: Boolean): Column =
+          bySource.zip(appliesB)
+            .collect { case ((_, d, _), a) if d == isDelete => a }
+            .reduceOption(_ || _).getOrElse(lit(false))
+        val updApplies = anyOf(isDelete = false)
+        val types = current.schema.fields.map(f => f.name -> f.dataType).toMap
+        val outCols = tableCols.map { c =>
+          var e: Column = col(s"__t.$c")
+          // reverse order so the FIRST by-source clause ends outermost
+          bySource.zip(appliesB).reverse.foreach {
+            case ((_, isDel, assigns), a) if !isDel =>
+              assigns.toMap.get(c).foreach { v =>
+                e = when(a, v.cast(types(c))).otherwise(e)
+              }
+            case _ => ()
+          }
+          if (hasUpdate) e = when(updApplies, col(s"__s.$c")).otherwise(e)
+          e.as(c)
+        }
+        j.filter(!anyOf(isDelete = true) && !anyOfB(isDelete = true))
+          .select(outCols: _*)
       }
     val rewritten = insertRows.foldLeft(survivors)(_ unionByName _)
+    // by-source UPDATEs synthesize new row values outside the batch's
+    // own constraint pass — re-validate the rewritten rows like the
+    // update kernel does
+    if (bySource.exists(b => !b._2 && b._3.nonEmpty))
+      requireConstraints(rewritten, m,
+        "mergeInto (NOT MATCHED BY SOURCE update)")
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
       m.deletes, m.dirty.filter(kept.contains), m.txns, schema, cols,
@@ -1655,6 +1856,46 @@ object VersionedTable {
     }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
       m.schema, cols, m.constraints, m.format)
+  }
+
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY evolution commit: the
+    * manifest schema widens with the new nullable columns, every leaf
+    * carries by reference, and reads project old leaves through the
+    * widened schema so pre-evolution rows fill the new columns with
+    * nulls — the same contract append-evolution establishes
+    * ([[resolveAppendSchema]]), without requiring a data batch. The
+    * next append may then carry the column. A legacy manifest (no
+    * recorded schema) first pins the inferred schema it widens — the
+    * read path needs a recorded schema to null-fill against.
+    */
+  def addColumns(spark: SparkSession, tableDir: String,
+      newCols: Seq[(String, DataType)]): Unit = withCommitRetry {
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(newCols.map(_._1).distinct.size == newCols.size,
+      s"duplicate column names in ${newCols.map(_._1)}")
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    val table: Seq[(String, String)] =
+      if (m.schema.nonEmpty) decodeSchemaPairs(m.schema)
+      else {
+        require(m.leaves.nonEmpty,
+          s"table $tableDir has no recorded schema and no data to infer " +
+            "it from — ADD COLUMNS needs one or the other")
+        readLeaves(spark, tableDir, m.leaves.take(1), None, m.fmt)
+          .schema.fields.toSeq
+          .map(f => (f.name, f.dataType.catalogString))
+      }
+    val existing = table.map(_._1).toSet
+    newCols.foreach { case (n, _) => require(!existing.contains(n),
+      s"column '$n' already exists at $tableDir") }
+    val widened = (table ++ newCols.map { case (n, dt) =>
+      (n, dt.catalogString)
+    }).map { case (n, t) =>
+      java.net.URLEncoder.encode(n, "UTF-8") + ":" +
+        java.net.URLEncoder.encode(t, "UTF-8")
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+      widened, m.partcol, m.constraints, m.format)
   }
 
   /** ADD CONSTRAINT — record a named CHECK constraint (a boolean SQL
@@ -3012,6 +3253,71 @@ object VersionedTable {
       |SELECT version, count(*) AS n_rows,
       |       CAST(sum(micros) AS BIGINT) AS sum_micros,
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM u GROUP BY version ORDER BY version""".stripMargin
+
+  /** Oracle-gated SUBQUERY-DML + SYNC entry: the GDPR statement shape —
+    * `DELETE FROM t WHERE user_id IN (SELECT …)` and the matching
+    * `UPDATE … WHERE … IN (SELECT …)` — running the JOIN-form
+    * membership kernels ([[deleteMatching]]/[[updateMatching]]; the
+    * key set never collects to the driver), then the table-sync idiom
+    * `MERGE … WHEN NOT MATCHED BY SOURCE AND … THEN DELETE` with a
+    * key-only source. Every key set is itself a subquery over the
+    * table's own rows, so the oracle recomputes every census from the
+    * slice predicates alone.
+    */
+  def snapshotSqlSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val dir = Stores.temp("graft_vt_sqlsub")
+    create(ev, dir, "event_type")
+    val t = s"graft.`$dir`"
+    ev.filter(col("user_id") % 13 === 4).select("user_id").distinct()
+      .createOrReplaceTempView("graft_sqlsub_takedown")
+    spark.sql(s"""DELETE FROM $t
+      WHERE user_id IN (SELECT user_id FROM graft_sqlsub_takedown)
+        AND event_type = 'click'""")
+    spark.sql(s"""UPDATE $t SET micros = 0
+      WHERE user_id IN (SELECT user_id FROM graft_sqlsub_takedown)
+        AND event_type = 'view'""")
+    // v3: table sync — MERGE NOT MATCHED BY SOURCE deletes the clicks
+    // whose key is absent from the keep-set (key-only source)
+    ev.filter(col("event_id") % 3 === 0).select("event_id").distinct()
+      .createOrReplaceTempView("graft_sqlsub_keep")
+    spark.sql(s"""MERGE INTO $t tg USING graft_sqlsub_keep s
+      ON tg.event_id = s.event_id
+      WHEN NOT MATCHED BY SOURCE AND tg.event_type = 'click' THEN DELETE""")
+    (0 to 3).map { v =>
+      spark.sql(s"""SELECT $v AS version, count(*) AS n_rows,
+        CAST(sum(micros) AS BIGINT) AS sum_micros
+        FROM $t VERSION AS OF $v""")
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  def snapshotSqlSubquerySql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |t AS (SELECT DISTINCT user_id FROM e WHERE user_id % 13 = 4),
+      |v1 AS (SELECT * FROM e
+      |       WHERE NOT (user_id IN (SELECT user_id FROM t)
+      |                  AND event_type = 'click')),
+      |v2 AS (SELECT event_id, user_id, event_type,
+      |         CASE WHEN user_id IN (SELECT user_id FROM t)
+      |                   AND event_type = 'view'
+      |              THEN 0 ELSE micros END AS micros
+      |       FROM v1),
+      |v3 AS (SELECT * FROM v2
+      |       WHERE NOT (event_id % 3 <> 0 AND event_type = 'click')),
+      |u AS (
+      |  SELECT 0 AS version, * FROM e
+      |  UNION ALL SELECT 1, * FROM v1
+      |  UNION ALL SELECT 2, * FROM v2
+      |  UNION ALL SELECT 3, * FROM v3)
+      |SELECT version, count(*) AS n_rows,
+      |       CAST(sum(micros) AS BIGINT) AS sum_micros
       |FROM u GROUP BY version ORDER BY version""".stripMargin
 
   /** Oracle-gated CHANGE FEED entry: one versioned table through four

@@ -50,6 +50,57 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(latest.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("COW delete keeps NULL-predicate rows — SQL three-valued logic, " +
+      "consistent between rewritten and untouched leaves") {
+    val dir = Files.createTempDirectory("graft-vt-null").toString
+    val df = Seq[(Long, String, Option[String], Long)](
+      (1L, "a", Some("X"), 10L), (2L, "a", None, 20L),
+      (3L, "b", None, 30L), (4L, "b", Some("Y"), 40L)
+    ).toDF("id", "kind", "status", "amount")
+    VersionedTable.create(df, dir, "kind")
+    // matches id=1 only; partition kind='a' rewrites (it holds a NULL
+    // row that must SURVIVE the rewrite), kind='b' has no match and its
+    // NULL row carries by reference — both NULL rows must agree
+    VersionedTable.delete(spark, dir, "kind", $"status" === "X")
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+    // the merge-on-read form agrees (it always kept NULL rows)
+    VersionedTable.deleteMergeOnRead(spark, dir, $"status" === "Y")
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("deleteMatching / updateMatching: JOIN-form key membership with " +
+      "residual conjuncts; NULL keys never match") {
+    val dir = Files.createTempDirectory("graft-vt-match").toString
+    val df = Seq[(java.lang.Long, String, Long)](
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "b", 40L), (null, "b", 50L)
+    ).toDF("id", "kind", "amount")
+    VersionedTable.create(df, dir, "kind")
+    val keys = Seq(2L, 3L, 99L).toDF("id")
+    // residual restricts the membership hit set: only kind='a' deletes
+    VersionedTable.deleteMatching(spark, dir, "kind",
+      Seq("id" -> keys), Some($"kind" === "a"))
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("amount").as[Long].collect().sorted.toSeq
+      === Seq(10L, 30L, 40L, 50L))
+    // the NULL-id row never matches a key list (IN is NULL there) and
+    // survives even when its partition rewrites
+    VersionedTable.deleteMatching(spark, dir, "kind",
+      Seq("id" -> keys), None)
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("amount").as[Long].collect().sorted.toSeq
+      === Seq(10L, 40L, 50L))
+    // updateMatching assigns only on matched keys passing the residual
+    VersionedTable.updateMatching(spark, dir, "kind",
+      Seq("id" -> Seq(1L, 4L).toDF("id")), Some($"amount" > 15L),
+      Seq("amount" -> ($"amount" + 1000L)))
+    assert(VersionedTable.readLatest(spark, dir)
+      .select("amount").as[Long].collect().sorted.toSeq
+      === Seq(10L, 50L, 1040L))
+  }
+
   test("vacuum erases dropped versions' unshared leaves but keeps retained reads intact") {
     val dir = Files.createTempDirectory("graft-vt-vac").toString
     val df = fixture()
