@@ -43,20 +43,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the DML resolution rule in [[graft.plans.GraftExtensions]].
   *
   * V1/V2 COEXISTENCE (deliberate): this catalog is the DML + time-travel
-  * SQL surface; scans resolve through a [[V1Scan]] that delegates to the
-  * `graft-snapshot` V1 relation — ONE read implementation (manifest file
+  * SQL surface over the SAME manifest machinery as the V1
+  * `graft-snapshot` connector — one read implementation (manifest file
   * index, leaf pruning, sidecar stats skipping, MOR vector anti-join)
-  * serves both surfaces, so the two can never disagree about a table's
-  * contents. Hot analytical reads keep the V1 `HadoopFsRelation` fast
-  * path (vectorized scan inside WholeStageCodegen); the V1Scan hand-off
-  * costs one Row conversion at the boundary, which is the surface for
-  * DML predicates and exploration, not the 100 TB scan path.
+  * serves both, so the two can never disagree about a table's contents.
+  * With the extensions active, every PURE-READ catalog reference is
+  * rewritten to the V1 `LogicalRelation`
+  * ([[graft.plans.GraftV2ReadRule]]), so catalog `SELECT`s plan the
+  * vectorized `FileSourceScanExec` inside WholeStageCodegen — the
+  * 100 TB scan path — and the [[V1Scan]] delegation below remains only
+  * as the extension-less fallback (correct, pruned, per-row conversion
+  * at the boundary).
   *
   * Identifiers are Delta-style path tables: the single name part is the
   * table directory (`graft.`/abs/path``); namespaces are refused loudly
-  * rather than silently joined into a relative path.
+  * rather than silently joined into a relative path — with ONE
+  * exception: `graft.`/dir`.history|detail|partitions|constraints`
+  * resolves to the table's METADATA TABLE (the Delta/Iceberg suffix
+  * pattern), a read-only driver-metadata-sized frame.
+  *
+  * Maintenance runs as DSv2 procedures (`CALL graft.vacuum(…)`, see
+  * [[GraftProcedures]]), and CTAS stages atomically
+  * ([[StagingTableCatalog]]): data files write first, the v0 manifest
+  * publishes at commit — no observable empty-shell version, and an
+  * aborted CTAS leaves no table at all.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -82,7 +95,16 @@ final class GraftCatalog extends TableCatalog {
     new GraftV2Table(dir, version)
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (ident.namespace().length == 1 &&
+        GraftMetadataTable.kinds.contains(ident.name().toLowerCase)) {
+      val dir = ident.namespace()(0)
+      val ok =
+        try { VersionedTable.latestVersion(spark, dir); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!ok) throw new NoSuchTableException(ident)
+      new GraftMetadataTable(dir, ident.name().toLowerCase)
+    } else tableAt(ident, None)
 
   /** `VERSION AS OF <v>` — the catalog-level time-travel hook. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -156,12 +178,43 @@ final class GraftCatalog extends TableCatalog {
     * existing row). Only CHECK is supported: UNIQUE/PK/FK need global
     * uniqueness enforcement the storage layout does not carry — refusing
     * is honest; silently recording an unenforced key would not be.
-    * Every other ALTER refuses: schema evolution rides appends
-    * (VersionedTable.append's evolution contract), not DDL.
+    * `ALTER TABLE … ADD COLUMNS` maps onto the manifest's
+    * schema-widening machinery ([[VersionedTable.addColumns]]): a
+    * metadata-only commit, old rows read the new columns as null — the
+    * exact evolution appends already perform, now without needing a
+    * batch. Nullable top-level end-position columns only: a NOT NULL
+    * add cannot manufacture values for existing rows, nested/positioned
+    * adds would need a rewrite — each refuses naming itself. Every
+    * other ALTER refuses: renames/drops/retypes are out of the
+    * evolution contract.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
-    changes.foreach {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) {
+      val cols = adds.map { a =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"ADD COLUMNS supports top-level columns only — got nested " +
+              s"'${a.fieldNames().mkString(".")}'")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            s"ADD COLUMNS '${a.fieldNames()(0)}' must be nullable — " +
+              "existing rows cannot manufacture a NOT NULL value")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMNS with FIRST/AFTER positions is not supported — " +
+              "new columns append at the end (a repositioning would " +
+              "rewrite every leaf)")
+        if (a.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMNS with a DEFAULT is not supported — old rows " +
+              "read null; backfill with UPDATE if a value is needed")
+        a.fieldNames()(0) -> a.dataType()
+      }
+      VersionedTable.addColumns(spark, dir, cols)
+    }
+    changes.filterNot(_.isInstanceOf[TableChange.AddColumn]).foreach {
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           VersionedTable.addCheckConstraint(spark, dir, c.name(),
@@ -210,6 +263,69 @@ final class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "RENAME through the graft catalog is not supported — a table IS " +
         "its directory; move the directory and re-query")
+
+  // ---- maintenance procedures: CALL graft.vacuum(…) etc. ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace().nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft procedures live at the catalog root — got namespace " +
+          s"${ident.namespace().mkString(".")}")
+    GraftProcedures.load(ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown graft procedure '${ident.name()}' — available: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.names
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
+
+  // ---- atomic CTAS: stage the data, publish v0 at commit ----
+
+  /** CTAS through the staged path: validation happens HERE (exists
+    * check, identity spec, spec non-empty — same contract as
+    * [[createTable]]), data files write during the exec's write phase
+    * into the table's own `data/add-v0` layout WITHOUT a manifest, and
+    * `commitStagedChanges` publishes the v0 manifest as the single
+    * atomic step — a reader (or a crash) before that sees NO table, not
+    * an empty shell; abort removes the staged files.
+    */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = dirOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val specCols = info.partitions().toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 ||
+          refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft tables support only identity partitioning — got " +
+            s"'${t.describe()}'; materialize the derived column and " +
+            "partition on it")
+      refs(0).fieldNames()(0)
+    }
+    require(specCols.nonEmpty,
+      "CREATE TABLE AS SELECT through the graft catalog needs " +
+        "PARTITIONED BY — every versioned-table kernel groups its work " +
+        "by partition values")
+    val fmt = Option(info.properties().get("format")).getOrElse("parquet")
+    new GraftStagedTable(dir, info.schema(), specCols.mkString(","), fmt)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE through the graft catalog is refused — it would " +
+        "destroy the version history, which is the product; TRUNCATE + " +
+        "INSERT keeps every prior version readable")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, info)
+    else stageCreate(ident, info)
 }
 
 /** One versioned table (optionally pinned to a time-travel version) as a
@@ -447,6 +563,130 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
       }
     }
   }
+}
+
+object GraftMetadataTable {
+  /** The metadata-table suffixes `graft.`/dir`.<kind>` resolves. */
+  val kinds: Set[String] = Set("history", "detail", "partitions",
+    "constraints")
+}
+
+/** A table's metadata as a read-only table — the Delta
+  * `DESCRIBE HISTORY` / Iceberg `t.history` surface through plain SQL:
+  * `SELECT * FROM graft.`/dir`.history`. Every kind is
+  * driver-metadata-sized by construction (manifest parses, never data
+  * scans), so the V1Scan row hand-off costs nothing measurable — this
+  * is exactly the surface that hand-off exists for.
+  */
+final class GraftMetadataTable(val tableDir: String, val kind: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[sources] def frame(spark: SparkSession): DataFrame = kind match {
+    case "history" => VersionedTable.history(spark, tableDir)
+    case "detail" => VersionedTable.describeDetail(spark, tableDir)
+    case "constraints" =>
+      val rows = VersionedTable.checkConstraints(spark, tableDir)
+      spark.createDataFrame(rows).toDF("name", "check_expr")
+    case "partitions" =>
+      val head = VersionedTable.latestVersion(spark, tableDir)
+      val spec = VersionedTable.manifestView(spark, tableDir, head)._4
+        .map(_.split(',').toSeq)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"table $tableDir has no recorded partition spec (legacy " +
+            "manifest) — the partitions metadata table needs one"))
+      val schemaT = StructType(spec.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val rows = VersionedTable.partitionTuples(spark, tableDir)
+        .map(t => Row(t: _*))
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schemaT)
+  }
+
+  override def name(): String = s"graft.`$tableDir`.$kind"
+
+  override def schema(): StructType = frame(spark).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = readSchema()
+          override def buildScan(): RDD[Row] =
+            frame(context.sparkSession).rdd
+        }.asInstanceOf[T]
+    }
+  }
+}
+
+/** The staged CTAS table: its write buffers the data-file publish
+  * ([[VersionedTable.stageCreateData]] — files land under the table's
+  * own `data/add-v0` layout, NO manifest yet), `commitStagedChanges`
+  * publishes the v0 manifest as the one atomic step, and abort removes
+  * the staged bytes. A concurrent reader — or a crash at any point
+  * before commit — observes a table that does not exist, never a
+  * half-created one; the round-11 "documented non-atomic two-step" CTAS
+  * note is retired by this path.
+  */
+final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
+    spec: String, fmt: String) extends StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  @volatile private var staged: Option[(Seq[String], StructType)] = None
+
+  override def name(): String = s"graft.`$tableDir` (staged)"
+
+  override def schema(): StructType = ctasSchema
+
+  override def partitioning(): Array[Transform] =
+    spec.split(',').map(c => Expressions.identity(c): Transform)
+
+  override def properties(): util.Map[String, String] =
+    Map("format" -> fmt, "location" -> tableDir).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean)
+                : Unit = {
+              staged = Some((VersionedTable.stageCreateData(
+                data, tableDir, spec, fmt), data.schema))
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val (leaves, dataSchema) = staged.getOrElse((Seq.empty, ctasSchema))
+    VersionedTable.commitStagedCreate(spark, tableDir, leaves, dataSchema,
+      spec, fmt)
+  }
+
+  /** Abort: nothing was published (no manifest exists), so everything
+    * under the dir is staged bytes — remove them. Guarded on
+    * no-manifest so a racing successful create is never destroyed.
+    */
+  override def abortStagedChanges(): Unit =
+    if (VersionedTable.versions(spark, tableDir).isEmpty) {
+      val p = new Path(tableDir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
 }
 
 /** Column pruning + filter collection for the V1-delegating scan. Every

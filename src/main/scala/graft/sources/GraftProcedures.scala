@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** The SQL maintenance surface as Spark 4 DSv2 PROCEDURES — the
+  * statements a Delta/Iceberg operator types for table upkeep, each a
+  * thin `CALL` shim over the library call that already owns the
+  * semantics (locking, CAS commit, retention guards):
+  *
+  * {{{
+  *   CALL graft.vacuum('/warehouse/events', 3)
+  *   CALL graft.vacuum_dry_run('/warehouse/events', 3)
+  *   CALL graft.compact('/warehouse/events')
+  *   CALL graft.binpack('/warehouse/events', 33554432)
+  *   CALL graft.optimize_zorder('/warehouse/events', 'user_id', 'event_id')
+  *   CALL graft.rollback('/warehouse/events', 2)
+  * }}}
+  *
+  * Each returns a one-row summary [[LocalScan]] (driver-metadata-sized
+  * by construction — version lists and leaf counts, never data). The
+  * mutating ones inherit the library's store lock
+  * ([[graft.Locking.withStoreLock]]) and commit through the same CAS
+  * manifest publish as every other writer; `vacuum_dry_run` is the
+  * read-only preview (what files/versions/orphans WOULD go).
+  *
+  * Partition specs come from the MANIFEST, not an argument — a
+  * maintenance statement must never re-declare (and possibly
+  * contradict) the spec its table commits under.
+  */
+object GraftProcedures {
+
+  val names: Seq[String] = Seq("vacuum", "vacuum_dry_run", "compact",
+    "binpack", "optimize_zorder", "rollback")
+
+  def load(name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "vacuum" => Some(Vacuum)
+      case "vacuum_dry_run" => Some(VacuumDryRun)
+      case "compact" => Some(Compact)
+      case "binpack" => Some(Binpack)
+      case "optimize_zorder" => Some(OptimizeZOrder)
+      case "rollback" => Some(Rollback)
+      case _ => None
+    }
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The table's recorded partition spec (comma-joined) — maintenance
+    * refuses legacy no-spec manifests loudly, like every mutator.
+    */
+  private def specOf(dir: String): String = {
+    val head = VersionedTable.latestVersion(spark, dir)
+    VersionedTable.manifestView(spark, dir, head)._4.getOrElse(
+      throw new UnsupportedOperationException(
+        s"table $dir has no recorded partition spec (legacy manifest) — " +
+          "maintenance procedures need one; run any append to record it"))
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def oneRow(schema: StructType, values: Seq[Any])
+      : java.util.Iterator[Scan] = {
+    val converted = InternalRow.fromSeq(values.zip(schema.fields).map {
+      case (v, f) => CatalystTypeConverters.convertToCatalyst(v)
+    })
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(converted)
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** Bind-time shim: all graft procedures have fixed parameter lists,
+    * so bind() ignores the input shape and Spark's coercion does the
+    * rest.
+    */
+  private abstract class Fixed(procName: String, desc: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private object Vacuum extends Fixed("vacuum",
+      "physically erase versions older than the retained tail") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("retain_last", IntegerType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val retain = input.getInt(1)
+      val before = VersionedTable.versions(spark, dir)
+      VersionedTable.vacuum(spark, dir, retain)
+      val after = VersionedTable.versions(spark, dir)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("versions_dropped", LongType),
+        StructField("versions_retained", LongType))),
+        Seq(dir, (before.size - after.size).toLong, after.size.toLong))
+    }
+  }
+
+  private object VacuumDryRun extends Fixed("vacuum_dry_run",
+      "preview what vacuum would erase, changing nothing") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("retain_last", IntegerType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val (dead, drop, orphans) =
+        VersionedTable.vacuumDryRun(spark, dir, input.getInt(1))
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("would_drop_versions", ArrayType(IntegerType)),
+        StructField("n_dead_paths", LongType),
+        StructField("n_orphan_dirs", LongType))),
+        Seq(dir, drop, dead.size.toLong, orphans.size.toLong))
+    }
+  }
+
+  private object Compact extends Fixed("compact",
+      "fold delete vectors and multi-leaf partitions into one clean " +
+        "leaf per partition value") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      VersionedTable.compact(spark, dir, specOf(dir))
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("version", IntegerType))),
+        Seq(dir, VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+
+  private object Binpack extends Fixed("binpack",
+      "coalesce small leaves up to the byte floor; large leaves carry " +
+        "by reference") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("min_leaf_bytes", LongType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val (packed, carried) =
+        VersionedTable.binpack(spark, dir, specOf(dir), input.getLong(1))
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("leaves_packed", IntegerType),
+        StructField("leaves_carried", IntegerType))),
+        Seq(dir, packed, carried))
+    }
+  }
+
+  private object OptimizeZOrder extends Fixed("optimize_zorder",
+      "rewrite the table z-ordered on two columns for 2-D file skipping") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("col1", StringType),
+        param("col2", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      VersionedTable.optimizeZOrder(spark, dir, specOf(dir),
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("version", IntegerType))),
+        Seq(dir, VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+
+  private object Rollback extends Fixed("rollback",
+      "RESTORE: commit a new version whose manifest copies an older " +
+        "one's — no data moves") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("to_version", IntegerType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      VersionedTable.rollback(spark, dir, input.getInt(1))
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("restored_from", IntegerType),
+        StructField("version", IntegerType))),
+        Seq(dir, input.getInt(1), VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+}

@@ -162,13 +162,44 @@ class GraftCatalogSpec extends AnyFunSuite {
         WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(e.getMessage.contains("source"), e.getMessage)
-    val bySource = intercept[UnsupportedOperationException] {
-      spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
-        ON t.id = s.id
+    val evo = intercept[UnsupportedOperationException] {
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t
+        USING merge_src s ON t.id = s.id
         WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        WHEN NOT MATCHED THEN INSERT *""")
     }
-    assert(bySource.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(evo.getMessage.contains("SCHEMA EVOLUTION"), evo.getMessage)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE: sync-delete and conditional " +
+      "target-side UPDATE of unmatched rows, matched ladder untouched") {
+    val dir = mkTable()
+    Seq((2L, "a", "SRC", 200L), (9L, "c", "NEW", 90L))
+      .toDF("id", "kind", "status", "amount")
+      .createOrReplaceTempView("sync_src")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING sync_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.amount < 30 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'STALE'""")
+    // id=1 (amount 10 < 30) sync-deletes; id=2 matched-updates from the
+    // source; id=3/4 are unmatched with amount >= 30 → STALE, values
+    // otherwise untouched; id=9 inserts
+    val got = v1(dir).orderBy("id")
+      .select("id", "status", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((2L, "SRC", 200L), (3L, "STALE", 30L),
+      (4L, "STALE", 40L), (9L, "NEW", 90L)))
+    // a by-source-ONLY merge works with a key-only source (pure sync)
+    Seq(2L, 3L).toDF("id").createOrReplaceTempView("sync_keys")
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING sync_keys s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(ids(v1(dir)) === Seq(2L, 3L))
+    // history intact across both statements
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
 
   test("MERGE clause family: matched DELETE (takedown idiom, key-only " +
@@ -290,6 +321,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(v1(dir)).contains(9L))
   }
 
+  test("ALTER TABLE ADD COLUMNS is a metadata-only evolution commit: " +
+      "old rows read null, the next INSERT carries the column, history " +
+      "keeps each version's own schema") {
+    val dir = mkTable()
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+      "ADD COLUMNS (note STRING, score BIGINT)")
+    val head = v1(dir)
+    assert(head.columns.toSeq ===
+      Seq("id", "kind", "status", "amount", "note", "score"))
+    assert(head.filter($"note".isNull && $"score".isNull).count() === 4)
+    // the widened schema is an evolution commit, not a rewrite
+    assert(VersionedTable.latestVersion(spark, dir) === 1)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+      "VALUES (5, 'a', 'ACTIVE', 50, 'hello', 7)")
+    assert(v1(dir).filter($"id" === 5L).select("note", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("hello", 7L)))
+    // time travel reads the PRE-evolution schema at v0
+    assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")
+      .columns.toSeq === Seq("id", "kind", "status", "amount"))
+    // refusals name the unsupported part
+    val notNull = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (x INT NOT NULL)")
+    }
+    assert(notNull.getMessage.toLowerCase.contains("null"),
+      notNull.getMessage)
+    val positioned = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (y INT AFTER id)")
+    }
+    assert(positioned.getMessage.contains("FIRST/AFTER"),
+      positioned.getMessage)
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} ADD COLUMNS (note STRING)")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists") ||
+      dup.getMessage.toLowerCase.contains("duplicate"), dup.getMessage)
+  }
+
   test("DROP TABLE: an empty v0 shell drops (the non-atomic CTAS " +
       "cleanup shape); any table with data or history refuses") {
     val dir = Files.createTempDirectory("graft-drop").toString + "/t"
@@ -353,5 +422,180 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(v1(dir).count() === 0L)
     assert(ids(spark.sql(
       s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+  }
+
+  test("DELETE/UPDATE with uncorrelated IN-subqueries run the JOIN-form " +
+      "membership kernel; correlated, NOT IN and scalar shapes refuse " +
+      "loudly") {
+    val dir = mkTable()
+    Seq(2L, 3L, 99L).toDF("the_id").createOrReplaceTempView("sub_ids")
+    // id∈{2,3,99} AND INACTIVE → only id=2 deletes (3 is ACTIVE,
+    // 4 is INACTIVE but not in the list, 99 absent from the table)
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE id IN (SELECT the_id FROM sub_ids) AND status = 'INACTIVE'")
+    assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
+    // UPDATE through the same membership form, residual on the partition
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET amount = amount + 100 " +
+      "WHERE id IN (SELECT the_id FROM sub_ids) AND kind = 'b'")
+    val amounts = v1(dir).orderBy("id").select("amount")
+      .as[Long].collect().toSeq
+    assert(amounts === Seq(10L, 130L, 40L))
+    // history intact: both statements committed as versions
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+    // refusals, each naming the unsupported shape
+    val correlated = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+        "WHERE id IN (SELECT the_id FROM sub_ids WHERE the_id = amount)")
+    }
+    assert(correlated.getMessage.contains("UNCORRELATED"),
+      correlated.getMessage)
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+        "WHERE id NOT IN (SELECT the_id FROM sub_ids)")
+    }
+    val exists = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+        "WHERE EXISTS (SELECT 1 FROM sub_ids)")
+    }
+    assert(exists.getMessage.contains("UNCORRELATED"), exists.getMessage)
+    assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
+    // uncorrelated SCALAR subqueries materialize to a literal at run
+    // time: amounts are (10, 130, 40), avg 60 → only id=3 deletes
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      s"WHERE amount > (SELECT avg(amount) FROM ${sqlTable(dir)})")
+    assert(ids(v1(dir)) === Seq(1L, 4L))
+  }
+
+  test("metadata tables: history/detail/partitions/constraints answer " +
+      "through plain SQL, driver-metadata-sized") {
+    val dir = mkTable()
+    VersionedTable.append(
+      Seq((5L, "c", "ACTIVE", 50L)).toDF("id", "kind", "status", "amount"),
+      dir, "kind")
+    val hist = spark.sql(s"SELECT version, n_leaves FROM graft.`$dir`.history")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(hist.map(_._1) === Seq(0, 1))
+    assert(hist(1)._2 > hist(0)._2) // the append added a leaf
+    val detail = spark.sql(s"SELECT * FROM graft.`$dir`.detail")
+    assert(detail.count() === 1L)
+    val parts = spark.sql(s"SELECT kind FROM graft.`$dir`.partitions")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts === Seq("a", "b", "c"))
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+      "ADD CONSTRAINT amount_pos CHECK (amount > 0)")
+    val cons = spark.sql(s"SELECT * FROM graft.`$dir`.constraints")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cons === Seq(("amount_pos", "amount > 0")))
+    // an unknown suffix is NOT a metadata table — plain missing-table
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir`.nonsense").collect()
+    }
+  }
+
+  test("CALL procedures: rollback restores by pointer flip, " +
+      "vacuum_dry_run previews, vacuum erases history; unknown names " +
+      "refuse listing the surface") {
+    val dir = mkTable()
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE id % 2 = 0") // v1
+    assert(ids(v1(dir)) === Seq(1L, 3L))
+    val rb = spark.sql(s"CALL graft.rollback('$dir', 0)").collect().head
+    assert(rb.getAs[Int]("restored_from") === 0)
+    assert(rb.getAs[Int]("version") === 2)
+    assert(ids(v1(dir)) === (1L to 4L)) // v2 == v0, no data moved
+    val dry = spark.sql(s"CALL graft.vacuum_dry_run('$dir', 1)")
+      .collect().head
+    assert(dry.getAs[Seq[Int]]("would_drop_versions") === Seq(0, 1))
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1, 2)) // unchanged
+    val vac = spark.sql(s"CALL graft.vacuum('$dir', 1)").collect().head
+    assert(vac.getAs[Long]("versions_dropped") === 2L)
+    assert(VersionedTable.versions(spark, dir) === Seq(2))
+    assert(ids(v1(dir)) === (1L to 4L)) // head intact after the sweep
+    // Spark wraps the catalog's refusal in FAILED_TO_LOAD_ROUTINE; the
+    // named surface list rides as the cause
+    val unknown = intercept[Exception] {
+      spark.sql(s"CALL graft.frobnicate('$dir')")
+    }
+    assert(unknown.getMessage.contains("frobnicate"), unknown.getMessage)
+  }
+
+  test("CTAS is ATOMIC through the staging catalog: v0 carries the data " +
+      "(no empty-shell version), a failed CTAS leaves no table, " +
+      "REPLACE TABLE refuses") {
+    val src = mkTable()
+    val dir = Files.createTempDirectory("graft-ctas").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` PARTITIONED BY (kind) " +
+      s"AS SELECT * FROM graft.`$src`")
+    assert(ids(v1(dir)) === (1L to 4L))
+    // the one observable version IS the data — no empty shell first
+    assert(VersionedTable.versions(spark, dir) === Seq(0))
+    // a CTAS whose query fails mid-write aborts to NO table at all
+    val dir2 = Files.createTempDirectory("graft-ctas2").toString + "/t"
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir2` PARTITIONED BY (kind) " +
+        s"AS SELECT id, kind, status, " +
+        s"CAST(raise_error('boom') AS BIGINT) AS amount FROM graft.`$src`")
+    }
+    assert(VersionedTable.versions(spark, dir2).isEmpty)
+    assert(!new java.io.File(dir2).exists())
+    // REPLACE destroys history — refused loudly
+    val rep = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`$dir` PARTITIONED BY (kind) " +
+        s"AS SELECT * FROM graft.`$src`")
+    }
+    assert(rep.getMessage.contains("TRUNCATE"), rep.getMessage)
+  }
+
+  test("catalog SELECTs plan the vectorized V1 scan — FileSourceScanExec, " +
+      "never the per-row V1Scan conversion — with leaf pruning intact " +
+      "and time travel included") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RowDataSourceScanExec, SparkPlan}
+    val dir = mkTable()
+    // execute THE frame itself with AQE off so scan metrics land on the
+    // QueryExecution that ran (same pattern as SnapshotConnectorSpec)
+    def run(sql: String): (Seq[Long], Seq[SparkPlan], Long) = {
+      val old = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val frame = spark.sql(sql)
+        val rows = frame.collect().map(_.getAs[Long]("id")).sorted.toSeq
+        val scans = frame.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+          case s: RowDataSourceScanExec => s
+        }
+        val files = scans.collect {
+          case s: FileSourceScanExec => s.metrics("numFiles").value
+        }.sum
+        (rows, scans, files)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    }
+    def vectorized(scans: Seq[SparkPlan]): Boolean =
+      scans.nonEmpty && scans.forall(_.isInstanceOf[FileSourceScanExec])
+    val (fullRows, fullScans, fullFiles) =
+      run(s"SELECT id FROM ${sqlTable(dir)}")
+    assert(fullRows === (1L to 4L))
+    assert(vectorized(fullScans), fullScans.toString)
+    // leaf pruning survives the swap: the kind='a' filter reads strictly
+    // fewer files than the full scan (manifest partition pruning)
+    val (prunedRows, prunedScans, prunedFiles) =
+      run(s"SELECT id FROM ${sqlTable(dir)} WHERE kind = 'a'")
+    assert(prunedRows === Seq(1L, 2L))
+    assert(vectorized(prunedScans))
+    assert(prunedFiles > 0 && prunedFiles < fullFiles,
+      s"pruned=$prunedFiles full=$fullFiles")
+    // time travel pins the version through the same vectorized path
+    VersionedTable.append(
+      Seq((5L, "a", "ACTIVE", 50L)).toDF("id", "kind", "status", "amount"),
+      dir, "kind")
+    val (ttRows, ttScans, _) =
+      run(s"SELECT id FROM ${sqlTable(dir)} VERSION AS OF 0")
+    assert(ttRows === (1L to 4L))
+    assert(vectorized(ttScans))
+    // a subquery over a catalog table vectorizes too
+    val (subRows, subScans, _) =
+      run(s"SELECT id FROM ${sqlTable(dir)} WHERE amount > " +
+        s"(SELECT avg(amount) FROM ${sqlTable(dir)})")
+    assert(subRows === Seq(4L, 5L))
+    assert(vectorized(subScans), subScans.toString)
   }
 }
