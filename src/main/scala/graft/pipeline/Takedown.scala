@@ -265,10 +265,16 @@ object Takedown {
       val pred = basePred.get
       rows += (("versioned/head",
         VersionedTable.readLatest(spark, dir).filter(pred).count()))
+      // ALL retained versions counted in ONE job (a union of pruned
+      // per-version frames), not one sequential job launch per version —
+      // at retention depth R the old loop paid R full job round-trips
+      // for an answer a single action produces
       rows += (("versioned/retained_total",
         VersionedTable.versions(spark, dir)
           .map(v => VersionedTable.readVersion(spark, dir, v)
-            .filter(pred).count()).sum))
+            .filter(pred).select(lit(1L).as("one")))
+          .reduce(_ unionAll _)
+          .count()))
     }
     rows.toSeq.toDF("artifact", "hits").orderBy("artifact")
   }
