@@ -207,15 +207,18 @@ private[plans] object GraftDml {
     * replace-matched-insert-rest fast path; every other shape runs
     * [[VersionedTable.mergeInto]]'s clause kernel — including
     * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET …`
-    * (the table-sync idiom; updates assign TARGET-side expressions).
-    * Still refused, with the reason named: WITH SCHEMA EVOLUTION,
-    * non-identity matched/insert assignments, and subquery conditions.
+    * (the table-sync idiom) and EXPRESSION assignments in any UPDATE or
+    * INSERT clause, applied column-wise (`SET amount = t.amount +
+    * s.amount` is exact semantics, unassigned columns keep the
+    * target's value). Still refused, with the reason named: WITH
+    * SCHEMA EVOLUTION, nested-field assignments, and subquery
+    * conditions.
     */
   def translateMerge(m: MergeIntoTable, t: GraftV2Table): LogicalPlan = {
     def refuse(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"MERGE INTO a graft table supports ON t.k = s.k with matched " +
-          s"UPDATE SET */DELETE clauses, NOT MATCHED INSERT *, and NOT " +
+          s"UPDATE SET \u2026/DELETE clauses, NOT MATCHED INSERT \u2026, and NOT " +
           s"MATCHED BY SOURCE UPDATE/DELETE — " +
           s"$what is not supported; use VersionedTable.merge/mergeInto " +
           "or explicit DELETE + INSERT")
@@ -232,24 +235,28 @@ private[plans] object GraftDml {
         refuse(s"the ON condition '${other.sql}' (need a single " +
           "equality between one same-named target and source column)")
     }
-    // each assignment must take the SOURCE's value — name equality alone
-    // would accept `SET amount = tg.amount` (keep the target's value)
-    // while merge replaces the whole matched row with the source row:
-    // accepted statement, silently wrong data. The exprId membership
-    // check makes source-ness structural, not lexical.
-    def identityAssigns(assigns: Seq[Assignment], act: String): Unit =
-      assigns.foreach { a =>
+    // the canonical-upsert FAST PATH requires every assignment to be the
+    // source's same-named column, checked structurally (exprId
+    // membership — `SET amount = tg.amount` is NOT identity even though
+    // the names match); anything else runs the clause kernel, which
+    // applies assignments COLUMN-WISE, so target-referencing and
+    // expression assignments are simply correct there
+    def isIdentity(assigns: Seq[Assignment]): Boolean =
+      assigns.forall { a =>
         (a.key, a.value) match {
-          case (k: AttributeReference, v: AttributeReference)
-              if k.name == v.name && sourceOut.contains(v) => ()
-          case (_, v: AttributeReference) if !sourceOut.contains(v) =>
-            refuse(s"a $act assignment whose value is not the source's " +
-              s"column ('${a.key.sql} = ${a.value.sql}') — merge " +
-              "replaces the matched row with the SOURCE row, so every " +
-              "assignment must read from the source")
-          case _ =>
-            refuse(s"a non-identity $act assignment " +
-              s"('${a.key.sql} = ${a.value.sql}')")
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name && sourceOut.contains(v)
+          case _ => false
+        }
+      }
+    def namedAssigns(assigns: Seq[Assignment],
+        qualify: Expression => Expression): Seq[(String, Column)] =
+      assigns.map { a =>
+        a.key match {
+          case k: AttributeReference =>
+            k.name -> GraftSqlBridge.column(qualify(a.value))
+          case other => refuse(
+            s"an assignment to a nested field (${other.sql})")
         }
       }
     // clause conditions re-resolve inside the kernel's two-alias join:
@@ -268,22 +275,26 @@ private[plans] object GraftDml {
     // command): a stored unresolved Expression would be traversed by
     // later analyzer batches (UpdateAttributeNullability calls exprId),
     // while a Column field is opaque to plan traversal
-    val matched: Seq[(Option[Column], Boolean)] =
+    val matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])] =
       m.matchedActions.map {
         case u: UpdateAction =>
-          identityAssigns(u.assignments, "UPDATE")
-          (u.condition.map(c => GraftSqlBridge.column(qualified(c))), false)
+          (u.condition.map(c => GraftSqlBridge.column(qualified(c))),
+            false, namedAssigns(u.assignments, qualified))
         case d: DeleteAction =>
-          (d.condition.map(c => GraftSqlBridge.column(qualified(c))), true)
+          (d.condition.map(c => GraftSqlBridge.column(qualified(c))),
+            true, Seq.empty[(String, Column)])
         case other => refuse(s"matched action $other")
       }
-    val insert: Option[Option[Column]] = m.notMatchedActions match {
-      case Seq() => None
-      case Seq(i: InsertAction) =>
-        identityAssigns(i.assignments, "INSERT")
-        Some(i.condition.map(c => GraftSqlBridge.column(qualified(c))))
-      case other => refuse(s"not-matched actions $other")
-    }
+    val insert: Option[(Option[Column], Seq[(String, Column)])] =
+      m.notMatchedActions match {
+        case Seq() => None
+        case Seq(i: InsertAction) =>
+          // INSERT values reference the source only (SQL rule, analyzer
+          // enforced); its condition too
+          Some((i.condition.map(c => GraftSqlBridge.column(qualified(c))),
+            namedAssigns(i.assignments, qualified)))
+        case other => refuse(s"not-matched actions $other")
+      }
     // NOT MATCHED BY SOURCE: clauses over target rows with no source
     // match — DELETE (the table-sync idiom) or UPDATE with TARGET-side
     // assignments (SQL forbids source references here; Spark's analyzer
@@ -306,13 +317,20 @@ private[plans] object GraftDml {
             true, Seq.empty[(String, Column)])
         case other => refuse(s"not-matched-by-source action $other")
       }
-    (matched, insert, bySource) match {
-      case (Seq((None, false)), Some(None), Seq()) =>
-        GraftMergeCommand(t.tableDir, t.specString, key, m.sourceTable)
-      case _ =>
-        GraftMergeClausesCommand(t.tableDir, t.specString, key, matched,
-          insert, bySource, m.sourceTable)
-    }
+    val canonical = bySource.isEmpty && (m.matchedActions match {
+      case Seq(u: UpdateAction) => u.condition.isEmpty &&
+        isIdentity(u.assignments)
+      case _ => false
+    }) && (m.notMatchedActions match {
+      case Seq(i: InsertAction) => i.condition.isEmpty &&
+        isIdentity(i.assignments)
+      case _ => false
+    })
+    if (canonical)
+      GraftMergeCommand(t.tableDir, t.specString, key, m.sourceTable)
+    else
+      GraftMergeClausesCommand(t.tableDir, t.specString, key, matched,
+        insert, bySource, m.sourceTable)
   }
 }
 
@@ -415,8 +433,9 @@ case class GraftMergeCommand(tableDir: String, spec: String,
   * `__t.<col>`/`__s.<col>` and re-resolve inside the kernel's join.
   */
 case class GraftMergeClausesCommand(tableDir: String, spec: String,
-    keyCol: String, matched: Seq[(Option[Column], Boolean)],
-    insert: Option[Option[Column]],
+    keyCol: String,
+    matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
+    insert: Option[(Option[Column], Seq[(String, Column)])],
     bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
     source: LogicalPlan)
     extends LeafRunnableCommand {

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   * {{{
   *   CALL graft.vacuum('/warehouse/events', 3)
   *   CALL graft.vacuum_dry_run('/warehouse/events', 3)
+  *   CALL graft.vacuum_older_than('/warehouse/events', 604800000)
   *   CALL graft.compact('/warehouse/events')
   *   CALL graft.binpack('/warehouse/events', 33554432)
   *   CALL graft.optimize_zorder('/warehouse/events', 'user_id', 'event_id')
   *   CALL graft.rollback('/warehouse/events', 2)
+  *   CALL graft.evolve_partition_spec('/warehouse/events', 'region,day')
+  *   CALL graft.convert_format('/warehouse/events', 'parquet')
+  *   CALL graft.clone('/warehouse/events', '/warehouse/events_dev')
   * }}}
   *
   * Each returns a one-row summary [[LocalScan]] (driver-metadata-sized
@@ -33,17 +37,22 @@ import org.apache.spark.sql.types._
   */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("vacuum", "vacuum_dry_run", "compact",
-    "binpack", "optimize_zorder", "rollback")
+  val names: Seq[String] = Seq("vacuum", "vacuum_dry_run",
+    "vacuum_older_than", "compact", "binpack", "optimize_zorder",
+    "rollback", "evolve_partition_spec", "convert_format", "clone")
 
   def load(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "vacuum" => Some(Vacuum)
       case "vacuum_dry_run" => Some(VacuumDryRun)
+      case "vacuum_older_than" => Some(VacuumOlderThan)
       case "compact" => Some(Compact)
       case "binpack" => Some(Binpack)
       case "optimize_zorder" => Some(OptimizeZOrder)
       case "rollback" => Some(Rollback)
+      case "evolve_partition_spec" => Some(EvolveSpec)
+      case "convert_format" => Some(ConvertFormat)
+      case "clone" => Some(Clone)
       case _ => None
     }
 
@@ -167,6 +176,77 @@ object GraftProcedures {
         StructField("table", StringType),
         StructField("version", IntegerType))),
         Seq(dir, VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+
+  private object VacuumOlderThan extends Fixed("vacuum_older_than",
+      "age-based retention: erase versions whose commit is older than " +
+        "the window (the reference's 7-day backup GC shape); the head " +
+        "never drops") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("max_age_ms", LongType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val before = VersionedTable.versions(spark, dir)
+      VersionedTable.vacuumOlderThan(spark, dir, input.getLong(1))
+      val after = VersionedTable.versions(spark, dir)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("versions_dropped", LongType),
+        StructField("versions_retained", LongType))),
+        Seq(dir, (before.size - after.size).toLong, after.size.toLong))
+    }
+  }
+
+  private object EvolveSpec extends Fixed("evolve_partition_spec",
+      "metadata-only commit switching the spec future writes partition " +
+        "under; existing leaves stay readable and migrate on rewrite") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("spec", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val spec = input.getUTF8String(1).toString
+      VersionedTable.evolvePartitionSpec(spark, dir, spec)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("spec", StringType),
+        StructField("version", IntegerType))),
+        Seq(dir, spec, VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+
+  private object ConvertFormat extends Fixed("convert_format",
+      "rewrite the table's live data into another format as one commit " +
+        "(e.g. ORC -> parquet, unlocking merge-on-read deletes)") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("format", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val fmt = input.getUTF8String(1).toString
+      VersionedTable.convertFormat(spark, dir, specOf(dir), fmt)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("format", StringType),
+        StructField("version", IntegerType))),
+        Seq(dir, fmt, VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+
+  private object Clone extends Fixed("clone",
+      "zero-copy clone of the head state into a new table dir " +
+        "(hard-links where the filesystem allows)") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("source", StringType), param("target", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = input.getUTF8String(0).toString
+      val dst = input.getUTF8String(1).toString
+      val (files, bytes) = VersionedTable.cloneTable(spark, src, dst)
+      oneRow(StructType(Seq(
+        StructField("source", StringType),
+        StructField("target", StringType),
+        StructField("files", LongType),
+        StructField("bytes", LongType))),
+        Seq(src, dst, files, bytes))
     }
   }
 

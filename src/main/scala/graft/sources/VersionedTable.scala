@@ -1475,12 +1475,17 @@ object VersionedTable {
 
   /** Generalized MERGE — the Delta clause family over the same COW
     * kernel as [[merge]]: an ordered list of `WHEN MATCHED [AND cond]
-    * THEN UPDATE SET * | DELETE` clauses (first applicable clause wins,
+    * THEN UPDATE SET … | DELETE` clauses (first applicable clause wins,
     * SQL MERGE order semantics) plus an optional `WHEN NOT MATCHED
-    * [AND cond] THEN INSERT *`. `matched` carries `(condition,
-    * isDelete)` pairs; conditions reference the target row as
-    * `__t.<col>` and the source row as `__s.<col>` (the SQL rule
-    * rebinds them that way). [[merge]] stays the canonical-upsert fast
+    * [AND cond] THEN INSERT …`. `matched` carries `(condition,
+    * isDelete, assignments)` triples; conditions AND assignment values
+    * reference the target row as `__t.<col>` and the source row as
+    * `__s.<col>` (the SQL rule rebinds them that way). Assignments
+    * apply COLUMN-WISE — `SET amount = t.amount + s.amount` and
+    * partial updates that keep unassigned target columns are exact
+    * semantics, not whole-row replacement; each value casts to its
+    * column's declared type, so the output is schema-exact by
+    * construction. [[merge]] stays the canonical-upsert fast
     * path — it never scans the whole table's keys, because replacing
     * every matched row and inserting every source row needs no
     * matched/not-matched split. This kernel pays that split only when
@@ -1506,8 +1511,9 @@ object VersionedTable {
     * a conditioned sync still rewrites only the partitions it touches.
     */
   def mergeInto(batch: DataFrame, tableDir: String, partCol: String,
-      keyCol: String, matched: Seq[(Option[Column], Boolean)],
-      insert: Option[Option[Column]],
+      keyCol: String,
+      matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
+      insert: Option[(Option[Column], Seq[(String, Column)])],
       bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] = Nil)
       : Unit = withCommitRetry {
     require(matched.nonEmpty || insert.isDefined || bySource.nonEmpty,
@@ -1521,18 +1527,9 @@ object VersionedTable {
       s"merge source has no key column '$keyCol' " +
         s"(${batch.columns.mkString(", ")})")
     val hasUpdate = matched.exists(!_._2)
-    val needsFullBatch = hasUpdate || insert.isDefined
     val current = readView(spark, tableDir, m)
     val tableCols = current.columns.toIndexedSeq
-    // rows an UPDATE/INSERT clause writes come from the source — it must
-    // carry (at least) the table's columns, schema-exact after projection
-    val schema =
-      if (needsFullBatch) {
-        val aligned = batch.select(tableCols.map(col): _*)
-        requireConstraints(aligned, m, "mergeInto")
-        resolveAppendSchema(aligned, spark, tableDir, m,
-          allowEvolution = false)
-      } else m.schema
+    val types = current.schema.fields.map(f => f.name -> f.dataType).toMap
     if (matched.nonEmpty)
       require(batch.groupBy(col(keyCol)).count()
           .filter(col("count") > 1).isEmpty,
@@ -1543,11 +1540,17 @@ object VersionedTable {
     // NOT MATCHED = the key is absent from the WHOLE table, so the
     // insert side pays one key-projected anti-join against the current
     // view; the insert condition (source-only by SQL rules) filters
-    // before the join
-    val insertRows: Option[DataFrame] = insert.map { condOpt =>
+    // before the join. Assignments build the inserted row column-wise
+    // (each cast to its declared type — the output is schema-exact by
+    // construction); a column no assignment names inserts as NULL.
+    val insertRows: Option[DataFrame] = insert.map { case (condOpt, assigns) =>
+      val assignMap = assigns.toMap
       condOpt.foldLeft(batch.alias("__s"))(_ filter _)
         .join(current.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-        .select(tableCols.map(col): _*)
+        .select(tableCols.map { c =>
+          assignMap.get(c).map(_.cast(types(c)))
+            .getOrElse(lit(null).cast(types(c))).as(c)
+        }: _*)
     }
     // clause conditions follow SQL three-valued logic: a clause APPLIES
     // only when its condition is definitely TRUE (a NULL condition must
@@ -1613,7 +1616,7 @@ object VersionedTable {
         // no earlier clause's condition held (conditions gate through
         // `definitely` — a NULL condition never fires a clause)
         var priorHeld: Column = lit(false)
-        val applies = matched.map { case (condOpt, _) =>
+        val applies = matched.map { case (condOpt, _, _) =>
           val holds = isMatched && definitely(condOpt)
           val a = holds && !priorHeld
           priorHeld = priorHeld || holds
@@ -1621,7 +1624,7 @@ object VersionedTable {
         }
         def anyOf(isDelete: Boolean): Column =
           matched.zip(applies)
-            .collect { case ((_, d), a) if d == isDelete => a }
+            .collect { case ((_, d, _), a) if d == isDelete => a }
             .reduceOption(_ || _).getOrElse(lit(false))
         // the NOT-MATCHED-BY-SOURCE side: same first-wins ladder over
         // the UNmatched target rows; updates assign target-side
@@ -1637,34 +1640,38 @@ object VersionedTable {
           bySource.zip(appliesB)
             .collect { case ((_, d, _), a) if d == isDelete => a }
             .reduceOption(_ || _).getOrElse(lit(false))
-        val updApplies = anyOf(isDelete = false)
-        val types = current.schema.fields.map(f => f.name -> f.dataType).toMap
+        // assignments apply COLUMN-WISE per clause (matched clauses may
+        // reference both __t and __s — `SET amount = t.amount + s.amount`
+        // — and an unassigned column keeps the target's value); reverse
+        // fold puts the FIRST applicable clause outermost. The matched
+        // and by-source ladders are disjoint (isMatched vs its negation)
+        // so their relative nesting order is immaterial.
         val outCols = tableCols.map { c =>
           var e: Column = col(s"__t.$c")
-          // reverse order so the FIRST by-source clause ends outermost
-          bySource.zip(appliesB).reverse.foreach {
-            case ((_, isDel, assigns), a) if !isDel =>
-              assigns.toMap.get(c).foreach { v =>
-                e = when(a, v.cast(types(c))).otherwise(e)
-              }
-            case _ => ()
-          }
-          if (hasUpdate) e = when(updApplies, col(s"__s.$c")).otherwise(e)
+          (matched.map(t3 => (t3._2, t3._3)).zip(applies) ++
+            bySource.map(t3 => (t3._2, t3._3)).zip(appliesB)).reverse
+            .foreach {
+              case ((isDel, assigns), a) if !isDel =>
+                assigns.toMap.get(c).foreach { v =>
+                  e = when(a, v.cast(types(c))).otherwise(e)
+                }
+              case _ => ()
+            }
           e.as(c)
         }
         j.filter(!anyOf(isDelete = true) && !anyOfB(isDelete = true))
           .select(outCols: _*)
       }
     val rewritten = insertRows.foldLeft(survivors)(_ unionByName _)
-    // by-source UPDATEs synthesize new row values outside the batch's
-    // own constraint pass — re-validate the rewritten rows like the
-    // update kernel does
-    if (bySource.exists(b => !b._2 && b._3.nonEmpty))
-      requireConstraints(rewritten, m,
-        "mergeInto (NOT MATCHED BY SOURCE update)")
+    // UPDATE/INSERT clauses synthesize row values — validate the
+    // OUTPUT rows (what actually lands), the same guarantee the update
+    // kernel gives; a delete-only merge skips the extra pass
+    if (hasUpdate || insert.isDefined ||
+        bySource.exists(b => !b._2 && b._3.nonEmpty))
+      requireConstraints(rewritten, m, "mergeInto")
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
-      m.deletes, m.dirty.filter(kept.contains), m.txns, schema, cols,
+      m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema, cols,
       m.constraints, m.format)
   }
 

@@ -152,16 +152,17 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, "ACTIVE", 10L), (2L, "MERGED", 222L),
       (3L, "ACTIVE", 30L), (4L, "INACTIVE", 40L), (9L, "NEW", 90L)))
-    // an assignment that keeps the TARGET's value must refuse: merge
-    // replaces the whole matched row with the source row, so accepting
-    // `SET amount = t.amount` would silently write the source's amount
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
-        ON t.id = s.id
-        WHEN MATCHED THEN UPDATE SET status = s.status, amount = t.amount
-        WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(e.getMessage.contains("source"), e.getMessage)
+    // non-identity assignments are COLUMN-WISE exact: values may mix
+    // target and source references, unassigned columns keep the
+    // target's value (`SET amount = t.amount` means exactly that)
+    spark.sql(s"""MERGE INTO ${sqlTable(dir)} t USING merge_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET amount = t.amount + s.amount""")
+    val afterExpr = v1(dir).orderBy("id")
+      .select("id", "status", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(afterExpr === Seq((1L, "ACTIVE", 10L), (2L, "MERGED", 444L),
+      (3L, "ACTIVE", 30L), (4L, "INACTIVE", 40L), (9L, "NEW", 180L)))
     val evo = intercept[UnsupportedOperationException] {
       spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t
         USING merge_src s ON t.id = s.id
@@ -517,6 +518,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql(s"CALL graft.frobnicate('$dir')")
     }
     assert(unknown.getMessage.contains("frobnicate"), unknown.getMessage)
+    // spec evolution, clone and format conversion through CALL too
+    val dir2 = mkTable()
+    spark.sql(s"CALL graft.evolve_partition_spec('$dir2', 'status')")
+    assert(VersionedTable.liveLeaves(spark, dir2)
+      .forall(_.contains("kind__p="))) // leaves untouched, spec recorded
+    spark.sql(s"DELETE FROM ${sqlTable(dir2)} WHERE id = 1")
+    assert(VersionedTable.liveLeaves(spark, dir2)
+      .exists(_.contains("status__p="))) // rewrite migrated to new spec
+    val cloneDir = Files.createTempDirectory("graft-clone").toString + "/c"
+    val cl = spark.sql(s"CALL graft.clone('$dir2', '$cloneDir')")
+      .collect().head
+    assert(cl.getAs[Long]("files") > 0L)
+    assert(ids(v1(cloneDir)) === ids(v1(dir2)))
+    val cf = spark.sql(s"CALL graft.convert_format('$cloneDir', 'orc')")
+      .collect().head
+    assert(cf.getAs[String]("format") === "orc")
+    assert(ids(v1(cloneDir)) === ids(v1(dir2)))
   }
 
   test("CTAS is ATOMIC through the staging catalog: v0 carries the data " +
