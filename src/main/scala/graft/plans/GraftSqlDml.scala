@@ -207,12 +207,13 @@ private[plans] object GraftDml {
     * replace-matched-insert-rest fast path; every other shape runs
     * [[VersionedTable.mergeInto]]'s clause kernel — including
     * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET …`
-    * (the table-sync idiom) and EXPRESSION assignments in any UPDATE or
+    * (the table-sync idiom), EXPRESSION assignments in any UPDATE or
     * INSERT clause, applied column-wise (`SET amount = t.amount +
     * s.amount` is exact semantics, unassigned columns keep the
-    * target's value). Still refused, with the reason named: WITH
-    * SCHEMA EVOLUTION, nested-field assignments, and subquery
-    * conditions.
+    * target's value), and `WITH SCHEMA EVOLUTION` (the analyzer routes
+    * the source's new columns through alterTable's metadata-only
+    * widening BEFORE this rule sees the plan). Still refused, with the
+    * reason named: nested-field assignments and subquery conditions.
     */
   def translateMerge(m: MergeIntoTable, t: GraftV2Table): LogicalPlan = {
     def refuse(what: String): Nothing =
@@ -222,7 +223,6 @@ private[plans] object GraftDml {
           s"MATCHED BY SOURCE UPDATE/DELETE — " +
           s"$what is not supported; use VersionedTable.merge/mergeInto " +
           "or explicit DELETE + INSERT")
-    if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
     val sourceOut = m.sourceTable.outputSet
     val targetOut = m.targetTable.outputSet
     val key = m.mergeCondition match {

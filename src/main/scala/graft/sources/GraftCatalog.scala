@@ -402,11 +402,18 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
         : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
+  // AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE WITH SCHEMA EVOLUTION`:
+  // Spark's analyzer computes the missing source columns as AddColumn
+  // changes and routes them through alterTable — the same metadata-only
+  // widening commit as `ALTER TABLE ADD COLUMNS` (so an evolving merge
+  // is TWO versions: the schema commit, then the merge; type-widening
+  // changes refuse loudly there). The capability gates nothing else.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // ---- partition management: SHOW PARTITIONS / DROP PARTITION ----
 

@@ -163,13 +163,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(afterExpr === Seq((1L, "ACTIVE", 10L), (2L, "MERGED", 444L),
       (3L, "ACTIVE", 30L), (4L, "INACTIVE", 40L), (9L, "NEW", 180L)))
-    val evo = intercept[UnsupportedOperationException] {
-      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t
-        USING merge_src s ON t.id = s.id
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(evo.getMessage.contains("SCHEMA EVOLUTION"), evo.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the table with the source's " +
+      "new columns as a metadata commit, then merges") {
+    val dir = mkTable()
+    Seq((2L, "a", "SRC", 222L, "x2"), (9L, "c", "NEW", 90L, "x9"))
+      .toDF("id", "kind", "status", "amount", "tag")
+      .createOrReplaceTempView("evo_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO ${sqlTable(dir)} t
+      USING evo_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val head = v1(dir)
+    assert(head.columns.toSeq ===
+      Seq("id", "kind", "status", "amount", "tag"))
+    val tags = head.orderBy("id").select("id", "tag").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(tags === Seq((1L, None), (2L, Some("x2")), (3L, None),
+      (4L, None), (9L, Some("x9"))))
+    // two versions: the widening commit, then the merge — old version
+    // still reads the pre-evolution schema
+    assert(VersionedTable.latestVersion(spark, dir) === 2)
+    assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")
+      .columns.toSeq === Seq("id", "kind", "status", "amount"))
   }
 
   test("MERGE NOT MATCHED BY SOURCE: sync-delete and conditional " +
