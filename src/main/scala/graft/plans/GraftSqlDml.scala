@@ -117,8 +117,8 @@ private[plans] object GraftDml {
       throw new UnsupportedOperationException(
         s"$op supports subqueries only as UNCORRELATED single-column " +
           "`col IN (SELECT …)` conjuncts on graft tables — " +
-          s"'${e.sql}' is not one (correlated, NOT IN, scalar and " +
-          "multi-column forms refuse); materialize it into a joinable " +
+          s"'${e.sql}' is not one (correlated, NOT IN and scalar forms " +
+          "refuse); materialize it into a joinable " +
           "frame and use the library API")
 
   /** Accept uncorrelated SCALAR subqueries (they materialize to a
@@ -136,8 +136,8 @@ private[plans] object GraftDml {
         throw new UnsupportedOperationException(
           s"$op supports only UNCORRELATED `col IN (SELECT …)` conjuncts " +
             s"and UNCORRELATED scalar subqueries on graft tables — " +
-            s"'${s.sql}' is neither (correlated, NOT IN, EXISTS and " +
-            "multi-column forms refuse); materialize it into a joinable " +
+            s"'${s.sql}' is neither (correlated, NOT IN and EXISTS " +
+            "refuse); materialize it into a joinable " +
             "frame and use the library API")
       case _ => ()
     }
@@ -161,29 +161,30 @@ private[plans] object GraftDml {
     case other => Seq(other)
   }
 
-  /** Decompose a DML condition into uncorrelated single-column
-    * `attr IN (subquery)` conjuncts — each becomes a (key name,
+  /** Decompose a DML condition into uncorrelated
+    * `attr-tuple IN (subquery)` conjuncts — each becomes a (key names,
     * subquery plan) pair the command executors turn into a JOIN-form
     * membership test ([[VersionedTable.deleteMatching]] /
     * [[VersionedTable.updateMatching]]) — plus the residual, in which
     * only uncorrelated SCALAR subqueries may remain (they materialize
     * at run time). Any other subquery shape (correlated, `NOT IN`,
-    * multi-column tuples) refuses loudly: each would need a different
+    * EXISTS) refuses loudly: each would need a different
     * rewrite (a join with outer references / null-aware anti-join /
     * scalar materialization) and a silent approximation of their
     * semantics is worse than the refusal.
     */
   def extractInSubqueries(cond: Expression, op: String)
-      : (Seq[(String, LogicalPlan)], Option[Expression]) = {
+      : (Seq[(Seq[String], LogicalPlan)], Option[Expression]) = {
     val (ins, rest) = splitConjuncts(cond).partition {
-      case InSubquery(Seq(_: AttributeReference), l: ListQuery) =>
-        l.outerAttrs.isEmpty
+      case InSubquery(values, l: ListQuery) =>
+        l.outerAttrs.isEmpty &&
+          values.forall(_.isInstanceOf[AttributeReference])
       case _ => false
     }
     rest.foreach(requireSupportedSubqueries(_, op))
     val keys = ins.collect {
-      case InSubquery(Seq(a: AttributeReference), l: ListQuery) =>
-        a.name -> l.plan
+      case InSubquery(values, l: ListQuery) =>
+        values.map(_.asInstanceOf[AttributeReference].name) -> l.plan
     }
     (keys, rest.reduceOption(And))
   }
@@ -353,11 +354,11 @@ case class GraftDeleteCommand(tableDir: String, spec: String,
   * is ever collected to the driver.
   */
 case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
-    keys: Seq[(String, LogicalPlan)], residual: Option[Expression])
+    keys: Seq[(Seq[String], LogicalPlan)], residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val frames = keys.map { case (k, plan) =>
-      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k)
+      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*)
     }
     VersionedTable.deleteMatching(spark, tableDir, spec, frames,
       residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))))
@@ -371,11 +372,11 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
   */
 case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     assignments: Seq[(String, Expression)],
-    keys: Seq[(String, LogicalPlan)], residual: Option[Expression])
+    keys: Seq[(Seq[String], LogicalPlan)], residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val frames = keys.map { case (k, plan) =>
-      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k)
+      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*)
     }
     VersionedTable.updateMatching(spark, tableDir, spec, frames,
       residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))),

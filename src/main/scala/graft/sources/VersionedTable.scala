@@ -947,33 +947,35 @@ object VersionedTable {
       df => df.filter(!coalesce(pred, lit(false))))
 
   /** Copy-on-write delete keyed on MEMBERSHIP: rows whose `keys`
-    * column values each appear in the paired frame (AND all residual
+    * column tuples each appear in the paired frame (AND all residual
     * conjuncts) disappear — the SQL
-    * `DELETE FROM t WHERE k IN (SELECT …) [AND …]` shape, and the
+    * `DELETE FROM t WHERE k IN (SELECT …) [AND …]` shape (single- or
+    * multi-column tuples: `(a, b) IN (SELECT x, y …)`), and the
     * GDPR/takedown id-list delete as one statement. The membership
     * test is a JOIN, never a collected IN-list: the key frames can be
     * table-sized (Spark broadcasts small ones automatically), nothing
     * key-set-sized ever lands on the driver.
     */
   def deleteMatching(spark: SparkSession, tableDir: String,
-      partCol: String, keys: Seq[(String, DataFrame)],
+      partCol: String, keys: Seq[(Seq[String], DataFrame)],
       residual: Option[Column]): Unit = {
     require(keys.nonEmpty, "deleteMatching needs at least one key frame")
+    require(keys.forall(_._1.nonEmpty), "a key frame needs key columns")
     val res = residual.getOrElse(lit(true))
     def hits(df: DataFrame): DataFrame =
-      keys.foldLeft(df.filter(res)) { case (acc, (k, kdf)) =>
-        acc.join(kdf.select(col(k)).distinct(), Seq(k), "left_semi")
+      keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
+        acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_semi")
       }
     // survivor iff NOT (residual definitely true AND every key matched):
     // one left-join marker per key frame, a single pass over hit leaves
     def keep(df: DataFrame): DataFrame = {
       val out = df.columns.toIndexedSeq
       var acc = df
-      val markers = keys.zipWithIndex.map { case ((k, kdf), i) =>
+      val markers = keys.zipWithIndex.map { case ((ks, kdf), i) =>
         val mCol = s"__vt_in_hit_$i"
         acc = acc.join(
-          kdf.select(col(k)).distinct().withColumn(mCol, lit(1)),
-          Seq(k), "left")
+          kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
+          ks, "left")
         mCol
       }
       val matchedAll = markers.map(col(_).isNotNull).reduce(_ && _)
@@ -1059,18 +1061,19 @@ object VersionedTable {
     * collected IN-list — same scale contract as [[deleteMatching]].
     */
   def updateMatching(spark: SparkSession, tableDir: String,
-      partCol: String, keys: Seq[(String, DataFrame)],
+      partCol: String, keys: Seq[(Seq[String], DataFrame)],
       residual: Option[Column],
       assignments: Seq[(String, Column)]): Unit = {
     require(keys.nonEmpty, "updateMatching needs at least one key frame")
+    require(keys.forall(_._1.nonEmpty), "a key frame needs key columns")
     val res = residual.getOrElse(lit(true))
     def prepare(df: DataFrame): (DataFrame, Column) = {
       var acc = df
-      val markers = keys.zipWithIndex.map { case ((k, kdf), i) =>
+      val markers = keys.zipWithIndex.map { case ((ks, kdf), i) =>
         val mCol = s"__vt_in_hit_$i"
         acc = acc.join(
-          kdf.select(col(k)).distinct().withColumn(mCol, lit(1)),
-          Seq(k), "left")
+          kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
+          ks, "left")
         mCol
       }
       val matchedAll = markers.map(col(_).isNotNull).reduce(_ && _)

@@ -483,6 +483,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
       s"WHERE amount > (SELECT avg(amount) FROM ${sqlTable(dir)})")
     assert(ids(v1(dir)) === Seq(1L, 4L))
+    // multi-column tuple membership: (kind, status) pairs
+    Seq(("a", "ACTIVE"), ("b", "MISSING")).toDF("k", "s")
+      .createOrReplaceTempView("pair_keys")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE (kind, status) IN (SELECT k, s FROM pair_keys)")
+    // id=1 is (a, ACTIVE) → deleted; id=4 is (b, INACTIVE) → kept
+    assert(ids(v1(dir)) === Seq(4L))
   }
 
   test("metadata tables: history/detail/partitions/constraints answer " +
@@ -579,6 +586,52 @@ class GraftCatalogSpec extends AnyFunSuite {
         s"AS SELECT * FROM graft.`$src`")
     }
     assert(rep.getMessage.contains("TRUNCATE"), rep.getMessage)
+  }
+
+  test("edge cases: 0-row CTAS lands an empty v0; membership UPDATE " +
+      "moves rows across partitions; by-source sync rewrites " +
+      "foreign-spec leaves; a racing create refuses the staged commit") {
+    // 0-row CTAS: the atomic path publishes an empty (but schema-
+    // carrying) v0 — INSERT then works
+    val src = mkTable()
+    val empty = Files.createTempDirectory("graft-edge0").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$empty` PARTITIONED BY (kind) " +
+      s"AS SELECT * FROM graft.`$src` WHERE id < 0")
+    assert(VersionedTable.versions(spark, empty) === Seq(0))
+    assert(v1(empty).count() === 0L)
+    spark.sql(s"INSERT INTO graft.`$empty` VALUES (7, 'z', 'ACTIVE', 70)")
+    assert(ids(v1(empty)) === Seq(7L))
+    // membership UPDATE may assign the PARTITION column: matched rows
+    // move to their new tuple's leaf within the commit
+    val dir = mkTable()
+    Seq(2L, 3L).toDF("the_id").createOrReplaceTempView("move_ids")
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET kind = 'z' " +
+      "WHERE id IN (SELECT the_id FROM move_ids)")
+    val moved = v1(dir).orderBy("id").select("id", "kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(moved === Seq((1L, "a"), (2L, "z"), (3L, "z"), (4L, "b")))
+    assert(VersionedTable.partitionTuples(spark, dir).map(_.head).sorted
+      === Seq("a", "b", "z"))
+    // by-source sync across a spec evolution: old-spec (kind) leaves
+    // still rewrite when their unmatched rows hit the condition
+    val evo = mkTable()
+    VersionedTable.evolvePartitionSpec(spark, evo, "status")
+    Seq(1L, 4L).toDF("id").createOrReplaceTempView("sync_keep")
+    spark.sql(s"""MERGE INTO ${sqlTable(evo)} t USING sync_keep s
+      ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.amount < 35 THEN DELETE""")
+    assert(ids(v1(evo)) === Seq(1L, 4L)) // 2 (20) and 3 (30) synced away
+    // a racing normal CREATE makes the staged commit refuse loudly
+    val raceDir = Files.createTempDirectory("graft-race").toString + "/t"
+    val df = Seq((1L, "a", 1L)).toDF("id", "kind", "n")
+    val leaves = VersionedTable.stageCreateData(df, raceDir, "kind",
+      "parquet")
+    VersionedTable.create(df, raceDir, "kind") // the racer wins
+    val race = intercept[IllegalArgumentException] {
+      VersionedTable.commitStagedCreate(spark, raceDir, leaves,
+        df.schema, "kind", "parquet")
+    }
+    assert(race.getMessage.contains("concurrent create"), race.getMessage)
   }
 
   test("catalog SELECTs plan the vectorized V1 scan — FileSourceScanExec, " +

@@ -81,20 +81,20 @@ class VersionedTableSpec extends AnyFunSuite {
     val keys = Seq(2L, 3L, 99L).toDF("id")
     // residual restricts the membership hit set: only kind='a' deletes
     VersionedTable.deleteMatching(spark, dir, "kind",
-      Seq("id" -> keys), Some($"kind" === "a"))
+      Seq(Seq("id") -> keys), Some($"kind" === "a"))
     assert(VersionedTable.readLatest(spark, dir)
       .select("amount").as[Long].collect().sorted.toSeq
       === Seq(10L, 30L, 40L, 50L))
     // the NULL-id row never matches a key list (IN is NULL there) and
     // survives even when its partition rewrites
     VersionedTable.deleteMatching(spark, dir, "kind",
-      Seq("id" -> keys), None)
+      Seq(Seq("id") -> keys), None)
     assert(VersionedTable.readLatest(spark, dir)
       .select("amount").as[Long].collect().sorted.toSeq
       === Seq(10L, 40L, 50L))
     // updateMatching assigns only on matched keys passing the residual
     VersionedTable.updateMatching(spark, dir, "kind",
-      Seq("id" -> Seq(1L, 4L).toDF("id")), Some($"amount" > 15L),
+      Seq(Seq("id") -> Seq(1L, 4L).toDF("id")), Some($"amount" > 15L),
       Seq("amount" -> ($"amount" + 1000L)))
     assert(VersionedTable.readLatest(spark, dir)
       .select("amount").as[Long].collect().sorted.toSeq
