@@ -357,11 +357,15 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
     keys: Seq[(Seq[String], LogicalPlan)], residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // the kernel reads each key frame up to three times (affected-tuple
+    // probe, foreign-leaf discovery, survivor rewrite) — persist for the
+    // command's duration so the subquery runs once, not per action
     val frames = keys.map { case (k, plan) =>
-      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*)
+      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*).persist()
     }
-    VersionedTable.deleteMatching(spark, tableDir, spec, frames,
+    try VersionedTable.deleteMatching(spark, tableDir, spec, frames,
       residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))))
+    finally frames.foreach(_._2.unpersist(blocking = false))
     Seq.empty
   }
 }
@@ -375,14 +379,17 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     keys: Seq[(Seq[String], LogicalPlan)], residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // persisted for the same probe/discover/rewrite reuse as the
+    // delete-matching command
     val frames = keys.map { case (k, plan) =>
-      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*)
+      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*).persist()
     }
-    VersionedTable.updateMatching(spark, tableDir, spec, frames,
+    try VersionedTable.updateMatching(spark, tableDir, spec, frames,
       residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))),
       assignments.map { case (n, e) =>
         n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
       })
+    finally frames.foreach(_._2.unpersist(blocking = false))
     Seq.empty
   }
 }

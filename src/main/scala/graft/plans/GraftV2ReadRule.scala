@@ -86,10 +86,18 @@ class GraftV2ReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def toV1(r: DataSourceV2Relation,
       t: GraftV2Table): Option[LogicalPlan] = {
-    val v1 = session.read.format("graft-snapshot")
-      .option("versionAsOf", t.resolvedVersion.toString)
-      .load(t.tableDir)
-      .queryExecution.analyzed
+    // reader options are the DataFrame-API time-travel spelling
+    // (`spark.read.option("versionAsOf", 3).table(…)` — Delta's shape);
+    // SQL `VERSION/TIMESTAMP AS OF` arrives already pinned in the
+    // table. Options pass straight through to the V1 connector, whose
+    // parsing is the single authority for both spellings.
+    val reader = session.read.format("graft-snapshot")
+    val timeTraveled = Option(r.options.get("timestampAsOf"))
+      .map(ts => reader.option("timestampAsOf", ts))
+      .orElse(Option(r.options.get("versionAsOf"))
+        .map(v => reader.option("versionAsOf", v)))
+      .getOrElse(reader.option("versionAsOf", t.resolvedVersion.toString))
+    val v1 = timeTraveled.load(t.tableDir).queryExecution.analyzed
     val byName = v1.output.map(a => a.name -> a).toMap
     val aliases = r.output.map { old =>
       byName.get(old.name).filter(_.dataType == old.dataType)

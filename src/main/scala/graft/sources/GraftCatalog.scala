@@ -499,9 +499,23 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
 
   // ---- read: V1Scan delegation (see the coexistence note above) ----
 
+  /** Reader options carry the DataFrame-API time-travel spelling
+    * (`spark.read.option("versionAsOf", 3).table(…)`, Delta's shape) —
+    * honored here for the fallback scan and by [[graft.plans
+    * .GraftV2ReadRule]] for the vectorized path. The SQL
+    * `VERSION/TIMESTAMP AS OF` forms stay authoritative for
+    * schema-changing histories (they pin the TABLE, so the old
+    * version's own schema resolves); the option form reads through the
+    * head relation's schema.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    new GraftScanBuilder(tableDir, resolvedVersion, schema())
+      : ScanBuilder = {
+    val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(ts => SnapshotConnector.versionAtSpec(spark, tableDir, ts)))
+      .getOrElse(resolvedVersion)
+    new GraftScanBuilder(tableDir, v, schema())
+  }
 
   // ---- DELETE FROM (translatable predicates; the DML rule in
   //      GraftExtensions handles the rest + UPDATE/MERGE) ----

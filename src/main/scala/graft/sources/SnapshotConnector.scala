@@ -111,19 +111,9 @@ final class GraftSnapshotSource extends RelationProvider
       ignoreChanges = ci.get("ignorechanges").exists(_.trim.toBoolean))
   }
 
-  /** `timestampAsOf` → version: the latest manifest committed at or
-    * before the instant (epoch millis, or UTC `yyyy-MM-dd HH:mm:ss`).
-    * An instant predating the table is a loud error, not an empty read.
-    */
   private def versionAt(spark: SparkSession, tableDir: String,
-      spec: String): Int = {
-    val ts =
-      if (spec.trim.matches("\\d+")) spec.trim.toLong
-      else java.time.LocalDateTime
-        .parse(spec.trim.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-    VersionedTable.versionAtMillis(spark, tableDir, ts)
-  }
+      spec: String): Int =
+    SnapshotConnector.versionAtSpec(spark, tableDir, spec)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -1001,6 +991,22 @@ final class ChangeFeedRelation(spark: SparkSession, tableDir: String,
   * end-to-end by an independent engine.
   */
 object SnapshotConnector {
+
+  /** `timestampAsOf` → version: the latest manifest committed at or
+    * before the instant (epoch millis, or UTC `yyyy-MM-dd HH:mm:ss`).
+    * An instant predating the table is a loud error, not an empty read.
+    * Shared by the V1 read option and the V2 catalog's reader-option
+    * time travel ([[GraftV2Table.newScanBuilder]]).
+    */
+  private[sources] def versionAtSpec(spark: SparkSession,
+      tableDir: String, spec: String): Int = {
+    val ts =
+      if (spec.trim.matches("\\d+")) spec.trim.toLong
+      else java.time.LocalDateTime
+        .parse(spec.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    VersionedTable.versionAtMillis(spark, tableDir, ts)
+  }
 
   /** A leaf set as a manifest-driven relation frame — the ONE scan
     * construction the connector and [[VersionedTable]]'s own read path

@@ -60,6 +60,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(spark.sql(
       s"SELECT * FROM ${sqlTable(dir)} TIMESTAMP AS OF '2099-01-01 00:00:00'"))
       === (1L to 5L))
+    // the DataFrame-API option spelling (Delta's shape) pins the same way
+    assert(ids(spark.read.option("versionAsOf", "0")
+      .table(sqlTable(dir))) === (1L to 4L))
+    assert(ids(spark.read.option("timestampAsOf", "2099-01-01 00:00:00")
+      .table(sqlTable(dir))) === (1L to 5L))
   }
 
   test("INSERT INTO appends a manifest commit; INSERT OVERWRITE is " +
