@@ -549,17 +549,25 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
       // append | truncate (whole-table overwrite) | dynamic (replace
       // exactly the partition tuples present in the data — the
       // reference's S4 `insertInto(overwrite=true)` semantics under
-      // partitionOverwriteMode=dynamic, as ONE manifest commit)
+      // partitionOverwriteMode=dynamic, as ONE manifest commit) |
+      // replace (static `INSERT OVERWRITE … PARTITION (…)` → the Delta
+      // replaceWhere shape, one commit)
       private var mode: String = "append"
+      private var replacePred: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { mode = "truncate"; this }
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        // only the whole-table form maps onto the versioned overwrite;
-        // a real filter would need row-level replace semantics
-        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-          "INSERT OVERWRITE with a partition/filter spec is not " +
-            "supported — only whole-table INSERT OVERWRITE (a " +
-            "truncate-and-load commit); use DELETE + INSERT for a slice")
-        mode = "truncate"; this
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) {
+          mode = "truncate"
+        } else {
+          val preds = filters.toSeq.map(f =>
+            SnapshotConnector.filterColumn(f).getOrElse(
+              throw new UnsupportedOperationException(
+                s"INSERT OVERWRITE filter '$f' has no column-predicate " +
+                  "translation — use DELETE + INSERT for this slice")))
+          replacePred = Some(preds.reduce(_ && _))
+          mode = "replace"
+        }
+        this
       }
       override def overwriteDynamicPartitions(): WriteBuilder = {
         mode = "dynamic"; this
@@ -572,6 +580,9 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
               mode match {
                 case "dynamic" =>
                   VersionedTable.overwritePartitions(data, tableDir, spec)
+                case "replace" =>
+                  VersionedTable.replaceWhere(data, tableDir, spec,
+                    replacePred.get)
                 case "truncate" =>
                   VersionedTable.overwrite(data, tableDir, spec)
                 case _ =>

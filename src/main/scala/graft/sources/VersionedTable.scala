@@ -994,12 +994,18 @@ object VersionedTable {
     */
   private def deleteCore(spark: SparkSession, tableDir: String,
       partCol: String, hits: DataFrame => DataFrame,
-      keep: DataFrame => DataFrame): Unit = withCommitRetry {
+      keep: DataFrame => DataFrame,
+      alsoAdd: Option[DataFrame] = None): Unit = withCommitRetry {
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val cols = specOf(partCol)
     requireSpec(m, cols, "delete")
     val current = readView(spark, tableDir, m)
+    // the replace-where form ([[replaceWhere]]) adds its new rows in the
+    // SAME commit the old slice disappears in — no delete/insert
+    // visibility gap
+    def addLeaves(): Seq[String] = alsoAdd.toSeq.flatMap(df =>
+      writeDataDirCols(df, tableDir, v, cols, m.fmt))
     // affected partition VALUE TUPLES (one value per spec column, spec
     // order): metadata-sized driver list (the reference core's
     // identifyAffectedPartitions shape)
@@ -1008,8 +1014,8 @@ object VersionedTable {
       .distinct().collect()
       .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     if (affected.isEmpty) {
-      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
-        m.schema, m.partcol, m.constraints, m.format)
+      writeManifest(spark, tableDir, v, m.leaves ++ addLeaves(), m.deletes,
+        m.dirty, m.txns, m.schema, m.partcol, m.constraints, m.format)
       return
     }
     // spec-aware pruning: same-spec leaves prune by dir value; leaves
@@ -1032,9 +1038,35 @@ object VersionedTable {
     // and erase them.
     val survivors = keep(readView(spark, tableDir, m, onlyLeaves = Some(hit)))
     val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
-    writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
-      m.dirty.filter(kept.contains), m.txns, m.schema, cols,
+    writeManifest(spark, tableDir, v, kept ++ newLeaves ++ addLeaves(),
+      m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema, cols,
       m.constraints, m.format)
+  }
+
+  /** REPLACE WHERE — the Delta `replaceWhere` / static
+    * `INSERT OVERWRITE t PARTITION (…)` semantics as ONE commit: rows
+    * matching `pred` disappear and `df`'s rows land, atomically (a
+    * reader sees either the old slice or the new one, never neither).
+    * Every incoming row must satisfy `pred` — rows outside the replaced
+    * slice refuse loudly (the Delta contract; silently widening the
+    * overwrite would clobber data the statement never named). An empty
+    * `df` empties the slice.
+    */
+  def replaceWhere(df: DataFrame, tableDir: String, partCol: String,
+      pred: Column): Unit = {
+    val spark = df.sparkSession
+    val m = readManifestFull(spark, tableDir,
+      latestVersion(spark, tableDir))
+    resolveAppendSchema(df, spark, tableDir, m, allowEvolution = false)
+    requireConstraints(df, m, "replaceWhere")
+    val outside = df.filter(!coalesce(pred, lit(false))).count()
+    require(outside == 0L,
+      s"replaceWhere violation: $outside incoming rows do not satisfy " +
+        "the replaced-slice predicate — the statement would clobber " +
+        "data it never named")
+    deleteCore(spark, tableDir, partCol, _.filter(pred),
+      keepDf => keepDf.filter(!coalesce(pred, lit(false))),
+      alsoAdd = Some(df))
   }
 
   /** Copy-on-write UPDATE — the SQL `UPDATE t SET c = e WHERE p` shape,

@@ -497,6 +497,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(v1(dir)) === Seq(4L))
   }
 
+  test("static INSERT OVERWRITE PARTITION is a one-commit replaceWhere: " +
+      "the named slice is replaced (or emptied), everything else " +
+      "carries, out-of-slice rows refuse") {
+    val dir = mkTable()
+    // static mode plans OverwriteByExpression with the partition filter
+    // (the session default, dynamic, would replace only tuples PRESENT
+    // in the data — a different statement)
+    val old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} PARTITION (kind='a') " +
+        "VALUES (10, 'FRESH', 100)")
+      val got = v1(dir).orderBy("id").select("id", "kind", "status")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq
+      assert(got === Seq((3L, "b", "ACTIVE"), (4L, "b", "INACTIVE"),
+        (10L, "a", "FRESH")))
+      assert(VersionedTable.latestVersion(spark, dir) === 1) // ONE commit
+      // an empty source EMPTIES the slice (static overwrite semantics,
+      // where the dynamic form would have replaced nothing)
+      spark.sql(s"INSERT OVERWRITE ${sqlTable(dir)} PARTITION (kind='b') " +
+        s"SELECT id, status, amount FROM graft.`$dir` WHERE id < 0")
+      assert(ids(v1(dir)) === Seq(10L))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    // history intact across both slice overwrites
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+    // library form: out-of-slice rows refuse loudly
+    val bad = intercept[Exception] {
+      VersionedTable.replaceWhere(
+        Seq((9L, "zz", "X", 9L)).toDF("id", "kind", "status", "amount"),
+        dir, "kind", $"kind" === "a")
+    }
+    assert(bad.getMessage.contains("replaceWhere violation"),
+      bad.getMessage)
+  }
+
   test("metadata tables: history/detail/partitions/constraints answer " +
       "through plain SQL, driver-metadata-sized") {
     val dir = mkTable()
