@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SELECTs plan FileSourceScanExec inside WholeStageCodegen instead
     // of the per-row V1Scan conversion (see GraftV2ReadRule)
     ext.injectPostHocResolutionRule(session => new GraftV2ReadRule(session))
+    // readStream.table("graft.`dir`") → the V1 versions-as-offsets
+    // change source (see GraftStreamingReadRule)
+    ext.injectPostHocResolutionRule(session =>
+      new org.apache.spark.sql.graft.GraftStreamingReadRule(session))
     // SQL INSERT INTO/OVERWRITE against a registered graft-snapshot table
     // resolves to InsertIntoHadoopFsRelationCommand, which writes files
     // into the table dir OUTSIDE any manifest — committed-looking,

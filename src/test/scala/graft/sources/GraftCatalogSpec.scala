@@ -535,6 +535,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       bad.getMessage)
   }
 
+  test("readStream.table tails the versioned table through the V1 " +
+      "change source; readChangeFeed through the identifier refuses " +
+      "by name") {
+    val dir = mkTable()
+    val q = spark.readStream.table(sqlTable(dir)).writeStream
+      .format("memory").queryName("cat_stream").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(ids(spark.table("cat_stream")) === (1L to 4L))
+      VersionedTable.append(
+        Seq((5L, "a", "ACTIVE", 50L)).toDF("id", "kind", "status", "amount"),
+        dir, "kind")
+      q.processAllAvailable()
+      assert(ids(spark.table("cat_stream")) === (1L to 5L))
+    } finally q.stop()
+    val cdf = intercept[UnsupportedOperationException] {
+      spark.readStream.option("readChangeFeed", "true")
+        .table(sqlTable(dir))
+    }
+    assert(cdf.getMessage.contains("readChangeFeed"), cdf.getMessage)
+  }
+
   test("metadata tables: history/detail/partitions/constraints answer " +
       "through plain SQL, driver-metadata-sized") {
     val dir = mkTable()
