@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // change source (see GraftStreamingReadRule)
     ext.injectPostHocResolutionRule(session =>
       new org.apache.spark.sql.graft.GraftStreamingReadRule(session))
+    // the Delta-style maintenance STATEMENTS (VACUUM / OPTIMIZE /
+    // DESCRIBE HISTORY on graft.`dir`); everything else falls through
+    // to Spark's parser verbatim (see GraftSqlParser)
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     // SQL INSERT INTO/OVERWRITE against a registered graft-snapshot table
     // resolves to InsertIntoHadoopFsRelationCommand, which writes files
     // into the table dir OUTSIDE any manifest — committed-looking,

@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+import graft.sources.VersionedTable
+
+/** The Delta-style maintenance STATEMENTS, by parser injection — the
+  * exact spellings a Delta operator types, over the same locked library
+  * calls the `CALL graft.…` procedures shim (both surfaces stay; typed
+  * muscle memory should not need retraining):
+  *
+  * {{{
+  *   VACUUM graft.`/warehouse/events` RETAIN 3 VERSIONS
+  *   VACUUM graft.`/warehouse/events` DRY RUN
+  *   OPTIMIZE graft.`/warehouse/events`
+  *   OPTIMIZE graft.`/warehouse/events` ZORDER BY (user_id, event_id)
+  *   DESCRIBE HISTORY graft.`/warehouse/events`
+  * }}}
+  *
+  * The interceptor matches ONLY these fixed shapes (anchored regexes
+  * over a backquoted `graft.`…`` identifier); every other statement —
+  * including malformed variants of these — falls through verbatim to
+  * Spark's own parser, so the error a user sees for `VACUUM t` (no
+  * graft identifier) is Spark's, not a misleading graft one.
+  * `VACUUM` without RETAIN refuses rather than guessing a default:
+  * history is the product, and how much of it to erase is the one
+  * decision the statement must not make silently. `OPTIMIZE` without
+  * ZORDER is [[VersionedTable.binpack]] at a 32 MiB floor.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    intercept(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+private[plans] object GraftSqlParser {
+
+  // graft.`/abs/path` — the backquoted path-table identifier; the
+  // catalog name is literal (the conventional registration), the path
+  // is anything backquote-free
+  private val Table = "graft\\.`([^`]+)`"
+  private val Vacuum =
+    ("(?is)\\s*VACUUM\\s+" + Table +
+      "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*").r
+  private val VacuumDry =
+    ("(?is)\\s*VACUUM\\s+" + Table + "\\s+DRY\\s+RUN\\s*;?\\s*").r
+  private val VacuumBare =
+    ("(?is)\\s*VACUUM\\s+" + Table + "\\s*;?\\s*").r
+  private val OptimizeZ =
+    ("(?is)\\s*OPTIMIZE\\s+" + Table +
+      "\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*;?\\s*").r
+  private val OptimizeBare =
+    ("(?is)\\s*OPTIMIZE\\s+" + Table + "\\s*;?\\s*").r
+  private val History =
+    ("(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Table + "\\s*;?\\s*").r
+
+  def intercept(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Vacuum(dir, n) => Some(GraftVacuumCommand(dir, n.toInt))
+    case VacuumDry(dir) => Some(GraftVacuumDryRunCommand(dir))
+    case VacuumBare(dir) => throw new UnsupportedOperationException(
+      s"VACUUM graft.`$dir` needs an explicit retention — " +
+        "`RETAIN <n> VERSIONS` (or `DRY RUN` to preview): versions are " +
+        "the product, and how much history to erase is the one decision " +
+        "this statement must not make silently")
+    case OptimizeZ(dir, c1, c2) =>
+      Some(GraftOptimizeCommand(dir, Some((c1, c2))))
+    case OptimizeBare(dir) => Some(GraftOptimizeCommand(dir, None))
+    case History(dir) => Some(GraftDescribeHistoryCommand(dir))
+    case _ => None
+  }
+
+  /** The table's recorded spec — the same manifest-is-the-authority
+    * resolution the procedures use.
+    */
+  def specOf(spark: SparkSession, dir: String): String =
+    VersionedTable.recordedSpec(spark, dir).getOrElse(
+      throw new UnsupportedOperationException(
+        s"table $dir has no recorded partition spec (legacy manifest) — " +
+          "maintenance statements need one; run any append to record it"))
+}
+
+/** `VACUUM graft.`dir` RETAIN n VERSIONS` → [[VersionedTable.vacuum]]. */
+case class GraftVacuumCommand(tableDir: String, retainLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("versions_dropped", LongType, nullable = false)(),
+    AttributeReference("versions_retained", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = VersionedTable.versions(spark, tableDir)
+    VersionedTable.vacuum(spark, tableDir, retainLast)
+    val after = VersionedTable.versions(spark, tableDir)
+    Seq(Row(tableDir, (before.size - after.size).toLong, after.size.toLong))
+  }
+}
+
+/** `VACUUM graft.`dir` DRY RUN` → [[VersionedTable.vacuumDryRun]] with
+  * the minimum legal retention (1): the widest preview of what is
+  * erasable, changing nothing.
+  */
+case class GraftVacuumDryRunCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("would_drop_version", IntegerType,
+      nullable = false)(),
+    AttributeReference("n_dead_paths", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dead, drop, _) =
+      VersionedTable.vacuumDryRun(spark, tableDir, retainLast = 1)
+    drop.map(v => Row(tableDir, v, dead.size.toLong))
+  }
+}
+
+/** `OPTIMIZE graft.`dir` [ZORDER BY (c1, c2)]` →
+  * [[VersionedTable.optimizeZOrder]] / [[VersionedTable.binpack]] (at a
+  * 32 MiB leaf floor — the small-file compaction an operator means by
+  * bare OPTIMIZE).
+  */
+case class GraftOptimizeCommand(tableDir: String,
+    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val spec = GraftSqlParser.specOf(spark, tableDir)
+    val op = zorder match {
+      case Some((c1, c2)) =>
+        VersionedTable.optimizeZOrder(spark, tableDir, spec, c1, c2)
+        s"zorder($c1,$c2)"
+      case None =>
+        VersionedTable.binpack(spark, tableDir, spec, 32L << 20)
+        "binpack"
+    }
+    Seq(Row(tableDir, op, VersionedTable.latestVersion(spark, tableDir)))
+  }
+}
+
+/** `DESCRIBE HISTORY graft.`dir`` — one row per retained version, the
+  * same frame as the `.history` metadata table (manifest parses only).
+  */
+case class GraftDescribeHistoryCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_leaves", LongType, nullable = false)(),
+    AttributeReference("n_delete_vectors", LongType, nullable = false)(),
+    AttributeReference("n_dirty_leaves", LongType, nullable = false)(),
+    AttributeReference("n_txns", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.history(spark, tableDir).collect().toSeq
+}

@@ -1991,6 +1991,16 @@ object VersionedTable {
       m.schema, m.partcol, kept)
   }
 
+  /** The head manifest's recorded partition spec (the comma-joined
+    * public form every mutator takes); None on legacy manifests — the
+    * public seam maintenance surfaces resolve their spec through, so a
+    * statement never re-declares (and possibly contradicts) the spec
+    * its table commits under.
+    */
+  def recordedSpec(spark: SparkSession, tableDir: String): Option[String] =
+    readManifestFull(spark, tableDir,
+      latestVersion(spark, tableDir)).specOpt
+
   /** The head's live leaf dirs, relative to the table dir — the ops
     * probe [[binpack]]'s by-reference guarantees are asserted against.
     */

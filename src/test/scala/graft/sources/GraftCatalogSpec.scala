@@ -584,6 +584,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("Delta-style maintenance statements parse: DESCRIBE HISTORY, " +
+      "VACUUM RETAIN/DRY RUN, OPTIMIZE [ZORDER BY]; bare VACUUM asks " +
+      "for retention; non-graft statements fall through to Spark") {
+    val dir = mkTable()
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE id = 1") // v1
+    val hist = spark.sql(s"DESCRIBE HISTORY ${sqlTable(dir)}")
+      .select("version").as[Int].collect().sorted.toSeq
+    assert(hist === Seq(0, 1))
+    val dry = spark.sql(s"VACUUM ${sqlTable(dir)} DRY RUN").collect()
+    assert(dry.map(_.getInt(1)).toSeq === Seq(0)) // would drop v0 only
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1)) // unchanged
+    val opt = spark.sql(s"OPTIMIZE ${sqlTable(dir)}").collect().head
+    assert(opt.getString(1) === "binpack")
+    val z = spark.sql(
+      s"OPTIMIZE ${sqlTable(dir)} ZORDER BY (id, amount)").collect().head
+    assert(z.getString(1) === "zorder(id,amount)")
+    spark.sql(s"VACUUM ${sqlTable(dir)} RETAIN 1 VERSIONS")
+    assert(VersionedTable.versions(spark, dir).size === 1)
+    assert(ids(v1(dir)) === Seq(2L, 3L, 4L)) // head intact
+    val bare = intercept[UnsupportedOperationException] {
+      spark.sql(s"VACUUM ${sqlTable(dir)}")
+    }
+    assert(bare.getMessage.contains("RETAIN"), bare.getMessage)
+    // a non-graft VACUUM is NOT intercepted — Spark's own parse error
+    intercept[Exception] { spark.sql("VACUUM some_table") }
+  }
+
   test("CALL procedures: rollback restores by pointer flip, " +
       "vacuum_dry_run previews, vacuum erases history; unknown names " +
       "refuse listing the surface") {
