@@ -21,6 +21,8 @@ import graft.sources.VersionedTable
   *   OPTIMIZE graft.`/warehouse/events`
   *   OPTIMIZE graft.`/warehouse/events` ZORDER BY (user_id, event_id)
   *   DESCRIBE HISTORY graft.`/warehouse/events`
+  *   DESCRIBE DETAIL graft.`/warehouse/events`
+  *   RESTORE TABLE graft.`/warehouse/events` TO VERSION AS OF 2
   * }}}
   *
   * The interceptor matches ONLY these fixed shapes (anchored regexes
@@ -79,6 +81,11 @@ private[plans] object GraftSqlParser {
     ("(?is)\\s*OPTIMIZE\\s+" + Table + "\\s*;?\\s*").r
   private val History =
     ("(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Table + "\\s*;?\\s*").r
+  private val Detail =
+    ("(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + Table + "\\s*;?\\s*").r
+  private val Restore =
+    ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Table +
+      "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*").r
 
   def intercept(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Vacuum(dir, n) => Some(GraftVacuumCommand(dir, n.toInt))
@@ -92,6 +99,8 @@ private[plans] object GraftSqlParser {
       Some(GraftOptimizeCommand(dir, Some((c1, c2))))
     case OptimizeBare(dir) => Some(GraftOptimizeCommand(dir, None))
     case History(dir) => Some(GraftDescribeHistoryCommand(dir))
+    case Detail(dir) => Some(GraftDescribeDetailCommand(dir))
+    case Restore(dir, v) => Some(GraftRestoreCommand(dir, v.toInt))
     case _ => None
   }
 
@@ -177,4 +186,46 @@ case class GraftDescribeHistoryCommand(tableDir: String)
     AttributeReference("n_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     VersionedTable.history(spark, tableDir).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL graft.`dir`` — the head's physical footprint, the
+  * same frame as the `.detail` metadata table.
+  */
+case class GraftDescribeDetailCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_versions", IntegerType, nullable = false)(),
+    AttributeReference("num_leaves", IntegerType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_delete_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_dirty_leaves", IntegerType,
+      nullable = false)(),
+    AttributeReference("partition_spec", StringType, nullable = false)(),
+    AttributeReference("schema_ddl", StringType, nullable = false)(),
+    AttributeReference("num_txn_channels", IntegerType,
+      nullable = false)(),
+    AttributeReference("num_constraints", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.describeDetail(spark, tableDir).collect().toSeq
+}
+
+/** `RESTORE [TABLE] graft.`dir` TO VERSION AS OF n` — Delta's RESTORE
+  * as the manifest pointer flip ([[VersionedTable.rollback]]): a new
+  * version whose manifest copies the target's, no data moves, history
+  * stays linear.
+  */
+case class GraftRestoreCommand(tableDir: String, toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("restored_from", IntegerType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.rollback(spark, tableDir, toVersion)
+    Seq(Row(tableDir, toVersion,
+      VersionedTable.latestVersion(spark, tableDir)))
+  }
 }

@@ -600,9 +600,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     val z = spark.sql(
       s"OPTIMIZE ${sqlTable(dir)} ZORDER BY (id, amount)").collect().head
     assert(z.getString(1) === "zorder(id,amount)")
+    val headBefore = VersionedTable.latestVersion(spark, dir)
+    val detail = spark.sql(s"DESCRIBE DETAIL ${sqlTable(dir)}")
+      .collect().head
+    assert(detail.getAs[String]("partition_spec") === "kind")
+    assert(detail.getAs[Int]("num_versions") === headBefore + 1)
+    // RESTORE is the manifest pointer flip — id=1 comes back
+    val restored = spark.sql(
+      s"RESTORE TABLE ${sqlTable(dir)} TO VERSION AS OF 0").collect().head
+    assert(restored.getAs[Int]("version") === headBefore + 1)
+    assert(ids(v1(dir)) === (1L to 4L))
     spark.sql(s"VACUUM ${sqlTable(dir)} RETAIN 1 VERSIONS")
     assert(VersionedTable.versions(spark, dir).size === 1)
-    assert(ids(v1(dir)) === Seq(2L, 3L, 4L)) // head intact
+    assert(ids(v1(dir)) === (1L to 4L)) // head (the restore) intact
     val bare = intercept[UnsupportedOperationException] {
       spark.sql(s"VACUUM ${sqlTable(dir)}")
     }
