@@ -17,9 +17,13 @@ import graft.sources.VersionedTable
   *
   * {{{
   *   VACUUM graft.`/warehouse/events` RETAIN 3 VERSIONS
+  *   VACUUM graft.`/warehouse/events` RETAIN 3 VERSIONS DRY RUN
   *   VACUUM graft.`/warehouse/events` DRY RUN
   *   OPTIMIZE graft.`/warehouse/events`
+  *   OPTIMIZE graft.`/warehouse/events` WHERE pdate >= '2026-01-01'
   *   OPTIMIZE graft.`/warehouse/events` ZORDER BY (user_id, event_id)
+  *   OPTIMIZE graft.`/warehouse/events` WHERE pdate = '2026-01-01'
+  *     ZORDER BY (user_id, event_id, ts)
   *   DESCRIBE HISTORY graft.`/warehouse/events`
   *   DESCRIBE DETAIL graft.`/warehouse/events`
   *   RESTORE TABLE graft.`/warehouse/events` TO VERSION AS OF 2
@@ -67,6 +71,9 @@ private[plans] object GraftSqlParser {
   // catalog name is literal (the conventional registration), the path
   // is anything backquote-free
   private val Table = "graft\\.`([^`]+)`"
+  private val VacuumDryRetain =
+    ("(?is)\\s*VACUUM\\s+" + Table +
+      "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s+DRY\\s+RUN\\s*;?\\s*").r
   private val Vacuum =
     ("(?is)\\s*VACUUM\\s+" + Table +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*").r
@@ -74,11 +81,14 @@ private[plans] object GraftSqlParser {
     ("(?is)\\s*VACUUM\\s+" + Table + "\\s+DRY\\s+RUN\\s*;?\\s*").r
   private val VacuumBare =
     ("(?is)\\s*VACUUM\\s+" + Table + "\\s*;?\\s*").r
-  private val OptimizeZ =
+  // OPTIMIZE t [WHERE <partition predicate>] [ZORDER BY (c1[, …])] —
+  // one shape, both clauses optional (Delta's statement); the column
+  // list is any arity (1–7 enforced by the layout writer, loudly)
+  private val Optimize =
     ("(?is)\\s*OPTIMIZE\\s+" + Table +
-      "\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*;?\\s*").r
-  private val OptimizeBare =
-    ("(?is)\\s*OPTIMIZE\\s+" + Table + "\\s*;?\\s*").r
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\))?" +
+      "\\s*;?\\s*").r
   private val History =
     ("(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Table + "\\s*;?\\s*").r
   private val Detail =
@@ -86,8 +96,17 @@ private[plans] object GraftSqlParser {
   private val Restore =
     ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Table +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*").r
+  // loud refusals for RECOGNIZED-but-malformed graft maintenance
+  // statements (advice: an `OPTIMIZE graft.`t` ZORDER BY c` without
+  // parens must not surface an unrelated Spark ParseException); the
+  // guards match only a graft identifier after the verb, so non-graft
+  // statements still fall through verbatim
+  private val OptimizeGuard = "(?is)\\s*OPTIMIZE\\s+graft\\.`.*".r
+  private val VacuumGuard = "(?is)\\s*VACUUM\\s+graft\\.`.*".r
 
   def intercept(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case VacuumDryRetain(dir, n) =>
+      Some(GraftVacuumDryRunCommand(dir, n.toInt))
     case Vacuum(dir, n) => Some(GraftVacuumCommand(dir, n.toInt))
     case VacuumDry(dir) => Some(GraftVacuumDryRunCommand(dir))
     case VacuumBare(dir) => throw new UnsupportedOperationException(
@@ -95,12 +114,22 @@ private[plans] object GraftSqlParser {
         "`RETAIN <n> VERSIONS` (or `DRY RUN` to preview): versions are " +
         "the product, and how much history to erase is the one decision " +
         "this statement must not make silently")
-    case OptimizeZ(dir, c1, c2) =>
-      Some(GraftOptimizeCommand(dir, Some((c1, c2))))
-    case OptimizeBare(dir) => Some(GraftOptimizeCommand(dir, None))
+    case Optimize(dir, whereOrNull, zcolsOrNull) =>
+      val where = Option(whereOrNull).map(_.trim).filter(_.nonEmpty)
+      val zcols =
+        Option(zcolsOrNull).map(_.split(",").map(_.trim).toSeq)
+      Some(GraftOptimizeCommand(dir, zcols, where))
     case History(dir) => Some(GraftDescribeHistoryCommand(dir))
     case Detail(dir) => Some(GraftDescribeDetailCommand(dir))
     case Restore(dir, v) => Some(GraftRestoreCommand(dir, v.toInt))
+    case OptimizeGuard() => throw new UnsupportedOperationException(
+      "malformed OPTIMIZE on a graft table — supported: OPTIMIZE " +
+        "graft.`dir` [WHERE <partition predicate>] " +
+        "[ZORDER BY (c1[, c2, …])] (ZORDER columns need parentheses)")
+    case VacuumGuard() => throw new UnsupportedOperationException(
+      "malformed VACUUM on a graft table — supported: VACUUM " +
+        "graft.`dir` RETAIN <n> VERSIONS [DRY RUN] | VACUUM " +
+        "graft.`dir` DRY RUN")
     case _ => None
   }
 
@@ -129,31 +158,41 @@ case class GraftVacuumCommand(tableDir: String, retainLast: Int)
   }
 }
 
-/** `VACUUM graft.`dir` DRY RUN` → [[VersionedTable.vacuumDryRun]] with
-  * the minimum legal retention (1): the widest preview of what is
-  * erasable, changing nothing.
+/** `VACUUM graft.`dir` [RETAIN n VERSIONS] DRY RUN` →
+  * [[VersionedTable.vacuumDryRun]]; without RETAIN the minimum legal
+  * retention (1) previews the widest erasable set. ONE summary row
+  * (the `CALL graft.vacuum_dry_run` shape): dead paths die only when
+  * ALL their referencing dropped versions drop, so a per-version
+  * count would be attribution fiction.
   */
-case class GraftVacuumDryRunCommand(tableDir: String)
+case class GraftVacuumDryRunCommand(tableDir: String, retainLast: Int = 1)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
-    AttributeReference("would_drop_version", IntegerType,
+    AttributeReference("would_drop_versions", StringType,
+      nullable = false)(),
+    AttributeReference("n_would_drop_versions", LongType,
       nullable = false)(),
     AttributeReference("n_dead_paths", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (dead, drop, _) =
-      VersionedTable.vacuumDryRun(spark, tableDir, retainLast = 1)
-    drop.map(v => Row(tableDir, v, dead.size.toLong))
+      VersionedTable.vacuumDryRun(spark, tableDir, retainLast)
+    Seq(Row(tableDir, drop.mkString(","), drop.size.toLong,
+      dead.size.toLong))
   }
 }
 
-/** `OPTIMIZE graft.`dir` [ZORDER BY (c1, c2)]` →
-  * [[VersionedTable.optimizeZOrder]] / [[VersionedTable.binpack]] (at a
-  * 32 MiB leaf floor — the small-file compaction an operator means by
-  * bare OPTIMIZE).
+/** `OPTIMIZE graft.`dir` [WHERE <pred>] [ZORDER BY (c1[, …])]` →
+  * [[VersionedTable.optimizeZOrderCols]] / [[VersionedTable.binpack]]
+  * (at a 32 MiB leaf floor — the small-file compaction an operator
+  * means by bare OPTIMIZE). `WHERE` is a PARTITION-column predicate
+  * scoping which leaves re-lay-out (Delta's incremental-maintenance
+  * shape — at 100 TB re-layout happens slice by slice); out-of-slice
+  * leaves carry by reference, byte-untouched.
   */
 case class GraftOptimizeCommand(tableDir: String,
-    zorder: Option[(String, String)]) extends LeafRunnableCommand {
+    zorder: Option[Seq[String]], where: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)(),
@@ -161,11 +200,12 @@ case class GraftOptimizeCommand(tableDir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val spec = GraftSqlParser.specOf(spark, tableDir)
     val op = zorder match {
-      case Some((c1, c2)) =>
-        VersionedTable.optimizeZOrder(spark, tableDir, spec, c1, c2)
-        s"zorder($c1,$c2)"
+      case Some(cs) =>
+        VersionedTable.optimizeZOrderCols(spark, tableDir, spec, cs,
+          where = where)
+        s"zorder(${cs.mkString(",")})"
       case None =>
-        VersionedTable.binpack(spark, tableDir, spec, 32L << 20)
+        VersionedTable.binpack(spark, tableDir, spec, 32L << 20, where)
         "binpack"
     }
     Seq(Row(tableDir, op, VersionedTable.latestVersion(spark, tableDir)))

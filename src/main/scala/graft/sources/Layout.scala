@@ -32,7 +32,27 @@ object Layout {
     * one codegen'd expression, no UDF.
     */
   def zValue(x: Column, y: Column, xMin: Column, xMax: Column,
-      yMin: Column, yMax: Column, bits: Int = 16): Column = {
+      yMin: Column, yMax: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), Seq(xMin, yMin), Seq(xMax, yMax), bits)
+
+  /** N-column Morton code (Delta accepts any ZORDER arity; 3–4 column
+    * z-maps are common on event tables): quantize each column to `bits`
+    * bits against its [min, max] domain, then interleave round-robin —
+    * bit `b` of column `i` lands at position `b*n + (n-1-i)`, so the
+    * FIRST listed column takes the most significant bit of each round
+    * (for n=2 this is exactly the classic x-odd/y-even interleave).
+    * Pure 64-bit Column arithmetic, unrolled into one codegen'd
+    * expression — no UDF. Requires `n*bits ≤ 62` (the code must fit a
+    * non-negative long).
+    */
+  def zValueN(cols: Seq[Column], los: Seq[Column], his: Seq[Column],
+      bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 1 && los.size == n && his.size == n,
+      s"zValueN needs aligned cols/los/his, got $n/${los.size}/${his.size}")
+    require(n * bits <= 62,
+      s"z-code of $n columns at $bits bits each overflows a long — " +
+        "lower bits (n*bits must be <= 62)")
     // scale v into [0, 2^bits) against its domain, integer arithmetic only
     // after one double division (rank-preserving; exactness not required —
     // z-order is a LAYOUT decision, the data itself is never transformed)
@@ -40,12 +60,10 @@ object Layout {
       least(
         floor((v - lo).cast("double") / (hi - lo + 1) * (1L << bits)).cast("long"),
         lit((1L << bits) - 1))
-    val qx = quantize(x, xMin, xMax)
-    val qy = quantize(y, yMin, yMax)
-    (0 until bits).map { b =>
-      (shiftright(qx, b) % 2) * lit(1L << (2 * b + 1)) +
-        (shiftright(qy, b) % 2) * lit(1L << (2 * b))
-    }.reduce(_ + _)
+    val qs = cols.indices.map(i => quantize(cols(i), los(i), his(i)))
+    (for (b <- 0 until bits; i <- 0 until n) yield
+      (shiftright(qs(i), b) % 2) * lit(1L << (b * n + (n - 1 - i)))
+    ).reduce(_ + _)
   }
 
   /** The COMPOSED deployment layout (the Delta `OPTIMIZE ZORDER BY` shape

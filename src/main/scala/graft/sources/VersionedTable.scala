@@ -3,7 +3,8 @@ package graft.sources
 import scala.util.matching.Regex
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, FloatType, StringType, StructField, StructType}
 
@@ -251,6 +252,19 @@ object VersionedTable {
       tableDir: String): Option[StructType] =
     readManifestFull(spark, tableDir,
       latestVersion(spark, tableDir)).schemaOpt
+
+  /** (mtime, length) identity of a committed manifest file — the cheap
+    * uniqueness token plan caches key on (one `getFileStatus`, no read):
+    * a committed version's CONTENT is immutable, but a
+    * dropped-and-recreated table at the same path reuses version
+    * NUMBERS — never the same manifest file identity.
+    */
+  def manifestFingerprint(spark: SparkSession, tableDir: String,
+      version: Int): String = {
+    val st = fs(spark, tableDir).getFileStatus(
+      new Path(s"${manifestsDir(tableDir)}/v$version.json"))
+    s"${st.getModificationTime}_${st.getLen}"
+  }
 
   /** The head manifest's recorded data-file format ("parquet" default) —
     * what file-granular consumers ([[graft.sources.BloomSkipIndex]])
@@ -591,6 +605,50 @@ object VersionedTable {
       s"$op under partition spec '${partCols.mkString(",")}' but the " +
         s"table's current spec is '${m.specCols.mkString(",")}' — change " +
         "specs explicitly with evolvePartitionSpec")
+
+  /** The SAME-SPEC leaves whose partition value tuple satisfies
+    * `whereSql` — the slice a partition-scoped `OPTIMIZE … WHERE`
+    * addresses (Delta's shape: a 100 TB table re-lays-out incrementally,
+    * slice by slice, never whole). The predicate may reference ONLY the
+    * table's partition-spec columns (refused loudly otherwise — a
+    * data-column predicate cannot be answered from leaf metadata and
+    * silently widening to a scan would defeat the incremental contract).
+    * Evaluation is manifest-metadata-sized: one tiny local frame of leaf
+    * tuples, each spec column cast to its table-schema type, filtered by
+    * the predicate — NULL gates through `coalesce(p, false)` (SQL 3VL:
+    * an UNKNOWN tuple is NOT selected). Foreign-spec leaves are never in
+    * any slice (their migration is [[compact]]'s job); they carry by
+    * reference.
+    */
+  private def leavesInSlice(spark: SparkSession, m: VManifest,
+      cols: Seq[String], whereSql: String): Set[String] = {
+    val pred = expr(whereSql)
+    val refs = spark.sessionState.sqlParser.parseExpression(whereSql)
+      .collect { case a: UnresolvedAttribute => a.name }.toSet
+    val bad = refs.filterNot(r => cols.exists(_.equalsIgnoreCase(r)))
+    require(bad.isEmpty,
+      "OPTIMIZE ... WHERE may reference only partition-spec columns (" +
+        cols.mkString(", ") + "); non-partition columns: " +
+        bad.toSeq.sorted.mkString(", "))
+    val sameSpec = m.leaves.filter(l => leafPartPairs(l).map(_._1) == cols)
+    if (sameSpec.isEmpty) Set.empty
+    else {
+      val typeOf: Map[String, DataType] = m.schemaOpt
+        .map(s => s.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      sameSpec.foreach(l =>
+        rows.add(Row.fromSeq(l +: leafPartPairs(l).map(_._2))))
+      val schema = StructType(StructField("__vt_leaf", StringType) +:
+        cols.map(c => StructField(c, StringType)))
+      val typed = cols.foldLeft(spark.createDataFrame(rows, schema)) {
+        (d, c) => d.withColumn(c, col(c).cast(typeOf.getOrElse(c,
+          StringType)))
+      }
+      typed.filter(coalesce(pred, lit(false)))
+        .select("__vt_leaf").collect().map(_.getString(0)).toSet
+    }
+  }
 
   /** Count, in ONE aggregate pass over `df`, how many rows violate each
     * of the manifest's CHECK constraints (violation = expression
@@ -2192,16 +2250,20 @@ object VersionedTable {
     * (folded leaf count, new leaf count).
     */
   def binpack(spark: SparkSession, tableDir: String, partCol: String,
-      minLeafBytes: Long): (Int, Int) =
+      minLeafBytes: Long, where: Option[String] = None): (Int, Int) =
     Locking.withStoreLock(spark, tableDir)(
-      binpackLocked(spark, tableDir, partCol, minLeafBytes))
+      binpackLocked(spark, tableDir, partCol, minLeafBytes, where))
 
   private def binpackLocked(spark: SparkSession, tableDir: String,
-      partCol: String, minLeafBytes: Long): (Int, Int) = {
+      partCol: String, minLeafBytes: Long,
+      where: Option[String] = None): (Int, Int) = {
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
       val cols = specOf(partCol)
       requireSpec(m, cols, "binpack")
+      // partition-scoped OPTIMIZE: only in-slice leaves are fold
+      // candidates; everything else carries by reference, byte-untouched
+      val slice = where.map(w => leavesInSlice(spark, m, cols, w))
       val f = fs(spark, tableDir)
       def leafBytes(l: String): Long =
         f.listStatus(new Path(s"$tableDir/$l")).toSeq
@@ -2209,6 +2271,7 @@ object VersionedTable {
           .map(_.getLen).sum
       val fold = m.leaves
         .filter(l => leafPartPairs(l).map(_._1) == cols &&
+          slice.forall(_.contains(l)) &&
           leafBytes(l) < minLeafBytes)
         .groupBy(l => leafPartPairs(l).map(_._2))
         .filter { case (_, ls) =>
@@ -2250,26 +2313,59 @@ object VersionedTable {
   def optimizeZOrder(spark: SparkSession, tableDir: String, partCol: String,
       c1: String, c2: String, rowGroupBytes: Int = 1 << 20,
       numSlices: Int = 8): Unit =
+    optimizeZOrderCols(spark, tableDir, partCol, Seq(c1, c2),
+      rowGroupBytes, numSlices)
+
+  /** N-column / partition-scoped OPTIMIZE ZORDER (Delta accepts any
+    * arity; a 100 TB table re-lays-out incrementally, never whole):
+    * `zcols` is the z-map column list (1–7 columns — the Morton code
+    * must fit a long at ≥ 8 bits per column; one column degenerates to a
+    * plain range-cluster, still a valid layout); `where`, when present,
+    * is a partition-column predicate selecting the ONLY leaves that
+    * fold and re-sort — every out-of-slice leaf carries by reference,
+    * byte-untouched, and the delete vectors of still-carried dirty
+    * leaves remain live exactly as [[binpack]] keeps them. The z domain
+    * (per-column min/max) is computed over the FOLDED slice: the layout
+    * decision is local to the bytes being rewritten. No-op (no new
+    * version) when the slice is empty.
+    */
+  def optimizeZOrderCols(spark: SparkSession, tableDir: String,
+      partCol: String, zcols: Seq[String], rowGroupBytes: Int = 1 << 20,
+      numSlices: Int = 8, where: Option[String] = None): Unit =
     Locking.withStoreLock(spark, tableDir) {
+      require(zcols.nonEmpty && zcols.size <= 7,
+        s"ZORDER BY takes 1 to 7 columns (the Morton code must fit a " +
+          s"long); got ${zcols.size}: ${zcols.mkString(", ")}")
       val v = latestVersion(spark, tableDir) + 1
       val m = readManifestFull(spark, tableDir, v - 1)
       val cols = specOf(partCol)
       requireSpec(m, cols, "optimizeZOrder")
-      val folded = readView(spark, tableDir, m)
-      val r = folded.agg(min(col(c1)), max(col(c1)),
-        min(col(c2)), max(col(c2))).first()
-      val z = Layout.zValue(col(c1), col(c2),
-        lit(r.getLong(0)), lit(r.getLong(1)),
-        lit(r.getLong(2)), lit(r.getLong(3)), bits = 8)
+      val fold = where match {
+        case None => m.leaves
+        case Some(w) =>
+          val s = leavesInSlice(spark, m, cols, w); m.leaves.filter(s)
+      }
+      if (fold.nonEmpty) {
+      val kept = m.leaves.filterNot(fold.toSet)
+      val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
+      val aggs = zcols.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val r = folded.agg(aggs.head, aggs.tail: _*).first()
+      def bound(i: Int): Column =
+        lit(if (r.isNullAt(i)) 0L else r.getLong(i)) // all-NULL column
+      val bits = math.min(8, 62 / zcols.size)
+      val z = Layout.zValueN(zcols.map(c => col(c).cast("long")),
+        zcols.indices.map(i => bound(2 * i)),
+        zcols.indices.map(i => bound(2 * i + 1)), bits)
       val rel = s"data/add-v$v-${nonce()}"
       val pdirs = cols.map(partDirCol)
       // RANGE repartition on (spec levels…, z): each task holds a
       // contiguous z slice of (mostly) one value tuple, so every output
-      // FILE covers a tight range on BOTH z-columns — with the
+      // FILE covers a tight range on ALL z-columns — with the
       // footer-stats harvest in publishDataDir, the connector then skips
-      // whole files two-dimensionally, not just row groups inside them.
-      // `numSlices` is the file granularity knob (at scale: table bytes
-      // / target file size).
+      // whole files multi-dimensionally, not just row groups inside
+      // them. `numSlices` is the file granularity knob (at scale: slice
+      // bytes / target file size).
       val sizeKey =
         if (m.fmt == "orc") "orc.stripe.size" else "parquet.block.size"
       cols.zip(pdirs).foldLeft(folded) { case (d, (c, p)) =>
@@ -2283,12 +2379,21 @@ object VersionedTable {
         .write.mode("overwrite")
         .option(sizeKey, rowGroupBytes.toString)
         .partitionBy(pdirs: _*).format(m.fmt).save(s"$tableDir/$rel")
-      val leaves =
+      val newLeaves =
         publishDataDir(spark, tableDir, rel, cols, folded.schema, m.fmt)
-      writeManifest(spark, tableDir, v, leaves, txns = m.txns,
+      // vectors of folded dirty leaves APPLIED in readView; vectors for
+      // still-kept dirty leaves stay live (binpack's carry rule) — with
+      // no kept dirty leaf every vector folded in, so the delete dirs
+      // drop from the manifest (the whole-table case keeps its clean
+      // post-OPTIMIZE manifest)
+      val keptDirty = m.dirty.filter(kept.contains)
+      writeManifest(spark, tableDir, v, (kept ++ newLeaves).sorted,
+        deletes = if (keptDirty.isEmpty) Nil else m.deletes,
+        dirty = keptDirty, txns = m.txns,
         schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
         partcol = cols, constraints = m.constraints,
         format = m.format)
+      }
     }
 
   /** Grace period before an unreferenced (orphan) dir is swept: a

@@ -47,6 +47,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(v1(dir)) === (1L to 4L))
   }
 
+  test("catalog self-join answers correctly — the V1 plan cache must " +
+      "serve each occurrence with FRESH attribute ids (a branch-local " +
+      "filter must not leak to the other branch)") {
+    val dir = mkTable()
+    val j = spark.sql(s"SELECT a.id FROM ${sqlTable(dir)} a JOIN " +
+        s"${sqlTable(dir)} b ON a.id = b.id WHERE b.kind = 'a'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(j === Seq(1L, 2L))
+    // a non-equi self-join on kind: 2 kinds × 2×2 rows each = 8 —
+    // any cross-branch attribute sharing would corrupt the count
+    val cnt = spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(dir)} x " +
+        s"JOIN ${sqlTable(dir)} y ON x.kind = y.kind")
+      .collect().head.getLong(0)
+    assert(cnt === 8L)
+    // destroy-and-recreate at the SAME path (the documented filesystem
+    // path — DROP TABLE refuses data-bearing tables) must NOT serve the
+    // stale cached plan: version numbers recur, manifest identities don't
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    val df = Seq((9L, "z", "ACTIVE", 90L))
+      .toDF("id", "kind", "status", "amount")
+    VersionedTable.create(df, dir, "kind")
+    assert(ids(spark.sql(s"SELECT * FROM ${sqlTable(dir)}")) === Seq(9L))
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF read each version's own rows") {
     val dir = mkTable()
     VersionedTable.append(
@@ -593,7 +619,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       .select("version").as[Int].collect().sorted.toSeq
     assert(hist === Seq(0, 1))
     val dry = spark.sql(s"VACUUM ${sqlTable(dir)} DRY RUN").collect()
-    assert(dry.map(_.getInt(1)).toSeq === Seq(0)) // would drop v0 only
+    assert(dry.map(_.getString(1)).toSeq === Seq("0")) // would drop v0 only
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1)) // unchanged
+    val dryR = spark.sql(
+      s"VACUUM ${sqlTable(dir)} RETAIN 2 VERSIONS DRY RUN").collect()
+    assert(dryR.map(_.getString(1)).toSeq === Seq("")) // both retained
     assert(VersionedTable.versions(spark, dir) === Seq(0, 1)) // unchanged
     val opt = spark.sql(s"OPTIMIZE ${sqlTable(dir)}").collect().head
     assert(opt.getString(1) === "binpack")
