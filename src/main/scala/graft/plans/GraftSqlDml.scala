@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, InSubquery, ListQuery, Literal, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Exists, Expression, InSubquery, ListQuery, Literal, Not, OuterReference, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -34,12 +34,13 @@ import graft.sources.{GraftV2Table, VersionedTable}
   * attributes) and re-resolved against the freshly-planned current
   * frame inside the executors — exprIds from the analyzed statement
   * cannot leak into a different plan. Subqueries: uncorrelated
-  * single-column `col IN (SELECT …)` conjuncts run as JOIN-form
-  * membership ([[VersionedTable.deleteMatching]]/`updateMatching`) and
-  * uncorrelated scalars materialize to literals at run time; every
-  * other shape (correlated, NOT IN, EXISTS, multi-column) refuses
-  * loudly naming itself — each would need a different join rewrite,
-  * and a silent approximation would be worse than the refusal.
+  * `tuple IN (SELECT …)` conjuncts and equality-correlated
+  * EXISTS / NOT EXISTS conjuncts run as JOIN-form membership
+  * ([[VersionedTable.deleteMatching]]/`updateMatching` — semi / anti);
+  * uncorrelated scalars and EXISTS materialize to literals at run
+  * time; every other shape (non-equality correlation, NOT IN with its
+  * any-NULL-poisons 3VL) refuses loudly naming itself — a silent
+  * approximation would be worse than the refusal.
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -48,16 +49,19 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftRel(t), cond) if d.resolved =>
       t.requireMutable("DELETE")
-      val (keys, residual) = extractInSubqueries(cond, "DELETE")
-      if (keys.isEmpty) GraftDeleteCommand(t.tableDir, t.specString, cond)
-      else GraftDeleteMatchingCommand(t.tableDir, t.specString, keys,
-        residual)
+      val sub = extractInSubqueries(cond, "DELETE")
+      if (sub.hasJoinForm)
+        GraftDeleteMatchingCommand(t.tableDir, t.specString, sub.keys,
+          sub.antiKeys, sub.probes, sub.residual)
+      else if (sub.probes.nonEmpty)
+        GraftDeleteCommand(t.tableDir, t.specString,
+          sub.residual.getOrElse(Literal.TrueLiteral), sub.probes)
+      else GraftDeleteCommand(t.tableDir, t.specString, cond)
 
     case u @ UpdateTable(GraftRel(t), assignments, cond) if u.resolved =>
       t.requireMutable("UPDATE")
-      val (keys, residual) = cond
-        .map(extractInSubqueries(_, "UPDATE"))
-        .getOrElse((Nil, None))
+      val sub = cond.map(extractInSubqueries(_, "UPDATE"))
+        .getOrElse(DmlSubqueries(Nil, Nil, Nil, None))
       val assigns = assignments.map { a =>
         a.key match {
           case k: AttributeReference => k.name -> a.value
@@ -68,11 +72,14 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       assigns.foreach { case (_, v) =>
         requireSupportedSubqueries(v, "UPDATE") }
-      if (keys.isEmpty)
+      if (sub.hasJoinForm)
+        GraftUpdateMatchingCommand(t.tableDir, t.specString, assigns,
+          sub.keys, sub.antiKeys, sub.probes, sub.residual)
+      else if (sub.probes.nonEmpty)
         GraftUpdateCommand(t.tableDir, t.specString, assigns,
-          cond.getOrElse(Literal.TrueLiteral))
-      else GraftUpdateMatchingCommand(t.tableDir, t.specString, assigns,
-        keys, residual)
+          sub.residual.getOrElse(Literal.TrueLiteral), sub.probes)
+      else GraftUpdateCommand(t.tableDir, t.specString, assigns,
+        cond.getOrElse(Literal.TrueLiteral))
 
     case m: MergeIntoTable if m.resolved =>
       m.targetTable match {
@@ -134,17 +141,21 @@ private[plans] object GraftDml {
       case s: ScalarSubquery if s.outerAttrs.isEmpty => ()
       case s: SubqueryExpression =>
         throw new UnsupportedOperationException(
-          s"$op supports only UNCORRELATED `col IN (SELECT …)` conjuncts " +
-            s"and UNCORRELATED scalar subqueries on graft tables — " +
-            s"'${s.sql}' is neither (correlated, NOT IN and EXISTS " +
-            "refuse); materialize it into a joinable " +
-            "frame and use the library API")
+          s"$op supports subqueries as UNCORRELATED `col IN (SELECT …)` " +
+            "conjuncts, equality-correlated EXISTS/NOT EXISTS " +
+            "conjuncts, UNCORRELATED EXISTS conjuncts, and UNCORRELATED " +
+            s"scalars on graft tables — '${s.sql}' is none of these " +
+            "(non-equality correlation, NOT IN, and non-conjunct " +
+            "EXISTS refuse); materialize it into a joinable frame and " +
+            "use the library API")
       case _ => ()
     }
 
   /** Evaluate every uncorrelated scalar subquery in `e` to a literal —
     * run-time companion of [[requireSupportedSubqueries]]. SQL scalar
-    * semantics: empty result is NULL, more than one row refuses.
+    * semantics: empty result is NULL, more than one row refuses. An
+    * uncorrelated EXISTS is a statement-constant boolean — ONE
+    * row-existence probe (`take(1)`), never a count.
     */
   def resolveScalars(spark: SparkSession, e: Expression): Expression =
     e.transform {
@@ -156,37 +167,137 @@ private[plans] object GraftDml {
         Literal.create(value, s.dataType)
     }
 
+  /** Evaluate uncorrelated EXISTS probes at command run time: each is a
+    * statement-constant boolean answered by ONE row-existence probe
+    * (`take(1)` — never a count). Returns whether EVERY probe conjunct
+    * holds; a failed probe makes the whole WHERE false (the command
+    * still commits its no-op version — statement-count = version-count
+    * stays an invariant). Probes live in the command as `LogicalPlan`
+    * fields, NOT expressions: an `Exists` stored in an Expression field
+    * would be walked by `QueryPlan.expressions` and refused by
+    * CheckAnalysis (IN/EXISTS allowed only under filters/joins/DML
+    * roots, not under an opaque command).
+    */
+  def probesPass(spark: SparkSession,
+      probes: Seq[(LogicalPlan, Boolean)]): Boolean =
+    probes.forall { case (p, negated) =>
+      GraftSqlBridge.ofRows(spark, p).take(1).nonEmpty != negated
+    }
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
   }
 
-  /** Decompose a DML condition into uncorrelated
-    * `attr-tuple IN (subquery)` conjuncts — each becomes a (key names,
-    * subquery plan) pair the command executors turn into a JOIN-form
-    * membership test ([[VersionedTable.deleteMatching]] /
-    * [[VersionedTable.updateMatching]]) — plus the residual, in which
-    * only uncorrelated SCALAR subqueries may remain (they materialize
-    * at run time). Any other subquery shape (correlated, `NOT IN`,
-    * EXISTS) refuses loudly: each would need a different
-    * rewrite (a join with outer references / null-aware anti-join /
-    * scalar materialization) and a silent approximation of their
-    * semantics is worse than the refusal.
+  /** Decompose a DML condition into JOIN-able subquery conjuncts:
+    *
+    *   - uncorrelated `attr-tuple IN (subquery)` → a (key names, plan)
+    *     MEMBERSHIP pair (left-semi in the kernel); analyzer-inserted
+    *     type-coercion `Cast`s around the attributes unwrap — the
+    *     join's own coercion re-applies them;
+    *   - equality-correlated `EXISTS (SELECT … WHERE s.k = t.k [AND
+    *     uncorrelated …])` → the same membership pair (EXISTS over an
+    *     equality IS `t.k IN (SELECT s.k …)`);
+    *   - its negation `NOT EXISTS (…)` → an ANTI pair (left-anti);
+    *     NOT EXISTS ≠ NOT IN — the anti join's a-NULL-key-row-hits
+    *     semantics are exactly NOT EXISTS's, while `NOT IN` (any NULL
+    *     in the subquery poisons every row, SQL 3VL) stays refused
+    *     until implemented exactly;
+    *
+    *   - uncorrelated `[NOT] EXISTS (…)` → a statement-constant PROBE
+    *     (plan, negated) answered by one `take(1)` at run time;
+    *
+    * plus the residual, in which only uncorrelated SCALAR subqueries
+    * may remain (they materialize at run time — [[resolveScalars]]).
+    * Any other shape (non-equality correlation, `NOT IN`) refuses
+    * loudly: a silent approximation of its semantics would be worse
+    * than the refusal.
     */
-  def extractInSubqueries(cond: Expression, op: String)
-      : (Seq[(Seq[String], LogicalPlan)], Option[Expression]) = {
-    val (ins, rest) = splitConjuncts(cond).partition {
-      case InSubquery(values, l: ListQuery) =>
-        l.outerAttrs.isEmpty &&
-          values.forall(_.isInstanceOf[AttributeReference])
-      case _ => false
+  def extractInSubqueries(cond: Expression, op: String): DmlSubqueries = {
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => attrName(c.child)
+      case _ => None
     }
-    rest.foreach(requireSupportedSubqueries(_, op))
-    val keys = ins.collect {
-      case InSubquery(values, l: ListQuery) =>
-        values.map(_.asInstanceOf[AttributeReference].name) -> l.plan
+    val keys = Seq.newBuilder[(Seq[String], LogicalPlan)]
+    val anti = Seq.newBuilder[(Seq[String], LogicalPlan)]
+    val probes = Seq.newBuilder[(LogicalPlan, Boolean)]
+    val rest = Seq.newBuilder[Expression]
+    splitConjuncts(cond).foreach {
+      case InSubquery(values, l: ListQuery)
+          if l.outerAttrs.isEmpty && values.forall(attrName(_).isDefined) =>
+        keys += values.map(attrName(_).get) -> l.plan
+      case e: Exists if e.outerAttrs.nonEmpty =>
+        keys += equiExistsKeys(e, op)
+      case Not(e: Exists) if e.outerAttrs.nonEmpty =>
+        anti += equiExistsKeys(e, op)
+      case e: Exists => probes += e.plan -> false
+      case Not(e: Exists) if e.outerAttrs.isEmpty =>
+        probes += e.plan -> true
+      case other => rest += other
     }
-    (keys, rest.reduceOption(And))
+    val residual = rest.result()
+    residual.foreach(requireSupportedSubqueries(_, op))
+    DmlSubqueries(keys.result(), anti.result(), probes.result(),
+      residual.reduceOption(And))
+  }
+
+  /** [[extractInSubqueries]]'s decomposition of a DML WHERE: semi keys,
+    * anti keys, uncorrelated-EXISTS probes, and the plain residual.
+    */
+  case class DmlSubqueries(keys: Seq[(Seq[String], LogicalPlan)],
+      antiKeys: Seq[(Seq[String], LogicalPlan)],
+      probes: Seq[(LogicalPlan, Boolean)],
+      residual: Option[Expression]) {
+    def hasJoinForm: Boolean = keys.nonEmpty || antiKeys.nonEmpty
+  }
+
+  /** The (outer key names, inner key plan) of an equality-correlated
+    * EXISTS: the subquery's top `WHERE` must carry conjuncts
+    * `s.inner = t.outer` (either side); the uncorrelated remainder of
+    * that WHERE stays inside the key plan, and nothing BELOW it may
+    * still reference the outer query. `EXISTS (SELECT … WHERE s.k =
+    * t.k AND s.live)` thus becomes the membership pair
+    * (`Seq(k)`, `SELECT k FROM s WHERE live`).
+    */
+  private def equiExistsKeys(e: Exists, op: String)
+      : (Seq[String], LogicalPlan) = {
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$op supports correlated EXISTS/NOT EXISTS only with equality " +
+          "correlations in the subquery's top WHERE (… WHERE s.k = t.k " +
+          s"[AND uncorrelated …]) — $what; materialize the subquery " +
+          "into a joinable frame and use the library API")
+    def hasOuter(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[OuterReference])))
+    val f = e.plan match {
+      case Project(_, flt: Filter) => flt
+      case flt: Filter => flt
+      case other =>
+        refuse(s"the subquery has no top-level WHERE (${other.nodeName})")
+    }
+    val (corr, inner) = splitConjuncts(f.condition)
+      .partition(_.exists(_.isInstanceOf[OuterReference]))
+    val pairs = corr.map {
+      case EqualTo(OuterReference(o: AttributeReference),
+          i: AttributeReference) => o.name -> i
+      case EqualTo(i: AttributeReference,
+          OuterReference(o: AttributeReference)) => o.name -> i
+      case other => refuse(
+        s"the correlated conjunct '${other.sql}' is not a plain " +
+          "column equality")
+    }
+    if (pairs.isEmpty) refuse("no equality correlation found")
+    if (pairs.map(_._1).distinct.size != pairs.size)
+      refuse("the same outer column correlates twice " +
+        s"(${pairs.map(_._1).mkString(", ")})")
+    val child = inner.reduceOption(And)
+      .map(Filter(_, f.child)).getOrElse(f.child)
+    if (hasOuter(child))
+      refuse("the subquery references the outer query below its top " +
+        "WHERE")
+    (pairs.map(_._1), Project(pairs.map(_._2), child))
   }
 
   /** Rebind a resolved expression by NAME so it re-resolves against the
@@ -337,70 +448,104 @@ private[plans] object GraftDml {
 
 /** `DELETE FROM graft.`dir`` WHERE cond — the reference's deletion job
   * as one statement; runs [[VersionedTable.delete]]'s COW kernel.
+  * `probes` are uncorrelated-EXISTS conjuncts ([[GraftDml.probesPass]]):
+  * a failed probe makes the WHERE false for the whole statement.
   */
 case class GraftDeleteCommand(tableDir: String, spec: String,
-    cond: Expression) extends LeafRunnableCommand {
+    cond: Expression, probes: Seq[(LogicalPlan, Boolean)] = Nil)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val effective =
+      if (GraftDml.probesPass(spark, probes)) cond else Literal.FalseLiteral
     VersionedTable.delete(spark, tableDir, spec,
-      GraftDml.rebound(GraftDml.resolveScalars(spark, cond)))
+      GraftDml.rebound(GraftDml.resolveScalars(spark, effective)))
     Seq.empty
   }
 }
 
-/** `DELETE FROM graft.`dir`` WHERE k IN (SELECT …) [AND …]` — the GDPR
-  * id-list delete as one statement. Each subquery materializes at run
-  * time and the membership test executes as a JOIN inside
-  * [[VersionedTable.deleteMatching]]'s COW kernel; nothing key-set-sized
-  * is ever collected to the driver.
+/** `DELETE FROM graft.`dir`` WHERE k IN (SELECT …) [AND …]` (and its
+  * EXISTS / NOT EXISTS spellings) — the GDPR id-list delete as one
+  * statement. Each subquery materializes at run time and the
+  * membership (or, for `antiKeys`, NON-membership) test executes as a
+  * JOIN inside [[VersionedTable.deleteMatching]]'s COW kernel; nothing
+  * key-set-sized is ever collected to the driver.
   */
 case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
-    keys: Seq[(Seq[String], LogicalPlan)], residual: Option[Expression])
+    keys: Seq[(Seq[String], LogicalPlan)],
+    antiKeys: Seq[(Seq[String], LogicalPlan)],
+    probes: Seq[(LogicalPlan, Boolean)],
+    residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     // the kernel reads each key frame up to three times (affected-tuple
     // probe, foreign-leaf discovery, survivor rewrite) — persist for the
     // command's duration so the subquery runs once, not per action
-    val frames = keys.map { case (k, plan) =>
-      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*).persist()
-    }
-    try VersionedTable.deleteMatching(spark, tableDir, spec, frames,
-      residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))))
-    finally frames.foreach(_._2.unpersist(blocking = false))
+    def materialize(ks: Seq[(Seq[String], LogicalPlan)]) =
+      ks.map { case (k, plan) =>
+        k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*).persist()
+      }
+    val frames = materialize(keys)
+    val antiFrames = materialize(antiKeys)
+    val res =
+      if (GraftDml.probesPass(spark, probes))
+        residual.map(r =>
+          GraftDml.rebound(GraftDml.resolveScalars(spark, r)))
+      else Some(org.apache.spark.sql.functions.lit(false))
+    try VersionedTable.deleteMatching(spark, tableDir, spec, frames, res,
+      antiFrames)
+    finally (frames ++ antiFrames)
+      .foreach(_._2.unpersist(blocking = false))
     Seq.empty
   }
 }
 
-/** `UPDATE graft.`dir`` SET … WHERE k IN (SELECT …) [AND …]` →
-  * [[VersionedTable.updateMatching]] — same JOIN-form membership as
-  * [[GraftDeleteMatchingCommand]].
+/** `UPDATE graft.`dir`` SET … WHERE k IN (SELECT …) [AND …]` (and its
+  * EXISTS / NOT EXISTS spellings) → [[VersionedTable.updateMatching]]
+  * — same JOIN-form membership as [[GraftDeleteMatchingCommand]].
   */
 case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     assignments: Seq[(String, Expression)],
-    keys: Seq[(Seq[String], LogicalPlan)], residual: Option[Expression])
+    keys: Seq[(Seq[String], LogicalPlan)],
+    antiKeys: Seq[(Seq[String], LogicalPlan)],
+    probes: Seq[(LogicalPlan, Boolean)],
+    residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     // persisted for the same probe/discover/rewrite reuse as the
     // delete-matching command
-    val frames = keys.map { case (k, plan) =>
-      k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*).persist()
-    }
-    try VersionedTable.updateMatching(spark, tableDir, spec, frames,
-      residual.map(r => GraftDml.rebound(GraftDml.resolveScalars(spark, r))),
+    def materialize(ks: Seq[(Seq[String], LogicalPlan)]) =
+      ks.map { case (k, plan) =>
+        k -> GraftSqlBridge.ofRows(spark, plan).toDF(k: _*).persist()
+      }
+    val frames = materialize(keys)
+    val antiFrames = materialize(antiKeys)
+    val res =
+      if (GraftDml.probesPass(spark, probes))
+        residual.map(r =>
+          GraftDml.rebound(GraftDml.resolveScalars(spark, r)))
+      else Some(org.apache.spark.sql.functions.lit(false))
+    try VersionedTable.updateMatching(spark, tableDir, spec, frames, res,
       assignments.map { case (n, e) =>
         n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
-      })
-    finally frames.foreach(_._2.unpersist(blocking = false))
+      }, antiFrames)
+    finally (frames ++ antiFrames)
+      .foreach(_._2.unpersist(blocking = false))
     Seq.empty
   }
 }
 
-/** `UPDATE graft.`dir`` SET … WHERE cond` → [[VersionedTable.update]]. */
+/** `UPDATE graft.`dir`` SET … WHERE cond` → [[VersionedTable.update]];
+  * `probes` as in [[GraftDeleteCommand]].
+  */
 case class GraftUpdateCommand(tableDir: String, spec: String,
-    assignments: Seq[(String, Expression)], cond: Expression)
+    assignments: Seq[(String, Expression)], cond: Expression,
+    probes: Seq[(LogicalPlan, Boolean)] = Nil)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val effective =
+      if (GraftDml.probesPass(spark, probes)) cond else Literal.FalseLiteral
     VersionedTable.update(spark, tableDir, spec,
-      GraftDml.rebound(GraftDml.resolveScalars(spark, cond)),
+      GraftDml.rebound(GraftDml.resolveScalars(spark, effective)),
       assignments.map { case (n, e) =>
         n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
       })

@@ -1009,34 +1009,52 @@ object VersionedTable {
     * conjuncts) disappear — the SQL
     * `DELETE FROM t WHERE k IN (SELECT …) [AND …]` shape (single- or
     * multi-column tuples: `(a, b) IN (SELECT x, y …)`), and the
-    * GDPR/takedown id-list delete as one statement. The membership
-    * test is a JOIN, never a collected IN-list: the key frames can be
-    * table-sized (Spark broadcasts small ones automatically), nothing
-    * key-set-sized ever lands on the driver.
+    * GDPR/takedown id-list delete as one statement. `antiKeys` are the
+    * complement — `NOT EXISTS (SELECT … WHERE s.k = t.k)` conjuncts,
+    * hitting rows whose tuple appears in NO paired frame. The
+    * membership test is a JOIN, never a collected IN-list: the key
+    * frames can be table-sized (Spark broadcasts small ones
+    * automatically), nothing key-set-sized ever lands on the driver.
     */
   def deleteMatching(spark: SparkSession, tableDir: String,
       partCol: String, keys: Seq[(Seq[String], DataFrame)],
-      residual: Option[Column]): Unit = {
-    require(keys.nonEmpty, "deleteMatching needs at least one key frame")
-    require(keys.forall(_._1.nonEmpty), "a key frame needs key columns")
+      residual: Option[Column],
+      antiKeys: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
+    require(keys.nonEmpty || antiKeys.nonEmpty,
+      "deleteMatching needs at least one key frame")
+    require((keys ++ antiKeys).forall(_._1.nonEmpty),
+      "a key frame needs key columns")
     val res = residual.getOrElse(lit(true))
-    def hits(df: DataFrame): DataFrame =
-      keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
+    // antiKeys are NON-membership: a row hits only when its tuple
+    // appears in NO anti frame — the `NOT EXISTS (… WHERE s.k = t.k)`
+    // shape as a left-anti join (equality correlation never matches a
+    // NULL key, so a NULL-keyed row has no match and DOES hit — exactly
+    // NOT EXISTS semantics, distinct from NOT IN's any-NULL poison)
+    def hits(df: DataFrame): DataFrame = {
+      val semi = keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
         acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_semi")
       }
-    // survivor iff NOT (residual definitely true AND every key matched):
-    // one left-join marker per key frame, a single pass over hit leaves
+      antiKeys.foldLeft(semi) { case (acc, (ks, kdf)) =>
+        acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_anti")
+      }
+    }
+    // survivor iff NOT (residual definitely true AND every key matched
+    // AND no anti key matched): one left-join marker per frame, a
+    // single pass over hit leaves
     def keep(df: DataFrame): DataFrame = {
       val out = df.columns.toIndexedSeq
       var acc = df
-      val markers = keys.zipWithIndex.map { case ((ks, kdf), i) =>
-        val mCol = s"__vt_in_hit_$i"
-        acc = acc.join(
-          kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
-          ks, "left")
-        mCol
-      }
-      val matchedAll = markers.map(col(_).isNotNull).reduce(_ && _)
+      val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
+        .zipWithIndex.map { case (((ks, kdf), anti), i) =>
+          val mCol = s"__vt_in_hit_$i"
+          acc = acc.join(
+            kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
+            ks, "left")
+          (mCol, anti)
+        }
+      val matchedAll = markers.map { case (m, anti) =>
+        if (anti) col(m).isNull else col(m).isNotNull
+      }.reduce(_ && _)
       acc.filter(!(coalesce(res, lit(false)) && matchedAll))
         .select(out.map(col): _*) // using-joins reorder; restore schema order
     }
@@ -1153,20 +1171,28 @@ object VersionedTable {
   def updateMatching(spark: SparkSession, tableDir: String,
       partCol: String, keys: Seq[(Seq[String], DataFrame)],
       residual: Option[Column],
-      assignments: Seq[(String, Column)]): Unit = {
-    require(keys.nonEmpty, "updateMatching needs at least one key frame")
-    require(keys.forall(_._1.nonEmpty), "a key frame needs key columns")
+      assignments: Seq[(String, Column)],
+      antiKeys: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
+    require(keys.nonEmpty || antiKeys.nonEmpty,
+      "updateMatching needs at least one key frame")
+    require((keys ++ antiKeys).forall(_._1.nonEmpty),
+      "a key frame needs key columns")
     val res = residual.getOrElse(lit(true))
     def prepare(df: DataFrame): (DataFrame, Column) = {
       var acc = df
-      val markers = keys.zipWithIndex.map { case ((ks, kdf), i) =>
-        val mCol = s"__vt_in_hit_$i"
-        acc = acc.join(
-          kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
-          ks, "left")
-        mCol
-      }
-      val matchedAll = markers.map(col(_).isNotNull).reduce(_ && _)
+      // anti markers invert ([[deleteMatching]]'s NOT EXISTS rule): the
+      // row matches only when the anti frame holds NO equal tuple
+      val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
+        .zipWithIndex.map { case (((ks, kdf), anti), i) =>
+          val mCol = s"__vt_in_hit_$i"
+          acc = acc.join(
+            kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
+            ks, "left")
+          (mCol, anti)
+        }
+      val matchedAll = markers.map { case (m, anti) =>
+        if (anti) col(m).isNull else col(m).isNotNull
+      }.reduce(_ && _)
       (acc, res && matchedAll)
     }
     updateCore(spark, tableDir, partCol, prepare, assignments)
@@ -3418,9 +3444,12 @@ object VersionedTable {
     * membership kernels ([[deleteMatching]]/[[updateMatching]]; the
     * key set never collects to the driver), then the table-sync idiom
     * `MERGE … WHEN NOT MATCHED BY SOURCE AND … THEN DELETE` with a
-    * key-only source. Every key set is itself a subquery over the
-    * table's own rows, so the oracle recomputes every census from the
-    * slice predicates alone.
+    * key-only source, then the EXISTS family — equality-correlated
+    * `EXISTS` DELETE (v4), `NOT EXISTS` + residual + uncorrelated
+    * EXISTS DELETE (v5), and `EXISTS` UPDATE (v6) — through the same
+    * semi/anti membership kernels. Every key set is itself a subquery
+    * over the table's own rows, so the oracle recomputes every census
+    * from the slice predicates alone.
     */
   def snapshotSqlSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.pipeline.Stores
@@ -3445,7 +3474,22 @@ object VersionedTable {
     spark.sql(s"""MERGE INTO $t tg USING graft_sqlsub_keep s
       ON tg.event_id = s.event_id
       WHEN NOT MATCHED BY SOURCE AND tg.event_type = 'click' THEN DELETE""")
-    (0 to 3).map { v =>
+    // v4: equality-correlated EXISTS (the same semi-join membership
+    // kernel; the inner uncorrelated conjunct stays inside the key plan)
+    spark.sql(s"""DELETE FROM $t tg WHERE EXISTS (
+      SELECT 1 FROM graft_sqlsub_takedown s
+      WHERE s.user_id = tg.user_id AND s.user_id % 2 = 0)""")
+    // v5: NOT EXISTS (anti join) + residual + an uncorrelated EXISTS
+    // that resolves to a statement constant at run time
+    spark.sql(s"""DELETE FROM $t tg WHERE NOT EXISTS (
+      SELECT 1 FROM graft_sqlsub_keep k WHERE k.event_id = tg.event_id)
+      AND tg.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM graft_sqlsub_keep)""")
+    // v6: UPDATE through the EXISTS membership form
+    spark.sql(s"""UPDATE $t tg SET micros = micros + 1 WHERE EXISTS (
+      SELECT 1 FROM graft_sqlsub_keep k WHERE tg.event_id = k.event_id)
+      AND tg.event_type = 'signup'""")
+    (0 to 6).map { v =>
       spark.sql(s"""SELECT $v AS version, count(*) AS n_rows,
         CAST(sum(micros) AS BIGINT) AS sum_micros
         FROM $t VERSION AS OF $v""")
@@ -3468,11 +3512,22 @@ object VersionedTable {
       |       FROM v1),
       |v3 AS (SELECT * FROM v2
       |       WHERE NOT (event_id % 3 <> 0 AND event_type = 'click')),
+      |v4 AS (SELECT * FROM v3
+      |       WHERE NOT (user_id % 13 = 4 AND user_id % 2 = 0)),
+      |v5 AS (SELECT * FROM v4
+      |       WHERE NOT (event_type = 'purchase' AND event_id % 3 <> 0)),
+      |v6 AS (SELECT event_id, user_id, event_type,
+      |         CASE WHEN event_id % 3 = 0 AND event_type = 'signup'
+      |              THEN micros + 1 ELSE micros END AS micros
+      |       FROM v5),
       |u AS (
       |  SELECT 0 AS version, * FROM e
       |  UNION ALL SELECT 1, * FROM v1
       |  UNION ALL SELECT 2, * FROM v2
-      |  UNION ALL SELECT 3, * FROM v3)
+      |  UNION ALL SELECT 3, * FROM v3
+      |  UNION ALL SELECT 4, * FROM v4
+      |  UNION ALL SELECT 5, * FROM v5
+      |  UNION ALL SELECT 6, * FROM v6)
       |SELECT version, count(*) AS n_rows,
       |       CAST(sum(micros) AS BIGINT) AS sum_micros
       |FROM u GROUP BY version ORDER BY version""".stripMargin

@@ -503,11 +503,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
         "WHERE id NOT IN (SELECT the_id FROM sub_ids)")
     }
+    // a NON-equality correlation refuses (equality-correlated EXISTS is
+    // supported — its own test below)
     val exists = intercept[UnsupportedOperationException] {
       spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
-        "WHERE EXISTS (SELECT 1 FROM sub_ids)")
+        "WHERE EXISTS (SELECT 1 FROM sub_ids WHERE the_id > id)")
     }
-    assert(exists.getMessage.contains("UNCORRELATED"), exists.getMessage)
+    assert(exists.getMessage.contains("equality"), exists.getMessage)
     assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
     // uncorrelated SCALAR subqueries materialize to a literal at run
     // time: amounts are (10, 130, 40), avg 60 → only id=3 deletes
@@ -521,6 +523,51 @@ class GraftCatalogSpec extends AnyFunSuite {
       "WHERE (kind, status) IN (SELECT k, s FROM pair_keys)")
     // id=1 is (a, ACTIVE) → deleted; id=4 is (b, INACTIVE) → kept
     assert(ids(v1(dir)) === Seq(4L))
+  }
+
+  test("DELETE/UPDATE with equality-correlated EXISTS / NOT EXISTS run " +
+      "the semi/anti membership kernels; uncorrelated EXISTS is a " +
+      "runtime constant; coerced IN-values unwrap their casts") {
+    val dir = mkTable()
+    Seq(2L, 3L, 99L).toDF("the_id").createOrReplaceTempView("ex_ids")
+    // equality correlation + inner uncorrelated conjunct + residual:
+    // {2,3} ∩ INACTIVE → only id=2 deletes
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} t WHERE EXISTS (" +
+      "SELECT 1 FROM ex_ids s WHERE s.the_id = t.id AND s.the_id < 50) " +
+      "AND t.status = 'INACTIVE'")
+    assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
+    // NOT EXISTS → anti join: ACTIVE rows with no matching key → id=1
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} t WHERE NOT EXISTS (" +
+      "SELECT 1 FROM ex_ids s WHERE t.id = s.the_id) " +
+      "AND t.status = 'ACTIVE'")
+    assert(ids(v1(dir)) === Seq(3L, 4L))
+    // UPDATE through EXISTS (id=3 matches) and NOT EXISTS (id=4)
+    spark.sql(s"UPDATE ${sqlTable(dir)} t SET amount = 0 WHERE EXISTS (" +
+      "SELECT 1 FROM ex_ids s WHERE s.the_id = t.id)")
+    assert(v1(dir).orderBy("id").select("amount").as[Long]
+      .collect().toSeq === Seq(0L, 40L))
+    spark.sql(s"UPDATE ${sqlTable(dir)} t SET amount = amount + 5 " +
+      "WHERE NOT EXISTS (SELECT 1 FROM ex_ids s WHERE s.the_id = t.id)")
+    assert(v1(dir).orderBy("id").select("amount").as[Long]
+      .collect().toSeq === Seq(0L, 45L))
+    // uncorrelated EXISTS = statement constant: empty probe → no-op
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE EXISTS (SELECT 1 FROM ex_ids WHERE the_id = 12345)")
+    assert(ids(v1(dir)) === Seq(3L, 4L))
+    // non-empty probe → true, residual picks the row
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE EXISTS (SELECT 1 FROM ex_ids WHERE the_id = 99) AND id = 4")
+    assert(ids(v1(dir)) === Seq(3L))
+    // analyzer-coerced membership value (id cast to double to match the
+    // subquery's type) unwraps to the plain column — not a refusal
+    spark.sql("SELECT CAST(the_id AS DOUBLE) AS did FROM ex_ids")
+      .createOrReplaceTempView("dbl_ids")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE id IN (SELECT did FROM dbl_ids)")
+    assert(v1(dir).count() === 0L)
+    // the whole lifecycle stayed versioned
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
 
   test("static INSERT OVERWRITE PARTITION is a one-commit replaceWhere: " +
