@@ -67,10 +67,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 private[plans] object GraftSqlParser {
 
-  // graft.`/abs/path` — the backquoted path-table identifier; the
-  // catalog name is literal (the conventional registration), the path
-  // is anything backquote-free
-  private val Table = "graft\\.`([^`]+)`"
+  // graft.`/abs/path` (backquoted path table) or graft.db.t (named
+  // table, 2+ dotted parts, resolved under the warehouse root at run
+  // time); the catalog name is literal (the conventional registration).
+  // The capture keeps the backquotes so the command can tell the two
+  // spellings apart.
+  private val Table = "graft\\.(`[^`]+`|\\w+(?:\\.\\w+)+)"
   private val VacuumDryRetain =
     ("(?is)\\s*VACUUM\\s+" + Table +
       "\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s+DRY\\s+RUN\\s*;?\\s*").r
@@ -101,8 +103,10 @@ private[plans] object GraftSqlParser {
   // parens must not surface an unrelated Spark ParseException); the
   // guards match only a graft identifier after the verb, so non-graft
   // statements still fall through verbatim
-  private val OptimizeGuard = "(?is)\\s*OPTIMIZE\\s+graft\\.`.*".r
-  private val VacuumGuard = "(?is)\\s*VACUUM\\s+graft\\.`.*".r
+  // OPTIMIZE/VACUUM are not Spark statements at all, so intercepting
+  // every graft-prefixed spelling (path or named) is safe
+  private val OptimizeGuard = "(?is)\\s*OPTIMIZE\\s+graft\\..*".r
+  private val VacuumGuard = "(?is)\\s*VACUUM\\s+graft\\..*".r
 
   def intercept(sqlText: String): Option[LogicalPlan] = sqlText match {
     case VacuumDryRetain(dir, n) =>
@@ -141,6 +145,24 @@ private[plans] object GraftSqlParser {
       throw new UnsupportedOperationException(
         s"table $dir has no recorded partition spec (legacy manifest) — " +
           "maintenance statements need one; run any append to record it"))
+
+  /** Resolve a statement's table spelling at RUN time: backquoted = the
+    * directory itself; dotted = named parts under the warehouse root
+    * (the [[graft.sources.GraftCatalog]] resolution, re-expressed on
+    * the parser surface so `OPTIMIZE graft.db.t` means the same
+    * directory as `SELECT … FROM graft.db.t`).
+    */
+  def resolveDir(spark: SparkSession, ident: String): String =
+    if (ident.startsWith("`")) ident.substring(1, ident.length - 1)
+    else spark.conf
+      .getOption("spark.sql.catalog.graft.warehouse") match {
+      case Some(root) =>
+        (root.stripSuffix("/") +: ident.split('.').toSeq).mkString("/")
+      case None => throw new UnsupportedOperationException(
+        s"named graft table '$ident' needs a warehouse root — set " +
+          "spark.sql.catalog.graft.warehouse (or use the backquoted " +
+          "path spelling)")
+    }
 }
 
 /** `VACUUM graft.`dir` RETAIN n VERSIONS` → [[VersionedTable.vacuum]]. */
@@ -151,10 +173,11 @@ case class GraftVacuumCommand(tableDir: String, retainLast: Int)
     AttributeReference("versions_dropped", LongType, nullable = false)(),
     AttributeReference("versions_retained", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val before = VersionedTable.versions(spark, tableDir)
-    VersionedTable.vacuum(spark, tableDir, retainLast)
-    val after = VersionedTable.versions(spark, tableDir)
-    Seq(Row(tableDir, (before.size - after.size).toLong, after.size.toLong))
+    val dir = GraftSqlParser.resolveDir(spark, tableDir)
+    val before = VersionedTable.versions(spark, dir)
+    VersionedTable.vacuum(spark, dir, retainLast)
+    val after = VersionedTable.versions(spark, dir)
+    Seq(Row(dir, (before.size - after.size).toLong, after.size.toLong))
   }
 }
 
@@ -175,9 +198,10 @@ case class GraftVacuumDryRunCommand(tableDir: String, retainLast: Int = 1)
       nullable = false)(),
     AttributeReference("n_dead_paths", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, tableDir)
     val (dead, drop, _) =
-      VersionedTable.vacuumDryRun(spark, tableDir, retainLast)
-    Seq(Row(tableDir, drop.mkString(","), drop.size.toLong,
+      VersionedTable.vacuumDryRun(spark, dir, retainLast)
+    Seq(Row(dir, drop.mkString(","), drop.size.toLong,
       dead.size.toLong))
   }
 }
@@ -198,17 +222,18 @@ case class GraftOptimizeCommand(tableDir: String,
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val spec = GraftSqlParser.specOf(spark, tableDir)
+    val dir = GraftSqlParser.resolveDir(spark, tableDir)
+    val spec = GraftSqlParser.specOf(spark, dir)
     val op = zorder match {
       case Some(cs) =>
-        VersionedTable.optimizeZOrderCols(spark, tableDir, spec, cs,
+        VersionedTable.optimizeZOrderCols(spark, dir, spec, cs,
           where = where)
         s"zorder(${cs.mkString(",")})"
       case None =>
-        VersionedTable.binpack(spark, tableDir, spec, 32L << 20, where)
+        VersionedTable.binpack(spark, dir, spec, 32L << 20, where)
         "binpack"
     }
-    Seq(Row(tableDir, op, VersionedTable.latestVersion(spark, tableDir)))
+    Seq(Row(dir, op, VersionedTable.latestVersion(spark, dir)))
   }
 }
 
@@ -225,7 +250,8 @@ case class GraftDescribeHistoryCommand(tableDir: String)
     AttributeReference("n_txns", LongType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    VersionedTable.history(spark, tableDir).collect().toSeq
+    VersionedTable.history(spark,
+      GraftSqlParser.resolveDir(spark, tableDir)).collect().toSeq
 }
 
 /** `DESCRIBE DETAIL graft.`dir`` — the head's physical footprint, the
@@ -249,7 +275,8 @@ case class GraftDescribeDetailCommand(tableDir: String)
       nullable = false)(),
     AttributeReference("num_constraints", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    VersionedTable.describeDetail(spark, tableDir).collect().toSeq
+    VersionedTable.describeDetail(spark,
+      GraftSqlParser.resolveDir(spark, tableDir)).collect().toSeq
 }
 
 /** `RESTORE [TABLE] graft.`dir` TO VERSION AS OF n` — Delta's RESTORE
@@ -264,8 +291,9 @@ case class GraftRestoreCommand(tableDir: String, toVersion: Int)
     AttributeReference("restored_from", IntegerType, nullable = false)(),
     AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.rollback(spark, tableDir, toVersion)
-    Seq(Row(tableDir, toVersion,
-      VersionedTable.latestVersion(spark, tableDir)))
+    val dir = GraftSqlParser.resolveDir(spark, tableDir)
+    VersionedTable.rollback(spark, dir, toVersion)
+    Seq(Row(dir, toVersion,
+      VersionedTable.latestVersion(spark, dir)))
   }
 }

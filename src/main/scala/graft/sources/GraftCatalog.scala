@@ -55,11 +55,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * as the extension-less fallback (correct, pruned, per-row conversion
   * at the boundary).
   *
-  * Identifiers are Delta-style path tables: the single name part is the
-  * table directory (`graft.`/abs/path``); namespaces are refused loudly
-  * rather than silently joined into a relative path — with ONE
-  * exception: `graft.`/dir`.history|detail|partitions|constraints`
-  * resolves to the table's METADATA TABLE (the Delta/Iceberg suffix
+  * Identifiers come in TWO spellings (both over the same machinery):
+  *
+  *   - PATH tables (Delta's power-user shape): the single name part is
+  *     the table directory — `graft.`/abs/path``.
+  *   - NAMED tables (the Delta/Iceberg default mode): with a warehouse
+  *     root configured (`spark.sql.catalog.graft.warehouse = /root`),
+  *     `graft.db.t` resolves to `<root>/db/t` through the exact same
+  *     path machinery — namespaces are directories, `SHOW TABLES IN
+  *     graft.db` lists the directories holding a manifest, `CREATE
+  *     NAMESPACE` is mkdir. Without a warehouse, namespaced lookups
+  *     refuse (never silently joined into a relative path).
+  *
+  * Either spelling takes the metadata-table suffix
+  * (`…history|detail|partitions|constraints` — the Delta/Iceberg
   * pattern), a read-only driver-metadata-sized frame.
   *
   * Maintenance runs as DSv2 procedures (`CALL graft.vacuum(…)`, see
@@ -69,41 +78,85 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * aborted CTAS leaves no table at all.
   */
 final class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
+  private var warehouseOpt: Option[String] = None
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouseOpt = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
 
-  private def dirOf(ident: Identifier): String = {
-    if (ident.namespace().nonEmpty)
-      throw new NoSuchTableException(ident)
-    ident.name()
-  }
+  /** The named-table root: the initialize option, else the live session
+    * conf (`spark.sql.catalog.<name>.warehouse`) — the conf can be set
+    * after the catalog instance was built.
+    */
+  private def warehouse: Option[String] = warehouseOpt.orElse(
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .map(_.stripSuffix("/")))
+
+  /** A namespaced identifier part must be a plain directory name — a
+    * separator or dot-dot would silently escape the warehouse root.
+    */
+  private def requirePlainParts(parts: Seq[String]): Unit =
+    parts.foreach(p => require(
+      p.nonEmpty && !p.contains("/") && !p.contains("\\") && p != ".." &&
+        p != ".",
+      s"invalid part '$p' in a namespaced graft identifier — named " +
+        "tables are plain directory names under the warehouse root"))
+
+  private def dirOf(ident: Identifier): String =
+    if (ident.namespace().isEmpty) ident.name()
+    else warehouse match {
+      case Some(root) =>
+        val parts = ident.namespace().toSeq :+ ident.name()
+        requirePlainParts(parts)
+        (root +: parts).mkString("/")
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  private def isTableDir(dir: String): Boolean =
+    try { VersionedTable.latestVersion(spark, dir); true }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private def tableAt(ident: Identifier, version: Option[Int]): Table = {
     val dir = dirOf(ident)
-    val ok =
-      try { VersionedTable.latestVersion(spark, dir); true }
-      catch { case scala.util.control.NonFatal(_) => false }
-    if (!ok) throw new NoSuchTableException(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     new GraftV2Table(dir, version)
   }
 
+  /** The directory a metadata-table suffix's PREFIX resolves to, when
+    * that prefix is itself a table: `graft.`/dir`.history` (path) and
+    * `graft.db.t.history` (named) both land here.
+    */
+  private def metadataBaseDir(ident: Identifier): Option[String] = {
+    val ns = ident.namespace()
+    val candidate =
+      if (ns.length == 1) Some(ns(0)) // path spelling
+      else warehouse.map { root =>
+        requirePlainParts(ns.toSeq)
+        (root +: ns.toSeq).mkString("/")
+      }
+    candidate.filter(isTableDir)
+  }
+
   override def loadTable(ident: Identifier): Table =
-    if (ident.namespace().length == 1 &&
+    if (ident.namespace().nonEmpty &&
         GraftMetadataTable.kinds.contains(ident.name().toLowerCase)) {
-      val dir = ident.namespace()(0)
-      val ok =
-        try { VersionedTable.latestVersion(spark, dir); true }
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (!ok) throw new NoSuchTableException(ident)
-      new GraftMetadataTable(dir, ident.name().toLowerCase)
+      // a REAL table named like a metadata kind wins over the suffix
+      // reading of the same identifier
+      val asTable = try Some(dirOf(ident)).filter(isTableDir)
+        catch { case _: NoSuchTableException => None }
+      asTable.map(new GraftV2Table(_, None)).orElse(
+        metadataBaseDir(ident)
+          .map(new GraftMetadataTable(_, ident.name().toLowerCase)))
+        .getOrElse(throw new NoSuchTableException(ident))
     } else tableAt(ident, None)
 
   /** `VERSION AS OF <v>` — the catalog-level time-travel hook. */
@@ -127,8 +180,99 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     try { loadTable(ident); true }
     catch { case _: NoSuchTableException => false }
 
+  // ---- namespaces: directories under the warehouse root ----
+
+  private def hadoopFs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def namespaceDir(namespace: Array[String]): Option[String] =
+    warehouse.map { root =>
+      requirePlainParts(namespace.toSeq)
+      (root +: namespace.toSeq).mkString("/")
+    }
+
+  private def subDirs(dir: String): Seq[String] = {
+    val f = hadoopFs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+  }
+
+  /** `SHOW TABLES IN graft.db` — a table is a subdirectory holding a
+    * manifest (one listing + one manifest probe per child; a warehouse
+    * namespace holds human-scale table counts, not data-scale).
+    */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // path catalog: tables are directories, not a registry
+    namespaceDir(namespace) match {
+      case Some(dir) => subDirs(dir)
+        .filter(d => isTableDir(s"$dir/$d"))
+        .map(d => Identifier.of(namespace, d)).toArray
+      case None => Array.empty // path catalog: tables are directories
+    }
+
+  override def listNamespaces(): Array[Array[String]] =
+    warehouse.toSeq.flatMap(root => subDirs(root)
+      .filterNot(d => isTableDir(s"$root/$d"))
+      .map(d => Array(d))).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else namespaceDir(namespace) match {
+      case Some(dir) if hadoopFs(dir).exists(new Path(dir)) =>
+        subDirs(dir).filterNot(d => isTableDir(s"$dir/$d"))
+          .map(d => namespace :+ d).toArray
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(name() +: namespace.toSeq)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    namespaceDir(namespace) match {
+      case Some(dir) if hadoopFs(dir).exists(new Path(dir)) &&
+          !isTableDir(dir) =>
+        Map("location" -> dir).asJava
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(name() +: namespace.toSeq)
+    }
+
+  /** `CREATE NAMESPACE graft.db` is mkdir under the warehouse root. */
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    namespaceDir(namespace) match {
+      case Some(dir) => hadoopFs(dir).mkdirs(new Path(dir))
+      case None => throw new UnsupportedOperationException(
+        "CREATE NAMESPACE needs a warehouse root — set " +
+          s"spark.sql.catalog.$catalogName.warehouse")
+    }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported — a graft namespace is a plain " +
+        "directory with no metadata to alter")
+
+  /** DROP NAMESPACE removes an EMPTY directory only; cascade would
+    * destroy version history wholesale, which is a filesystem decision,
+    * not a statement (the [[dropTable]] contract, one level up).
+    */
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    namespaceDir(namespace) match {
+      case Some(dir) =>
+        val f = hadoopFs(dir)
+        if (!f.exists(new Path(dir))) false
+        else {
+          if (f.listStatus(new Path(dir)).nonEmpty)
+            throw new UnsupportedOperationException(
+              "DROP NAMESPACE is refused for a non-empty namespace — " +
+                "tables' version histories are the product; delete the " +
+                "directory explicitly if you truly mean to destroy them")
+          f.delete(new Path(dir), false)
+        }
+      case None => false
+    }
 
   /** `CREATE TABLE graft.`/dir`` (…) PARTITIONED BY (c1[, c2…])` — an
     * EMPTY v0 commit recording schema + ordered spec, ready for
