@@ -820,6 +820,15 @@ final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
 
   @volatile private var staged: Option[(Seq[String], StructType)] = None
 
+  // what existed BEFORE this stage wrote anything — abort may fold away
+  // only the skeleton it created itself
+  private val (dirPreExisted, dataPreExisted): (Boolean, Boolean) = {
+    val f = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (f.exists(new Path(tableDir)),
+      f.exists(new Path(s"$tableDir/data")))
+  }
+
   override def name(): String = s"graft.`$tableDir` (staged)"
 
   override def schema(): StructType = ctasSchema
@@ -853,16 +862,28 @@ final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
       spec, fmt)
   }
 
-  /** Abort: nothing was published (no manifest exists), so everything
-    * under the dir is staged bytes — remove them. Guarded on
-    * no-manifest so a racing successful create is never destroyed.
+  /** Abort: delete ONLY the bytes this CTAS staged — the nonce-unique
+    * `data/add-v0-<nonce>` roots of its own staged leaves — then fold
+    * away the empty `data/`/table skeleton if this stage created it. A
+    * racing successful create, or unrelated pre-existing files in a
+    * manifest-less directory, are structurally untouchable: nothing
+    * else lives under our nonce roots, and no exists-then-delete of the
+    * whole directory remains to race (round-12 advice, medium).
     */
-  override def abortStagedChanges(): Unit =
-    if (VersionedTable.versions(spark, tableDir).isEmpty) {
-      val p = new Path(tableDir)
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (f.exists(p)) f.delete(p, true)
+  override def abortStagedChanges(): Unit = {
+    val f = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    staged.foreach { case (leaves, _) =>
+      leaves.map(VersionedTable.addRootOf).distinct.foreach { rel =>
+        val p = new Path(s"$tableDir/$rel")
+        if (f.exists(p)) f.delete(p, true)
+      }
     }
+    def dropIfEmpty(p: Path): Unit =
+      if (f.exists(p) && f.listStatus(p).isEmpty) f.delete(p, false)
+    if (!dataPreExisted) dropIfEmpty(new Path(s"$tableDir/data"))
+    if (!dirPreExisted) dropIfEmpty(new Path(tableDir))
+  }
 }
 
 /** Column pruning + filter collection for the V1-delegating scan. Every

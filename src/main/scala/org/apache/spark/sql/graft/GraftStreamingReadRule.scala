@@ -24,12 +24,18 @@ import graft.sources.GraftV2Table
   * same behavior as `spark.readStream.format("graft-snapshot")`.
   *
   * Reader options pass through (`startingVersion`, `ignoreChanges`).
-  * `readChangeFeed` REFUSES here by name: the CDF adds
-  * `_change_type`/`_commit_version` columns the catalog-resolved
-  * relation's schema cannot carry (resolution fixed the output before
-  * options could widen it) — the `format("graft-snapshot")` spelling
-  * supports it with the right schema. Time-traveled tables refuse:
-  * a stream tails the live table.
+  * `readChangeFeed=true` through the identifier WIDENS the output: the
+  * table's own columns keep their resolved attribute ids (aliases, as
+  * in the plain rewrite) and the V1 CDF source's `_change_type` /
+  * `_commit_version` attributes append after them — a Delta user's
+  * `readStream.option("readChangeFeed", true).table("graft.db.t")`
+  * sees exactly the `format("graft-snapshot")` CDF schema. The widening
+  * is safe where this rule runs (resolution of the bare relation —
+  * `readStream.table(…)` analyzes before any downstream operator
+  * exists to hold stale references); if a table column fails to line
+  * up by name+type, the rewrite falls back to the RAW V1 relation
+  * (fresh ids, loud-if-referenced) rather than dropping CDF columns.
+  * Time-traveled tables refuse: a stream tails the live table.
   *
   * Lives under `org.apache.spark.sql` because [[StreamingRelationV2]],
   * [[StreamingRelation]] and [[DataSource]] are `private[sql]` — the
@@ -48,14 +54,8 @@ class GraftStreamingReadRule(session: SparkSession)
             "stream tails the LIVE table; use startingVersion to begin " +
             "at a historical version")
       val opts = s.extraOptions.asScala.toMap
-      if (opts.exists { case (k, v) =>
-          k.equalsIgnoreCase("readChangeFeed") && v.trim.toBoolean })
-        throw new UnsupportedOperationException(
-          "readChangeFeed through the catalog identifier is not " +
-            "supported — the CDF columns (_change_type, " +
-            "_commit_version) cannot extend the already-resolved table " +
-            "schema; use spark.readStream.format(\"graft-snapshot\")" +
-            ".option(\"readChangeFeed\", true).load(dir)")
+      val cdf = opts.exists { case (k, v) =>
+        k.equalsIgnoreCase("readChangeFeed") && v.trim.toBoolean }
       val ds = DataSource(
         session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
         className = "graft-snapshot",
@@ -66,7 +66,14 @@ class GraftStreamingReadRule(session: SparkSession)
         byName.get(old.name).filter(_.dataType == old.dataType)
           .map(a => Alias(a, old.name)(exprId = old.exprId))
       }
-      if (aliases.exists(_.isEmpty)) s
-      else Project(aliases.map(_.get), v1)
+      if (aliases.exists(_.isEmpty)) { if (cdf) v1 else s }
+      else if (cdf) {
+        // CDF widening: table columns under their resolved ids, the
+        // source's extra (_change_type/_commit_version) attributes
+        // appended verbatim after them
+        val mapped = s.output.map(_.name).toSet
+        Project(aliases.map(_.get) ++
+          v1.output.filterNot(a => mapped.contains(a.name)), v1)
+      } else Project(aliases.map(_.get), v1)
   }
 }

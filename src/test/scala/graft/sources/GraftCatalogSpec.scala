@@ -609,8 +609,8 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("readStream.table tails the versioned table through the V1 " +
-      "change source; readChangeFeed through the identifier refuses " +
-      "by name") {
+      "change source; readChangeFeed through the identifier widens to " +
+      "the CDF schema") {
     val dir = mkTable()
     val q = spark.readStream.table(sqlTable(dir)).writeStream
       .format("memory").queryName("cat_stream").outputMode("append")
@@ -624,11 +624,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(ids(spark.table("cat_stream")) === (1L to 5L))
     } finally q.stop()
-    val cdf = intercept[UnsupportedOperationException] {
-      spark.readStream.option("readChangeFeed", "true")
-        .table(sqlTable(dir))
-    }
-    assert(cdf.getMessage.contains("readChangeFeed"), cdf.getMessage)
+    // CDF via the identifier: table columns + the two CDF columns
+    // (behavioral coverage incl. restart lives in ChangeFeedSpec)
+    val cdfDf = spark.readStream.option("readChangeFeed", "true")
+      .table(sqlTable(dir))
+    assert(cdfDf.schema.fieldNames.takeRight(2).toSeq
+      === Seq("_change_type", "_commit_version"))
+    assert(cdfDf.schema.fieldNames.take(4).toSeq
+      === Seq("id", "kind", "status", "amount"))
   }
 
   test("metadata tables: history/detail/partitions/constraints answer " +
@@ -760,6 +763,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(VersionedTable.versions(spark, dir2).isEmpty)
     assert(!new java.io.File(dir2).exists())
+    // a failed CTAS targeting a PRE-EXISTING directory with unrelated
+    // (non-graft) files deletes only its own staged bytes — never the
+    // bystanders (abort is scoped to the stage's nonce roots)
+    val dir3 = Files.createTempDirectory("graft-ctas3").toString
+    val bystander = new java.io.File(dir3, "unrelated.txt")
+    java.nio.file.Files.write(bystander.toPath, "keep me".getBytes)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir3` PARTITIONED BY (kind) " +
+        s"AS SELECT id, kind, status, " +
+        s"CAST(raise_error('boom') AS BIGINT) AS amount FROM graft.`$src`")
+    }
+    assert(bystander.exists(), "abort must not touch unrelated files")
+    assert(VersionedTable.versions(spark, dir3).isEmpty)
     // REPLACE destroys history — refused loudly
     val rep = intercept[Exception] {
       spark.sql(s"REPLACE TABLE graft.`$dir` PARTITIONED BY (kind) " +

@@ -119,6 +119,36 @@ class ChangeFeedSpec extends AnyFunSuite {
       Seq(("insert", 2L, 1L), ("delete", 1L, 2L)))
   }
 
+  test("CDF through the catalog identifier: readChangeFeed=true widens " +
+      "the resolved output and resumes through a restart") {
+    val dir = newTable((1L, "2024-01-01", 10L))
+    val ckpt = Stores.temp("cdf-ident-restart")
+    def startIdent() = {
+      val batches = new java.util.concurrent
+        .ConcurrentLinkedQueue[Seq[(String, Long, Long)]]()
+      val q = spark.readStream.option("readChangeFeed", "true")
+        .table(s"graft.`$dir`")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val got = triples(df)
+          if (got.nonEmpty) batches.add(got)
+          ()
+        }
+        .start()
+      (q, batches)
+    }
+    val (q1, b1) = startIdent()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(b1.asScala.toSeq === Seq(Seq(("insert", 1L, 0L))))
+    // commits while the stream is DOWN, including a non-append
+    appendRows(dir, (2L, "2024-01-02", 20L))
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+    val (q2, b2) = startIdent()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(b2.asScala.toSeq.flatten ===
+      Seq(("insert", 2L, 1L), ("delete", 1L, 2L)))
+  }
+
   test("batch CDF read option equals the library changeFeed; refuses " +
       "combined with time travel") {
     val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
