@@ -334,6 +334,7 @@ object SparkEntry {
     "snapshot_convert_format" -> (sources.VersionedTable.snapshotConvertFormat _),
     "snapshot_sql_dml" -> (sources.VersionedTable.snapshotSqlDml _),
     "snapshot_sql_subquery" -> (sources.VersionedTable.snapshotSqlSubquery _),
+    "snapshot_sql_evolution" -> (sources.VersionedTable.snapshotSqlEvolution _),
     "snapshot_change_feed" -> (sources.VersionedTable.snapshotChangeFeed _)
   )
 
@@ -509,6 +510,7 @@ object SparkEntry {
     "snapshot_convert_format" -> sources.VersionedTable.snapshotConvertFormatSql(),
     "snapshot_sql_dml" -> sources.VersionedTable.snapshotSqlDmlSql(),
     "snapshot_sql_subquery" -> sources.VersionedTable.snapshotSqlSubquerySql(),
+    "snapshot_sql_evolution" -> sources.VersionedTable.snapshotSqlEvolutionSql(),
     "snapshot_change_feed" -> sources.VersionedTable.snapshotChangeFeedSql()
   )
 }

@@ -328,9 +328,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * exact evolution appends already perform, now without needing a
     * batch. Nullable top-level end-position columns only: a NOT NULL
     * add cannot manufacture values for existing rows, nested/positioned
-    * adds would need a rewrite — each refuses naming itself. Every
-    * other ALTER refuses: renames/drops/retypes are out of the
-    * evolution contract.
+    * adds would need a rewrite — each refuses naming itself.
+    * `ALTER TABLE … DROP COLUMN` is the metadata-only NARROWING commit
+    * ([[VersionedTable.dropColumns]]): head reads lose the column,
+    * prior versions keep it via time travel; partition-spec and
+    * constraint-referenced columns refuse. Every other ALTER refuses:
+    * renames/retypes are out of the evolution contract.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -358,7 +361,24 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       }
       VersionedTable.addColumns(spark, dir, cols)
     }
-    changes.filterNot(_.isInstanceOf[TableChange.AddColumn]).foreach {
+    // DROP COLUMN: the metadata-only narrowing commit
+    // ([[VersionedTable.dropColumns]] — head reads without the column,
+    // prior versions keep it; partition/constraint-referenced columns
+    // refuse there)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (drops.nonEmpty) {
+      val cols = drops.map { d =>
+        if (d.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"DROP COLUMN supports top-level columns only — got nested " +
+              s"'${d.fieldNames().mkString(".")}'")
+        d.fieldNames()(0)
+      }
+      VersionedTable.dropColumns(spark, dir, cols,
+        ifExists = drops.forall(_.ifExists()))
+    }
+    changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn]).foreach {
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           VersionedTable.addCheckConstraint(spark, dir, c.name(),

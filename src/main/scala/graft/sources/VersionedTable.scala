@@ -2024,6 +2024,66 @@ object VersionedTable {
       widened, m.partcol, m.constraints, m.format)
   }
 
+  /** DROP COLUMN — the schema-level complement of the takedown story:
+    * a metadata-only NARROWING commit (the column-mapping idea at this
+    * manifest's granularity — the recorded schema IS the mapping, and
+    * reads project exactly it). Leaves carry by reference; the head and
+    * every later version read WITHOUT the column, while every PRIOR
+    * version's manifest still records it — time travel keeps reading
+    * the full history (history is the product; [[vacuum]] is how it
+    * erases). The BYTES remain in carried leaves until the next rewrite
+    * ([[compact]]/[[optimizeZOrderCols]] fold the current — narrowed —
+    * view, physically retiring the column); for governance-grade
+    * erasure run a compact + vacuum after the drop.
+    *
+    * Refusals, each naming itself: partition-spec columns (the layout
+    * is keyed on them), columns referenced by a CHECK constraint (drop
+    * the constraint first — silently breaking its expression would be
+    * worse), unknown columns (unless `ifExists`), and dropping the
+    * whole schema.
+    */
+  def dropColumns(spark: SparkSession, tableDir: String,
+      cols: Seq[String], ifExists: Boolean = false): Unit =
+    withCommitRetry {
+      require(cols.nonEmpty, "DROP COLUMN needs at least one column")
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      require(m.schema.nonEmpty,
+        s"table $tableDir has no recorded schema (legacy manifest) — " +
+          "DROP COLUMN needs one; run any append to record it")
+      val table = decodeSchemaPairs(m.schema)
+      val names = table.map(_._1).toSet
+      val missing = cols.filterNot(names.contains)
+      if (!ifExists) require(missing.isEmpty,
+        s"cannot drop missing column(s) ${missing.mkString(", ")} — " +
+          s"table columns are ${table.map(_._1).mkString(", ")}")
+      val dropping = cols.filter(names.contains).toSet
+      if (dropping.nonEmpty) {
+        m.specCols.filter(dropping.contains).foreach(c => throw
+          new UnsupportedOperationException(
+            s"cannot drop partition column '$c' — the table's layout " +
+              "is keyed on it; evolve the spec first " +
+              "(evolvePartitionSpec)"))
+        m.constraintPairs.foreach { case (n, sql) =>
+          val refs = spark.sessionState.sqlParser.parseExpression(sql)
+            .collect { case a: UnresolvedAttribute => a.name }
+          refs.filter(dropping.contains).foreach(c => throw
+            new UnsupportedOperationException(
+              s"cannot drop column '$c' — CHECK constraint '$n' " +
+                s"($sql) references it; DROP CONSTRAINT first"))
+        }
+        val narrowed = table.filterNot(t => dropping.contains(t._1))
+        require(narrowed.nonEmpty, "cannot drop every column")
+        writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+          m.txns,
+          narrowed.map { case (n, t) =>
+            java.net.URLEncoder.encode(n, "UTF-8") + ":" +
+              java.net.URLEncoder.encode(t, "UTF-8")
+          },
+          m.partcol, m.constraints, m.format)
+      }
+    }
+
   /** ADD CONSTRAINT — record a named CHECK constraint (a boolean SQL
     * expression over table columns) as a metadata-only commit, after
     * verifying the current HEAD data already satisfies it (the Delta
@@ -3531,6 +3591,76 @@ object VersionedTable {
       |SELECT version, count(*) AS n_rows,
       |       CAST(sum(micros) AS BIGINT) AS sum_micros
       |FROM u GROUP BY version ORDER BY version""".stripMargin
+
+  /** Oracle-gated SCHEMA-EVOLUTION entry: one table through the full
+    * column lifecycle — `ALTER TABLE ADD COLUMNS` (metadata-only
+    * widening; old rows read null), an append CARRYING the new column,
+    * `ALTER TABLE DROP COLUMN` (metadata-only narrowing; prior versions
+    * keep the column via time travel), then DML over the narrowed
+    * schema. The census reads every version back through `VERSION AS
+    * OF` with its own schema width and the evolved column's sum, so the
+    * oracle independently checks that widening/narrowing are pure
+    * METADATA moves (no row ever changes except where a statement says
+    * so).
+    */
+  def snapshotSqlEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val dir = Stores.temp("graft_vt_sqlevo")
+    create(ev, dir, "event_type")
+    val t = s"graft.`$dir`"
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (flag BIGINT)") // v1
+    ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_id") + 1000000L, col("user_id"),
+        col("event_type"), col("micros"),
+        (col("event_id") % 7).as("flag"))
+      .createOrReplaceTempView("graft_sqlevo_ins")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sqlevo_ins") // v2
+    spark.sql(s"ALTER TABLE $t DROP COLUMN flag") // v3
+    spark.sql(s"DELETE FROM $t " +
+      "WHERE event_type = 'error' AND event_id > 1000000") // v4
+    (0 to 4).map { v =>
+      val snap = spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
+      val sumFlag =
+        if (snap.columns.contains("flag")) sum(col("flag"))
+        else lit(null).cast("long")
+      snap.agg(count(lit(1)).as("n_rows"),
+          sum(col("micros")).cast("long").as("sum_micros"),
+          sumFlag.cast("long").as("sum_flag"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_micros"),
+          lit(snap.columns.length).as("n_cols"), col("sum_flag"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  def snapshotSqlEvolutionSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |ins AS (SELECT event_id + 1000000 AS event_id, user_id,
+      |               event_type, micros, event_id % 7 AS flag
+      |        FROM e WHERE event_id % 5 = 0),
+      |v2 AS (SELECT event_id, user_id, event_type, micros,
+      |              CAST(NULL AS BIGINT) AS flag FROM e
+      |       UNION ALL SELECT * FROM ins),
+      |v4 AS (SELECT event_id, user_id, event_type, micros FROM v2
+      |       WHERE NOT (event_type = 'error' AND event_id > 1000000)),
+      |u AS (
+      |  SELECT 0 AS version, count(*) AS n_rows,
+      |         CAST(sum(micros) AS BIGINT) AS sum_micros, 4 AS n_cols,
+      |         CAST(NULL AS BIGINT) AS sum_flag FROM e
+      |  UNION ALL SELECT 1, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT) FROM e
+      |  UNION ALL SELECT 2, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(sum(flag) AS BIGINT) FROM v2
+      |  UNION ALL SELECT 3, count(*), CAST(sum(micros) AS BIGINT), 4,
+      |         CAST(NULL AS BIGINT) FROM v2
+      |  UNION ALL SELECT 4, count(*), CAST(sum(micros) AS BIGINT), 4,
+      |         CAST(NULL AS BIGINT) FROM v4)
+      |SELECT version, n_rows, sum_micros, n_cols, sum_flag
+      |FROM u ORDER BY version""".stripMargin
 
   /** Oracle-gated CHANGE FEED entry: one versioned table through four
     * commit kinds — append, COW delete, MOR vector delete, COW update —
