@@ -37,10 +37,13 @@ import graft.sources.{GraftV2Table, VersionedTable}
   * `tuple IN (SELECT …)` conjuncts and equality-correlated
   * EXISTS / NOT EXISTS conjuncts run as JOIN-form membership
   * ([[VersionedTable.deleteMatching]]/`updateMatching` — semi / anti);
+  * single-column uncorrelated NOT IN runs its EXACT 3VL (any NULL in
+  * the set ⇒ no rows; empty set ⇒ all rows; NULL keys never match a
+  * non-empty set) resolved at run time onto the same anti kernel;
   * uncorrelated scalars and EXISTS materialize to literals at run
-  * time; every other shape (non-equality correlation, NOT IN with its
-  * any-NULL-poisons 3VL) refuses loudly naming itself — a silent
-  * approximation would be worse than the refusal.
+  * time; every other shape (non-equality correlation, tuple NOT IN)
+  * refuses loudly naming itself — a silent approximation would be
+  * worse than the refusal.
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -52,7 +55,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       val sub = extractInSubqueries(cond, "DELETE")
       if (sub.hasJoinForm)
         GraftDeleteMatchingCommand(t.tableDir, t.specString, sub.keys,
-          sub.antiKeys, sub.probes, sub.residual)
+          sub.antiKeys, sub.notInKeys, sub.probes, sub.residual)
       else if (sub.probes.nonEmpty)
         GraftDeleteCommand(t.tableDir, t.specString,
           sub.residual.getOrElse(Literal.TrueLiteral), sub.probes)
@@ -61,7 +64,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(GraftRel(t), assignments, cond) if u.resolved =>
       t.requireMutable("UPDATE")
       val sub = cond.map(extractInSubqueries(_, "UPDATE"))
-        .getOrElse(DmlSubqueries(Nil, Nil, Nil, None))
+        .getOrElse(DmlSubqueries(Nil, Nil, Nil, Nil, None))
       val assigns = assignments.map { a =>
         a.key match {
           case k: AttributeReference => k.name -> a.value
@@ -74,7 +77,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         requireSupportedSubqueries(v, "UPDATE") }
       if (sub.hasJoinForm)
         GraftUpdateMatchingCommand(t.tableDir, t.specString, assigns,
-          sub.keys, sub.antiKeys, sub.probes, sub.residual)
+          sub.keys, sub.antiKeys, sub.notInKeys, sub.probes, sub.residual)
       else if (sub.probes.nonEmpty)
         GraftUpdateCommand(t.tableDir, t.specString, assigns,
           sub.residual.getOrElse(Literal.TrueLiteral), sub.probes)
@@ -141,13 +144,13 @@ private[plans] object GraftDml {
       case s: ScalarSubquery if s.outerAttrs.isEmpty => ()
       case s: SubqueryExpression =>
         throw new UnsupportedOperationException(
-          s"$op supports subqueries as UNCORRELATED `col IN (SELECT …)` " +
-            "conjuncts, equality-correlated EXISTS/NOT EXISTS " +
-            "conjuncts, UNCORRELATED EXISTS conjuncts, and UNCORRELATED " +
-            s"scalars on graft tables — '${s.sql}' is none of these " +
-            "(non-equality correlation, NOT IN, and non-conjunct " +
-            "EXISTS refuse); materialize it into a joinable frame and " +
-            "use the library API")
+          s"$op supports subqueries as UNCORRELATED `col IN / NOT IN " +
+            "(SELECT …)` conjuncts (NOT IN single-column only — tuple " +
+            "NOT IN's partial-NULL 3VL refuses), equality-correlated " +
+            "EXISTS/NOT EXISTS conjuncts, UNCORRELATED EXISTS " +
+            "conjuncts, and UNCORRELATED scalars on graft tables — " +
+            s"'${s.sql}' is none of these; materialize it into a " +
+            "joinable frame and use the library API")
       case _ => ()
     }
 
@@ -221,12 +224,24 @@ private[plans] object GraftDml {
     }
     val keys = Seq.newBuilder[(Seq[String], LogicalPlan)]
     val anti = Seq.newBuilder[(Seq[String], LogicalPlan)]
+    val notIn = Seq.newBuilder[(String, LogicalPlan)]
     val probes = Seq.newBuilder[(LogicalPlan, Boolean)]
     val rest = Seq.newBuilder[Expression]
     splitConjuncts(cond).foreach {
       case InSubquery(values, l: ListQuery)
           if l.outerAttrs.isEmpty && values.forall(attrName(_).isDefined) =>
         keys += values.map(attrName(_).get) -> l.plan
+      // single-column uncorrelated NOT IN, with its EXACT 3VL resolved
+      // at run time ([[resolveNotIn]]): any NULL in the subquery makes
+      // the conjunct UNKNOWN for every row (no rows), an empty subquery
+      // makes it TRUE for every row, and a NULL key row never matches a
+      // non-empty set. Multi-column tuple NOT IN keeps refusing: its
+      // partial-NULL tuple comparisons are a different (and far
+      // subtler) 3VL, and a silent approximation would be worse.
+      case Not(InSubquery(values, l: ListQuery))
+          if l.outerAttrs.isEmpty && values.length == 1 &&
+            values.forall(attrName(_).isDefined) =>
+        notIn += attrName(values.head).get -> l.plan
       case e: Exists if e.outerAttrs.nonEmpty =>
         keys += equiExistsKeys(e, op)
       case Not(e: Exists) if e.outerAttrs.nonEmpty =>
@@ -238,18 +253,58 @@ private[plans] object GraftDml {
     }
     val residual = rest.result()
     residual.foreach(requireSupportedSubqueries(_, op))
-    DmlSubqueries(keys.result(), anti.result(), probes.result(),
-      residual.reduceOption(And))
+    DmlSubqueries(keys.result(), anti.result(), notIn.result(),
+      probes.result(), residual.reduceOption(And))
   }
 
   /** [[extractInSubqueries]]'s decomposition of a DML WHERE: semi keys,
-    * anti keys, uncorrelated-EXISTS probes, and the plain residual.
+    * anti keys, single-column NOT IN entries, uncorrelated-EXISTS
+    * probes, and the plain residual.
     */
   case class DmlSubqueries(keys: Seq[(Seq[String], LogicalPlan)],
       antiKeys: Seq[(Seq[String], LogicalPlan)],
+      notInKeys: Seq[(String, LogicalPlan)],
       probes: Seq[(LogicalPlan, Boolean)],
       residual: Option[Expression]) {
-    def hasJoinForm: Boolean = keys.nonEmpty || antiKeys.nonEmpty
+    def hasJoinForm: Boolean =
+      keys.nonEmpty || antiKeys.nonEmpty || notInKeys.nonEmpty
+  }
+
+  /** Resolve the run-time half of single-column NOT IN's three-valued
+    * logic against the MATERIALIZED key frames: returns
+    * (anti-join frames, extra key-not-null condition, poisoned).
+    *
+    *   - an EMPTY subquery ⇒ the conjunct is TRUE for every row — it
+    *     simply drops;
+    *   - any NULL among the subquery's values ⇒ the conjunct is
+    *     UNKNOWN for every row (`k <> NULL` decides nothing) — the
+    *     whole WHERE selects nothing (`poisoned`);
+    *   - otherwise ⇒ a left-anti membership frame PLUS `k IS NOT NULL`
+    *     (a NULL key against a non-empty set is UNKNOWN, and the bare
+    *     anti join would wrongly HIT it — that is NOT EXISTS's
+    *     semantics, not NOT IN's).
+    *
+    * Two `take(1)`-bounded probes per frame, both against the persisted
+    * frame the kernel reuses.
+    */
+  def resolveNotIn(frames: Seq[(Seq[String], org.apache.spark.sql.DataFrame)])
+      : (Seq[(Seq[String], org.apache.spark.sql.DataFrame)], Option[Column],
+        Boolean) = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    var poisoned = false
+    var notNull: Option[Column] = None
+    val anti = frames.flatMap { case (ks, f) =>
+      val k = ks.head
+      if (f.take(1).isEmpty) None
+      else if (f.filter(fcol(k).isNull).take(1).nonEmpty) {
+        poisoned = true; None
+      } else {
+        val c = fcol(k).isNotNull
+        notNull = Some(notNull.map(_ && c).getOrElse(c))
+        Some(ks -> f)
+      }
+    }
+    (anti, notNull, poisoned)
   }
 
   /** The (outer key names, inner key plan) of an equality-correlated
@@ -473,10 +528,12 @@ case class GraftDeleteCommand(tableDir: String, spec: String,
 case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
     keys: Seq[(Seq[String], LogicalPlan)],
     antiKeys: Seq[(Seq[String], LogicalPlan)],
+    notInKeys: Seq[(String, LogicalPlan)],
     probes: Seq[(LogicalPlan, Boolean)],
     residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
     // the kernel reads each key frame up to three times (affected-tuple
     // probe, foreign-leaf discovery, survivor rewrite) — persist for the
     // command's duration so the subquery runs once, not per action
@@ -486,14 +543,31 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
       }
     val frames = materialize(keys)
     val antiFrames = materialize(antiKeys)
-    val res =
-      if (GraftDml.probesPass(spark, probes))
-        residual.map(r =>
-          GraftDml.rebound(GraftDml.resolveScalars(spark, r)))
-      else Some(org.apache.spark.sql.functions.lit(false))
-    try VersionedTable.deleteMatching(spark, tableDir, spec, frames, res,
-      antiFrames)
-    finally (frames ++ antiFrames)
+    val notInFrames = materialize(notInKeys.map { case (k, p) =>
+      Seq(k) -> p })
+    try {
+      val (notInAnti, notNull, poisoned) = GraftDml.resolveNotIn(notInFrames)
+      val res: Option[Column] =
+        if (!GraftDml.probesPass(spark, probes) || poisoned)
+          Some(lit(false))
+        else {
+          val base = residual.map(r =>
+            GraftDml.rebound(GraftDml.resolveScalars(spark, r)))
+          (base, notNull) match {
+            case (Some(a), Some(b)) => Some(a && b)
+            case (a, b) => a.orElse(b)
+          }
+        }
+      val allAnti = antiFrames ++ notInAnti
+      // every join conjunct resolved away (empty NOT IN sets): the
+      // statement is the plain-predicate delete
+      if (frames.isEmpty && allAnti.isEmpty)
+        VersionedTable.delete(spark, tableDir, spec,
+          res.getOrElse(lit(true)))
+      else
+        VersionedTable.deleteMatching(spark, tableDir, spec, frames, res,
+          allAnti)
+    } finally (frames ++ antiFrames ++ notInFrames)
       .foreach(_._2.unpersist(blocking = false))
     Seq.empty
   }
@@ -507,10 +581,12 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     assignments: Seq[(String, Expression)],
     keys: Seq[(Seq[String], LogicalPlan)],
     antiKeys: Seq[(Seq[String], LogicalPlan)],
+    notInKeys: Seq[(String, LogicalPlan)],
     probes: Seq[(LogicalPlan, Boolean)],
     residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
     // persisted for the same probe/discover/rewrite reuse as the
     // delete-matching command
     def materialize(ks: Seq[(Seq[String], LogicalPlan)]) =
@@ -519,16 +595,32 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
       }
     val frames = materialize(keys)
     val antiFrames = materialize(antiKeys)
-    val res =
-      if (GraftDml.probesPass(spark, probes))
-        residual.map(r =>
-          GraftDml.rebound(GraftDml.resolveScalars(spark, r)))
-      else Some(org.apache.spark.sql.functions.lit(false))
-    try VersionedTable.updateMatching(spark, tableDir, spec, frames, res,
-      assignments.map { case (n, e) =>
+    val notInFrames = materialize(notInKeys.map { case (k, p) =>
+      Seq(k) -> p })
+    try {
+      val (notInAnti, notNull, poisoned) = GraftDml.resolveNotIn(notInFrames)
+      val res: Option[Column] =
+        if (!GraftDml.probesPass(spark, probes) || poisoned)
+          Some(lit(false))
+        else {
+          val base = residual.map(r =>
+            GraftDml.rebound(GraftDml.resolveScalars(spark, r)))
+          (base, notNull) match {
+            case (Some(a), Some(b)) => Some(a && b)
+            case (a, b) => a.orElse(b)
+          }
+        }
+      val boundAssigns = assignments.map { case (n, e) =>
         n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
-      }, antiFrames)
-    finally (frames ++ antiFrames)
+      }
+      val allAnti = antiFrames ++ notInAnti
+      if (frames.isEmpty && allAnti.isEmpty)
+        VersionedTable.update(spark, tableDir, spec,
+          res.getOrElse(lit(true)), boundAssigns)
+      else
+        VersionedTable.updateMatching(spark, tableDir, spec, frames, res,
+          boundAssigns, allAnti)
+    } finally (frames ++ antiFrames ++ notInFrames)
       .foreach(_._2.unpersist(blocking = false))
     Seq.empty
   }

@@ -499,9 +499,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(correlated.getMessage.contains("UNCORRELATED"),
       correlated.getMessage)
+    // tuple NOT IN keeps refusing (single-column NOT IN runs its exact
+    // 3VL — its own test below)
     intercept[UnsupportedOperationException] {
       spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
-        "WHERE id NOT IN (SELECT the_id FROM sub_ids)")
+        "WHERE (id, amount) NOT IN (SELECT the_id, the_id FROM sub_ids)")
     }
     // a NON-equality correlation refuses (equality-correlated EXISTS is
     // supported — its own test below)
@@ -566,6 +568,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       "WHERE id IN (SELECT did FROM dbl_ids)")
     assert(v1(dir).count() === 0L)
     // the whole lifecycle stayed versioned
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
+  }
+
+  test("single-column NOT IN runs its exact 3VL: empty set selects " +
+      "every row, a NULL in the set selects none, a NULL key never " +
+      "matches a non-empty set; tuple NOT IN refuses") {
+    val dir = mkTable()
+    import org.apache.spark.sql.functions.col
+    Seq(Some(2L), Some(3L)).toDF("kid")
+      .createOrReplaceTempView("ni_clean")
+    // non-empty null-free set {2,3}: rows NOT in it (1, 4) delete
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE id NOT IN (SELECT kid FROM ni_clean)")
+    assert(ids(v1(dir)) === Seq(2L, 3L))
+    // a NULL among the values: UNKNOWN for EVERY row — nothing deletes
+    Seq(Some(2L), None).toDF("kid").createOrReplaceTempView("ni_null")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE id NOT IN (SELECT kid FROM ni_null)")
+    assert(ids(v1(dir)) === Seq(2L, 3L))
+    // empty set: the conjunct is TRUE everywhere, the residual decides
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE id NOT IN (SELECT kid FROM ni_clean WHERE kid > 100) " +
+      "AND kind = 'a'")
+    assert(ids(v1(dir)) === Seq(3L))
+    // UPDATE through the same 3VL
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET amount = -1 " +
+      "WHERE id NOT IN (SELECT kid FROM ni_clean WHERE kid = 2)")
+    assert(v1(dir).select("amount").as[Long].collect().toSeq === Seq(-1L))
+    // a NULL key against a NON-EMPTY set is UNKNOWN — the row survives
+    // (the bare anti join would wrongly delete it)
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES (9, 'a', NULL, 90)")
+    Seq("NOPE").toDF("s").createOrReplaceTempView("ni_status")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE status NOT IN (SELECT s FROM ni_status)")
+    assert(ids(v1(dir)) === Seq(9L),
+      "the NULL-status row must survive a non-empty NOT IN")
+    assert(v1(dir).filter(col("status").isNull).count() === 1L)
+    // tuple NOT IN refuses naming itself
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+        "WHERE (id, amount) NOT IN (SELECT kid, kid FROM ni_clean)")
+    }
+    assert(e.getMessage.contains("NOT IN"), e.getMessage)
     assert(ids(spark.sql(
       s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
