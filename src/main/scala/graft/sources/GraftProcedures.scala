@@ -18,6 +18,8 @@ import org.apache.spark.sql.types._
   *   CALL graft.compact('/warehouse/events')
   *   CALL graft.binpack('/warehouse/events', 33554432)
   *   CALL graft.optimize_zorder('/warehouse/events', 'user_id', 'event_id')
+  *   CALL graft.optimize('/warehouse/events', 'user_id,event_id,ts',
+  *     "day = '2026-01-01'")   -- '' zorder_cols = binpack; '' where = whole table
   *   CALL graft.rollback('/warehouse/events', 2)
   *   CALL graft.evolve_partition_spec('/warehouse/events', 'region,day')
   *   CALL graft.convert_format('/warehouse/events', 'parquet')
@@ -38,8 +40,9 @@ import org.apache.spark.sql.types._
 object GraftProcedures {
 
   val names: Seq[String] = Seq("vacuum", "vacuum_dry_run",
-    "vacuum_older_than", "compact", "binpack", "optimize_zorder",
-    "rollback", "evolve_partition_spec", "convert_format", "clone")
+    "vacuum_older_than", "compact", "binpack", "optimize",
+    "optimize_zorder", "rollback", "evolve_partition_spec",
+    "convert_format", "clone")
 
   def load(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -48,6 +51,7 @@ object GraftProcedures {
       case "vacuum_older_than" => Some(VacuumOlderThan)
       case "compact" => Some(Compact)
       case "binpack" => Some(Binpack)
+      case "optimize" => Some(Optimize)
       case "optimize_zorder" => Some(OptimizeZOrder)
       case "rollback" => Some(Rollback)
       case "evolve_partition_spec" => Some(EvolveSpec)
@@ -160,6 +164,40 @@ object GraftProcedures {
         StructField("leaves_packed", IntegerType),
         StructField("leaves_carried", IntegerType))),
         Seq(dir, packed, carried))
+    }
+  }
+
+  /** The statement form's full shape as one procedure: empty
+    * `zorder_cols` = binpack (32 MiB floor), a CSV list = N-column
+    * z-order; empty `where` = whole table, a partition predicate =
+    * slice-scoped (out-of-slice leaves carry byte-untouched).
+    */
+  private object Optimize extends Fixed("optimize",
+      "partition-scoped re-layout: zorder_cols CSV (empty = binpack), " +
+        "where = partition-column slice predicate (empty = whole table)") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("zorder_cols", StringType),
+        param("where", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val zcols = input.getUTF8String(1).toString.trim
+      val where =
+        Some(input.getUTF8String(2).toString.trim).filter(_.nonEmpty)
+      val op =
+        if (zcols.isEmpty) {
+          VersionedTable.binpack(spark, dir, specOf(dir), 32L << 20, where)
+          "binpack"
+        } else {
+          val cs = zcols.split(',').map(_.trim).toSeq
+          VersionedTable.optimizeZOrderCols(spark, dir, specOf(dir), cs,
+            where = where)
+          s"zorder(${cs.mkString(",")})"
+        }
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("operation", StringType),
+        StructField("version", IntegerType))),
+        Seq(dir, op, VersionedTable.latestVersion(spark, dir)))
     }
   }
 

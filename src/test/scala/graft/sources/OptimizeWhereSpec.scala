@@ -153,6 +153,29 @@ class OptimizeWhereSpec extends AnyFunSuite {
           s"($h of $groups row groups hit)")
   }
 
+  test("CALL graft.optimize mirrors the statement: CSV z-columns, " +
+      "slice predicate, empty args = whole-table binpack") {
+    val dir = Files.createTempDirectory("graft-optw-call").toString
+    def batch(p: String, lo: Long) = (lo until lo + 200).map(i =>
+      (i, p, i % 50, (i * 7) % 911)).toDF("id", "p", "c1", "c2")
+    VersionedTable.create(batch("a", 0L), dir, "p")
+    VersionedTable.append(batch("a", 200L), dir, "p")
+    VersionedTable.append(batch("b", 400L), dir, "p")
+    val bLeaves = VersionedTable.liveLeaves(spark, dir)
+      .filter(_.endsWith("p__p=b"))
+    val z = spark.sql(
+      s"CALL graft.optimize('$dir', 'c1,c2,id', \"p = 'a'\")")
+      .collect().head
+    assert(z.getString(1) === "zorder(c1,c2,id)")
+    assert(VersionedTable.liveLeaves(spark, dir)
+      .filter(_.endsWith("p__p=b")) === bLeaves,
+      "out-of-slice leaves must carry by reference through the CALL form")
+    val bp = spark.sql(s"CALL graft.optimize('$dir', '', '')")
+      .collect().head
+    assert(bp.getString(1) === "binpack")
+    assert(VersionedTable.readLatest(spark, dir).count() === 600L)
+  }
+
   test("SQL: OPTIMIZE … WHERE [ZORDER BY] end-to-end; single-column and " +
       "3-column arities; malformed ZORDER refuses with a graft error") {
     val dir = Files.createTempDirectory("graft-optw-sql").toString
