@@ -65,9 +65,47 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftSnapshotSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** `df.writeStream.format("graft-snapshot").start(dir)` — the Delta
+    * `format("delta").start(path)` idiom onto the versioned table:
+    * every micro-batch commits as ONE version through
+    * [[VersionedTable.appendOnce]]'s per-channel txn record, so the
+    * engine's at-least-once `Sink` contract becomes exactly-once
+    * APPENDS (a crash-replayed epoch finds its (channel, batch) already
+    * in the head manifest and no-ops). Append mode only — update /
+    * complete modes have no append semantics on an immutable-version
+    * log (aggregate first, then route the result through
+    * [[graft.streaming.StreamingMv]] or `foreachBatch`). The table
+    * must already exist: its manifest records the partition spec the
+    * writer commits under. `channel` (default "stream") keeps multiple
+    * writers' idempotence tracking independent.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val ci = parameters.map { case (k, v) => (k.toLowerCase, v) }
+    val tableDir = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot streaming write requires a path: " +
+        "df.writeStream.format(\"graft-snapshot\").start(dir)"))
+    require(
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot streaming write supports Append mode only — got " +
+        s"$outputMode; aggregate first and route the result through " +
+        "foreachBatch / StreamingMv")
+    val spark = sqlContext.sparkSession
+    val spec = VersionedTable.recordedSpec(spark, tableDir).getOrElse(
+      throw new UnsupportedOperationException(
+        s"streaming write needs an EXISTING versioned table at " +
+          s"$tableDir with a recorded partition spec — " +
+          "VersionedTable.create (or CREATE TABLE) it first"))
+    new VersionedAppendSink(tableDir, spec,
+      ci.getOrElse("channel", "stream"))
+  }
 
   /** `spark.readStream.format("graft-snapshot")`: the table as a change
     * STREAM — versions are the offsets. Two forms:
@@ -955,6 +993,22 @@ object VersionedChangeFeedSource {
         nullable = false) :+
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false))
+}
+
+/** The versions-as-epochs streaming SINK ([[GraftSnapshotSource
+  * .createSink]]): each `addBatch` anchors the engine's micro-batch
+  * frame as a plain batch ([[org.apache.spark.sql.graft
+  * .GraftStreamingBridge.batchFrame]] — the epoch plans ONCE, no
+  * re-execution) and appends it exactly-once under (channel, epoch).
+  */
+final class VersionedAppendSink(tableDir: String, spec: String,
+    channel: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    VersionedTable.appendOnce(
+      org.apache.spark.sql.graft.GraftStreamingBridge.batchFrame(data),
+      tableDir, spec, channel, s"b$batchId")
+  override def toString: String = s"VersionedAppendSink[$tableDir]"
 }
 
 /** BATCH change-feed relation

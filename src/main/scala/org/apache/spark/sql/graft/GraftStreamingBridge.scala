@@ -22,4 +22,20 @@ object GraftStreamingBridge {
     sqlContext.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = true)
+
+  /** The inverse hand-off for a V1 `Sink`: `addBatch`'s incoming frame
+    * is an incremental-execution plan a batch writer must not re-plan
+    * (the documented Sink caveat — a fresh action could recompute the
+    * epoch from scratch). This anchors it as a plain BATCH frame: the
+    * engine's own planned RDD (`queryExecution.toRdd`, rows copied out
+    * of the reused unsafe buffers) under a non-streaming logical plan.
+    */
+  def batchFrame(data: DataFrame): DataFrame = {
+    val classic =
+      data.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd.map(_.copy()), data.schema,
+      isStreaming = false)
+  }
 }

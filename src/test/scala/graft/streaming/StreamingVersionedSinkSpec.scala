@@ -30,6 +30,55 @@ class StreamingVersionedSinkSpec extends AnyFunSuite {
     dir
   }
 
+  test("format(\"graft-snapshot\") streaming SINK: micro-batches commit " +
+      "as versions, a restart from the checkpoint does not re-append, " +
+      "and non-append modes / missing tables refuse") {
+    val dir = newTable()
+    val ckpt = Stores.temp("svs-v1sink")
+    def start(in: MemoryStream[(Long, String, Long)]) =
+      in.toDF().toDF("id", "pdate", "amount").writeStream
+        .format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .start(dir)
+    val in1 = MemoryStream[(Long, String, Long)](spark)
+    val q1 = start(in1)
+    try {
+      in1.addData((2L, "2024-01-01", 20L), (3L, "2024-01-02", 30L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ids(dir) === Seq(1L, 2L, 3L))
+    val vAfter = VersionedTable.versions(spark, dir).size
+    // restart against the SAME checkpoint: the committed epoch must not
+    // re-append (checkpoint replay + the manifest txn record agree)
+    val in2 = MemoryStream[(Long, String, Long)](spark)
+    in2.addData((2L, "2024-01-01", 20L), (3L, "2024-01-02", 30L))
+    val q2 = start(in2)
+    try {
+      in2.addData((4L, "2024-01-02", 40L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(dir).distinct === ids(dir), "no row may double-append")
+    assert(ids(dir).contains(4L))
+    // complete/update modes refuse; a missing table refuses by name
+    intercept[Exception] {
+      val inBad = MemoryStream[(Long, String, Long)](spark)
+      inBad.toDF().toDF("id", "pdate", "amount")
+        .groupBy("pdate").count().writeStream
+        .format("graft-snapshot")
+        .outputMode("complete")
+        .option("checkpointLocation", Stores.temp("svs-v1sink-bad"))
+        .start(dir)
+    }
+    intercept[Exception] {
+      val inBad2 = MemoryStream[(Long, String, Long)](spark)
+      inBad2.toDF().toDF("id", "pdate", "amount").writeStream
+        .format("graft-snapshot")
+        .option("checkpointLocation", Stores.temp("svs-v1sink-bad2"))
+        .start(Files.createTempDirectory("graft-svs-none").toString)
+    }
+    assert(VersionedTable.versions(spark, dir).size >= vAfter)
+  }
+
   test("streamed micro-batches commit as versions; snapshot equals the union") {
     val dir = newTable()
     val in = MemoryStream[(Long, String, Long)](spark)
