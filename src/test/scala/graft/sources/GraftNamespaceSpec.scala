@@ -64,6 +64,10 @@ class GraftNamespaceSpec extends AnyFunSuite {
     // the path spelling reads the SAME table
     assert(ids(spark.sql(s"SELECT * FROM graft.`$warehouseDir/ns1/t`"))
       === Seq(1L, 3L, 4L, 5L))
+    // USE pins the current namespace: unqualified names resolve in it
+    spark.sql("USE graft.ns1")
+    try assert(ids(spark.sql("SELECT * FROM t")) === Seq(1L, 3L, 4L, 5L))
+    finally spark.sql("USE spark_catalog.default")
   }
 
   test("maintenance statements take the named spelling: DESCRIBE " +
