@@ -69,7 +69,10 @@ class GraftV2ReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     case a: AddCheckConstraint => a
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
     case r: DataSourceV2Relation => r.table match {
-      case t: GraftV2Table => toV1(r, t).getOrElse(r)
+      case t: GraftV2Table =>
+        if (Option(r.options.get("readChangeFeed"))
+            .exists(_.trim.toBoolean)) toCdf(r, t)
+        else toV1(r, t).getOrElse(r)
       case _ => r
     }
     case other =>
@@ -77,6 +80,42 @@ class GraftV2ReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         .transformExpressions {
           case s: SubqueryExpression => s.withNewPlan(rewrite(s.plan))
         }
+  }
+
+  /** Batch `table_changes` through the identifier —
+    * `spark.read.option("readChangeFeed", true).table(graft.db.t)`,
+    * Delta's shape: the V1 CDF relation with the output WIDENED like
+    * the streaming rule's (table columns keep their resolved attribute
+    * ids via aliases, `_change_type`/`_commit_version` append after).
+    * Without this case the option would be silently DROPPED (the V2
+    * schema has no CDF columns) and the user would read a snapshot
+    * where they asked for changes — a silent wrong answer, which is
+    * exactly what this engine refuses to serve.
+    * `startingVersion`/`endingVersion` pass through; SQL-pinned time
+    * travel refuses here (the option spelling refuses inside the V1
+    * parsing authority — "mutually exclusive").
+    */
+  private def toCdf(r: DataSourceV2Relation,
+      t: GraftV2Table): LogicalPlan = {
+    if (t.pinnedVersion.isDefined)
+      throw new UnsupportedOperationException(
+        "readChangeFeed and VERSION/TIMESTAMP AS OF are mutually " +
+          "exclusive — the feed is the path BETWEEN versions; use " +
+          "startingVersion/endingVersion to bound it")
+    val reader = session.read.format("graft-snapshot")
+    r.options.forEach((k, v) => reader.option(k, v))
+    val v1 = reader.load(t.tableDir).queryExecution.analyzed
+    val byName = v1.output.map(a => a.name -> a).toMap
+    val aliases = r.output.map { old =>
+      byName.get(old.name).filter(_.dataType == old.dataType)
+        .map(a => Alias(a, old.name)(exprId = old.exprId))
+    }
+    if (aliases.exists(_.isEmpty)) v1 // raw CDF relation, fresh ids
+    else {
+      val mapped = r.output.map(_.name).toSet
+      Project(aliases.map(_.get) ++
+        v1.output.filterNot(a => mapped.contains(a.name)), v1)
+    }
   }
 
   /** The V1 `graft-snapshot` relation at the table's resolved version,

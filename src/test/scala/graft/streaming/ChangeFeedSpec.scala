@@ -149,6 +149,24 @@ class ChangeFeedSpec extends AnyFunSuite {
       Seq(("insert", 2L, 1L), ("delete", 1L, 2L)))
   }
 
+  test("batch CDF through the catalog identifier equals the option " +
+      "form; combining with time travel refuses") {
+    val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+    appendRows(dir, (3L, "2024-01-01", 30L))
+    VersionedTable.delete(spark, dir, "pdate", $"id" === 1L)
+    val viaIdent = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "2")
+      .table(s"graft.`$dir`")
+    assert(triples(viaIdent) === Seq(
+      ("insert", 1L, 0L), ("insert", 2L, 0L),
+      ("insert", 3L, 1L), ("delete", 1L, 2L)))
+    val e = intercept[Exception] {
+      spark.read.option("readChangeFeed", "true")
+        .option("versionAsOf", "1").table(s"graft.`$dir`").collect()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   test("batch CDF read option equals the library changeFeed; refuses " +
       "combined with time travel") {
     val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
