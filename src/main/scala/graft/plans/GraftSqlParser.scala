@@ -27,7 +27,13 @@ import graft.sources.VersionedTable
   *   DESCRIBE HISTORY graft.`/warehouse/events`
   *   DESCRIBE DETAIL graft.`/warehouse/events`
   *   RESTORE TABLE graft.`/warehouse/events` TO VERSION AS OF 2
+  *   CREATE TABLE graft.`/scratch/events_dev` SHALLOW CLONE
+  *     graft.`/warehouse/events`
   * }}}
+  *
+  * Every statement takes either spelling of the identifier — backquoted
+  * path or `graft.db.t` named parts (resolved under the warehouse root
+  * at run time).
   *
   * The interceptor matches ONLY these fixed shapes (anchored regexes
   * over a backquoted `graft.`…`` identifier); every other statement —
@@ -98,6 +104,12 @@ private[plans] object GraftSqlParser {
   private val Restore =
     ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Table +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*").r
+  // CREATE TABLE dst SHALLOW CLONE src — Delta's zero-copy branch; the
+  // library call hard-links live leaves (same-volume) and starts the
+  // clone's own history at v0
+  private val ShallowClone =
+    ("(?is)\\s*CREATE\\s+TABLE\\s+" + Table +
+      "\\s+SHALLOW\\s+CLONE\\s+" + Table + "\\s*;?\\s*").r
   // loud refusals for RECOGNIZED-but-malformed graft maintenance
   // statements (advice: an `OPTIMIZE graft.`t` ZORDER BY c` without
   // parens must not surface an unrelated Spark ParseException); the
@@ -126,6 +138,7 @@ private[plans] object GraftSqlParser {
     case History(dir) => Some(GraftDescribeHistoryCommand(dir))
     case Detail(dir) => Some(GraftDescribeDetailCommand(dir))
     case Restore(dir, v) => Some(GraftRestoreCommand(dir, v.toInt))
+    case ShallowClone(dst, src) => Some(GraftShallowCloneCommand(dst, src))
     case OptimizeGuard() => throw new UnsupportedOperationException(
       "malformed OPTIMIZE on a graft table — supported: OPTIMIZE " +
         "graft.`dir` [WHERE <partition predicate>] " +
@@ -277,6 +290,28 @@ case class GraftDescribeDetailCommand(tableDir: String)
   override def run(spark: SparkSession): Seq[Row] =
     VersionedTable.describeDetail(spark,
       GraftSqlParser.resolveDir(spark, tableDir)).collect().toSeq
+}
+
+/** `CREATE TABLE graft.`dst` SHALLOW CLONE graft.`src`` — Delta's
+  * zero-copy branch as a statement ([[VersionedTable.cloneTable]]):
+  * the clone's v0 references the source head's live leaves by hard
+  * link (same volume; copies across volumes), histories diverge from
+  * there, and either side's vacuum can never reclaim the other's bytes
+  * (each manifest owns its own links).
+  */
+case class GraftShallowCloneCommand(dstTable: String, srcTable: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("destination", StringType, nullable = false)(),
+    AttributeReference("files_linked", LongType, nullable = false)(),
+    AttributeReference("files_copied", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlParser.resolveDir(spark, srcTable)
+    val dst = GraftSqlParser.resolveDir(spark, dstTable)
+    val (linked, copied) = VersionedTable.cloneTable(spark, src, dst)
+    Seq(Row(src, dst, linked, copied))
+  }
 }
 
 /** `RESTORE [TABLE] graft.`dir` TO VERSION AS OF n` — Delta's RESTORE

@@ -747,6 +747,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("VACUUM some_table") }
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE branches the table zero-copy; " +
+      "histories diverge") {
+    val dir = mkTable()
+    val dst = Files.createTempDirectory("graft-clone-sql").toString + "/c"
+    val row = spark.sql(
+      s"CREATE TABLE graft.`$dst` SHALLOW CLONE ${sqlTable(dir)}")
+      .collect().head
+    assert(row.getLong(2) + row.getLong(3) > 0, "files must carry")
+    assert(ids(spark.sql(s"SELECT * FROM graft.`$dst`")) === (1L to 4L))
+    // divergence: a delete on the clone leaves the source intact
+    spark.sql(s"DELETE FROM graft.`$dst` WHERE id = 1")
+    assert(ids(v1(dir)) === (1L to 4L))
+    assert(ids(spark.sql(s"SELECT * FROM graft.`$dst`"))
+      === Seq(2L, 3L, 4L))
+    // cloning ONTO an existing table refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE ${sqlTable(dir)}")
+    }
+  }
+
   test("CALL procedures: rollback restores by pointer flip, " +
       "vacuum_dry_run previews, vacuum erases history; unknown names " +
       "refuse listing the surface") {

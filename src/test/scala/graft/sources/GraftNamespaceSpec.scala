@@ -90,6 +90,22 @@ class GraftNamespaceSpec extends AnyFunSuite {
     assert(restored.getAs[Int]("restored_from") === 1)
   }
 
+  test("atomic CTAS and SHALLOW CLONE work against named identifiers") {
+    spark.sql("CREATE NAMESPACE graft.nsc")
+    spark.sql("CREATE TABLE graft.nsc.src (id BIGINT, kind STRING) " +
+      "PARTITIONED BY (kind)")
+    spark.sql("INSERT INTO graft.nsc.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CREATE TABLE graft.nsc.dst PARTITIONED BY (kind) " +
+      "AS SELECT * FROM graft.nsc.src")
+    assert(ids(spark.sql("SELECT * FROM graft.nsc.dst")) === Seq(1L, 2L))
+    // atomic: the one observable version carries the data
+    assert(VersionedTable.versions(spark, s"$warehouseDir/nsc/dst")
+      === Seq(0))
+    spark.sql("CREATE TABLE graft.nsc.branch SHALLOW CLONE graft.nsc.src")
+    assert(ids(spark.sql("SELECT * FROM graft.nsc.branch"))
+      === Seq(1L, 2L))
+  }
+
   test("namespace listing, non-empty DROP NAMESPACE refusal, and " +
       "escape-proof identifier parts") {
     spark.sql("CREATE NAMESPACE graft.ns2")
