@@ -392,16 +392,26 @@ private[plans] object GraftDml {
           "or explicit DELETE + INSERT")
     val sourceOut = m.sourceTable.outputSet
     val targetOut = m.targetTable.outputSet
-    val key = m.mergeCondition match {
+    // ON t.a = s.a [AND t.b = s.b …] — one or more same-named
+    // target/source column equalities = a composite join key (the
+    // everyday multi-column upsert); anything else refuses naming the
+    // conjunct
+    def keyOf(e: Expression): Option[String] = e match {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
           l: AttributeReference, r: AttributeReference)
           if l.name == r.name &&
             ((targetOut.contains(l) && sourceOut.contains(r)) ||
-              (sourceOut.contains(l) && targetOut.contains(r))) => l.name
-      case other =>
-        refuse(s"the ON condition '${other.sql}' (need a single " +
-          "equality between one same-named target and source column)")
+              (sourceOut.contains(l) && targetOut.contains(r))) =>
+        Some(l.name)
+      case _ => None
     }
+    val keys = splitConjuncts(m.mergeCondition).map(c =>
+      keyOf(c).getOrElse(refuse(
+        s"the ON conjunct '${c.sql}' (need same-named target/source " +
+          "column equalities, AND-combined)")))
+    if (keys.distinct.size != keys.size)
+      refuse(s"the ON condition repeats a key column " +
+        s"(${keys.mkString(", ")})")
     // the canonical-upsert FAST PATH requires every assignment to be the
     // source's same-named column, checked structurally (exprId
     // membership — `SET amount = tg.amount` is NOT identity even though
@@ -494,9 +504,9 @@ private[plans] object GraftDml {
       case _ => false
     })
     if (canonical)
-      GraftMergeCommand(t.tableDir, t.specString, key, m.sourceTable)
+      GraftMergeCommand(t.tableDir, t.specString, keys, m.sourceTable)
     else
-      GraftMergeClausesCommand(t.tableDir, t.specString, key, matched,
+      GraftMergeClausesCommand(t.tableDir, t.specString, keys, matched,
         insert, bySource, m.sourceTable)
   }
 }
@@ -663,10 +673,11 @@ case class GraftDynamicOverwriteCommand(tableDir: String, spec: String,
   * only affected partitions rewritten.
   */
 case class GraftMergeCommand(tableDir: String, spec: String,
-    keyCol: String, source: LogicalPlan) extends LeafRunnableCommand {
+    keyCols: Seq[String], source: LogicalPlan)
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val batch = GraftSqlBridge.ofRows(spark, source)
-    VersionedTable.merge(batch, tableDir, spec, keyCol)
+    VersionedTable.mergeKeys(batch, tableDir, spec, keyCols)
     Seq.empty
   }
 }
@@ -678,7 +689,7 @@ case class GraftMergeCommand(tableDir: String, spec: String,
   * `__t.<col>`/`__s.<col>` and re-resolve inside the kernel's join.
   */
 case class GraftMergeClausesCommand(tableDir: String, spec: String,
-    keyCol: String,
+    keyCols: Seq[String],
     matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
     insert: Option[(Option[Column], Seq[(String, Column)])],
     bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
@@ -686,7 +697,7 @@ case class GraftMergeClausesCommand(tableDir: String, spec: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val batch = GraftSqlBridge.ofRows(spark, source)
-    VersionedTable.mergeInto(batch, tableDir, spec, keyCol, matched,
+    VersionedTable.mergeIntoKeys(batch, tableDir, spec, keyCols, matched,
       insert, bySource)
     Seq.empty
   }

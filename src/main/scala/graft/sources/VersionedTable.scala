@@ -1551,7 +1551,16 @@ object VersionedTable {
     * size stays on the cluster.
     */
   def merge(batch: DataFrame, tableDir: String, partCol: String,
-      keyCol: String): Unit = withCommitRetry {
+      keyCol: String): Unit =
+    mergeKeys(batch, tableDir, partCol, Seq(keyCol))
+
+  /** [[merge]] on a COMPOSITE key — `keyCols` joins as a tuple
+    * everywhere the single-column form joins its one key (the everyday
+    * Delta `ON t.a = s.a AND t.b = s.b` upsert).
+    */
+  def mergeKeys(batch: DataFrame, tableDir: String, partCol: String,
+      keyCols: Seq[String]): Unit = withCommitRetry {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
@@ -1564,9 +1573,9 @@ object VersionedTable {
     requireSpec(m, cols, "merge")
     requireConstraints(batch, m, "merge") // before any rewrite work
     val current = readView(spark, tableDir, m)
-    val batchKeys = batch.select(keyCol).distinct()
+    val batchKeys = batch.select(keyCols.map(col): _*).distinct()
     val affected: Set[Seq[String]] = (
-      current.join(batchKeys, keyCol)
+      current.join(batchKeys, keyCols)
         .select(cols.map(c => col(c).cast("string")): _*) unionByName
       batch.select(cols.map(c => col(c).cast("string")): _*)
     ).distinct().collect()
@@ -1578,13 +1587,13 @@ object VersionedTable {
     val (hitSame, keptSame) =
       sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign = leavesContaining(spark, tableDir, m, foreignM,
-      _.join(batchKeys, Seq(keyCol), "left_semi"))
+      _.join(batchKeys, keyCols, "left_semi"))
     val hit = hitSame ++ hitForeign
     val kept = keptSame ++ foreignM.filterNot(hitForeign.toSet)
     val rewritten =
       (if (hit.isEmpty) batch
        else readView(spark, tableDir, m, onlyLeaves = Some(hit))
-         .join(batchKeys, Seq(keyCol), "left_anti")
+         .join(batchKeys, keyCols, "left_anti")
          .unionByName(batch))
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
@@ -1634,28 +1643,44 @@ object VersionedTable {
       matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
       insert: Option[(Option[Column], Seq[(String, Column)])],
       bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] = Nil)
+      : Unit =
+    mergeIntoKeys(batch, tableDir, partCol, Seq(keyCol), matched, insert,
+      bySource)
+
+  /** [[mergeInto]] on a COMPOSITE key (`ON t.a = s.a AND t.b = s.b` —
+    * the everyday multi-column upsert): `keyCols` joins as a tuple
+    * everywhere the single-column form joins its one key; matched /
+    * not-matched / by-source semantics are unchanged.
+    */
+  def mergeIntoKeys(batch: DataFrame, tableDir: String, partCol: String,
+      keyCols: Seq[String],
+      matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
+      insert: Option[(Option[Column], Seq[(String, Column)])],
+      bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] = Nil)
       : Unit = withCommitRetry {
     require(matched.nonEmpty || insert.isDefined || bySource.nonEmpty,
       "mergeInto needs at least one clause")
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val cols = specOf(partCol)
     requireSpec(m, cols, "mergeInto")
-    require(batch.columns.contains(keyCol),
-      s"merge source has no key column '$keyCol' " +
-        s"(${batch.columns.mkString(", ")})")
+    keyCols.foreach(k => require(batch.columns.contains(k),
+      s"merge source has no key column '$k' " +
+        s"(${batch.columns.mkString(", ")})"))
     val hasUpdate = matched.exists(!_._2)
     val current = readView(spark, tableDir, m)
     val tableCols = current.columns.toIndexedSeq
     val types = current.schema.fields.map(f => f.name -> f.dataType).toMap
     if (matched.nonEmpty)
-      require(batch.groupBy(col(keyCol)).count()
+      require(batch.groupBy(keyCols.map(col): _*).count()
           .filter(col("count") > 1).isEmpty,
-        s"merge source has several rows sharing a '$keyCol' value — " +
-          "with matched clauses the applied clause would be " +
-          "row-arbitrary; de-duplicate the source first")
-    val batchKeys = batch.select(keyCol).distinct()
+        s"merge source has several rows sharing a " +
+          s"'${keyCols.mkString(",")}' value — with matched clauses " +
+          "the applied clause would be row-arbitrary; de-duplicate the " +
+          "source first")
+    val batchKeys = batch.select(keyCols.map(col): _*).distinct()
     // NOT MATCHED = the key is absent from the WHOLE table, so the
     // insert side pays one key-projected anti-join against the current
     // view; the insert condition (source-only by SQL rules) filters
@@ -1665,7 +1690,8 @@ object VersionedTable {
     val insertRows: Option[DataFrame] = insert.map { case (condOpt, assigns) =>
       val assignMap = assigns.toMap
       condOpt.foldLeft(batch.alias("__s"))(_ filter _)
-        .join(current.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+        .join(current.select(keyCols.map(col): _*).distinct(), keyCols,
+          "left_anti")
         .select(tableCols.map { c =>
           assignMap.get(c).map(_.cast(types(c)))
             .getOrElse(lit(null).cast(types(c))).as(c)
@@ -1687,14 +1713,14 @@ object VersionedTable {
     // insert rows land as new leaves without touching existing ones
     val affectedMatched: Set[Seq[String]] =
       if (matched.isEmpty) Set.empty
-      else current.join(batchKeys, keyCol)
+      else current.join(batchKeys, keyCols)
         .select(cols.map(c => col(c).cast("string")): _*)
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     // probes alias the target frame as `__t`: by-source conditions are
     // pre-qualified to `__t.<col>` by the SQL translation
     val affectedBySource: Set[Seq[String]] = anyBySource.map { cond =>
-      current.alias("__t").join(batchKeys, Seq(keyCol), "left_anti")
+      current.alias("__t").join(batchKeys, keyCols, "left_anti")
         .filter(cond)
         .select(cols.map(c => col(c).cast("string")): _*)
         .distinct().collect()
@@ -1709,11 +1735,11 @@ object VersionedTable {
       if (matched.isEmpty && bySource.isEmpty) Seq.empty[String]
       else leavesContaining(spark, tableDir, m, foreignM, df =>
         anyBySource match {
-          case None => df.join(batchKeys, Seq(keyCol), "left_semi")
+          case None => df.join(batchKeys, keyCols, "left_semi")
           case Some(cond) =>
             val marked = df.alias("__t").join(
               batchKeys.withColumn("__vt_merge_k", lit(1)),
-              Seq(keyCol), "left")
+              keyCols, "left")
             val hitExpr =
               if (matched.isEmpty) col("__vt_merge_k").isNull && cond
               else col("__vt_merge_k").isNotNull ||
@@ -1728,7 +1754,8 @@ object VersionedTable {
         val t = readView(spark, tableDir, m, onlyLeaves = Some(hit))
           .alias("__t")
         val s = batch.withColumn("__vt_merge_m", lit(true)).alias("__s")
-        val j = t.join(s, col(s"__t.$keyCol") === col(s"__s.$keyCol"),
+        val j = t.join(s, keyCols.map(k =>
+            col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _),
           "left_outer")
         val isMatched = coalesce(col("__s.__vt_merge_m"), lit(false))
         // first-applicable-clause-wins: applies(i) = matched ∧ cond_i ∧

@@ -747,6 +747,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("VACUUM some_table") }
   }
 
+  test("MERGE on a COMPOSITE key (ON t.a = s.a AND t.b = s.b): " +
+      "canonical upsert and the clause kernel both join the full " +
+      "tuple; a non-equality conjunct refuses") {
+    val dir = mkTable()
+    Seq((9L, "a", "ACTIVE", 111L), (7L, "c", "NEW", 70L))
+      .toDF("id", "kind", "status", "amount")
+      .createOrReplaceTempView("ck_src")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING ck_src s " +
+      "ON t.kind = s.kind AND t.status = s.status " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // (a, ACTIVE) replaced by id=9; (c, NEW) inserted; others carried
+    assert(ids(v1(dir)) === Seq(2L, 3L, 4L, 7L, 9L))
+    // clause form: conditional matched update + by-source delete, both
+    // keyed on the tuple
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING ck_src s " +
+      "ON t.kind = s.kind AND t.status = s.status " +
+      "WHEN MATCHED AND t.amount > 100 " +
+      "THEN UPDATE SET amount = t.amount + s.amount " +
+      "WHEN NOT MATCHED BY SOURCE AND t.kind = 'b' THEN DELETE")
+    assert(ids(v1(dir)) === Seq(2L, 7L, 9L))
+    val amounts = v1(dir).orderBy("id").select("amount")
+      .as[Long].collect().toSeq
+    assert(amounts === Seq(20L, 70L, 222L))
+    // a non-equality ON conjunct refuses naming itself
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING ck_src s " +
+        "ON t.kind = s.kind AND t.amount > s.amount " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("conjunct"), e.getMessage)
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE branches the table zero-copy; " +
       "histories diverge") {
     val dir = mkTable()
