@@ -126,7 +126,8 @@ private[plans] object GraftSqlParser {
     case Vacuum(dir, n) => Some(GraftVacuumCommand(dir, n.toInt))
     case VacuumDry(dir) => Some(GraftVacuumDryRunCommand(dir))
     case VacuumBare(dir) => throw new UnsupportedOperationException(
-      s"VACUUM graft.`$dir` needs an explicit retention — " +
+      s"VACUUM graft.`${dir.stripPrefix("`").stripSuffix("`")}` needs " +
+        "an explicit retention — " +
         "`RETAIN <n> VERSIONS` (or `DRY RUN` to preview): versions are " +
         "the product, and how much history to erase is the one decision " +
         "this statement must not make silently")
