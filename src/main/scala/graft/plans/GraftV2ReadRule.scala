@@ -110,8 +110,18 @@ class GraftV2ReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       byName.get(old.name).filter(_.dataType == old.dataType)
         .map(a => Alias(a, old.name)(exprId = old.exprId))
     }
-    if (aliases.exists(_.isEmpty)) v1 // raw CDF relation, fresh ids
-    else {
+    if (aliases.exists(_.isEmpty)) {
+      // refuse by name rather than substituting a fresh-exprId relation:
+      // parents already resolved against r.output would be left with
+      // dangling references — a confusing internal analysis error
+      val bad = r.output.zip(aliases).collect {
+        case (old, None) => s"${old.name}: ${old.dataType.sql}"
+      }
+      throw new UnsupportedOperationException(
+        "readChangeFeed could not align the change-feed relation with " +
+          s"the table columns [${bad.mkString(", ")}] — the CDF schema " +
+          "must carry every table column by name and type")
+    } else {
       val mapped = r.output.map(_.name).toSet
       Project(aliases.map(_.get) ++
         v1.output.filterNot(a => mapped.contains(a.name)), v1)

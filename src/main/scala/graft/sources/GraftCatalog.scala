@@ -151,8 +151,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         GraftMetadataTable.kinds.contains(ident.name().toLowerCase)) {
       // a REAL table named like a metadata kind wins over the suffix
       // reading of the same identifier
+      // NonFatal, not just NoSuchTableException: with a warehouse root
+      // configured, a path-spelled prefix ("/abs/dir") fails dirOf's
+      // plain-part check — that must fall through to metadataBaseDir,
+      // not abort the suffix read.
       val asTable = try Some(dirOf(ident)).filter(isTableDir)
-        catch { case _: NoSuchTableException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       asTable.map(new GraftV2Table(_, None)).orElse(
         metadataBaseDir(ident)
           .map(new GraftMetadataTable(_, ident.name().toLowerCase)))
@@ -332,8 +336,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * `ALTER TABLE … DROP COLUMN` is the metadata-only NARROWING commit
     * ([[VersionedTable.dropColumns]]): head reads lose the column,
     * prior versions keep it via time travel; partition-spec and
-    * constraint-referenced columns refuse. Every other ALTER refuses:
-    * renames/retypes are out of the evolution contract.
+    * constraint-referenced columns refuse. `ALTER TABLE … RENAME
+    * COLUMN` is the metadata-only column-mapping commit
+    * ([[VersionedTable.renameColumn]]). Every other ALTER refuses:
+    * retypes are out of the evolution contract.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -377,8 +383,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       VersionedTable.dropColumns(spark, dir, cols,
         ifExists = drops.forall(_.ifExists()))
     }
+    // RENAME COLUMN: metadata-only through the schema entry's column
+    // mapping ([[VersionedTable.renameColumn]] — head reads the new
+    // name, time travel keeps the old, leaves untouched)
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    renames.foreach { r =>
+      if (r.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"RENAME COLUMN supports top-level columns only — got nested " +
+            s"'${r.fieldNames().mkString(".")}'")
+      VersionedTable.renameColumn(spark, dir, r.fieldNames()(0),
+        r.newName())
+    }
     changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn]).foreach {
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn]).foreach {
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           VersionedTable.addCheckConstraint(spark, dir, c.name(),

@@ -187,13 +187,19 @@ final class GraftSnapshotSource extends RelationProvider
     else {
       val schema = schemaOpt.getOrElse(
         spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*).schema)
+      // legacy manifests (no recorded schema) can carry no rename map
+      val colMap =
+        if (schemaOpt.isEmpty) Map.empty[String, String]
+        else VersionedTable.colMapAt(spark, tableDir, version)
       HadoopFsRelation(
-        location = new ManifestFileIndex(spark, tableDir, leaves, schema),
+        location =
+          new ManifestFileIndex(spark, tableDir, leaves, schema, colMap),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
         fileFormat =
-          if (fmt == "orc") new ManifestOrcFormat else new ManifestParquetFormat,
+          if (fmt == "orc") new ManifestOrcFormat(colMap)
+          else new ManifestParquetFormat(colMap),
         options = Map.empty)(spark)
     }
   }
@@ -251,23 +257,66 @@ final class GraftSnapshotSource extends RelationProvider
   * format call on any append-mode write path. Reads are untouched
   * vectorized parquet.
   */
-private[graft] final class ManifestParquetFormat extends ParquetFileFormat {
+private[graft] final class ManifestParquetFormat(
+    colMap: Map[String, String] = Map.empty) extends ParquetFileFormat {
   override def prepareWrite(sparkSession: SparkSession,
       job: org.apache.hadoop.mapreduce.Job, options: Map[String, String],
       dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
     throw new UnsupportedOperationException(SnapshotConnector.InsertRefusal)
+
+  /** Column-mapping seam (RENAME COLUMN): files carry frozen PHYSICAL
+    * names, the relation exposes LOGICAL ones. Translating the
+    * requested/data schemas and pushed filters here — same field order,
+    * names only — keeps the hand-off positional, so the vectorized
+    * reader and every plan above it never notice the mapping, and
+    * parquet row-group skipping on a renamed column still fires.
+    */
+  override def buildReaderWithPartitionValues(sparkSession: SparkSession,
+      dataSchema: StructType, partitionSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    if (colMap.isEmpty)
+      super.buildReaderWithPartitionValues(sparkSession, dataSchema,
+        partitionSchema, requiredSchema, filters, options, hadoopConf)
+    else
+      super.buildReaderWithPartitionValues(sparkSession,
+        SnapshotConnector.physSchema(dataSchema, colMap), partitionSchema,
+        SnapshotConnector.physSchema(requiredSchema, colMap),
+        filters.flatMap(SnapshotConnector.physFilter(_, colMap)),
+        options, hadoopConf)
 }
 
 /** ORC sibling of [[ManifestParquetFormat]] — the fast-path format for
   * ORC-native versioned tables (the reference engine's storage format),
-  * with the same write-seam refusal.
+  * with the same write-seam refusal and column-mapping translation.
   */
-private[graft] final class ManifestOrcFormat
+private[graft] final class ManifestOrcFormat(
+    colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.execution.datasources.orc.OrcFileFormat {
   override def prepareWrite(sparkSession: SparkSession,
       job: org.apache.hadoop.mapreduce.Job, options: Map[String, String],
       dataSchema: StructType): org.apache.spark.sql.execution.datasources.OutputWriterFactory =
     throw new UnsupportedOperationException(SnapshotConnector.InsertRefusal)
+
+  override def buildReaderWithPartitionValues(sparkSession: SparkSession,
+      dataSchema: StructType, partitionSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    if (colMap.isEmpty)
+      super.buildReaderWithPartitionValues(sparkSession, dataSchema,
+        partitionSchema, requiredSchema, filters, options, hadoopConf)
+    else
+      super.buildReaderWithPartitionValues(sparkSession,
+        SnapshotConnector.physSchema(dataSchema, colMap), partitionSchema,
+        SnapshotConnector.physSchema(requiredSchema, colMap),
+        filters.flatMap(SnapshotConnector.physFilter(_, colMap)),
+        options, hadoopConf)
 }
 
 /** Manifest-driven [[FileIndex]]: the planner's view of one snapshot's
@@ -301,7 +350,13 @@ private[graft] final class ManifestOrcFormat
   * lost-pruning-until-rewrite cost model.
   */
 final class ManifestFileIndex(spark: SparkSession, tableDir: String,
-    leaves: Seq[String], tableSchema: StructType) extends FileIndex {
+    leaves: Seq[String], tableSchema: StructType,
+    colMap: Map[String, String] = Map.empty) extends FileIndex {
+
+  /** Sidecar stats and bloom indexes key on the FILE's column names —
+    * the frozen physical names; queries arrive with logical ones.
+    */
+  private def physName(c: String): String = colMap.getOrElse(c, c)
 
   /** Per-leaf `listStatus` calls this index has issued — 0 when every
     * add-dir carried its file-level manifest (the instrumentation seam
@@ -567,7 +622,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
           Option(0L), 0L))) {
         case (None, _) => None
         case (Some((mn, mx, nulls, rows)), m) =>
-          m.get(colName) match {
+          m.get(physName(colName)) match {
             case None => None
             case Some(cs) if !cs.allNull && (cs.min.isEmpty || cs.max.isEmpty) =>
               None
@@ -637,7 +692,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     def statNulls(e: Expression): Option[(FileStats.ColStats, org.apache.spark.sql.types.DataType)] =
       e match {
         case ar: AttributeReference => for {
-          s <- cs.get(ar.name)
+          s <- cs.get(physName(ar.name))
           fld <- tableSchema.fields.find(_.name == ar.name)
           if FileStats.supported(fld.dataType)
         } yield (s, fld.dataType)
@@ -759,7 +814,11 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val probes = dataFilters.flatMap(equalityKeys).flatMap {
       case (colName, keys) =>
-        bloomByCol.get(colName).map(skippers => (skippers, keys))
+        // physical first (indexes attached pre-rename), then logical
+        // (attached after — the attach path keys on what it was given)
+        bloomByCol.get(physName(colName))
+          .orElse(bloomByCol.get(colName))
+          .map(skippers => (skippers, keys))
     }
     val kept = leafEntries.collect {
       case (leaf, pairs, files) if keepLeaf(dataFilters, pairs) =>
@@ -912,8 +971,22 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
               "rewritten rows")
         val added = toLeaves.filterNot(fromLeaves.toSet)
         if (added.isEmpty) emptyBatch
-        else asStreaming(spark.read.schema(streamSchema)
-          .format(fmt).load(added.map(l => s"$tableDir/$l"): _*))
+        else {
+          // RENAME COLUMN mapping: leaves carry frozen physical names.
+          // A name absent from the map is its own physical name — which
+          // also covers a stream pinned to pre-rename logical names
+          // (those ARE the physical names).
+          val cm = scala.util.Try(
+            VersionedTable.colMapAt(spark, tableDir, endV))
+            .getOrElse(Map.empty[String, String])
+          val raw = spark.read
+            .schema(SnapshotConnector.physSchema(streamSchema, cm))
+            .format(fmt).load(added.map(l => s"$tableDir/$l"): _*)
+          asStreaming(
+            if (cm.isEmpty) raw
+            else raw.select(streamSchema.fields.toIndexedSeq.map(f =>
+              col(cm.getOrElse(f.name, f.name)).as(f.name)): _*))
+        }
     }
   }
 
@@ -1070,16 +1143,66 @@ object SnapshotConnector {
     */
   private[sources] def relationFrame(spark: SparkSession, tableDir: String,
       leaves: Seq[String], schema: StructType,
-      fmt: String = "parquet"): DataFrame =
+      fmt: String = "parquet",
+      colMap: Map[String, String] = Map.empty): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(HadoopFsRelation(
-        location = new ManifestFileIndex(spark, tableDir, leaves, schema),
+        location =
+          new ManifestFileIndex(spark, tableDir, leaves, schema, colMap),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
         fileFormat =
-          if (fmt == "orc") new ManifestOrcFormat else new ManifestParquetFormat,
+          if (fmt == "orc") new ManifestOrcFormat(colMap)
+          else new ManifestParquetFormat(colMap),
         options = Map.empty)(spark))
+
+  /** Schema with RENAMEd fields carrying their frozen physical names —
+    * names only, order and types untouched (the positional identity the
+    * format translation relies on).
+    */
+  private[sources] def physSchema(s: StructType,
+      cm: Map[String, String]): StructType =
+    StructType(s.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+
+  /** Pushed-down filter with attribute names mapped logical→physical;
+    * None for shapes we don't recognize — dropping a pushed filter is
+    * always safe (Spark re-evaluates every filter above the scan), a
+    * mistranslated one would not be.
+    */
+  private[sources] def physFilter(f: Filter,
+      cm: Map[String, String]): Option[Filter] = {
+    def n(a: String) = cm.getOrElse(a, a)
+    f match {
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(n(a), v))
+      case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(n(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(n(a), v))
+      case sources.GreaterThanOrEqual(a, v) =>
+        Some(sources.GreaterThanOrEqual(n(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(n(a), v))
+      case sources.LessThanOrEqual(a, v) =>
+        Some(sources.LessThanOrEqual(n(a), v))
+      case sources.In(a, vs) => Some(sources.In(n(a), vs))
+      case sources.IsNull(a) => Some(sources.IsNull(n(a)))
+      case sources.IsNotNull(a) => Some(sources.IsNotNull(n(a)))
+      case sources.StringStartsWith(a, v) =>
+        Some(sources.StringStartsWith(n(a), v))
+      case sources.StringEndsWith(a, v) =>
+        Some(sources.StringEndsWith(n(a), v))
+      case sources.StringContains(a, v) =>
+        Some(sources.StringContains(n(a), v))
+      case sources.And(l, r) =>
+        for (lc <- physFilter(l, cm); rc <- physFilter(r, cm))
+          yield sources.And(lc, rc)
+      case sources.Or(l, r) =>
+        for (lc <- physFilter(l, cm); rc <- physFilter(r, cm))
+          yield sources.Or(lc, rc)
+      case sources.Not(c) => physFilter(c, cm).map(sources.Not(_))
+      case t: sources.AlwaysTrue => Some(t)
+      case t: sources.AlwaysFalse => Some(t)
+      case _ => None
+    }
+  }
 
   /** V1 source filters translated back to Columns where expressible;
     * `None` for shapes we don't evaluate (callers re-apply or refuse).

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, FloatType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 import graft.pipeline.Locking
 
@@ -154,6 +154,13 @@ object VersionedTable {
       if (partcol.isEmpty) None else Some(partcol.mkString(","))
     /** Decoded (name, check-expression) pairs. */
     def constraintPairs: Seq[(String, String)] = decodeSchemaPairs(constraints)
+    /** logical → physical column name for RENAMEd columns only (empty
+      * on tables never renamed). Leaves carry physical names; every
+      * read translates at the file/stats boundary, every write maps
+      * back before the files land.
+      */
+    def colMap: Map[String, String] = decodeSchemaTriples(schema)
+      .collect { case (n, _, Some(p)) if p != n => n -> p }.toMap
   }
 
   /** A write was refused because rows violate a table CHECK constraint.
@@ -175,12 +182,39 @@ object VersionedTable {
       java.net.URLEncoder.encode(f.name, "UTF-8") + ":" +
         java.net.URLEncoder.encode(f.dataType.catalogString, "UTF-8"))
 
-  private def decodeSchemaPairs(entries: Seq[String]): Seq[(String, String)] =
+  /** One schema entry with an optional PHYSICAL column name as a third
+    * `:`-separated segment (`logical:type:physical`) — the column-
+    * mapping seam RENAME COLUMN commits through (Delta's column-mapping
+    * idea at this manifest's granularity): the physical name is frozen
+    * at column birth, leaves always carry it, and only the logical name
+    * ever changes. An identity mapping is never written.
+    */
+  private def encodeSchemaEntry(name: String, tpe: String,
+      phys: Option[String]): String =
+    java.net.URLEncoder.encode(name, "UTF-8") + ":" +
+      java.net.URLEncoder.encode(tpe, "UTF-8") +
+      phys.filter(_ != name)
+        .map(p => ":" + java.net.URLEncoder.encode(p, "UTF-8"))
+        .getOrElse("")
+
+  /** (logical name, type, physical-name-if-renamed). URL-encoding
+    * percent-escapes every raw ':' inside names/types/expressions, so
+    * the segment split is unambiguous.
+    */
+  private def decodeSchemaTriples(entries: Seq[String])
+      : Seq[(String, String, Option[String])] =
     entries.map { e =>
-      val i = e.indexOf(':')
-      (java.net.URLDecoder.decode(e.substring(0, i), "UTF-8"),
-        java.net.URLDecoder.decode(e.substring(i + 1), "UTF-8"))
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      e.split(':') match {
+        case Array(n, t) => (dec(n), dec(t), None)
+        case Array(n, t, p) => (dec(n), dec(t), Some(dec(p)))
+        case _ => throw new IllegalStateException(
+          s"malformed manifest schema entry: '$e'")
+      }
     }
+
+  private def decodeSchemaPairs(entries: Seq[String]): Seq[(String, String)] =
+    decodeSchemaTriples(entries).map { case (n, t, _) => (n, t) }
 
   /** All columns decode nullable: evolved columns read as null from
     * pre-evolution leaves by construction, and parquet scans treat
@@ -253,17 +287,27 @@ object VersionedTable {
     readManifestFull(spark, tableDir,
       latestVersion(spark, tableDir)).schemaOpt
 
-  /** (mtime, length) identity of a committed manifest file — the cheap
-    * uniqueness token plan caches key on (one `getFileStatus`, no read):
-    * a committed version's CONTENT is immutable, but a
-    * dropped-and-recreated table at the same path reuses version
-    * NUMBERS — never the same manifest file identity.
+  /** Content identity of a committed manifest file — the uniqueness
+    * token plan caches key on. A committed version's CONTENT is
+    * immutable, but a dropped-and-recreated table at the same path
+    * reuses version NUMBERS, and on filesystems with coarse mtime
+    * granularity even (mtime, length) can recur across a drop-and-
+    * recreate — so this hashes the BYTES. Data-dir names embed a
+    * per-commit nonce, so two distinct commits can never hash equal.
+    * One small sequential file read; far cheaper than the nested plan
+    * analysis the cache exists to avoid.
     */
   def manifestFingerprint(spark: SparkSession, tableDir: String,
       version: Int): String = {
-    val st = fs(spark, tableDir).getFileStatus(
-      new Path(s"${manifestsDir(tableDir)}/v$version.json"))
-    s"${st.getModificationTime}_${st.getLen}"
+    val p = new Path(s"${manifestsDir(tableDir)}/v$version.json")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs(spark, tableDir).open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** The head manifest's recorded data-file format ("parquet" default) —
@@ -432,6 +476,27 @@ object VersionedTable {
     */
   private[sources] val SupportedFormats = Set("parquet", "orc")
 
+  /** The prior manifest's logical→physical column mapping for a write
+    * landing as `version` — empty at table birth and for tables never
+    * renamed. One tiny JSON read; keeping the lookup here means none of
+    * the 16 commit kernels had to learn about column mapping.
+    */
+  private def colMapForWrite(spark: SparkSession, tableDir: String,
+      version: Int): Map[String, String] =
+    if (version == 0) Map.empty
+    else scala.util.Try(
+      readManifestFull(spark, tableDir, version - 1).colMap)
+      .getOrElse(Map.empty)
+
+  /** Rename RENAMEd columns back to their frozen physical names right
+    * before file bytes land — identity when the table has no mapping.
+    */
+  private def toPhysical(df: DataFrame,
+      colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(df.columns.toIndexedSeq
+      .map(c => col(c).as(colMap.getOrElse(c, c))): _*)
+
   private def writeDataDirCols(df: DataFrame, tableDir: String,
       version: Int, partCols: Seq[String],
       fmt: String = "parquet"): Seq[String] = {
@@ -439,17 +504,20 @@ object VersionedTable {
       s"unsupported versioned-table format '$fmt' — one of " +
         SupportedFormats.mkString("/"))
     val spark = df.sparkSession
+    // leaves always carry PHYSICAL column names (spec columns are
+    // unrenamable, so the dir layout never maps)
+    val phys = toPhysical(df, colMapForWrite(spark, tableDir, version))
     val rel = s"data/add-v$version-${nonce()}"
     val pdirs = partCols.map(partDirCol)
     // the spec columns stay in the data; their duplicates drive the
     // (possibly nested) directory layout in spec order
-    partCols.zip(pdirs).foldLeft(df) { case (d, (c, p)) =>
+    partCols.zip(pdirs).foldLeft(phys) { case (d, (c, p)) =>
       d.withColumn(p, col(c))
     }
       .repartition(pdirs.map(col): _*)
       .write.mode("overwrite").partitionBy(pdirs: _*)
       .format(fmt).save(s"$tableDir/$rel")
-    publishDataDir(spark, tableDir, rel, partCols, df.schema, fmt)
+    publishDataDir(spark, tableDir, rel, partCols, phys.schema, fmt)
   }
 
   /** Publication contract for a freshly-written add-dir — shared by
@@ -820,6 +888,10 @@ object VersionedTable {
       else readLeaves(spark, tableDir, m.leaves.take(1), None, m.fmt)
         .schema.fields.toSeq
         .map(f => (f.name, f.dataType.catalogString))
+    // physical mapping of existing columns rides through the re-encode
+    // (fresh columns are born with logical == physical)
+    val physOf: Map[String, String] =
+      if (m.schema.nonEmpty) m.colMap else Map.empty
     val batch = df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
     val batchMap = batch.toMap
     table.foreach { case (n, t) =>
@@ -841,8 +913,7 @@ object VersionedTable {
         "but this operation does not evolve schema — append the widened " +
         "batch first, then retry")
     (table ++ added).map { case (n, t) =>
-      java.net.URLEncoder.encode(n, "UTF-8") + ":" +
-        java.net.URLEncoder.encode(t, "UTF-8")
+      encodeSchemaEntry(n, t, physOf.get(n))
     }
   }
 
@@ -1330,11 +1401,13 @@ object VersionedTable {
     */
   private def readLeaves(spark: SparkSession, tableDir: String,
       leaves: Seq[String], schema: Option[StructType] = None,
-      fmt: String = "parquet"): DataFrame = {
+      fmt: String = "parquet",
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     require(leaves.nonEmpty, "cannot read an empty leaf set")
     schema match {
       case Some(s) =>
-        SnapshotConnector.relationFrame(spark, tableDir, leaves, s, fmt)
+        SnapshotConnector.relationFrame(spark, tableDir, leaves, s, fmt,
+          colMap)
       case None =>
         spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*)
     }
@@ -1377,7 +1450,7 @@ object VersionedTable {
     val sch = m.schemaOpt
     def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
     if (m.deletes.isEmpty) {
-      val plain = readLeaves(spark, tableDir, leaves, sch, m.fmt)
+      val plain = readLeaves(spark, tableDir, leaves, sch, m.fmt, m.colMap)
       return if (keepPositions) withPositions(plain, tableDir) else plain
     }
     val (dirty, clean) = leaves.partition(m.dirtySet.contains)
@@ -1387,11 +1460,11 @@ object VersionedTable {
       .select(col("file").as(PosFile), col("pos").as(PosIdx))
     val dirtyView = if (dirty.isEmpty) None
       else Some(finish(withPositions(
-        readLeaves(spark, tableDir, dirty, sch, m.fmt), tableDir)
+        readLeaves(spark, tableDir, dirty, sch, m.fmt, m.colMap), tableDir)
         .join(del, Seq(PosFile, PosIdx), "left_anti")))
     val cleanView = if (clean.isEmpty) None
       else {
-        val c = readLeaves(spark, tableDir, clean, sch, m.fmt)
+        val c = readLeaves(spark, tableDir, clean, sch, m.fmt, m.colMap)
         Some(if (keepPositions) withPositions(c, tableDir) else c)
       }
     (cleanView, dirtyView) match {
@@ -1415,6 +1488,13 @@ object VersionedTable {
     val m = readManifestFull(spark, tableDir, version)
     (m.leaves, m.deletes, m.schemaOpt, m.specOpt, m.fmt)
   }
+
+  /** The version's logical→physical column mapping (RENAME COLUMN) —
+    * what connector-facing reads translate leaf scans through.
+    */
+  private[sources] def colMapAt(spark: SparkSession, tableDir: String,
+      version: Int): Map[String, String] =
+    readManifestFull(spark, tableDir, version).colMap
 
   private[sources] def leafPartColOf(leaf: String): String = leafPartCol(leaf)
   private[sources] def leafPartValueOf(leaf: String): String = leafPartValue(leaf)
@@ -1876,7 +1956,8 @@ object VersionedTable {
     val mEnd = readManifestFull(spark, tableDir, toV)
     val endSchema: StructType = mEnd.schemaOpt.getOrElse(
       readVersion(spark, tableDir, toV).schema)
-    (fromV + 1 to toV).map(v => changeStep(spark, tableDir, v, endSchema))
+    (fromV + 1 to toV).map(v =>
+      changeStep(spark, tableDir, v, endSchema, mEnd.colMap))
       .reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1890,14 +1971,24 @@ object VersionedTable {
     * `startingVersion = 0`) mean "the table's whole history".
     */
   private[sources] def changeStep(spark: SparkSession, tableDir: String,
-      toV: Int, schema: StructType): DataFrame = {
-    def aligned(df: DataFrame): DataFrame =
+      toV: Int, schema: StructType,
+      endColMap: Map[String, String] = Map.empty): DataFrame = {
+    // columns align by frozen PHYSICAL name, so a range crossing a
+    // RENAME COLUMN commit still cancels unchanged rows instead of
+    // null-filling the renamed column on the pre-rename side
+    def aligned(df: DataFrame, vColMap: Map[String, String]): DataFrame = {
+      val srcByPhys = df.columns.toSeq
+        .map(n => vColMap.getOrElse(n, n) -> n).toMap
       df.select(schema.fields.toIndexedSeq.map { fld =>
-        if (df.columns.contains(fld.name)) col(fld.name)
-        else lit(null).cast(fld.dataType).as(fld.name)
+        srcByPhys.get(endColMap.getOrElse(fld.name, fld.name)) match {
+          case Some(n) => col(n).as(fld.name)
+          case None => lit(null).cast(fld.dataType).as(fld.name)
+        }
       }: _*)
+    }
     if (toV == 0)
-      return aligned(readVersion(spark, tableDir, 0))
+      return aligned(readVersion(spark, tableDir, 0),
+          readManifestFull(spark, tableDir, 0).colMap)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(0L))
     val mf = readManifestFull(spark, tableDir, toV - 1)
@@ -1920,7 +2011,8 @@ object VersionedTable {
         // a pre-evolution side lacks the later-added columns — aligning
         // to the range-end schema reads them as null on both sides, so
         // unchanged rows still cancel in the diff
-        aligned(readView(spark, tableDir, m, onlyLeaves = Some(leaves)))
+        aligned(readView(spark, tableDir, m, onlyLeaves = Some(leaves)),
+          m.colMap)
     val old = slice(mf, touchedFrom)
     val nw = slice(mt, touchedTo)
     // ONE-pass multiset diff: tag each side ±1, group by the full row,
@@ -2041,14 +2133,66 @@ object VersionedTable {
     val existing = table.map(_._1).toSet
     newCols.foreach { case (n, _) => require(!existing.contains(n),
       s"column '$n' already exists at $tableDir") }
+    val physOf = if (m.schema.nonEmpty) m.colMap else Map.empty[String, String]
     val widened = (table ++ newCols.map { case (n, dt) =>
       (n, dt.catalogString)
-    }).map { case (n, t) =>
-      java.net.URLEncoder.encode(n, "UTF-8") + ":" +
-        java.net.URLEncoder.encode(t, "UTF-8")
-    }
+    }).map { case (n, t) => encodeSchemaEntry(n, t, physOf.get(n)) }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
       widened, m.partcol, m.constraints, m.format)
+  }
+
+  /** RENAME COLUMN — a metadata-only commit through the schema entry's
+    * column mapping: the HEAD (and every later version) reads the new
+    * name, every PRIOR version's manifest still records the old one so
+    * time travel keeps reading it, and no leaf is touched — the
+    * physical column name (frozen at column birth) is recorded in the
+    * renamed entry's third segment, readers translate at the file/stats
+    * boundary and writers map back before files land, so filter
+    * pushdown and stats skipping on the renamed column survive intact.
+    *
+    * Refusals, each naming itself: partition-spec columns (the layout
+    * dirs are keyed on the name), columns referenced by a CHECK
+    * constraint (the recorded expression text would silently break),
+    * unknown columns, name collisions, and legacy manifests with no
+    * recorded schema.
+    */
+  def renameColumn(spark: SparkSession, tableDir: String,
+      oldName: String, newName: String): Unit = withCommitRetry {
+    require(oldName != newName,
+      s"RENAME COLUMN to the same name '$oldName' is a no-op — refused")
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    require(m.schema.nonEmpty,
+      s"table $tableDir has no recorded schema (legacy manifest) — " +
+        "RENAME COLUMN needs one; run any append to record it")
+    val table = decodeSchemaTriples(m.schema)
+    val names = table.map(_._1).toSet
+    require(names.contains(oldName),
+      s"cannot rename missing column '$oldName' — table columns are " +
+        table.map(_._1).mkString(", "))
+    require(!names.contains(newName),
+      s"cannot rename '$oldName' to '$newName': a column of that name " +
+        "already exists")
+    if (m.specCols.contains(oldName))
+      throw new UnsupportedOperationException(
+        s"cannot rename partition column '$oldName' — the table's " +
+          "layout is keyed on it; evolve the spec first " +
+          "(evolvePartitionSpec)")
+    m.constraintPairs.foreach { case (n, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect { case a: UnresolvedAttribute => a.name }
+      if (refs.contains(oldName))
+        throw new UnsupportedOperationException(
+          s"cannot rename column '$oldName' — CHECK constraint '$n' " +
+            s"($sql) references it; DROP CONSTRAINT first")
+    }
+    val renamed = table.map {
+      case (n, t, phys) if n == oldName =>
+        encodeSchemaEntry(newName, t, Some(phys.getOrElse(oldName)))
+      case (n, t, phys) => encodeSchemaEntry(n, t, phys)
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+      renamed, m.partcol, m.constraints, m.format)
   }
 
   /** DROP COLUMN — the schema-level complement of the takedown story:
@@ -2078,7 +2222,7 @@ object VersionedTable {
       require(m.schema.nonEmpty,
         s"table $tableDir has no recorded schema (legacy manifest) — " +
           "DROP COLUMN needs one; run any append to record it")
-      val table = decodeSchemaPairs(m.schema)
+      val table = decodeSchemaTriples(m.schema)
       val names = table.map(_._1).toSet
       val missing = cols.filterNot(names.contains)
       if (!ifExists) require(missing.isEmpty,
@@ -2103,10 +2247,7 @@ object VersionedTable {
         require(narrowed.nonEmpty, "cannot drop every column")
         writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
           m.txns,
-          narrowed.map { case (n, t) =>
-            java.net.URLEncoder.encode(n, "UTF-8") + ":" +
-              java.net.URLEncoder.encode(t, "UTF-8")
-          },
+          narrowed.map { case (n, t, p) => encodeSchemaEntry(n, t, p) },
           m.partcol, m.constraints, m.format)
       }
     }
@@ -2442,6 +2583,30 @@ object VersionedTable {
     * decision is local to the bytes being rewritten. No-op (no new
     * version) when the slice is empty.
     */
+  /** Rank-preserving long encoding of a z-column (Delta supports string
+    * and date ZORDER; a bare `cast("long")` NULLs them silently).
+    * Numerics/booleans/timestamps cast monotonically; dates map to
+    * days-since-epoch; strings take their 7-byte UTF-8 prefix as a
+    * big-endian integer (right-zero-padded, so "b" > "aa" holds) —
+    * prefix resolution is ample for a ≤ 8-bit quantizer. Anything else
+    * refuses loudly: z-order must never silently commit a no-op layout.
+    */
+  private def zEncode(dt: DataType, c: Column, name: String): Column =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           FloatType | DoubleType | TimestampType | _: DecimalType =>
+        c.cast("long")
+      case DateType => datediff(c, to_date(lit("1970-01-01")))
+        .cast("long")
+      case StringType =>
+        conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
+          16, 10).cast("long")
+      case other => throw new UnsupportedOperationException(
+        s"ZORDER BY on column '$name' of type ${other.sql} is not " +
+          "supported — use an integral, floating, decimal, boolean, " +
+          "date, timestamp, or string column")
+    }
+
   def optimizeZOrderCols(spark: SparkSession, tableDir: String,
       partCol: String, zcols: Seq[String], rowGroupBytes: Int = 1 << 20,
       numSlices: Int = 8, where: Option[String] = None): Unit =
@@ -2461,13 +2626,23 @@ object VersionedTable {
       if (fold.nonEmpty) {
       val kept = m.leaves.filterNot(fold.toSet)
       val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
-      val aggs = zcols.flatMap(c =>
-        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      // Rank-preserving long encoding per z-column TYPE — a bare
+      // cast("long") silently NULLs strings and dates, committing a
+      // rewrite with no clustering benefit. Unsupported types refuse
+      // loudly instead.
+      val enc = zcols.map { c =>
+        val f = folded.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"ZORDER BY column '$c' is not in the table schema: " +
+              folded.schema.fieldNames.mkString(", ")))
+        zEncode(f.dataType, col(c), c)
+      }
+      val aggs = enc.flatMap(e => Seq(min(e), max(e)))
       val r = folded.agg(aggs.head, aggs.tail: _*).first()
       def bound(i: Int): Column =
         lit(if (r.isNullAt(i)) 0L else r.getLong(i)) // all-NULL column
       val bits = math.min(8, 62 / zcols.size)
-      val z = Layout.zValueN(zcols.map(c => col(c).cast("long")),
+      val z = Layout.zValueN(enc,
         zcols.indices.map(i => bound(2 * i)),
         zcols.indices.map(i => bound(2 * i + 1)), bits)
       val rel = s"data/add-v$v-${nonce()}"
@@ -2481,7 +2656,7 @@ object VersionedTable {
       // bytes / target file size).
       val sizeKey =
         if (m.fmt == "orc") "orc.stripe.size" else "parquet.block.size"
-      cols.zip(pdirs).foldLeft(folded) { case (d, (c, p)) =>
+      val clustered = cols.zip(pdirs).foldLeft(folded) { case (d, (c, p)) =>
           d.withColumn(p, col(c))
         }
         .withColumn("__vt_z", z)
@@ -2489,11 +2664,15 @@ object VersionedTable {
           (pdirs.map(col) :+ col("__vt_z")): _*)
         .sortWithinPartitions((pdirs :+ "__vt_z").map(col): _*)
         .drop("__vt_z")
+      // the projection back to physical names preserves the range
+      // partitioning and in-task sort (no exchange above a deterministic
+      // alias-only select)
+      toPhysical(clustered, m.colMap)
         .write.mode("overwrite")
         .option(sizeKey, rowGroupBytes.toString)
         .partitionBy(pdirs: _*).format(m.fmt).save(s"$tableDir/$rel")
-      val newLeaves =
-        publishDataDir(spark, tableDir, rel, cols, folded.schema, m.fmt)
+      val newLeaves = publishDataDir(spark, tableDir, rel, cols,
+        toPhysical(folded, m.colMap).schema, m.fmt)
       // vectors of folded dirty leaves APPLIED in readView; vectors for
       // still-kept dirty leaves stay live (binpack's carry rule) — with
       // no kept dirty leaf every vector folded in, so the delete dirs
@@ -3648,13 +3827,21 @@ object VersionedTable {
     spark.sql(s"ALTER TABLE $t DROP COLUMN flag") // v3
     spark.sql(s"DELETE FROM $t " +
       "WHERE event_type = 'error' AND event_id > 1000000") // v4
-    (0 to 4).map { v =>
+    // RENAME COLUMN (metadata-only column mapping), then DML through
+    // the new name — pre-rename versions keep reading 'micros'
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN micros TO qty_micros") // v5
+    spark.sql(s"DELETE FROM $t " +
+      "WHERE event_type = 'click' AND qty_micros % 3 = 0") // v6
+    (0 to 6).map { v =>
       val snap = spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
       val sumFlag =
         if (snap.columns.contains("flag")) sum(col("flag"))
         else lit(null).cast("long")
+      val micros =
+        if (snap.columns.contains("micros")) col("micros")
+        else col("qty_micros")
       snap.agg(count(lit(1)).as("n_rows"),
-          sum(col("micros")).cast("long").as("sum_micros"),
+          sum(micros).cast("long").as("sum_micros"),
           sumFlag.cast("long").as("sum_flag"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_micros"),
           lit(snap.columns.length).as("n_cols"), col("sum_flag"))
@@ -3674,6 +3861,8 @@ object VersionedTable {
       |       UNION ALL SELECT * FROM ins),
       |v4 AS (SELECT event_id, user_id, event_type, micros FROM v2
       |       WHERE NOT (event_type = 'error' AND event_id > 1000000)),
+      |v6 AS (SELECT * FROM v4
+      |       WHERE NOT (event_type = 'click' AND micros % 3 = 0)),
       |u AS (
       |  SELECT 0 AS version, count(*) AS n_rows,
       |         CAST(sum(micros) AS BIGINT) AS sum_micros, 4 AS n_cols,
@@ -3685,7 +3874,11 @@ object VersionedTable {
       |  UNION ALL SELECT 3, count(*), CAST(sum(micros) AS BIGINT), 4,
       |         CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 4, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT) FROM v4)
+      |         CAST(NULL AS BIGINT) FROM v4
+      |  UNION ALL SELECT 5, count(*), CAST(sum(micros) AS BIGINT), 4,
+      |         CAST(NULL AS BIGINT) FROM v4
+      |  UNION ALL SELECT 6, count(*), CAST(sum(micros) AS BIGINT), 4,
+      |         CAST(NULL AS BIGINT) FROM v6)
       |SELECT version, n_rows, sum_micros, n_cols, sum_flag
       |FROM u ORDER BY version""".stripMargin
 

@@ -132,6 +132,23 @@ class GraftNamespaceSpec extends AnyFunSuite {
     assert(esc.getMessage.nonEmpty)
   }
 
+  test("with a warehouse root configured, metadata suffixes on " +
+      "PATH-spelled tables still resolve (the path prefix must fall " +
+      "through named resolution, not abort it)") {
+    val dir = Files.createTempDirectory("graft-ns-pathmeta").toString
+    VersionedTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir, "k")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id = 1")
+    // the path part '/tmp/…' is not a plain warehouse name — loadTable's
+    // named-table probe throws on it and must fall through to the
+    // metadata-suffix branch instead of propagating
+    val hist = spark.sql(s"SELECT version FROM graft.`$dir`.history")
+      .as[Int].collect().sorted.toSeq
+    assert(hist === Seq(0, 1))
+    val detail = spark.sql(s"SELECT * FROM graft.`$dir`.detail")
+    assert(detail.count() > 0)
+  }
+
   test("without a warehouse root, namespaced identifiers stay refused " +
       "and the path spelling is untouched") {
     val s2 = SparkTestSession.isolated()

@@ -214,4 +214,52 @@ class OptimizeWhereSpec extends AnyFunSuite {
     }
     assert(e8.getMessage.contains("1 to 7"), e8.getMessage)
   }
+
+  test("zorder on STRING and DATE columns clusters (rank-preserving " +
+      "encode, never a silent all-NULL z); unsupported types refuse " +
+      "loudly") {
+    val dir = Files.createTempDirectory("graft-optw-str").toString
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val rows = (0 until 520).map { i =>
+      val s = s"${letters(i % 26)}${letters((i / 26) % 26)}-suffix$i"
+      (i.toLong, "a", s, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(18000 + i % 400)))
+    }.toDF("id", "p", "s", "d")
+    VersionedTable.create(rows, dir, "p")
+    VersionedTable.optimizeZOrderCols(spark, dir, "p", Seq("s"),
+      rowGroupBytes = 8 * 1024, numSlices = 4)
+    // single-column string zorder is a range-cluster on the string's
+    // byte prefix: every output FILE must cover a disjoint s-range
+    val files = VersionedTable.liveDataFiles(spark, dir)
+    assert(files.size > 1, s"expected a multi-file layout, got $files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("s"), max("s")).first()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file s-ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(VersionedTable.readLatest(spark, dir).count() === 520L)
+    // date column z-encodes through days-since-epoch — commits and
+    // preserves content
+    VersionedTable.optimizeZOrderCols(spark, dir, "p", Seq("d", "id"),
+      rowGroupBytes = 8 * 1024, numSlices = 4)
+    assert(VersionedTable.readLatest(spark, dir)
+      .agg(sum("id")).first().getLong(0) === (0L until 520L).sum)
+    // unsupported type (array) refuses loudly, not a silent no-op layout
+    val adir = Files.createTempDirectory("graft-optw-arr").toString
+    VersionedTable.create(
+      Seq((1L, "a", Seq(1, 2))).toDF("id", "p", "arr"), adir, "p")
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.optimizeZOrderCols(spark, adir, "p", Seq("arr"))
+    }
+    assert(e.getMessage.contains("ZORDER"), e.getMessage)
+    // a missing column refuses by name
+    val em = intercept[IllegalArgumentException] {
+      VersionedTable.optimizeZOrderCols(spark, adir, "p", Seq("nope"))
+    }
+    assert(em.getMessage.contains("nope"), em.getMessage)
+  }
 }
