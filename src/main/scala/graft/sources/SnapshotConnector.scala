@@ -1002,8 +1002,9 @@ final class VersionedChangeSource(sqlContext: SQLContext, tableDir: String,
   * two offsets (versions) emits its exact change rows via
   * [[VersionedTable.changeFeed]]'s manifest-restricted multiset diff, so
   * COW deletes/updates/merges and MOR vectors are all representable —
-  * no blanket non-append refusal, no whole-leaf re-emission. An UPDATE
-  * arrives as its delete+insert pair; carried rows cancel; replaying a
+  * no blanket non-append refusal, no whole-leaf re-emission. A keyed
+  * UPDATE/MERGE arrives as `update_preimage`/`update_postimage` pairs
+  * (Delta's four change types); carried rows cancel; replaying a
   * committed offset range reproduces identical rows (versions are
   * immutable), which is what makes a downstream `foreachBatch` consumer
   * exactly-once under the engine's offset log. The first batch with no

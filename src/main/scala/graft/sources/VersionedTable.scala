@@ -133,7 +133,8 @@ object VersionedTable {
   private case class VManifest(leaves: Seq[String], deletes: Seq[String],
       dirty: Seq[String], txns: Seq[String] = Nil,
       schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
-      constraints: Seq[String] = Nil, format: Seq[String] = Nil) {
+      constraints: Seq[String] = Nil, format: Seq[String] = Nil,
+      op: Seq[String] = Nil) {
     /** Data file format of every leaf ("parquet" default — legacy
       * manifests predate the field). One format per table: mixed-format
       * leaf sets are not a thing this design supports.
@@ -154,6 +155,19 @@ object VersionedTable {
       if (partcol.isEmpty) None else Some(partcol.mkString(","))
     /** Decoded (name, check-expression) pairs. */
     def constraintPairs: Seq[(String, String)] = decodeSchemaPairs(constraints)
+    /** This commit's operation record, when the writing kernel left
+      * one: (operation name, its key columns) — what lets the change
+      * feed pair an UPDATE/MERGE commit's removed×added rows into
+      * Delta's `update_preimage`/`update_postimage` change types
+      * without row tracking. Unkeyed commits record nothing and keep
+      * the exact delete+insert representation.
+      */
+    def opKeys: Option[(String, Seq[String])] = op match {
+      case Nil => None
+      case entries =>
+        val d = entries.map(e => java.net.URLDecoder.decode(e, "UTF-8"))
+        Some((d.head, d.tail))
+    }
     /** logical → physical column name for RENAMEd columns only (empty
       * on tables never renamed). Leaves carry physical names; every
       * read translates at the file/stats boundary, every write maps
@@ -196,6 +210,13 @@ object VersionedTable {
       phys.filter(_ != name)
         .map(p => ":" + java.net.URLEncoder.encode(p, "UTF-8"))
         .getOrElse("")
+
+  /** Encoded per-commit operation record: operation name followed by
+    * its pairing-key columns (all URL-encoded — names can carry the
+    * manifest's refused separators).
+    */
+  private def encodeOp(name: String, keys: Seq[String]): Seq[String] =
+    (name +: keys).map(java.net.URLEncoder.encode(_, "UTF-8"))
 
   /** (logical name, type, physical-name-if-renamed). URL-encoding
     * percent-escapes every raw ':' inside names/types/expressions, so
@@ -274,7 +295,8 @@ object VersionedTable {
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
       parseArray(text, "dirty"), parseArray(text, "txns"),
       parseArray(text, "schema"), parseArray(text, "partcol"),
-      parseArray(text, "constraints"), parseArray(text, "format"))
+      parseArray(text, "constraints"), parseArray(text, "format"),
+      parseArray(text, "op"))
   }
 
   /** The head manifest's recorded table schema, when present — the
@@ -345,9 +367,10 @@ object VersionedTable {
       version: Int, leaves: Seq[String], deletes: Seq[String] = Nil,
       dirty: Seq[String] = Nil, txns: Seq[String] = Nil,
       schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
-      constraints: Seq[String] = Nil, format: Seq[String] = Nil): Unit = {
+      constraints: Seq[String] = Nil, format: Seq[String] = Nil,
+      op: Seq[String] = Nil): Unit = {
     (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcol ++
-      constraints ++ format).foreach(e =>
+      constraints ++ format ++ op).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
           s"',', '\"' or ']'?): $e"))
@@ -360,7 +383,7 @@ object VersionedTable {
       s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
       s""""txns":${arr(txns)},"schema":${arr(schema)},""" +
       s""""partcol":${arr(partcol)},"constraints":${arr(constraints)},""" +
-      s""""format":${arr(format)}}"""
+      s""""format":${arr(format)},"op":${arr(op)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val committed = new Path(s"${manifestsDir(tableDir)}/v$version.json")
@@ -1325,9 +1348,15 @@ object VersionedTable {
       val updated = aug.select(outCols: _*)
       requireConstraints(updated, m, "update")
       val newLeaves = writeDataDirCols(updated, tableDir, v, cols, m.fmt)
+      // the change feed pairs this commit's removed x added rows on the
+      // NON-assigned columns (they carry verbatim through the update) —
+      // an update assigning every column records nothing and keeps the
+      // exact delete+insert representation
+      val pairKey = view.columns.toSeq.filterNot(assignMap.contains)
       writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
         m.dirty.filter(kept.contains), m.txns, m.schema, cols,
-        m.constraints, m.format)
+        m.constraints, m.format,
+        op = if (pairKey.isEmpty) Nil else encodeOp("update", pairKey))
     }
 
   /** Merge-on-read delete (position delete vectors — the public
@@ -1678,7 +1707,7 @@ object VersionedTable {
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
       m.deletes, m.dirty.filter(kept.contains), m.txns, schema, cols,
-      m.constraints, m.format)
+      m.constraints, m.format, op = encodeOp("merge", keyCols))
   }
 
   /** Generalized MERGE — the Delta clause family over the same COW
@@ -1898,7 +1927,7 @@ object VersionedTable {
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
       m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema, cols,
-      m.constraints, m.format)
+      m.constraints, m.format, op = encodeOp("merge", keyCols))
   }
 
   /** CDC between two snapshots: full-outer join on `keyCol`, content
@@ -1926,9 +1955,11 @@ object VersionedTable {
   }
 
   /** CHANGE FEED between two versions — Delta-CDF-style rows: every
-    * table column plus `_change_type` (`insert` | `delete`) and
-    * `_commit_version` (the commit that produced the change). An UPDATE
-    * appears as its delete+insert pair; a COW rewrite's CARRIED rows
+    * table column plus `_change_type` (`insert` | `delete` |
+    * `update_preimage` | `update_postimage` — Delta's four) and
+    * `_commit_version` (the commit that produced the change). A keyed
+    * UPDATE/MERGE commit left its pairing key in the manifest, so its
+    * removed×added rows arrive paired; a COW rewrite's CARRIED rows
     * (unchanged, rewritten into a new leaf) cancel out and emit
     * nothing. Exactness without row tracking comes from a multiset diff
     * (`exceptAll`) — restricted to the leaves that actually changed
@@ -2023,7 +2054,7 @@ object VersionedTable {
     // semantics (GROUP BY and exceptAll both treat NULL keys as equal),
     // half the bytes on the wire.
     val rowCols = schema.fieldNames.toIndexedSeq
-    old.withColumn("__vt_side", lit(-1L))
+    val diff = old.withColumn("__vt_side", lit(-1L))
       .unionByName(nw.withColumn("__vt_side", lit(1L)))
       .groupBy(rowCols.map(col): _*)
       .agg(sum(col("__vt_side")).as("__vt_delta"))
@@ -2034,6 +2065,60 @@ object VersionedTable {
         when(col("__vt_delta") < 0, "delete").otherwise("insert"))
       .withColumn("_commit_version", lit(toV.toLong))
       .drop("__vt_delta", "__vt_copy")
+    // Delta's four change types: when the commit RECORDED its pairing
+    // key (update/merge kernels), removed×added rows join per key into
+    // update_preimage/update_postimage pairs; unpaired rows keep their
+    // exact delete/insert meaning (merge inserts, matched deletes).
+    // Key names translate commit-logical → range-end-logical through
+    // the frozen physical names, and pairing refuses silently (falls
+    // back to delete+insert) if any key column no longer exists.
+    mt.opKeys match {
+      case Some((op, keys))
+          if (op == "update" || op == "merge") && keys.nonEmpty =>
+        val endByPhys = schema.fieldNames.toSeq
+          .map(n => endColMap.getOrElse(n, n) -> n).toMap
+        val endKeys = keys.flatMap(k =>
+          endByPhys.get(mt.colMap.getOrElse(k, k)))
+        if (endKeys.size != keys.size) diff
+        else pairUpdates(diff, rowCols, endKeys)
+      case _ => diff
+    }
+  }
+
+  /** Pair one commit's delete×insert change rows on `keys` into
+    * `update_preimage`/`update_postimage`. Within one key group the
+    * i-th delete (ordered by the full row, for determinism) pairs with
+    * the i-th insert; surplus rows on either side keep their original
+    * change type. The join is keyed on the CHANGED rows only — O(delta),
+    * never O(table) — and key equality is null-safe, so a NULL-keyed
+    * update still pairs.
+    */
+  private def pairUpdates(diff: DataFrame, rowCols: Seq[String],
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(rowCols.map(col): _*)
+    def side(tag: String, kind: String) =
+      diff.filter(col("_change_type") === kind)
+        .withColumn("__vt_rn", row_number().over(w))
+        .select((rowCols :+ "_commit_version" :+ "__vt_rn")
+          .map(c => col(c).as(s"$tag$c")): _*)
+    val d = side("__vt_d_", "delete")
+    val i = side("__vt_i_", "insert")
+    val cond = (keys.map(k =>
+        col(s"__vt_d_$k") <=> col(s"__vt_i_$k")) :+
+      (col("__vt_d___vt_rn") === col("__vt_i___vt_rn"))).reduce(_ && _)
+    val j = d.join(i, cond, "full_outer")
+    val dPresent = col("__vt_d___vt_rn").isNotNull
+    val iPresent = col("__vt_i___vt_rn").isNotNull
+    def emit(tag: String, changeType: Column) =
+      (rowCols.map(c => col(s"$tag$c").as(c)) :+
+        changeType.as("_change_type") :+
+        col(s"${tag}_commit_version").as("_commit_version"))
+    j.filter(dPresent).select(emit("__vt_d_",
+        when(iPresent, "update_preimage").otherwise("delete")): _*)
+      .unionByName(j.filter(iPresent).select(emit("__vt_i_",
+        when(dPresent, "update_postimage").otherwise("insert")): _*))
   }
 
   /** Version history as a frame — the DESCRIBE HISTORY surface: one row
@@ -3930,8 +4015,8 @@ object VersionedTable {
       |  FROM e WHERE event_id % 2 = 1
       |  UNION ALL SELECT 2, 'delete', micros FROM d2
       |  UNION ALL SELECT 3, 'delete', micros FROM d3
-      |  UNION ALL SELECT 4, 'delete', micros FROM upd
-      |  UNION ALL SELECT 4, 'insert', micros + user_id FROM upd)
+      |  UNION ALL SELECT 4, 'update_preimage', micros FROM upd
+      |  UNION ALL SELECT 4, 'update_postimage', micros + user_id FROM upd)
       |SELECT CAST(version AS BIGINT) AS version, change_type,
       |       count(*) AS n_rows, CAST(sum(micros) AS BIGINT) AS sum_micros
       |FROM u GROUP BY version, change_type

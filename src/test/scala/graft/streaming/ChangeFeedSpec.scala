@@ -58,7 +58,7 @@ class ChangeFeedSpec extends AnyFunSuite {
   import scala.jdk.CollectionConverters._
 
   test("batch changeFeed: append=inserts, COW delete=exact deletes " +
-      "(carried rows cancel), MOR vector=deletes, update=delete+insert") {
+      "(carried rows cancel), MOR vector=deletes, update=pre/postimage") {
     val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-01", 20L),
       (3L, "2024-01-02", 30L))
     appendRows(dir, (4L, "2024-01-02", 40L)) // v1
@@ -73,17 +73,48 @@ class ChangeFeedSpec extends AnyFunSuite {
       === Seq(("delete", 1L, 2L)))
     assert(triples(VersionedTable.changeFeed(spark, dir, 2, 3))
       === Seq(("delete", 3L, 3L)))
+    // the UPDATE commit recorded its pairing key (the non-assigned
+    // columns), so its removed/added rows arrive as Delta's
+    // update_preimage/update_postimage pair, not delete+insert
     assert(triples(VersionedTable.changeFeed(spark, dir, 3, 4))
-      === Seq(("delete", 2L, 4L), ("insert", 2L, 4L)))
+      === Seq(("update_postimage", 2L, 4L), ("update_preimage", 2L, 4L)))
     // a multi-commit range is the union of its steps
     assert(triples(VersionedTable.changeFeed(spark, dir, 0, 4)) === Seq(
       ("insert", 4L, 1L), ("delete", 1L, 2L), ("delete", 3L, 3L),
-      ("delete", 2L, 4L), ("insert", 2L, 4L)))
-    // the update's insert row carries the NEW value
+      ("update_postimage", 2L, 4L), ("update_preimage", 2L, 4L)))
+    // the preimage carries the OLD value, the postimage the NEW one
     val up = VersionedTable.changeFeed(spark, dir, 3, 4)
-      .filter($"_change_type" === "insert").select("amount")
-      .as[Long].collect().toSeq
-    assert(up === Seq(222L))
+      .orderBy("_change_type").select("_change_type", "amount")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(up === Seq(("update_postimage", 222L),
+      ("update_preimage", 20L)))
+  }
+
+  test("MERGE change rows pair on the merge key: matched updates as " +
+      "pre/postimage, fresh keys as plain inserts") {
+    val dir = newTable((1L, "2024-01-01", 10L), (2L, "2024-01-01", 20L),
+      (3L, "2024-01-02", 30L))
+    // upsert: id=2 updated (new amount), id=9 inserted
+    VersionedTable.merge(
+      Seq((2L, "2024-01-01", 222L), (9L, "2024-01-02", 90L))
+        .toDF("id", "pdate", "amount"),
+      dir, "pdate", "id") // v1
+    assert(triples(VersionedTable.changeFeed(spark, dir, 0, 1)) === Seq(
+      ("insert", 9L, 1L),
+      ("update_postimage", 2L, 1L), ("update_preimage", 2L, 1L)))
+    val vals = VersionedTable.changeFeed(spark, dir, 0, 1)
+      .filter($"id" === 2L).orderBy("_change_type")
+      .select("_change_type", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vals === Seq(("update_postimage", 222L),
+      ("update_preimage", 20L)))
+    // a MATCHED-DELETE merge emits plain deletes for the removed keys
+    VersionedTable.mergeInto(
+      Seq((3L, "2024-01-02", 0L)).toDF("id", "pdate", "amount"),
+      dir, "pdate", "id",
+      matched = Seq((None, true, Nil)), insert = None) // v2
+    assert(triples(VersionedTable.changeFeed(spark, dir, 1, 2))
+      === Seq(("delete", 3L, 2L)))
   }
 
   test("CDF stream: initial snapshot as inserts, then exact per-commit " +
