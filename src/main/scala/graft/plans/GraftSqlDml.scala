@@ -37,13 +37,14 @@ import graft.sources.{GraftV2Table, VersionedTable}
   * `tuple IN (SELECT …)` conjuncts and equality-correlated
   * EXISTS / NOT EXISTS conjuncts run as JOIN-form membership
   * ([[VersionedTable.deleteMatching]]/`updateMatching` — semi / anti);
-  * single-column uncorrelated NOT IN runs its EXACT 3VL (any NULL in
-  * the set ⇒ no rows; empty set ⇒ all rows; NULL keys never match a
-  * non-empty set) resolved at run time onto the same anti kernel;
-  * uncorrelated scalars and EXISTS materialize to literals at run
-  * time; every other shape (non-equality correlation, tuple NOT IN)
-  * refuses loudly naming itself — a silent approximation would be
-  * worse than the refusal.
+  * uncorrelated NOT IN — single-column and tuple forms — runs its
+  * EXACT 3VL (an all-NULL set tuple ⇒ no rows; empty set ⇒ all rows;
+  * single-column onto the anti kernel with `k IS NOT NULL`, tuples as
+  * a NULL-AWARE anti join on the per-component SQL-spec condition)
+  * resolved at run time; uncorrelated scalars and EXISTS materialize
+  * to literals at run time; every other shape (non-equality
+  * correlation) refuses loudly naming itself — a silent approximation
+  * would be worse than the refusal.
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -145,8 +146,8 @@ private[plans] object GraftDml {
       case s: SubqueryExpression =>
         throw new UnsupportedOperationException(
           s"$op supports subqueries as UNCORRELATED `col IN / NOT IN " +
-            "(SELECT …)` conjuncts (NOT IN single-column only — tuple " +
-            "NOT IN's partial-NULL 3VL refuses), equality-correlated " +
+            "(SELECT …)` conjuncts (single-column and tuple forms, exact " +
+            "3VL), equality-correlated " +
             "EXISTS/NOT EXISTS conjuncts, UNCORRELATED EXISTS " +
             "conjuncts, and UNCORRELATED scalars on graft tables — " +
             s"'${s.sql}' is none of these; materialize it into a " +
@@ -203,18 +204,17 @@ private[plans] object GraftDml {
     *     equality IS `t.k IN (SELECT s.k …)`);
     *   - its negation `NOT EXISTS (…)` → an ANTI pair (left-anti);
     *     NOT EXISTS ≠ NOT IN — the anti join's a-NULL-key-row-hits
-    *     semantics are exactly NOT EXISTS's, while `NOT IN` (any NULL
-    *     in the subquery poisons every row, SQL 3VL) stays refused
-    *     until implemented exactly;
+    *     semantics are exactly NOT EXISTS's, while `NOT IN` carries its
+    *     own exact 3VL ([[resolveNotIn]]);
     *
     *   - uncorrelated `[NOT] EXISTS (…)` → a statement-constant PROBE
     *     (plan, negated) answered by one `take(1)` at run time;
     *
     * plus the residual, in which only uncorrelated SCALAR subqueries
     * may remain (they materialize at run time — [[resolveScalars]]).
-    * Any other shape (non-equality correlation, `NOT IN`) refuses
-    * loudly: a silent approximation of its semantics would be worse
-    * than the refusal.
+    * Any other shape (non-equality correlation) refuses loudly: a
+    * silent approximation of its semantics would be worse than the
+    * refusal.
     */
   def extractInSubqueries(cond: Expression, op: String): DmlSubqueries = {
     def attrName(e: Expression): Option[String] = e match {
@@ -224,24 +224,26 @@ private[plans] object GraftDml {
     }
     val keys = Seq.newBuilder[(Seq[String], LogicalPlan)]
     val anti = Seq.newBuilder[(Seq[String], LogicalPlan)]
-    val notIn = Seq.newBuilder[(String, LogicalPlan)]
+    val notIn = Seq.newBuilder[(Seq[String], LogicalPlan)]
     val probes = Seq.newBuilder[(LogicalPlan, Boolean)]
     val rest = Seq.newBuilder[Expression]
     splitConjuncts(cond).foreach {
       case InSubquery(values, l: ListQuery)
           if l.outerAttrs.isEmpty && values.forall(attrName(_).isDefined) =>
         keys += values.map(attrName(_).get) -> l.plan
-      // single-column uncorrelated NOT IN, with its EXACT 3VL resolved
-      // at run time ([[resolveNotIn]]): any NULL in the subquery makes
-      // the conjunct UNKNOWN for every row (no rows), an empty subquery
-      // makes it TRUE for every row, and a NULL key row never matches a
-      // non-empty set. Multi-column tuple NOT IN keeps refusing: its
-      // partial-NULL tuple comparisons are a different (and far
-      // subtler) 3VL, and a silent approximation would be worse.
+      // uncorrelated NOT IN — single-column AND tuple forms, each with
+      // its EXACT 3VL resolved at run time ([[resolveNotIn]]): an empty
+      // subquery makes the conjunct TRUE for every row; an all-NULL
+      // tuple in the set makes it UNKNOWN for every row (no rows);
+      // otherwise single-column runs as an equi anti join plus
+      // `k IS NOT NULL`, and a tuple runs as a NULL-AWARE anti join —
+      // a row passes only when every set tuple is DEFINITELY unequal
+      // (some component pair both-non-null and different), the SQL-spec
+      // partial-NULL semantics with no approximation.
       case Not(InSubquery(values, l: ListQuery))
-          if l.outerAttrs.isEmpty && values.length == 1 &&
+          if l.outerAttrs.isEmpty && values.nonEmpty &&
             values.forall(attrName(_).isDefined) =>
-        notIn += attrName(values.head).get -> l.plan
+        notIn += values.map(attrName(_).get) -> l.plan
       case e: Exists if e.outerAttrs.nonEmpty =>
         keys += equiExistsKeys(e, op)
       case Not(e: Exists) if e.outerAttrs.nonEmpty =>
@@ -263,48 +265,57 @@ private[plans] object GraftDml {
     */
   case class DmlSubqueries(keys: Seq[(Seq[String], LogicalPlan)],
       antiKeys: Seq[(Seq[String], LogicalPlan)],
-      notInKeys: Seq[(String, LogicalPlan)],
+      notInKeys: Seq[(Seq[String], LogicalPlan)],
       probes: Seq[(LogicalPlan, Boolean)],
       residual: Option[Expression]) {
     def hasJoinForm: Boolean =
       keys.nonEmpty || antiKeys.nonEmpty || notInKeys.nonEmpty
   }
 
-  /** Resolve the run-time half of single-column NOT IN's three-valued
-    * logic against the MATERIALIZED key frames: returns
-    * (anti-join frames, extra key-not-null condition, poisoned).
+  /** Resolve the run-time half of NOT IN's three-valued logic against
+    * the MATERIALIZED key frames: returns (equi-anti frames, extra
+    * key-not-null condition, poisoned, null-aware-anti tuple frames).
     *
     *   - an EMPTY subquery ⇒ the conjunct is TRUE for every row — it
     *     simply drops;
-    *   - any NULL among the subquery's values ⇒ the conjunct is
-    *     UNKNOWN for every row (`k <> NULL` decides nothing) — the
-    *     whole WHERE selects nothing (`poisoned`);
-    *   - otherwise ⇒ a left-anti membership frame PLUS `k IS NOT NULL`
-    *     (a NULL key against a non-empty set is UNKNOWN, and the bare
-    *     anti join would wrongly HIT it — that is NOT EXISTS's
-    *     semantics, not NOT IN's).
+    *   - an ALL-NULL tuple among the subquery's rows (for one column:
+    *     any NULL value) ⇒ the conjunct is UNKNOWN for every row (no
+    *     component can ever be definitely unequal) — the whole WHERE
+    *     selects nothing (`poisoned`);
+    *   - single-column otherwise ⇒ a left-anti membership frame PLUS
+    *     `k IS NOT NULL` (a NULL key against a non-empty set is
+    *     UNKNOWN, and the bare anti join would wrongly HIT it — that is
+    *     NOT EXISTS's semantics, not NOT IN's);
+    *   - tuple otherwise ⇒ a NULL-AWARE anti frame: partial-NULL
+    *     comparisons have no row-level not-null shortcut (`(2, NULL)`
+    *     IS definitely outside `{(1, 2)}` while `(1, NULL)` is
+    *     UNKNOWN), so the kernels join these on the exact per-component
+    *     condition ([[graft.sources.VersionedTable]]'s notInMatch).
     *
     * Two `take(1)`-bounded probes per frame, both against the persisted
     * frame the kernel reuses.
     */
   def resolveNotIn(frames: Seq[(Seq[String], org.apache.spark.sql.DataFrame)])
       : (Seq[(Seq[String], org.apache.spark.sql.DataFrame)], Option[Column],
-        Boolean) = {
+        Boolean, Seq[(Seq[String], org.apache.spark.sql.DataFrame)]) = {
     import org.apache.spark.sql.functions.{col => fcol}
     var poisoned = false
     var notNull: Option[Column] = None
-    val anti = frames.flatMap { case (ks, f) =>
-      val k = ks.head
-      if (f.take(1).isEmpty) None
-      else if (f.filter(fcol(k).isNull).take(1).nonEmpty) {
-        poisoned = true; None
-      } else {
-        val c = fcol(k).isNotNull
+    val anti = Seq.newBuilder[(Seq[String], org.apache.spark.sql.DataFrame)]
+    val nullAware =
+      Seq.newBuilder[(Seq[String], org.apache.spark.sql.DataFrame)]
+    frames.foreach { case (ks, f) =>
+      if (f.take(1).isEmpty) ()
+      else if (f.filter(ks.map(fcol(_).isNull).reduce(_ && _))
+          .take(1).nonEmpty)
+        poisoned = true
+      else if (ks.size == 1) {
+        val c = fcol(ks.head).isNotNull
         notNull = Some(notNull.map(_ && c).getOrElse(c))
-        Some(ks -> f)
-      }
+        anti += ks -> f
+      } else nullAware += ks -> f
     }
-    (anti, notNull, poisoned)
+    (anti.result(), notNull, poisoned, nullAware.result())
   }
 
   /** The (outer key names, inner key plan) of an equality-correlated
@@ -538,7 +549,7 @@ case class GraftDeleteCommand(tableDir: String, spec: String,
 case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
     keys: Seq[(Seq[String], LogicalPlan)],
     antiKeys: Seq[(Seq[String], LogicalPlan)],
-    notInKeys: Seq[(String, LogicalPlan)],
+    notInKeys: Seq[(Seq[String], LogicalPlan)],
     probes: Seq[(LogicalPlan, Boolean)],
     residual: Option[Expression])
     extends LeafRunnableCommand {
@@ -553,10 +564,10 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
       }
     val frames = materialize(keys)
     val antiFrames = materialize(antiKeys)
-    val notInFrames = materialize(notInKeys.map { case (k, p) =>
-      Seq(k) -> p })
+    val notInFrames = materialize(notInKeys)
     try {
-      val (notInAnti, notNull, poisoned) = GraftDml.resolveNotIn(notInFrames)
+      val (notInAnti, notNull, poisoned, nullAware) =
+        GraftDml.resolveNotIn(notInFrames)
       val res: Option[Column] =
         if (!GraftDml.probesPass(spark, probes) || poisoned)
           Some(lit(false))
@@ -571,12 +582,12 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
       val allAnti = antiFrames ++ notInAnti
       // every join conjunct resolved away (empty NOT IN sets): the
       // statement is the plain-predicate delete
-      if (frames.isEmpty && allAnti.isEmpty)
+      if (frames.isEmpty && allAnti.isEmpty && nullAware.isEmpty)
         VersionedTable.delete(spark, tableDir, spec,
           res.getOrElse(lit(true)))
       else
         VersionedTable.deleteMatching(spark, tableDir, spec, frames, res,
-          allAnti)
+          allAnti, nullAware)
     } finally (frames ++ antiFrames ++ notInFrames)
       .foreach(_._2.unpersist(blocking = false))
     Seq.empty
@@ -591,7 +602,7 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     assignments: Seq[(String, Expression)],
     keys: Seq[(Seq[String], LogicalPlan)],
     antiKeys: Seq[(Seq[String], LogicalPlan)],
-    notInKeys: Seq[(String, LogicalPlan)],
+    notInKeys: Seq[(Seq[String], LogicalPlan)],
     probes: Seq[(LogicalPlan, Boolean)],
     residual: Option[Expression])
     extends LeafRunnableCommand {
@@ -605,10 +616,10 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
       }
     val frames = materialize(keys)
     val antiFrames = materialize(antiKeys)
-    val notInFrames = materialize(notInKeys.map { case (k, p) =>
-      Seq(k) -> p })
+    val notInFrames = materialize(notInKeys)
     try {
-      val (notInAnti, notNull, poisoned) = GraftDml.resolveNotIn(notInFrames)
+      val (notInAnti, notNull, poisoned, nullAware) =
+        GraftDml.resolveNotIn(notInFrames)
       val res: Option[Column] =
         if (!GraftDml.probesPass(spark, probes) || poisoned)
           Some(lit(false))
@@ -624,12 +635,12 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
         n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
       }
       val allAnti = antiFrames ++ notInAnti
-      if (frames.isEmpty && allAnti.isEmpty)
+      if (frames.isEmpty && allAnti.isEmpty && nullAware.isEmpty)
         VersionedTable.update(spark, tableDir, spec,
           res.getOrElse(lit(true)), boundAssigns)
       else
         VersionedTable.updateMatching(spark, tableDir, spec, frames, res,
-          boundAssigns, allAnti)
+          boundAssigns, allAnti, nullAware)
     } finally (frames ++ antiFrames ++ notInFrames)
       .foreach(_._2.unpersist(blocking = false))
     Seq.empty

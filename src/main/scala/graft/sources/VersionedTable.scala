@@ -1113,10 +1113,11 @@ object VersionedTable {
   def deleteMatching(spark: SparkSession, tableDir: String,
       partCol: String, keys: Seq[(Seq[String], DataFrame)],
       residual: Option[Column],
-      antiKeys: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
-    require(keys.nonEmpty || antiKeys.nonEmpty,
+      antiKeys: Seq[(Seq[String], DataFrame)] = Nil,
+      notInTuples: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
+    require(keys.nonEmpty || antiKeys.nonEmpty || notInTuples.nonEmpty,
       "deleteMatching needs at least one key frame")
-    require((keys ++ antiKeys).forall(_._1.nonEmpty),
+    require((keys ++ antiKeys ++ notInTuples).forall(_._1.nonEmpty),
       "a key frame needs key columns")
     val res = residual.getOrElse(lit(true))
     // antiKeys are NON-membership: a row hits only when its tuple
@@ -1128,32 +1129,59 @@ object VersionedTable {
       val semi = keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
         acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_semi")
       }
-      antiKeys.foldLeft(semi) { case (acc, (ks, kdf)) =>
+      val anti = antiKeys.foldLeft(semi) { case (acc, (ks, kdf)) =>
         acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_anti")
+      }
+      notInTuples.foldLeft(anti) { case (acc, (ks, kdf)) =>
+        acc.join(notInRight(ks, kdf), notInMatch(ks), "left_anti")
       }
     }
     // survivor iff NOT (residual definitely true AND every key matched
     // AND no anti key matched): one left-join marker per frame, a
-    // single pass over hit leaves
-    def keep(df: DataFrame): DataFrame = {
-      val out = df.columns.toIndexedSeq
-      var acc = df
-      val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
-        .zipWithIndex.map { case (((ks, kdf), anti), i) =>
-          val mCol = s"__vt_in_hit_$i"
-          acc = acc.join(
-            kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
-            ks, "left")
-          (mCol, anti)
-        }
-      val matchedAll = markers.map { case (m, anti) =>
-        if (anti) col(m).isNull else col(m).isNotNull
-      }.reduce(_ && _)
-      acc.filter(!(coalesce(res, lit(false)) && matchedAll))
-        .select(out.map(col): _*) // using-joins reorder; restore schema order
-    }
+    // single pass over hit leaves. With tuple-NOT-IN frames the marker
+    // form is unavailable (one row can null-aware-match several set
+    // rows, which would duplicate survivors), so survivors fall back to
+    // the exact multiset complement of the definite hits.
+    def keep(df: DataFrame): DataFrame =
+      if (notInTuples.nonEmpty) df.exceptAll(hits(df))
+      else {
+        val out = df.columns.toIndexedSeq
+        var acc = df
+        val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
+          .zipWithIndex.map { case (((ks, kdf), anti), i) =>
+            val mCol = s"__vt_in_hit_$i"
+            acc = acc.join(
+              kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
+              ks, "left")
+            (mCol, anti)
+          }
+        val matchedAll = markers.map { case (m, anti) =>
+          if (anti) col(m).isNull else col(m).isNotNull
+        }.reduce(_ && _)
+        acc.filter(!(coalesce(res, lit(false)) && matchedAll))
+          .select(out.map(col): _*) // using-joins reorder; restore schema order
+      }
     deleteCore(spark, tableDir, partCol, hits, keep)
   }
+
+  /** Tuple `NOT IN (subquery)` as a NULL-AWARE anti join (the SQL-spec
+    * 3VL, no approximation): a row passes the conjunct iff EVERY set
+    * tuple is DEFINITELY unequal — some component pair both-non-null
+    * and different. Equivalently the row is dropped iff SOME set tuple
+    * null-aware-matches it: every component equal-or-either-side-NULL.
+    * [[notInRight]] renames the set frame's key columns so the
+    * condition can name both sides; [[notInMatch]] is that per-
+    * component condition. The non-equi anti join plans as a broadcast
+    * nested-loop against the (already materialized, subquery-sized) set
+    * frame — the same physical shape vanilla Spark gives multi-column
+    * NOT IN, paid only by rows of HIT leaves.
+    */
+  private def notInRight(ks: Seq[String], kdf: DataFrame): DataFrame =
+    kdf.select(ks.map(k => col(k).as(s"__vt_nit_$k")): _*).distinct()
+
+  private def notInMatch(ks: Seq[String]): Column =
+    ks.map(k => col(k) <=> col(s"__vt_nit_$k") ||
+      col(k).isNull || col(s"__vt_nit_$k").isNull).reduce(_ && _)
 
   /** The COW delete kernel shared by [[delete]] (predicate form) and
     * [[deleteMatching]] (key-membership form): `hits` selects the rows
@@ -1266,11 +1294,31 @@ object VersionedTable {
       partCol: String, keys: Seq[(Seq[String], DataFrame)],
       residual: Option[Column],
       assignments: Seq[(String, Column)],
-      antiKeys: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
-    require(keys.nonEmpty || antiKeys.nonEmpty,
+      antiKeys: Seq[(Seq[String], DataFrame)] = Nil,
+      notInTuples: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
+    require(keys.nonEmpty || antiKeys.nonEmpty || notInTuples.nonEmpty,
       "updateMatching needs at least one key frame")
-    require((keys ++ antiKeys).forall(_._1.nonEmpty),
+    require((keys ++ antiKeys ++ notInTuples).forall(_._1.nonEmpty),
       "a key frame needs key columns")
+    if (notInTuples.nonEmpty) {
+      // tuple NOT IN has no per-row marker form (a row can null-aware-
+      // match several set tuples) — route through the split kernel:
+      // definite hits take the assignments, the exact multiset
+      // complement carries verbatim
+      def hitFn(df: DataFrame): DataFrame = {
+        val res = residual.getOrElse(lit(true))
+        val semi = keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
+          acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_semi")
+        }
+        val anti = antiKeys.foldLeft(semi) { case (acc, (ks, kdf)) =>
+          acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_anti")
+        }
+        notInTuples.foldLeft(anti) { case (acc, (ks, kdf)) =>
+          acc.join(notInRight(ks, kdf), notInMatch(ks), "left_anti")
+        }
+      }
+      return updateCoreSplit(spark, tableDir, partCol, hitFn, assignments)
+    }
     val res = residual.getOrElse(lit(true))
     def prepare(df: DataFrame): (DataFrame, Column) = {
       var acc = df
@@ -1352,6 +1400,67 @@ object VersionedTable {
       // NON-assigned columns (they carry verbatim through the update) —
       // an update assigning every column records nothing and keeps the
       // exact delete+insert representation
+      val pairKey = view.columns.toSeq.filterNot(assignMap.contains)
+      writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
+        m.dirty.filter(kept.contains), m.txns, m.schema, cols,
+        m.constraints, m.format,
+        op = if (pairKey.isEmpty) Nil else encodeOp("update", pairKey))
+    }
+
+  /** The SPLIT update kernel — [[updateCore]]'s sibling for condition
+    * shapes with no per-row marker form (tuple NOT IN's null-aware
+    * anti): `hitFn` selects the rows that take the assignments; the
+    * survivors of a hit leaf are the exact multiset complement
+    * (`exceptAll`), so SQL 3VL holds by construction — a row neither
+    * definitely hit nor kept cannot exist. Same probe/discovery/commit
+    * obligations as [[updateCore]], including the change feed's
+    * pairing-key record.
+    */
+  private def updateCoreSplit(spark: SparkSession, tableDir: String,
+      partCol: String, hitFn: DataFrame => DataFrame,
+      assignments: Seq[(String, Column)]): Unit =
+    withCommitRetry {
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      val cols = specOf(partCol)
+      requireSpec(m, cols, "update")
+      require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+      val assignMap = assignments.toMap
+      require(assignMap.size == assignments.size,
+        s"duplicate assignment targets in ${assignments.map(_._1)}")
+      val current = readView(spark, tableDir, m)
+      assignMap.keys.foreach(n => require(current.columns.contains(n),
+        s"UPDATE target column '$n' is not in the table schema " +
+          s"${current.columns.mkString("(", ", ", ")")}"))
+      val affected: Set[Seq[String]] = hitFn(current)
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+      if (affected.isEmpty) {
+        writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+          m.txns, m.schema, m.partcol, m.constraints, m.format)
+        return
+      }
+      val (sameSpec, foreign) =
+        m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      val (hitSame, keptSame) =
+        sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
+      val hitForeign = leavesContaining(spark, tableDir, m, foreign, hitFn)
+      val hit = hitSame ++ hitForeign
+      val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
+      val view = readView(spark, tableDir, m, onlyLeaves = Some(hit))
+      val types = view.schema.fields.map(f => f.name -> f.dataType).toMap
+      val hitRows = hitFn(view)
+      val outCols = view.columns.toIndexedSeq.map { c =>
+        assignMap.get(c) match {
+          case Some(value) => value.cast(types(c)).as(c)
+          case None => col(c)
+        }
+      }
+      val updated = view.exceptAll(hitRows)
+        .unionByName(hitRows.select(outCols: _*))
+      requireConstraints(updated, m, "update")
+      val newLeaves = writeDataDirCols(updated, tableDir, v, cols, m.fmt)
       val pairKey = view.columns.toSeq.filterNot(assignMap.contains)
       writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
         m.dirty.filter(kept.contains), m.txns, m.schema, cols,
@@ -3840,7 +3949,32 @@ object VersionedTable {
     spark.sql(s"""UPDATE $t tg SET micros = micros + 1 WHERE EXISTS (
       SELECT 1 FROM graft_sqlsub_keep k WHERE tg.event_id = k.event_id)
       AND tg.event_type = 'signup'""")
-    (0 to 6).map { v =>
+    // v7: plant NULL-component rows — the tuple NOT IN 3VL needs them
+    spark.sql(s"""INSERT INTO $t VALUES
+      (2000001, NULL, 'probe', 11), (2000002, NULL, 'probe', 12),
+      (2000003, 5, 'probe', 13), (2000004, 6, 'probe', 14)""")
+    // v8: TUPLE NOT IN delete — exact SQL-spec 3VL: a row deletes only
+    // when EVERY set tuple is definitely unequal (some component pair
+    // both-non-null and different). The set carries a NULL-component
+    // tuple (NULL, 'probe'), so every probe row compares UNKNOWN to it
+    // and survives; non-kept error rows are definitely outside and go.
+    ev.filter(col("user_id") % 4 === 1).select(col("user_id")).distinct()
+      .withColumn("event_type", lit("error"))
+      .unionByName(spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS user_id, 'probe' AS event_type"))
+      .createOrReplaceTempView("graft_sqlsub_tuples")
+    spark.sql(s"""DELETE FROM $t
+      WHERE (user_id, event_type) NOT IN (
+        SELECT user_id, event_type FROM graft_sqlsub_tuples)
+      AND event_type IN ('probe', 'error')""")
+    // v9: TUPLE NOT IN update — (NULL, 'probe') rows compare UNKNOWN to
+    // (5, 'probe') and carry; (6, 'probe') is definitely unequal and
+    // takes the assignment; (5, 'probe') is IN and carries
+    spark.sql(s"""UPDATE $t SET micros = -5
+      WHERE (user_id, event_type) NOT IN (
+        SELECT CAST(5 AS BIGINT) AS user_id, 'probe' AS event_type)
+      AND event_type = 'probe'""")
+    (0 to 9).map { v =>
       spark.sql(s"""SELECT $v AS version, count(*) AS n_rows,
         CAST(sum(micros) AS BIGINT) AS sum_micros
         FROM $t VERSION AS OF $v""")
@@ -3871,6 +4005,32 @@ object VersionedTable {
       |         CASE WHEN event_id % 3 = 0 AND event_type = 'signup'
       |              THEN micros + 1 ELSE micros END AS micros
       |       FROM v5),
+      |v7 AS (SELECT * FROM v6
+      |       UNION ALL SELECT * FROM (VALUES
+      |         (CAST(2000001 AS BIGINT), CAST(NULL AS BIGINT), 'probe', CAST(11 AS BIGINT)),
+      |         (CAST(2000002 AS BIGINT), CAST(NULL AS BIGINT), 'probe', CAST(12 AS BIGINT)),
+      |         (CAST(2000003 AS BIGINT), CAST(5 AS BIGINT), 'probe', CAST(13 AS BIGINT)),
+      |         (CAST(2000004 AS BIGINT), CAST(6 AS BIGINT), 'probe', CAST(14 AS BIGINT)))
+      |         AS p(event_id, user_id, event_type, micros)),
+      |tup AS (SELECT DISTINCT user_id, 'error' AS event_type FROM e
+      |        WHERE user_id % 4 = 1
+      |        UNION ALL SELECT CAST(NULL AS BIGINT), 'probe'),
+      |-- tuple NOT IN as its SQL-spec expansion: the row goes only when
+      |-- EVERY set tuple is definitely unequal, i.e. NO set tuple
+      |-- matches with every component equal-or-either-side-NULL
+      |v8 AS (SELECT * FROM v7 WHERE NOT (
+      |         event_type IN ('probe', 'error')
+      |         AND NOT EXISTS (SELECT 1 FROM tup s
+      |           WHERE (v7.user_id IS NOT DISTINCT FROM s.user_id
+      |                  OR v7.user_id IS NULL OR s.user_id IS NULL)
+      |             AND (v7.event_type IS NOT DISTINCT FROM s.event_type
+      |                  OR v7.event_type IS NULL OR s.event_type IS NULL)))),
+      |v9 AS (SELECT event_id, user_id, event_type,
+      |         CASE WHEN event_type = 'probe'
+      |                   AND NOT (user_id IS NOT DISTINCT FROM 5
+      |                            OR user_id IS NULL)
+      |              THEN -5 ELSE micros END AS micros
+      |       FROM v8),
       |u AS (
       |  SELECT 0 AS version, * FROM e
       |  UNION ALL SELECT 1, * FROM v1
@@ -3878,7 +4038,10 @@ object VersionedTable {
       |  UNION ALL SELECT 3, * FROM v3
       |  UNION ALL SELECT 4, * FROM v4
       |  UNION ALL SELECT 5, * FROM v5
-      |  UNION ALL SELECT 6, * FROM v6)
+      |  UNION ALL SELECT 6, * FROM v6
+      |  UNION ALL SELECT 7, * FROM v7
+      |  UNION ALL SELECT 8, * FROM v8
+      |  UNION ALL SELECT 9, * FROM v9)
       |SELECT version, count(*) AS n_rows,
       |       CAST(sum(micros) AS BIGINT) AS sum_micros
       |FROM u GROUP BY version ORDER BY version""".stripMargin

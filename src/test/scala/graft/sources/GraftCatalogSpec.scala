@@ -499,12 +499,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(correlated.getMessage.contains("UNCORRELATED"),
       correlated.getMessage)
-    // tuple NOT IN keeps refusing (single-column NOT IN runs its exact
-    // 3VL — its own test below)
-    intercept[UnsupportedOperationException] {
-      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
-        "WHERE (id, amount) NOT IN (SELECT the_id, the_id FROM sub_ids)")
-    }
+    // tuple NOT IN runs its exact 3VL (its own test below) — here just
+    // prove it composes with a residual without touching this lifecycle
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE (id, amount) NOT IN (SELECT the_id, the_id FROM sub_ids) " +
+      "AND kind = 'no-such-kind'")
+    assert(ids(v1(dir)) === Seq(1L, 3L, 4L))
     // a NON-equality correlation refuses (equality-correlated EXISTS is
     // supported — its own test below)
     val exists = intercept[UnsupportedOperationException] {
@@ -572,9 +572,9 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
 
-  test("single-column NOT IN runs its exact 3VL: empty set selects " +
-      "every row, a NULL in the set selects none, a NULL key never " +
-      "matches a non-empty set; tuple NOT IN refuses") {
+  test("NOT IN runs its exact 3VL: empty set selects every row, a NULL " +
+      "in the set selects none, a NULL key never matches a non-empty " +
+      "set; tuple NOT IN is null-aware per component") {
     val dir = mkTable()
     import org.apache.spark.sql.functions.col
     Seq(Some(2L), Some(3L)).toDF("kid")
@@ -606,12 +606,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(v1(dir)) === Seq(9L),
       "the NULL-status row must survive a non-empty NOT IN")
     assert(v1(dir).filter(col("status").isNull).count() === 1L)
-    // tuple NOT IN refuses naming itself
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
-        "WHERE (id, amount) NOT IN (SELECT kid, kid FROM ni_clean)")
-    }
-    assert(e.getMessage.contains("NOT IN"), e.getMessage)
+    // ---- TUPLE NOT IN: the per-component SQL-spec 3VL — a row goes
+    // only when EVERY set tuple has some component pair both-non-null
+    // and different ----
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(10, 'a', 'X', 100), (11, 'a', 'Y', 110), (12, 'a', NULL, 120)")
+    Seq((Some("X"), Some(10L)), (None, Some(11L)))
+      .toDF("s", "i").createOrReplaceTempView("ni_tup")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE (status, id) NOT IN (SELECT s, i FROM ni_tup)")
+    // 10 ('X',10) is IN → kept; 11 ('Y',11) is UNKNOWN against the
+    // NULL-component tuple (NULL,11) → kept; 12 (NULL,12) and 9
+    // (NULL,9) are DEFINITELY outside (their id disproves every set
+    // tuple, NULL status notwithstanding) → deleted
+    assert(ids(v1(dir)) === Seq(10L, 11L))
+    // an all-NULL set tuple poisons: UNKNOWN for every row, no deletes
+    Seq((Option.empty[String], Option.empty[Long]))
+      .toDF("s", "i").createOrReplaceTempView("ni_tup_null")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE (status, id) NOT IN (SELECT s, i FROM ni_tup_null)")
+    assert(ids(v1(dir)) === Seq(10L, 11L))
+    // tuple NOT IN through UPDATE: 11 is definitely outside {('X',10)}
+    // → assigned; 10 is IN → carries
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET amount = -2 " +
+      "WHERE (status, id) NOT IN (SELECT s, i FROM ni_tup WHERE i = 10)")
+    assert(v1(dir).orderBy("id").select("amount").as[Long]
+      .collect().toSeq === Seq(100L, -2L))
     assert(ids(spark.sql(
       s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
