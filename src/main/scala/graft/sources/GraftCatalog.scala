@@ -476,11 +476,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * atomic step — a reader (or a crash) before that sees NO table, not
     * an empty shell; abort removes the staged files.
     */
-  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
-    val dir = dirOf(ident)
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(ident)
+  private def stagedSpecCols(info: TableInfo, what: String): Seq[String] = {
     val specCols = info.partitions().toSeq.map { t =>
       val refs = t.references()
       if (t.name() != "identity" || refs.length != 1 ||
@@ -492,18 +488,42 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       refs(0).fieldNames()(0)
     }
     require(specCols.nonEmpty,
-      "CREATE TABLE AS SELECT through the graft catalog needs " +
+      s"$what through the graft catalog needs " +
         "PARTITIONED BY — every versioned-table kernel groups its work " +
         "by partition values")
+    specCols
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = dirOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val specCols = stagedSpecCols(info, "CREATE TABLE AS SELECT")
     val fmt = Option(info.properties().get("format")).getOrElse("parquet")
     new GraftStagedTable(dir, info.schema(), specCols.mkString(","), fmt)
   }
 
-  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
-    throw new UnsupportedOperationException(
-      "REPLACE TABLE through the graft catalog is refused — it would " +
-        "destroy the version history, which is the product; TRUNCATE + " +
-        "INSERT keeps every prior version readable")
+  /** `[CREATE OR] REPLACE TABLE` — truncate-and-load through the SAME
+    * staged path as CTAS, committed as a NEW VERSION of the existing
+    * table: the replacement's data stages under the next version's
+    * add-dir, the commit publishes its manifest (new schema, spec and
+    * format; history stays linear and every prior version keeps time-
+    * traveling — the version log is the product, and a replace is one
+    * more commit in it, never a history wipe). A failed or aborted
+    * replace leaves the old head intact and removes only its own
+    * staged bytes.
+    */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .CannotReplaceMissingTableException(ident)
+    val specCols = stagedSpecCols(info, "REPLACE TABLE")
+    val fmt = Option(info.properties().get("format")).getOrElse("parquet")
+    new GraftStagedTable(dir, info.schema(), specCols.mkString(","), fmt,
+      replaceBase = Some(VersionedTable.latestVersion(spark, dir)))
+  }
 
   override def stageCreateOrReplace(ident: Identifier,
       info: TableInfo): StagedTable =
@@ -853,7 +873,8 @@ final class GraftMetadataTable(val tableDir: String, val kind: String)
   * note is retired by this path.
   */
 final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
-    spec: String, fmt: String) extends StagedTable with SupportsWrite {
+    spec: String, fmt: String, replaceBase: Option[Int] = None)
+    extends StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -878,18 +899,29 @@ final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
   override def properties(): util.Map[String, String] =
     Map("format" -> fmt, "location" -> tableDir).asJava
 
+  // TRUNCATE rides along for the REPLACE spelling: Spark plans
+  // OverwriteByExpression(true) against ANY staged [CREATE OR] REPLACE
+  // (including the or-create path on a missing table) — the "truncate"
+  // is implicit in publishing a manifest that references only the
+  // staged leaves, so the builder's truncate() is the identity
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean)
                 : Unit = {
-              staged = Some((VersionedTable.stageCreateData(
-                data, tableDir, spec, fmt), data.schema))
+              staged = Some((replaceBase match {
+                case Some(base) => VersionedTable.stageReplaceData(
+                  data, tableDir, spec, fmt, base)
+                case None => VersionedTable.stageCreateData(
+                  data, tableDir, spec, fmt)
+              }, data.schema))
             }
           }
       }
@@ -897,8 +929,12 @@ final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
 
   override def commitStagedChanges(): Unit = {
     val (leaves, dataSchema) = staged.getOrElse((Seq.empty, ctasSchema))
-    VersionedTable.commitStagedCreate(spark, tableDir, leaves, dataSchema,
-      spec, fmt)
+    replaceBase match {
+      case Some(base) => VersionedTable.commitStagedReplace(spark,
+        tableDir, leaves, dataSchema, spec, fmt, base)
+      case None => VersionedTable.commitStagedCreate(spark, tableDir,
+        leaves, dataSchema, spec, fmt)
+    }
   }
 
   /** Abort: delete ONLY the bytes this CTAS staged — the nonce-unique

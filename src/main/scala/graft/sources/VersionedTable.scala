@@ -522,14 +522,18 @@ object VersionedTable {
 
   private def writeDataDirCols(df: DataFrame, tableDir: String,
       version: Int, partCols: Seq[String],
-      fmt: String = "parquet"): Seq[String] = {
+      fmt: String = "parquet",
+      colMapOverride: Option[Map[String, String]] = None): Seq[String] = {
     require(SupportedFormats.contains(fmt),
       s"unsupported versioned-table format '$fmt' — one of " +
         SupportedFormats.mkString("/"))
     val spark = df.sparkSession
     // leaves always carry PHYSICAL column names (spec columns are
-    // unrenamable, so the dir layout never maps)
-    val phys = toPhysical(df, colMapForWrite(spark, tableDir, version))
+    // unrenamable, so the dir layout never maps). REPLACE TABLE
+    // overrides with the empty map: its columns are born fresh
+    // (logical == physical), whatever the old definition mapped.
+    val phys = toPhysical(df, colMapOverride.getOrElse(
+      colMapForWrite(spark, tableDir, version)))
     val rel = s"data/add-v$version-${nonce()}"
     val pdirs = partCols.map(partDirCol)
     // the spec columns stay in the data; their duplicates drive the
@@ -840,6 +844,34 @@ object VersionedTable {
       schema = encodeSchema(schema), partcol = specOf(partCol),
       format = Seq(format))
   }
+
+  /** REPLACE TABLE staging, step 1 ([[GraftStagedTable]]): write the
+    * replacement's data files under the EXISTING table's next-version
+    * add-dir, no manifest yet — readers keep seeing the old head until
+    * the commit step. The new definition's columns are born fresh
+    * (logical == physical), so any old rename mapping is not applied.
+    */
+  private[sources] def stageReplaceData(df: DataFrame, tableDir: String,
+      partCol: String, format: String, baseVersion: Int): Seq[String] =
+    writeDataDirCols(df, tableDir, baseVersion + 1, specOf(partCol),
+      format, colMapOverride = Some(Map.empty))
+
+  /** REPLACE TABLE staging, step 2: publish the replacement manifest as
+    * version `base + 1` — truncate-and-load that keeps every prior
+    * version readable (`VERSION AS OF` time travel intact; vacuum
+    * governs erasure). Schema, partition spec and format are the NEW
+    * definition's; delete vectors, txn channels and constraints do NOT
+    * carry — a replace redefines the table. The manifest's no-clobber
+    * publish is the CAS: a commit that landed after staging makes this
+    * version exist already, and the replace refuses loudly (abort then
+    * removes the staged bytes, leaving the winner untouched).
+    */
+  private[sources] def commitStagedReplace(spark: SparkSession,
+      tableDir: String, leaves: Seq[String], schema: StructType,
+      partCol: String, format: String, baseVersion: Int): Unit =
+    writeManifest(spark, tableDir, baseVersion + 1, leaves,
+      schema = encodeSchema(schema), partcol = specOf(partCol),
+      format = Seq(format))
 
   /** Append a batch as a new version: new leaves are ADDED to the live
     * list; existing leaves are untouched (same-partition batches coexist

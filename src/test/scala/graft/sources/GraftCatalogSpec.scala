@@ -863,8 +863,7 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("CTAS is ATOMIC through the staging catalog: v0 carries the data " +
-      "(no empty-shell version), a failed CTAS leaves no table, " +
-      "REPLACE TABLE refuses") {
+      "(no empty-shell version), a failed CTAS leaves no table") {
     val src = mkTable()
     val dir = Files.createTempDirectory("graft-ctas").toString + "/t"
     spark.sql(s"CREATE TABLE graft.`$dir` PARTITIONED BY (kind) " +
@@ -894,12 +893,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(bystander.exists(), "abort must not touch unrelated files")
     assert(VersionedTable.versions(spark, dir3).isEmpty)
-    // REPLACE destroys history — refused loudly
-    val rep = intercept[Exception] {
+  }
+
+  test("[CREATE OR] REPLACE TABLE commits truncate-and-load as a NEW " +
+      "version: old versions time-travel, a new schema takes, a failed " +
+      "replace leaves the old head intact") {
+    val src = mkTable()
+    val dir = Files.createTempDirectory("graft-replace").toString + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` PARTITIONED BY (kind) " +
+      s"AS SELECT * FROM graft.`$src`")
+    assert(ids(v1(dir)) === (1L to 4L))
+    // REPLACE with a DIFFERENT schema and content — one new version
+    spark.sql(s"REPLACE TABLE graft.`$dir` PARTITIONED BY (kind) " +
+      s"AS SELECT id * 100 AS id, kind, amount + 1 AS amt " +
+      s"FROM graft.`$src` WHERE kind = 'a'")
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1))
+    val head = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(head.schema.fieldNames.toSeq === Seq("id", "kind", "amt"))
+    assert(ids(head) === Seq(100L, 200L))
+    // the replaced definition still time-travels
+    val v0 = spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 0")
+    assert(v0.schema.fieldNames.toSeq
+      === Seq("id", "kind", "status", "amount"))
+    assert(ids(v0) === (1L to 4L))
+    // DML keeps working against the replaced head
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id = 100")
+    assert(ids(v1(dir)) === Seq(200L))
+    // CREATE OR REPLACE on an EXISTING table is the same commit...
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$dir` " +
+      s"PARTITIONED BY (kind) AS SELECT * FROM graft.`$src`")
+    assert(ids(v1(dir)) === (1L to 4L))
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1, 2, 3))
+    // ...and on a MISSING table it is a plain atomic CTAS
+    val dir2 = Files.createTempDirectory("graft-replace2").toString + "/t"
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$dir2` " +
+      s"PARTITIONED BY (kind) AS SELECT * FROM graft.`$src`")
+    assert(VersionedTable.versions(spark, dir2) === Seq(0))
+    // a REPLACE whose query fails aborts: old head intact, staged bytes
+    // gone (only this replace's nonce roots are removed)
+    intercept[Exception] {
       spark.sql(s"REPLACE TABLE graft.`$dir` PARTITIONED BY (kind) " +
+        s"AS SELECT id, kind, CAST(raise_error('boom') AS BIGINT) AS x " +
+        s"FROM graft.`$src`")
+    }
+    assert(ids(v1(dir)) === (1L to 4L))
+    assert(VersionedTable.versions(spark, dir) === Seq(0, 1, 2, 3))
+    // plain REPLACE of a missing table refuses (CREATE OR REPLACE is
+    // the spelling that creates)
+    val dir3 = Files.createTempDirectory("graft-replace3").toString + "/t"
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`$dir3` PARTITIONED BY (kind) " +
         s"AS SELECT * FROM graft.`$src`")
     }
-    assert(rep.getMessage.contains("TRUNCATE"), rep.getMessage)
+    assert(VersionedTable.versions(spark, dir3).isEmpty)
   }
 
   test("edge cases: 0-row CTAS lands an empty v0; membership UPDATE " +
