@@ -375,8 +375,10 @@ private[plans] object GraftDml {
     })
 
   /** Translate a resolved MERGE into the library's executors, or refuse
-    * loudly naming the first unsupported part. Supported: `ON t.k = s.k`
-    * (one same-named target/source column equality), any ordered mix of
+    * loudly naming the first unsupported part. Supported: `ON t.k = s.k
+    * [AND …]` (same-named target/source column equalities, plus any
+    * residual non-equality conjuncts — `AND s.ts > t.ts` — which gate
+    * the match itself), any ordered mix of
     * `WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE`, and an
     * optional `WHEN NOT MATCHED [AND cond] THEN INSERT *` (star forms
     * arrive expanded to identity assignments by the analyzer). The
@@ -416,13 +418,23 @@ private[plans] object GraftDml {
         Some(l.name)
       case _ => None
     }
-    val keys = splitConjuncts(m.mergeCondition).map(c =>
-      keyOf(c).getOrElse(refuse(
-        s"the ON conjunct '${c.sql}' (need same-named target/source " +
-          "column equalities, AND-combined)")))
+    val (keyConjs, residConjs) =
+      splitConjuncts(m.mergeCondition).partition(c => keyOf(c).isDefined)
+    val keys = keyConjs.map(keyOf(_).get)
+    if (keys.isEmpty)
+      refuse("an ON condition with no same-named target/source column " +
+        s"equality ('${m.mergeCondition.sql}') — at least one equality " +
+        "pair must anchor the join")
     if (keys.distinct.size != keys.size)
       refuse(s"the ON condition repeats a key column " +
         s"(${keys.mkString(", ")})")
+    // residual ON conjuncts (`ON t.k = s.k AND s.ts > t.ts` — the
+    // dedup-upsert idiom) ride the kernel's join condition: a pair the
+    // residual does not definitely pass is NOT matched, so matched
+    // clauses skip it, NOT MATCHED inserts fire for its source row and
+    // BY SOURCE clauses for its target row — SQL MERGE's exact match
+    // semantics. Subqueries inside the residual refuse.
+    residConjs.foreach(requireNoSubquery(_, "MERGE"))
     // the canonical-upsert FAST PATH requires every assignment to be the
     // source's same-named column, checked structurally (exprId
     // membership — `SET amount = tg.amount` is NOT identity even though
@@ -505,7 +517,11 @@ private[plans] object GraftDml {
             true, Seq.empty[(String, Column)])
         case other => refuse(s"not-matched-by-source action $other")
       }
-    val canonical = bySource.isEmpty && (m.matchedActions match {
+    val onResidual: Option[Column] = residConjs
+      .map(c => GraftSqlBridge.column(qualified(c)))
+      .reduceOption(_ && _)
+    val canonical = onResidual.isEmpty && bySource.isEmpty &&
+      (m.matchedActions match {
       case Seq(u: UpdateAction) => u.condition.isEmpty &&
         isIdentity(u.assignments)
       case _ => false
@@ -518,7 +534,7 @@ private[plans] object GraftDml {
       GraftMergeCommand(t.tableDir, t.specString, keys, m.sourceTable)
     else
       GraftMergeClausesCommand(t.tableDir, t.specString, keys, matched,
-        insert, bySource, m.sourceTable)
+        insert, bySource, m.sourceTable, onResidual)
   }
 }
 
@@ -704,12 +720,12 @@ case class GraftMergeClausesCommand(tableDir: String, spec: String,
     matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
     insert: Option[(Option[Column], Seq[(String, Column)])],
     bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
-    source: LogicalPlan)
+    source: LogicalPlan, onResidual: Option[Column] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val batch = GraftSqlBridge.ofRows(spark, source)
     VersionedTable.mergeIntoKeys(batch, tableDir, spec, keyCols, matched,
-      insert, bySource)
+      insert, bySource, onResidual)
     Seq.empty
   }
 }

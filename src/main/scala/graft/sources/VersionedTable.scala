@@ -1906,11 +1906,22 @@ object VersionedTable {
       keyCols: Seq[String],
       matched: Seq[(Option[Column], Boolean, Seq[(String, Column)])],
       insert: Option[(Option[Column], Seq[(String, Column)])],
-      bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] = Nil)
+      bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] = Nil,
+      onResidual: Option[Column] = None)
       : Unit = withCommitRetry {
     require(matched.nonEmpty || insert.isDefined || bySource.nonEmpty,
       "mergeInto needs at least one clause")
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    // the full ON condition over the kernel's two aliases: the equality
+    // pairs are the join keys (hash-joinable), any residual conjunct
+    // (`ON t.k = s.k AND s.ts > t.ts`) rides the SAME join condition —
+    // a pair it does not definitely pass is NOT matched (join
+    // conditions drop non-TRUE rows, which IS the coalesce-to-false
+    // 3VL), so NOT MATCHED inserts and BY SOURCE clauses see exactly
+    // the SQL-spec match set
+    val onCond: Column =
+      (keyCols.map(k => col(s"__t.$k") === col(s"__s.$k")) ++
+        onResidual.toSeq).reduce(_ && _)
     val spark = batch.sparkSession
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
@@ -1939,13 +1950,20 @@ object VersionedTable {
     // construction); a column no assignment names inserts as NULL.
     val insertRows: Option[DataFrame] = insert.map { case (condOpt, assigns) =>
       val assignMap = assigns.toMap
-      condOpt.foldLeft(batch.alias("__s"))(_ filter _)
-        .join(current.select(keyCols.map(col): _*).distinct(), keyCols,
+      val src = condOpt.foldLeft(batch.alias("__s"))(_ filter _)
+      val unmatched = onResidual match {
+        case None => src.join(
+          current.select(keyCols.map(col): _*).distinct(), keyCols,
           "left_anti")
-        .select(tableCols.map { c =>
-          assignMap.get(c).map(_.cast(types(c)))
-            .getOrElse(lit(null).cast(types(c))).as(c)
-        }: _*)
+        // the residual references target columns, so the anti join runs
+        // against the aliased view — Catalyst prunes it to the columns
+        // the condition actually names
+        case Some(_) => src.join(current.alias("__t"), onCond, "left_anti")
+      }
+      unmatched.select(tableCols.map { c =>
+        assignMap.get(c).map(_.cast(types(c)))
+          .getOrElse(lit(null).cast(types(c))).as(c)
+      }: _*)
     }
     // clause conditions follow SQL three-valued logic: a clause APPLIES
     // only when its condition is definitely TRUE (a NULL condition must
@@ -1963,15 +1981,26 @@ object VersionedTable {
     // insert rows land as new leaves without touching existing ones
     val affectedMatched: Set[Seq[String]] =
       if (matched.isEmpty) Set.empty
-      else current.join(batchKeys, keyCols)
-        .select(cols.map(c => col(c).cast("string")): _*)
-        .distinct().collect()
-        .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+      else {
+        val probe = onResidual match {
+          case None => current.join(batchKeys, keyCols)
+          case Some(_) =>
+            current.alias("__t").join(batch.alias("__s"), onCond,
+              "left_semi")
+        }
+        probe.select(cols.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => cols.indices.map(r.getString): Seq[String]).toSet
+      }
     // probes alias the target frame as `__t`: by-source conditions are
     // pre-qualified to `__t.<col>` by the SQL translation
     val affectedBySource: Set[Seq[String]] = anyBySource.map { cond =>
-      current.alias("__t").join(batchKeys, keyCols, "left_anti")
-        .filter(cond)
+      (onResidual match {
+        case None => current.alias("__t").join(batchKeys, keyCols,
+          "left_anti")
+        case Some(_) => current.alias("__t").join(batch.alias("__s"),
+          onCond, "left_anti")
+      }).filter(cond)
         .select(cols.map(c => col(c).cast("string")): _*)
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
@@ -1984,12 +2013,19 @@ object VersionedTable {
     val hitForeign =
       if (matched.isEmpty && bySource.isEmpty) Seq.empty[String]
       else leavesContaining(spark, tableDir, m, foreignM, df =>
-        anyBySource match {
-          case None => df.join(batchKeys, keyCols, "left_semi")
-          case Some(cond) =>
-            val marked = df.alias("__t").join(
-              batchKeys.withColumn("__vt_merge_k", lit(1)),
-              keyCols, "left")
+        (anyBySource, onResidual) match {
+          case (None, None) => df.join(batchKeys, keyCols, "left_semi")
+          case (None, Some(_)) =>
+            df.alias("__t").join(batch.alias("__s"), onCond, "left_semi")
+          case (Some(cond), _) =>
+            val marked = onResidual match {
+              case None => df.alias("__t").join(
+                batchKeys.withColumn("__vt_merge_k", lit(1)),
+                keyCols, "left")
+              case Some(_) => df.alias("__t").join(
+                batch.withColumn("__vt_merge_k", lit(1)).alias("__s"),
+                onCond, "left")
+            }
             val hitExpr =
               if (matched.isEmpty) col("__vt_merge_k").isNull && cond
               else col("__vt_merge_k").isNotNull ||
@@ -2004,9 +2040,7 @@ object VersionedTable {
         val t = readView(spark, tableDir, m, onlyLeaves = Some(hit))
           .alias("__t")
         val s = batch.withColumn("__vt_merge_m", lit(true)).alias("__s")
-        val j = t.join(s, keyCols.map(k =>
-            col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _),
-          "left_outer")
+        val j = t.join(s, onCond, "left_outer")
         val isMatched = coalesce(col("__s.__vt_merge_m"), lit(false))
         // first-applicable-clause-wins: applies(i) = matched ∧ cond_i ∧
         // no earlier clause's condition held (conditions gate through
@@ -3891,7 +3925,17 @@ object VersionedTable {
       ON tg.event_id = s.event_id
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *""")
-    (0 to 4).map { v =>
+    // v5: MERGE with a residual ON conjunct (`AND s.micros > tg.micros`
+    // — the dedup-upsert idiom): the residual gates the MATCH itself,
+    // so a key-equal-but-not-larger source row fires nothing
+    ev.filter(col("event_id") % 11 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("micros") * 3).as("micros"))
+      .createOrReplaceTempView("graft_sqldml_res")
+    spark.sql(s"""MERGE INTO $t tg USING graft_sqldml_res s
+      ON tg.event_id = s.event_id AND s.micros > tg.micros
+      WHEN MATCHED THEN UPDATE SET tg.micros = s.micros""")
+    (0 to 5).map { v =>
       spark.sql(s"""SELECT $v AS version, count(*) AS n_rows,
         CAST(sum(micros) AS BIGINT) AS sum_micros,
         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
@@ -3919,12 +3963,19 @@ object VersionedTable {
       |v4 AS (SELECT * FROM v3
       |       WHERE event_id NOT IN (SELECT event_id FROM src)
       |       UNION ALL SELECT * FROM src),
+      |res AS (SELECT event_id, micros * 3 AS m3 FROM e
+      |        WHERE event_id % 11 = 0),
+      |v5 AS (SELECT v4.event_id, v4.user_id, v4.event_type,
+      |         CASE WHEN res.m3 IS NOT NULL AND res.m3 > v4.micros
+      |              THEN res.m3 ELSE v4.micros END AS micros
+      |       FROM v4 LEFT JOIN res ON v4.event_id = res.event_id),
       |u AS (
       |  SELECT 0 AS version, * FROM e WHERE event_id % 2 = 0
       |  UNION ALL SELECT 1, * FROM e
       |  UNION ALL SELECT 2, * FROM v2
       |  UNION ALL SELECT 3, * FROM v3
-      |  UNION ALL SELECT 4, * FROM v4)
+      |  UNION ALL SELECT 4, * FROM v4
+      |  UNION ALL SELECT 5, * FROM v5)
       |SELECT version, count(*) AS n_rows,
       |       CAST(sum(micros) AS BIGINT) AS sum_micros,
       |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types

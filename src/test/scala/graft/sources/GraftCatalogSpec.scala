@@ -769,7 +769,7 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("MERGE on a COMPOSITE key (ON t.a = s.a AND t.b = s.b): " +
       "canonical upsert and the clause kernel both join the full " +
-      "tuple; a non-equality conjunct refuses") {
+      "tuple; an ON with NO equality anchor refuses") {
     val dir = mkTable()
     Seq((9L, "a", "ACTIVE", 111L), (7L, "c", "NEW", 70L))
       .toDF("id", "kind", "status", "amount")
@@ -790,13 +790,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     val amounts = v1(dir).orderBy("id").select("amount")
       .as[Long].collect().toSeq
     assert(amounts === Seq(20L, 70L, 222L))
-    // a non-equality ON conjunct refuses naming itself
+    // an ON with no same-named equality pair at all refuses naming
+    // itself (residual conjuncts need an equality anchor to join on)
     val e = intercept[UnsupportedOperationException] {
       spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING ck_src s " +
-        "ON t.kind = s.kind AND t.amount > s.amount " +
-        "WHEN MATCHED THEN DELETE")
+        "ON t.amount > s.amount WHEN MATCHED THEN DELETE")
     }
-    assert(e.getMessage.contains("conjunct"), e.getMessage)
+    assert(e.getMessage.contains("equality"), e.getMessage)
+  }
+
+  test("MERGE with residual ON conjuncts (ON t.k = s.k AND s.ts > t.ts " +
+      "— the dedup-upsert idiom): the residual gates the MATCH itself, " +
+      "so stale pairs count as not-matched on BOTH sides") {
+    val dir = Files.createTempDirectory("graft-resmerge").toString
+    VersionedTable.create(
+      Seq((1L, "a", 5L, 10L), (2L, "a", 5L, 20L), (3L, "b", 5L, 30L))
+        .toDF("id", "kind", "ts", "amount"), dir, "kind")
+    Seq((1L, "a", 10L, 100L), (2L, "a", 3L, 200L))
+      .toDF("id", "kind", "ts", "amount")
+      .createOrReplaceTempView("res_src")
+    // update-only merge: id=1 is newer (matched → updated), id=2 is
+    // STALE — the residual fails, the pair is NOT matched, nothing fires
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING res_src s " +
+      "ON t.id = s.id AND s.ts > t.ts " +
+      "WHEN MATCHED THEN UPDATE SET t.ts = s.ts, t.amount = s.amount")
+    val got = v1(dir).orderBy("id").select("id", "ts", "amount")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 10L, 100L), (2L, 5L, 20L), (3L, 5L, 30L)))
+    // with an INSERT clause, SQL-exact semantics: the stale source row
+    // is NOT matched, so it INSERTS (a second id=2 row — that is what
+    // the standard says; dedup-upserts use the update-only form above)
+    Seq((2L, "a", 3L, 222L), (9L, "a", 1L, 90L))
+      .toDF("id", "kind", "ts", "amount")
+      .createOrReplaceTempView("res_src2")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING res_src2 s " +
+      "ON t.id = s.id AND s.ts > t.ts " +
+      "WHEN MATCHED THEN UPDATE SET t.ts = s.ts, t.amount = s.amount " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(ids(v1(dir)) === Seq(1L, 2L, 2L, 3L, 9L))
+    // BY SOURCE with a residual: a key-matching-but-stale target row IS
+    // "not matched by source" — the sync-delete removes it
+    Seq((3L, "b", 1L, 0L)).toDF("id", "kind", "ts", "amount")
+      .createOrReplaceTempView("res_src3")
+    spark.sql(s"MERGE INTO ${sqlTable(dir)} t USING res_src3 s " +
+      "ON t.id = s.id AND s.ts > t.ts " +
+      "WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE")
+    assert(ids(v1(dir)) === Seq(1L, 2L, 2L, 9L))
+    // every statement committed as its own version; v0 intact
+    assert(ids(spark.sql(
+      s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 3L))
   }
 
   test("CREATE TABLE ... SHALLOW CLONE branches the table zero-copy; " +
