@@ -61,12 +61,25 @@ object AnnIndex {
   def vectorsPath(storeDir: String): String = s"$storeDir/vectors"
   def healthPath(storeDir: String): String = s"$storeDir/health"
 
-  /** Fixed shard fan-outs (see the layout note above). Constants, not
-    * corpus-derived: partition-dir count must stay bounded as the corpus
-    * grows, and a delete's shard arithmetic must reproduce the build's.
+  /** DEFAULT shard fan-outs (see the layout note above). Not
+    * corpus-derived at query time: partition-dir count must stay bounded
+    * as the corpus grows, and a delete's shard arithmetic must reproduce
+    * the build's — so the fan-out is a STORE-CREATION parameter
+    * ([[StoreParams]], recorded next to the data like a partition spec;
+    * at 100 TB it is a capacity decision), and every probe/append/delete
+    * path reads the recorded value. Stores without the record (legacy)
+    * keep these defaults.
     */
   val CellShards = 32
   val VecShards = 32
+
+  private[graft] def cellShardsOf(spark: SparkSession,
+      storeDir: String): Int =
+    StoreParams.int(spark, storeDir, "cellShards", CellShards)
+
+  private[graft] def vecShardsOf(spark: SparkSession,
+      storeDir: String): Int =
+    StoreParams.int(spark, storeDir, "vecShards", VecShards)
 
   /** Read `codes/` back in the canonical (vec_id, cell, codes, shard)
     * column order — partition columns come LAST and type-infer as INT on
@@ -85,9 +98,15 @@ object AnnIndex {
     */
   def buildStore(embeddings: DataFrame, storeDir: String,
       ivfStride: Int = 50, m: Int = 16, codeStride: Int = 40,
-      iters: Int = 2, dim: Int = 64): Unit = {
+      iters: Int = 2, dim: Int = 64,
+      cellShards: Int = CellShards, vecShards: Int = VecShards): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    require(cellShards > 0 && vecShards > 0,
+      s"shard fan-outs must be positive: cell=$cellShards vec=$vecShards")
+    // recorded FIRST — every later append/probe/delete reads it
+    StoreParams.write(spark, storeDir,
+      Map("cellShards" -> cellShards, "vecShards" -> vecShards))
     val subDim = dim / m
     val e = embeddings
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
@@ -121,7 +140,7 @@ object AnnIndex {
         (id, cell, ProductQuant.encodeIds(books, rq, subDim))
       }
       .toDF("vec_id", "cell", "codes")
-      .withColumn("shard", pmod(col("cell"), lit(CellShards.toLong)).cast("int"))
+      .withColumn("shard", pmod(col("cell"), lit(cellShards.toLong)).cast("int"))
       // one shuffle keyed by shard so each shard leaf gets ONE file per
       // build (not one per upstream task × shard), cell-sorted so probe
       // row-group pruning on `cell` is tight
@@ -192,7 +211,8 @@ object AnnIndex {
         (id, cell, ProductQuant.encodeIds(books, rq, vq.length / m))
       }
       .toDF("vec_id", "cell", "codes")
-      .withColumn("shard", pmod(col("cell"), lit(CellShards.toLong)).cast("int"))
+      .withColumn("shard", pmod(col("cell"),
+        lit(cellShardsOf(spark, storeDir).toLong)).cast("int"))
       .write.mode("append").partitionBy("shard").parquet(codesPath(storeDir))
   }
 
@@ -207,7 +227,9 @@ object AnnIndex {
       overwrite: Boolean = false): Unit = {
     val base = embeddings
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("embedding"))
-      .withColumn("shard", pmod(col("vec_id"), lit(VecShards.toLong)).cast("int"))
+      .withColumn("shard", pmod(col("vec_id"),
+        lit(vecShardsOf(embeddings.sparkSession, storeDir).toLong))
+        .cast("int"))
     val sized = if (overwrite) base.repartition(col("shard")) else base
     sized.write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("shard").parquet(vectorsPath(storeDir))
@@ -263,8 +285,9 @@ object AnnIndex {
       .flatMap(qi => qRows(qi)._3.map(_ -> qi))
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
     val wantedCells = queriesByCell.keys.toSeq
+    val nCellShards = cellShardsOf(spark, storeDir).toLong
     val wantedShards = wantedCells
-      .map(c => java.lang.Math.floorMod(c, CellShards.toLong).toInt).distinct
+      .map(c => java.lang.Math.floorMod(c, nCellShards).toInt).distinct
     val scored = readCodes(spark, storeDir)
       // partition pruning on shard (wanted cells → wanted shards), then
       // the cell predicate reaches the parquet scan — row groups holding
@@ -415,8 +438,9 @@ object AnnIndex {
       sortCols = Seq("cell"))
     val vecs = new Path(vectorsPath(storeDir))
     if (vecs.getFileSystem(conf).exists(vecs)) {
+      val nVecShards = vecShardsOf(spark, storeDir).toLong
       val vShards = ids
-        .map(i => java.lang.Math.floorMod(i, VecShards.toLong).toInt).distinct
+        .map(i => java.lang.Math.floorMod(i, nVecShards).toInt).distinct
       rewriteShardLeaves(spark, vectorsPath(storeDir), vShards, "vec_id", ids)
     }
   }
@@ -552,8 +576,11 @@ object AnnIndex {
     val stagingPath = new Path(staging)
     val fs = stagingPath.getFileSystem(conf)
     fs.delete(stagingPath, true)
-    buildStore(embeddings, staging, ivfStride, m, codeStride, iters, dim)
-    Seq("centroids", "codebooks", "codes", "health").foreach { name =>
+    buildStore(embeddings, staging, ivfStride, m, codeStride, iters, dim,
+      cellShards = cellShardsOf(spark, storeDir),
+      vecShards = vecShardsOf(spark, storeDir))
+    Seq("centroids", "codebooks", "codes", "health",
+        "_store_params.tsv").foreach { name =>
       val live = new Path(s"$storeDir/$name")
       val fresh = new Path(s"$staging/$name")
       val bak = new Path(s"$storeDir/${name}_reclold")
@@ -663,7 +690,8 @@ object AnnIndex {
     val wantedCells = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val wantedShards = wantedCells
-      .map(c => java.lang.Math.floorMod(c, CellShards.toLong).toInt).distinct
+      .map(c => java.lang.Math.floorMod(c,
+        cellShardsOf(spark, storeDir).toLong).toInt).distinct
     val candidates = readCodes(spark, storeDir)
       .where(col("shard").isin(wantedShards: _*) &&
         col("cell").isin(wantedCells: _*))

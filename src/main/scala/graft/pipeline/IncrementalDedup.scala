@@ -38,28 +38,36 @@ object IncrementalDedup {
   def signaturesPath(storeDir: String): String = s"$storeDir/signatures"
   def bucketsPath(storeDir: String): String = s"$storeDir/buckets"
 
-  /** Fixed doc-shard fan-out ([[AnnIndex.VecShards]] discipline): BOTH
+  /** DEFAULT doc-shard fan-out ([[AnnIndex.VecShards]] discipline): BOTH
     * store tables are doc-keyed, so hive-partitioning them by
-    * `shard = pmod(doc_id, DocShards)` makes a takedown's affected leaves
+    * `shard = pmod(doc_id, docShards)` makes a takedown's affected leaves
     * a pure function of its id list — [[deleteFromStore]] rewrites only
-    * those, with NO scan to find them.
+    * those, with NO scan to find them. The fan-out is a store-creation
+    * parameter ([[StoreParams]]); legacy stores keep this default.
     */
   val DocShards = 32
 
-  private def withDocShard(df: DataFrame): DataFrame =
-    df.withColumn("shard", pmod(col("doc_id"), lit(DocShards.toLong)).cast("int"))
+  private[graft] def docShardsOf(spark: SparkSession,
+      storeDir: String): Int =
+    StoreParams.int(spark, storeDir, "docShards", DocShards)
+
+  private def withDocShard(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("shard", pmod(col("doc_id"), lit(n.toLong)).cast("int"))
 
   /** Build (overwrite) the persisted MinHash store from a corpus frame.
     * One scan of the corpus computes the signatures; the bucket table is
     * derived from the WRITTEN signatures so the corpus is not re-scanned.
     */
-  def buildStore(docs: DataFrame, storeDir: String): Unit = {
+  def buildStore(docs: DataFrame, storeDir: String,
+      docShards: Int = DocShards): Unit = {
     val spark = docs.sparkSession
-    withDocShard(Dedup.minHashSignatures(docs))
+    require(docShards > 0, s"shard fan-out must be positive: $docShards")
+    StoreParams.write(spark, storeDir, Map("docShards" -> docShards))
+    withDocShard(Dedup.minHashSignatures(docs), docShards)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(signaturesPath(storeDir))
     withDocShard(Dedup.bandedOf(spark.read.parquet(signaturesPath(storeDir))
-        .select("doc_id", "sig")))
+        .select("doc_id", "sig")), docShards)
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(bucketsPath(storeDir))
   }
@@ -76,9 +84,10 @@ object IncrementalDedup {
     val stagingDir = s"$storeDir/append_staging"
     Dedup.minHashSignatures(docs).write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
-    withDocShard(staged)
+    val n = docShardsOf(spark, storeDir)
+    withDocShard(staged, n)
       .write.mode("append").partitionBy("shard").parquet(signaturesPath(storeDir))
-    withDocShard(Dedup.bandedOf(staged))
+    withDocShard(Dedup.bandedOf(staged), n)
       .write.mode("append").partitionBy("shard").parquet(bucketsPath(storeDir))
   }
 
@@ -95,8 +104,9 @@ object IncrementalDedup {
   def deleteFromStore(spark: SparkSession, storeDir: String,
       ids: Seq[Long]): Unit = {
     if (ids.isEmpty) return
+    val n = docShardsOf(spark, storeDir).toLong
     val shards = ids
-      .map(i => java.lang.Math.floorMod(i, DocShards.toLong).toInt).distinct
+      .map(i => java.lang.Math.floorMod(i, n).toInt).distinct
     AnnIndex.rewriteShardLeaves(spark, signaturesPath(storeDir), shards, "doc_id", ids)
     AnnIndex.rewriteShardLeaves(spark, bucketsPath(storeDir), shards, "doc_id", ids)
   }

@@ -118,19 +118,30 @@ object Search {
     * (probes prune foreign shards at the directory level and foreign terms
     * by row-group stats), `doclens/` by `pmod(doc_id, DocShards)` (a
     * takedown's doclens leaves are a pure function of its id list).
-    * Constants, not corpus-derived: partition-dir metadata must stay
-    * bounded as the corpus grows, and a delete's shard arithmetic must
-    * reproduce the build's. [[graft.functions.Hashes.polyHash]] has a
-    * bit-identical JVM mirror, so the driver can compute a query's wanted
-    * shards without touching the cluster.
+    * DEFAULTS, not query-time constants: the fan-out is a STORE-CREATION
+    * parameter ([[StoreParams]], recorded next to the data), because
+    * partition-dir metadata must stay bounded as the corpus grows and a
+    * delete's shard arithmetic must reproduce the build's — at 100 TB
+    * the right fan-out is a capacity decision. Stores without the record
+    * (legacy) keep these defaults. [[graft.functions.Hashes.polyHash]]
+    * has a bit-identical JVM mirror, so the driver can compute a query's
+    * wanted shards without touching the cluster.
     */
   val TermShards = 32
   val DocShards = 32
 
-  private def termShardCol: Column =
-    pmod(graft.functions.Hashes.polyHash(col("term")), lit(TermShards.toLong)).cast("int")
-  private[pipeline] def termShardJvm(t: String): Int =
-    java.lang.Math.floorMod(graft.functions.Hashes.polyHashJvm(t), TermShards.toLong).toInt
+  private[graft] def termShardsOf(spark: SparkSession,
+      storeDir: String): Int =
+    StoreParams.int(spark, storeDir, "termShards", TermShards)
+
+  private[graft] def docShardsOf(spark: SparkSession,
+      storeDir: String): Int =
+    StoreParams.int(spark, storeDir, "docShards", DocShards)
+
+  private def termShardCol(n: Int): Column =
+    pmod(graft.functions.Hashes.polyHash(col("term")), lit(n.toLong)).cast("int")
+  private[pipeline] def termShardJvm(t: String, n: Int): Int =
+    java.lang.Math.floorMod(graft.functions.Hashes.polyHashJvm(t), n.toLong).toInt
 
   /** The batch's (doc_id, term, tf, dl) posting rows — one definition
     * shared by build and append so the journal can never drift from the
@@ -155,16 +166,19 @@ object Search {
       coalesce(sum(size(split(col("text"), " "))), lit(0L))
         .cast("long").as("sum_dl"))
 
-  private def writePostings(rows: DataFrame, dir: String): Unit =
-    rows.withColumn("shard", termShardCol)
+  private def writePostings(rows: DataFrame, dir: String,
+      termShards: Int): Unit =
+    rows.withColumn("shard", termShardCol(termShards))
       // one shuffle keyed by shard so each leaf gets ONE file per write,
       // term-sorted so probe row-group pruning on `term` is tight
       .repartition(col("shard"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
-  private def writeDoclens(rows: DataFrame, dir: String): Unit =
-    rows.withColumn("shard", pmod(col("doc_id"), lit(DocShards.toLong)).cast("int"))
+  private def writeDoclens(rows: DataFrame, dir: String,
+      docShards: Int): Unit =
+    rows.withColumn("shard",
+        pmod(col("doc_id"), lit(docShards.toLong)).cast("int"))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
@@ -178,9 +192,15 @@ object Search {
     * df is NOT stored: a probe derives it from its term-filtered postings
     * slice, where it is exact (a term's postings are complete rows).
     */
-  def buildIndex(docs: DataFrame, storeDir: String): Unit = {
-    writePostings(postingRows(docs), postingsPath(storeDir))
-    writeDoclens(doclenRows(docs), doclensPath(storeDir))
+  def buildIndex(docs: DataFrame, storeDir: String,
+      termShards: Int = TermShards, docShards: Int = DocShards): Unit = {
+    require(termShards > 0 && docShards > 0,
+      s"shard fan-outs must be positive: term=$termShards doc=$docShards")
+    // recorded FIRST — every later append/probe/delete/compact reads it
+    StoreParams.write(docs.sparkSession, storeDir,
+      Map("termShards" -> termShards, "docShards" -> docShards))
+    writePostings(postingRows(docs), postingsPath(storeDir), termShards)
+    writeDoclens(doclenRows(docs), doclensPath(storeDir), docShards)
     statsRow(docs).write.mode("overwrite").parquet(statsPath(storeDir))
   }
 
@@ -210,8 +230,10 @@ object Search {
     if (fs.exists(committed)) return // replay shield: exactly-once per batchId
     val staging = s"${storeDir}/batches_staging_$batchId"
     fs.delete(new Path(staging), true)
-    writePostings(postingRows(docs), s"$staging/postings")
-    writeDoclens(doclenRows(docs), s"$staging/doclens")
+    writePostings(postingRows(docs), s"$staging/postings",
+      termShardsOf(spark, storeDir))
+    writeDoclens(doclenRows(docs), s"$staging/doclens",
+      docShardsOf(spark, storeDir))
     statsRow(docs).write.mode("overwrite").parquet(s"$staging/stats")
     fs.mkdirs(new Path(batchesPath(storeDir)))
     require(fs.rename(new Path(staging), committed),
@@ -267,8 +289,9 @@ object Search {
       AnnIndex.rewriteShardLeaves(spark, root, affShards, "doc_id", ids,
         sortCols = Seq("term"))
     }
+    val nDocShards = docShardsOf(spark, storeDir).toLong
     val dlShards = ids
-      .map(i => java.lang.Math.floorMod(i, DocShards.toLong).toInt).distinct
+      .map(i => java.lang.Math.floorMod(i, nDocShards).toInt).distinct
     doclensRoots(spark, storeDir).foreach { root =>
       AnnIndex.rewriteShardLeaves(spark, root, dlShards, "doc_id", ids)
     }
@@ -306,9 +329,9 @@ object Search {
       if (!fs.exists(new Path(batchesPath(storeDir)))) return // nothing to fold
       writePostings(
         postingsDf(spark, storeDir).select("doc_id", "term", "tf", "dl"),
-        s"$storeDir/postings_compact")
+        s"$storeDir/postings_compact", termShardsOf(spark, storeDir))
       writeDoclens(doclensDf(spark, storeDir).select("doc_id", "dl"),
-        s"$storeDir/doclens_compact")
+        s"$storeDir/doclens_compact", docShardsOf(spark, storeDir))
       statsTotalsDf(spark, storeDir)
         .write.mode("overwrite").parquet(s"$storeDir/stats_compact")
       fs.create(ready, true).close()
@@ -413,7 +436,8 @@ object Search {
       queryTerms: Seq[(String, String)], k: Int = 10): DataFrame = {
     import spark.implicits._
     val terms = queryTerms.map(_._2).distinct
-    val wantedShards = terms.map(termShardJvm).distinct
+    val nTermShards = termShardsOf(spark, storeDir)
+    val wantedShards = terms.map(termShardJvm(_, nTermShards)).distinct
     val tf = postingsDf(spark, storeDir)
       .where(col("shard").isin(wantedShards: _*) && col("term").isin(terms: _*))
       .select("doc_id", "term", "tf", "dl")

@@ -315,4 +315,49 @@ class AnnIndexSpec extends AnyFunSuite {
     val wider = AnnIndex.probeStore(spark, store, queries(10))
     assert(wider.select("query_id").distinct().count() === 10)
   }
+
+  test("shard fan-out is a recorded store parameter: a non-default " +
+      "build probes identically, deletes consistently, and keeps " +
+      "partition pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = SparkTestSession.isolated()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb = Tables.embeddings(s, sfDir)
+    val store = Files.createTempDirectory("graft-ann-fan").toString
+    AnnIndex.buildStore(emb, store, cellShards = 8, vecShards = 4)
+    AnnIndex.appendVectors(emb, store)
+    // the directory fan-out IS the recorded parameter
+    val codeShards = new java.io.File(AnnIndex.codesPath(store))
+      .listFiles().count(_.getName.startsWith("shard="))
+    val vecShards = new java.io.File(AnnIndex.vectorsPath(store))
+      .listFiles().count(_.getName.startsWith("shard="))
+    assert(codeShards <= 8 && vecShards <= 4,
+      s"fan-outs must honor the build parameters: $codeShards/$vecShards")
+    // probe results do not depend on the fan-out (same oracle)
+    val probed = AnnIndex.probeStore(s, store, queries(10))
+    val oneShot = ProductQuant.knnIvfPq(s, sfDir)
+    assert(probed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(probed).isEmpty,
+      "fan-out must not change probe results")
+    // partition pruning on the recorded fan-out still fires
+    val probe3 = AnnIndex.probeStore(s, store, queries(3))
+    val scans = probe3.queryExecution.executedPlan.collect {
+      case sc: FileSourceScanExec if sc.relation.location.rootPaths
+        .mkString(",").contains("codes") => sc
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata("PartitionFilters").contains("shard")),
+      scans.map(_.metadata("PartitionFilters")).mkString("; "))
+    // delete arithmetic reproduces the RECORDED fan-out (a session
+    // default of 32 would rewrite the wrong vector leaves)
+    val ids = emb.select("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    AnnIndex.deleteFromStore(s, store, ids)
+    val left = AnnIndex.probeStore(s, store, queries(10))
+    assert(left.filter(col("neighbor_id").isin(ids: _*)).count() === 0L,
+      "deleted ids must not surface from any shard")
+    assert(s.read.parquet(AnnIndex.vectorsPath(store))
+      .filter(col("vec_id").isin(ids: _*)).count() === 0L,
+      "the vectors side table must lose the ids too")
+  }
 }

@@ -144,4 +144,28 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(IncrementalDedup.bucketsPath(store))
       .where(col("doc_id") === id).count() === 0L)
   }
+
+  test("shard fan-out is a recorded store parameter: a non-default " +
+      "build probes identically and deletes the right leaves") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val store = Files.createTempDirectory("graft-incr-fan").toString
+    IncrementalDedup.buildStore(corpus, store, docShards = 4)
+    assert(new java.io.File(IncrementalDedup.signaturesPath(store))
+      .listFiles().count(_.getName.startsWith("shard=")) <= 4)
+    val defStore = Files.createTempDirectory("graft-incr-fan32").toString
+    IncrementalDedup.buildStore(corpus, defStore)
+    val a = IncrementalDedup.probeStore(spark, store, batch)
+    val b = IncrementalDedup.probeStore(spark, defStore, batch)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "fan-out must not change probe results")
+    val id = corpus.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    IncrementalDedup.deleteFromStore(spark, store, Seq(id))
+    assert(spark.read.parquet(IncrementalDedup.signaturesPath(store))
+      .where(col("doc_id") === id).count() === 0L)
+    assert(spark.read.parquet(IncrementalDedup.bucketsPath(store))
+      .where(col("doc_id") === id).count() === 0L)
+  }
 }

@@ -51,6 +51,34 @@ class SearchSpec extends AnyFunSuite {
       "index-served retrieval must be bit-identical to the one-shot form")
   }
 
+  test("shard fan-out is a recorded store parameter: a non-default " +
+      "index probes identically, appends and deletes consistently") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val store =
+      java.nio.file.Files.createTempDirectory("graft-bm25-fan").toString
+    Search.buildIndex(docs, store, termShards = 8, docShards = 4)
+    assert(new java.io.File(Search.postingsPath(store))
+      .listFiles().count(_.getName.startsWith("shard=")) <= 8)
+    assert(new java.io.File(Search.doclensPath(store))
+      .listFiles().count(_.getName.startsWith("shard=")) <= 4)
+    val q = Seq("q1" -> "vector", "q1" -> "hash", "q2" -> "merge")
+    val defStore =
+      java.nio.file.Files.createTempDirectory("graft-bm25-fan32").toString
+    Search.buildIndex(docs, defStore)
+    val a = Search.probeIndex(spark, store, q)
+    val b = Search.probeIndex(spark, defStore, q)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "fan-out must not change probe results")
+    // append and delete read the RECORDED fan-out
+    val id = docs.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    Search.deleteFromIndex(spark, store, Seq(id), "fan-del")
+    assert(spark.read.parquet(Search.doclensPath(store))
+      .where(col("doc_id") === id).count() === 0L)
+    assert(Search.postingsDf(spark, store)
+      .where(col("doc_id") === id).count() === 0L)
+  }
+
   test("persisted index: probe plan scans the store only, term IN-list pushed down") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val s = SparkTestSession.isolated()
@@ -181,7 +209,8 @@ class SearchSpec extends AnyFunSuite {
     val terms = docs.where(col("doc_id") === id)
       .select(explode(split(col("text"), " ")).as("term"))
       .distinct().collect().map(_.getString(0))
-    val termShards = terms.map(Search.termShardJvm).toSet
+    val termShards =
+      terms.map(Search.termShardJvm(_, Search.TermShards)).toSet
     val docShard = java.lang.Math.floorMod(id, Search.DocShards.toLong)
     val postBefore = leafState(Search.postingsPath(store))
     val lensBefore = leafState(Search.doclensPath(store))
