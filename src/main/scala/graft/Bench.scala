@@ -48,6 +48,22 @@ object Bench {
     for (warm <- Seq("q1_pricing_summary", "dedup_minhash_lsh"))
       try SparkEntry.queries(warm)(spark, sfDir).count()
       catch { case _: Throwable => () }
+    // CONTENTION SENTINEL (round-13 verdict, next-round #8): a fixed,
+    // code-stable synthetic query — range → modulo keys → one 32-way
+    // shuffled aggregate — timed first AND last each run. Its drift
+    // against the baseline measures the BOX (JVM pressure, co-tenant
+    // contention windows), not product code, because this query never
+    // changes; the gate divides every per-entry ratio by it, so a hot
+    // window self-classifies as window drift instead of producing a
+    // 14-flag false alarm that needs manual adjudication.
+    def sentinelSample(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, 32).selectExpr("id % 97 AS k", "id")
+        .groupBy("k").sum("id").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelSample() // warm the sentinel's own codegen path
+    val sentinelFirst = median(Seq.fill(3)(sentinelSample()))
     // optional comma-separated filter for isolating queries while
     // profiling (SPARK_GRAFT_BENCH_ONLY=q1,q2); unset = full surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -76,6 +92,8 @@ object Bench {
         }
       }
     }
+    val sentinelLast = median(Seq.fill(3)(sentinelSample()))
+    val sentinel = median(Seq(sentinelFirst, sentinelLast))
     val medians = names.filter(samples(_).nonEmpty)
       .map(n => n -> median(samples(n)))
     // ---- self-contained regression gate (round-6 verdict, next-round #2):
@@ -89,26 +107,40 @@ object Bench {
     val gate = {
       val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "logs/bench_last.json"))
-      val prev: Map[String, Double] =
-        try {
-          val text = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(baselinePath)), "UTF-8")
-          val start = text.indexOf("\"queries\":{")
-          if (start < 0) Map.empty
-          else {
-            val body = text.substring(start + "\"queries\":{".length,
-              text.indexOf('}', start))
-            "\"([A-Za-z0-9_]+)\":([0-9]+(?:\\.[0-9]+)?)".r
-              .findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val baselineText: Option[String] =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), "UTF-8"))
+        catch { case _: Throwable => None }
+      // whitespace-tolerant: a hand-adjudicated pin may be re-serialized
+      // with spaces ("queries": {...}) — the exact-compact match here is
+      // what made the round-13 driver gate read NO_BASELINE against a
+      // present baseline
+      val prev: Map[String, Double] = baselineText.map { text =>
+          "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(text) match {
+            case None => Map.empty[String, Double]
+            case Some(h) =>
+              val body = text.substring(h.end, text.indexOf('}', h.end))
+              "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+                .findAllMatchIn(body)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
-        } catch { case _: Throwable => Map.empty }
+        }.getOrElse(Map.empty)
+      // the baseline's sentinel (absent in pre-sentinel baselines → no
+      // normalization); the discount floor is 1.0 — a FASTER box never
+      // inflates ratios, it only stops a slower one from crying wolf
+      val prevSentinel: Option[Double] = baselineText.flatMap(text =>
+        "\"sentinel\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+          .findFirstMatchIn(text)
+          .map(_.group(1).toDouble).filter(_ > 0))
+      val sentinelRatio = prevSentinel.map(sentinel / _).getOrElse(1.0)
+      val discount = math.max(1.0, sentinelRatio)
       if (prev.isEmpty)
-        s"""{"verdict":"NO_BASELINE","baseline":"$baselinePath"}"""
+        s"""{"verdict":"NO_BASELINE","baseline":"$baselinePath",""" +
+          s""""sentinel_sec":${fmt(sentinel)}}"""
       else {
         val common = medians.filter { case (k, _) => prev.contains(k) }
         val flagged = common.collect {
-          case (k, c) if prev(k) > 0.5 && c / prev(k) >= 1.5 =>
+          case (k, c) if prev(k) > 0.5 && c / prev(k) / discount >= 1.5 =>
             k -> c / prev(k)
         }
         // NOISE DEFENSE (round-10 postmortem): the round-10 driver run
@@ -148,7 +180,7 @@ object Bench {
         // evidence; letting it drop out of `rechecks` and read as
         // not_confirmed would PASS a query that no longer runs
         def confirmedOf(k: String): Boolean =
-          rechecks.get(k).map(_ / prev(k) >= 1.5).getOrElse(true)
+          rechecks.get(k).map(_ / prev(k) / discount >= 1.5).getOrElse(true)
         val regressions = flagged.map { case (k, r) =>
           "\"" + k + "\":" + fmt(r)
         }
@@ -172,6 +204,10 @@ object Bench {
         s"""{"verdict":"$verdict","baseline":"$baselinePath",""" +
           s""""threshold":1.5,"min_sec":0.5,"compared":${common.size},""" +
           s""""common_ratio":${fmt(ratio)},""" +
+          s""""sentinel_sec":${fmt(sentinel)},""" +
+          prevSentinel.map(p => s""""sentinel_prev":${fmt(p)},""")
+            .getOrElse("") +
+          s""""sentinel_ratio":${fmt(sentinelRatio)},""" +
           s""""regressions":${regressions.mkString("{", ",", "}")},""" +
           s""""recheck_reps":$recheckReps,""" +
           s""""recheck":${recheckJson.mkString("{", ",", "}")},""" +
@@ -262,6 +298,8 @@ object Bench {
     // ONE compact line: total = sum of per-query MEDIANS over Reps
     // randomized-order repetitions (not a single-sample sequence sum)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$Reps,""" +
+      s""""sentinel":${fmt(sentinel)},"sentinel_first":${fmt(sentinelFirst)},""" +
+      s""""sentinel_last":${fmt(sentinelLast)},""" +
       s""""queries":$qs,"errors":$errs,"store_probes":$storeProbes,""" +
       s""""workflow":$workflow,"workflow_versioned":$workflowVersioned,""" +
       s""""workflow_versioned_multicol_orc":$workflowMcOrc,""" +
