@@ -395,9 +395,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       VersionedTable.renameColumn(spark, dir, r.fieldNames()(0),
         r.newName())
     }
+    // ALTER COLUMN TYPE: metadata-only lossless WIDENING
+    // ([[VersionedTable.widenColumnType]] — old leaves read through the
+    // vectorized readers' type promotion; narrowings refuse there)
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType => u }
+    retypes.foreach { u =>
+      if (u.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"ALTER COLUMN TYPE supports top-level columns only — got " +
+            s"nested '${u.fieldNames().mkString(".")}'")
+      VersionedTable.widenColumnType(spark, dir, u.fieldNames()(0),
+        u.newDataType())
+    }
     changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.RenameColumn]).foreach {
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType]).foreach {
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           VersionedTable.addCheckConstraint(spark, dir, c.name(),

@@ -2401,6 +2401,67 @@ object VersionedTable {
       widened, m.partcol, m.constraints, m.format)
   }
 
+  /** Lossless type WIDENINGS `ALTER COLUMN … TYPE` accepts: integral
+    * upcasts, float→double, and sub-long integrals→double (a double
+    * holds every int exactly; long→double would silently lose
+    * precision and refuses). Both parquet and ORC vectorized readers
+    * promote these at scan time, which is what makes the commit
+    * metadata-only — old leaves read through the widened schema with
+    * no rewrite.
+    */
+  private def isWidening(from: DataType, to: DataType): Boolean = {
+    val rank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (rank.contains(from) && rank.contains(to) && rank(to) > rank(from)) ||
+      (from == FloatType && to == DoubleType) ||
+      (rank.get(from).exists(_ <= 3) && to == DoubleType)
+  }
+
+  /** ALTER COLUMN TYPE — a metadata-only WIDENING commit (the Delta
+    * type-widening feature): the manifest schema records the wider
+    * type, every leaf carries by reference, and scans read old leaves
+    * through the vectorized readers' type promotion (int32→int64,
+    * float→double — verified for both parquet and ORC). Prior versions
+    * keep their own type via time travel. Writes after the commit carry
+    * the WIDE type (the append contract's exact-type check — widen
+    * first, then write wide). Refusals by name: narrowings and lossy
+    * changes (only [[isWidening]] shapes pass), partition-spec columns,
+    * unknown columns, legacy manifests.
+    */
+  def widenColumnType(spark: SparkSession, tableDir: String,
+      colName: String, newType: DataType): Unit = withCommitRetry {
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    require(m.schema.nonEmpty,
+      s"table $tableDir has no recorded schema (legacy manifest) — " +
+        "ALTER COLUMN TYPE needs one; run any append to record it")
+    val table = decodeSchemaTriples(m.schema)
+    val cur = table.find(_._1 == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot alter missing column '$colName' — table columns are " +
+          table.map(_._1).mkString(", ")))
+    val curDt = DataType.fromDDL(cur._2)
+    if (m.specCols.contains(colName))
+      throw new UnsupportedOperationException(
+        s"cannot alter the type of partition column '$colName' — the " +
+          "table's layout is keyed on it; evolve the spec first " +
+          "(evolvePartitionSpec)")
+    if (!isWidening(curDt, newType))
+      throw new UnsupportedOperationException(
+        s"ALTER COLUMN TYPE supports only LOSSLESS widenings (integral " +
+          s"upcasts, float→double, byte/short/int→double) — " +
+          s"'$colName' ${curDt.sql} → ${newType.sql} is not one; a " +
+          "narrowing or lossy change needs an explicit rewrite " +
+          "(compact with the new schema)")
+    val widened = table.map {
+      case (n, _, p) if n == colName =>
+        encodeSchemaEntry(n, newType.catalogString, p)
+      case (n, t, p) => encodeSchemaEntry(n, t, p)
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
+      widened, m.partcol, m.constraints, m.format)
+  }
+
   /** RENAME COLUMN — a metadata-only commit through the schema entry's
     * column mapping: the HEAD (and every later version) reads the new
     * name, every PRIOR version's manifest still records the old one so
@@ -4163,19 +4224,42 @@ object VersionedTable {
     spark.sql(s"ALTER TABLE $t RENAME COLUMN micros TO qty_micros") // v5
     spark.sql(s"DELETE FROM $t " +
       "WHERE event_type = 'click' AND qty_micros % 3 = 0") // v6
-    (0 to 6).map { v =>
+    // ALTER COLUMN TYPE (metadata-only lossless widening): an INT
+    // column lands, an append carries INT values, the widen commits,
+    // then a post-widen append carries values beyond int range — the
+    // census mixes promoted old-leaf and native wide rows in one scan
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score INT)") // v7
+    ev.filter(col("event_id") % 17 === 0)
+      .select(col("event_id") + 2000000L, col("user_id"),
+        col("event_type"), col("micros").as("qty_micros"),
+        (col("event_id") % 1000).cast("int").as("score"))
+      .createOrReplaceTempView("graft_sqlevo_ins2")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sqlevo_ins2") // v8
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE BIGINT") // v9
+    ev.filter(col("event_id") % 23 === 0)
+      .select(col("event_id") + 3000000L, col("user_id"),
+        col("event_type"), col("micros").as("qty_micros"),
+        (col("event_id") + 3000000000L).as("score"))
+      .createOrReplaceTempView("graft_sqlevo_ins3")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sqlevo_ins3") // v10
+    (0 to 10).map { v =>
       val snap = spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
       val sumFlag =
         if (snap.columns.contains("flag")) sum(col("flag"))
+        else lit(null).cast("long")
+      val sumScore =
+        if (snap.columns.contains("score")) sum(col("score"))
         else lit(null).cast("long")
       val micros =
         if (snap.columns.contains("micros")) col("micros")
         else col("qty_micros")
       snap.agg(count(lit(1)).as("n_rows"),
           sum(micros).cast("long").as("sum_micros"),
-          sumFlag.cast("long").as("sum_flag"))
+          sumFlag.cast("long").as("sum_flag"),
+          sumScore.cast("long").as("sum_score"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_micros"),
-          lit(snap.columns.length).as("n_cols"), col("sum_flag"))
+          lit(snap.columns.length).as("n_cols"), col("sum_flag"),
+          col("sum_score"))
     }.reduce(_ unionByName _).orderBy("version")
   }
 
@@ -4194,23 +4278,43 @@ object VersionedTable {
       |       WHERE NOT (event_type = 'error' AND event_id > 1000000)),
       |v6 AS (SELECT * FROM v4
       |       WHERE NOT (event_type = 'click' AND micros % 3 = 0)),
+      |ins2 AS (SELECT event_id + 2000000 AS event_id, user_id,
+      |                event_type, micros, event_id % 1000 AS score
+      |         FROM e WHERE event_id % 17 = 0),
+      |v8 AS (SELECT event_id, user_id, event_type, micros,
+      |              CAST(NULL AS BIGINT) AS score FROM v6
+      |       UNION ALL SELECT * FROM ins2),
+      |ins3 AS (SELECT event_id + 3000000 AS event_id, user_id,
+      |                event_type, micros,
+      |                event_id + 3000000000 AS score
+      |         FROM e WHERE event_id % 23 = 0),
+      |v10 AS (SELECT * FROM v8 UNION ALL SELECT * FROM ins3),
       |u AS (
       |  SELECT 0 AS version, count(*) AS n_rows,
       |         CAST(sum(micros) AS BIGINT) AS sum_micros, 4 AS n_cols,
-      |         CAST(NULL AS BIGINT) AS sum_flag FROM e
+      |         CAST(NULL AS BIGINT) AS sum_flag,
+      |         CAST(NULL AS BIGINT) AS sum_score FROM e
       |  UNION ALL SELECT 1, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(NULL AS BIGINT) FROM e
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM e
       |  UNION ALL SELECT 2, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(sum(flag) AS BIGINT) FROM v2
+      |         CAST(sum(flag) AS BIGINT), CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 3, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT) FROM v2
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 4, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT) FROM v4
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v4
       |  UNION ALL SELECT 5, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT) FROM v4
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v4
       |  UNION ALL SELECT 6, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT) FROM v6)
-      |SELECT version, n_rows, sum_micros, n_cols, sum_flag
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v6
+      |  UNION ALL SELECT 7, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v6
+      |  UNION ALL SELECT 8, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT) FROM v8
+      |  UNION ALL SELECT 9, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT) FROM v8
+      |  UNION ALL SELECT 10, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT) FROM v10)
+      |SELECT version, n_rows, sum_micros, n_cols, sum_flag, sum_score
       |FROM u ORDER BY version""".stripMargin
 
   /** Oracle-gated CHANGE FEED entry: one versioned table through four
