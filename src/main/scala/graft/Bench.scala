@@ -56,10 +56,22 @@ object Bench {
     // changes; the gate divides every per-entry ratio by it, so a hot
     // window self-classifies as window drift instead of producing a
     // 14-flag false alarm that needs manual adjudication.
+    // TWO terms, because the box's contention windows are not uniform:
+    // a CPU term (shuffled aggregate — JVM/codegen/scheduler pressure)
+    // and an I/O term (parquet write + filtered read-back — the disk
+    // contention that inflates store-heavy entries while pure-CPU work
+    // stays flat). Their SUM is the drift signal.
+    val sentinelDir =
+      java.nio.file.Files.createTempDirectory("graft-sentinel").toString
     def sentinelSample(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 8000000L, 1, 32).selectExpr("id % 97 AS k", "id")
         .groupBy("k").sum("id").count()
+      spark.range(0, 300000L, 1, 8)
+        .selectExpr("id", "id % 1000 AS v", "CAST(id AS STRING) AS s")
+        .write.mode("overwrite").parquet(sentinelDir)
+      spark.read.parquet(sentinelDir)
+        .where("v = 7").selectExpr("sum(id)").count()
       (System.nanoTime() - t0) / 1e9
     }
     sentinelSample() // warm the sentinel's own codegen path

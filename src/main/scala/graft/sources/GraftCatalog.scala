@@ -359,13 +359,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
             "ADD COLUMNS with FIRST/AFTER positions is not supported — " +
               "new columns append at the end (a repositioning would " +
               "rewrite every leaf)")
-        if (a.defaultValue() != null)
-          throw new UnsupportedOperationException(
-            "ADD COLUMNS with a DEFAULT is not supported — old rows " +
-              "read null; backfill with UPDATE if a value is needed")
         a.fieldNames()(0) -> a.dataType()
       }
-      VersionedTable.addColumns(spark, dir, cols)
+      // DEFAULT rides as the frozen-constant column default
+      // ([[VersionedTable.addColumns]] validates foldability): existing
+      // rows read it through the readers' EXISTS_DEFAULT fill, omitting
+      // INSERTs take it via CURRENT_DEFAULT resolution
+      val defaults = adds.collect {
+        case a if a.defaultValue() != null =>
+          a.fieldNames()(0) -> a.defaultValue().getSql
+      }.toMap
+      VersionedTable.addColumns(spark, dir, cols, defaults)
     }
     // DROP COLUMN: the metadata-only narrowing commit
     // ([[VersionedTable.dropColumns]] — head reads without the column,

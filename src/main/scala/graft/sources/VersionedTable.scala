@@ -175,6 +175,11 @@ object VersionedTable {
       */
     def colMap: Map[String, String] = decodeSchemaTriples(schema)
       .collect { case (n, _, Some(p)) if p != n => n -> p }.toMap
+    /** logical name → declared default-value SQL (frozen constants —
+      * [[addColumns]] validates foldability at declaration).
+      */
+    def colDefaults: Map[String, String] = decodeSchemaEntries(schema)
+      .collect { case (n, _, _, Some(d)) => n -> d }.toMap
   }
 
   /** A write was refused because rows violate a table CHECK constraint.
@@ -204,12 +209,19 @@ object VersionedTable {
     * ever changes. An identity mapping is never written.
     */
   private def encodeSchemaEntry(name: String, tpe: String,
-      phys: Option[String]): String =
-    java.net.URLEncoder.encode(name, "UTF-8") + ":" +
-      java.net.URLEncoder.encode(tpe, "UTF-8") +
-      phys.filter(_ != name)
-        .map(p => ":" + java.net.URLEncoder.encode(p, "UTF-8"))
-        .getOrElse("")
+      phys: Option[String], default: Option[String] = None): String = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    val p = phys.filter(_ != name)
+    val base = enc(name) + ":" + enc(tpe)
+    (p, default) match {
+      case (None, None) => base
+      case (Some(ph), None) => base + ":" + enc(ph)
+      // an un-renamed column with a default keeps an EMPTY physical
+      // segment so the default always sits at position 3
+      case (ph, Some(d)) =>
+        base + ":" + ph.map(enc).getOrElse("") + ":" + enc(d)
+    }
+  }
 
   /** Encoded per-commit operation record: operation name followed by
     * its pairing-key columns (all URL-encoded — names can carry the
@@ -218,32 +230,52 @@ object VersionedTable {
   private def encodeOp(name: String, keys: Seq[String]): Seq[String] =
     (name +: keys).map(java.net.URLEncoder.encode(_, "UTF-8"))
 
-  /** (logical name, type, physical-name-if-renamed). URL-encoding
-    * percent-escapes every raw ':' inside names/types/expressions, so
-    * the segment split is unambiguous.
+  /** One decoded schema entry: (logical name, type,
+    * physical-name-if-renamed, default-value-SQL-if-declared).
+    * URL-encoding percent-escapes every raw ':' inside
+    * names/types/expressions, so the segment split is unambiguous; an
+    * empty third segment means "not renamed" (it only appears when a
+    * default occupies position 4).
     */
-  private def decodeSchemaTriples(entries: Seq[String])
-      : Seq[(String, String, Option[String])] =
+  private def decodeSchemaEntries(entries: Seq[String])
+      : Seq[(String, String, Option[String], Option[String])] =
     entries.map { e =>
       def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+      def opt(s: String) = Some(s).filter(_.nonEmpty).map(dec)
       e.split(':') match {
-        case Array(n, t) => (dec(n), dec(t), None)
-        case Array(n, t, p) => (dec(n), dec(t), Some(dec(p)))
+        case Array(n, t) => (dec(n), dec(t), None, None)
+        case Array(n, t, p) => (dec(n), dec(t), opt(p), None)
+        case Array(n, t, p, d) => (dec(n), dec(t), opt(p), opt(d))
         case _ => throw new IllegalStateException(
           s"malformed manifest schema entry: '$e'")
       }
     }
 
+  private def decodeSchemaTriples(entries: Seq[String])
+      : Seq[(String, String, Option[String])] =
+    decodeSchemaEntries(entries).map { case (n, t, p, _) => (n, t, p) }
+
   private def decodeSchemaPairs(entries: Seq[String]): Seq[(String, String)] =
-    decodeSchemaTriples(entries).map { case (n, t, _) => (n, t) }
+    decodeSchemaEntries(entries).map { case (n, t, _, _) => (n, t) }
 
   /** All columns decode nullable: evolved columns read as null from
     * pre-evolution leaves by construction, and parquet scans treat
-    * columns as nullable regardless.
+    * columns as nullable regardless. A DECLARED DEFAULT rides as the
+    * standard Spark column-default metadata: EXISTS_DEFAULT makes the
+    * parquet/ORC readers fill the column for files written BEFORE it
+    * existed (instead of null), CURRENT_DEFAULT lets the analyzer fill
+    * it for INSERTs that omit the column — both the same frozen
+    * constant here ([[addColumns]] accepts only foldable defaults).
     */
   private def decodeSchema(entries: Seq[String]): StructType =
-    StructType(decodeSchemaPairs(entries).map { case (n, t) =>
-      StructField(n, DataType.fromDDL(t), nullable = true)
+    StructType(decodeSchemaEntries(entries).map { case (n, t, _, d) =>
+      val meta = d.map(sql => new org.apache.spark.sql.types
+          .MetadataBuilder()
+          .putString("EXISTS_DEFAULT", sql)
+          .putString("CURRENT_DEFAULT", sql)
+          .build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      StructField(n, DataType.fromDDL(t), nullable = true, meta)
     })
 
   /** Versions present, ascending. Staging files are invisible. */
@@ -943,10 +975,13 @@ object VersionedTable {
       else readLeaves(spark, tableDir, m.leaves.take(1), None, m.fmt)
         .schema.fields.toSeq
         .map(f => (f.name, f.dataType.catalogString))
-    // physical mapping of existing columns rides through the re-encode
-    // (fresh columns are born with logical == physical)
+    // physical mapping and declared defaults of existing columns ride
+    // through the re-encode (fresh columns are born with logical ==
+    // physical and no default)
     val physOf: Map[String, String] =
       if (m.schema.nonEmpty) m.colMap else Map.empty
+    val defaultOf: Map[String, String] =
+      if (m.schema.nonEmpty) m.colDefaults else Map.empty
     val batch = df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
     val batchMap = batch.toMap
     table.foreach { case (n, t) =>
@@ -968,7 +1003,7 @@ object VersionedTable {
         "but this operation does not evolve schema — append the widened " +
         "batch first, then retry")
     (table ++ added).map { case (n, t) =>
-      encodeSchemaEntry(n, t, physOf.get(n))
+      encodeSchemaEntry(n, t, physOf.get(n), defaultOf.get(n))
     }
   }
 
@@ -2181,14 +2216,21 @@ object VersionedTable {
       endColMap: Map[String, String] = Map.empty): DataFrame = {
     // columns align by frozen PHYSICAL name, so a range crossing a
     // RENAME COLUMN commit still cancels unchanged rows instead of
-    // null-filling the renamed column on the pre-rename side
+    // null-filling the renamed column on the pre-rename side; a column
+    // the side predates fills with its declared DEFAULT when one exists
+    // (exactly what a head scan of those rows returns), else null
     def aligned(df: DataFrame, vColMap: Map[String, String]): DataFrame = {
       val srcByPhys = df.columns.toSeq
         .map(n => vColMap.getOrElse(n, n) -> n).toMap
       df.select(schema.fields.toIndexedSeq.map { fld =>
         srcByPhys.get(endColMap.getOrElse(fld.name, fld.name)) match {
           case Some(n) => col(n).as(fld.name)
-          case None => lit(null).cast(fld.dataType).as(fld.name)
+          case None =>
+            val fill =
+              if (fld.metadata.contains("EXISTS_DEFAULT"))
+                expr(fld.metadata.getString("EXISTS_DEFAULT"))
+              else lit(null)
+            fill.cast(fld.dataType).as(fld.name)
         }
       }: _*)
     }
@@ -2271,10 +2313,15 @@ object VersionedTable {
   private def pairUpdates(diff: DataFrame, rowCols: Seq[String],
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the diff plan (leaf scans + the grouped multiset diff) feeds FOUR
+    // consumers below (two row_number sides, each union branch) — pin
+    // its O(commit-delta) rows once instead of re-running the scans
+    // per consumer
+    val pinned = diff.localCheckpoint(true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(rowCols.map(col): _*)
     def side(tag: String, kind: String) =
-      diff.filter(col("_change_type") === kind)
+      pinned.filter(col("_change_type") === kind)
         .withColumn("__vt_rn", row_number().over(w))
         .select((rowCols :+ "_commit_version" :+ "__vt_rn")
           .map(c => col(c).as(s"$tag$c")): _*)
@@ -2374,10 +2421,38 @@ object VersionedTable {
     * read path needs a recorded schema to null-fill against.
     */
   def addColumns(spark: SparkSession, tableDir: String,
-      newCols: Seq[(String, DataType)]): Unit = withCommitRetry {
+      newCols: Seq[(String, DataType)],
+      defaults: Map[String, String] = Map.empty): Unit = withCommitRetry {
     require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
     require(newCols.map(_._1).distinct.size == newCols.size,
       s"duplicate column names in ${newCols.map(_._1)}")
+    // DEFAULTs are FROZEN CONSTANTS, validated here: foldable (a
+    // current_date()-style default would read differently per scan —
+    // refused loudly), castable to the column's type, re-serialized
+    // from the evaluated literal so the stored SQL is engine-canonical.
+    // The frozen constant serves BOTH standard roles: existing rows
+    // (files without the column) read it via the readers'
+    // EXISTS_DEFAULT fill, and INSERTs that omit the column take it via
+    // the analyzer's CURRENT_DEFAULT resolution.
+    val newTypes = newCols.toMap
+    val storedDefault: Map[String, String] = defaults.map {
+      case (n, sqlText) =>
+        val dt = newTypes.getOrElse(n, throw new IllegalArgumentException(
+          s"DEFAULT declared for '$n', which is not being added"))
+        val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+        if (!parsed.foldable) throw new UnsupportedOperationException(
+          s"ADD COLUMNS DEFAULT must be a foldable constant — " +
+            s"'$sqlText' for '$n' is not (a non-constant default would " +
+            "read differently per scan); compute the value and declare " +
+            "it literally")
+        val value = org.apache.spark.sql.catalyst.expressions.Cast(
+          parsed, dt,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        require(value != null,
+          s"DEFAULT '$sqlText' for '$n' does not cast to ${dt.sql}")
+        n -> org.apache.spark.sql.catalyst.expressions
+          .Literal(value, dt).sql
+    }
     val v = latestVersion(spark, tableDir) + 1
     val m = readManifestFull(spark, tableDir, v - 1)
     val table: Seq[(String, String)] =
@@ -2394,9 +2469,12 @@ object VersionedTable {
     newCols.foreach { case (n, _) => require(!existing.contains(n),
       s"column '$n' already exists at $tableDir") }
     val physOf = if (m.schema.nonEmpty) m.colMap else Map.empty[String, String]
+    val defaultOf =
+      if (m.schema.nonEmpty) m.colDefaults else Map.empty[String, String]
     val widened = (table ++ newCols.map { case (n, dt) =>
       (n, dt.catalogString)
-    }).map { case (n, t) => encodeSchemaEntry(n, t, physOf.get(n)) }
+    }).map { case (n, t) => encodeSchemaEntry(n, t, physOf.get(n),
+      defaultOf.get(n).orElse(storedDefault.get(n))) }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
       widened, m.partcol, m.constraints, m.format)
   }
@@ -2435,7 +2513,7 @@ object VersionedTable {
     require(m.schema.nonEmpty,
       s"table $tableDir has no recorded schema (legacy manifest) — " +
         "ALTER COLUMN TYPE needs one; run any append to record it")
-    val table = decodeSchemaTriples(m.schema)
+    val table = decodeSchemaEntries(m.schema)
     val cur = table.find(_._1 == colName).getOrElse(
       throw new IllegalArgumentException(
         s"cannot alter missing column '$colName' — table columns are " +
@@ -2454,9 +2532,11 @@ object VersionedTable {
           "narrowing or lossy change needs an explicit rewrite " +
           "(compact with the new schema)")
     val widened = table.map {
-      case (n, _, p) if n == colName =>
-        encodeSchemaEntry(n, newType.catalogString, p)
-      case (n, t, p) => encodeSchemaEntry(n, t, p)
+      // a declared default keeps its SQL text — the wider type reads
+      // the same constant
+      case (n, _, p, d) if n == colName =>
+        encodeSchemaEntry(n, newType.catalogString, p, d)
+      case (n, t, p, d) => encodeSchemaEntry(n, t, p, d)
     }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
       widened, m.partcol, m.constraints, m.format)
@@ -2486,7 +2566,7 @@ object VersionedTable {
     require(m.schema.nonEmpty,
       s"table $tableDir has no recorded schema (legacy manifest) — " +
         "RENAME COLUMN needs one; run any append to record it")
-    val table = decodeSchemaTriples(m.schema)
+    val table = decodeSchemaEntries(m.schema)
     val names = table.map(_._1).toSet
     require(names.contains(oldName),
       s"cannot rename missing column '$oldName' — table columns are " +
@@ -2508,9 +2588,9 @@ object VersionedTable {
             s"($sql) references it; DROP CONSTRAINT first")
     }
     val renamed = table.map {
-      case (n, t, phys) if n == oldName =>
-        encodeSchemaEntry(newName, t, Some(phys.getOrElse(oldName)))
-      case (n, t, phys) => encodeSchemaEntry(n, t, phys)
+      case (n, t, phys, d) if n == oldName =>
+        encodeSchemaEntry(newName, t, Some(phys.getOrElse(oldName)), d)
+      case (n, t, phys, d) => encodeSchemaEntry(n, t, phys, d)
     }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
       renamed, m.partcol, m.constraints, m.format)
@@ -2543,7 +2623,7 @@ object VersionedTable {
       require(m.schema.nonEmpty,
         s"table $tableDir has no recorded schema (legacy manifest) — " +
           "DROP COLUMN needs one; run any append to record it")
-      val table = decodeSchemaTriples(m.schema)
+      val table = decodeSchemaEntries(m.schema)
       val names = table.map(_._1).toSet
       val missing = cols.filterNot(names.contains)
       if (!ifExists) require(missing.isEmpty,
@@ -2568,7 +2648,8 @@ object VersionedTable {
         require(narrowed.nonEmpty, "cannot drop every column")
         writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
           m.txns,
-          narrowed.map { case (n, t, p) => encodeSchemaEntry(n, t, p) },
+          narrowed.map { case (n, t, p, d) =>
+            encodeSchemaEntry(n, t, p, d) },
           m.partcol, m.constraints, m.format)
       }
     }
@@ -4242,7 +4323,19 @@ object VersionedTable {
         (col("event_id") + 3000000000L).as("score"))
       .createOrReplaceTempView("graft_sqlevo_ins3")
     spark.sql(s"INSERT INTO $t SELECT * FROM graft_sqlevo_ins3") // v10
-    (0 to 10).map { v =>
+    // ADD COLUMNS with a DEFAULT (frozen constant): EXISTING rows read
+    // it (reader EXISTS_DEFAULT fill, not a null-fill), and an INSERT
+    // that OMITS the column takes it (analyzer CURRENT_DEFAULT)
+    spark.sql(s"ALTER TABLE $t " +
+      "ADD COLUMNS (tier STRING DEFAULT 'std')") // v11
+    ev.filter(col("event_id") % 31 === 0)
+      .select((col("event_id") + 4000000L).as("event_id"),
+        col("user_id"), col("event_type"),
+        col("micros").as("qty_micros"))
+      .createOrReplaceTempView("graft_sqlevo_ins4")
+    spark.sql(s"INSERT INTO $t (event_id, user_id, event_type, " +
+      "qty_micros) SELECT * FROM graft_sqlevo_ins4") // v12
+    (0 to 12).map { v =>
       val snap = spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
       val sumFlag =
         if (snap.columns.contains("flag")) sum(col("flag"))
@@ -4250,16 +4343,21 @@ object VersionedTable {
       val sumScore =
         if (snap.columns.contains("score")) sum(col("score"))
         else lit(null).cast("long")
+      val nStd =
+        if (snap.columns.contains("tier"))
+          sum(when(col("tier") === "std", 1L).otherwise(0L))
+        else lit(null).cast("long")
       val micros =
         if (snap.columns.contains("micros")) col("micros")
         else col("qty_micros")
       snap.agg(count(lit(1)).as("n_rows"),
           sum(micros).cast("long").as("sum_micros"),
           sumFlag.cast("long").as("sum_flag"),
-          sumScore.cast("long").as("sum_score"))
+          sumScore.cast("long").as("sum_score"),
+          nStd.cast("long").as("n_std"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_micros"),
           lit(snap.columns.length).as("n_cols"), col("sum_flag"),
-          col("sum_score"))
+          col("sum_score"), col("n_std"))
     }.reduce(_ unionByName _).orderBy("version")
   }
 
@@ -4289,32 +4387,54 @@ object VersionedTable {
       |                event_id + 3000000000 AS score
       |         FROM e WHERE event_id % 23 = 0),
       |v10 AS (SELECT * FROM v8 UNION ALL SELECT * FROM ins3),
+      |ins4 AS (SELECT event_id + 4000000 AS event_id, user_id,
+      |                event_type, micros, CAST(NULL AS BIGINT) AS score
+      |         FROM e WHERE event_id % 31 = 0),
+      |v12 AS (SELECT * FROM v10 UNION ALL SELECT * FROM ins4),
       |u AS (
       |  SELECT 0 AS version, count(*) AS n_rows,
       |         CAST(sum(micros) AS BIGINT) AS sum_micros, 4 AS n_cols,
       |         CAST(NULL AS BIGINT) AS sum_flag,
-      |         CAST(NULL AS BIGINT) AS sum_score FROM e
+      |         CAST(NULL AS BIGINT) AS sum_score,
+      |         CAST(NULL AS BIGINT) AS n_std FROM e
       |  UNION ALL SELECT 1, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM e
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM e
       |  UNION ALL SELECT 2, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(sum(flag) AS BIGINT), CAST(NULL AS BIGINT) FROM v2
+      |         CAST(sum(flag) AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 3, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v2
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 4, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v4
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v4
       |  UNION ALL SELECT 5, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v4
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v4
       |  UNION ALL SELECT 6, count(*), CAST(sum(micros) AS BIGINT), 4,
-      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v6
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v6
       |  UNION ALL SELECT 7, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v6
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v6
       |  UNION ALL SELECT 8, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT) FROM v8
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v8
       |  UNION ALL SELECT 9, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT) FROM v8
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v8
       |  UNION ALL SELECT 10, count(*), CAST(sum(micros) AS BIGINT), 5,
-      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT) FROM v10)
-      |SELECT version, n_rows, sum_micros, n_cols, sum_flag, sum_score
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v10
+      |  UNION ALL SELECT 11, count(*), CAST(sum(micros) AS BIGINT), 6,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         count(*) FROM v10
+      |  UNION ALL SELECT 12, count(*), CAST(sum(micros) AS BIGINT), 6,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         count(*) FROM v12)
+      |SELECT version, n_rows, sum_micros, n_cols, sum_flag, sum_score,
+      |       n_std
       |FROM u ORDER BY version""".stripMargin
 
   /** Oracle-gated CHANGE FEED entry: one versioned table through four

@@ -408,6 +408,59 @@ class GraftCatalogSpec extends AnyFunSuite {
       dup.getMessage.toLowerCase.contains("duplicate"), dup.getMessage)
   }
 
+  test("ADD COLUMNS with DEFAULT: existing rows read the frozen " +
+      "constant (not null), omitting INSERTs take it, explicit values " +
+      "and explicit NULLs override; non-constant defaults refuse") {
+    val dir = mkTable()
+    spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+      "ADD COLUMNS (tier STRING DEFAULT 'basic', bonus BIGINT DEFAULT 7)")
+    // metadata-only: one commit, no leaf rewrite
+    assert(VersionedTable.latestVersion(spark, dir) === 1)
+    // EXISTING rows read the default through the readers' fill — a
+    // plain null-fill evolution would return null here
+    val head = v1(dir)
+    assert(head.filter($"tier" === "basic").count() === 4)
+    assert(head.filter($"bonus" === 7L).count() === 4)
+    // an INSERT that OMITS the defaulted columns takes the defaults
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} (id, kind, status, amount) " +
+      "VALUES (5, 'a', 'ACTIVE', 50)")
+    assert(v1(dir).filter($"id" === 5L).select("tier", "bonus")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("basic", 7L)))
+    // the DEFAULT keyword works too
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+      "VALUES (6, 'a', 'ACTIVE', 60, DEFAULT, DEFAULT)")
+    assert(v1(dir).filter($"id" === 6L).select("tier").as[String]
+      .collect().toSeq === Seq("basic"))
+    // explicit values and explicit NULLs are stored verbatim — a
+    // post-add NULL must never be refilled as the default
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} " +
+      "VALUES (7, 'b', 'ACTIVE', 70, NULL, 70)")
+    val r7 = v1(dir).filter($"id" === 7L).select("tier", "bonus").collect()
+    assert(r7.head.isNullAt(0) && r7.head.getLong(1) === 70L,
+      "an explicit NULL must stay NULL")
+    // aggregates mix default-filled old rows and stored new rows
+    assert(v1(dir).agg(org.apache.spark.sql.functions.sum("bonus"))
+      .collect().head.getLong(0) === 4 * 7L + 7L + 7L + 70L)
+    // DML over a defaulted column; the COW rewrite materializes it, so
+    // the default survives the rewrite
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} WHERE id = 1")
+    assert(v1(dir).filter($"id" === 2L).select("tier").as[String]
+      .collect().toSeq === Seq("basic"))
+    // time travel: v0 has no such columns
+    assert(spark.sql(s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")
+      .columns.toSeq === Seq("id", "kind", "status", "amount"))
+    // a non-constant default refuses loudly (it would read differently
+    // per scan); nothing commits
+    val vBefore = VersionedTable.latestVersion(spark, dir)
+    val nonconst = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlTable(dir)} " +
+        "ADD COLUMNS (seen DATE DEFAULT current_date())")
+    }
+    assert(nonconst.getMessage.nonEmpty)
+    assert(VersionedTable.latestVersion(spark, dir) === vBefore)
+  }
+
   test("DROP TABLE: an empty v0 shell drops (the non-atomic CTAS " +
       "cleanup shape); any table with data or history refuses") {
     val dir = Files.createTempDirectory("graft-drop").toString + "/t"
