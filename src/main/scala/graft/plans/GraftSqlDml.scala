@@ -313,10 +313,28 @@ private[plans] object GraftDml {
         val c = fcol(ks.head).isNotNull
         notNull = Some(notNull.map(_ && c).getOrElse(c))
         anti += ks -> f
-      } else nullAware += ks -> f
+      } else {
+        // the null-aware anti join broadcasts the set frame into a
+        // nested-loop (there is no equi form for partial-NULL tuple
+        // comparison); an unbounded set would turn that into a silent
+        // quadratic — refuse loudly past the cap, the same stance as
+        // the exact-cosine audit's row cap
+        val cap = NullAwareSetCap
+        if (f.limit(cap + 1).count() > cap)
+          throw new UnsupportedOperationException(
+            s"tuple NOT IN subquery returned more than $cap rows — the " +
+              "null-aware anti join broadcasts the set into a nested " +
+              "loop, which does not scale past a bounded set; for a " +
+              "NULL-free set use NOT EXISTS with equality correlations " +
+              "(an anti hash join), or pre-filter the set")
+        nullAware += ks -> f
+      }
     }
     (anti.result(), notNull, poisoned, nullAware.result())
   }
+
+  /** Row cap for tuple NOT IN's broadcast-nested-loop set side. */
+  private[graft] val NullAwareSetCap = 100000
 
   /** The (outer key names, inner key plan) of an equality-correlated
     * EXISTS: the subquery's top `WHERE` must carry conjuncts

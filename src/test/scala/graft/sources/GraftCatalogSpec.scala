@@ -685,6 +685,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       "WHERE (status, id) NOT IN (SELECT s, i FROM ni_tup WHERE i = 10)")
     assert(v1(dir).orderBy("id").select("amount").as[Long]
       .collect().toSeq === Seq(100L, -2L))
+    // an unbounded set refuses loudly (the null-aware anti join
+    // broadcasts the set into a nested loop — a silent quadratic at
+    // scale would be worse than the refusal)
+    spark.range(0, 100001L).selectExpr("CAST(id AS STRING) AS s", "id AS i")
+      .createOrReplaceTempView("ni_tup_huge")
+    val huge = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+        "WHERE (status, id) NOT IN (SELECT s, i FROM ni_tup_huge)")
+    }
+    assert(huge.getMessage.contains("NOT EXISTS"), huge.getMessage)
     assert(ids(spark.sql(
       s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
