@@ -104,6 +104,11 @@ private[plans] object GraftSqlParser {
   private val Restore =
     ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Table +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*").r
+  // Delta's second RESTORE spelling: the version is resolved from the
+  // timestamp at RUN time (latest manifest committed at or before it)
+  private val RestoreTs =
+    ("(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?" + Table +
+      "\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*").r
   // CREATE TABLE dst SHALLOW CLONE src — Delta's zero-copy branch; the
   // library call hard-links live leaves (same-volume) and starts the
   // clone's own history at v0
@@ -139,6 +144,7 @@ private[plans] object GraftSqlParser {
     case History(dir) => Some(GraftDescribeHistoryCommand(dir))
     case Detail(dir) => Some(GraftDescribeDetailCommand(dir))
     case Restore(dir, v) => Some(GraftRestoreCommand(dir, v.toInt))
+    case RestoreTs(dir, ts) => Some(GraftRestoreTimestampCommand(dir, ts))
     case ShallowClone(dst, src) => Some(GraftShallowCloneCommand(dst, src))
     case OptimizeGuard() => throw new UnsupportedOperationException(
       "malformed OPTIMIZE on a graft table — supported: OPTIMIZE " +
@@ -331,5 +337,26 @@ case class GraftRestoreCommand(tableDir: String, toVersion: Int)
     VersionedTable.rollback(spark, dir, toVersion)
     Seq(Row(dir, toVersion,
       VersionedTable.latestVersion(spark, dir)))
+  }
+}
+
+/** `RESTORE [TABLE] graft.`dir` TO TIMESTAMP AS OF '<ts>'` — the same
+  * pointer flip with the version resolved from the timestamp at run
+  * time (epoch millis or UTC `yyyy-MM-dd HH:mm:ss`, the shared
+  * [[graft.sources.SnapshotConnector.versionAtSpec]] authority; a
+  * pre-table instant refuses loudly, never restores to nothing).
+  */
+case class GraftRestoreTimestampCommand(tableDir: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("restored_from", IntegerType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftSqlParser.resolveDir(spark, tableDir)
+    val v = graft.sources.SnapshotConnector.versionAtTimestamp(
+      spark, dir, ts)
+    VersionedTable.rollback(spark, dir, v)
+    Seq(Row(dir, v, VersionedTable.latestVersion(spark, dir)))
   }
 }

@@ -1126,6 +1126,13 @@ object SnapshotConnector {
     * Shared by the V1 read option and the V2 catalog's reader-option
     * time travel ([[GraftV2Table.newScanBuilder]]).
     */
+  /** Public alias of [[versionAtSpec]] for the SQL maintenance
+    * statements (RESTORE … TO TIMESTAMP AS OF).
+    */
+  private[graft] def versionAtTimestamp(spark: SparkSession,
+      tableDir: String, spec: String): Int =
+    versionAtSpec(spark, tableDir, spec)
+
   private[sources] def versionAtSpec(spark: SparkSession,
       tableDir: String, spec: String): Int = {
     val ts =

@@ -819,6 +819,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"RESTORE TABLE ${sqlTable(dir)} TO VERSION AS OF 0").collect().head
     assert(restored.getAs[Int]("version") === headBefore + 1)
     assert(ids(v1(dir)) === (1L to 4L))
+    // the TIMESTAMP spelling resolves the version at run time (epoch
+    // millis accepted); a far-future instant restores to the head-so-far
+    val restoredTs = spark.sql(s"RESTORE TABLE ${sqlTable(dir)} " +
+      "TO TIMESTAMP AS OF '9999999999999'").collect().head
+    assert(restoredTs.getAs[Int]("restored_from") === headBefore + 1)
+    assert(ids(v1(dir)) === (1L to 4L))
+    // a pre-table instant refuses loudly, never restores to nothing
+    intercept[Exception] {
+      spark.sql(s"RESTORE TABLE ${sqlTable(dir)} TO TIMESTAMP AS OF '1'")
+    }
     spark.sql(s"VACUUM ${sqlTable(dir)} RETAIN 1 VERSIONS")
     assert(VersionedTable.versions(spark, dir).size === 1)
     assert(ids(v1(dir)) === (1L to 4L)) // head (the restore) intact
