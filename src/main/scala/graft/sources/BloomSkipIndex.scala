@@ -159,8 +159,13 @@ object BloomSkipIndex {
     val (fresh, freshSchema) =
       if (newFiles.isEmpty) (Nil, None)
       else {
+        // data files carry frozen PHYSICAL column names — after a
+        // RENAME COLUMN the logical key must map through the manifest's
+        // column mapping or this direct file read would fail
+        val physKey = VersionedTable.colMapAt(spark, tableDir, head)
+          .getOrElse(keyCol, keyCol)
         val frame = spark.read.format(tableFmt).load(newFiles: _*)
-        (statsFor(frame, keyCol), Some(frame.schema))
+        (statsFor(frame, physKey), Some(frame.schema))
       }
     val keptEntries = kept.map(st =>
       BloomPartial(st.f, ser(st.bloom), st.n, st.mn, st.mx))

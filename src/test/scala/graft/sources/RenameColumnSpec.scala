@@ -154,6 +154,22 @@ class RenameColumnSpec extends AnyFunSuite {
       .select("tag").as[String].collect().toSeq === Seq("s6"))
   }
 
+  test("bloom skip index survives a rename: refresh maps the logical " +
+      "key through the physical name, probes keep pruning") {
+    val dir = mkTable()
+    BloomSkipIndex.attach(spark, dir, "id")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO rid")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (9, 'a', 's9', 90)")
+    // refresh under the (stale) attach-time name — the physical name —
+    // still works, and probing through the NEW logical name answers
+    val (fresh, kept, _) = BloomSkipIndex.attach(spark, dir, "id")
+    assert(fresh >= 1 && kept >= 1)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE rid = 9")
+      .count() === 1L)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE rid = 12345")
+      .count() === 0L)
+  }
+
   test("refusals: partition column, constraint-referenced column, " +
       "missing column, name collision, same-name no-op") {
     val dir = mkTable()
