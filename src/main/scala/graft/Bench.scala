@@ -210,8 +210,14 @@ object Bench {
         val ratio =
           if (common.isEmpty) 1.0
           else common.map(_._2).sum / common.map { case (k, _) => prev(k) }.sum
+        // WINDOW_DRIFT (round-15, ADVICE): when the sentinel itself drifted
+        // past 1.3×, the discount would silently absorb a genuine 1.5×
+        // product regression that happened to land in the same hot window.
+        // Refuse to adjudicate instead: the flags/rechecks above are still
+        // emitted for the record, but the verdict demands a clean re-run.
         val verdict =
-          if (flagged.exists { case (k, _) => confirmedOf(k) }) "FAIL"
+          if (sentinelRatio > 1.3) "WINDOW_DRIFT"
+          else if (flagged.exists { case (k, _) => confirmedOf(k) }) "FAIL"
           else "PASS"
         s"""{"verdict":"$verdict","baseline":"$baselinePath",""" +
           s""""threshold":1.5,"min_sec":0.5,"compared":${common.size},""" +
@@ -347,17 +353,30 @@ object Bench {
     // its own short stdout line so no single capture window can lose the
     // whole per-query surface
     medians.foreach { case (k, v) => println(s"""BENCHQ {"query":"$k","median_sec":${fmt(v)}}""") }
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "logs/bench_last.json"))
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    // MEASUREMENT vs PIN (round-15 verdict #1): two rounds running, a
+    // driver bench run in a hot window overwrote the hand-adjudicated
+    // baseline at logs/bench_last.json and cost the next round's first
+    // hour restoring it. Measurements therefore land in their own file
+    // (bench_measured.json); the pin — which the gate reads as its
+    // baseline — is only updated on explicit opt-in
+    // (SPARK_GRAFT_BENCH_UPDATE_PIN=1), never by a routine run.
+    def writeJson(path: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get(path)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () }
+    writeJson(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "logs/bench_measured.json"))
+    if (sys.env.get("SPARK_GRAFT_BENCH_UPDATE_PIN").contains("1"))
+      writeJson("logs/bench_last.json")
     // full line first (recoverable from a bigger capture or the log file),
     // budgeted summary LAST so the tail window always holds one complete,
-    // parseable JSON object
+    // parseable JSON object. The final line carries a fixed prefix the
+    // driver's extractor can anchor on (round-14 artifacts shipped
+    // "parsed": null because it had to guess at the raw tail).
     println(line)
-    println(summaryLine)
+    println("GRAFT_BENCH_JSON:" + summaryLine)
   }
 }

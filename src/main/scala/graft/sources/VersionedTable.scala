@@ -539,9 +539,12 @@ object VersionedTable {
   private def colMapForWrite(spark: SparkSession, tableDir: String,
       version: Int): Map[String, String] =
     if (version == 0) Map.empty
-    else scala.util.Try(
-      readManifestFull(spark, tableDir, version - 1).colMap)
-      .getOrElse(Map.empty)
+    // read failures MUST propagate: swallowing one here would silently
+    // write leaves under LOGICAL names on a RENAMEd table — the renamed
+    // column then reads null from those leaves (quiet corruption). A
+    // loud write failure is the correct outcome; the commit retry /
+    // caller surfaces it.
+    else readManifestFull(spark, tableDir, version - 1).colMap
 
   /** Rename RENAMEd columns back to their frozen physical names right
     * before file bytes land — identity when the table has no mapping.
@@ -2315,9 +2318,16 @@ object VersionedTable {
     import org.apache.spark.sql.expressions.Window
     // the diff plan (leaf scans + the grouped multiset diff) feeds FOUR
     // consumers below (two row_number sides, each union branch) — pin
-    // its O(commit-delta) rows once instead of re-running the scans
-    // per consumer
-    val pinned = diff.localCheckpoint(true)
+    // its O(commit-delta) rows once instead of re-running the scans per
+    // consumer. persist, NOT localCheckpoint: an eager localCheckpoint
+    // ran one Spark job per keyed commit at plan-CONSTRUCTION time
+    // (including inside the streaming source's getBatch) and its blocks
+    // are non-recomputable — an executor loss mid-query failed the CDF
+    // read. A lazy persist computes on first use, stays recomputable,
+    // and still serves all four consumers from one materialization; the
+    // O(delta) blocks are LRU-evicted under pressure.
+    val pinned = diff.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(rowCols.map(col): _*)
     def side(tag: String, kind: String) =
@@ -2469,6 +2479,19 @@ object VersionedTable {
     newCols.foreach { case (n, _) => require(!existing.contains(n),
       s"column '$n' already exists at $tableDir") }
     val physOf = if (m.schema.nonEmpty) m.colMap else Map.empty[String, String]
+    // physical names are frozen at column birth as the birth LOGICAL
+    // name; after RENAME a→b (physical stays 'a'), 'a' is free as a
+    // logical name but NOT as a storage name — ADD COLUMNS (a T) would
+    // put two columns under physical 'a' (duplicate physSchema fields,
+    // and predicates on the new column would consult the RENAMED
+    // column's sidecar stats/bloom: silent wrong data skipping)
+    newCols.foreach { case (n, _) =>
+      val clash = physOf.collectFirst { case (log, phys) if phys == n => log }
+      clash.foreach(log => throw new IllegalArgumentException(
+        s"cannot add column '$n': it collides with the frozen PHYSICAL " +
+          s"name of renamed column '$log' (leaves store '$log' under " +
+          s"'$n'); pick another name"))
+    }
     val defaultOf =
       if (m.schema.nonEmpty) m.colDefaults else Map.empty[String, String]
     val widened = (table ++ newCols.map { case (n, dt) =>
@@ -2574,6 +2597,16 @@ object VersionedTable {
     require(!names.contains(newName),
       s"cannot rename '$oldName' to '$newName': a column of that name " +
         "already exists")
+    // same physical-name freeze as addColumns: newName may equal
+    // oldName's OWN frozen physical (renaming back to the birth name is
+    // fine) but not another renamed column's physical name — leaves
+    // would hold two columns under one storage name
+    m.colMap.collectFirst {
+      case (log, phys) if phys == newName && log != oldName => log
+    }.foreach(log => throw new IllegalArgumentException(
+      s"cannot rename '$oldName' to '$newName': it collides with the " +
+        s"frozen PHYSICAL name of renamed column '$log'; pick another " +
+        "name"))
     if (m.specCols.contains(oldName))
       throw new UnsupportedOperationException(
         s"cannot rename partition column '$oldName' — the table's " +

@@ -170,6 +170,28 @@ class RenameColumnSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("physical-name freeze: after RENAME label→tag, neither ADD " +
+      "COLUMNS (label) nor renaming another column to 'label' is " +
+      "allowed — leaves already store bytes under that name") {
+    val dir = mkTable()
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN label TO tag")
+    // ADD COLUMNS under the freed logical name would put TWO columns
+    // under physical 'label' (duplicate physSchema fields; the renamed
+    // column's sidecar stats/bloom consulted for the new column)
+    val add = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (label STRING)")
+    }
+    assert(add.getMessage.contains("PHYSICAL"), add.getMessage)
+    val ren = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN amount TO label")
+    }
+    assert(ren.getMessage.contains("PHYSICAL"), ren.getMessage)
+    // renaming BACK to the column's OWN physical name stays allowed
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN tag TO label")
+    assert(spark.sql(s"SELECT label FROM graft.`$dir` WHERE id = 1")
+      .collect().head.getString(0) === "s1")
+  }
+
   test("refusals: partition column, constraint-referenced column, " +
       "missing column, name collision, same-name no-op") {
     val dir = mkTable()
