@@ -117,8 +117,10 @@ object Bench {
     // no longer fails the gate by itself — it must REPRODUCE in a second
     // independent re-measure pass (see the noise defense inside).
     val gate = {
+      // the PIN is the baseline; SPARK_GRAFT_BENCH_OUT no longer feeds
+      // it (measurements go to bench_measured.json since round 15)
       val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "logs/bench_last.json"))
+        "logs/bench_last.json")
       val baselineText: Option[String] =
         try Some(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(baselinePath)), "UTF-8"))

@@ -66,14 +66,53 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       t.requireMutable("UPDATE")
       val sub = cond.map(extractInSubqueries(_, "UPDATE"))
         .getOrElse(DmlSubqueries(Nil, Nil, Nil, Nil, None))
-      val assigns = assignments.map { a =>
+      // nested-field assignments (`SET s.a = v`) become a struct
+      // rebuild on the TOP column: UpdateFields replaces exactly the
+      // addressed field, every other field carries — which the COW
+      // kernel then applies column-wise like any other assignment.
+      // Later assignments to the SAME column chain onto the earlier
+      // rebuild, so `SET s.a = 1, s.b = 2` is one combined struct.
+      import org.apache.spark.sql.catalyst.expressions.{ExtractValue,
+        GetStructField, UpdateFields}
+      def peel(e: Expression, acc: List[String])
+          : Option[(AttributeReference, List[String])] = e match {
+        case a: AttributeReference => Some((a, acc))
+        case g: GetStructField => peel(g.child, g.extractFieldName :: acc)
+        case _ => None
+      }
+      def updateAt(struct: Expression, path: List[String],
+          v: Expression): Expression = path match {
+        case last :: Nil => UpdateFields(struct, last, v)
+        case head :: rest =>
+          UpdateFields(struct, head,
+            updateAt(ExtractValue(struct,
+              Literal(org.apache.spark.unsafe.types.UTF8String
+                .fromString(head),
+                org.apache.spark.sql.types.StringType),
+              session.sessionState.conf.resolver), rest, v))
+        case Nil => v
+      }
+      val acc = scala.collection.mutable
+        .LinkedHashMap.empty[String, Expression]
+      assignments.foreach { a =>
         a.key match {
-          case k: AttributeReference => k.name -> a.value
+          case k: AttributeReference => acc(k.name) = a.value
+          case g: GetStructField => peel(g, Nil) match {
+            case Some((attr, path)) =>
+              acc(attr.name) =
+                updateAt(acc.getOrElse(attr.name, attr), path, a.value)
+            case None => throw new UnsupportedOperationException(
+              s"UPDATE of ${g.sql} is not supported — only struct " +
+                "fields (no array/map elements); assign the whole " +
+                "top-level column")
+          }
           case other => throw new UnsupportedOperationException(
-            s"UPDATE of a nested field (${other.sql}) is not supported " +
-              "— assign whole top-level columns")
+            s"UPDATE of a nested field (${other.sql}) is supported " +
+              "only for struct paths — " + other.getClass.getSimpleName +
+              " is not one; assign whole top-level columns")
         }
       }
+      val assigns = acc.toSeq
       assigns.foreach { case (_, v) =>
         requireSupportedSubqueries(v, "UPDATE") }
       if (sub.hasJoinForm)

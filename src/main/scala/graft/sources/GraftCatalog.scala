@@ -345,31 +345,41 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     val dir = dirOf(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty) {
-      val cols = adds.map { a =>
-        if (a.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"ADD COLUMNS supports top-level columns only — got nested " +
-              s"'${a.fieldNames().mkString(".")}'")
+      adds.foreach { a =>
         if (!a.isNullable)
           throw new UnsupportedOperationException(
-            s"ADD COLUMNS '${a.fieldNames()(0)}' must be nullable — " +
-              "existing rows cannot manufacture a NOT NULL value")
+            s"ADD COLUMNS '${a.fieldNames().mkString(".")}' must be " +
+              "nullable — existing rows cannot manufacture a NOT NULL " +
+              "value")
         if (a.position() != null)
           throw new UnsupportedOperationException(
             "ADD COLUMNS with FIRST/AFTER positions is not supported — " +
               "new columns append at the end (a repositioning would " +
               "rewrite every leaf)")
-        a.fieldNames()(0) -> a.dataType()
       }
+      // nested field adds (`ADD COLUMNS (s.c T)`): metadata-only struct
+      // widening through [[VersionedTable.addNestedField]]; no DEFAULT
+      // channel for nested fields (refused there)
+      adds.filter(_.fieldNames().length > 1).foreach { a =>
+        if (a.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            s"ADD COLUMNS '${a.fieldNames().mkString(".")}': DEFAULT on " +
+              "a NESTED field is not supported — the readers' " +
+              "EXISTS_DEFAULT fill is per-column")
+        VersionedTable.addNestedField(spark, dir,
+          a.fieldNames().toIndexedSeq, a.dataType())
+      }
+      val tops = adds.filter(_.fieldNames().length == 1)
+      val cols = tops.map(a => a.fieldNames()(0) -> a.dataType())
       // DEFAULT rides as the frozen-constant column default
       // ([[VersionedTable.addColumns]] validates foldability): existing
       // rows read it through the readers' EXISTS_DEFAULT fill, omitting
       // INSERTs take it via CURRENT_DEFAULT resolution
-      val defaults = adds.collect {
+      val defaults = tops.collect {
         case a if a.defaultValue() != null =>
           a.fieldNames()(0) -> a.defaultValue().getSql
       }.toMap
-      VersionedTable.addColumns(spark, dir, cols, defaults)
+      if (cols.nonEmpty) VersionedTable.addColumns(spark, dir, cols, defaults)
     }
     // DROP COLUMN: the metadata-only narrowing commit
     // ([[VersionedTable.dropColumns]] — head reads without the column,
@@ -377,14 +387,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // refuse there)
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     if (drops.nonEmpty) {
-      val cols = drops.map { d =>
-        if (d.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"DROP COLUMN supports top-level columns only — got nested " +
-              s"'${d.fieldNames().mkString(".")}'")
-        d.fieldNames()(0)
-      }
-      VersionedTable.dropColumns(spark, dir, cols,
+      // nested drops (`DROP COLUMN s.a`): metadata-only struct
+      // narrowing through [[VersionedTable.dropNestedField]]
+      drops.filter(_.fieldNames().length > 1).foreach(d =>
+        VersionedTable.dropNestedField(spark, dir,
+          d.fieldNames().toIndexedSeq))
+      val cols = drops.filter(_.fieldNames().length == 1)
+        .map(_.fieldNames()(0))
+      if (cols.nonEmpty) VersionedTable.dropColumns(spark, dir, cols,
         ifExists = drops.forall(_.ifExists()))
     }
     // RENAME COLUMN: metadata-only through the schema entry's column
@@ -392,11 +402,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // name, time travel keeps the old, leaves untouched)
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     renames.foreach { r =>
-      if (r.fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"RENAME COLUMN supports top-level columns only — got nested " +
-            s"'${r.fieldNames().mkString(".")}'")
-      VersionedTable.renameColumn(spark, dir, r.fieldNames()(0),
+      if (r.fieldNames().length > 1)
+        // nested rename: the column-mapping commit one tree level down
+        VersionedTable.renameNestedField(spark, dir,
+          r.fieldNames().toIndexedSeq, r.newName())
+      else VersionedTable.renameColumn(spark, dir, r.fieldNames()(0),
         r.newName())
     }
     // ALTER COLUMN TYPE: metadata-only lossless WIDENING

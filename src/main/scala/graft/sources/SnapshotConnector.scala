@@ -1167,38 +1167,62 @@ object SnapshotConnector {
 
   /** Schema with RENAMEd fields carrying their frozen physical names —
     * names only, order and types untouched (the positional identity the
-    * format translation relies on).
+    * format translation relies on). Recurses into struct types: nested
+    * renames map by the full DOTTED logical path (`prefix.field`), so a
+    * pruned requested struct still translates field-by-field.
     */
   private[sources] def physSchema(s: StructType,
-      cm: Map[String, String]): StructType =
-    StructType(s.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+      cm: Map[String, String], prefix: String = ""): StructType =
+    StructType(s.fields.map { f =>
+      val path = if (prefix.isEmpty) f.name else prefix + "." + f.name
+      val dt = f.dataType match {
+        case st: StructType => physSchema(st, cm, path)
+        case other => other
+      }
+      f.copy(name = cm.getOrElse(path, f.name), dataType = dt)
+    })
 
   /** Pushed-down filter with attribute names mapped logical→physical;
     * None for shapes we don't recognize — dropping a pushed filter is
     * always safe (Spark re-evaluates every filter above the scan), a
-    * mistranslated one would not be.
+    * mistranslated one would not be. Nested attributes arrive as
+    * dot-joined paths: each path PREFIX translates independently
+    * (`s.b` → `s2.a` when both the column and the field were renamed).
+    * Backtick-quoted segments (a raw name containing a dot) drop the
+    * filter instead of risking a mistranslation.
     */
   private[sources] def physFilter(f: Filter,
       cm: Map[String, String]): Option[Filter] = {
-    def n(a: String) = cm.getOrElse(a, a)
+    def n(a: String): Option[String] =
+      if (a.contains('`')) None
+      else if (!a.contains('.')) Some(cm.getOrElse(a, a))
+      else {
+        val segs = a.split("\\.", -1)
+        var prefix = ""
+        Some(segs.indices.map { i =>
+          prefix = if (i == 0) segs(0) else prefix + "." + segs(i)
+          cm.getOrElse(prefix, segs(i))
+        }.mkString("."))
+      }
     f match {
-      case sources.EqualTo(a, v) => Some(sources.EqualTo(n(a), v))
-      case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(n(a), v))
-      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(n(a), v))
+      case sources.EqualTo(a, v) => n(a).map(sources.EqualTo(_, v))
+      case sources.EqualNullSafe(a, v) =>
+        n(a).map(sources.EqualNullSafe(_, v))
+      case sources.GreaterThan(a, v) => n(a).map(sources.GreaterThan(_, v))
       case sources.GreaterThanOrEqual(a, v) =>
-        Some(sources.GreaterThanOrEqual(n(a), v))
-      case sources.LessThan(a, v) => Some(sources.LessThan(n(a), v))
+        n(a).map(sources.GreaterThanOrEqual(_, v))
+      case sources.LessThan(a, v) => n(a).map(sources.LessThan(_, v))
       case sources.LessThanOrEqual(a, v) =>
-        Some(sources.LessThanOrEqual(n(a), v))
-      case sources.In(a, vs) => Some(sources.In(n(a), vs))
-      case sources.IsNull(a) => Some(sources.IsNull(n(a)))
-      case sources.IsNotNull(a) => Some(sources.IsNotNull(n(a)))
+        n(a).map(sources.LessThanOrEqual(_, v))
+      case sources.In(a, vs) => n(a).map(sources.In(_, vs))
+      case sources.IsNull(a) => n(a).map(sources.IsNull(_))
+      case sources.IsNotNull(a) => n(a).map(sources.IsNotNull(_))
       case sources.StringStartsWith(a, v) =>
-        Some(sources.StringStartsWith(n(a), v))
+        n(a).map(sources.StringStartsWith(_, v))
       case sources.StringEndsWith(a, v) =>
-        Some(sources.StringEndsWith(n(a), v))
+        n(a).map(sources.StringEndsWith(_, v))
       case sources.StringContains(a, v) =>
-        Some(sources.StringContains(n(a), v))
+        n(a).map(sources.StringContains(_, v))
       case sources.And(l, r) =>
         for (lc <- physFilter(l, cm); rc <- physFilter(r, cm))
           yield sources.And(lc, rc)

@@ -168,13 +168,30 @@ object VersionedTable {
         val d = entries.map(e => java.net.URLDecoder.decode(e, "UTF-8"))
         Some((d.head, d.tail))
     }
-    /** logical → physical column name for RENAMEd columns only (empty
-      * on tables never renamed). Leaves carry physical names; every
-      * read translates at the file/stats boundary, every write maps
-      * back before the files land.
+    /** logical → physical NAME for RENAMEd columns and nested fields
+      * (empty on tables never renamed). Keys are logical paths — a bare
+      * name for a top-level column, dotted (`s.b`) for a nested field;
+      * the value is the physical name AT THAT TREE NODE (the frozen
+      * birth name of the column / field). Leaves carry physical names;
+      * every read translates at the file/stats boundary, every write
+      * maps back before the files land.
       */
     def colMap: Map[String, String] = decodeSchemaTriples(schema)
-      .collect { case (n, _, Some(p)) if p != n => n -> p }.toMap
+      .flatMap {
+        case (n, _, Some(seg)) =>
+          val (top, nested) = parsePhysSeg(seg)
+          top.filter(_ != n).map(p => n -> p).toSeq ++
+            nested.map { case (rel, phys) => (n + "." + rel) -> phys }
+        case _ => Nil
+      }.toMap
+    /** logical top-level name → RAW phys segment (the composite
+      * `top[/rel=phys,…]` string exactly as recorded). The re-encode
+      * seam: every site that rebuilds schema entries from a map must
+      * use THIS, not [[colMap]] — the flattened view cannot round-trip
+      * nested mappings back into one segment.
+      */
+    def physSegs: Map[String, String] = decodeSchemaTriples(schema)
+      .collect { case (n, _, Some(p)) => n -> p }.toMap
     /** logical name → declared default-value SQL (frozen constants —
       * [[addColumns]] validates foldability at declaration).
       */
@@ -208,6 +225,44 @@ object VersionedTable {
     * at column birth, leaves always carry it, and only the logical name
     * ever changes. An identity mapping is never written.
     */
+  /** The phys segment is a COMPOSITE: `top[/rel=phys[,rel=phys…]]` —
+    * `top` is the frozen physical top-level name (empty ⇒ never
+    * renamed at top level), each `rel=phys` entry maps one nested
+    * field's logical path RELATIVE to the column (dot-joined) onto its
+    * frozen physical field name. The separators (`/` `=` `,` `.`) are
+    * safe because the whole segment is URL-encoded in the manifest and
+    * nested rename/add refuse names containing them.
+    */
+  private[sources] def parsePhysSeg(seg: String)
+      : (Option[String], Seq[(String, String)]) = {
+    val slash = seg.indexOf('/')
+    if (slash < 0) (Some(seg).filter(_.nonEmpty), Nil)
+    else {
+      val top = Some(seg.substring(0, slash)).filter(_.nonEmpty)
+      val nested = seg.substring(slash + 1).split(',').toSeq
+        .filter(_.nonEmpty).map { kv =>
+          val eq = kv.indexOf('=')
+          require(eq > 0, s"malformed nested phys mapping '$kv' in '$seg'")
+          (kv.substring(0, eq), kv.substring(eq + 1))
+        }
+      (top, nested)
+    }
+  }
+
+  private[sources] def buildPhysSeg(top: Option[String],
+      nested: Seq[(String, String)]): Option[String] =
+    if (nested.isEmpty) top
+    else Some(top.getOrElse("") + "/" +
+      nested.map { case (r, p) => s"$r=$p" }.mkString(","))
+
+  /** Characters a column/field name must avoid to participate in the
+    * column-mapping machinery — the composite's own separators plus
+    * backtick (pushed-filter quoting would defeat path translation).
+    */
+  private[sources] def physSegSafe(name: String): Boolean =
+    !name.exists(c => c == '/' || c == '=' || c == ',' || c == '.' ||
+      c == '`')
+
   private def encodeSchemaEntry(name: String, tpe: String,
       phys: Option[String], default: Option[String] = None): String = {
     def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
@@ -548,12 +603,22 @@ object VersionedTable {
 
   /** Rename RENAMEd columns back to their frozen physical names right
     * before file bytes land — identity when the table has no mapping.
+    * Nested renames rebuild the struct through a same-shape cast (field
+    * names change, types/positions don't — a codegen'd no-op on the
+    * values).
     */
   private def toPhysical(df: DataFrame,
       colMap: Map[String, String]): DataFrame =
     if (colMap.isEmpty) df
-    else df.select(df.columns.toIndexedSeq
-      .map(c => col(c).as(colMap.getOrElse(c, c))): _*)
+    else {
+      val target = SnapshotConnector.physSchema(df.schema, colMap)
+      df.select(df.schema.fields.toIndexedSeq.zip(target.fields).map {
+        case (f, tf) =>
+          val c = if (tf.dataType == f.dataType) col(f.name)
+                  else col(f.name).cast(tf.dataType)
+          c.as(tf.name)
+      }: _*)
+    }
 
   private def writeDataDirCols(df: DataFrame, tableDir: String,
       version: Int, partCols: Seq[String],
@@ -980,9 +1045,10 @@ object VersionedTable {
         .map(f => (f.name, f.dataType.catalogString))
     // physical mapping and declared defaults of existing columns ride
     // through the re-encode (fresh columns are born with logical ==
-    // physical and no default)
+    // physical and no default) — the RAW composite segments, so nested
+    // mappings survive the round trip
     val physOf: Map[String, String] =
-      if (m.schema.nonEmpty) m.colMap else Map.empty
+      if (m.schema.nonEmpty) m.physSegs else Map.empty
     val defaultOf: Map[String, String] =
       if (m.schema.nonEmpty) m.colDefaults else Map.empty
     val batch = df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
@@ -2225,9 +2291,46 @@ object VersionedTable {
     def aligned(df: DataFrame, vColMap: Map[String, String]): DataFrame = {
       val srcByPhys = df.columns.toSeq
         .map(n => vColMap.getOrElse(n, n) -> n).toMap
+      // NESTED alignment (struct fields): rebuild the struct field-by-
+      // field matching era-logical to end-logical through the frozen
+      // PHYSICAL field names — a range crossing a nested RENAME still
+      // cancels unchanged rows, a nested ADD reads null on the
+      // pre-evolution side, a nested DROP is simply not selected
+      def alignExpr(src: Column, srcType: DataType, srcPath: String,
+          endType: DataType, endPath: String): Column =
+        (srcType, endType) match {
+          case (s: StructType, e: StructType) =>
+            val byPhys = s.fields.toSeq.map { sf =>
+              val p = srcPath + "." + sf.name
+              vColMap.getOrElse(p, sf.name) -> sf
+            }.toMap
+            val parts = e.fields.toIndexedSeq.map { ef =>
+              val eP = endPath + "." + ef.name
+              val phys = endColMap.getOrElse(eP, ef.name)
+              (byPhys.get(phys) match {
+                case Some(sf) => alignExpr(src.getField(sf.name),
+                  sf.dataType, srcPath + "." + sf.name, ef.dataType, eP)
+                case None => lit(null).cast(ef.dataType)
+              }).as(ef.name)
+            }
+            // NULL-preserving rebuild: a null struct must stay null (a
+            // plain struct() of its fields would fabricate a non-null
+            // row of nulls and break the diff's row equality)
+            when(src.isNull, lit(null).cast(e))
+              .otherwise(struct(parts: _*).cast(e))
+          case _ => src
+        }
+      def needsRebuild(n: String, fld: StructField): Boolean =
+        df.schema(n).dataType != fld.dataType ||
+          vColMap.keys.exists(_.startsWith(n + ".")) ||
+          endColMap.keys.exists(_.startsWith(fld.name + "."))
       df.select(schema.fields.toIndexedSeq.map { fld =>
         srcByPhys.get(endColMap.getOrElse(fld.name, fld.name)) match {
-          case Some(n) => col(n).as(fld.name)
+          case Some(n) =>
+            if (fld.dataType.isInstanceOf[StructType] && needsRebuild(n, fld))
+              alignExpr(col(n), df.schema(n).dataType, n, fld.dataType,
+                fld.name).as(fld.name)
+            else col(n).as(fld.name)
           case None =>
             val fill =
               if (fld.metadata.contains("EXISTS_DEFAULT"))
@@ -2478,7 +2581,8 @@ object VersionedTable {
     val existing = table.map(_._1).toSet
     newCols.foreach { case (n, _) => require(!existing.contains(n),
       s"column '$n' already exists at $tableDir") }
-    val physOf = if (m.schema.nonEmpty) m.colMap else Map.empty[String, String]
+    val physOf =
+      if (m.schema.nonEmpty) m.physSegs else Map.empty[String, String]
     // physical names are frozen at column birth as the birth LOGICAL
     // name; after RENAME a→b (physical stays 'a'), 'a' is free as a
     // logical name but NOT as a storage name — ADD COLUMNS (a T) would
@@ -2486,7 +2590,9 @@ object VersionedTable {
     // and predicates on the new column would consult the RENAMED
     // column's sidecar stats/bloom: silent wrong data skipping)
     newCols.foreach { case (n, _) =>
-      val clash = physOf.collectFirst { case (log, phys) if phys == n => log }
+      val clash = physOf.collectFirst {
+        case (log, seg) if parsePhysSeg(seg)._1.contains(n) => log
+      }
       clash.foreach(log => throw new IllegalArgumentException(
         s"cannot add column '$n': it collides with the frozen PHYSICAL " +
           s"name of renamed column '$log' (leaves store '$log' under " +
@@ -2601,12 +2707,23 @@ object VersionedTable {
     // oldName's OWN frozen physical (renaming back to the birth name is
     // fine) but not another renamed column's physical name — leaves
     // would hold two columns under one storage name
-    m.colMap.collectFirst {
-      case (log, phys) if phys == newName && log != oldName => log
+    m.physSegs.collectFirst {
+      case (log, seg)
+          if parsePhysSeg(seg)._1.contains(newName) && log != oldName =>
+        log
     }.foreach(log => throw new IllegalArgumentException(
       s"cannot rename '$oldName' to '$newName': it collides with the " +
         s"frozen PHYSICAL name of renamed column '$log'; pick another " +
         "name"))
+    require(physSegSafe(newName),
+      s"cannot rename to '$newName': names containing any of " +
+        "/ = , . ` are outside the column-mapping contract")
+    // a dotted OLD name would put a dotted LOGICAL key into the column
+    // map — indistinguishable from a nested-field path
+    require(physSegSafe(oldName),
+      s"cannot rename column '$oldName': its name contains a column-" +
+        "mapping separator (/ = , . `); rewrite through compact() with " +
+        "a clean schema instead")
     if (m.specCols.contains(oldName))
       throw new UnsupportedOperationException(
         s"cannot rename partition column '$oldName' — the table's " +
@@ -2622,7 +2739,12 @@ object VersionedTable {
     }
     val renamed = table.map {
       case (n, t, phys, d) if n == oldName =>
-        encodeSchemaEntry(newName, t, Some(phys.getOrElse(oldName)), d)
+        // composite-aware: the nested part (if any) rides untouched;
+        // the TOP part becomes the frozen physical (birth) name, and
+        // drops entirely on a rename BACK to it
+        val (ptop, pnested) = phys.map(parsePhysSeg).getOrElse((None, Nil))
+        val top = Some(ptop.getOrElse(oldName)).filter(_ != newName)
+        encodeSchemaEntry(newName, t, buildPhysSeg(top, pnested), d)
       case (n, t, phys, d) => encodeSchemaEntry(n, t, phys, d)
     }
     writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty, m.txns,
@@ -2686,6 +2808,237 @@ object VersionedTable {
           m.partcol, m.constraints, m.format)
       }
     }
+
+  // ---- nested (struct-field) schema evolution -----------------------
+  //
+  // The same metadata-only contract as the top-level commits, one tree
+  // level down: the manifest entry's TYPE string carries the logical
+  // struct shape, the phys segment's composite carries nested renames,
+  // and the parquet/ORC readers' by-name struct clipping does the rest
+  // (an added field reads null from pre-evolution leaves, a dropped one
+  // is simply not requested, a renamed one is requested under its
+  // frozen physical field name via [[SnapshotConnector.physSchema]]'s
+  // recursion). Descents are through STRUCTS only — a path through an
+  // array/map element refuses by name (those would need per-element
+  // rewrites the carry-by-reference contract cannot do).
+
+  /** Descend `rel` struct fields inside `dt` and rewrite the struct at
+    * the end with `f`; refuses non-struct intermediates.
+    */
+  private def rewriteStructAt(dt: DataType, rel: Seq[String],
+      path: String)(f: StructType => StructType): DataType = dt match {
+    case st: StructType =>
+      if (rel.isEmpty) f(st)
+      else {
+        val head = rel.head
+        require(st.fieldNames.contains(head),
+          s"nested path '$path': no field '$head' in " +
+            s"struct<${st.fieldNames.mkString(",")}>")
+        StructType(st.fields.map { fd =>
+          if (fd.name == head)
+            fd.copy(dataType = rewriteStructAt(fd.dataType, rel.tail,
+              path)(f))
+          else fd
+        })
+      }
+    case other => throw new UnsupportedOperationException(
+      s"nested path '$path' descends through " +
+        s"${other.catalogString} — only struct fields evolve " +
+        "(array/map elements would need a per-element rewrite)")
+  }
+
+  /** Shared preamble for the nested commits: the head manifest, the
+    * target entry, and guards (recorded schema, safe segment names, not
+    * a partition column).
+    */
+  private def nestedEvolutionTarget(spark: SparkSession, tableDir: String,
+      path: Seq[String], op: String)
+      : (Int, VManifest, Seq[(String, String, Option[String], Option[String])]) = {
+    require(path.length >= 2, s"$op needs a nested path (col.field…)")
+    path.foreach(seg => require(physSegSafe(seg),
+      s"$op: path segment '$seg' contains a column-mapping separator " +
+        "(/ = , . `) — outside the nested-evolution contract"))
+    val v = latestVersion(spark, tableDir) + 1
+    val m = readManifestFull(spark, tableDir, v - 1)
+    require(m.schema.nonEmpty,
+      s"table $tableDir has no recorded schema (legacy manifest) — " +
+        s"$op needs one; run any append to record it")
+    val table = decodeSchemaEntries(m.schema)
+    require(table.exists(_._1 == path.head),
+      s"$op: no column '${path.head}' — table columns are " +
+        table.map(_._1).mkString(", "))
+    if (m.specCols.contains(path.head))
+      throw new UnsupportedOperationException(
+        s"$op: '${path.head}' is a partition column — the table's " +
+          "layout is keyed on its rendered value")
+    (v, m, table)
+  }
+
+  private def constraintRefGuard(spark: SparkSession, m: VManifest,
+      fullPath: String, op: String): Unit =
+    m.constraintPairs.foreach { case (cn, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect { case a: UnresolvedAttribute => a.name }
+      if (refs.exists(r => r == fullPath || r.startsWith(fullPath + ".")))
+        throw new UnsupportedOperationException(
+          s"$op: CHECK constraint '$cn' ($sql) references '$fullPath'; " +
+            "DROP CONSTRAINT first")
+    }
+
+  /** ADD a nested struct field (`ALTER TABLE … ADD COLUMNS (s.c T)`):
+    * metadata-only — the field appends at the END of its struct, and
+    * every pre-evolution leaf reads it as null through the readers'
+    * by-name struct clipping. Nullable, no DEFAULT (a nested default
+    * has no EXISTS_DEFAULT channel in the readers — refuse loudly
+    * rather than fill inconsistently).
+    */
+  def addNestedField(spark: SparkSession, tableDir: String,
+      path: Seq[String], dt: DataType): Unit = withCommitRetry {
+    val (v, m, table) =
+      nestedEvolutionTarget(spark, tableDir, path, "ADD nested COLUMN")
+    val full = path.mkString(".")
+    val field = path.last
+    val parentRel = path.drop(1).dropRight(1)
+    // the new field's physical name is its birth name — refuse if a
+    // SIBLING's frozen physical field name already claims it (same
+    // silent-wrong-skipping hazard as the top-level check)
+    val (_, nested) = m.physSegs.get(path.head).map(parsePhysSeg)
+      .getOrElse((None, Seq.empty[(String, String)]))
+    val parentRelStr = parentRel.mkString(".")
+    nested.foreach { case (rel, phys) =>
+      val relParent = rel.lastIndexOf('.') match {
+        case -1 => ""
+        case i => rel.substring(0, i)
+      }
+      if (relParent == parentRelStr && phys == field)
+        throw new IllegalArgumentException(
+          s"cannot add nested field '$full': it collides with the " +
+            s"frozen PHYSICAL name of renamed field '${path.head}.$rel'" +
+            "; pick another name")
+    }
+    val rewritten = table.map {
+      case (n, t, p, d) if n == path.head =>
+        val nt = rewriteStructAt(DataType.fromDDL(t), parentRel, full) {
+          st =>
+            require(!st.fieldNames.contains(field),
+              s"nested field '$full' already exists")
+            StructType(st.fields :+ StructField(field, dt, nullable = true))
+        }
+        encodeSchemaEntry(n, nt.catalogString, p, d)
+      case (n, t, p, d) => encodeSchemaEntry(n, t, p, d)
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+      m.txns, rewritten, m.partcol, m.constraints, m.format)
+  }
+
+  /** DROP a nested struct field — the metadata-only narrowing commit at
+    * struct granularity: head reads without the field (the readers
+    * never request it), prior versions keep it via time travel, bytes
+    * remain in carried leaves until the next rewrite.
+    */
+  def dropNestedField(spark: SparkSession, tableDir: String,
+      path: Seq[String]): Unit = withCommitRetry {
+    val (v, m, table) =
+      nestedEvolutionTarget(spark, tableDir, path, "DROP nested COLUMN")
+    val full = path.mkString(".")
+    val field = path.last
+    val parentRel = path.drop(1).dropRight(1)
+    constraintRefGuard(spark, m, full, "DROP nested COLUMN")
+    val relPath = path.drop(1).mkString(".")
+    val rewritten = table.map {
+      case (n, t, p, d) if n == path.head =>
+        val nt = rewriteStructAt(DataType.fromDDL(t), parentRel, full) {
+          st =>
+            require(st.fieldNames.contains(field),
+              s"no nested field '$full' — struct fields are " +
+                st.fieldNames.mkString(", "))
+            require(st.fields.length > 1,
+              s"cannot drop '$full': it is the struct's only field — " +
+                "drop the whole column instead")
+            StructType(st.fields.filterNot(_.name == field))
+        }
+        // recorded nested mappings under the dropped field go with it
+        val (top, nm) = p.map(parsePhysSeg).getOrElse((None, Nil))
+        val kept = nm.filterNot(e =>
+          e._1 == relPath || e._1.startsWith(relPath + "."))
+        encodeSchemaEntry(n, nt.catalogString, buildPhysSeg(top, kept), d)
+      case (n, t, p, d) => encodeSchemaEntry(n, t, p, d)
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+      m.txns, rewritten, m.partcol, m.constraints, m.format)
+  }
+
+  /** RENAME a nested struct field — the column-mapping commit one tree
+    * level down: the TYPE records the new logical field name, the phys
+    * composite records the frozen physical (birth) field name, and
+    * reads request the physical name via [[SnapshotConnector.physSchema]]'s
+    * recursion (both leaf eras stay uniform; writes map back through
+    * [[toPhysical]]'s struct cast).
+    */
+  def renameNestedField(spark: SparkSession, tableDir: String,
+      path: Seq[String], newName: String): Unit = withCommitRetry {
+    val (v, m, table) =
+      nestedEvolutionTarget(spark, tableDir, path, "RENAME nested COLUMN")
+    val full = path.mkString(".")
+    val field = path.last
+    require(field != newName,
+      s"RENAME nested COLUMN to the same name '$full' is a no-op — " +
+        "refused")
+    require(physSegSafe(newName),
+      s"cannot rename to '$newName': names containing any of / = , . ` " +
+        "are outside the column-mapping contract")
+    val parentRel = path.drop(1).dropRight(1)
+    val parentRelStr = parentRel.mkString(".")
+    val relPath = path.drop(1).mkString(".")
+    val newRel = (parentRel :+ newName).mkString(".")
+    constraintRefGuard(spark, m, full, "RENAME nested COLUMN")
+    val rewritten = table.map {
+      case (n, t, p, d) if n == path.head =>
+        val (top, nm) = p.map(parsePhysSeg).getOrElse((None, Nil))
+        def physLeafOf(rel: String, logical: String): String =
+          nm.find(_._1 == rel).map(_._2).getOrElse(logical)
+        val ownPhys = physLeafOf(relPath, field)
+        val nt = rewriteStructAt(DataType.fromDDL(t), parentRel, full) {
+          st =>
+            require(st.fieldNames.contains(field),
+              s"no nested field '$full' — struct fields are " +
+                st.fieldNames.mkString(", "))
+            require(!st.fieldNames.contains(newName),
+              s"cannot rename '$full' to '$newName': a field of that " +
+                "name already exists")
+            // sibling frozen-physical collision (rename BACK to the
+            // field's own birth name stays allowed)
+            st.fieldNames.filterNot(_ == field).foreach { sib =>
+              val sibRel =
+                if (parentRelStr.isEmpty) sib else parentRelStr + "." + sib
+              if (physLeafOf(sibRel, sib) == newName)
+                throw new IllegalArgumentException(
+                  s"cannot rename '$full' to '$newName': it collides " +
+                    "with the frozen PHYSICAL name of sibling field " +
+                    s"'$sib'; pick another name")
+            }
+            StructType(st.fields.map(fd =>
+              if (fd.name == field) fd.copy(name = newName) else fd))
+        }
+        // composite update: the renamed field's entry re-keys to the
+        // new logical rel path (dropped on a rename back to its birth
+        // name); DESCENDANT rel paths re-key under the new segment
+        val rekeyed = nm.flatMap {
+          case (r, ph) if r == relPath => None
+          case (r, ph) if r.startsWith(relPath + ".") =>
+            Some((newRel + r.substring(relPath.length), ph))
+          case e => Some(e)
+        }
+        val withSelf =
+          if (ownPhys == newName) rekeyed
+          else rekeyed :+ (newRel -> ownPhys)
+        encodeSchemaEntry(n, nt.catalogString,
+          buildPhysSeg(top, withSelf), d)
+      case (n, t, p, d) => encodeSchemaEntry(n, t, p, d)
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+      m.txns, rewritten, m.partcol, m.constraints, m.format)
+  }
 
   /** ADD CONSTRAINT — record a named CHECK constraint (a boolean SQL
     * expression over table columns) as a metadata-only commit, after
@@ -4368,7 +4721,30 @@ object VersionedTable {
       .createOrReplaceTempView("graft_sqlevo_ins4")
     spark.sql(s"INSERT INTO $t (event_id, user_id, event_type, " +
       "qty_micros) SELECT * FROM graft_sqlevo_ins4") // v12
-    (0 to 12).map { v =>
+    // NESTED (struct-field) era: a struct column lands, an append
+    // carries struct values, then the nested lifecycle — ADD a field
+    // (old structs read null), RENAME a field (column mapping one tree
+    // level down; the UPDATE below filters on the NEW name over OLD
+    // leaves, which only answers if the mapping carried the values),
+    // UPDATE of one nested field (struct rebuild in the COW kernel),
+    // DROP a field (metadata narrowing)
+    spark.sql(s"ALTER TABLE $t " +
+      "ADD COLUMNS (ctx STRUCT<src: STRING, score: BIGINT>)") // v13
+    ev.filter(col("event_id") % 13 === 0)
+      .select((col("event_id") + 5000000L).as("event_id"),
+        col("user_id"), col("event_type"),
+        col("micros").as("qty_micros"),
+        lit(null).cast("long").as("score"), lit("x").as("tier"),
+        struct(col("event_type").as("src"),
+          col("user_id").as("score")).as("ctx"))
+      .createOrReplaceTempView("graft_sqlevo_ins5")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_sqlevo_ins5") // v14
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (ctx.lang STRING)") // v15
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN ctx.src TO origin") // v16
+    spark.sql(s"UPDATE $t SET ctx.score = ctx.score * 2 " +
+      "WHERE ctx.origin = 'click'") // v17
+    spark.sql(s"ALTER TABLE $t DROP COLUMN ctx.lang") // v18
+    (0 to 18).map { v =>
       val snap = spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
       val sumFlag =
         if (snap.columns.contains("flag")) sum(col("flag"))
@@ -4380,6 +4756,13 @@ object VersionedTable {
         if (snap.columns.contains("tier"))
           sum(when(col("tier") === "std", 1L).otherwise(0L))
         else lit(null).cast("long")
+      val hasCtx = snap.columns.contains("ctx")
+      val sumCScore =
+        if (hasCtx) sum(col("ctx.score")) else lit(null).cast("long")
+      val ctxFields: Column =
+        if (hasCtx) lit(snap.schema("ctx").dataType
+          .asInstanceOf[StructType].fields.length.toLong)
+        else lit(null).cast("long")
       val micros =
         if (snap.columns.contains("micros")) col("micros")
         else col("qty_micros")
@@ -4387,10 +4770,12 @@ object VersionedTable {
           sum(micros).cast("long").as("sum_micros"),
           sumFlag.cast("long").as("sum_flag"),
           sumScore.cast("long").as("sum_score"),
-          nStd.cast("long").as("n_std"))
+          nStd.cast("long").as("n_std"),
+          sumCScore.cast("long").as("sum_cscore"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_micros"),
           lit(snap.columns.length).as("n_cols"), col("sum_flag"),
-          col("sum_score"), col("n_std"))
+          col("sum_score"), col("n_std"), col("sum_cscore"),
+          ctxFields.as("ctx_fields"))
     }.reduce(_ unionByName _).orderBy("version")
   }
 
@@ -4424,50 +4809,107 @@ object VersionedTable {
       |                event_type, micros, CAST(NULL AS BIGINT) AS score
       |         FROM e WHERE event_id % 31 = 0),
       |v12 AS (SELECT * FROM v10 UNION ALL SELECT * FROM ins4),
+      |-- nested era: the struct column's field values as plain columns
+      |-- (the census only aggregates scalars, so the oracle never needs
+      |-- a struct type); pre-v14 rows carry a NULL struct
+      |ins5 AS (SELECT event_id + 5000000 AS event_id, user_id,
+      |                event_type, micros, event_type AS c_src,
+      |                user_id AS c_score
+      |         FROM e WHERE event_id % 13 = 0),
+      |v14 AS (SELECT event_id, user_id, event_type, micros, score,
+      |               'std' AS tier, CAST(NULL AS VARCHAR) AS c_src,
+      |               CAST(NULL AS BIGINT) AS c_score FROM v12
+      |        UNION ALL
+      |        SELECT event_id, user_id, event_type, micros,
+      |               CAST(NULL AS BIGINT), 'x', c_src, c_score
+      |        FROM ins5),
+      |v17 AS (SELECT event_id, user_id, event_type, micros, score,
+      |               tier, c_src,
+      |               CASE WHEN c_src = 'click' THEN c_score * 2
+      |                    ELSE c_score END AS c_score
+      |        FROM v14),
       |u AS (
       |  SELECT 0 AS version, count(*) AS n_rows,
       |         CAST(sum(micros) AS BIGINT) AS sum_micros, 4 AS n_cols,
       |         CAST(NULL AS BIGINT) AS sum_flag,
       |         CAST(NULL AS BIGINT) AS sum_score,
-      |         CAST(NULL AS BIGINT) AS n_std FROM e
+      |         CAST(NULL AS BIGINT) AS n_std,
+      |         CAST(NULL AS BIGINT) AS sum_cscore,
+      |         CAST(NULL AS BIGINT) AS ctx_fields FROM e
       |  UNION ALL SELECT 1, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM e
       |  UNION ALL SELECT 2, count(*), CAST(sum(micros) AS BIGINT), 5,
       |         CAST(sum(flag) AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 3, count(*), CAST(sum(micros) AS BIGINT), 4,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v2
       |  UNION ALL SELECT 4, count(*), CAST(sum(micros) AS BIGINT), 4,
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v4
       |  UNION ALL SELECT 5, count(*), CAST(sum(micros) AS BIGINT), 4,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v4
       |  UNION ALL SELECT 6, count(*), CAST(sum(micros) AS BIGINT), 4,
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v6
       |  UNION ALL SELECT 7, count(*), CAST(sum(micros) AS BIGINT), 5,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v6
       |  UNION ALL SELECT 8, count(*), CAST(sum(micros) AS BIGINT), 5,
       |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v8
       |  UNION ALL SELECT 9, count(*), CAST(sum(micros) AS BIGINT), 5,
       |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v8
       |  UNION ALL SELECT 10, count(*), CAST(sum(micros) AS BIGINT), 5,
       |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
       |         CAST(NULL AS BIGINT) FROM v10
       |  UNION ALL SELECT 11, count(*), CAST(sum(micros) AS BIGINT), 6,
       |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
-      |         count(*) FROM v10
+      |         count(*), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v10
       |  UNION ALL SELECT 12, count(*), CAST(sum(micros) AS BIGINT), 6,
       |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
-      |         count(*) FROM v12)
+      |         count(*), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT) FROM v12
+      |  UNION ALL SELECT 13, count(*), CAST(sum(micros) AS BIGINT), 7,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         count(*), CAST(NULL AS BIGINT),
+      |         CAST(2 AS BIGINT) FROM v12
+      |  UNION ALL SELECT 14, count(*), CAST(sum(micros) AS BIGINT), 7,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(sum(CASE WHEN tier = 'std' THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(sum(c_score) AS BIGINT), CAST(2 AS BIGINT) FROM v14
+      |  UNION ALL SELECT 15, count(*), CAST(sum(micros) AS BIGINT), 7,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(sum(CASE WHEN tier = 'std' THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(sum(c_score) AS BIGINT), CAST(3 AS BIGINT) FROM v14
+      |  UNION ALL SELECT 16, count(*), CAST(sum(micros) AS BIGINT), 7,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(sum(CASE WHEN tier = 'std' THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(sum(c_score) AS BIGINT), CAST(3 AS BIGINT) FROM v14
+      |  UNION ALL SELECT 17, count(*), CAST(sum(micros) AS BIGINT), 7,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(sum(CASE WHEN tier = 'std' THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(sum(c_score) AS BIGINT), CAST(3 AS BIGINT) FROM v17
+      |  UNION ALL SELECT 18, count(*), CAST(sum(micros) AS BIGINT), 7,
+      |         CAST(NULL AS BIGINT), CAST(sum(score) AS BIGINT),
+      |         CAST(sum(CASE WHEN tier = 'std' THEN 1 ELSE 0 END) AS BIGINT),
+      |         CAST(sum(c_score) AS BIGINT), CAST(2 AS BIGINT) FROM v17)
       |SELECT version, n_rows, sum_micros, n_cols, sum_flag, sum_score,
-      |       n_std
+      |       n_std, sum_cscore, ctx_fields
       |FROM u ORDER BY version""".stripMargin
 
   /** Oracle-gated CHANGE FEED entry: one versioned table through four
