@@ -335,7 +335,9 @@ object SparkEntry {
     "snapshot_sql_dml" -> (sources.VersionedTable.snapshotSqlDml _),
     "snapshot_sql_subquery" -> (sources.VersionedTable.snapshotSqlSubquery _),
     "snapshot_sql_evolution" -> (sources.VersionedTable.snapshotSqlEvolution _),
-    "snapshot_change_feed" -> (sources.VersionedTable.snapshotChangeFeed _)
+    "snapshot_change_feed" -> (sources.VersionedTable.snapshotChangeFeed _),
+    "snapshot_hidden_partition" ->
+      (sources.VersionedTable.snapshotHiddenPartition _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -511,6 +513,8 @@ object SparkEntry {
     "snapshot_sql_dml" -> sources.VersionedTable.snapshotSqlDmlSql(),
     "snapshot_sql_subquery" -> sources.VersionedTable.snapshotSqlSubquerySql(),
     "snapshot_sql_evolution" -> sources.VersionedTable.snapshotSqlEvolutionSql(),
-    "snapshot_change_feed" -> sources.VersionedTable.snapshotChangeFeedSql()
+    "snapshot_change_feed" -> sources.VersionedTable.snapshotChangeFeedSql(),
+    "snapshot_hidden_partition" ->
+      sources.VersionedTable.snapshotHiddenPartitionSql()
   )
 }

@@ -296,16 +296,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val specCols = partitions.toSeq.map { t =>
-      val refs = t.references()
-      if (t.name() != "identity" || refs.length != 1 ||
-          refs(0).fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"graft tables support only identity partitioning — got " +
-            s"'${t.describe()}'; materialize the derived column and " +
-            "partition on it")
-      refs(0).fieldNames()(0)
-    }
+    val specCols = partitions.toSeq.map(GraftCatalog.transformSpelling)
     require(specCols.nonEmpty,
       "CREATE TABLE through the graft catalog needs PARTITIONED BY — " +
         "every versioned-table kernel (delete/update/merge/maintenance) " +
@@ -504,16 +495,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     * an empty shell; abort removes the staged files.
     */
   private def stagedSpecCols(info: TableInfo, what: String): Seq[String] = {
-    val specCols = info.partitions().toSeq.map { t =>
-      val refs = t.references()
-      if (t.name() != "identity" || refs.length != 1 ||
-          refs(0).fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"graft tables support only identity partitioning — got " +
-            s"'${t.describe()}'; materialize the derived column and " +
-            "partition on it")
-      refs(0).fieldNames()(0)
-    }
+    val specCols =
+      info.partitions().toSeq.map(GraftCatalog.transformSpelling)
     require(specCols.nonEmpty,
       s"$what through the graft catalog needs " +
         "PARTITIONED BY — every versioned-table kernel groups its work " +
@@ -571,6 +554,49 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
   * pinned (time-traveled) table REFUSES every mutation — history is
   * immutable.
   */
+object GraftCatalog {
+  /** DSv2 Transform → the manifest's spec spelling. Identity plus the
+    * hidden-partitioning transforms ([[SpecField]]): days(col),
+    * bucket(n,col), truncate(w,col); anything else refuses naming the
+    * supported set.
+    */
+  private[sources] def transformSpelling(t: Transform): String = {
+    val refs = t.references()
+    def ref1: String = {
+      if (refs.length != 1 || refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"partition transform '${t.describe()}' must reference " +
+            "exactly one top-level column")
+      refs(0).fieldNames()(0)
+    }
+    def intArg: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value().toString.toInt
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"partition transform '${t.describe()}' needs an integer argument"))
+    t.name() match {
+      case "identity" => ref1
+      case "days" => s"days($ref1)"
+      case "bucket" => s"bucket($intArg,$ref1)"
+      case "truncate" => s"truncate($intArg,$ref1)"
+      case _ => throw new UnsupportedOperationException(
+        s"unsupported partition transform '${t.describe()}' — " +
+          "supported: identity, days(col), bucket(n,col), " +
+          "truncate(w,col)")
+    }
+  }
+
+  /** Spec spelling → DSv2 Transform (the partitioning() report). */
+  private[sources] def spellingTransform(s: String): Transform =
+    SpecField.parse(s) match {
+      case IdentityField(src) => Expressions.identity(src)
+      case DaysField(src) => Expressions.days(src)
+      case BucketField(n, src) => Expressions.bucket(n, src)
+      case TruncateField(w, src) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(src))
+    }
+}
+
 final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsPartitionManagement {
@@ -608,8 +634,8 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
       .load(view._1.map(l => s"$tableDir/$l"): _*).schema)
 
   override def partitioning(): Array[Transform] =
-    view._4.toSeq.flatMap(_.split(',').toSeq)
-      .map(c => Expressions.identity(c)).toArray
+    view._4.toSeq.flatMap(VersionedTable.specOf)
+      .map(GraftCatalog.spellingTransform).toArray
 
   override def properties(): util.Map[String, String] =
     Map("format" -> view._5, "location" -> tableDir,
@@ -921,7 +947,8 @@ final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
   override def schema(): StructType = ctasSchema
 
   override def partitioning(): Array[Transform] =
-    spec.split(',').map(c => Expressions.identity(c): Transform)
+    VersionedTable.specOf(spec)
+      .map(GraftCatalog.spellingTransform).toArray
 
   override def properties(): util.Map[String, String] =
     Map("format" -> fmt, "location" -> tableDir).asJava

@@ -181,7 +181,7 @@ final class GraftSnapshotSource extends RelationProvider
     val version = ci.get("versionasof").map(_.trim.toInt)
       .orElse(ci.get("timestampasof").map(versionAt(spark, tableDir, _)))
       .getOrElse(VersionedTable.latestVersion(spark, tableDir))
-    val (leaves, deletes, schemaOpt, _, fmt) =
+    val (leaves, deletes, schemaOpt, specOpt, fmt) =
       VersionedTable.manifestView(spark, tableDir, version)
     if (deletes.nonEmpty) new SnapshotScanRelation(spark, tableDir, version)
     else {
@@ -191,9 +191,10 @@ final class GraftSnapshotSource extends RelationProvider
       val colMap =
         if (schemaOpt.isEmpty) Map.empty[String, String]
         else VersionedTable.colMapAt(spark, tableDir, version)
+      val specCols = specOpt.map(VersionedTable.specOf).getOrElse(Nil)
       HadoopFsRelation(
-        location =
-          new ManifestFileIndex(spark, tableDir, leaves, schema, colMap),
+        location = new ManifestFileIndex(spark, tableDir, leaves, schema,
+          colMap, specCols),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
@@ -351,7 +352,8 @@ private[graft] final class ManifestOrcFormat(
   */
 final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     leaves: Seq[String], tableSchema: StructType,
-    colMap: Map[String, String] = Map.empty) extends FileIndex {
+    colMap: Map[String, String] = Map.empty,
+    specCols: Seq[String] = Nil) extends FileIndex {
 
   /** Sidecar stats and bloom indexes key on the FILE's column names —
     * the frozen physical names; queries arrive with logical ones.
@@ -653,8 +655,93 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
     * value would make `IS NULL` definite-FALSE at exactly the leaf
     * holding the nulls.
     */
+  /** Derived (transform) spec fields by directory-level name, paired
+    * with their SOURCE column's schema field — what hidden-partition
+    * pruning projects predicates through.
+    */
+  private val derivedByDir
+      : Map[String, (SpecField, org.apache.spark.sql.types.StructField)] =
+    specCols.map(SpecField.parse).filterNot(_.isIdentity)
+      .flatMap(f => tableSchema.fields.find(_.name == f.source)
+        .map(sf => f.dirName -> (f, sf)))
+      .toMap
+
+  /** Hidden-partitioning leaf pruning: can `f` (a predicate over the
+    * TRANSFORM's source column) be proven FALSE for every row of a leaf
+    * whose transform value is `leafVal`? The Iceberg inclusive-
+    * projection rule: for a MONOTONIC transform T, `src OP lit` admits
+    * the leaf iff `T(leafVal') OP-with-boundary T(lit)` — the boundary
+    * is always kept (a day directory can contain rows on either side of
+    * an intra-day cut). Non-monotonic transforms (bucket) project
+    * equality shapes only. Anything unrecognized keeps the leaf.
+    * IS NULL skips outright: the write path refuses null partition
+    * values, so every row's source is non-null.
+    */
+  private def derivedKeep(f: Expression, fld: SpecField,
+      dt: org.apache.spark.sql.types.DataType, leafVal: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or => COr}
+    def proj(v: Any, lt: org.apache.spark.sql.types.DataType)
+        : Option[String] =
+      if (v == null) None
+      else if (lt == dt) fld.projectLit(v, lt)
+      else None // literal typed differently than the source — keep
+    def cmpGe(v: Any, lt: org.apache.spark.sql.types.DataType): Boolean =
+      !fld.monotonic || proj(v, lt).flatMap(p =>
+        fld.compareValues(leafVal, p)).forall(_ >= 0)
+    def cmpLe(v: Any, lt: org.apache.spark.sql.types.DataType): Boolean =
+      !fld.monotonic || proj(v, lt).flatMap(p =>
+        fld.compareValues(leafVal, p)).forall(_ <= 0)
+    def eq(v: Any, lt: org.apache.spark.sql.types.DataType): Boolean =
+      proj(v, lt).forall(_ == leafVal)
+    f match {
+      case CAnd(l, r) =>
+        derivedKeep(l, fld, dt, leafVal) && derivedKeep(r, fld, dt, leafVal)
+      case COr(l, r) =>
+        derivedKeep(l, fld, dt, leafVal) || derivedKeep(r, fld, dt, leafVal)
+      case EqualTo(_: AttributeReference, Literal(v, lt)) => eq(v, lt)
+      case EqualTo(Literal(v, lt), _: AttributeReference) => eq(v, lt)
+      case EqualNullSafe(_: AttributeReference, Literal(v, lt)) =>
+        v != null && eq(v, lt)
+      case EqualNullSafe(Literal(v, lt), _: AttributeReference) =>
+        v != null && eq(v, lt)
+      case GreaterThan(_: AttributeReference, Literal(v, lt)) => cmpGe(v, lt)
+      case GreaterThanOrEqual(_: AttributeReference, Literal(v, lt)) =>
+        cmpGe(v, lt)
+      case LessThan(_: AttributeReference, Literal(v, lt)) => cmpLe(v, lt)
+      case LessThanOrEqual(_: AttributeReference, Literal(v, lt)) =>
+        cmpLe(v, lt)
+      case GreaterThan(Literal(v, lt), _: AttributeReference) => cmpLe(v, lt)
+      case GreaterThanOrEqual(Literal(v, lt), _: AttributeReference) =>
+        cmpLe(v, lt)
+      case LessThan(Literal(v, lt), _: AttributeReference) => cmpGe(v, lt)
+      case LessThanOrEqual(Literal(v, lt), _: AttributeReference) =>
+        cmpGe(v, lt)
+      case In(_: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, lt) => v != null && eq(v, lt) }
+      case IsNull(_: AttributeReference) => false // no null partition rows
+      case IsNotNull(_: AttributeReference) => true
+      case _ => true
+    }
+  }
+
+  private def keepLeafDerived(filters: Seq[Expression],
+      pairs: Seq[(String, String)]): Boolean =
+    derivedByDir.isEmpty || derivedByDir.forall {
+      case (dirName, (fld, sf)) =>
+        levelValueOf(pairs, dirName) match {
+          case None => true // foreign/sentinel level — never pruned
+          case Some(v) => filters.forall { f =>
+            val applicable = f.deterministic && f.references.nonEmpty &&
+              f.references.forall(_.name == fld.source)
+            !applicable || derivedKeep(f, fld, sf.dataType, v)
+          }
+        }
+    }
+
   private def keepLeaf(filters: Seq[Expression],
       pairs: Seq[(String, String)]): Boolean =
+    keepLeafDerived(filters, pairs) && (
     pairs.exists(_._2 == VersionedTable.NullPartSentinel) || {
       val valueLits: Map[String, Option[Literal]] = pairs.map {
         case (pcol, pval) =>
@@ -677,7 +764,7 @@ final class ManifestFileIndex(spark: SparkSession, tableDir: String,
           r == null || java.lang.Boolean.TRUE.equals(r)
         }
       }
-    }
+    })
 
   /** Can `f` be proven FALSE for every row of a file with these column
     * stats? Interval logic per comparison shape; anything unrecognized
@@ -1152,11 +1239,12 @@ object SnapshotConnector {
   private[sources] def relationFrame(spark: SparkSession, tableDir: String,
       leaves: Seq[String], schema: StructType,
       fmt: String = "parquet",
-      colMap: Map[String, String] = Map.empty): DataFrame =
+      colMap: Map[String, String] = Map.empty,
+      specCols: Seq[String] = Nil): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(HadoopFsRelation(
-        location =
-          new ManifestFileIndex(spark, tableDir, leaves, schema, colMap),
+        location = new ManifestFileIndex(spark, tableDir, leaves, schema,
+          colMap, specCols),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,

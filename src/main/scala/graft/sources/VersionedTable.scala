@@ -102,13 +102,52 @@ object VersionedTable {
     * single-column call site unchanged while multi-column specs ride
     * the same parameter — the manifest records the parsed list.
     */
+  /** Parse the public comma-joined spec string into field spellings —
+    * TOP-LEVEL commas only, so transform calls (`bucket(16,id)`) keep
+    * their argument commas. Each spelling must parse ([[SpecField]]);
+    * duplicate dir names or spellings refuse.
+    */
   private[sources] def specOf(partCol: String): Seq[String] = {
-    val cols = partCol.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val sb = new StringBuilder
+    partCol.foreach {
+      case '(' => depth += 1; sb.append('(')
+      case ')' => depth -= 1; sb.append(')')
+      case ',' if depth == 0 => out += sb.result(); sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.result()
+    val cols = out.toSeq.map(_.trim).filter(_.nonEmpty)
     require(cols.nonEmpty, s"empty partition spec: '$partCol'")
     require(cols.distinct == cols,
       s"partition spec repeats a column: '$partCol'")
+    val fields = cols.map(SpecField.parse)
+    require(fields.map(_.dirName).distinct.size == fields.size,
+      s"partition spec's directory names collide: '$partCol'")
     cols
   }
+
+  /** The spec's directory-level names (identity: the column name;
+    * transforms: the derived name, e.g. `ts_day`) — what leaf paths
+    * carry and what value-exact discovery compares against.
+    */
+  private[sources] def specDirNames(cols: Seq[String]): Seq[String] =
+    cols.map(SpecField.parse(_).dirName)
+
+  /** The underlying SOURCE data columns of the spec (identity: the
+    * column itself) — what schema-evolution guards protect.
+    */
+  private[sources] def specSourceCols(cols: Seq[String]): Seq[String] =
+    cols.map(SpecField.parse(_).source)
+
+  /** Project a frame onto the spec's partition-value tuple as strings —
+    * the shared shape of every kernel's affected-partition discovery
+    * (identity specs: the column itself; transforms: the derived
+    * value, matching the leaf directory rendering).
+    */
+  private def specTupleFrame(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.select(cols.map(c =>
+      SpecField.parse(c).valueIn(df).cast("string")): _*)
 
   /** Hive's directory spelling for a NULL partition value. The write
     * path refuses to create such a leaf ([[writeDataDir]]); readers
@@ -381,7 +420,12 @@ object VersionedTable {
     // absent keys (older manifests) parse as empty — back-compatible
     VManifest(parseArray(text, "leaves"), parseArray(text, "deletes"),
       parseArray(text, "dirty"), parseArray(text, "txns"),
-      parseArray(text, "schema"), parseArray(text, "partcol"),
+      parseArray(text, "schema"),
+      // partcol entries are URL-encoded on write (a transform spelling
+      // like bucket(4,id) carries JSON separators); decoding a plain
+      // column name is the identity, so legacy manifests read unchanged
+      parseArray(text, "partcol")
+        .map(java.net.URLDecoder.decode(_, "UTF-8")),
       parseArray(text, "constraints"), parseArray(text, "format"),
       parseArray(text, "op"))
   }
@@ -456,7 +500,10 @@ object VersionedTable {
       schema: Seq[String] = Nil, partcol: Seq[String] = Nil,
       constraints: Seq[String] = Nil, format: Seq[String] = Nil,
       op: Seq[String] = Nil): Unit = {
-    (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcol ++
+    // spec spellings may carry transform-call separators — encoded here,
+    // decoded at parse (identity for plain column names)
+    val partcolEnc = partcol.map(java.net.URLEncoder.encode(_, "UTF-8"))
+    (leaves ++ deletes ++ dirty ++ txns ++ schema ++ partcolEnc ++
       constraints ++ format ++ op).foreach(e =>
       require(!e.exists(c => c == '"' || c == ',' || c == ']'),
         s"manifest entry contains a JSON separator (partition value with " +
@@ -469,7 +516,7 @@ object VersionedTable {
     val json = s"""{"version":$version,"leaves":${arr(leaves)},""" +
       s""""deletes":${arr(deletes)},"dirty":${arr(dirty)},""" +
       s""""txns":${arr(txns)},"schema":${arr(schema)},""" +
-      s""""partcol":${arr(partcol)},"constraints":${arr(constraints)},""" +
+      s""""partcol":${arr(partcolEnc)},"constraints":${arr(constraints)},""" +
       s""""format":${arr(format)},"op":${arr(op)}}"""
     val out = f.create(staging, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -635,11 +682,14 @@ object VersionedTable {
     val phys = toPhysical(df, colMapOverride.getOrElse(
       colMapForWrite(spark, tableDir, version)))
     val rel = s"data/add-v$version-${nonce()}"
-    val pdirs = partCols.map(partDirCol)
-    // the spec columns stay in the data; their duplicates drive the
-    // (possibly nested) directory layout in spec order
-    partCols.zip(pdirs).foldLeft(phys) { case (d, (c, p)) =>
-      d.withColumn(p, col(c))
+    val fields = partCols.map(SpecField.parse)
+    val pdirs = fields.map(f => partDirCol(f.dirName))
+    // identity spec columns stay in the data and their duplicates drive
+    // the (possibly nested) directory layout in spec order; TRANSFORM
+    // fields derive the dir value from the source column (which itself
+    // stays in the data) — the hidden-partitioning contract
+    fields.zip(pdirs).foldLeft(phys) { case (d, (fld, p)) =>
+      d.withColumn(p, fld.valueIn(phys))
     }
       .repartition(pdirs.map(col): _*)
       .write.mode("overwrite").partitionBy(pdirs: _*)
@@ -669,7 +719,7 @@ object VersionedTable {
       rel: String, partCols: Seq[String],
       schema: StructType, fmt: String): Seq[String] = {
     val f = fs(spark, tableDir)
-    val pdirs = partCols.map(partDirCol)
+    val pdirs = partCols.map(c => partDirCol(SpecField.parse(c).dirName))
     def level(dirs: Seq[Path], pdir: String): Seq[Path] =
       dirs.flatMap(d => f.listStatus(d).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$pdir="))
@@ -825,7 +875,7 @@ object VersionedTable {
       "OPTIMIZE ... WHERE may reference only partition-spec columns (" +
         cols.mkString(", ") + "); non-partition columns: " +
         bad.toSeq.sorted.mkString(", "))
-    val sameSpec = m.leaves.filter(l => leafPartPairs(l).map(_._1) == cols)
+    val sameSpec = m.leaves.filter(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
     if (sameSpec.isEmpty) Set.empty
     else {
       val typeOf: Map[String, DataType] = m.schemaOpt
@@ -1122,7 +1172,7 @@ object VersionedTable {
     requireSpec(m, cols, "overwritePartitions")
     requireConstraints(df, m, "overwritePartitions")
     val affected: Set[Seq[String]] = df
-      .select(cols.map(c => col(c).cast("string")): _*)
+      .transform(specTupleFrame(cols))
       .distinct().collect()
       .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     if (affected.isEmpty) {
@@ -1131,18 +1181,18 @@ object VersionedTable {
         m.txns, m.schema, m.partcol, m.constraints, m.format)
       return
     }
-    val inAffected: Column = affected.toSeq.map(t =>
+    def inAffected(frame: DataFrame): Column = affected.toSeq.map(t =>
       cols.zip(t).map { case (c, value) =>
-        col(c).cast("string") === lit(value)
+        SpecField.parse(c).valueIn(frame).cast("string") === lit(value)
       }.reduce(_ && _)).reduce(_ || _)
     val (sameSpec, foreign) =
-      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
     // replaced same-spec leaves simply drop out of the manifest — df's
     // rows are their replacement
     val keptSame = sameSpec
       .filterNot(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign = leavesContaining(spark, tableDir, m, foreign,
-      _.filter(inAffected))
+      f => f.filter(inAffected(f)))
     val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
     // foreign-leaf rows OUTSIDE the replaced tuples survive and migrate
     // to the current spec; replaced-tuple rows are dropped in favor of df
@@ -1150,8 +1200,10 @@ object VersionedTable {
       if (hitForeign.isEmpty) df
       else {
         val carried = readView(spark, tableDir, m,
-          onlyLeaves = Some(hitForeign)).filter(!inAffected)
-        df.unionByName(carried.select(df.columns.toIndexedSeq.map(col): _*))
+          onlyLeaves = Some(hitForeign))
+        val carriedKept = carried.filter(!inAffected(carried))
+        df.unionByName(
+          carriedKept.select(df.columns.toIndexedSeq.map(col): _*))
       }
     val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
@@ -1344,7 +1396,7 @@ object VersionedTable {
     // order): metadata-sized driver list (the reference core's
     // identifyAffectedPartitions shape)
     val affected: Set[Seq[String]] = hits(current)
-      .select(cols.map(c => col(c).cast("string")): _*)
+      .transform(specTupleFrame(cols))
       .distinct().collect()
       .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     if (affected.isEmpty) {
@@ -1359,7 +1411,7 @@ object VersionedTable {
     // (every delete incrementally migrates old-spec data — the Iceberg
     // spec-evolution cost model)
     val (sameSpec, foreign) =
-      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
     val (hitSame, keptSame) =
       sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign = leavesContaining(spark, tableDir, m, foreign, hits)
@@ -1501,7 +1553,7 @@ object VersionedTable {
           s"${current.columns.mkString("(", ", ", ")")}"))
       val (probe, probeCond) = prepare(current)
       val affected: Set[Seq[String]] = probe.filter(probeCond)
-        .select(cols.map(c => col(c).cast("string")): _*)
+        .transform(specTupleFrame(cols))
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
       if (affected.isEmpty) {
@@ -1510,7 +1562,7 @@ object VersionedTable {
         return
       }
       val (sameSpec, foreign) =
-        m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+        m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
       val (hitSame, keptSame) =
         sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
       val hitForeign = leavesContaining(spark, tableDir, m, foreign,
@@ -1569,7 +1621,7 @@ object VersionedTable {
         s"UPDATE target column '$n' is not in the table schema " +
           s"${current.columns.mkString("(", ", ", ")")}"))
       val affected: Set[Seq[String]] = hitFn(current)
-        .select(cols.map(c => col(c).cast("string")): _*)
+        .transform(specTupleFrame(cols))
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
       if (affected.isEmpty) {
@@ -1578,7 +1630,7 @@ object VersionedTable {
         return
       }
       val (sameSpec, foreign) =
-        m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+        m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
       val (hitSame, keptSame) =
         sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
       val hitForeign = leavesContaining(spark, tableDir, m, foreign, hitFn)
@@ -1676,12 +1728,13 @@ object VersionedTable {
   private def readLeaves(spark: SparkSession, tableDir: String,
       leaves: Seq[String], schema: Option[StructType] = None,
       fmt: String = "parquet",
-      colMap: Map[String, String] = Map.empty): DataFrame = {
+      colMap: Map[String, String] = Map.empty,
+      specCols: Seq[String] = Nil): DataFrame = {
     require(leaves.nonEmpty, "cannot read an empty leaf set")
     schema match {
       case Some(s) =>
         SnapshotConnector.relationFrame(spark, tableDir, leaves, s, fmt,
-          colMap)
+          colMap, specCols)
       case None =>
         spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*)
     }
@@ -1724,7 +1777,8 @@ object VersionedTable {
     val sch = m.schemaOpt
     def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
     if (m.deletes.isEmpty) {
-      val plain = readLeaves(spark, tableDir, leaves, sch, m.fmt, m.colMap)
+      val plain = readLeaves(spark, tableDir, leaves, sch, m.fmt, m.colMap,
+        m.specCols)
       return if (keepPositions) withPositions(plain, tableDir) else plain
     }
     val (dirty, clean) = leaves.partition(m.dirtySet.contains)
@@ -1734,11 +1788,13 @@ object VersionedTable {
       .select(col("file").as(PosFile), col("pos").as(PosIdx))
     val dirtyView = if (dirty.isEmpty) None
       else Some(finish(withPositions(
-        readLeaves(spark, tableDir, dirty, sch, m.fmt, m.colMap), tableDir)
+        readLeaves(spark, tableDir, dirty, sch, m.fmt, m.colMap,
+          m.specCols), tableDir)
         .join(del, Seq(PosFile, PosIdx), "left_anti")))
     val cleanView = if (clean.isEmpty) None
       else {
-        val c = readLeaves(spark, tableDir, clean, sch, m.fmt, m.colMap)
+        val c = readLeaves(spark, tableDir, clean, sch, m.fmt, m.colMap,
+          m.specCols)
         Some(if (keepPositions) withPositions(c, tableDir) else c)
       }
     (cleanView, dirtyView) match {
@@ -1930,14 +1986,14 @@ object VersionedTable {
     val batchKeys = batch.select(keyCols.map(col): _*).distinct()
     val affected: Set[Seq[String]] = (
       current.join(batchKeys, keyCols)
-        .select(cols.map(c => col(c).cast("string")): _*) unionByName
-      batch.select(cols.map(c => col(c).cast("string")): _*)
+        .transform(specTupleFrame(cols)) unionByName
+      batch.transform(specTupleFrame(cols))
     ).distinct().collect()
       .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     // spec-aware: foreign-spec leaves holding a batch key are rewritten
     // (delete's migration rule, key-selected instead of predicate-selected)
     val (sameSpec, foreignM) =
-      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
     val (hitSame, keptSame) =
       sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign = leavesContaining(spark, tableDir, m, foreignM,
@@ -2092,7 +2148,7 @@ object VersionedTable {
             current.alias("__t").join(batch.alias("__s"), onCond,
               "left_semi")
         }
-        probe.select(cols.map(c => col(c).cast("string")): _*)
+        probe.transform(specTupleFrame(cols))
           .distinct().collect()
           .map(r => cols.indices.map(r.getString): Seq[String]).toSet
       }
@@ -2105,13 +2161,13 @@ object VersionedTable {
         case Some(_) => current.alias("__t").join(batch.alias("__s"),
           onCond, "left_anti")
       }).filter(cond)
-        .select(cols.map(c => col(c).cast("string")): _*)
+        .transform(specTupleFrame(cols))
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSet
     }.getOrElse(Set.empty)
     val affected = affectedMatched ++ affectedBySource
     val (sameSpec, foreignM) =
-      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
     val (hitSame, keptSame) =
       sameSpec.partition(l => affected.contains(leafPartPairs(l).map(_._2)))
     val hitForeign =
@@ -2648,7 +2704,7 @@ object VersionedTable {
         s"cannot alter missing column '$colName' — table columns are " +
           table.map(_._1).mkString(", ")))
     val curDt = DataType.fromDDL(cur._2)
-    if (m.specCols.contains(colName))
+    if (specSourceCols(m.specCols).contains(colName))
       throw new UnsupportedOperationException(
         s"cannot alter the type of partition column '$colName' — the " +
           "table's layout is keyed on it; evolve the spec first " +
@@ -2724,7 +2780,7 @@ object VersionedTable {
       s"cannot rename column '$oldName': its name contains a column-" +
         "mapping separator (/ = , . `); rewrite through compact() with " +
         "a clean schema instead")
-    if (m.specCols.contains(oldName))
+    if (specSourceCols(m.specCols).contains(oldName))
       throw new UnsupportedOperationException(
         s"cannot rename partition column '$oldName' — the table's " +
           "layout is keyed on it; evolve the spec first " +
@@ -2786,7 +2842,7 @@ object VersionedTable {
           s"table columns are ${table.map(_._1).mkString(", ")}")
       val dropping = cols.filter(names.contains).toSet
       if (dropping.nonEmpty) {
-        m.specCols.filter(dropping.contains).foreach(c => throw
+        specSourceCols(m.specCols).filter(dropping.contains).foreach(c => throw
           new UnsupportedOperationException(
             s"cannot drop partition column '$c' — the table's layout " +
               "is keyed on it; evolve the spec first " +
@@ -2867,7 +2923,7 @@ object VersionedTable {
     require(table.exists(_._1 == path.head),
       s"$op: no column '${path.head}' — table columns are " +
         table.map(_._1).mkString(", "))
-    if (m.specCols.contains(path.head))
+    if (specSourceCols(m.specCols).contains(path.head))
       throw new UnsupportedOperationException(
         s"$op: '${path.head}' is a partition column — the table's " +
           "layout is keyed on its rendered value")
@@ -3123,12 +3179,12 @@ object VersionedTable {
     require(cols.nonEmpty,
       s"table $tableDir has no recorded partition spec (legacy manifest)")
     val (sameSpec, foreign) =
-      m.leaves.partition(l => leafPartPairs(l).map(_._1) == cols)
+      m.leaves.partition(l => leafPartPairs(l).map(_._1) == specDirNames(cols))
     val metaTuples = sameSpec.map(l => leafPartPairs(l).map(_._2))
     val scanned: Seq[Seq[String]] =
       if (foreign.isEmpty) Nil
       else readView(spark, tableDir, m, onlyLeaves = Some(foreign))
-        .select(cols.map(c => col(c).cast("string")): _*)
+        .transform(specTupleFrame(cols))
         .distinct().collect()
         .map(r => cols.indices.map(r.getString): Seq[String]).toSeq
     (metaTuples ++ scanned).distinct.sortBy(_.mkString("\u0000"))
@@ -3312,7 +3368,7 @@ object VersionedTable {
           .filter(st => st.isFile && FileStats.isDataFile(st.getPath.getName))
           .map(_.getLen).sum
       val fold = m.leaves
-        .filter(l => leafPartPairs(l).map(_._1) == cols &&
+        .filter(l => leafPartPairs(l).map(_._1) == specDirNames(cols) &&
           slice.forall(_.contains(l)) &&
           leafBytes(l) < minLeafBytes)
         .groupBy(l => leafPartPairs(l).map(_._2))
@@ -3434,7 +3490,8 @@ object VersionedTable {
         zcols.indices.map(i => bound(2 * i)),
         zcols.indices.map(i => bound(2 * i + 1)), bits)
       val rel = s"data/add-v$v-${nonce()}"
-      val pdirs = cols.map(partDirCol)
+      val zfields = cols.map(SpecField.parse)
+      val pdirs = zfields.map(f => partDirCol(f.dirName))
       // RANGE repartition on (spec levels…, z): each task holds a
       // contiguous z slice of (mostly) one value tuple, so every output
       // FILE covers a tight range on ALL z-columns — with the
@@ -3444,8 +3501,8 @@ object VersionedTable {
       // bytes / target file size).
       val sizeKey =
         if (m.fmt == "orc") "orc.stripe.size" else "parquet.block.size"
-      val clustered = cols.zip(pdirs).foldLeft(folded) { case (d, (c, p)) =>
-          d.withColumn(p, col(c))
+      val clustered = zfields.zip(pdirs).foldLeft(folded) {
+          case (d, (fld, p)) => d.withColumn(p, fld.valueIn(folded))
         }
         .withColumn("__vt_z", z)
         .repartitionByRange(numSlices,
@@ -4910,6 +4967,88 @@ object VersionedTable {
       |         CAST(sum(c_score) AS BIGINT), CAST(2 AS BIGINT) FROM v17)
       |SELECT version, n_rows, sum_micros, n_cols, sum_flag, sum_score,
       |       n_std, sum_cscore, ctx_fields
+      |FROM u ORDER BY version""".stripMargin
+
+  /** Oracle-gated HIDDEN-PARTITIONING entry: a `days(ts)`-partitioned
+    * table (Iceberg hidden partitioning over the manifest layout)
+    * through create → append → COW delete → COW update, every predicate
+    * a PLAIN `ts`/`event_type` condition — no partition column is ever
+    * named. The census reads each version back plus a head range probe
+    * whose day-directory pruning is spec-pinned
+    * ([[graft.sources.HiddenPartitionSpec]]); the oracle recomputes all
+    * of it from the raw events, so the derived layout can never change
+    * results, only file selection.
+    */
+  def snapshotHiddenPartition(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import graft.pipeline.Stores
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val dir = Stores.temp("graft_vt_hidden")
+    create(ev.filter(col("event_id") % 2 === 0), dir, "days(ts)")
+    val t = s"graft.`$dir`"
+    ev.filter(col("event_id") % 2 === 1)
+      .createOrReplaceTempView("graft_hidden_ins")
+    spark.sql(s"INSERT INTO $t SELECT * FROM graft_hidden_ins") // v1
+    spark.sql(s"DELETE FROM $t " +
+      "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-01-20 00:00:00' " +
+      "AND event_type = 'click'") // v2: affected day tuples rewrite
+    spark.sql(s"UPDATE $t SET micros = micros + user_id " +
+      "WHERE ts >= TIMESTAMP'2024-01-25 00:00:00' " +
+      "AND event_type = 'view'") // v3
+    val census = (0 to 3).map { v =>
+      spark.sql(s"SELECT * FROM $t VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("micros")).cast("long").as("sum_micros"),
+          countDistinct(col("ts").cast("date")).cast("long").as("n_days"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_micros"),
+          col("n_days"))
+    }.reduce(_ unionByName _)
+    // head probe over a 3-day window — the query whose leaf pruning the
+    // spec pins; here its RESULT is what the oracle checks
+    val probe = spark.sql(s"SELECT * FROM $t " +
+      "WHERE ts >= TIMESTAMP'2024-01-05 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-01-08 00:00:00'")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("micros")).cast("long").as("sum_micros"),
+        countDistinct(col("ts").cast("date")).cast("long").as("n_days"))
+      .select(lit(99).as("version"), col("n_rows"), col("sum_micros"),
+        col("n_days"))
+    census.unionByName(probe).orderBy("version")
+  }
+
+  def snapshotHiddenPartitionSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, ts, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |v2 AS (SELECT * FROM e
+      |       WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |                  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |                  AND event_type = 'click')),
+      |v3 AS (SELECT event_id, ts, user_id, event_type,
+      |              CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+      |                        AND event_type = 'view'
+      |                   THEN micros + user_id ELSE micros END AS micros
+      |       FROM v2),
+      |u AS (
+      |  SELECT 0 AS version, count(*) AS n_rows,
+      |         CAST(sum(micros) AS BIGINT) AS sum_micros,
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      |  FROM e WHERE event_id % 2 = 0
+      |  UNION ALL SELECT 1, count(*), CAST(sum(micros) AS BIGINT),
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM e
+      |  UNION ALL SELECT 2, count(*), CAST(sum(micros) AS BIGINT),
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM v2
+      |  UNION ALL SELECT 3, count(*), CAST(sum(micros) AS BIGINT),
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM v3
+      |  UNION ALL SELECT 99, count(*), CAST(sum(micros) AS BIGINT),
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM v3
+      |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-08 00:00:00')
+      |SELECT version, n_rows, sum_micros, n_days
       |FROM u ORDER BY version""".stripMargin
 
   /** Oracle-gated CHANGE FEED entry: one versioned table through four
