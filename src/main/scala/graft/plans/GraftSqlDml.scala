@@ -56,7 +56,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       val sub = extractInSubqueries(cond, "DELETE")
       if (sub.hasJoinForm)
         GraftDeleteMatchingCommand(t.tableDir, t.specString, sub.keys,
-          sub.antiKeys, sub.notInKeys, sub.probes, sub.residual)
+          sub.antiKeys, sub.notInKeys, sub.probes, sub.residual,
+          sub.scalars)
       else if (sub.probes.nonEmpty)
         GraftDeleteCommand(t.tableDir, t.specString,
           sub.residual.getOrElse(Literal.TrueLiteral), sub.probes)
@@ -117,7 +118,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         requireSupportedSubqueries(v, "UPDATE") }
       if (sub.hasJoinForm)
         GraftUpdateMatchingCommand(t.tableDir, t.specString, assigns,
-          sub.keys, sub.antiKeys, sub.notInKeys, sub.probes, sub.residual)
+          sub.keys, sub.antiKeys, sub.notInKeys, sub.probes, sub.residual,
+          sub.scalars)
       else if (sub.probes.nonEmpty)
         GraftUpdateCommand(t.tableDir, t.specString, assigns,
           sub.residual.getOrElse(Literal.TrueLiteral), sub.probes)
@@ -292,10 +294,115 @@ private[plans] object GraftDml {
         probes += e.plan -> true
       case other => rest += other
     }
-    val residual = rest.result()
-    residual.foreach(requireSupportedSubqueries(_, op))
+    // EQUALITY-CORRELATED SCALAR subqueries inside residual conjuncts
+    // (`ts < (SELECT max(ts) FROM s WHERE s.k = t.k)`): each becomes a
+    // GROUPED aggregate frame keyed on the correlation columns, LEFT-
+    // joined by the kernels, and the subquery node is replaced by a
+    // reference to the frame's value column. Aggregates that are NULL
+    // over an empty group (max/min/sum/avg/first/last) read the join's
+    // null-fill; COUNT coalesces to 0 (the SQL empty-group count) —
+    // anything else refuses by name rather than approximate.
+    val scalars =
+      Seq.newBuilder[(Seq[String], LogicalPlan, String)]
+    var scalarIdx = 0
+    val rewritten = rest.result().map(_.transform {
+      case s: ScalarSubquery if s.outerAttrs.nonEmpty =>
+        val gen = s"__vt_scalar_$scalarIdx"
+        scalarIdx += 1
+        val (outerKeys, grouped, zeroDefault) =
+          corrScalarPlan(s, gen, op)
+        scalars += ((outerKeys, grouped, gen))
+        // a RESOLVED attribute (fresh exprId): commands are leaves, so
+        // CheckAnalysis only demands resolvedness; `rebound` re-resolves
+        // it BY NAME against the kernel's scalar-joined frame (an
+        // UnresolvedAttribute here would fail the post-rule analysis)
+        val ref = org.apache.spark.sql.catalyst.expressions
+          .AttributeReference(gen, s.dataType)()
+        if (zeroDefault)
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            ref, Literal.create(0L, s.dataType)))
+        else ref
+    })
+    rewritten.foreach(requireSupportedSubqueries(_, op))
     DmlSubqueries(keys.result(), anti.result(), notIn.result(),
-      probes.result(), residual.reduceOption(And))
+      probes.result(), rewritten.reduceOption(And), scalars.result())
+  }
+
+  /** Decompose an equality-correlated scalar subquery into (outer key
+    * names, grouped aggregate plan, count-default flag). The plan shape
+    * must be `Aggregate(no grouping, one aggregate, Filter(...))` —
+    * i.e. `(SELECT agg(x) FROM s WHERE s.k = t.k [AND uncorrelated])` —
+    * with the aggregate one of max/min/sum/avg/first/last (empty group
+    * ⇒ NULL, the left join's natural fill) or count (empty group ⇒ 0,
+    * coalesced by the caller). The rewritten plan groups by the inner
+    * key columns and aliases them to the OUTER names, so the kernels
+    * join it like any membership frame.
+    */
+  private def corrScalarPlan(s: ScalarSubquery, gen: String, op: String)
+      : (Seq[String], LogicalPlan, Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, Sum}
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$op supports correlated SCALAR subqueries only as " +
+          "`(SELECT agg(x) FROM s WHERE s.k = t.k [AND uncorrelated …])` " +
+          "with agg in max/min/sum/avg/first/last/count — " +
+          s"$what; materialize the subquery into a joinable frame and " +
+          "use the library API")
+    def hasOuter(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[OuterReference])))
+    val (aggAlias, flt) = s.plan match {
+      case Aggregate(Nil, Seq(a: Alias), f: Filter, _) => (a, f)
+      case Aggregate(Nil, Seq(a: Alias), Project(_, f: Filter), _) =>
+        (a, f)
+      case other =>
+        refuse(s"the subquery is not a single ungrouped aggregate over " +
+          s"a WHERE (${other.nodeName})")
+    }
+    if (aggAlias.exists(_.isInstanceOf[OuterReference]))
+      refuse("the aggregate expression itself references the outer query")
+    val zeroDefault = aggAlias.child match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case _: Count => true
+        case _: Max | _: Min | _: Sum | _: Average | _: First | _: Last =>
+          false
+        case other =>
+          refuse(s"aggregate '${other.prettyName}' has no defined " +
+            "empty-group default here")
+      }
+      case c: Cast => c.child match {
+        case ae: AggregateExpression
+            if !ae.aggregateFunction.isInstanceOf[Count] => false
+        case _ => refuse("the output is not a single plain aggregate")
+      }
+      case _ => refuse("the output is not a single plain aggregate")
+    }
+    val (corr, inner) = splitConjuncts(flt.condition)
+      .partition(_.exists(_.isInstanceOf[OuterReference]))
+    val pairs = corr.map {
+      case EqualTo(OuterReference(o: AttributeReference),
+          i: AttributeReference) => o.name -> i
+      case EqualTo(i: AttributeReference,
+          OuterReference(o: AttributeReference)) => o.name -> i
+      case other => refuse(
+        s"the correlated conjunct '${other.sql}' is not a plain " +
+          "column equality")
+    }
+    if (pairs.isEmpty) refuse("no equality correlation found")
+    if (pairs.map(_._1).distinct.size != pairs.size)
+      refuse("the same outer column correlates twice " +
+        s"(${pairs.map(_._1).mkString(", ")})")
+    val child = inner.reduceOption(And)
+      .map(Filter(_, flt.child)).getOrElse(flt.child)
+    if (hasOuter(child))
+      refuse("the subquery still references the outer query below its " +
+        "top WHERE")
+    val groupKeys = pairs.map(_._2)
+    val aggExprs: Seq[NamedExpression] =
+      pairs.map { case (o, i) => Alias(i, o)() } :+
+        Alias(aggAlias.child, gen)()
+    (pairs.map(_._1), Aggregate(groupKeys, aggExprs, child), zeroDefault)
   }
 
   /** [[extractInSubqueries]]'s decomposition of a DML WHERE: semi keys,
@@ -306,9 +413,11 @@ private[plans] object GraftDml {
       antiKeys: Seq[(Seq[String], LogicalPlan)],
       notInKeys: Seq[(Seq[String], LogicalPlan)],
       probes: Seq[(LogicalPlan, Boolean)],
-      residual: Option[Expression]) {
+      residual: Option[Expression],
+      scalars: Seq[(Seq[String], LogicalPlan, String)] = Nil) {
     def hasJoinForm: Boolean =
-      keys.nonEmpty || antiKeys.nonEmpty || notInKeys.nonEmpty
+      keys.nonEmpty || antiKeys.nonEmpty || notInKeys.nonEmpty ||
+        scalars.nonEmpty
   }
 
   /** Resolve the run-time half of NOT IN's three-valued logic against
@@ -624,7 +733,8 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
     antiKeys: Seq[(Seq[String], LogicalPlan)],
     notInKeys: Seq[(Seq[String], LogicalPlan)],
     probes: Seq[(LogicalPlan, Boolean)],
-    residual: Option[Expression])
+    residual: Option[Expression],
+    scalars: Seq[(Seq[String], LogicalPlan, String)] = Nil)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
@@ -638,6 +748,13 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
     val frames = materialize(keys)
     val antiFrames = materialize(antiKeys)
     val notInFrames = materialize(notInKeys)
+    // correlated-scalar frames: grouped aggregates keyed on the outer
+    // columns, one value column each — persisted for the same
+    // probe/discover/rewrite reuse as the membership frames
+    val scalarFrames = scalars.map { case (ks, plan, gen) =>
+      (ks, GraftSqlBridge.ofRows(spark, plan)
+        .toDF((ks :+ gen): _*).persist(), gen)
+    }
     try {
       val (notInAnti, notNull, poisoned, nullAware) =
         GraftDml.resolveNotIn(notInFrames)
@@ -655,14 +772,16 @@ case class GraftDeleteMatchingCommand(tableDir: String, spec: String,
       val allAnti = antiFrames ++ notInAnti
       // every join conjunct resolved away (empty NOT IN sets): the
       // statement is the plain-predicate delete
-      if (frames.isEmpty && allAnti.isEmpty && nullAware.isEmpty)
+      if (frames.isEmpty && allAnti.isEmpty && nullAware.isEmpty &&
+          scalarFrames.isEmpty)
         VersionedTable.delete(spark, tableDir, spec,
           res.getOrElse(lit(true)))
       else
         VersionedTable.deleteMatching(spark, tableDir, spec, frames, res,
-          allAnti, nullAware)
-    } finally (frames ++ antiFrames ++ notInFrames)
-      .foreach(_._2.unpersist(blocking = false))
+          allAnti, nullAware, scalarFrames)
+    } finally ((frames ++ antiFrames ++ notInFrames).map(_._2) ++
+      scalarFrames.map(_._2))
+      .foreach(_.unpersist(blocking = false))
     Seq.empty
   }
 }
@@ -677,7 +796,8 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     antiKeys: Seq[(Seq[String], LogicalPlan)],
     notInKeys: Seq[(Seq[String], LogicalPlan)],
     probes: Seq[(LogicalPlan, Boolean)],
-    residual: Option[Expression])
+    residual: Option[Expression],
+    scalars: Seq[(Seq[String], LogicalPlan, String)] = Nil)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.lit
@@ -690,6 +810,10 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
     val frames = materialize(keys)
     val antiFrames = materialize(antiKeys)
     val notInFrames = materialize(notInKeys)
+    val scalarFrames = scalars.map { case (ks, plan, gen) =>
+      (ks, GraftSqlBridge.ofRows(spark, plan)
+        .toDF((ks :+ gen): _*).persist(), gen)
+    }
     try {
       val (notInAnti, notNull, poisoned, nullAware) =
         GraftDml.resolveNotIn(notInFrames)
@@ -708,14 +832,16 @@ case class GraftUpdateMatchingCommand(tableDir: String, spec: String,
         n -> GraftDml.rebound(GraftDml.resolveScalars(spark, e))
       }
       val allAnti = antiFrames ++ notInAnti
-      if (frames.isEmpty && allAnti.isEmpty && nullAware.isEmpty)
+      if (frames.isEmpty && allAnti.isEmpty && nullAware.isEmpty &&
+          scalarFrames.isEmpty)
         VersionedTable.update(spark, tableDir, spec,
           res.getOrElse(lit(true)), boundAssigns)
       else
         VersionedTable.updateMatching(spark, tableDir, spec, frames, res,
-          boundAssigns, allAnti, nullAware)
-    } finally (frames ++ antiFrames ++ notInFrames)
-      .foreach(_._2.unpersist(blocking = false))
+          boundAssigns, allAnti, nullAware, scalarFrames)
+    } finally ((frames ++ antiFrames ++ notInFrames).map(_._2) ++
+      scalarFrames.map(_._2))
+      .foreach(_.unpersist(blocking = false))
     Seq.empty
   }
 }

@@ -1302,10 +1302,13 @@ object VersionedTable {
       partCol: String, keys: Seq[(Seq[String], DataFrame)],
       residual: Option[Column],
       antiKeys: Seq[(Seq[String], DataFrame)] = Nil,
-      notInTuples: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
-    require(keys.nonEmpty || antiKeys.nonEmpty || notInTuples.nonEmpty,
+      notInTuples: Seq[(Seq[String], DataFrame)] = Nil,
+      scalarJoins: Seq[(Seq[String], DataFrame, String)] = Nil): Unit = {
+    require(keys.nonEmpty || antiKeys.nonEmpty || notInTuples.nonEmpty ||
+        scalarJoins.nonEmpty,
       "deleteMatching needs at least one key frame")
-    require((keys ++ antiKeys ++ notInTuples).forall(_._1.nonEmpty),
+    require((keys ++ antiKeys ++ notInTuples).forall(_._1.nonEmpty) &&
+        scalarJoins.forall(_._1.nonEmpty),
       "a key frame needs key columns")
     val res = residual.getOrElse(lit(true))
     // antiKeys are NON-membership: a row hits only when its tuple
@@ -1314,7 +1317,14 @@ object VersionedTable {
     // NULL key, so a NULL-keyed row has no match and DOES hit — exactly
     // NOT EXISTS semantics, distinct from NOT IN's any-NULL poison)
     def hits(df: DataFrame): DataFrame = {
-      val semi = keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
+      // correlated-scalar value columns join in FIRST (one grouped row
+      // per key, LEFT so missing keys read the aggregate's empty-group
+      // value — NULL, or the 0 a count's residual coalesces), because
+      // the residual references them; the final project drops them so
+      // the hit frame keeps the table's own schema (exceptAll and the
+      // rewrite both rely on that)
+      val withS = applyScalarJoins(df, scalarJoins)
+      val semi = keys.foldLeft(withS.filter(res)) { case (acc, (ks, kdf)) =>
         acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_semi")
       }
       val anti = antiKeys.foldLeft(semi) { case (acc, (ks, kdf)) =>
@@ -1322,7 +1332,7 @@ object VersionedTable {
       }
       notInTuples.foldLeft(anti) { case (acc, (ks, kdf)) =>
         acc.join(notInRight(ks, kdf), notInMatch(ks), "left_anti")
-      }
+      }.select(df.columns.toIndexedSeq.map(col): _*)
     }
     // survivor iff NOT (residual definitely true AND every key matched
     // AND no anti key matched): one left-join marker per frame, a
@@ -1334,7 +1344,7 @@ object VersionedTable {
       if (notInTuples.nonEmpty) df.exceptAll(hits(df))
       else {
         val out = df.columns.toIndexedSeq
-        var acc = df
+        var acc = applyScalarJoins(df, scalarJoins)
         val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
           .zipWithIndex.map { case (((ks, kdf), anti), i) =>
             val mCol = s"__vt_in_hit_$i"
@@ -1345,12 +1355,23 @@ object VersionedTable {
           }
         val matchedAll = markers.map { case (m, anti) =>
           if (anti) col(m).isNull else col(m).isNotNull
-        }.reduce(_ && _)
+        }.reduceOption(_ && _).getOrElse(lit(true))
         acc.filter(!(coalesce(res, lit(false)) && matchedAll))
           .select(out.map(col): _*) // using-joins reorder; restore schema order
       }
     deleteCore(spark, tableDir, partCol, hits, keep)
   }
+
+  /** LEFT-join each correlated-scalar grouped frame on its outer key
+    * columns — one value column per scalar, referenced by the rewritten
+    * residual; a key with no subquery rows reads NULL (the SQL scalar-
+    * subquery empty result).
+    */
+  private def applyScalarJoins(df: DataFrame,
+      scalarJoins: Seq[(Seq[String], DataFrame, String)]): DataFrame =
+    scalarJoins.foldLeft(df) { case (acc, (ks, f, _)) =>
+      acc.join(f, ks, "left")
+    }
 
   /** Tuple `NOT IN (subquery)` as a NULL-AWARE anti join (the SQL-spec
     * 3VL, no approximation): a row passes the conjunct iff EVERY set
@@ -1483,10 +1504,13 @@ object VersionedTable {
       residual: Option[Column],
       assignments: Seq[(String, Column)],
       antiKeys: Seq[(Seq[String], DataFrame)] = Nil,
-      notInTuples: Seq[(Seq[String], DataFrame)] = Nil): Unit = {
-    require(keys.nonEmpty || antiKeys.nonEmpty || notInTuples.nonEmpty,
+      notInTuples: Seq[(Seq[String], DataFrame)] = Nil,
+      scalarJoins: Seq[(Seq[String], DataFrame, String)] = Nil): Unit = {
+    require(keys.nonEmpty || antiKeys.nonEmpty || notInTuples.nonEmpty ||
+        scalarJoins.nonEmpty,
       "updateMatching needs at least one key frame")
-    require((keys ++ antiKeys ++ notInTuples).forall(_._1.nonEmpty),
+    require((keys ++ antiKeys ++ notInTuples).forall(_._1.nonEmpty) &&
+        scalarJoins.forall(_._1.nonEmpty),
       "a key frame needs key columns")
     if (notInTuples.nonEmpty) {
       // tuple NOT IN has no per-row marker form (a row can null-aware-
@@ -1495,21 +1519,26 @@ object VersionedTable {
       // complement carries verbatim
       def hitFn(df: DataFrame): DataFrame = {
         val res = residual.getOrElse(lit(true))
-        val semi = keys.foldLeft(df.filter(res)) { case (acc, (ks, kdf)) =>
-          acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_semi")
+        val withS = applyScalarJoins(df, scalarJoins)
+        val semi = keys.foldLeft(withS.filter(res)) {
+          case (acc, (ks, kdf)) =>
+            acc.join(kdf.select(ks.map(col): _*).distinct(), ks,
+              "left_semi")
         }
         val anti = antiKeys.foldLeft(semi) { case (acc, (ks, kdf)) =>
           acc.join(kdf.select(ks.map(col): _*).distinct(), ks, "left_anti")
         }
         notInTuples.foldLeft(anti) { case (acc, (ks, kdf)) =>
           acc.join(notInRight(ks, kdf), notInMatch(ks), "left_anti")
-        }
+        }.select(df.columns.toIndexedSeq.map(col): _*)
       }
       return updateCoreSplit(spark, tableDir, partCol, hitFn, assignments)
     }
     val res = residual.getOrElse(lit(true))
     def prepare(df: DataFrame): (DataFrame, Column) = {
-      var acc = df
+      // scalar value columns first (the condition references them); the
+      // kernel's final projection back to the table's columns drops them
+      var acc = applyScalarJoins(df, scalarJoins)
       // anti markers invert ([[deleteMatching]]'s NOT EXISTS rule): the
       // row matches only when the anti frame holds NO equal tuple
       val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
@@ -1522,7 +1551,7 @@ object VersionedTable {
         }
       val matchedAll = markers.map { case (m, anti) =>
         if (anti) col(m).isNull else col(m).isNotNull
-      }.reduce(_ && _)
+      }.reduceOption(_ && _).getOrElse(lit(true))
       (acc, res && matchedAll)
     }
     updateCore(spark, tableDir, partCol, prepare, assignments)
@@ -4642,7 +4671,21 @@ object VersionedTable {
       WHERE (user_id, event_type) NOT IN (
         SELECT CAST(5 AS BIGINT) AS user_id, 'probe' AS event_type)
       AND event_type = 'probe'""")
-    (0 to 9).map { v =>
+    // v10: EQUALITY-CORRELATED SCALAR delete — per-user avg(view
+    // micros) as a grouped-aggregate left join; users with no view
+    // rows (and the NULL-user probe rows) read NULL → UNKNOWN → survive
+    ev.filter(col("event_type") === "view").select("user_id", "micros")
+      .createOrReplaceTempView("graft_sqlsub_scal")
+    spark.sql(s"""DELETE FROM $t tg WHERE tg.micros < (
+      SELECT avg(s.micros) FROM graft_sqlsub_scal s
+      WHERE s.user_id = tg.user_id) AND tg.event_type = 'error'""")
+    // v11: correlated COUNT update — a key with no subquery rows counts
+    // 0 (the left join's null-fill coalesced), never NULL, so signup
+    // rows of users with no view events take the assignment
+    spark.sql(s"""UPDATE $t tg SET micros = micros + 7 WHERE (
+      SELECT count(*) FROM graft_sqlsub_scal s
+      WHERE s.user_id = tg.user_id) = 0 AND tg.event_type = 'signup'""")
+    (0 to 11).map { v =>
       spark.sql(s"""SELECT $v AS version, count(*) AS n_rows,
         CAST(sum(micros) AS BIGINT) AS sum_micros
         FROM $t VERSION AS OF $v""")
@@ -4699,6 +4742,20 @@ object VersionedTable {
       |                            OR user_id IS NULL)
       |              THEN -5 ELSE micros END AS micros
       |       FROM v8),
+      |scal AS (SELECT user_id, micros FROM e WHERE event_type = 'view'),
+      |-- correlated SCALAR delete: survivors are NOT-definitely-true
+      |-- (COALESCE over the NULL scalar of a no-view user keeps the
+      |-- UNKNOWN rows — the engine's 3VL)
+      |v10 AS (SELECT * FROM v9 WHERE NOT COALESCE(
+      |         micros < (SELECT avg(s.micros) FROM scal s
+      |                   WHERE s.user_id = v9.user_id)
+      |         AND event_type = 'error', FALSE)),
+      |v11 AS (SELECT event_id, user_id, event_type,
+      |         CASE WHEN (SELECT count(*) FROM scal s
+      |                    WHERE s.user_id = v10.user_id) = 0
+      |                   AND event_type = 'signup'
+      |              THEN micros + 7 ELSE micros END AS micros
+      |       FROM v10),
       |u AS (
       |  SELECT 0 AS version, * FROM e
       |  UNION ALL SELECT 1, * FROM v1
@@ -4709,7 +4766,9 @@ object VersionedTable {
       |  UNION ALL SELECT 6, * FROM v6
       |  UNION ALL SELECT 7, * FROM v7
       |  UNION ALL SELECT 8, * FROM v8
-      |  UNION ALL SELECT 9, * FROM v9)
+      |  UNION ALL SELECT 9, * FROM v9
+      |  UNION ALL SELECT 10, * FROM v10
+      |  UNION ALL SELECT 11, * FROM v11)
       |SELECT version, count(*) AS n_rows,
       |       CAST(sum(micros) AS BIGINT) AS sum_micros
       |FROM u GROUP BY version ORDER BY version""".stripMargin
