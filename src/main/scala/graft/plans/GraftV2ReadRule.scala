@@ -169,11 +169,54 @@ class GraftV2ReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         .map(a => Alias(a, old.name)(exprId = old.exprId))
     }
     if (aliases.exists(_.isEmpty)) None
-    else Some(Project(aliases.map(_.get), v1))
+    else Some(Project(aliases.map(_.get),
+      GraftV2ReadRule.withCboStats(session, v1)))
   }
 }
 
+
 private[plans] object GraftV2ReadRule {
+
+  /** With CBO enabled, hang the sidecar-derived catalog statistics
+    * (row count, bytes, bounds, integral-span NDV bound — see
+    * [[graft.sources.SnapshotConnector.cboStats]]) off the V1
+    * LogicalRelation, so the cost-based optimizer's join reorder sees
+    * real cardinalities for graft tables the way it would for
+    * ANALYZE'd catalog tables. CBO off: the plan passes through
+    * untouched (sizeInBytes alone already drives broadcast choices).
+    */
+  private[plans] def withCboStats(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    if (!session.sessionState.conf.cboEnabled) plan
+    else plan.transform {
+      case lr @ org.apache.spark.sql.execution.datasources
+          .LogicalRelation(hfs: org.apache.spark.sql.execution
+          .datasources.HadoopFsRelation, out, None, _, _) =>
+        hfs.location match {
+          case idx: graft.sources.ManifestFileIndex =>
+            graft.sources.SnapshotConnector.cboStats(idx, out) match {
+              case Some(st) =>
+                val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+                  identifier = org.apache.spark.sql.catalyst
+                    .TableIdentifier(
+                      "graft_stats_" + Integer.toHexString(
+                        hfs.location.rootPaths.headOption
+                          .map(_.toString).getOrElse("").hashCode)),
+                  tableType = org.apache.spark.sql.catalyst.catalog
+                    .CatalogTableType.EXTERNAL,
+                  storage = org.apache.spark.sql.catalyst.catalog
+                    .CatalogStorageFormat.empty,
+                  schema = org.apache.spark.sql.types.StructType(
+                    out.map(a => org.apache.spark.sql.types.StructField(
+                      a.name, a.dataType, a.nullable))),
+                  provider = Some("graft-snapshot"),
+                  stats = Some(st))
+                lr.copy(catalogTable = Some(ct))
+              case None => lr
+            }
+          case _ => lr
+        }
+    }
 
   /** Bounded LRU of analyzed V1 plans keyed by (tableDir, version) — a
     * federated query referencing the same table N times (self-join,

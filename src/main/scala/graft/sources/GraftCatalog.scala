@@ -164,8 +164,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     } else tableAt(ident, None)
 
   /** `VERSION AS OF <v>` — the catalog-level time-travel hook. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, Some(version.trim.toInt))
+  /** `VERSION AS OF <v>` — a version NUMBER, or a BRANCH/TAG name
+    * resolved through the table's named refs ([[VersionedTable.resolveRef]]).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.trim
+    if (v.matches("\\d+")) tableAt(ident, Some(v.toInt))
+    else tableAt(ident,
+      Some(VersionedTable.resolveRef(spark, dirOf(ident), v)))
+  }
 
   /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds; the manifest
     * clock ([[VersionedTable.versionAtMillis]]) runs on millis.
@@ -856,7 +863,7 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
 object GraftMetadataTable {
   /** The metadata-table suffixes `graft.`/dir`.<kind>` resolves. */
   val kinds: Set[String] = Set("history", "detail", "partitions",
-    "constraints")
+    "constraints", "refs")
 }
 
 /** A table's metadata as a read-only table — the Delta
@@ -877,10 +884,13 @@ final class GraftMetadataTable(val tableDir: String, val kind: String)
     case "constraints" =>
       val rows = VersionedTable.checkConstraints(spark, tableDir)
       spark.createDataFrame(rows).toDF("name", "check_expr")
+    case "refs" =>
+      val rows = VersionedTable.tableRefs(spark, tableDir)
+      spark.createDataFrame(rows).toDF("name", "kind", "version")
     case "partitions" =>
       val head = VersionedTable.latestVersion(spark, tableDir)
       val spec = VersionedTable.manifestView(spark, tableDir, head)._4
-        .map(_.split(',').toSeq)
+        .map(sp => VersionedTable.specDirNames(VersionedTable.specOf(sp)))
         .getOrElse(throw new UnsupportedOperationException(
           s"table $tableDir has no recorded partition spec (legacy " +
             "manifest) — the partitions metadata table needs one"))

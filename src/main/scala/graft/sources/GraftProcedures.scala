@@ -42,7 +42,8 @@ object GraftProcedures {
   val names: Seq[String] = Seq("vacuum", "vacuum_dry_run",
     "vacuum_older_than", "compact", "binpack", "optimize",
     "optimize_zorder", "rollback", "evolve_partition_spec",
-    "convert_format", "clone")
+    "convert_format", "clone", "create_branch", "create_tag",
+    "drop_ref", "retarget_branch", "checkout_branch")
 
   def load(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -57,6 +58,11 @@ object GraftProcedures {
       case "evolve_partition_spec" => Some(EvolveSpec)
       case "convert_format" => Some(ConvertFormat)
       case "clone" => Some(Clone)
+      case "create_branch" => Some(CreateBranch)
+      case "create_tag" => Some(CreateTag)
+      case "drop_ref" => Some(DropRef)
+      case "retarget_branch" => Some(RetargetBranch)
+      case "checkout_branch" => Some(CheckoutBranch)
       case _ => None
     }
 
@@ -301,6 +307,96 @@ object GraftProcedures {
         StructField("restored_from", IntegerType),
         StructField("version", IntegerType))),
         Seq(dir, input.getInt(1), VersionedTable.latestVersion(spark, dir)))
+    }
+  }
+
+  /** Named refs (Iceberg branch/tag surface): a ref pins its version
+    * against every vacuum flavor; tags are immutable, branches
+    * retarget; checkout materializes a ref as an independent
+    * hard-linked clone for divergent writes.
+    */
+  private object CreateBranch extends Fixed("create_branch",
+      "create a retargetable named pointer at a version (default head)") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("version", IntegerType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val at = if (input.isNullAt(2)) None else Some(input.getInt(2))
+      val v = VersionedTable.createBranch(spark, dir, name, at)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("name", StringType),
+        StructField("version", IntegerType))), Seq(dir, name, v))
+    }
+  }
+
+  private object CreateTag extends Fixed("create_tag",
+      "create an immutable named pointer at a version (default head)") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("version", IntegerType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val at = if (input.isNullAt(2)) None else Some(input.getInt(2))
+      val v = VersionedTable.createTag(spark, dir, name, at)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("name", StringType),
+        StructField("version", IntegerType))), Seq(dir, name, v))
+    }
+  }
+
+  private object DropRef extends Fixed("drop_ref",
+      "drop a branch or tag; its version re-enters vacuum retention") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      VersionedTable.dropRef(spark, dir, name)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("dropped", StringType))), Seq(dir, name))
+    }
+  }
+
+  private object RetargetBranch extends Fixed("retarget_branch",
+      "move a branch pointer to another existing version; tags refuse") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("version", IntegerType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val to = input.getInt(2)
+      VersionedTable.retargetBranch(spark, dir, name, to)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("name", StringType),
+        StructField("version", IntegerType))), Seq(dir, name, to))
+    }
+  }
+
+  private object CheckoutBranch extends Fixed("checkout_branch",
+      "materialize a ref as an independent hard-linked clone table") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("dest", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val dst = input.getUTF8String(2).toString
+      val (linked, copied) =
+        VersionedTable.checkoutBranch(spark, dir, name, dst)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("dest", StringType),
+        StructField("files_linked", LongType),
+        StructField("files_copied", LongType))),
+        Seq(dir, dst, linked, copied))
     }
   }
 }

@@ -178,7 +178,10 @@ final class GraftSnapshotSource extends RelationProvider
     }
     require(!(ci.contains("versionasof") && ci.contains("timestampasof")),
       "versionAsOf and timestampAsOf are mutually exclusive")
-    val version = ci.get("versionasof").map(_.trim.toInt)
+    // a number, or a branch/tag name resolved through the named refs
+    val version = ci.get("versionasof").map(_.trim).map(v =>
+        if (v.matches("\\d+")) v.toInt
+        else VersionedTable.resolveRef(spark, tableDir, v))
       .orElse(ci.get("timestampasof").map(versionAt(spark, tableDir, _)))
       .getOrElse(VersionedTable.latestVersion(spark, tableDir))
     val (leaves, deletes, schemaOpt, specOpt, fmt) =
@@ -1252,6 +1255,52 @@ object SnapshotConnector {
           if (fmt == "orc") new ManifestOrcFormat(colMap)
           else new ManifestParquetFormat(colMap),
         options = Map.empty)(spark))
+
+  /** CBO catalog statistics from the manifest sidecars — METADATA ONLY
+    * (the stats maps the file index already folded; no data scan, no
+    * listing): row count, live bytes, and per-column min/max +
+    * null-count for the types whose footer stats we trust. NDV is not
+    * recorded in the sidecars, so integral columns take the textbook
+    * bound `min(rowCount, max-min+1)` (exact for dense id columns, an
+    * upper bound otherwise — the safe direction for join-cardinality
+    * estimates) and booleans take 2; other types report no NDV. None
+    * when any live file lacks sidecar coverage — partial statistics
+    * would mis-estimate with confidence.
+    */
+  private[graft] def cboStats(idx: ManifestFileIndex,
+      out: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    idx.metaRowCount.map { rows =>
+      val colStats = out.flatMap { a =>
+        val statable = a.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | BooleanType => true
+          case _ => false
+        }
+        if (!statable) None
+        else idx.metaColStats(a.name, a.dataType).map {
+          case (mn, mx, nulls, _) =>
+            val ndv = (a.dataType, mn, mx) match {
+              case (ByteType | ShortType | IntegerType | LongType,
+                  Some(lo), Some(hi)) =>
+                scala.util.Try {
+                  val span = BigInt(hi.toLong) - BigInt(lo.toLong) + 1
+                  span.min(BigInt(rows)).max(BigInt(1))
+                }.toOption
+              case (BooleanType, _, _) =>
+                Some(BigInt(2).min(BigInt(rows).max(BigInt(1))))
+              case _ => None
+            }
+            a.name -> CatalogColumnStat(distinctCount = ndv, min = mn,
+              max = mx, nullCount = nulls.map(BigInt(_)))
+        }
+      }.toMap
+      CatalogStatistics(BigInt(idx.sizeInBytes), Some(BigInt(rows)),
+        colStats)
+    }
+  }
 
   /** Schema with RENAMEd fields carrying their frozen physical names —
     * names only, order and types untouched (the positional identity the

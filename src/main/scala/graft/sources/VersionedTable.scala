@@ -470,6 +470,171 @@ object VersionedTable {
   def headFormat(spark: SparkSession, tableDir: String): String =
     readManifestFull(spark, tableDir, latestVersion(spark, tableDir)).fmt
 
+  // ---- named refs: BRANCHES and TAGS over the version history -------
+  //
+  // The Iceberg branch/tag idea at this manifest's granularity: a ref
+  // is a NAMED pointer into the table's own version chain, stored in a
+  // CAS-committed `refs-v<N>.json` chain next to the manifests (the
+  // exact no-clobber protocol data commits use, so racing ref updates
+  // serialize the same way). Tags are immutable; branches retarget
+  // ([[retargetBranch]]). Time travel accepts a ref name anywhere a
+  // version number goes (`VERSION AS OF 'audit-2026'`), and EVERY
+  // vacuum flavor treats ref'd versions as retained — a tag makes its
+  // snapshot immune to retention until the tag drops. DIVERGENT branch
+  // writes (a fork of history) are out of the linear-manifest contract
+  // and refuse by name: [[checkoutBranch]] materializes the ref as an
+  // independent hard-linked clone (full DML immediately; O(live files)
+  // metadata, zero data copies on local filesystems) — the supported
+  // experiment-branch mechanism.
+
+  private val RefsRe: Regex = "refs-v(\\d+)\\.json".r
+
+  private def refsFileVersions(f: FileSystem, tableDir: String): Seq[Int] = {
+    val dir = new Path(manifestsDir(tableDir))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case RefsRe(n) => Some(n.toInt)
+      case _ => None
+    }).sorted
+  }
+
+  /** All named refs: (name, kind ∈ branch|tag, version), name-sorted. */
+  def tableRefs(spark: SparkSession, tableDir: String)
+      : Seq[(String, String, Int)] = {
+    val f = fs(spark, tableDir)
+    refsFileVersions(f, tableDir).lastOption.toSeq.flatMap { n =>
+      val p = new Path(s"${manifestsDir(tableDir)}/refs-v$n.json")
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      parseArray(text, "refs").map { e =>
+        e.split(':') match {
+          case Array(name, kind, v) =>
+            (java.net.URLDecoder.decode(name, "UTF-8"), kind, v.toInt)
+          case _ =>
+            throw new IllegalStateException(s"malformed ref entry: '$e'")
+        }
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Resolve a ref name to its version; loud on an unknown name. */
+  def resolveRef(spark: SparkSession, tableDir: String, name: String): Int =
+    tableRefs(spark, tableDir).collectFirst {
+      case (n, _, v) if n == name => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no branch or tag named '$name' at $tableDir — refs are " +
+        tableRefs(spark, tableDir).map(_._1).mkString(", ")))
+
+  private def updateRefs(spark: SparkSession, tableDir: String)(
+      f: Seq[(String, String, Int)] => Seq[(String, String, Int)]): Unit = {
+    val fsys = fs(spark, tableDir)
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val cur = refsFileVersions(fsys, tableDir).lastOption.getOrElse(0)
+      val next = f(tableRefs(spark, tableDir))
+      val entries = next.map { case (n, k, v) =>
+        java.net.URLEncoder.encode(n, "UTF-8") + ":" + k + ":" + v
+      }
+      entries.foreach(e => require(
+        !e.exists(c => c == '"' || c == ',' || c == ']'),
+        s"ref entry carries a JSON separator: $e"))
+      fsys.mkdirs(new Path(manifestsDir(tableDir)))
+      val staging = new Path(
+        s"${manifestsDir(tableDir)}/_staging_refs-v${cur + 1}-${nonce()}.json")
+      val json = s"""{"refs":[${entries.map("\"" + _ + "\"")
+        .mkString(",")}]}"""
+      val out = fsys.create(staging, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      val committed =
+        new Path(s"${manifestsDir(tableDir)}/refs-v${cur + 1}.json")
+      if (publishNoClobber(fsys, staging, committed)) return
+      fsys.delete(staging, false)
+    }
+    throw new IllegalStateException(
+      s"ref update lost the CAS race 20 times at $tableDir")
+  }
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+        !name.forall(_.isDigit),
+      s"ref name '$name' must be alphanumeric/._- and not all digits " +
+        "(a numeric name would be ambiguous with a version number)")
+
+  private def createRef(spark: SparkSession, tableDir: String,
+      name: String, kind: String, at: Option[Int]): Int = {
+    requireRefName(name)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no versions to ref at $tableDir")
+    val v = at.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"cannot $kind '$name' at version $v — versions are " +
+        s"${vs.head}..${vs.last}")
+    updateRefs(spark, tableDir) { refs =>
+      require(!refs.exists(_._1 == name),
+        s"a ref named '$name' already exists at $tableDir")
+      refs :+ ((name, kind, v))
+    }
+    v
+  }
+
+  /** Create a BRANCH (retargetable pointer) at `at` (default: head). */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+      at: Option[Int] = None): Int =
+    createRef(spark, tableDir, name, "branch", at)
+
+  /** Create a TAG (immutable pointer) at `at` (default: head). */
+  def createTag(spark: SparkSession, tableDir: String, name: String,
+      at: Option[Int] = None): Int =
+    createRef(spark, tableDir, name, "tag", at)
+
+  /** Move a BRANCH to another existing version (fast-forward or
+    * rollback — a pointer move, no data motion); tags refuse.
+    */
+  def retargetBranch(spark: SparkSession, tableDir: String, name: String,
+      to: Int): Unit = {
+    val vs = versions(spark, tableDir)
+    require(vs.contains(to),
+      s"cannot retarget '$name' to version $to — versions are " +
+        s"${vs.headOption.getOrElse(-1)}..${vs.lastOption.getOrElse(-1)}")
+    updateRefs(spark, tableDir) { refs =>
+      refs.find(_._1 == name) match {
+        case None => throw new IllegalArgumentException(
+          s"no ref named '$name' at $tableDir")
+        case Some((_, "tag", _)) => throw new UnsupportedOperationException(
+          s"'$name' is a TAG — tags are immutable; drop and re-create, " +
+            "or use a branch")
+        case Some(_) =>
+          refs.map(r => if (r._1 == name) (name, "branch", to) else r)
+      }
+    }
+  }
+
+  /** Drop a ref by name (its version re-enters vacuum retention). */
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit =
+    updateRefs(spark, tableDir) { refs =>
+      require(refs.exists(_._1 == name),
+        s"no ref named '$name' at $tableDir — refs are " +
+          refs.map(_._1).mkString(", "))
+      refs.filterNot(_._1 == name)
+    }
+
+  /** Materialize a ref as an independent table at `dstDir` — the
+    * supported DIVERGENT-write mechanism ([[cloneTable]] at the ref'd
+    * version: hard-linked leaves, O(live files)).
+    */
+  def checkoutBranch(spark: SparkSession, tableDir: String, name: String,
+      dstDir: String): (Long, Long) =
+    cloneTable(spark, tableDir, dstDir,
+      Some(resolveRef(spark, tableDir, name)))
+
+  /** The versions every vacuum flavor must retain because a ref names
+    * them (plus transitively nothing — refs pin exactly their version).
+    */
+  private def refProtected(spark: SparkSession, tableDir: String): Set[Int] =
+    tableRefs(spark, tableDir).map(_._3).toSet
+
   /** Atomically publish `staging` as `committed`, REFUSING an existing
     * destination — the CAS under every commit. HDFS `rename` refuses an
     * existing destination atomically at the NameNode, but POSIX
@@ -3587,8 +3752,12 @@ object VersionedTable {
       require(retainLast >= 1, "must retain at least the latest version")
       val vs = versions(spark, tableDir)
       if (vs.nonEmpty) {
-        val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
-        sweep(spark, tableDir, drop, keep, orphanGraceMs)
+        val (drop0, keep0) = vs.splitAt(math.max(0, vs.size - retainLast))
+        // ref'd versions are RETAINED regardless of position: a branch
+        // or tag names that snapshot, so retention cannot erase it
+        val pinned = refProtected(spark, tableDir)
+        val (save, drop) = drop0.partition(pinned.contains)
+        sweep(spark, tableDir, drop, save ++ keep0, orphanGraceMs)
       }
     }
 
@@ -3608,7 +3777,9 @@ object VersionedTable {
       val vs = versions(spark, tableDir)
       if (vs.nonEmpty) {
         val cutoff = nowMs - maxAgeMs
+        val pinned = refProtected(spark, tableDir)
         val (drop, keep) = vs.partition(v => v != vs.last &&
+          !pinned.contains(v) &&
           f.getFileStatus(new Path(s"${manifestsDir(tableDir)}/v$v.json"))
             .getModificationTime < cutoff)
         sweep(spark, tableDir, drop, keep, orphanGraceMs)
@@ -3697,7 +3868,10 @@ object VersionedTable {
     require(retainLast >= 1, "must retain at least the latest version")
     val vs = versions(spark, tableDir)
     if (vs.isEmpty) return (Nil, Nil, Nil)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+    val (drop0, keep0) = vs.splitAt(math.max(0, vs.size - retainLast))
+    val pinned = refProtected(spark, tableDir)
+    val (save, drop) = drop0.partition(pinned.contains)
+    val keep = save ++ keep0
     val live = keep.flatMap(manifestRefs(spark, tableDir, _)).toSet
     val dead = drop.flatMap(manifestRefs(spark, tableDir, _)).toSet -- live
     val f = fs(spark, tableDir)
@@ -5218,11 +5392,13 @@ object VersionedTable {
     * instead and counted separately; the returned pair is
     * (filesLinked, filesCopied).
     */
-  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) = {
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      atVersion: Option[Int] = None): (Long, Long) = {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     require(versions(spark, dstDir).isEmpty,
       s"clone destination is already a table: $dstDir")
-    val m = readManifestFull(spark, srcDir, latestVersion(spark, srcDir))
+    val m = readManifestFull(spark, srcDir,
+      atVersion.getOrElse(latestVersion(spark, srcDir)))
     val f = fs(spark, srcDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val local = f.getScheme == "file"
