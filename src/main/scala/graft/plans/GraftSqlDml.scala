@@ -615,16 +615,53 @@ private[plans] object GraftDml {
           case _ => false
         }
       }
+    // UPDATE-clause assignments may address NESTED struct fields
+    // (`SET t.meta.lang = …`): the struct rebuilds via UpdateFields on
+    // the TARGET's column (base `__t.<col>` inside the kernel's
+    // two-alias join), later nested assignments to the same column
+    // chaining onto the earlier rebuild — the UPDATE statement's rule.
+    // INSERT clauses keep whole-column assignments only (SQL has no
+    // partial-row insert; there is no target row to carry fields from).
     def namedAssigns(assigns: Seq[Assignment],
-        qualify: Expression => Expression): Seq[(String, Column)] =
-      assigns.map { a =>
+        qualify: Expression => Expression,
+        allowNested: Boolean = false): Seq[(String, Column)] = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      import org.apache.spark.sql.catalyst.expressions.{GetStructField, UpdateFields}
+      def peel(e: Expression, acc: List[String])
+          : Option[(AttributeReference, List[String])] = e match {
+        case a: AttributeReference => Some((a, acc))
+        case g: GetStructField => peel(g.child, g.extractFieldName :: acc)
+        case _ => None
+      }
+      def updateAt(struct: Expression, path: List[String],
+          v: Expression): Expression = path match {
+        case last :: Nil => UpdateFields(struct, last, v)
+        case head :: rest => UpdateFields(struct, head,
+          updateAt(UnresolvedExtractValue(struct,
+            Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(head),
+              org.apache.spark.sql.types.StringType)), rest, v))
+        case Nil => v
+      }
+      val acc = scala.collection.mutable
+        .LinkedHashMap.empty[String, Expression]
+      assigns.foreach { a =>
         a.key match {
-          case k: AttributeReference =>
-            k.name -> GraftSqlBridge.column(qualify(a.value))
+          case k: AttributeReference => acc(k.name) = qualify(a.value)
+          case g: GetStructField if allowNested => peel(g, Nil) match {
+            case Some((attr, path)) =>
+              val base = acc.getOrElse(attr.name,
+                UnresolvedAttribute(Seq("__t", attr.name)))
+              acc(attr.name) = updateAt(base, path, qualify(a.value))
+            case None => refuse(
+              s"an assignment to ${g.sql} — only struct paths rebuild")
+          }
           case other => refuse(
             s"an assignment to a nested field (${other.sql})")
         }
       }
+      acc.toSeq.map { case (n, e) => n -> GraftSqlBridge.column(e) }
+    }
     // clause conditions re-resolve inside the kernel's two-alias join:
     // target attributes as `__t.<col>`, source attributes as `__s.<col>`
     def qualified(e: Expression): Expression = {
@@ -645,7 +682,8 @@ private[plans] object GraftDml {
       m.matchedActions.map {
         case u: UpdateAction =>
           (u.condition.map(c => GraftSqlBridge.column(qualified(c))),
-            false, namedAssigns(u.assignments, qualified))
+            false, namedAssigns(u.assignments, qualified,
+              allowNested = true))
         case d: DeleteAction =>
           (d.condition.map(c => GraftSqlBridge.column(qualified(c))),
             true, Seq.empty[(String, Column)])
@@ -668,16 +706,9 @@ private[plans] object GraftDml {
     val bySource: Seq[(Option[Column], Boolean, Seq[(String, Column)])] =
       m.notMatchedBySourceActions.map {
         case u: UpdateAction =>
-          val assigns = u.assignments.map { a =>
-            a.key match {
-              case k: AttributeReference =>
-                k.name -> GraftSqlBridge.column(qualified(a.value))
-              case other => refuse("a NOT MATCHED BY SOURCE assignment " +
-                s"to a nested field (${other.sql})")
-            }
-          }
           (u.condition.map(c => GraftSqlBridge.column(qualified(c))),
-            false, assigns)
+            false, namedAssigns(u.assignments, qualified,
+              allowNested = true))
         case d: DeleteAction =>
           (d.condition.map(c => GraftSqlBridge.column(qualified(c))),
             true, Seq.empty[(String, Column)])

@@ -412,11 +412,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // vectorized readers' type promotion; narrowings refuse there)
     val retypes = changes.collect { case u: TableChange.UpdateColumnType => u }
     retypes.foreach { u =>
-      if (u.fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"ALTER COLUMN TYPE supports top-level columns only — got " +
-            s"nested '${u.fieldNames().mkString(".")}'")
-      VersionedTable.widenColumnType(spark, dir, u.fieldNames()(0),
+      if (u.fieldNames().length > 1)
+        // nested widening: the same metadata-only lossless contract one
+        // tree level down ([[VersionedTable.widenNestedFieldType]])
+        VersionedTable.widenNestedFieldType(spark, dir,
+          u.fieldNames().toIndexedSeq, u.newDataType())
+      else VersionedTable.widenColumnType(spark, dir, u.fieldNames()(0),
         u.newDataType())
     }
     changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
@@ -584,12 +585,15 @@ object GraftCatalog {
     t.name() match {
       case "identity" => ref1
       case "days" => s"days($ref1)"
+      case "months" => s"months($ref1)"
+      case "years" => s"years($ref1)"
+      case "hours" => s"hours($ref1)"
       case "bucket" => s"bucket($intArg,$ref1)"
       case "truncate" => s"truncate($intArg,$ref1)"
       case _ => throw new UnsupportedOperationException(
         s"unsupported partition transform '${t.describe()}' — " +
-          "supported: identity, days(col), bucket(n,col), " +
-          "truncate(w,col)")
+          "supported: identity, days/months/years/hours(col), " +
+          "bucket(n,col), truncate(w,col)")
     }
   }
 
@@ -598,6 +602,11 @@ object GraftCatalog {
     SpecField.parse(s) match {
       case IdentityField(src) => Expressions.identity(src)
       case DaysField(src) => Expressions.days(src)
+      case TimeUnitField("months", src) => Expressions.months(src)
+      case TimeUnitField("years", src) => Expressions.years(src)
+      case TimeUnitField("hours", src) => Expressions.hours(src)
+      case TimeUnitField(u, src) => throw new IllegalStateException(
+        s"unreachable time unit $u($src)")
       case BucketField(n, src) => Expressions.bucket(n, src)
       case TruncateField(w, src) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(src))

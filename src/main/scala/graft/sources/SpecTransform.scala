@@ -81,6 +81,47 @@ private[graft] final case class DaysField(source: String)
     Some(a.compareTo(b)) // ISO dates order lexicographically
 }
 
+/** `months(ts)` / `years(ts)` / `hours(ts)` — the remaining Iceberg
+  * time transforms: the value is a zero-padded UTC rendering
+  * (`yyyy-MM`, `yyyy`, `yyyy-MM-dd-HH` — Iceberg's spellings), which
+  * is BOTH readable and monotonic under plain string comparison.
+  * Rendering assumes the GraftSession UTC contract (the write path's
+  * `date_format` uses the session timezone; the projection is pinned
+  * UTC — a non-UTC session would misalign them, which is why the
+  * session builder pins UTC).
+  */
+private[graft] final case class TimeUnitField(unit: String, source: String)
+    extends SpecField {
+  private val (suffix, pattern) = unit match {
+    case "months" => ("month", "yyyy-MM")
+    case "years" => ("year", "yyyy")
+    case "hours" => ("hour", "yyyy-MM-dd-HH")
+    case other => throw new IllegalArgumentException(
+      s"unknown time unit '$other'")
+  }
+  override def spelling: String = s"$unit($source)"
+  override def dirName: String = s"${source}_$suffix"
+  override def valueIn(df: org.apache.spark.sql.DataFrame): Column =
+    date_format(col(source), pattern)
+  override def monotonic: Boolean = true
+  private val fmt = java.time.format.DateTimeFormatter
+    .ofPattern(pattern).withZone(java.time.ZoneOffset.UTC)
+  override def projectLit(value: Any, dt: DataType): Option[String] =
+    dt match {
+      case TimestampType =>
+        Some(fmt.format(java.time.Instant.EPOCH.plus(
+          value.asInstanceOf[Long],
+          java.time.temporal.ChronoUnit.MICROS)))
+      case DateType =>
+        Some(fmt.format(java.time.LocalDate
+          .ofEpochDay(value.asInstanceOf[Int].toLong)
+          .atStartOfDay(java.time.ZoneOffset.UTC)))
+      case _ => None
+    }
+  override def compareValues(a: String, b: String): Option[Int] =
+    Some(a.compareTo(b)) // zero-padded renderings order lexicographically
+}
+
 /** `bucket(n, col)` — `xxhash64(col) mod n` (Spark's codegen'd 64-bit
   * hash on both the write path and the literal projection, so the two
   * can never disagree). Only equality shapes prune — a hash has no
@@ -148,6 +189,8 @@ private[graft] final case class TruncateField(w: Int, source: String)
 
 private[graft] object SpecField {
   private val DaysRe = """days\s*\(\s*([^(),\s]+)\s*\)""".r
+  private val TimeUnitRe =
+    """(months|years|hours)\s*\(\s*([^(),\s]+)\s*\)""".r
   private val BucketRe = """bucket\s*\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val TruncRe = """truncate\s*\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
 
@@ -160,12 +203,13 @@ private[graft] object SpecField {
   def parse(spelling: String): SpecField =
     cache.computeIfAbsent(spelling.trim, {
       case DaysRe(src) => DaysField(src)
+      case TimeUnitRe(unit, src) => TimeUnitField(unit, src)
       case BucketRe(n, src) => BucketField(n.toInt, src)
       case TruncRe(w, src) => TruncateField(w.toInt, src)
       case s if s.contains("(") || s.contains(")") =>
         throw new UnsupportedOperationException(
           s"unsupported partition transform '$s' — supported: identity, " +
-            "days(col), bucket(n,col), truncate(w,col)")
+            "days/months/years/hours(col), bucket(n,col), truncate(w,col)")
       case s => IdentityField(s)
     })
 }

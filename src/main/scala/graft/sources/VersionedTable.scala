@@ -3218,6 +3218,45 @@ object VersionedTable {
       m.txns, rewritten, m.partcol, m.constraints, m.format)
   }
 
+  /** WIDEN a nested struct field's type — [[widenColumnType]] one tree
+    * level down: the same LOSSLESS widenings ([[isWidening]]), the same
+    * metadata-only contract (old leaves read the narrow field through
+    * the vectorized readers' nested type promotion; prior versions keep
+    * their own type via time travel).
+    */
+  def widenNestedFieldType(spark: SparkSession, tableDir: String,
+      path: Seq[String], newType: DataType): Unit = withCommitRetry {
+    val (v, m, table) = nestedEvolutionTarget(spark, tableDir, path,
+      "ALTER nested COLUMN TYPE")
+    val full = path.mkString(".")
+    val field = path.last
+    val parentRel = path.drop(1).dropRight(1)
+    val rewritten = table.map {
+      case (n, t, p, d) if n == path.head =>
+        val nt = rewriteStructAt(DataType.fromDDL(t), parentRel, full) {
+          st =>
+            val idx = st.fieldNames.indexOf(field)
+            require(idx >= 0,
+              s"no nested field '$full' — struct fields are " +
+                st.fieldNames.mkString(", "))
+            val cur = st.fields(idx).dataType
+            if (!isWidening(cur, newType))
+              throw new UnsupportedOperationException(
+                s"ALTER nested COLUMN TYPE supports only LOSSLESS " +
+                  s"widenings (integral upcasts, float→double, " +
+                  s"byte/short/int→double) — '$full' is " +
+                  s"${cur.catalogString}, requested " +
+                  newType.catalogString)
+            StructType(st.fields.map(fd =>
+              if (fd.name == field) fd.copy(dataType = newType) else fd))
+        }
+        encodeSchemaEntry(n, nt.catalogString, p, d)
+      case (n, t, p, d) => encodeSchemaEntry(n, t, p, d)
+    }
+    writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+      m.txns, rewritten, m.partcol, m.constraints, m.format)
+  }
+
   /** RENAME a nested struct field — the column-mapping commit one tree
     * level down: the TYPE records the new logical field name, the phys
     * composite records the frozen physical (birth) field name, and

@@ -148,6 +148,44 @@ class HiddenPartitionSpec extends AnyFunSuite {
       "numeric truncate range must prune low buckets")
   }
 
+  test("months(ts) and hours(ts): zero-padded UTC dirs, range pruning, " +
+      "COW delete touches only covered units") {
+    val dir = Files.createTempDirectory("graft-hidden-m").toString
+    val df = Seq(
+      (1L, ts("2026-01-15 01:00:00"), 10L),
+      (2L, ts("2026-02-10 02:00:00"), 20L),
+      (3L, ts("2026-03-05 03:00:00"), 30L),
+      (4L, ts("2026-03-25 04:00:00"), 40L)
+    ).toDF("id", "ts", "amount")
+    VersionedTable.create(df, dir, "months(ts)")
+    val leaves = VersionedTable.liveLeaves(spark, dir)
+    assert(leaves.count(_.contains("ts_month__p=")) === leaves.size)
+    assert(leaves.exists(_.contains("ts_month__p=2026-03")))
+    assert(leaves.size === 3) // Jan, Feb, Mar
+    val total = scannedFiles(spark.sql(s"SELECT * FROM graft.`$dir`"))
+    val q = spark.sql(s"SELECT * FROM graft.`$dir` WHERE " +
+      "ts >= TIMESTAMP'2026-02-20 00:00:00'")
+    assert(ids(q) === Seq(3L, 4L)) // Feb leaf kept (boundary), Jan pruned
+    assert(scannedFiles(q) < total, "months range must prune January")
+    val before = VersionedTable.liveLeaves(spark, dir)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE " +
+      "ts >= TIMESTAMP'2026-03-01 00:00:00' AND amount < 35")
+    val after = VersionedTable.liveLeaves(spark, dir)
+    assert(before.filter(after.contains).size === 2,
+      s"only the March leaf rewrites: before=$before after=$after")
+    assert(ids(spark.sql(s"SELECT * FROM graft.`$dir`"))
+      === Seq(1L, 2L, 4L))
+    // hours: one table, two hours, equality prune
+    val hdir = Files.createTempDirectory("graft-hidden-h").toString
+    VersionedTable.create(Seq(
+      (1L, ts("2026-01-15 08:10:00")), (2L, ts("2026-01-15 09:20:00"))
+    ).toDF("id", "ts"), hdir, "hours(ts)")
+    assert(VersionedTable.liveLeaves(spark, hdir)
+      .exists(_.contains("ts_hour__p=2026-01-15-08")))
+    assert(ids(spark.sql(s"SELECT * FROM graft.`$hdir` WHERE " +
+      "ts >= TIMESTAMP'2026-01-15 09:00:00'")) === Seq(2L))
+  }
+
   test("SHOW PARTITIONS-style tuples, time travel, and refusals: " +
       "unknown transform, renaming/dropping the hidden source column") {
     val dir = mkDays()
@@ -175,7 +213,7 @@ class HiddenPartitionSpec extends AnyFunSuite {
       val d2 = Files.createTempDirectory("graft-hidden-x").toString
       VersionedTable.create(
         Seq((1L, ts("2026-03-01 01:00:00"))).toDF("id", "ts"),
-        d2, "hours(ts)")
+        d2, "weeks(ts)")
     }
     assert(bad.getMessage.contains("unsupported partition transform"),
       bad.getMessage)
