@@ -337,7 +337,9 @@ object SparkEntry {
     "snapshot_sql_evolution" -> (sources.VersionedTable.snapshotSqlEvolution _),
     "snapshot_change_feed" -> (sources.VersionedTable.snapshotChangeFeed _),
     "snapshot_hidden_partition" ->
-      (sources.VersionedTable.snapshotHiddenPartition _)
+      (sources.VersionedTable.snapshotHiddenPartition _),
+    "snapshot_row_tracking" ->
+      (sources.VersionedTable.snapshotRowTracking _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -515,6 +517,8 @@ object SparkEntry {
     "snapshot_sql_evolution" -> sources.VersionedTable.snapshotSqlEvolutionSql(),
     "snapshot_change_feed" -> sources.VersionedTable.snapshotChangeFeedSql(),
     "snapshot_hidden_partition" ->
-      sources.VersionedTable.snapshotHiddenPartitionSql()
+      sources.VersionedTable.snapshotHiddenPartitionSql(),
+    "snapshot_row_tracking" ->
+      sources.VersionedTable.snapshotRowTrackingSql()
   )
 }

@@ -46,6 +46,73 @@ object FileStats {
     */
   val FileListName = "_files.tsv"
 
+  /** Row-tracking sidecar (`_rowids.tsv` in each add-dir of a
+    * row-tracked table): one line per data file —
+    * `relFile kind value rows`. Kind `b` records the file's BASE row id
+    * (fresh-append leaves carry no id column; a row's id derives at
+    * read time as `base + _metadata.row_index` — the Delta row-tracking
+    * "fresh rows" design, public spec), kind `m` marks a file whose
+    * rows carry a MATERIALIZED physical id column (COW rewrites), with
+    * `value` the file's max id. The table's id high-watermark and the
+    * read path's base lookup both resolve from this one sidecar;
+    * immutable with its add-dir like every other sidecar.
+    */
+  val RowIdFileName = "_rowids.tsv"
+
+  final case class RowIdEntry(rel: String, kind: String, value: Long,
+      rows: Long) {
+    /** First id at or above every id this file can hold. */
+    def idCeiling: Long = if (kind == "b") value + rows else value + 1
+  }
+
+  def writeRowIds(fsys: FileSystem, dataDirAbs: Path,
+      entries: Seq[RowIdEntry]): Unit = {
+    val body = entries.sortBy(_.rel)
+      .map(e => s"${e.rel}\t${e.kind}\t${e.value}\t${e.rows}")
+      .mkString("\n") + "\n"
+    val out = fsys.create(new Path(dataDirAbs, RowIdFileName), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** None = the add-dir predates row tracking (pre-enable leaves read
+    * null ids; the enable path backfills live roots so this stays a
+    * time-travel-only case).
+    */
+  def loadRowIds(fsys: FileSystem,
+      dataDirAbs: Path): Option[Seq[RowIdEntry]] = {
+    val p = new Path(dataDirAbs, RowIdFileName)
+    if (!fsys.exists(p)) None
+    else {
+      val in = fsys.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        line.split('\t') match {
+          case Array(rel, kind, value, rows) =>
+            RowIdEntry(rel, kind, value.toLong, rows.toLong)
+          case _ => throw new IllegalStateException(
+            s"malformed $RowIdFileName line: '$line'")
+        }
+      })
+    }
+  }
+
+  /** Exact per-file row counts from parquet FOOTERS alone — one
+    * metadata read per file, no data scan, independent of which column
+    * TYPES are stats-recordable (row-id base assignment must work even
+    * for a table of all-unsupported column types). Parquet-only by
+    * design: row tracking requires `_metadata.row_index`, which Spark
+    * exposes for parquet only.
+    */
+  def parquetRowCounts(conf: org.apache.hadoop.conf.Configuration,
+      dataDirAbs: Path, rels: Seq[String]): Map[String, Long] =
+    rels.map { rel =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(dataDirAbs, rel), conf))
+      try rel -> reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.toMap
+
   /** One column's file-level stats. `min`/`max` are None when the column
     * is all-null in the file (or the footer carried no stats). `nulls` is
     * None when the footer did NOT record a null count — "unknown" must

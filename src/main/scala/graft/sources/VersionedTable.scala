@@ -179,6 +179,14 @@ object VersionedTable {
       * leaf sets are not a thing this design supports.
       */
     def fmt: String = format.headOption.getOrElse("parquet")
+    /** ROW TRACKING enabled — the `format` array doubles as the
+      * table-feature list (entries past the head are feature markers):
+      * every commit kernel threads `m.format` verbatim, so a feature
+      * flag here can never be silently dropped by a kernel that was
+      * not taught about it — the property a dedicated manifest field
+      * would need 36 call sites to guarantee.
+      */
+    def rowTracking: Boolean = format.contains(RowTrackingMarker)
     def dirtySet: Set[String] = dirty.toSet
     def schemaOpt: Option[StructType] =
       if (schema.isEmpty) None else Some(decodeSchema(schema))
@@ -835,17 +843,33 @@ object VersionedTable {
   private def writeDataDirCols(df: DataFrame, tableDir: String,
       version: Int, partCols: Seq[String],
       fmt: String = "parquet",
-      colMapOverride: Option[Map[String, String]] = None): Seq[String] = {
+      colMapOverride: Option[Map[String, String]] = None,
+      rowTrackingOverride: Option[Boolean] = None): Seq[String] = {
     require(SupportedFormats.contains(fmt),
       s"unsupported versioned-table format '$fmt' — one of " +
         SupportedFormats.mkString("/"))
     val spark = df.sparkSession
+    val rt = rowTrackingOverride.getOrElse(
+      rowTrackingForWrite(spark, tableDir, version))
     // leaves always carry PHYSICAL column names (spec columns are
     // unrenamable, so the dir layout never maps). REPLACE TABLE
     // overrides with the empty map: its columns are born fresh
     // (logical == physical), whatever the old definition mapped.
-    val phys = toPhysical(df, colMapOverride.getOrElse(
+    val physMapped = toPhysical(df, colMapOverride.getOrElse(
       colMapForWrite(spark, tableDir, version)))
+    // row tracking, rewrite form: the kernel's frame carries the id
+    // column (survivors/updates keep theirs); rows the commit CREATES
+    // (merge inserts, replaceWhere adds riding a kernel frame) hold
+    // null and fill with fresh ids above the high-watermark. The
+    // monotonic offset only needs uniqueness WITHIN this job — the
+    // written bytes fix the values, and the next watermark derives
+    // from this dir's own sidecar.
+    val phys =
+      if (rt && physMapped.columns.contains(RowIdCol))
+        physMapped.withColumn(RowIdCol, coalesce(col(RowIdCol),
+          lit(rowIdHighWatermark(spark, tableDir)) +
+            monotonically_increasing_id()))
+      else physMapped
     val rel = s"data/add-v$version-${nonce()}"
     val fields = partCols.map(SpecField.parse)
     val pdirs = fields.map(f => partDirCol(f.dirName))
@@ -859,7 +883,8 @@ object VersionedTable {
       .repartition(pdirs.map(col): _*)
       .write.mode("overwrite").partitionBy(pdirs: _*)
       .format(fmt).save(s"$tableDir/$rel")
-    publishDataDir(spark, tableDir, rel, partCols, phys.schema, fmt)
+    publishDataDir(spark, tableDir, rel, partCols, phys.schema, fmt,
+      rowTracking = rt)
   }
 
   /** Publication contract for a freshly-written add-dir — shared by
@@ -882,7 +907,8 @@ object VersionedTable {
     */
   private def publishDataDir(spark: SparkSession, tableDir: String,
       rel: String, partCols: Seq[String],
-      schema: StructType, fmt: String): Seq[String] = {
+      schema: StructType, fmt: String,
+      rowTracking: Boolean = false): Seq[String] = {
     val f = fs(spark, tableDir)
     val pdirs = partCols.map(c => partDirCol(SpecField.parse(c).dirName))
     def level(dirs: Seq[Path], pdir: String): Seq[Path] =
@@ -902,6 +928,41 @@ object VersionedTable {
     // connector's FileIndex skip whole files on data predicates without
     // opening a footer at query time
     FileStats.write(spark, s"$tableDir/$rel", schema, fmt)
+    // row tracking: freeze this add-dir's id story in `_rowids.tsv` —
+    // materialized files record their max id (from the stats harvest
+    // just written), derived files get consecutive bases above the
+    // table's high-watermark (footer row counts, metadata-only)
+    if (rowTracking) {
+      val rootP = new Path(s"$tableDir/$rel")
+      val rels = FileStats.loadFileList(f, rootP)
+        .map(_.keys.toSeq.sorted).getOrElse(Nil)
+      if (rels.nonEmpty) {
+        val entries =
+          if (schema.fieldNames.contains(RowIdCol)) {
+            val stats = FileStats.load(f, rootP)
+            rels.map { r =>
+              val cs = stats.getOrElse(r, Map.empty).getOrElse(RowIdCol,
+                throw new IllegalStateException(
+                  s"row-tracked rewrite leaf '$r' carries no $RowIdCol " +
+                    "stats — cannot freeze its id range"))
+              FileStats.RowIdEntry(r, "m", cs.max.map(_.toLong).getOrElse(
+                throw new IllegalStateException(
+                  s"row-tracked rewrite leaf '$r' has all-null ids — " +
+                    "a base sidecar is missing upstream")), cs.rows)
+            }
+          } else {
+            var w = rowIdHighWatermark(spark, tableDir)
+            val counts = FileStats.parquetRowCounts(
+              spark.sparkContext.hadoopConfiguration, rootP, rels)
+            rels.map { r =>
+              val e = FileStats.RowIdEntry(r, "b", w, counts(r))
+              w += counts(r)
+              e
+            }
+          }
+        FileStats.writeRowIds(f, rootP, entries)
+      }
+    }
     val rootPath = f.makeQualified(new Path(s"$tableDir/$rel")).toUri.getPath
     leafDirs.map { d =>
       s"$rel/${f.makeQualified(d).toUri.getPath.stripPrefix(rootPath + "/")}"
@@ -1122,14 +1183,20 @@ object VersionedTable {
     */
   def create(df: DataFrame, tableDir: String, partCol: String,
       txn: Option[(String, String)] = None,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet",
+      rowTracking: Boolean = false): Unit = {
     require(versions(df.sparkSession, tableDir).isEmpty,
       s"table already exists at $tableDir")
+    require(!rowTracking || format == "parquet",
+      s"row tracking needs _metadata.row_index, which Spark exposes " +
+        s"for parquet only — requested format '$format'")
     writeManifest(df.sparkSession, tableDir, 0,
-      writeDataDirCols(df, tableDir, 0, specOf(partCol), format),
+      writeDataDirCols(df, tableDir, 0, specOf(partCol), format,
+        rowTrackingOverride = Some(rowTracking)),
       txns = txn.map { case (c, b) => s"$c=$b" }.toSeq,
       schema = encodeSchema(df.schema), partcol = specOf(partCol),
-      format = Seq(format))
+      format = Seq(format) ++
+        (if (rowTracking) Seq(RowTrackingMarker) else Nil))
   }
 
   /** Atomic-CTAS staging, step 1 ([[GraftStagedTable]]): write v0's
@@ -1365,10 +1432,13 @@ object VersionedTable {
       if (hitForeign.isEmpty) df
       else {
         val carried = readView(spark, tableDir, m,
-          onlyLeaves = Some(hitForeign))
+          onlyLeaves = Some(hitForeign), withRowIds = m.rowTracking)
         val carriedKept = carried.filter(!inAffected(carried))
-        df.unionByName(
-          carriedKept.select(df.columns.toIndexedSeq.map(col): _*))
+        // replaced rows are REPLACED: df's rows take fresh ids, the
+        // migrating out-of-slice rows keep theirs
+        val left = if (m.rowTracking) withNullRowId(df) else df
+        left.unionByName(
+          carriedKept.select(left.columns.toIndexedSeq.map(col): _*))
       }
     val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
     writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
@@ -1572,7 +1642,7 @@ object VersionedTable {
     val m = readManifestFull(spark, tableDir, v - 1)
     val cols = specOf(partCol)
     requireSpec(m, cols, "delete")
-    val current = readView(spark, tableDir, m)
+    val current = readView(spark, tableDir, m, withRowIds = m.rowTracking)
     // the replace-where form ([[replaceWhere]]) adds its new rows in the
     // SAME commit the old slice disappears in — no delete/insert
     // visibility gap
@@ -1608,7 +1678,8 @@ object VersionedTable {
     // delete already removed. Vector entries pointing at the rewritten
     // (now-unreferenced) leaves become inert; [[compact]]/[[vacuum]] fold
     // and erase them.
-    val survivors = keep(readView(spark, tableDir, m, onlyLeaves = Some(hit)))
+    val survivors = keep(readView(spark, tableDir, m,
+      onlyLeaves = Some(hit), withRowIds = m.rowTracking))
     val newLeaves = writeDataDirCols(survivors, tableDir, v, cols, m.fmt)
     writeManifest(spark, tableDir, v, kept ++ newLeaves ++ addLeaves(),
       m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema, cols,
@@ -1741,7 +1812,10 @@ object VersionedTable {
       val assignMap = assignments.toMap
       require(assignMap.size == assignments.size,
         s"duplicate assignment targets in ${assignments.map(_._1)}")
-      val current = readView(spark, tableDir, m)
+      assignMap.keys.foreach(n => require(!n.startsWith("__vt_"),
+        s"cannot assign engine-internal column '$n'"))
+      val current = readView(spark, tableDir, m,
+        withRowIds = m.rowTracking)
       assignMap.keys.foreach(n => require(current.columns.contains(n),
         s"UPDATE target column '$n' is not in the table schema " +
           s"${current.columns.mkString("(", ", ", ")")}"))
@@ -1763,7 +1837,8 @@ object VersionedTable {
         df => { val (f, c) = prepare(df); f.filter(c) })
       val hit = hitSame ++ hitForeign
       val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
-      val view = readView(spark, tableDir, m, onlyLeaves = Some(hit))
+      val view = readView(spark, tableDir, m, onlyLeaves = Some(hit),
+        withRowIds = m.rowTracking)
       val types = view.schema.fields.map(f => f.name -> f.dataType).toMap
       val (aug, cond) = prepare(view)
       val outCols = view.columns.toIndexedSeq.map { c =>
@@ -1782,7 +1857,8 @@ object VersionedTable {
       // NON-assigned columns (they carry verbatim through the update) —
       // an update assigning every column records nothing and keeps the
       // exact delete+insert representation
-      val pairKey = view.columns.toSeq.filterNot(assignMap.contains)
+      val pairKey = view.columns.toSeq
+        .filterNot(c => assignMap.contains(c) || c == RowIdCol)
       writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
         m.dirty.filter(kept.contains), m.txns, m.schema, cols,
         m.constraints, m.format,
@@ -1810,7 +1886,10 @@ object VersionedTable {
       val assignMap = assignments.toMap
       require(assignMap.size == assignments.size,
         s"duplicate assignment targets in ${assignments.map(_._1)}")
-      val current = readView(spark, tableDir, m)
+      assignMap.keys.foreach(n => require(!n.startsWith("__vt_"),
+        s"cannot assign engine-internal column '$n'"))
+      val current = readView(spark, tableDir, m,
+        withRowIds = m.rowTracking)
       assignMap.keys.foreach(n => require(current.columns.contains(n),
         s"UPDATE target column '$n' is not in the table schema " +
           s"${current.columns.mkString("(", ", ", ")")}"))
@@ -1830,7 +1909,8 @@ object VersionedTable {
       val hitForeign = leavesContaining(spark, tableDir, m, foreign, hitFn)
       val hit = hitSame ++ hitForeign
       val kept = keptSame ++ foreign.filterNot(hitForeign.toSet)
-      val view = readView(spark, tableDir, m, onlyLeaves = Some(hit))
+      val view = readView(spark, tableDir, m, onlyLeaves = Some(hit),
+        withRowIds = m.rowTracking)
       val types = view.schema.fields.map(f => f.name -> f.dataType).toMap
       val hitRows = hitFn(view)
       val outCols = view.columns.toIndexedSeq.map { c =>
@@ -1843,7 +1923,8 @@ object VersionedTable {
         .unionByName(hitRows.select(outCols: _*))
       requireConstraints(updated, m, "update")
       val newLeaves = writeDataDirCols(updated, tableDir, v, cols, m.fmt)
-      val pairKey = view.columns.toSeq.filterNot(assignMap.contains)
+      val pairKey = view.columns.toSeq
+        .filterNot(c => assignMap.contains(c) || c == RowIdCol)
       writeManifest(spark, tableDir, v, kept ++ newLeaves, m.deletes,
         m.dirty.filter(kept.contains), m.txns, m.schema, cols,
         m.constraints, m.format,
@@ -1939,6 +2020,149 @@ object VersionedTable {
   private val PosFile = "__vt_file"
   private val PosIdx = "__vt_pos"
 
+  // ---- ROW TRACKING (Delta-style stable row ids, public design) -----
+  //
+  // Opt-in per table (`create(rowTracking = true)` /
+  // [[enableRowTracking]]). Every row carries a STABLE long id:
+  //   - fresh-append leaves carry NO id column; a row's id derives at
+  //     read time as `base + _metadata.row_index`, with per-file bases
+  //     frozen in the add-dir's `_rowids.tsv` sidecar at publish — zero
+  //     write-path data cost (Delta's "fresh rows" representation);
+  //   - COW rewrites read the view WITH ids and write them back as a
+  //     materialized physical column (`__vt_row_id`) — survivors and
+  //     updated rows keep their ids across arbitrary rewrites
+  //     (update/merge/compact/z-order), Delta's "materialized" form;
+  //   - rows a commit CREATES (merge inserts, replaceWhere adds) get
+  //     fresh ids above the table's high-watermark.
+  // The watermark is DERIVED from the `_rowids.tsv` sidecars (max id
+  // ceiling over every add-dir, orphans included — orphans only ever
+  // raise it, which is the safe direction), not stored in the manifest:
+  // a racing commit's CAS loser re-runs its whole kernel and re-derives,
+  // so two committed versions can never hand out overlapping ids.
+  // Honest limits, documented not hidden: ids are unique among LIVE
+  // rows at every version and stable from the enable point forward;
+  // time travel BEFORE the enable commit reads null ids; a vacuum that
+  // erases the add-dir holding the current maximum can let later
+  // commits reuse erased ids (Delta's persisted watermark avoids this —
+  // the price here of a zero-manifest-format-change design).
+  // Parquet-only: derivation needs `_metadata.row_index`, which Spark
+  // exposes for parquet alone (the [[deleteMergeOnRead]] precedent).
+  private[sources] val RowIdCol = "__vt_row_id"
+  private val RowIdBaseCol = "__vt_rid_base"
+  private[sources] val RowTrackingMarker = "rowtracking"
+
+  /** First id strictly above every id any add-dir ever recorded —
+    * O(add-dirs) tiny sidecar reads, no data access.
+    */
+  private[sources] def rowIdHighWatermark(spark: SparkSession,
+      tableDir: String): Long = {
+    val f = fs(spark, tableDir)
+    val dataDir = new Path(s"$tableDir/data")
+    if (!f.exists(dataDir)) 0L
+    else f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { st =>
+      FileStats.loadRowIds(f, st.getPath).toSeq.flatten.map(_.idCeiling)
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** (tableDir-relative data file, base id) for every DERIVED-id file
+    * under the given leaves' add-roots — the read path's base lookup.
+    */
+  private def rowIdBases(spark: SparkSession, tableDir: String,
+      leaves: Seq[String]): Seq[(String, Long)] = {
+    val f = fs(spark, tableDir)
+    leaves.map(addRootOf).distinct.flatMap { root =>
+      FileStats.loadRowIds(f, new Path(s"$tableDir/$root")).toSeq.flatten
+        .filter(_.kind == "b")
+        .map(e => s"$root/${e.rel}" -> e.value)
+    }
+  }
+
+  /** Align a kernel's NEW-rows frame with an id-carrying survivors
+    * frame: fresh rows hold null and take watermark-fresh ids at write.
+    */
+  private def withNullRowId(df: DataFrame): DataFrame =
+    df.withColumn(RowIdCol, lit(null).cast(LongType))
+
+  private def rowTrackingForWrite(spark: SparkSession, tableDir: String,
+      version: Int): Boolean =
+    version > 0 &&
+      readManifestFull(spark, tableDir, version - 1).rowTracking
+
+  /** Enable row tracking on an existing table: backfill `_rowids.tsv`
+    * bases for every live add-root (footer row counts — metadata-only,
+    * no data scan), then commit the feature marker. Idempotent;
+    * existing rows get their ids here and keep them through every
+    * later rewrite. Time travel to PRE-enable versions reads null ids.
+    */
+  def enableRowTracking(spark: SparkSession, tableDir: String): Unit =
+    withCommitRetry {
+      val v = latestVersion(spark, tableDir) + 1
+      val m = readManifestFull(spark, tableDir, v - 1)
+      if (m.rowTracking) return
+      require(m.fmt == "parquet",
+        s"row tracking needs _metadata.row_index, which Spark exposes " +
+          s"for parquet only — this table is '${m.fmt}'")
+      require(m.schemaOpt.isDefined,
+        "row tracking requires a recorded table schema (legacy table — " +
+          "run one schema-recording commit first)")
+      val f = fs(spark, tableDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      var w = rowIdHighWatermark(spark, tableDir)
+      for (root <- m.leaves.map(addRootOf).distinct.sorted) {
+        val rootP = new Path(s"$tableDir/$root")
+        if (FileStats.loadRowIds(f, rootP).isEmpty) {
+          val rels = FileStats.loadFileList(f, rootP)
+            .map(_.keys.toSeq.sorted)
+            .getOrElse(listDataFileRels(f, rootP))
+          val counts = FileStats.parquetRowCounts(conf, rootP, rels)
+          val entries = rels.map { rel =>
+            val e = FileStats.RowIdEntry(rel, "b", w, counts(rel))
+            w += counts(rel)
+            e
+          }
+          FileStats.writeRowIds(f, rootP, entries)
+        }
+      }
+      writeManifest(spark, tableDir, v, m.leaves, m.deletes, m.dirty,
+        m.txns, m.schema, m.partcol, m.constraints,
+        m.format :+ RowTrackingMarker)
+    }
+
+  /** Fallback file enumeration for a legacy add-root with no
+    * `_files.tsv` — the enable path's one-time backfill walk.
+    */
+  private def listDataFileRels(f: FileSystem, rootP: Path): Seq[String] = {
+    val rootAbs = f.makeQualified(rootP).toUri.getPath
+    def walk(p: Path): Seq[String] = f.listStatus(p).toSeq.flatMap {
+      case st if st.isDirectory => walk(st.getPath)
+      case st if st.isFile && FileStats.isDataFile(st.getPath.getName) =>
+        Seq(f.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(rootAbs + "/"))
+      case _ => Nil
+    }
+    walk(rootP).sorted
+  }
+
+  /** Head read WITH the stable row id surfaced as `_row_id` — the
+    * public row-tracking read (tests, CDF consumers, audits).
+    */
+  def readLatestWithRowIds(spark: SparkSession, tableDir: String): DataFrame =
+    readVersionWithRowIds(spark, tableDir, latestVersion(spark, tableDir))
+
+  def readVersionWithRowIds(spark: SparkSession, tableDir: String,
+      version: Int): DataFrame = {
+    val m = readManifestFull(spark, tableDir, version)
+    require(m.rowTracking || {
+      // pre-enable versions of a now-tracked table still answer (null
+      // ids) — a table that NEVER tracked refuses loudly
+      readManifestFull(spark, tableDir,
+        latestVersion(spark, tableDir)).rowTracking
+    }, s"table at $tableDir does not track row ids — enable with " +
+      "enableRowTracking() or create(rowTracking = true)")
+    readView(spark, tableDir, m, withRowIds = true)
+      .withColumnRenamed(RowIdCol, "_row_id")
+  }
+
   /** tableDir-relative physical position of each row, anchored on the
     * table's own absolute path (not a `data/add-v<N>` suffix pattern — a
     * tableDir that itself contained such a segment would make a suffix
@@ -1966,9 +2190,45 @@ object VersionedTable {
     */
   private def readView(spark: SparkSession, tableDir: String, m: VManifest,
       onlyLeaves: Option[Seq[String]] = None,
-      keepPositions: Boolean = false): DataFrame = {
+      keepPositions: Boolean = false,
+      withRowIds: Boolean = false): DataFrame = {
+    if (!withRowIds)
+      return readViewRaw(spark, tableDir, m, onlyLeaves, keepPositions,
+        m.schemaOpt)
+    // row-id view: scan with the materialized id column declared
+    // (files without it — fresh appends — read null there), keep file
+    // positions, and fill the nulls from the per-file base sidecars:
+    // id = coalesce(materialized, base + row_index). The base frame is
+    // file-count-sized metadata — broadcast, never shuffled.
+    require(m.schemaOpt.isDefined,
+      "row-id reads need a recorded table schema")
+    val sch = StructType(m.schemaOpt.get.fields :+
+      StructField(RowIdCol, LongType))
+    val base = readViewRaw(spark, tableDir, m, onlyLeaves,
+      keepPositions = true, Some(sch))
     val leaves = onlyLeaves.getOrElse(m.leaves)
-    val sch = m.schemaOpt
+    val bases = rowIdBases(spark, tableDir, leaves)
+    val withId =
+      if (bases.isEmpty) base
+      else {
+        import spark.implicits._
+        val bdf = broadcast(bases.toDF(PosFile, RowIdBaseCol))
+        base.join(bdf, Seq(PosFile), "left")
+          .withColumn(RowIdCol, coalesce(col(RowIdCol),
+            col(RowIdBaseCol) + col(PosIdx)))
+          .drop(RowIdBaseCol)
+      }
+    val ordered = withId.select((sch.fieldNames.toIndexedSeq ++
+      (if (keepPositions) Seq(PosFile, PosIdx) else Nil)).map(col): _*)
+    ordered
+  }
+
+  private def readViewRaw(spark: SparkSession, tableDir: String,
+      m: VManifest, onlyLeaves: Option[Seq[String]],
+      keepPositions: Boolean,
+      schemaOpt: Option[StructType]): DataFrame = {
+    val leaves = onlyLeaves.getOrElse(m.leaves)
+    val sch = schemaOpt
     def finish(df: DataFrame) = if (keepPositions) df else df.drop(PosFile, PosIdx)
     if (m.deletes.isEmpty) {
       val plain = readLeaves(spark, tableDir, leaves, sch, m.fmt, m.colMap,
@@ -2196,9 +2456,11 @@ object VersionedTable {
     val kept = keptSame ++ foreignM.filterNot(hitForeign.toSet)
     val rewritten =
       (if (hit.isEmpty) batch
-       else readView(spark, tableDir, m, onlyLeaves = Some(hit))
+       else readView(spark, tableDir, m, onlyLeaves = Some(hit),
+           withRowIds = m.rowTracking)
          .join(batchKeys, keyCols, "left_anti")
-         .unionByName(batch))
+         .unionByName(
+           if (m.rowTracking) withNullRowId(batch) else batch))
     writeManifest(spark, tableDir, v,
       kept ++ writeDataDirCols(rewritten, tableDir, v, cols, m.fmt),
       m.deletes, m.dirty.filter(kept.contains), m.txns, schema, cols,
@@ -2285,7 +2547,7 @@ object VersionedTable {
       s"merge source has no key column '$k' " +
         s"(${batch.columns.mkString(", ")})"))
     val hasUpdate = matched.exists(!_._2)
-    val current = readView(spark, tableDir, m)
+    val current = readView(spark, tableDir, m, withRowIds = m.rowTracking)
     val tableCols = current.columns.toIndexedSeq
     val types = current.schema.fields.map(f => f.name -> f.dataType).toMap
     if (matched.nonEmpty)
@@ -2391,8 +2653,8 @@ object VersionedTable {
     val survivors =
       if (hit.isEmpty) current.limit(0)
       else {
-        val t = readView(spark, tableDir, m, onlyLeaves = Some(hit))
-          .alias("__t")
+        val t = readView(spark, tableDir, m, onlyLeaves = Some(hit),
+          withRowIds = m.rowTracking).alias("__t")
         val s = batch.withColumn("__vt_merge_m", lit(true)).alias("__s")
         val j = t.join(s, onCond, "left_outer")
         val isMatched = coalesce(col("__s.__vt_merge_m"), lit(false))
@@ -2518,10 +2780,19 @@ object VersionedTable {
       readVersion(spark, tableDir, toV).schema)
     (fromV + 1 to toV).map(v =>
       changeStep(spark, tableDir, v, endSchema, mEnd.colMap))
-      .reduceOption(_ unionByName _)
+      // a range crossing the row-tracking ENABLE commit unions pre-
+      // enable steps (no _row_id column) with post-enable ones — the
+      // earlier rows read null there, exactly what a head read of a
+      // pre-enable snapshot answers
+      .reduceOption((a, b) =>
+        a.unionByName(b, allowMissingColumns = mEnd.rowTracking))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        VersionedChangeFeedSource.feedSchema(endSchema)))
+        if (mEnd.rowTracking)
+          StructType(
+            VersionedChangeFeedSource.feedSchema(endSchema).fields :+
+              StructField("_row_id", LongType))
+        else VersionedChangeFeedSource.feedSchema(endSchema)))
   }
 
   /** One commit's change rows (version `toV` vs `toV - 1`), aligned to
@@ -2588,13 +2859,18 @@ object VersionedTable {
               else lit(null)
             fill.cast(fld.dataType).as(fld.name)
         }
-      }: _*)
+      } ++ (if (df.columns.contains(RowIdCol)) Seq(col(RowIdCol))
+            else Nil): _*)
     }
-    if (toV == 0)
-      return aligned(readVersion(spark, tableDir, 0),
-          readManifestFull(spark, tableDir, 0).colMap)
+    if (toV == 0) {
+      val m0 = readManifestFull(spark, tableDir, 0)
+      return aligned(readView(spark, tableDir, m0,
+          withRowIds = m0.rowTracking), m0.colMap)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(0L))
+        .transform(d => if (m0.rowTracking)
+          d.withColumnRenamed(RowIdCol, "_row_id") else d)
+    }
     val mf = readManifestFull(spark, tableDir, toV - 1)
     val mt = readManifestFull(spark, tableDir, toV)
     val removed = mf.leaves.toSet -- mt.leaves.toSet
@@ -2607,16 +2883,22 @@ object VersionedTable {
         .intersect(mf.leaves.toSet.intersect(mt.leaves.toSet))
     val touchedFrom = (removed ++ commonTouched).toSeq.sorted
     val touchedTo = (added ++ commonTouched).toSeq.sorted
+    // row tracking (both manifests): each side carries the stable id,
+    // the diff keys on it, and pairing becomes EXACT instead of
+    // positional-within-key-group
+    val rt = mf.rowTracking && mt.rowTracking
     def slice(m: VManifest, leaves: Seq[String]): DataFrame =
       if (leaves.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          if (rt) StructType(schema.fields :+
+            StructField(RowIdCol, LongType)) else schema)
       else
         // a pre-evolution side lacks the later-added columns — aligning
         // to the range-end schema reads them as null on both sides, so
         // unchanged rows still cancel in the diff
-        aligned(readView(spark, tableDir, m, onlyLeaves = Some(leaves)),
-          m.colMap)
+        aligned(readView(spark, tableDir, m, onlyLeaves = Some(leaves),
+          withRowIds = rt), m.colMap)
     val old = slice(mf, touchedFrom)
     val nw = slice(mt, touchedTo)
     // ONE-pass multiset diff: tag each side ±1, group by the full row,
@@ -2627,9 +2909,10 @@ object VersionedTable {
     // semantics (GROUP BY and exceptAll both treat NULL keys as equal),
     // half the bytes on the wire.
     val rowCols = schema.fieldNames.toIndexedSeq
+    val diffKeys = if (rt) rowCols :+ RowIdCol else rowCols
     val diff = old.withColumn("__vt_side", lit(-1L))
       .unionByName(nw.withColumn("__vt_side", lit(1L)))
-      .groupBy(rowCols.map(col): _*)
+      .groupBy(diffKeys.map(col): _*)
       .agg(sum(col("__vt_side")).as("__vt_delta"))
       .filter(col("__vt_delta") =!= 0L)
       .withColumn("__vt_copy",
@@ -2645,7 +2928,14 @@ object VersionedTable {
     // Key names translate commit-logical → range-end-logical through
     // the frozen physical names, and pairing refuses silently (falls
     // back to delete+insert) if any key column no longer exists.
-    mt.opKeys match {
+    if (rt)
+      // id pairing supersedes the op-key record: ANY commit's
+      // removed x added rows pair exactly where the id matches (an
+      // unkeyed predicate UPDATE pairs too — positional pairing never
+      // could), and pure carries cancel in the diff by id
+      pairUpdatesById(diff, rowCols)
+        .withColumnRenamed(RowIdCol, "_row_id")
+    else mt.opKeys match {
       case Some((op, keys))
           if (op == "update" || op == "merge") && keys.nonEmpty =>
         val endByPhys = schema.fieldNames.toSeq
@@ -2666,6 +2956,37 @@ object VersionedTable {
     * never O(table) — and key equality is null-safe, so a NULL-keyed
     * update still pairs.
     */
+  /** EXACT pairing for a row-tracked commit: the i-th delete pairs with
+    * the insert carrying the SAME stable row id — no key heuristics, no
+    * within-group ordering, correct under arbitrary multiplicity (the
+    * case positional pairing can cross-pair). Ids are unique per side
+    * within one commit's diff, so the join is 1:1; a null id (pre-
+    * enable era) never pairs and keeps its exact delete/insert meaning.
+    */
+  private def pairUpdatesById(diff: DataFrame,
+      rowCols: Seq[String]): DataFrame = {
+    val pinned = diff.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cols = rowCols :+ RowIdCol :+ "_commit_version"
+    def side(tag: String, kind: String) =
+      pinned.filter(col("_change_type") === kind)
+        .select(cols.map(c => col(c).as(s"$tag$c")): _*)
+    val d = side("__vt_d_", "delete")
+    val i = side("__vt_i_", "insert")
+    val j = d.join(i,
+      col(s"__vt_d_$RowIdCol") === col(s"__vt_i_$RowIdCol"), "full_outer")
+    val dPresent = col("__vt_d__commit_version").isNotNull
+    val iPresent = col("__vt_i__commit_version").isNotNull
+    def emit(tag: String, changeType: Column) =
+      ((rowCols :+ RowIdCol).map(c => col(s"$tag$c").as(c)) :+
+        changeType.as("_change_type") :+
+        col(s"${tag}_commit_version").as("_commit_version"))
+    j.filter(dPresent).select(emit("__vt_d_",
+        when(iPresent, "update_preimage").otherwise("delete")): _*)
+      .unionByName(j.filter(iPresent).select(emit("__vt_i_",
+        when(dPresent, "update_postimage").otherwise("insert")): _*))
+  }
+
   private def pairUpdates(diff: DataFrame, rowCols: Seq[String],
       keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3527,7 +3848,7 @@ object VersionedTable {
     val m = readManifestFull(spark, tableDir, v - 1)
     val cols = specOf(partCol)
     requireSpec(m, cols, "compact")
-    val folded = readView(spark, tableDir, m)
+    val folded = readView(spark, tableDir, m, withRowIds = m.rowTracking)
     writeManifest(spark, tableDir, v,
       writeDataDirCols(folded, tableDir, v, cols, m.fmt), txns = m.txns,
       schema = if (m.schema.nonEmpty) m.schema else encodeSchema(folded.schema),
@@ -3554,7 +3875,10 @@ object VersionedTable {
       val m = readManifestFull(spark, tableDir, v - 1)
       val cols = specOf(partCol)
       requireSpec(m, cols, "convertFormat")
-      val folded = readView(spark, tableDir, m)
+      require(!(m.rowTracking && newFormat != "parquet"),
+        "cannot convert a row-tracked table away from parquet — fresh " +
+          "row-id derivation needs _metadata.row_index (parquet-only)")
+      val folded = readView(spark, tableDir, m, withRowIds = m.rowTracking)
       writeManifest(spark, tableDir, v,
         writeDataDirCols(folded, tableDir, v, cols, newFormat),
         txns = m.txns,
@@ -3616,7 +3940,8 @@ object VersionedTable {
         // them); vectors for still-kept dirty leaves remain live, so the
         // delete dirs stay in the manifest — entries pointing at replaced
         // files match nothing by construction
-        val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
+        val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold),
+          withRowIds = m.rowTracking)
         val newLeaves = writeDataDirCols(folded, tableDir, v, cols, m.fmt)
         writeManifest(spark, tableDir, v, (kept ++ newLeaves).sorted,
           m.deletes, m.dirty.filter(kept.contains), m.txns, m.schema,
@@ -3702,7 +4027,8 @@ object VersionedTable {
       }
       if (fold.nonEmpty) {
       val kept = m.leaves.filterNot(fold.toSet)
-      val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold))
+      val folded = readView(spark, tableDir, m, onlyLeaves = Some(fold),
+        withRowIds = m.rowTracking)
       // Rank-preserving long encoding per z-column TYPE — a bare
       // cast("long") silently NULLs strings and dates, committing a
       // rewrite with no clustering benefit. Unsupported types refuse
@@ -3750,7 +4076,8 @@ object VersionedTable {
         .option(sizeKey, rowGroupBytes.toString)
         .partitionBy(pdirs: _*).format(m.fmt).save(s"$tableDir/$rel")
       val newLeaves = publishDataDir(spark, tableDir, rel, cols,
-        toPhysical(folded, m.colMap).schema, m.fmt)
+        toPhysical(folded, m.colMap).schema, m.fmt,
+        rowTracking = m.rowTracking)
       // vectors of folded dirty leaves APPLIED in readView; vectors for
       // still-kept dirty leaves stay live (binpack's carry rule) — with
       // no kept dirty leaf every vector folded in, so the delete dirs
@@ -5353,6 +5680,105 @@ object VersionedTable {
       .orderBy("version", "change_type")
   }
 
+  /** Row-tracking lifecycle (rowTracking=true table): create + append
+    * + COW delete + COW update + compact, then one summary row per
+    * version — business columns (row count, micros sum, change-feed
+    * row counts) the oracle reproduces in SQL, plus in-query id AUDITS
+    * (unique/non-null ids, id stability across every commit, exact
+    * pre↔post id pairing) the oracle pins as literal TRUE. The compact
+    * version's zero change rows pin "carries cancel by id".
+    */
+  def snapshotRowTracking(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Stores
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 1e6).cast("long").as("micros"))
+    val dir = Stores.temp("graft_vt_rowid")
+    create(ev.filter(col("event_id") % 2 === 0), dir, "event_type",
+      rowTracking = true)                                          // v0
+    append(ev.filter(col("event_id") % 2 === 1), dir, "event_type") // v1
+    delete(spark, dir, "event_type",
+      col("event_type") === "click" && col("user_id") % 5 === 2)   // v2
+    update(spark, dir, "event_type",
+      col("event_type") === "view" && col("user_id") % 7 === 3,
+      Seq("micros" -> (col("micros") + col("user_id"))))           // v3
+    compact(spark, dir, "event_type")                              // v4
+    val rows = (0 to 4).map { v =>
+      val s = readVersionWithRowIds(spark, dir, v)
+      val agg = s.agg(
+        count(lit(1)).cast("long"),
+        sum(col("micros")).cast("long"),
+        (count(col("_row_id")) === count(lit(1)) &&
+          countDistinct(col("_row_id")) === count(lit(1)))).first()
+      val (n, sm, idsOk) = (agg.getLong(0), agg.getLong(1),
+        agg.getBoolean(2))
+      val stableOk = v == 0 || {
+        val prev = readVersionWithRowIds(spark, dir, v - 1)
+          .select(col("event_id"), col("_row_id").as("rid_prev"))
+        s.select(col("event_id"), col("_row_id")).join(prev, "event_id")
+          .filter(col("_row_id") =!= col("rid_prev")).isEmpty
+      }
+      val feed = changeFeed(spark, dir, v - 1, v)
+      val byType = feed.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (nPre, nPost) = (byType.getOrElse("update_preimage", 0L),
+        byType.getOrElse("update_postimage", 0L))
+      val pairedOk = (nPre == 0L && nPost == 0L) || {
+        val pre = feed.filter(col("_change_type") === "update_preimage")
+          .select(col("_row_id").as("rid"))
+        val post = feed.filter(col("_change_type") === "update_postimage")
+          .select(col("_row_id").as("rid"))
+        pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+      }
+      (v.toLong, n, sm, byType.values.sum, nPre, nPost, idsOk,
+        stableOk, pairedOk)
+    }
+    rows.toDF("version", "n_rows", "sum_micros", "n_changes", "n_pre",
+        "n_post", "ids_ok", "stable_ok", "paired_ok")
+      .orderBy("version")
+  }
+
+  def snapshotRowTrackingSql(): String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 1000000) AS BIGINT) AS micros
+      |  FROM events),
+      |v2 AS (SELECT * FROM e
+      |       WHERE NOT (event_type = 'click' AND user_id % 5 = 2)),
+      |upd AS (SELECT * FROM v2
+      |        WHERE event_type = 'view' AND user_id % 7 = 3),
+      |v3 AS (SELECT event_id, user_id, event_type,
+      |         micros + CASE WHEN event_type = 'view' AND user_id % 7 = 3
+      |                       THEN user_id ELSE 0 END AS micros
+      |       FROM v2),
+      |s AS (
+      |  SELECT 0 AS version, count(*) AS n_rows,
+      |         sum(micros) AS sum_micros, count(*) AS n_changes,
+      |         0 AS n_pre, 0 AS n_post
+      |  FROM e WHERE event_id % 2 = 0
+      |  UNION ALL SELECT 1, (SELECT count(*) FROM e),
+      |    (SELECT sum(micros) FROM e),
+      |    (SELECT count(*) FROM e WHERE event_id % 2 = 1), 0, 0
+      |  UNION ALL SELECT 2, (SELECT count(*) FROM v2),
+      |    (SELECT sum(micros) FROM v2),
+      |    (SELECT count(*) FROM e WHERE event_type = 'click'
+      |       AND user_id % 5 = 2), 0, 0
+      |  UNION ALL SELECT 3, (SELECT count(*) FROM v3),
+      |    (SELECT sum(micros) FROM v3),
+      |    2 * (SELECT count(*) FROM upd),
+      |    (SELECT count(*) FROM upd), (SELECT count(*) FROM upd)
+      |  UNION ALL SELECT 4, (SELECT count(*) FROM v3),
+      |    (SELECT sum(micros) FROM v3), 0, 0, 0)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(sum_micros AS BIGINT) AS sum_micros,
+      |       CAST(n_changes AS BIGINT) AS n_changes,
+      |       CAST(n_pre AS BIGINT) AS n_pre,
+      |       CAST(n_post AS BIGINT) AS n_post,
+      |       TRUE AS ids_ok, TRUE AS stable_ok, TRUE AS paired_ok
+      |FROM s ORDER BY version""".stripMargin
+
   def snapshotChangeFeedSql(): String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type,
@@ -5467,7 +5893,8 @@ object VersionedTable {
     // without a re-harvest (relative paths and sizes are unchanged;
     // hard links even keep the recorded mtimes exact)
     for (root <- m.leaves.map(addRootOf).distinct;
-         sidecar <- Seq(FileStats.StatsFileName, FileStats.FileListName)
+         sidecar <- Seq(FileStats.StatsFileName, FileStats.FileListName,
+           FileStats.RowIdFileName)
          if f.exists(new Path(s"$srcDir/$root/$sidecar")))
       bring(root, sidecar)
     writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.SparkTestSession
+
+/** ROW TRACKING — Delta-style stable row ids (public design), opt-in
+  * per table: fresh appends derive `id = base + _metadata.row_index`
+  * from the `_rowids.tsv` sidecar (zero write-path data cost), COW
+  * rewrites carry ids as a materialized physical column, and the change
+  * feed pairs a commit's removed×added rows EXACTLY on the id — the
+  * case positional pairing cross-pairs. Reference context: the
+  * reference engine rewrites whole partitions with no row identity at
+  * all (DeletionExecutor.java); engine extension.
+  */
+class RowTrackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.isolated()
+  import spark.implicits._
+
+  private def mk(rowTracking: Boolean = true): String = {
+    val dir = Files.createTempDirectory("graft-rowid").toString
+    val df = Seq(
+      (1L, "a", "web", 10L), (2L, "a", "api", 20L),
+      (3L, "b", "web", 30L), (4L, "b", "crawl", 40L)
+    ).toDF("id", "kind", "src", "amount")
+    VersionedTable.create(df, dir, "kind", rowTracking = rowTracking)
+    dir
+  }
+
+  private def idMap(dir: String): Map[Long, Long] =
+    VersionedTable.readLatestWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("create(rowTracking): ids are non-null, unique, dense [0, n); " +
+      "plain reads never see the id column") {
+    val dir = mk()
+    val withIds = VersionedTable.readLatestWithRowIds(spark, dir)
+    val got = withIds.select("_row_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(0L, 1L, 2L, 3L))
+    assert(VersionedTable.readLatest(spark, dir).columns.toSeq ===
+      Seq("id", "kind", "src", "amount"))
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq ===
+      Seq("id", "kind", "src", "amount"))
+  }
+
+  test("append assigns fresh ids above the watermark; existing ids " +
+      "are untouched") {
+    val dir = mk()
+    val before = idMap(dir)
+    VersionedTable.append(Seq((5L, "a", "web", 50L), (6L, "c", "api", 60L))
+      .toDF("id", "kind", "src", "amount"), dir, "kind")
+    val after = idMap(dir)
+    assert(before.forall { case (k, v) => after(k) == v })
+    val fresh = Seq(after(5L), after(6L))
+    assert(fresh.forall(_ >= 4L) && fresh.distinct.size == 2)
+    assert(after.values.toSeq.distinct.size === 6)
+  }
+
+  test("COW delete: survivor ids stable, including survivors of the " +
+      "REWRITTEN leaf; deleted ids disappear") {
+    val dir = mk()
+    val before = idMap(dir)
+    VersionedTable.delete(spark, dir, "kind", col("id") === 3L)
+    val after = idMap(dir)
+    assert(after.keySet === Set(1L, 2L, 4L))
+    // row 4 shared partition 'b' with the deleted row — its leaf was
+    // rewritten, its id must carry through the materialized column
+    assert(after(4L) === before(4L))
+    assert(after(1L) === before(1L) && after(2L) === before(2L))
+  }
+
+  test("UPDATE keeps ids; the change feed pairs EXACTLY by id where " +
+      "positional pairing would cross-pair") {
+    val dir = Files.createTempDirectory("graft-rowid-u").toString
+    // two rows with the SAME key: a->'z', b->'c'. Sorted-positional
+    // pairing matches sorted deletes [a,b] with sorted inserts [c,z]
+    // (a<->c, b<->z — crossed); id pairing is exact.
+    VersionedTable.create(
+      Seq((1L, "k", "a"), (1L, "k", "b")).toDF("id", "kind", "v"),
+      dir, "kind", rowTracking = true)
+    val pre = VersionedTable.readLatestWithRowIds(spark, dir)
+      .select("v", "_row_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    VersionedTable.update(spark, dir, "kind", col("v") === "a",
+      Seq("v" -> lit("z")))
+    VersionedTable.update(spark, dir, "kind", col("v") === "b",
+      Seq("v" -> lit("c")))
+    val post = VersionedTable.readLatestWithRowIds(spark, dir)
+      .select("v", "_row_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(post("z") === pre("a"), "update must keep the row's id")
+    assert(post("c") === pre("b"))
+    val feed = VersionedTable.changeFeed(spark, dir, 0, 2)
+      .select("v", "_change_type", "_row_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def one(v: String, t: String): Long =
+      feed.collect { case (`v`, `t`, rid) => rid } match {
+        case Array(rid) => rid
+        case other => fail(s"expected one ($v,$t), got ${other.toSeq}")
+      }
+    assert(one("a", "update_preimage") === one("z", "update_postimage"))
+    assert(one("b", "update_preimage") === one("c", "update_postimage"))
+    assert(one("a", "update_preimage") !== one("b", "update_preimage"))
+  }
+
+  test("SQL MERGE: matched update keeps the target id, insert gets a " +
+      "fresh id; CDF pairs the update by id") {
+    val dir = mk()
+    val before = idMap(dir)
+    Seq((2L, 999L), (9L, 90L)).toDF("id", "amount2")
+      .createOrReplaceTempView("rt_src")
+    spark.sql(s"MERGE INTO graft.`$dir` t USING rt_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.amount = s.amount2 " +
+      "WHEN NOT MATCHED THEN INSERT (id, kind, src, amount) " +
+      "VALUES (s.id, 'c', 'merge', s.amount2)")
+    val after = idMap(dir)
+    assert(after(2L) === before(2L), "matched update keeps the id")
+    assert(after(9L) >= 4L, "insert takes a fresh id")
+    assert(before.filterKeys(_ != 2L).forall {
+      case (k, v) => after(k) == v
+    })
+    val v = VersionedTable.latestVersion(spark, dir)
+    val types = VersionedTable.changeFeed(spark, dir, v - 1, v)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types === Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L))
+  }
+
+  test("compact and z-order preserve every id") {
+    val dir = mk()
+    VersionedTable.append(Seq((5L, "a", "x", 50L))
+      .toDF("id", "kind", "src", "amount"), dir, "kind")
+    val before = idMap(dir)
+    VersionedTable.compact(spark, dir, "kind")
+    assert(idMap(dir) === before, "compact must not renumber rows")
+    VersionedTable.optimizeZOrder(spark, dir, "kind", "id", "amount")
+    assert(idMap(dir) === before, "z-order must not renumber rows")
+  }
+
+  test("enableRowTracking backfills an existing table: ids dense over " +
+      "live rows, stable through a later delete; idempotent") {
+    val dir = mk(rowTracking = false)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readLatestWithRowIds(spark, dir)
+    }
+    VersionedTable.enableRowTracking(spark, dir)
+    VersionedTable.enableRowTracking(spark, dir) // idempotent
+    val before = idMap(dir)
+    assert(before.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L))
+    VersionedTable.delete(spark, dir, "kind", col("id") === 1L)
+    val after = idMap(dir)
+    assert(after.keySet === Set(2L, 3L, 4L))
+    assert(after.forall { case (k, v) => before(k) == v })
+  }
+
+  test("merge-on-read delete + row ids: vector-deleted rows drop from " +
+      "the id view; CDF emits their exact delete rows by id") {
+    val dir = mk()
+    val before = idMap(dir)
+    VersionedTable.deleteMergeOnRead(spark, dir, col("id") === 2L)
+    val after = idMap(dir)
+    assert(after.keySet === Set(1L, 3L, 4L))
+    assert(after.forall { case (k, v) => before(k) == v })
+    val v = VersionedTable.latestVersion(spark, dir)
+    val feed = VersionedTable.changeFeed(spark, dir, v - 1, v)
+      .select("id", "_change_type", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(feed.toSeq === Seq((2L, "delete", before(2L))))
+  }
+
+  test("clone carries the id story; time travel before a rewrite " +
+      "reads the original ids") {
+    val dir = mk()
+    VersionedTable.delete(spark, dir, "kind", col("id") === 4L)
+    val dst = Files.createTempDirectory("graft-rowid-c").toString + "/t"
+    VersionedTable.cloneTable(spark, dir, dst)
+    assert(idMap(dst) === idMap(dir))
+    val v0 = VersionedTable.readVersionWithRowIds(spark, dir, 0)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v0.keySet === Set(1L, 2L, 3L, 4L))
+    assert(idMap(dir).forall { case (k, id) => v0(k) == id })
+  }
+
+  test("refusals: row tracking on ORC, converting a tracked table " +
+      "away from parquet") {
+    val bad = intercept[IllegalArgumentException] {
+      val d = Files.createTempDirectory("graft-rowid-o").toString
+      VersionedTable.create(Seq((1L, "k")).toDF("id", "kind"), d,
+        "kind", format = "orc", rowTracking = true)
+    }
+    assert(bad.getMessage.contains("parquet"), bad.getMessage)
+    val dir = mk()
+    val conv = intercept[IllegalArgumentException] {
+      VersionedTable.convertFormat(spark, dir, "kind", "orc")
+    }
+    assert(conv.getMessage.contains("row-tracked"), conv.getMessage)
+  }
+}
