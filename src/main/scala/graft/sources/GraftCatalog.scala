@@ -309,9 +309,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
         "every versioned-table kernel (delete/update/merge/maintenance) " +
         "groups its work by partition values")
     val fmt = Option(properties.get("format")).getOrElse("parquet")
+    val rowTracking = Option(properties.get("graft.rowTracking"))
+      .exists(_.trim.equalsIgnoreCase("true"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    VersionedTable.create(empty, dir, specCols.mkString(","), format = fmt)
+    VersionedTable.create(empty, dir, specCols.mkString(","), format = fmt,
+      rowTracking = rowTracking)
     new GraftV2Table(dir, None)
   }
 

@@ -43,7 +43,8 @@ object GraftProcedures {
     "vacuum_older_than", "compact", "binpack", "optimize",
     "optimize_zorder", "rollback", "evolve_partition_spec",
     "convert_format", "clone", "create_branch", "create_tag",
-    "drop_ref", "retarget_branch", "checkout_branch")
+    "drop_ref", "retarget_branch", "checkout_branch",
+    "enable_row_tracking")
 
   def load(name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -63,6 +64,7 @@ object GraftProcedures {
       case "drop_ref" => Some(DropRef)
       case "retarget_branch" => Some(RetargetBranch)
       case "checkout_branch" => Some(CheckoutBranch)
+      case "enable_row_tracking" => Some(EnableRowTracking)
       case _ => None
     }
 
@@ -397,6 +399,20 @@ object GraftProcedures {
         StructField("files_linked", LongType),
         StructField("files_copied", LongType))),
         Seq(dir, dst, linked, copied))
+    }
+  }
+
+  private object EnableRowTracking extends Fixed("enable_row_tracking",
+      "backfill per-file row-id bases and commit the tracking flag") {
+    override def parameters: Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = input.getUTF8String(0).toString
+      VersionedTable.enableRowTracking(spark, dir)
+      oneRow(StructType(Seq(
+        StructField("table", StringType),
+        StructField("row_id_watermark", LongType))),
+        Seq(dir, VersionedTable.rowIdHighWatermark(spark, dir)))
     }
   }
 }

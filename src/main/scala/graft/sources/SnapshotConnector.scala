@@ -129,9 +129,15 @@ final class GraftSnapshotSource extends RelationProvider
     val base = schemaOpt.getOrElse(
       spark.read.format(fmt).load(leaves.map(l => s"$tableDir/$l"): _*).schema)
     val out =
-      if (ci.get("readchangefeed").exists(_.trim.toBoolean))
-        VersionedChangeFeedSource.feedSchema(base)
-      else base
+      if (ci.get("readchangefeed").exists(_.trim.toBoolean)) {
+        val f0 = VersionedChangeFeedSource.feedSchema(base)
+        // a row-tracked table's stream carries the stable id too — the
+        // incremental-MV/sync consumer keys its upserts on it
+        if (VersionedTable.rowTrackingEnabled(spark, tableDir))
+          StructType(f0.fields :+ org.apache.spark.sql.types
+            .StructField("_row_id", org.apache.spark.sql.types.LongType))
+        else f0
+      } else base
     (shortName(), out)
   }
 
@@ -1118,20 +1124,33 @@ final class VersionedChangeFeedSource(sqlContext: SQLContext,
 
   private def versionOf(o: Offset): Int = o.json.trim.toInt
 
-  private def asStreaming(df: DataFrame): DataFrame =
+  private val trackIds = feedSchema.fieldNames.contains("_row_id")
+
+  private def asStreaming(df0: DataFrame): DataFrame = {
+    // a step that predates row-tracking ENABLE has no _row_id column —
+    // a declared-id stream reads null there (what a head read of that
+    // era answers), never an analysis error
+    val df = if (trackIds && !df0.columns.contains("_row_id"))
+      df0.withColumn("_row_id",
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+    else df0
     org.apache.spark.sql.graft.GraftStreamingBridge.streamingFrame(
       sqlContext,
       df.select(feedSchema.fieldNames.toIndexedSeq.map(col): _*)
         .queryExecution.toRdd,
       feedSchema)
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
     val fromV = start.map(versionOf).orElse(startingVersion.map(_ - 1))
     fromV match {
       case None =>
-        // initial batch: the current snapshot as insert rows
-        asStreaming(VersionedTable.readVersion(spark, tableDir, endV)
+        // initial batch: the current snapshot as insert rows (with the
+        // stable id when the stream declares it)
+        asStreaming((if (trackIds)
+            VersionedTable.readVersionWithRowIds(spark, tableDir, endV)
+          else VersionedTable.readVersion(spark, tableDir, endV))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV.toLong)))
       case Some(f) if f >= endV =>

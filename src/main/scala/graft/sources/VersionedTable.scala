@@ -2083,6 +2083,12 @@ object VersionedTable {
   private def withNullRowId(df: DataFrame): DataFrame =
     df.withColumn(RowIdCol, lit(null).cast(LongType))
 
+  /** Head-manifest row-tracking flag — the connector/catalog probe. */
+  private[sources] def rowTrackingEnabled(spark: SparkSession,
+      tableDir: String): Boolean =
+    readManifestFull(spark, tableDir,
+      latestVersion(spark, tableDir)).rowTracking
+
   private def rowTrackingForWrite(spark: SparkSession, tableDir: String,
       version: Int): Boolean =
     version > 0 &&

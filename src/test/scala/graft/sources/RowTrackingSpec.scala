@@ -188,6 +188,66 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(idMap(dir).forall { case (k, id) => v0(k) == id })
   }
 
+  test("SQL surface: CREATE TABLE TBLPROPERTIES graft.rowTracking, " +
+      "CALL graft.enable_row_tracking, ids survive SQL DML") {
+    val dir = Files.createTempDirectory("graft-rowid-sql").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, kind STRING, " +
+      "amount BIGINT) PARTITIONED BY (kind) " +
+      "TBLPROPERTIES ('graft.rowTracking' = 'true')")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    val before = VersionedTable.readLatestWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.values.toSeq.distinct.size === 3)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id = 1")
+    spark.sql(s"UPDATE graft.`$dir` SET amount = amount + 1 WHERE id = 2")
+    val after = VersionedTable.readLatestWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before.filterKeys(_ != 1L).toMap)
+    // procedure path on a plain table
+    val dir2 = mk(rowTracking = false)
+    val r = spark.sql(
+      s"CALL graft.enable_row_tracking('$dir2')").collect().head
+    assert(r.getLong(1) === 4L, s"watermark after 4-row backfill: $r")
+    assert(idMap(dir2).values.toSeq.sorted === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("streaming CDF on a tracked table declares and delivers " +
+      "_row_id; update batches pair by id") {
+    val dir = mk()
+    val static = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(dir)
+    assert(static.schema.fieldNames.contains("_row_id"))
+    val ckpt = Files.createTempDirectory("graft-rowid-ck").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[(String, Long, Long)]]()
+    val q = static.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.select("_change_type", "id", "_row_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        if (got.nonEmpty) batches.add(got)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // initial snapshot (insert rows WITH ids)
+      val ids = idMap(dir)
+      VersionedTable.update(spark, dir, "kind", col("id") === 3L,
+        Seq("amount" -> lit(333L)))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val all = batches.asScala.toSeq.flatten
+      val init = all.filter(_._1 == "insert")
+      assert(init.map(t => t._2 -> t._3).toMap === ids,
+        "initial snapshot must carry the real ids")
+      val pre = all.filter(_._1 == "update_preimage")
+      val post = all.filter(_._1 == "update_postimage")
+      assert(pre.map(_._3) === post.map(_._3) &&
+        pre.map(_._3).toSeq === Seq(ids(3L)))
+    } finally q.stop()
+  }
+
   test("refusals: row tracking on ORC, converting a tracked table " +
       "away from parquet") {
     val bad = intercept[IllegalArgumentException] {
