@@ -2052,16 +2052,35 @@ object VersionedTable {
   private[sources] val RowTrackingMarker = "rowtracking"
 
   /** First id strictly above every id any add-dir ever recorded —
-    * O(add-dirs) tiny sidecar reads, no data access.
+    * O(add-dirs) tiny sidecar reads, no data access. The persisted
+    * FLOOR ([[sweep]] writes it before erasing add-dirs) keeps the
+    * watermark monotone across vacuum: erased sidecars can no longer
+    * let a later commit reuse erased ids.
     */
   private[sources] def rowIdHighWatermark(spark: SparkSession,
       tableDir: String): Long = {
     val f = fs(spark, tableDir)
     val dataDir = new Path(s"$tableDir/data")
-    if (!f.exists(dataDir)) 0L
-    else f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { st =>
-      FileStats.loadRowIds(f, st.getPath).toSeq.flatten.map(_.idCeiling)
-    }.foldLeft(0L)(math.max)
+    val scanned =
+      if (!f.exists(dataDir)) 0L
+      else f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { st =>
+        FileStats.loadRowIds(f, st.getPath).toSeq.flatten.map(_.idCeiling)
+      }.foldLeft(0L)(math.max)
+    math.max(scanned, readRowIdFloor(f, tableDir))
+  }
+
+  private def rowIdFloorPath(tableDir: String): Path =
+    new Path(s"${manifestsDir(tableDir)}/rowid-floor.txt")
+
+  private def readRowIdFloor(f: FileSystem, tableDir: String): Long = {
+    val p = rowIdFloorPath(tableDir)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.trim.toLong
+    }
   }
 
   /** (tableDir-relative data file, base id) for every DERIVED-id file
@@ -4200,6 +4219,16 @@ object VersionedTable {
   private def sweep(spark: SparkSession, tableDir: String, drop: Seq[Int],
       keep: Seq[Int], orphanGraceMs: Long): Unit = {
     val f = fs(spark, tableDir)
+    // row tracking: pin the id watermark BEFORE any sidecar-carrying
+    // add-dir can be erased (callers hold the store lock, so the plain
+    // overwrite is single-writer) — erasure must never regress the
+    // watermark into handing out previously-assigned ids
+    if (keep.nonEmpty &&
+        readManifestFull(spark, tableDir, keep.max).rowTracking) {
+      val w = rowIdHighWatermark(spark, tableDir)
+      val out = f.create(rowIdFloorPath(tableDir), true)
+      try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+    }
     val live = keep.flatMap(manifestRefs(spark, tableDir, _)).toSet
     val dead = drop.flatMap(manifestRefs(spark, tableDir, _)).toSet -- live
     // remove dead leaves first, manifests second: a crash in between
@@ -5903,6 +5932,14 @@ object VersionedTable {
            FileStats.RowIdFileName)
          if f.exists(new Path(s"$srcDir/$root/$sidecar")))
       bring(root, sidecar)
+    // the id-watermark floor rides along: the clone must not reuse ids
+    // the source's vacuum already burned
+    if (f.exists(rowIdFloorPath(srcDir))) {
+      val floor = readRowIdFloor(f, srcDir)
+      f.mkdirs(new Path(manifestsDir(dstDir)))
+      val out = f.create(rowIdFloorPath(dstDir), true)
+      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    }
     writeManifest(spark, dstDir, 0, m.leaves, m.deletes, m.dirty, m.txns,
       m.schema, m.partcol, m.constraints, m.format)
     (linkedN, copiedN)

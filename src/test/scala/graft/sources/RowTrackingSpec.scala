@@ -248,6 +248,24 @@ class RowTrackingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vacuum cannot regress the watermark: erasing the max-id " +
+      "add-dir leaves a persisted floor, fresh ids never reuse") {
+    val dir = mk()
+    // their own partition => the delete drops the whole leaf and the
+    // add-dir becomes fully unreferenced (vacuum erases it)
+    VersionedTable.append(Seq((5L, "z", "x", 50L), (6L, "z", "y", 60L))
+      .toDF("id", "kind", "src", "amount"), dir, "kind")
+    val burned = Seq(idMap(dir)(5L), idMap(dir)(6L))
+    assert(burned.forall(_ >= 4L))
+    VersionedTable.delete(spark, dir, "kind", col("kind") === "z")
+    VersionedTable.vacuum(spark, dir, 1, orphanGraceMs = 0L)
+    VersionedTable.append(Seq((7L, "c", "w", 70L))
+      .toDF("id", "kind", "src", "amount"), dir, "kind")
+    val fresh = idMap(dir)(7L)
+    assert(!burned.contains(fresh) && fresh >= burned.max + 1,
+      s"fresh id $fresh must sit above the erased ids $burned")
+  }
+
   test("refusals: row tracking on ORC, converting a tracked table " +
       "away from parquet") {
     val bad = intercept[IllegalArgumentException] {
