@@ -875,7 +875,7 @@ final class GraftV2Table(val tableDir: String, val pinnedVersion: Option[Int])
 object GraftMetadataTable {
   /** The metadata-table suffixes `graft.`/dir`.<kind>` resolves. */
   val kinds: Set[String] = Set("history", "detail", "partitions",
-    "constraints", "refs")
+    "constraints", "refs", "files")
 }
 
 /** A table's metadata as a read-only table — the Delta
@@ -899,6 +899,7 @@ final class GraftMetadataTable(val tableDir: String, val kind: String)
     case "refs" =>
       val rows = VersionedTable.tableRefs(spark, tableDir)
       spark.createDataFrame(rows).toDF("name", "kind", "version")
+    case "files" => VersionedTable.filesReport(spark, tableDir)
     case "partitions" =>
       val head = VersionedTable.latestVersion(spark, tableDir)
       val spec = VersionedTable.manifestView(spark, tableDir, head)._4

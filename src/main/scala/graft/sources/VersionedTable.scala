@@ -2428,6 +2428,53 @@ object VersionedTable {
     }.toSeq.sorted
   }
 
+  /** The head's live data files as a frame — the Iceberg `t.files`
+    * metadata-table surface: one row per file with its leaf partition
+    * dir, committing version, size and sidecar row count. Answered
+    * entirely from `_files.tsv`/`_stats.tsv` (one read per add-dir,
+    * zero per-leaf listings on sidecar-complete tables; legacy roots
+    * fall back to listing) — at a million files this is the same
+    * metadata the relation build already holds, never a data scan.
+    */
+  def filesReport(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, tableDir)
+    val m = readManifestFull(spark, tableDir, latestVersion(spark, tableDir))
+    val byRoot = m.leaves.groupBy(addRootOf)
+    val lists = fileListsFor(spark, tableDir, byRoot.keys.toSeq)
+    val VRe = "add-v(\\d+)-.*".r
+    val out = byRoot.toSeq.flatMap { case (root, ls) =>
+      val rootP = new Path(s"$tableDir/$root")
+      val stats = FileStats.load(f, rootP)
+      val version = root.split('/')
+        .collectFirst { case VRe(v) => v.toLong }.getOrElse(-1L)
+      val leafRels = ls.map(leafRelOf).toSet
+      def row(rel: String, size: Long) = {
+        val nrows = stats.get(rel).flatMap(_.values.headOption)
+          .map(_.rows)
+        (s"$root/$rel", parentRelOf(rel), version, size, nrows)
+      }
+      lists(root) match {
+        case Some(list) => list.toSeq.collect {
+          case (rel, (size, _))
+              if FileStats.isDataFile(rel) &&
+                leafRels.contains(parentRelOf(rel)) =>
+            row(rel, size)
+        }
+        case None => ls.flatMap { l =>
+          fallbackLeafListings += 1
+          f.listStatus(new Path(s"$tableDir/$l")).toSeq
+            .filter(st => st.isFile &&
+              FileStats.isDataFile(st.getPath.getName))
+            .map(st => row(s"${leafRelOf(l)}/${st.getPath.getName}",
+              st.getLen))
+        }
+      }
+    }
+    out.toDF("file", "partition", "version", "size_bytes", "rows")
+      .orderBy("file")
+  }
+
   /** MERGE (upsert) a batch by key — the reference's deletion kernel
     * generalized to updates: rows whose `keyCol` matches a batch key are
     * REPLACED by the batch row, unmatched batch rows are inserted, and

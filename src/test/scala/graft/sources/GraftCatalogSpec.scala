@@ -838,6 +838,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft.`$dir`.nonsense").collect()
     }
+    // .files: one row per live data file, sidecar-answered (no data
+    // scan); sizes positive, sidecar row counts sum to the table's
+    val files = spark.sql(s"SELECT partition, version, size_bytes, rows " +
+      s"FROM graft.`$dir`.files").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(2) > 0L))
+    assert(files.map(_.getString(0)).forall(_.startsWith("kind__p=")))
+    assert(files.map(_.getLong(1)).toSet === Set(0L, 1L))
+    assert(files.map(_.getLong(3)).sum ===
+      spark.sql(s"SELECT count(*) FROM graft.`$dir`").as[Long]
+        .collect().head)
   }
 
   test("Delta-style maintenance statements parse: DESCRIBE HISTORY, " +
