@@ -266,6 +266,19 @@ class RowTrackingSpec extends AnyFunSuite {
       s"fresh id $fresh must sit above the erased ids $burned")
   }
 
+  test("plan shape: the id-deriving read is scan + BROADCAST base " +
+      "join — no shuffle exchange, no sort") {
+    val dir = mk()
+    VersionedTable.delete(spark, dir, "kind", col("id") === 1L)
+    val plan = VersionedTable.readLatestWithRowIds(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      !plan.contains("Join"), s"base join must broadcast:\n$plan")
+    assert(!plan.contains("ShuffleExchange") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"id derivation must not shuffle the table:\n$plan")
+  }
+
   test("refusals: row tracking on ORC, converting a tracked table " +
       "away from parquet") {
     val bad = intercept[IllegalArgumentException] {
