@@ -78,22 +78,36 @@ object FileStats {
     * null ids; the enable path backfills live roots so this stays a
     * time-travel-only case).
     */
-  def loadRowIds(fsys: FileSystem,
-      dataDirAbs: Path): Option[Seq[RowIdEntry]] = {
+  def loadRowIds(fsys: FileSystem, dataDirAbs: Path,
+      lenient: Boolean = false): Option[Seq[RowIdEntry]] = {
     val p = new Path(dataDirAbs, RowIdFileName)
-    if (!fsys.exists(p)) None
-    else {
-      val in = fsys.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-        line.split('\t') match {
-          case Array(rel, kind, value, rows) =>
-            RowIdEntry(rel, kind, value.toLong, rows.toLong)
-          case _ => throw new IllegalStateException(
-            s"malformed $RowIdFileName line: '$line'")
-        }
-      })
+    try {
+      if (!fsys.exists(p)) None
+      else {
+        val in = fsys.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(text.split('\n').toSeq.filter(_.nonEmpty).flatMap { line =>
+          line.split('\t') match {
+            case Array(rel, kind, value, rows) =>
+              Some(RowIdEntry(rel, kind, value.toLong, rows.toLong))
+            case _ if lenient =>
+              // watermark scans race CONCURRENT writers' in-flight
+              // sidecars: a truncated tail line means the dir is
+              // mid-publish and uncommitted — under-counting it is
+              // safe (the CAS forces the loser to re-derive over the
+              // completed file)
+              None
+            case _ => throw new IllegalStateException(
+              s"malformed $RowIdFileName line: '$line'")
+          }
+        })
+      }
+    } catch {
+      // mid-write/mid-vacuum races (file vanished, checksum shorter
+      // than the data): lenient readers treat the dir as not-yet-
+      // published; strict readers (committed-leaf resolution) propagate
+      case e: java.io.IOException if lenient => None
     }
   }
 

@@ -65,7 +65,7 @@ object VersionedTable {
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
-  private val MaxCommitAttempts = 5
+  private val MaxCommitAttempts = 8
 
   private def withCommitRetry[A](op: => A): A = {
     var attempt = 1
@@ -75,6 +75,12 @@ object VersionedTable {
       catch {
         case e: CommitConflictException =>
           if (attempt >= MaxCommitAttempts) throw e
+          // jittered backoff desynchronizes lockstep racers (N writers
+          // that scan-write-CAS in phase can otherwise burn every
+          // attempt on the same collision); bounded so a single retry
+          // never stalls a caller noticeably
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(20L, 80L * attempt))
           attempt += 1
       }
     }
@@ -2064,7 +2070,8 @@ object VersionedTable {
     val scanned =
       if (!f.exists(dataDir)) 0L
       else f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { st =>
-        FileStats.loadRowIds(f, st.getPath).toSeq.flatten.map(_.idCeiling)
+        FileStats.loadRowIds(f, st.getPath, lenient = true)
+          .toSeq.flatten.map(_.idCeiling)
       }.foldLeft(0L)(math.max)
     math.max(scanned, readRowIdFloor(f, tableDir))
   }

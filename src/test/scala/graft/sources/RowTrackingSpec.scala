@@ -279,6 +279,42 @@ class RowTrackingSpec extends AnyFunSuite {
       s"id derivation must not shuffle the table:\n$plan")
   }
 
+  test("RACING appends never overlap ids: the CAS loser re-derives " +
+      "the watermark over the winner's (and its own orphaned) sidecars") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = mk() // ids 0-3
+    val writers = Future.traverse(1 to 4) { t =>
+      Future {
+        for (b <- 0 until 3) {
+          // the invariant under test is ID DISJOINTNESS, not the
+          // engine's bounded retry budget — under heavy box load four
+          // lockstep writers can exhaust it, so the test tolerates the
+          // loud conflict and retries (what a real caller does too)
+          var committed = false
+          while (!committed) {
+            try {
+              VersionedTable.append(
+                Seq((t * 100L + b, s"p$t", "x", 1L), (t * 100L + b + 50L,
+                  s"p$t", "y", 2L)).toDF("id", "kind", "src", "amount"),
+                dir, "kind")
+              committed = true
+            } catch {
+              case _: VersionedTable.CommitConflictException => ()
+            }
+          }
+        }
+      }
+    }
+    Await.result(writers, 5.minutes)
+    val ids = VersionedTable.readLatestWithRowIds(spark, dir)
+      .select("_row_id").as[Long].collect().toSeq
+    assert(ids.size === 4 + 4 * 3 * 2)
+    assert(ids.distinct.size === ids.size,
+      s"duplicate row ids under racing appends: ${ids.sorted}")
+  }
+
   test("refusals: row tracking on ORC, converting a tracked table " +
       "away from parquet") {
     val bad = intercept[IllegalArgumentException] {
