@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.sources.VersionedTable
 
@@ -293,7 +293,9 @@ case class GraftDescribeDetailCommand(tableDir: String)
     AttributeReference("schema_ddl", StringType, nullable = false)(),
     AttributeReference("num_txn_channels", IntegerType,
       nullable = false)(),
-    AttributeReference("num_constraints", IntegerType, nullable = false)())
+    AttributeReference("num_constraints", IntegerType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("row_tracking", BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     VersionedTable.describeDetail(spark,
       GraftSqlParser.resolveDir(spark, tableDir)).collect().toSeq

@@ -973,8 +973,12 @@ final class GraftStagedTable(tableDir: String, ctasSchema: StructType,
     VersionedTable.specOf(spec)
       .map(GraftCatalog.spellingTransform).toArray
 
-  override def properties(): util.Map[String, String] =
-    Map("format" -> fmt, "location" -> tableDir).asJava
+  override def properties(): util.Map[String, String] = {
+    val base = Map("format" -> fmt, "location" -> tableDir)
+    (if (VersionedTable.rowTrackingEnabled(spark, tableDir))
+       base + ("graft.rowTracking" -> "true")
+     else base).asJava
+  }
 
   // TRUNCATE rides along for the REPLACE spelling: Spark plans
   // OverwriteByExpression(true) against ANY staged [CREATE OR] REPLACE

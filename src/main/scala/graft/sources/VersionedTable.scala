@@ -6025,11 +6025,11 @@ object VersionedTable {
     Seq((tableDir, head, vs.size, m.leaves.size, files, bytes,
         m.deletes.size, m.dirty.size, m.specOpt.getOrElse(""),
         m.schemaOpt.map(_.toDDL).getOrElse(""), m.txns.size,
-        m.constraints.size))
+        m.constraints.size, m.fmt, m.rowTracking))
       .toDF("location", "version", "num_versions", "num_leaves",
         "num_files", "size_bytes", "num_delete_dirs", "num_dirty_leaves",
         "partition_spec", "schema_ddl", "num_txn_channels",
-        "num_constraints")
+        "num_constraints", "format", "row_tracking")
   }
 
   // ─────────────────────── metadata-only counts ───────────────────────
