@@ -320,7 +320,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def capabilities()
       : util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `ALTER TABLE … ADD/DROP CONSTRAINT` maps onto the manifest's CHECK
     * constraint machinery (a metadata commit that first validates every

@@ -267,9 +267,15 @@ object VersionedTable {
     * `catalogString` / `DataType.fromDDL`.
     */
   private def encodeSchema(s: StructType): Seq[String] =
-    s.fields.toSeq.map(f =>
-      java.net.URLEncoder.encode(f.name, "UTF-8") + ":" +
-        java.net.URLEncoder.encode(f.dataType.catalogString, "UTF-8"))
+    s.fields.toSeq.map { f =>
+      // a DECLARED DEFAULT on the incoming schema (CREATE TABLE ...
+      // DEFAULT 'x' — the analyzer records it as the standard column-
+      // default metadata) rides into the manifest's default segment,
+      // the same place ADD COLUMNS ... DEFAULT commits it
+      val d = if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.metadata.getString("CURRENT_DEFAULT")) else None
+      encodeSchemaEntry(f.name, f.dataType.catalogString, None, d)
+    }
 
   /** One schema entry with an optional PHYSICAL column name as a third
     * `:`-separated segment (`logical:type:physical`) — the column-

@@ -461,6 +461,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(spark, dir) === vBefore)
   }
 
+  test("CREATE TABLE with column DEFAULTs: declared at birth, omitting " +
+      "INSERTs take them, DML and COW rewrites keep them") {
+    val dir = Files.createTempDirectory("graft-cdef").toString
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, kind STRING, " +
+      "tier STRING DEFAULT 'std', bonus BIGINT DEFAULT 3) " +
+      "PARTITIONED BY (kind)")
+    spark.sql(s"INSERT INTO graft.`$dir` (id, kind) VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (2, 'a', 'gold', 9)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, 'b', DEFAULT, DEFAULT)")
+    val got = spark.sql(s"SELECT id, tier, bonus FROM graft.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, "std", 3L), (2L, "gold", 9L),
+      (3L, "std", 3L)))
+    // the default survives a COW rewrite and a later append
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id = 2")
+    spark.sql(s"INSERT INTO graft.`$dir` (id, kind) VALUES (4, 'b')")
+    assert(spark.sql(s"SELECT tier FROM graft.`$dir` WHERE id = 4")
+      .as[String].collect().toSeq === Seq("std"))
+    assert(spark.sql(
+      s"SELECT sum(bonus) FROM graft.`$dir`").as[Long].collect().head
+      === 3L + 3L + 3L)
+  }
+
   test("DROP TABLE: an empty v0 shell drops (the non-atomic CTAS " +
       "cleanup shape); any table with data or history refuses") {
     val dir = Files.createTempDirectory("graft-drop").toString + "/t"
