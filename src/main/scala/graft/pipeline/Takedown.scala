@@ -119,49 +119,6 @@ object Takedown {
       }
     }
 
-    val rows = scala.collection.mutable.ListBuffer.empty[(String, Long, Long, Long)]
-
-    set.ann.foreach { dir =>
-      val codes = AnnIndex.codesPath(dir)
-      val before = cnt(spark.read.parquet(codes))
-      AnnIndex.deleteFromStore(spark, dir, vecIds)
-      val (after, res) =
-        afterAndResidual(spark.read.parquet(codes), "vec_id", vecIds)
-      rows += (("ann/codes", before, after, res))
-    }
-    set.bm25.foreach { dir =>
-      // journal-aware views (base + committed batches/ roots): an index
-      // that has taken appendToIndex batches keeps those postings under
-      // batches/<id>/ — counting only the base root would under-report
-      // the store and, worse, report residual 0 while a half-rewritten
-      // journal root still serves the deleted doc's rows to probes
-      val (nBefore, sumBefore) = Search.statsTotals(spark, dir)
-      val pBefore = cnt(Search.postingsDf(spark, dir))
-      val dBefore = cnt(Search.doclensDf(spark, dir))
-      Search.deleteFromIndex(spark, dir, docIds, batchId)
-      val (nAfter, sumAfter) = Search.statsTotals(spark, dir)
-      val (pAfter, pRes) =
-        afterAndResidual(Search.postingsDf(spark, dir), "doc_id", docIds)
-      val (dAfter, dRes) =
-        afterAndResidual(Search.doclensDf(spark, dir), "doc_id", docIds)
-      rows += (("bm25/postings", pBefore, pAfter, pRes))
-      rows += (("bm25/doclens", dBefore, dAfter, dRes))
-      rows += (("bm25/stats_n_docs", nBefore, nAfter, 0L))
-      rows += (("bm25/stats_sum_dl", sumBefore, sumAfter, 0L))
-    }
-    set.minhash.foreach { dir =>
-      val sigs = IncrementalDedup.signaturesPath(dir)
-      val bks = IncrementalDedup.bucketsPath(dir)
-      val sBefore = cnt(spark.read.parquet(sigs))
-      val bBefore = cnt(spark.read.parquet(bks))
-      IncrementalDedup.deleteFromStore(spark, dir, docIds)
-      val (sAfter, sRes) =
-        afterAndResidual(spark.read.parquet(sigs), "doc_id", docIds)
-      val (bAfter, bRes) =
-        afterAndResidual(spark.read.parquet(bks), "doc_id", docIds)
-      rows += (("minhash/signatures", sBefore, sAfter, sRes))
-      rows += (("minhash/buckets", bBefore, bAfter, bRes))
-    }
     // the two base-table-shaped artifacts share the request's predicate;
     // the deleted-rows frame is captured from the versioned head BEFORE
     // the delete (it drives both the MV retraction and the drift audit),
@@ -172,36 +129,95 @@ object Takedown {
     require(set.mv.isEmpty || set.versioned.isDefined,
       "the mv takedown leg sources its retraction rows from the " +
         "versioned base table; register `versioned` alongside `mv`")
-    set.versioned.foreach { case VersionedRef(dir, partCol) =>
-      val pred = basePred.get
-      val head = VersionedTable.readLatest(spark, dir)
-      val before = head.count()
-      val deleted = head.filter(pred)
-      val dN = deleted.count()
-      // retract from the MV FIRST, while the deleted rows are still
-      // readable from the pre-delete head (exactly-once per deltaId
-      // makes a crash between the two legs heal on replay)
-      set.mv.foreach { mvDir =>
-        val mvBefore = mvTotal(spark, mvDir)
-        MaterializedView.retractBatch(deleted, mvDir, s"$batchId-mv")
-        val mvAfter = mvTotal(spark, mvDir)
-        // residual = drift from the expected post-retraction total — a
-        // lost delta and a double-count both surface here
-        rows += (("mv/rows", mvBefore, mvAfter, mvAfter - (mvBefore - dN)))
-      }
-      // erasure two-step: COW delete, then vacuum away every pre-delete
-      // version so no retained snapshot can still serve the rows
-      VersionedTable.delete(spark, dir, partCol, pred)
-      VersionedTable.vacuum(spark, dir, retainLast = 1)
-      val after = VersionedTable.readLatest(spark, dir).count()
-      // residual audits EVERY retained version (time travel must not be
-      // a takedown bypass), not just the head
-      val residual = VersionedTable.versions(spark, dir)
-        .map(v => VersionedTable.readVersion(spark, dir, v)
-          .filter(pred).count()).sum
-      rows += (("versioned/rows", before, after, residual))
+    // the four legs touch DISJOINT stores, so they run as concurrent
+    // driver threads (guide §2.6): each leg keeps its own strict
+    // before → delete → after order, while the scheduler back-fills one
+    // leg's tiny-job tail with the next leg's tasks. Report row ORDER is
+    // the assembly order below — identical to the old sequential loop.
+    val annLeg = set.ann.map { dir => () =>
+      val codes = AnnIndex.codesPath(dir)
+      val before = cnt(spark.read.parquet(codes))
+      AnnIndex.deleteFromStore(spark, dir, vecIds)
+      val (after, res) =
+        afterAndResidual(spark.read.parquet(codes), "vec_id", vecIds)
+      Seq(("ann/codes", before, after, res))
     }
-    rows.toSeq.toDF("artifact", "before_v", "after_v", "residual")
+    val bm25Leg = set.bm25.map { dir => () =>
+      // journal-aware views (base + committed batches/ roots): an index
+      // that has taken appendToIndex batches keeps those postings under
+      // batches/<id>/ — counting only the base root would under-report
+      // the store and, worse, report residual 0 while a half-rewritten
+      // journal root still serves the deleted doc's rows to probes.
+      // The three before-reads are read-only over the same store —
+      // independent, so they overlap; same for the three after-reads.
+      val Seq(beforeStats, pB, dB) = graft.core.Par.run[Any](Seq(
+        () => Search.statsTotals(spark, dir),
+        () => cnt(Search.postingsDf(spark, dir)),
+        () => cnt(Search.doclensDf(spark, dir))))
+      val (nBefore, sumBefore) = beforeStats.asInstanceOf[(Long, Long)]
+      val (pBefore, dBefore) = (pB.asInstanceOf[Long], dB.asInstanceOf[Long])
+      Search.deleteFromIndex(spark, dir, docIds, batchId)
+      val Seq(afterStats, pA, dA) = graft.core.Par.run[Any](Seq(
+        () => Search.statsTotals(spark, dir),
+        () => afterAndResidual(Search.postingsDf(spark, dir), "doc_id", docIds),
+        () => afterAndResidual(Search.doclensDf(spark, dir), "doc_id", docIds)))
+      val (nAfter, sumAfter) = afterStats.asInstanceOf[(Long, Long)]
+      val (pAfter, pRes) = pA.asInstanceOf[(Long, Long)]
+      val (dAfter, dRes) = dA.asInstanceOf[(Long, Long)]
+      Seq(("bm25/postings", pBefore, pAfter, pRes),
+        ("bm25/doclens", dBefore, dAfter, dRes),
+        ("bm25/stats_n_docs", nBefore, nAfter, 0L),
+        ("bm25/stats_sum_dl", sumBefore, sumAfter, 0L))
+    }
+    val minhashLeg = set.minhash.map { dir => () =>
+      val sigs = IncrementalDedup.signaturesPath(dir)
+      val bks = IncrementalDedup.bucketsPath(dir)
+      val (sBefore, bBefore) = graft.core.Par.run2(
+        cnt(spark.read.parquet(sigs)), cnt(spark.read.parquet(bks)))
+      IncrementalDedup.deleteFromStore(spark, dir, docIds)
+      val (sA, bA) = graft.core.Par.run2(
+        afterAndResidual(spark.read.parquet(sigs), "doc_id", docIds),
+        afterAndResidual(spark.read.parquet(bks), "doc_id", docIds))
+      val (sAfter, sRes) = sA
+      val (bAfter, bRes) = bA
+      Seq(("minhash/signatures", sBefore, sAfter, sRes),
+        ("minhash/buckets", bBefore, bAfter, bRes))
+    }
+    val versionedLeg = set.versioned.map { case VersionedRef(dir, partCol) =>
+      () => {
+        val pred = basePred.get
+        val head = VersionedTable.readLatest(spark, dir)
+        val before = head.count()
+        val deleted = head.filter(pred)
+        val dN = deleted.count()
+        // retract from the MV FIRST, while the deleted rows are still
+        // readable from the pre-delete head (exactly-once per deltaId
+        // makes a crash between the two legs heal on replay)
+        val mvRows = set.mv.toSeq.map { mvDir =>
+          val mvBefore = mvTotal(spark, mvDir)
+          MaterializedView.retractBatch(deleted, mvDir, s"$batchId-mv")
+          val mvAfter = mvTotal(spark, mvDir)
+          // residual = drift from the expected post-retraction total — a
+          // lost delta and a double-count both surface here
+          ("mv/rows", mvBefore, mvAfter, mvAfter - (mvBefore - dN))
+        }
+        // erasure two-step: COW delete, then vacuum away every pre-delete
+        // version so no retained snapshot can still serve the rows
+        VersionedTable.delete(spark, dir, partCol, pred)
+        VersionedTable.vacuum(spark, dir, retainLast = 1)
+        val after = VersionedTable.readLatest(spark, dir).count()
+        // residual audits EVERY retained version (time travel must not be
+        // a takedown bypass), not just the head — counted in ONE job
+        val vs = VersionedTable.versions(spark, dir)
+        val residual = vs.map(v => VersionedTable.readVersion(spark, dir, v)
+          .filter(pred).select(lit(1L).as("one")))
+          .reduce(_ unionAll _).count()
+        mvRows :+ (("versioned/rows", before, after, residual))
+      }
+    }
+    val rows = graft.core.Par.run(
+      Seq(annLeg, bm25Leg, minhashLeg, versionedLeg).flatten).flatten
+    rows.toDF("artifact", "before_v", "after_v", "residual")
   }
 
   /** Membership hit count with the same IN-list→broadcast-join switch as
@@ -242,41 +258,44 @@ object Takedown {
     import spark.implicits._
     require(basePred.isDefined || set.versioned.isEmpty,
       "the versioned access leg needs the base-row predicate (basePred)")
-    val rows = scala.collection.mutable.ListBuffer.empty[(String, Long)]
-    set.ann.foreach { dir =>
-      rows += (("ann/codes", countHits(spark,
-        spark.read.parquet(AnnIndex.codesPath(dir)), "vec_id", vecIds)))
-    }
-    set.bm25.foreach { dir =>
-      rows += (("bm25/postings", countHits(spark,
-        Search.postingsDf(spark, dir), "doc_id", docIds)))
-      rows += (("bm25/doclens", countHits(spark,
-        Search.doclensDf(spark, dir), "doc_id", docIds)))
-    }
-    set.minhash.foreach { dir =>
-      rows += (("minhash/signatures", countHits(spark,
-        spark.read.parquet(IncrementalDedup.signaturesPath(dir)),
-        "doc_id", docIds)))
-      rows += (("minhash/buckets", countHits(spark,
-        spark.read.parquet(IncrementalDedup.bucketsPath(dir)),
-        "doc_id", docIds)))
-    }
-    set.versioned.foreach { case VersionedRef(dir, _) =>
-      val pred = basePred.get
-      rows += (("versioned/head",
-        VersionedTable.readLatest(spark, dir).filter(pred).count()))
-      // ALL retained versions counted in ONE job (a union of pruned
-      // per-version frames), not one sequential job launch per version —
-      // at retention depth R the old loop paid R full job round-trips
-      // for an answer a single action produces
-      rows += (("versioned/retained_total",
-        VersionedTable.versions(spark, dir)
-          .map(v => VersionedTable.readVersion(spark, dir, v)
-            .filter(pred).select(lit(1L).as("one")))
-          .reduce(_ unionAll _)
-          .count()))
-    }
-    rows.toSeq.toDF("artifact", "hits").orderBy("artifact")
+    // every count is a READ-ONLY membership probe of a distinct artifact
+    // — all of them overlap as concurrent driver threads (guide §2.6);
+    // assembly order below reproduces the old sequential row order
+    val probes: Seq[(String, () => Long)] =
+      set.ann.toSeq.map { dir =>
+        "ann/codes" -> (() => countHits(spark,
+          spark.read.parquet(AnnIndex.codesPath(dir)), "vec_id", vecIds))
+      } ++ set.bm25.toSeq.flatMap { dir => Seq(
+        "bm25/postings" -> (() => countHits(spark,
+          Search.postingsDf(spark, dir), "doc_id", docIds)),
+        "bm25/doclens" -> (() => countHits(spark,
+          Search.doclensDf(spark, dir), "doc_id", docIds)))
+      } ++ set.minhash.toSeq.flatMap { dir => Seq(
+        "minhash/signatures" -> (() => countHits(spark,
+          spark.read.parquet(IncrementalDedup.signaturesPath(dir)),
+          "doc_id", docIds)),
+        "minhash/buckets" -> (() => countHits(spark,
+          spark.read.parquet(IncrementalDedup.bucketsPath(dir)),
+          "doc_id", docIds)))
+      } ++ set.versioned.toSeq.flatMap { case VersionedRef(dir, _) =>
+        val pred = basePred.get
+        Seq(
+          "versioned/head" -> (() =>
+            VersionedTable.readLatest(spark, dir).filter(pred).count()),
+          // ALL retained versions counted in ONE job (a union of pruned
+          // per-version frames), not one sequential job launch per version —
+          // at retention depth R the old loop paid R full job round-trips
+          // for an answer a single action produces
+          "versioned/retained_total" -> (() =>
+            VersionedTable.versions(spark, dir)
+              .map(v => VersionedTable.readVersion(spark, dir, v)
+                .filter(pred).select(lit(1L).as("one")))
+              .reduce(_ unionAll _)
+              .count()))
+      }
+    val rows = probes.map(_._1)
+      .zip(graft.core.Par.run(probes.map(_._2)))
+    rows.toDF("artifact", "hits").orderBy("artifact")
   }
 
   /** Total row count the view currently represents (Σ n over groups). */
@@ -310,18 +329,24 @@ object Takedown {
     val sigDir = Stores.temp("takedown-minhash")
     val vtDir = Stores.temp("takedown-vt")
     val mvDir = Stores.temp("takedown-mv")
-    Search.buildIndex(docs, bmDir)
-    // cheap PQ configuration: the takedown contract (and its oracle) is
-    // row accounting — per-vector code rows are one row regardless of
-    // index hyper-parameters, so the inline build uses the lightest ones
-    AnnIndex.buildStore(embs, annDir, m = 8, iters = 1)
-    IncrementalDedup.buildStore(docs, sigDir)
-    VersionedTable.create(events, vtDir, "pdate")
-    MaterializedView.buildView(events, mvDir)
-    val docIds = docs.where(col("doc_id") % modulus === resid)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
-    val vecIds = embs.where(col("vec_id") % modulus === resid)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // five INDEPENDENT store builds over disjoint dirs + the two id-list
+    // collects: concurrent driver threads (guide §2.6) — the builds'
+    // sub-second jobs back-fill each other instead of queueing
+    val built = graft.core.Par.run[Any](Seq(
+      () => Search.buildIndex(docs, bmDir),
+      // cheap PQ configuration: the takedown contract (and its oracle) is
+      // row accounting — per-vector code rows are one row regardless of
+      // index hyper-parameters, so the inline build uses the lightest ones
+      () => AnnIndex.buildStore(embs, annDir, m = 8, iters = 1),
+      () => IncrementalDedup.buildStore(docs, sigDir),
+      () => VersionedTable.create(events, vtDir, "pdate"),
+      () => MaterializedView.buildView(events, mvDir),
+      () => docs.where(col("doc_id") % modulus === resid)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq,
+      () => embs.where(col("vec_id") % modulus === resid)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq))
+    val docIds = built(5).asInstanceOf[Seq[Long]]
+    val vecIds = built(6).asInstanceOf[Seq[Long]]
     propagate(spark,
       StoreSet(Some(bmDir), Some(annDir), Some(sigDir), Some(mvDir),
         Some(VersionedRef(vtDir, "pdate"))),
@@ -350,15 +375,25 @@ object Takedown {
     val annDir = Stores.temp("access-ann")
     val sigDir = Stores.temp("access-minhash")
     val vtDir = Stores.temp("access-vt")
-    Search.buildIndex(docs, bmDir)
-    AnnIndex.buildStore(embs, annDir, m = 8, iters = 1)
-    IncrementalDedup.buildStore(docs, sigDir)
-    VersionedTable.create(events.where(col("event_id") % 3 === 0), vtDir, "pdate")
-    VersionedTable.append(events.where(col("event_id") % 3 =!= 0), vtDir, "pdate")
-    val docIds = docs.where(col("doc_id") % modulus === resid)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
-    val vecIds = embs.where(col("vec_id") % modulus === resid)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // independent builds + id collects as concurrent driver threads
+    // (guide §2.6); the versioned create→append chain stays ordered
+    // inside its own thunk
+    val built = graft.core.Par.run[Any](Seq(
+      () => Search.buildIndex(docs, bmDir),
+      () => AnnIndex.buildStore(embs, annDir, m = 8, iters = 1),
+      () => IncrementalDedup.buildStore(docs, sigDir),
+      () => {
+        VersionedTable.create(events.where(col("event_id") % 3 === 0),
+          vtDir, "pdate")
+        VersionedTable.append(events.where(col("event_id") % 3 =!= 0),
+          vtDir, "pdate")
+      },
+      () => docs.where(col("doc_id") % modulus === resid)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq,
+      () => embs.where(col("vec_id") % modulus === resid)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq))
+    val docIds = built(4).asInstanceOf[Seq[Long]]
+    val vecIds = built(5).asInstanceOf[Seq[Long]]
     accessReport(spark,
       StoreSet(Some(bmDir), Some(annDir), Some(sigDir), None,
         Some(VersionedRef(vtDir, "pdate"))),
