@@ -111,10 +111,13 @@ object AnnIndex {
     val e = embeddings
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
     val cents = Similarity.centroidsOf(e, ivfStride)
-    cents.write.mode("overwrite").parquet(centroidsPath(storeDir))
-    val centQ: Map[Long, Array[Long]] = cents.collect()
-      .map(r => r.getLong(0) ->
-        Similarity.quantizeVec(r.getSeq[Double](1).toArray)).toMap
+    // persisting the centroid table and collecting the driver-held copy
+    // are independent actions over the same tiny frame — overlapped
+    val (_, centQ) = graft.core.Par.run2(
+      cents.write.mode("overwrite").parquet(centroidsPath(storeDir)),
+      cents.collect()
+        .map(r => r.getLong(0) ->
+          Similarity.quantizeVec(r.getSeq[Double](1).toArray)).toMap)
     // integer residual per vector, staged: codebook training makes
     // `iters`+1 passes over it and encoding one more — staging turns those
     // into parquet re-reads instead of re-running assignment each time.
@@ -131,22 +134,25 @@ object AnnIndex {
     val res = spark.read.parquet(resDir)
     val books = ProductQuant.trainCodebooks(res.select("vec_id", "vq"), m,
       subDim, codeStride, iters)
-    books.zipWithIndex.toSeq
-      .flatMap { case (cb, s) => cb.toSeq.map { case (id, cq) => (s, id, cq) } }
-      .toDF("s", "code_id", "cq")
-      .write.mode("overwrite").parquet(codebooksPath(storeDir))
-    res.as[(Long, Array[Long], Long)]
-      .map { case (id, rq, cell) =>
-        (id, cell, ProductQuant.encodeIds(books, rq, subDim))
-      }
-      .toDF("vec_id", "cell", "codes")
-      .withColumn("shard", pmod(col("cell"), lit(cellShards.toLong)).cast("int"))
-      // one shuffle keyed by shard so each shard leaf gets ONE file per
-      // build (not one per upstream task × shard), cell-sorted so probe
-      // row-group pruning on `cell` is tight
-      .repartition(col("shard"))
-      .sortWithinPartitions("cell")
-      .write.mode("overwrite").partitionBy("shard").parquet(codesPath(storeDir))
+    // the codebook-table write and the encoding pass both depend only on
+    // the driver-held `books` (not on each other's files) — overlapped
+    graft.core.Par.run2(
+      books.zipWithIndex.toSeq
+        .flatMap { case (cb, s) => cb.toSeq.map { case (id, cq) => (s, id, cq) } }
+        .toDF("s", "code_id", "cq")
+        .write.mode("overwrite").parquet(codebooksPath(storeDir)),
+      res.as[(Long, Array[Long], Long)]
+        .map { case (id, rq, cell) =>
+          (id, cell, ProductQuant.encodeIds(books, rq, subDim))
+        }
+        .toDF("vec_id", "cell", "codes")
+        .withColumn("shard", pmod(col("cell"), lit(cellShards.toLong)).cast("int"))
+        // one shuffle keyed by shard so each shard leaf gets ONE file per
+        // build (not one per upstream task × shard), cell-sorted so probe
+        // row-group pruning on `cell` is tight
+        .repartition(col("shard"))
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite").partitionBy("shard").parquet(codesPath(storeDir)))
     // build-time health baseline: per-cell counts + reconstructed-residual
     // energy, the drift reference for [[storeHealth]] — one aggregate over
     // the 64×-compressed codes just written
@@ -603,14 +609,19 @@ object AnnIndex {
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val storeDir = Stores.temp("graft-ann-del")
     val e = Tables.embeddings(spark, sfDir)
-    buildStore(e, storeDir)
-    val ids = e.where(col("vec_id") % 17 === 3)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // the two id/query collects read only the base table — independent
+    // of the store build, so all three overlap (guide §2.6)
+    val r = graft.core.Par.run[Any](Seq(
+      () => buildStore(e, storeDir),
+      () => e.where(col("vec_id") % 17 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq,
+      () => e.where(col("vec_id") < nQueries)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(rw => rw.getLong(0) -> rw.getSeq[Double](1).toArray)))
+    val ids = r(1).asInstanceOf[Seq[Long]]
+    val queries = r(2).asInstanceOf[Array[(Long, Array[Double])]]
     deleteFromStore(spark, storeDir, ids)
-    val queries = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     probeStore(spark, storeDir, queries, k)
   }
 
@@ -622,9 +633,11 @@ object AnnIndex {
   def annStoreHealth(spark: SparkSession, sfDir: String): DataFrame = {
     val storeDir = Stores.temp("graft-ann-health")
     val e = Tables.embeddings(spark, sfDir)
-    buildStore(e, storeDir)
-    val ids = e.where(col("vec_id") % 17 === 3)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // id collect reads only the base table — overlaps the build
+    val (_, ids) = graft.core.Par.run2(
+      buildStore(e, storeDir),
+      e.where(col("vec_id") % 17 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
     deleteFromStore(spark, storeDir, ids)
     storeHealth(spark, storeDir)
   }
@@ -925,12 +938,14 @@ object AnnIndex {
       nProbe: Int = 1): DataFrame = {
     val storeDir = Stores.temp("graft-ann-refine")
     val embeddings = Tables.embeddings(spark, sfDir)
-    buildStore(embeddings, storeDir)
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // query collect reads only the base table — overlaps the build
+    val (_, queries) = graft.core.Par.run2(
+      buildStore(embeddings, storeDir),
+      embeddings
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray))
     refineProbe(spark, storeDir, embeddings, queries, k, shortlistK, nProbe)
   }
 
@@ -947,12 +962,14 @@ object AnnIndex {
       nProbe: Int = 1): DataFrame = {
     val storeDir = Stores.temp("graft-ann-store")
     val embeddings = Tables.embeddings(spark, sfDir)
-    buildStore(embeddings, storeDir, ivfStride, m, codeStride, iters, dim)
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // query collect reads only the base table — overlaps the build
+    val (_, queries) = graft.core.Par.run2(
+      buildStore(embeddings, storeDir, ivfStride, m, codeStride, iters, dim),
+      embeddings
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray))
     probeStore(spark, storeDir, queries, k, nProbe)
   }
 
@@ -974,12 +991,14 @@ object AnnIndex {
       nProbeHi: Int = 2): DataFrame = {
     val storeDir = Stores.temp("graft-ann-recall")
     val embeddings = Tables.embeddings(spark, sfDir)
-    buildStore(embeddings, storeDir)
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // query collect reads only the base table — overlaps the build
+    val (_, queries) = graft.core.Par.run2(
+      buildStore(embeddings, storeDir),
+      embeddings
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray))
     val exact = Similarity.knnBruteForce(spark, sfDir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     def hitsAt(nProbe: Int, name: String): DataFrame =

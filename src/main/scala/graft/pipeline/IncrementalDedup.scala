@@ -85,10 +85,16 @@ object IncrementalDedup {
     Dedup.minHashSignatures(docs).write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
     val n = docShardsOf(spark, storeDir)
-    withDocShard(staged, n)
-      .write.mode("append").partitionBy("shard").parquet(signaturesPath(storeDir))
-    withDocShard(Dedup.bandedOf(staged), n)
-      .write.mode("append").partitionBy("shard").parquet(bucketsPath(storeDir))
+    // both appends read only the staged O(batch) parquet and write
+    // disjoint store tables — overlapped (guide §2.6)
+    graft.core.Par.run2(
+      withDocShard(staged, n)
+        .write.mode("append").partitionBy("shard")
+        .parquet(signaturesPath(storeDir)),
+      withDocShard(Dedup.bandedOf(staged), n)
+        .write.mode("append").partitionBy("shard")
+        .parquet(bucketsPath(storeDir)))
+    ()
   }
 
   /** Delete documents from the persisted MinHash store by id — the
@@ -107,8 +113,14 @@ object IncrementalDedup {
     val n = docShardsOf(spark, storeDir).toLong
     val shards = ids
       .map(i => java.lang.Math.floorMod(i, n).toInt).distinct
-    AnnIndex.rewriteShardLeaves(spark, signaturesPath(storeDir), shards, "doc_id", ids)
-    AnnIndex.rewriteShardLeaves(spark, bucketsPath(storeDir), shards, "doc_id", ids)
+    // disjoint store tables, idempotent staged-retire-install rewrites —
+    // overlapped (guide §2.6)
+    graft.core.Par.run2(
+      AnnIndex.rewriteShardLeaves(spark, signaturesPath(storeDir), shards,
+        "doc_id", ids),
+      AnnIndex.rewriteShardLeaves(spark, bucketsPath(storeDir), shards,
+        "doc_id", ids))
+    ()
   }
 
   /** Probe a new batch against the store: emit (new_doc_id,
@@ -201,9 +213,11 @@ object IncrementalDedup {
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val storeDir = Stores.temp("graft-incr-del")
-    buildStore(docs.where(col("doc_id") % 5 =!= 0), storeDir)
-    val ids = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // id collect reads only the base table — overlaps the build
+    val (_, ids) = graft.core.Par.run2(
+      buildStore(docs.where(col("doc_id") % 5 =!= 0), storeDir),
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq)
     deleteFromStore(spark, storeDir, ids)
     probeStore(spark, storeDir, docs.where(col("doc_id") % 5 === 0), threshold)
       .orderBy("new_doc_id", "corpus_doc_id")

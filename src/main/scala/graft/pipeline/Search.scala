@@ -199,9 +199,16 @@ object Search {
     // recorded FIRST — every later append/probe/delete/compact reads it
     StoreParams.write(docs.sparkSession, storeDir,
       Map("termShards" -> termShards, "docShards" -> docShards))
-    writePostings(postingRows(docs), postingsPath(storeDir), termShards)
-    writeDoclens(doclenRows(docs), doclensPath(storeDir), docShards)
-    statsRow(docs).write.mode("overwrite").parquet(statsPath(storeDir))
+    // three independent writes to disjoint store roots — overlapped
+    // (guide §2.6): the doclens/stats scans back-fill the postings
+    // shuffle's tail instead of queueing behind it
+    graft.core.Par.run[Unit](Seq(
+      () => writePostings(postingRows(docs), postingsPath(storeDir),
+        termShards),
+      () => writeDoclens(doclenRows(docs), doclensPath(storeDir), docShards),
+      () => statsRow(docs).write.mode("overwrite")
+        .parquet(statsPath(storeDir))))
+    ()
   }
 
   /** Append a document batch WITHOUT rebuilding — the daily-ingest path
@@ -281,20 +288,25 @@ object Search {
       require(fs.rename(new Path(staging), committed),
         s"could not commit delete batch $batchId")
     }
-    postingsRoots(spark, storeDir).foreach { root =>
-      val affShards = spark.read.parquet(root)
-        .where(col("doc_id").isin(ids: _*))
-        .select("shard").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      AnnIndex.rewriteShardLeaves(spark, root, affShards, "doc_id", ids,
-        sortCols = Seq("term"))
-    }
+    // every root is a distinct directory and every rewrite is the
+    // idempotent staged-retire-install swap — the per-root rewrites are
+    // independent, so they run overlapped (guide §2.6)
     val nDocShards = docShardsOf(spark, storeDir).toLong
     val dlShards = ids
       .map(i => java.lang.Math.floorMod(i, nDocShards).toInt).distinct
-    doclensRoots(spark, storeDir).foreach { root =>
-      AnnIndex.rewriteShardLeaves(spark, root, dlShards, "doc_id", ids)
-    }
+    val rewrites: Seq[() => Unit] =
+      postingsRoots(spark, storeDir).map { root => () =>
+        val affShards = spark.read.parquet(root)
+          .where(col("doc_id").isin(ids: _*))
+          .select("shard").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        AnnIndex.rewriteShardLeaves(spark, root, affShards, "doc_id", ids,
+          sortCols = Seq("term"))
+      } ++ doclensRoots(spark, storeDir).map { root => () =>
+        AnnIndex.rewriteShardLeaves(spark, root, dlShards, "doc_id", ids)
+      }
+    graft.core.Par.run(rewrites)
+    ()
   }
 
   /** Fold the batch journal back into the base tables — the small-file
@@ -468,9 +480,11 @@ object Search {
   def bm25TopKDelete(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val storeDir = Stores.temp("graft-bm25-del")
     val docs = Tables.documents(spark, sfDir)
-    buildIndex(docs, storeDir)
-    val ids = docs.where(col("doc_id") % 13 === 5)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // id collect reads only the base table — overlaps the build
+    val (_, ids) = graft.core.Par.run2(
+      buildIndex(docs, storeDir),
+      docs.where(col("doc_id") % 13 === 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq)
     deleteFromIndex(spark, storeDir, ids, "takedown-1")
     probeIndex(spark, storeDir, QueryTerms, k)
   }
