@@ -247,8 +247,15 @@ object Bench {
     // store is built ONCE, then its probe is timed Reps times; the
     // medians land in the same JSON line so the per-round protocol tracks
     // serving latency separately from build cost.
+    // local-iteration toggle: skip the store-probe/workflow blocks when
+    // isolating query timings (SPARK_GRAFT_BENCH_ONLY A/B loops pay ~8
+    // min of unrelated blocks otherwise). Never set by the driver —
+    // default behavior, artifact shape and methodology are unchanged.
+    val skipExtras =
+      sys.env.get("SPARK_GRAFT_BENCH_SKIP_EXTRAS").contains("1")
     val storeProbes =
-      try {
+      if (skipExtras) """{"skipped":true}"""
+      else try {
         import org.apache.spark.sql.functions.col
         import graft.pipeline.{AnnIndex, IncrementalDedup, Search, Similarity}
         import graft.sources.Tables
@@ -296,7 +303,8 @@ object Bench {
     // after this one stops) — in the same JSON line so workflow regressions
     // are caught by the same per-round protocol as the query surface
     val workflow =
-      try WorkflowBench.run(sfDir, cpus)
+      if (skipExtras) """{"skipped":true}"""
+      else try WorkflowBench.run(sfDir, cpus)
       catch { case e: Throwable =>
         s"""{"metric":"workflow_total","ok":false,"error":"${e.getClass.getSimpleName}"}"""
       }
@@ -304,14 +312,16 @@ object Bench {
     // pointer-flip restore — so the cost-model claim is a committed number
     // (full line only; the budgeted summary keeps its query room)
     val workflowVersioned =
-      try WorkflowBench.runVersioned(sfDir, cpus)
+      if (skipExtras) """{"skipped":true}"""
+      else try WorkflowBench.runVersioned(sfDir, cpus)
       catch { case e: Throwable =>
         s"""{"metric":"workflow_versioned_total","ok":false,"error":"${e.getClass.getSimpleName}"}"""
       }
     // the same deletion on the round-10 layouts (multi-column spec + ORC)
     // so a layout-specific kernel regression trips the same protocol
     val workflowMcOrc =
-      try WorkflowBench.runVersionedMultiColOrc(sfDir, cpus)
+      if (skipExtras) """{"skipped":true}"""
+      else try WorkflowBench.runVersionedMultiColOrc(sfDir, cpus)
       catch { case e: Throwable =>
         s"""{"metric":"workflow_versioned_multicol_orc_total","ok":false,"error":"${e.getClass.getSimpleName}"}"""
       }

@@ -33,9 +33,26 @@ object JobProfile {
     val tasks = new AtomicLong; val taskMs = new AtomicLong
     val shRead = new AtomicLong; val shWrite = new AtomicLong
     val inBytes = new AtomicLong
+    val traceJobs = sys.env.contains("SPARK_GRAFT_PROFILE_TRACE")
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (traceJobs) {
+          jobStartNs.put(j.jobId, System.nanoTime())
+          val site = j.stageInfos.headOption.map { s =>
+            val interesting = s.details.split('\n')
+              .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+            s.name + " | " + interesting.getOrElse("").trim
+          }.getOrElse("?")
+          println(s"JOB ${j.jobId} START $site")
+        }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (traceJobs) {
+          val t0 = Option(jobStartNs.get(j.jobId)).getOrElse(0L)
+          println(f"JOB ${j.jobId} END ${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)

@@ -242,7 +242,14 @@ object Dedup {
 
   private[pipeline] def minHashLshPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame = {
+    // the 128-min signature aggregate is the expensive pass and this plan
+    // references it FOUR times (both band sides + both sig re-joins);
+    // without materialization each reference recomputes the corpus scan +
+    // shingle explode + aggregate (exchange reuse only covers the two
+    // identical band sides). localCheckpoint runs it ONCE — guide §3.3's
+    // "materialise an intermediate referenced many times".
     val sigArr = minHashSignatures(Tables.documents(spark, sfDir))
+      .localCheckpoint()
     val banded = bandedOf(sigArr)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
@@ -361,7 +368,10 @@ object Dedup {
     * exhaustive for maxHamming < SimHashBands (pigeonhole).
     */
   def simHashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    // the 64-vote fingerprint map is the expensive pass and the banded
+    // self-join references it twice — materialize once (guide §3.3)
     val fps = simHashFingerprints(Tables.documents(spark, sfDir))
+      .localCheckpoint()
     val banded = fps.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until SimHashBands).map { bnd =>

@@ -120,12 +120,12 @@ object FileStats {
     */
   def parquetRowCounts(conf: org.apache.hadoop.conf.Configuration,
       dataDirAbs: Path, rels: Seq[String]): Map[String, Long] =
-    rels.map { rel =>
+    graft.core.Par.run(rels.map { rel => () =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(dataDirAbs, rel), conf))
       try rel -> reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally reader.close()
-    }.toMap
+    }).toMap
 
   /** One column's file-level stats. `min`/`max` are None when the column
     * is all-null in the file (or the footer carried no stats). `nulls` is
@@ -347,7 +347,11 @@ object FileStats {
     val wanted = schema.fields.filter(fl => supported(fl.dataType))
       .map(fl => fl.name -> fl.dataType).toMap
     if (wanted.isEmpty) return
-    val lines = files.flatMap { st =>
+    // footer reads are independent per file and I/O-bound — harvested
+    // from a driver thread pool (order restored by Par.run's input-order
+    // results); this runs on EVERY commit, so at a 30-leaf batch the
+    // sequential walk was 30 round-trips of pure latency
+    val lines = graft.core.Par.run(files.map { st => () =>
       val rel = relOf(st)
       val perCol =
         if (fmt == "orc") orcStats(conf, st.getPath, wanted)
@@ -359,7 +363,7 @@ object FileStats {
             cs.min.map(b64).getOrElse("-"), cs.max.map(b64).getOrElse("-"))
             .mkString("\t")
       }
-    }
+    }).flatten
     val out = f.create(new Path(root, StatsFileName), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()

@@ -5799,36 +5799,49 @@ object VersionedTable {
       col("event_type") === "view" && col("user_id") % 7 === 3,
       Seq("micros" -> (col("micros") + col("user_id"))))           // v3
     compact(spark, dir, "event_type")                              // v4
-    val rows = (0 to 4).map { v =>
+    // the lifecycle above is sequential by nature (v depends on v-1);
+    // these per-version audits are READ-ONLY over committed state —
+    // independent across versions, so the five chains run as concurrent
+    // driver threads (guide §2.6) and within a version the three audit
+    // legs (aggregate, stability join, change-feed checks) overlap too
+    val rows = graft.core.Par.run((0 to 4).map { v => () =>
       val s = readVersionWithRowIds(spark, dir, v)
-      val agg = s.agg(
-        count(lit(1)).cast("long"),
-        sum(col("micros")).cast("long"),
-        (count(col("_row_id")) === count(lit(1)) &&
-          countDistinct(col("_row_id")) === count(lit(1)))).first()
-      val (n, sm, idsOk) = (agg.getLong(0), agg.getLong(1),
-        agg.getBoolean(2))
-      val stableOk = v == 0 || {
-        val prev = readVersionWithRowIds(spark, dir, v - 1)
-          .select(col("event_id"), col("_row_id").as("rid_prev"))
-        s.select(col("event_id"), col("_row_id")).join(prev, "event_id")
-          .filter(col("_row_id") =!= col("rid_prev")).isEmpty
-      }
-      val feed = changeFeed(spark, dir, v - 1, v)
-      val byType = feed.groupBy("_change_type").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val (nPre, nPost) = (byType.getOrElse("update_preimage", 0L),
-        byType.getOrElse("update_postimage", 0L))
-      val pairedOk = (nPre == 0L && nPost == 0L) || {
-        val pre = feed.filter(col("_change_type") === "update_preimage")
-          .select(col("_row_id").as("rid"))
-        val post = feed.filter(col("_change_type") === "update_postimage")
-          .select(col("_row_id").as("rid"))
-        pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
-      }
-      (v.toLong, n, sm, byType.values.sum, nPre, nPost, idsOk,
-        stableOk, pairedOk)
-    }
+      val legs = graft.core.Par.run[Any](Seq(
+        () => {
+          val agg = s.agg(
+            count(lit(1)).cast("long"),
+            sum(col("micros")).cast("long"),
+            (count(col("_row_id")) === count(lit(1)) &&
+              countDistinct(col("_row_id")) === count(lit(1)))).first()
+          (agg.getLong(0), agg.getLong(1), agg.getBoolean(2))
+        },
+        () => v == 0 || {
+          val prev = readVersionWithRowIds(spark, dir, v - 1)
+            .select(col("event_id"), col("_row_id").as("rid_prev"))
+          s.select(col("event_id"), col("_row_id")).join(prev, "event_id")
+            .filter(col("_row_id") =!= col("rid_prev")).isEmpty
+        },
+        () => {
+          val feed = changeFeed(spark, dir, v - 1, v)
+          val byType = feed.groupBy("_change_type").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val (nPre, nPost) = (byType.getOrElse("update_preimage", 0L),
+            byType.getOrElse("update_postimage", 0L))
+          val pairedOk = (nPre == 0L && nPost == 0L) || {
+            val pre = feed.filter(col("_change_type") === "update_preimage")
+              .select(col("_row_id").as("rid"))
+            val post = feed.filter(col("_change_type") === "update_postimage")
+              .select(col("_row_id").as("rid"))
+            pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty
+          }
+          (byType.values.sum, nPre, nPost, pairedOk)
+        }))
+      val (n, sm, idsOk) = legs(0).asInstanceOf[(Long, Long, Boolean)]
+      val stableOk = legs(1).asInstanceOf[Boolean]
+      val (nCh, nPre, nPost, pairedOk) =
+        legs(2).asInstanceOf[(Long, Long, Long, Boolean)]
+      (v.toLong, n, sm, nCh, nPre, nPost, idsOk, stableOk, pairedOk)
+    })
     rows.toDF("version", "n_rows", "sum_micros", "n_changes", "n_pre",
         "n_post", "ids_ok", "stable_ok", "paired_ok")
       .orderBy("version")
