@@ -50,6 +50,10 @@ object SparkEntry {
     "orders_interval_join" -> ((s, d) => RangeJoin.shipmentsInOrderWindows(s, d)),
     // sketch aggregates (HLL++, approx percentile) with in-query audit bounds
     "events_approx_profile" -> (Analytics.eventsApproxProfile _),
+    // compute-weighted CPU scaling probe (round-16: makes the driver's
+    // 8-vs-32-core comparison demonstrable on a surface that is
+    // otherwise fixed-overhead bound at the bench SF)
+    "scaling_hash_chain" -> (graft.operators.ScalingProbe.hashChain _),
     // streaming definitions in batch form, gated by the SAME oracles
     "events_hourly_stream_def" -> (graft.streaming.EventStream.hourlyCountsBatch _),
     "events_sessionize_stateful" -> (graft.streaming.EventStream.sessionizeBatchSummary _),
@@ -369,6 +373,7 @@ object SparkEntry {
     "events_funnel" -> Analytics.eventsFunnelSql,
     "orders_interval_join" -> RangeJoin.shipmentsInOrderWindowsSql(),
     "events_approx_profile" -> Analytics.eventsApproxProfileSql,
+    "scaling_hash_chain" -> graft.operators.ScalingProbe.hashChainSql(),
     "events_hourly_stream_def" -> Analytics.eventsHourlySql,
     "events_sessionize_stateful" -> Analytics.sessionizeSql,
     "events_session_window" -> graft.streaming.EventStream.sessionWindowsSql(),

@@ -142,13 +142,18 @@ object LayoutAudit {
     val lTab = "graft_bkt_lineitem"
     spark.sql(s"DROP TABLE IF EXISTS $oTab")
     spark.sql(s"DROP TABLE IF EXISTS $lTab")
-    graft.sources.Bucketing.writeBucketed(
-      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
-      oTab, "o_orderkey", nBuckets, Some(s"$dir/orders"))
-    graft.sources.Bucketing.writeBucketed(
-      Tables.lineitem(spark, sfDir)
-        .select("l_orderkey", "l_extendedprice", "l_discount"),
-      lTab, "l_orderkey", nBuckets, Some(s"$dir/lineitem"))
+    // the two bucketed ingest writes land in disjoint catalog tables and
+    // disjoint dirs — independent actions, overlapped (guide §2.6; the
+    // r15 store-build pattern): the smaller orders write back-fills the
+    // lineitem shuffle's tail instead of queueing behind it
+    graft.core.Par.run2(
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+        oTab, "o_orderkey", nBuckets, Some(s"$dir/orders")),
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        lTab, "l_orderkey", nBuckets, Some(s"$dir/lineitem")))
     // merge hint: the point is the exchange-free SMJ, not a broadcast
     spark.table(lTab).hint("merge")
       .join(spark.table(oTab).hint("merge"),

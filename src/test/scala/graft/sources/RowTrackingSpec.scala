@@ -315,6 +315,27 @@ class RowTrackingSpec extends AnyFunSuite {
       s"duplicate row ids under racing appends: ${ids.sorted}")
   }
 
+  test("snapshot_row_tracking entry: every version's id audits hold " +
+      "under the single-evaluation feed (persist + signed-count pairing)") {
+    // round-16: the audit leg evaluates the change feed ONCE (persisted)
+    // and checks pre↔post pairing as one signed-count aggregate instead
+    // of two exceptAll actions — this pins that the rewritten audit
+    // still proves what the three-evaluation form proved
+    val rows = VersionedTable.snapshotRowTracking(spark,
+        "/root/testdata/sf0.001").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(6), s"ids_ok failed at version ${r.getLong(0)}")
+      assert(r.getBoolean(7), s"stable_ok failed at version ${r.getLong(0)}")
+      assert(r.getBoolean(8), s"paired_ok failed at version ${r.getLong(0)}")
+    }
+    // the update commit (v3) must show a non-empty exactly-paired feed —
+    // the case the signed-count form exists for
+    val v3 = rows.find(_.getLong(0) == 3L).get
+    assert(v3.getLong(4) > 0L && v3.getLong(4) === v3.getLong(5),
+      s"v3 should pair preimages with postimages 1:1: $v3")
+  }
+
   test("refusals: row tracking on ORC, converting a tracked table " +
       "away from parquet") {
     val bad = intercept[IllegalArgumentException] {
