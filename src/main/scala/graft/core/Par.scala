@@ -2,6 +2,8 @@ package graft.core
 
 import java.util.concurrent.{Callable, ExecutionException, Executors, ThreadFactory}
 
+import org.apache.spark.sql.SparkSession
+
 /** Overlap INDEPENDENT Spark actions from driver threads — the
   * optimization-guide §2.6 pattern ("actions are only sequential because
   * your driver code calls them sequentially"). The profiled query surface
@@ -17,8 +19,14 @@ import java.util.concurrent.{Callable, ExecutionException, Executors, ThreadFact
   * Semantics: results return in INPUT order (never completion order), so
   * callers assemble deterministic outputs; the first failure propagates
   * its ORIGINAL exception (same observable behavior as the sequential
-  * loop it replaces); the pool is per-call and daemonized, so no state
-  * outlives the call and a JVM exit is never held up.
+  * loop it replaces) and best-effort CANCELS the sibling thunks'
+  * in-flight Spark jobs (each pool thread runs under a per-call job
+  * group; the failure path cancels the group before rethrowing, so a
+  * failed leg no longer leaves orphan sibling jobs writing to stores
+  * while the caller unwinds — sibling thunks themselves still run to
+  * their next action, which fails fast on the cancelled group). The pool
+  * is per-call and daemonized, so no state outlives the call and a JVM
+  * exit is never held up.
   *
   * Spark-specific notes: concurrent actions on one SparkSession are a
   * supported, documented pattern (FIFO scheduling back-fills by default);
@@ -28,13 +36,28 @@ import java.util.concurrent.{Callable, ExecutionException, Executors, ThreadFact
   */
 private[graft] object Par {
 
-  /** Jobs in flight. The guide's "2–3 is plenty" targets long compute
-    * jobs on a shared cluster; these are sub-second metadata-heavy jobs
-    * on an otherwise-idle driver, where the fixed per-job latency (plan,
-    * codegen, schedule, commit) is the cost being hidden — a deeper pool
-    * keeps the driver's planning thread and the executors busy at once.
+  /** Jobs in flight when [[ParallelismConf]] is unset. The guide's "2–3
+    * is plenty" targets long compute jobs on a shared cluster; these are
+    * sub-second metadata-heavy jobs on an otherwise-idle driver, where
+    * the fixed per-job latency (plan, codegen, schedule, commit) is the
+    * cost being hidden — a deeper pool keeps the driver's planning
+    * thread and the executors busy at once.
     */
   private val DefaultParallelism = 8
+
+  /** Session conf overriding the in-flight action count. On a SHARED
+    * cluster set it to the guide's 2–3: eight concurrent actions from
+    * one application would fight real workloads for executors there,
+    * while the local default hides sub-second job latency on an
+    * otherwise-idle box.
+    */
+  val ParallelismConf = "spark.graft.par.parallelism"
+
+  private def configuredParallelism: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(ParallelismConf))
+      .map(_.toInt)
+      .getOrElse(DefaultParallelism)
 
   private val factory = new ThreadFactory {
     private val n = new java.util.concurrent.atomic.AtomicInteger
@@ -45,18 +68,35 @@ private[graft] object Par {
     }
   }
 
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong
+
   def run[A](thunks: Seq[() => A],
-      parallelism: Int = DefaultParallelism): Seq[A] = {
+      parallelism: Int = -1): Seq[A] = {
     if (thunks.lengthCompare(2) < 0) return thunks.map(t => t())
+    val width = if (parallelism > 0) parallelism else configuredParallelism
     val pool = Executors.newFixedThreadPool(
-      math.min(parallelism, thunks.size), factory)
+      math.min(width, thunks.size), factory)
+    // one job group per call: the failure path cancels exactly this
+    // call's in-flight sibling jobs, never an outer caller's (nested
+    // Par calls get their own group — thread-local, set per pool thread)
+    val session =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val group = s"graft-par-${groupSeq.incrementAndGet()}"
     try {
       val fs = thunks.map(t => pool.submit(new Callable[A] {
-        def call(): A = t()
+        def call(): A = {
+          session.foreach(_.sparkContext
+            .setJobGroup(group, group, interruptOnCancel = false))
+          t()
+        }
       }))
       fs.map { f =>
         try f.get()
-        catch { case e: ExecutionException => throw e.getCause }
+        catch {
+          case e: ExecutionException =>
+            session.foreach(_.sparkContext.cancelJobGroup(group))
+            throw e.getCause
+        }
       }
     } finally pool.shutdownNow()
   }

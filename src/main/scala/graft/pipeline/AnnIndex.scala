@@ -110,14 +110,24 @@ object AnnIndex {
     val subDim = dim / m
     val e = embeddings
       .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    // persisted BEFORE the overlapped write/collect: the two concurrent
+    // actions must observe ONE evaluation of the centroid plan — today
+    // centroidsOf is a deterministic filter/select, but if it ever gained
+    // sampling, the persisted table and the driver-held centQ the
+    // codebooks train on would silently diverge and corrupt the store.
+    // The cache pins the single-evaluation invariant instead of relying
+    // on determinism (concurrent cache fills of one block serialize in
+    // the block manager).
     val cents = Similarity.centroidsOf(e, ivfStride)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisting the centroid table and collecting the driver-held copy
     // are independent actions over the same tiny frame — overlapped
-    val (_, centQ) = graft.core.Par.run2(
+    val (_, centQ) = try graft.core.Par.run2(
       cents.write.mode("overwrite").parquet(centroidsPath(storeDir)),
       cents.collect()
         .map(r => r.getLong(0) ->
           Similarity.quantizeVec(r.getSeq[Double](1).toArray)).toMap)
+    finally cents.unpersist(blocking = false)
     // integer residual per vector, staged: codebook training makes
     // `iters`+1 passes over it and encoding one more — staging turns those
     // into parquet re-reads instead of re-running assignment each time.

@@ -246,10 +246,11 @@ object Dedup {
     // references it FOUR times (both band sides + both sig re-joins);
     // without materialization each reference recomputes the corpus scan +
     // shingle explode + aggregate (exchange reuse only covers the two
-    // identical band sides). localCheckpoint runs it ONCE — guide §3.3's
-    // "materialise an intermediate referenced many times".
-    val sigArr = minHashSignatures(Tables.documents(spark, sfDir))
-      .localCheckpoint()
+    // identical band sides). materializeOnce runs it ONCE — guide §3.3's
+    // "materialise an intermediate referenced many times" — through the
+    // reliable-checkpoint knob ([[CheckpointDirConf]]) on a cluster.
+    val sigArr = materializeOnce(
+      minHashSignatures(Tables.documents(spark, sfDir)))
     val banded = bandedOf(sigArr)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
@@ -369,9 +370,10 @@ object Dedup {
     */
   def simHashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     // the 64-vote fingerprint map is the expensive pass and the banded
-    // self-join references it twice — materialize once (guide §3.3)
-    val fps = simHashFingerprints(Tables.documents(spark, sfDir))
-      .localCheckpoint()
+    // self-join references it twice — materialize once (guide §3.3),
+    // reliable-checkpoint on a cluster ([[CheckpointDirConf]])
+    val fps = materializeOnce(
+      simHashFingerprints(Tables.documents(spark, sfDir)))
     val banded = fps.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until SimHashBands).map { bnd =>
@@ -473,6 +475,29 @@ object Dedup {
     * round-trip per round.
     */
   val CheckpointDirConf = "spark.graft.dedup.checkpointDir"
+
+  /** Materialize an intermediate referenced many times (guide §3.3) with
+    * the SAME durability story as the propagation loop: local-mode
+    * default is `localCheckpoint` (fast, executor-held blocks), and
+    * setting [[CheckpointDirConf]] switches to a RELIABLE checkpoint —
+    * on a real cluster a localCheckpoint'd block lost to executor churn
+    * fails the query outright (the lineage is truncated, nothing can be
+    * recomputed), which the signature/fingerprint frames here must not
+    * inherit. persist-before-checkpoint keeps the reliable path at one
+    * compute (the checkpoint write reads cached blocks).
+    */
+  private[pipeline] def materializeOnce(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirConf) match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df.persist()
+        val cp = df.checkpoint(eager = true)
+        df.unpersist()
+        cp
+      case None => df.localCheckpoint()
+    }
+  }
 
   /** The propagation loop itself: (doc_id, cluster_id) rows, unordered. */
   def labelsOf(edges0: DataFrame): DataFrame = {

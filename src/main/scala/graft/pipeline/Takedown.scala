@@ -73,6 +73,19 @@ object Takedown {
     * request's `after_v` (the numbers chain exactly — residual 0 is the
     * proof) and keep the fresh double-scan for periodic attestation runs.
     */
+  /** FAILURE CONTRACT (the legs run as concurrent driver threads since
+    * round 15): a failing leg propagates its ORIGINAL exception, and the
+    * pool cancels the sibling legs' in-flight Spark jobs best-effort
+    * ([[graft.core.Par]]'s per-call job group) — unlike the old
+    * sequential loop, legs that started before the failure may have
+    * completed their deletes. That is safe by construction: every leg is
+    * individually idempotent and journaled (staged-retire-install
+    * rewrites, exactly-once stats deltas keyed on `batchId`, versioned
+    * commits), so the recovery action for ANY partial state is to re-run
+    * the same call with the same `batchId` — completed legs heal to
+    * no-ops, the failed leg resumes. Pinned by TakedownSpec's
+    * failing-leg test.
+    */
   def propagate(spark: SparkSession, set: StoreSet,
       docIds: Seq[Long], vecIds: Seq[Long], batchId: String,
       basePred: Option[Column] = None): DataFrame = {
@@ -208,10 +221,13 @@ object Takedown {
         val after = VersionedTable.readLatest(spark, dir).count()
         // residual audits EVERY retained version (time travel must not be
         // a takedown bypass), not just the head — counted in ONE job
+        // reduceOption: an empty retained-version list (possible under a
+        // future retention policy) must audit as residual 0, not throw —
+        // the old sequential .map(count).sum form's behavior
         val vs = VersionedTable.versions(spark, dir)
         val residual = vs.map(v => VersionedTable.readVersion(spark, dir, v)
           .filter(pred).select(lit(1L).as("one")))
-          .reduce(_ unionAll _).count()
+          .reduceOption(_ unionAll _).fold(0L)(_.count())
         mvRows :+ (("versioned/rows", before, after, residual))
       }
     }
@@ -290,8 +306,8 @@ object Takedown {
             VersionedTable.versions(spark, dir)
               .map(v => VersionedTable.readVersion(spark, dir, v)
                 .filter(pred).select(lit(1L).as("one")))
-              .reduce(_ unionAll _)
-              .count()))
+              .reduceOption(_ unionAll _)
+              .fold(0L)(_.count())))
       }
     val rows = probes.map(_._1)
       .zip(graft.core.Par.run(probes.map(_._2)))
