@@ -440,8 +440,9 @@ private[plans] object GraftDml {
     *     UNKNOWN), so the kernels join these on the exact per-component
     *     condition ([[graft.sources.VersionedTable]]'s notInMatch).
     *
-    * Two `take(1)`-bounded probes per frame, both against the persisted
-    * frame the kernel reuses.
+    * ONE aggregate probe per frame (emptiness + all-NULL presence +
+    * nested-loop cap in a single pass) against the persisted frame the
+    * kernel reuses.
     */
   def resolveNotIn(frames: Seq[(Seq[String], org.apache.spark.sql.DataFrame)])
       : (Seq[(Seq[String], org.apache.spark.sql.DataFrame)], Option[Column],
@@ -453,10 +454,22 @@ private[plans] object GraftDml {
     val nullAware =
       Seq.newBuilder[(Seq[String], org.apache.spark.sql.DataFrame)]
     frames.foreach { case (ks, f) =>
-      if (f.take(1).isEmpty) ()
-      else if (f.filter(ks.map(fcol(_).isNull).reduce(_ && _))
-          .take(1).nonEmpty)
-        poisoned = true
+      // ONE aggregate answers all three probes (emptiness, all-NULL
+      // tuple presence, nested-loop cap) over the persisted frame —
+      // the three separate bounded actions (take, filtered take,
+      // limit+count) paid three sequential job round-trips per frame
+      // for answers a single pass produces; the frame is already
+      // materialized by the caller's persist, so full counts read
+      // cached blocks
+      import org.apache.spark.sql.functions.{count, lit, sum, when}
+      val allNull = ks.map(fcol(_).isNull).reduce(_ && _)
+      val probe = f.agg(
+        count(lit(1)).cast("long"),
+        sum(when(allNull, 1L).otherwise(0L)).cast("long")).collect().head
+      val (total, nAllNull) =
+        (probe.getLong(0), if (probe.isNullAt(1)) 0L else probe.getLong(1))
+      if (total == 0L) ()
+      else if (nAllNull > 0L) poisoned = true
       else if (ks.size == 1) {
         val c = fcol(ks.head).isNotNull
         notNull = Some(notNull.map(_ && c).getOrElse(c))
@@ -467,14 +480,13 @@ private[plans] object GraftDml {
         // comparison); an unbounded set would turn that into a silent
         // quadratic — refuse loudly past the cap, the same stance as
         // the exact-cosine audit's row cap
-        val cap = NullAwareSetCap
-        if (f.limit(cap + 1).count() > cap)
+        if (total > NullAwareSetCap)
           throw new UnsupportedOperationException(
-            s"tuple NOT IN subquery returned more than $cap rows — the " +
-              "null-aware anti join broadcasts the set into a nested " +
-              "loop, which does not scale past a bounded set; for a " +
-              "NULL-free set use NOT EXISTS with equality correlations " +
-              "(an anti hash join), or pre-filter the set")
+            s"tuple NOT IN subquery returned more than $NullAwareSetCap " +
+              "rows — the null-aware anti join broadcasts the set into " +
+              "a nested loop, which does not scale past a bounded set; " +
+              "for a NULL-free set use NOT EXISTS with equality " +
+              "correlations (an anti hash join), or pre-filter the set")
         nullAware += ks -> f
       }
     }

@@ -1585,10 +1585,13 @@ object VersionedTable {
     // AND no anti key matched): one left-join marker per frame, a
     // single pass over hit leaves. With tuple-NOT-IN frames the marker
     // form is unavailable (one row can null-aware-match several set
-    // rows, which would duplicate survivors), so survivors fall back to
-    // the exact multiset complement of the definite hits.
+    // rows, which would duplicate survivors), so survivors come from
+    // [[notInKeep]]'s disjoint semi/anti branches — the exact multiset
+    // complement of the definite hits without exceptAll's full-row
+    // exchange.
     def keep(df: DataFrame): DataFrame =
-      if (notInTuples.nonEmpty) df.exceptAll(hits(df))
+      if (notInTuples.nonEmpty)
+        notInKeep(df, res, keys, antiKeys, notInTuples, scalarJoins)
       else {
         val out = df.columns.toIndexedSeq
         var acc = applyScalarJoins(df, scalarJoins)
@@ -1638,6 +1641,59 @@ object VersionedTable {
   private def notInMatch(ks: Seq[String]): Column =
     ks.map(k => col(k) <=> col(s"__vt_nit_$k") ||
       col(k).isNull || col(s"__vt_nit_$k").isNull).reduce(_ && _)
+
+  /** The exact per-row COMPLEMENT of a tuple-NOT-IN hit chain — the
+    * survivors of `filter(res) → semi(keys…) → anti(antiKeys…) →
+    * null-aware-anti(notInTuples…)` WITHOUT `exceptAll`. The old
+    * `df.exceptAll(hits(df))` form re-evaluated the hit chain AND paid
+    * a full-row-keyed exchange (Spark rewrites EXCEPT ALL to a
+    * group-by over every column); classification is per-row
+    * deterministic, so the complement decomposes into disjoint
+    * multiset-exact branches instead (guide §2.3 "shuffle fewer
+    * bytes" / §2.4 "remove shuffles outright"):
+    *
+    *   - rows failing the residual/keys/antiKeys stage — the marker
+    *     form [[deleteMatching]] already uses when no tuple frame is
+    *     present (left-join markers against DISTINCT key frames: one
+    *     output row per input row);
+    *   - rows passing that stage but null-aware-MATCHING some tuple
+    *     frame — a left-semi cascade (semi/anti preserve the left
+    *     multiset exactly; one branch per frame, each restricted to
+    *     the previous frames' anti side, so branches are disjoint).
+    *
+    * keep ∪ hits = the input multiset and keep ∩ hits = ∅ row-for-row,
+    * which is precisely the exceptAll contract (SQL 3VL: a row neither
+    * definitely hit nor kept cannot exist).
+    */
+  private def notInKeep(df: DataFrame, res: Column,
+      keys: Seq[(Seq[String], DataFrame)],
+      antiKeys: Seq[(Seq[String], DataFrame)],
+      notInTuples: Seq[(Seq[String], DataFrame)],
+      scalarJoins: Seq[(Seq[String], DataFrame, String)]): DataFrame = {
+    val out = df.columns.toIndexedSeq
+    var acc = applyScalarJoins(df, scalarJoins)
+    val markers = (keys.map(_ -> false) ++ antiKeys.map(_ -> true))
+      .zipWithIndex.map { case (((ks, kdf), anti), i) =>
+        val mCol = s"__vt_in_hit_$i"
+        acc = acc.join(
+          kdf.select(ks.map(col): _*).distinct().withColumn(mCol, lit(1)),
+          ks, "left")
+        (mCol, anti)
+      }
+    val matchedAll = markers.map { case (m, anti) =>
+      if (anti) col(m).isNull else col(m).isNotNull
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val failEarly = acc.filter(!(coalesce(res, lit(false)) && matchedAll))
+      .select(out.map(col): _*)
+    var pass = acc.filter(coalesce(res, lit(false)) && matchedAll)
+      .select(out.map(col): _*)
+    val branches = Seq.newBuilder[DataFrame]
+    notInTuples.foreach { case (ks, kdf) =>
+      branches += pass.join(notInRight(ks, kdf), notInMatch(ks), "left_semi")
+      pass = pass.join(notInRight(ks, kdf), notInMatch(ks), "left_anti")
+    }
+    (failEarly +: branches.result()).reduce(_ unionByName _)
+  }
 
   /** The COW delete kernel shared by [[delete]] (predicate form) and
     * [[deleteMatching]] (key-membership form): `hits` selects the rows
@@ -1780,7 +1836,12 @@ object VersionedTable {
           acc.join(notInRight(ks, kdf), notInMatch(ks), "left_anti")
         }.select(df.columns.toIndexedSeq.map(col): _*)
       }
-      return updateCoreSplit(spark, tableDir, partCol, hitFn, assignments)
+      def keepFn(df: DataFrame): DataFrame = {
+        val res0 = residual.getOrElse(lit(true))
+        notInKeep(df, res0, keys, antiKeys, notInTuples, scalarJoins)
+      }
+      return updateCoreSplit(spark, tableDir, partCol, hitFn, keepFn,
+        assignments)
     }
     val res = residual.getOrElse(lit(true))
     def prepare(df: DataFrame): (DataFrame, Column) = {
@@ -1879,15 +1940,16 @@ object VersionedTable {
 
   /** The SPLIT update kernel — [[updateCore]]'s sibling for condition
     * shapes with no per-row marker form (tuple NOT IN's null-aware
-    * anti): `hitFn` selects the rows that take the assignments; the
-    * survivors of a hit leaf are the exact multiset complement
-    * (`exceptAll`), so SQL 3VL holds by construction — a row neither
-    * definitely hit nor kept cannot exist. Same probe/discovery/commit
-    * obligations as [[updateCore]], including the change feed's
-    * pairing-key record.
+    * anti): `hitFn` selects the rows that take the assignments, and
+    * `keepFn` their exact multiset complement ([[notInKeep]]'s disjoint
+    * semi/anti branches — no exceptAll full-row exchange), so SQL 3VL
+    * holds by construction — a row neither definitely hit nor kept
+    * cannot exist. Same probe/discovery/commit obligations as
+    * [[updateCore]], including the change feed's pairing-key record.
     */
   private def updateCoreSplit(spark: SparkSession, tableDir: String,
       partCol: String, hitFn: DataFrame => DataFrame,
+      keepFn: DataFrame => DataFrame,
       assignments: Seq[(String, Column)]): Unit =
     withCommitRetry {
       val v = latestVersion(spark, tableDir) + 1
@@ -1931,7 +1993,7 @@ object VersionedTable {
           case None => col(c)
         }
       }
-      val updated = view.exceptAll(hitRows)
+      val updated = keepFn(view)
         .unionByName(hitRows.select(outCols: _*))
       requireConstraints(updated, m, "update")
       val newLeaves = writeDataDirCols(updated, tableDir, v, cols, m.fmt)
@@ -3122,7 +3184,10 @@ object VersionedTable {
       includeRowCounts: Boolean = false,
       includeSchema: Boolean = false): DataFrame = {
     import spark.implicits._
-    val base = versions(spark, tableDir).map { v =>
+    // per-version audit counts are READ-ONLY over committed state —
+    // independent across versions, overlapped (guide §2.6) instead of
+    // one sequential count job per retained version
+    val base = graft.core.Par.run(versions(spark, tableDir).map { v => () =>
       val m = readManifestFull(spark, tableDir, v)
       val rows =
         if (includeRowCounts) readView(spark, tableDir, m).count() else -1L
@@ -3133,7 +3198,7 @@ object VersionedTable {
         .map { case (n, t) => s"$n:$t" }.mkString(",")
       (v, m.leaves.size.toLong, m.deletes.size.toLong, m.dirty.size.toLong,
         m.txns.size.toLong, rows, m.schema.size.toLong, schemaStr)
-    }.toDF("version", "n_leaves", "n_delete_vectors", "n_dirty_leaves",
+    }).toDF("version", "n_leaves", "n_delete_vectors", "n_dirty_leaves",
       "n_txns", "n_rows", "n_cols", "schema")
     if (includeSchema) base else base.drop("n_cols", "schema")
   }
@@ -3892,14 +3957,23 @@ object VersionedTable {
     val good = marked.filter(col("__graft_viol").isNull).drop("__graft_viol")
     val bad = marked.filter(col("__graft_viol").isNotNull)
       .withColumnRenamed("__graft_viol", "violated_constraint")
-    val nBad = bad.count()
-    val nGood = marked.count() - nBad
-    if (nGood > 0) append(good, tableDir, partCol)
-    if (nBad > 0) {
-      if (versions(spark, quarantineDir).isEmpty)
-        create(bad, quarantineDir, partCol)
-      else append(bad, quarantineDir, partCol)
-    }
+    // ONE aggregate over the checkpointed batch answers both counts
+    // (total, violators) — the two separate count jobs paid two
+    // sequential job round-trips for one pass's information
+    val counts = marked.agg(count(lit(1)).cast("long"),
+      count(col("__graft_viol")).cast("long")).collect().head
+    val (nTotal, nBad) = (counts.getLong(0), counts.getLong(1))
+    val nGood = nTotal - nBad
+    // the two legs append to DISJOINT tables — independent commits,
+    // overlapped (guide §2.6): the quarantine write back-fills the tail
+    // of the clean append instead of queueing behind it
+    graft.core.Par.run2(
+      if (nGood > 0) append(good, tableDir, partCol) else (),
+      if (nBad > 0) {
+        if (versions(spark, quarantineDir).isEmpty)
+          create(bad, quarantineDir, partCol)
+        else append(bad, quarantineDir, partCol)
+      } else ())
     (nGood, nBad)
   }
 
@@ -4528,12 +4602,15 @@ object VersionedTable {
         .otherwise(col("value")))
     val (appended, quarantined) =
       appendQuarantine(mangled, dir, "pdate", qDir)
-    val byConstraint = readLatest(spark, qDir)
-      .groupBy("violated_constraint").count()
-      .as[(String, Long)].collect().toMap
+    // two read-only audits of disjoint tables — overlapped (guide §2.6)
+    val (byConstraint, headRows) = graft.core.Par.run2(
+      readLatest(spark, qDir)
+        .groupBy("violated_constraint").count()
+        .as[(String, Long)].collect().toMap,
+      readLatest(spark, dir).count())
     Seq(
       ("appended", appended),
-      ("head_rows", readLatest(spark, dir).count()),
+      ("head_rows", headRows),
       ("quarantine_eid_nonneg", byConstraint.getOrElse("eid_nonneg", 0L)),
       ("quarantine_rows", quarantined),
       ("quarantine_value_nonneg", byConstraint.getOrElse("value_nonneg", 0L)))
@@ -6320,9 +6397,13 @@ object VersionedTable {
     create(events.filter(col("event_id") % 3 === 0), src, "pdate")
     append(events.filter(col("event_id") % 3 =!= 0), src, "pdate")
     cloneTable(spark, src, dst)
-    delete(spark, src, "pdate",
-      col("event_type") === "click" && col("user_id") % 5 === 2)
-    append(events.filter(col("event_id") % 7 === 0), dst, "pdate")
+    // the two divergence commits land on DISJOINT tables (the clone's
+    // hard links never rewrite in place — COW) — independent actions,
+    // overlapped (guide §2.6)
+    graft.core.Par.run2(
+      delete(spark, src, "pdate",
+        col("event_type") === "click" && col("user_id") % 5 === 2),
+      append(events.filter(col("event_id") % 7 === 0), dst, "pdate"))
     Seq("src" -> src, "clone" -> dst).map { case (side, d) =>
       readLatest(spark, d).agg(
         lit(side).as("side"),

@@ -774,6 +774,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SELECT * FROM ${sqlTable(dir)} VERSION AS OF 0")) === (1L to 4L))
   }
 
+  test("tuple NOT IN keeps exact multiset semantics under duplicate " +
+      "rows (the semi/anti survivor branches replacing exceptAll)") {
+    // round-16: the split kernels classify survivors per row instead of
+    // exceptAll's full-row-grouped multiset difference — identical rows
+    // must classify identically, so BOTH copies go or BOTH stay
+    val dir = mkTable()
+    spark.sql(s"INSERT INTO ${sqlTable(dir)} VALUES " +
+      "(20, 'a', 'DUP', 200), (20, 'a', 'DUP', 200), " + // both outside
+      "(21, 'a', 'KEEP', 210), (21, 'a', 'KEEP', 210)")  // both IN
+    Seq((Some("KEEP"), Some(21L)), (Some("ACTIVE"), Some(1L)),
+        (Some("ACTIVE"), Some(3L)), (Some("INACTIVE"), Some(2L)),
+        (Some("INACTIVE"), Some(4L)))
+      .toDF("s", "i").createOrReplaceTempView("ni_dup_set")
+    spark.sql(s"DELETE FROM ${sqlTable(dir)} " +
+      "WHERE (status, id) NOT IN (SELECT s, i FROM ni_dup_set)")
+    val left = v1(dir).orderBy("id").select("id").as[Long].collect().toSeq
+    assert(left === Seq(1L, 2L, 3L, 4L, 21L, 21L),
+      s"both DUP copies must delete, both KEEP copies must survive: $left")
+    // the same duplicates through the split UPDATE kernel
+    spark.sql(s"UPDATE ${sqlTable(dir)} SET amount = -3 " +
+      "WHERE (status, id) NOT IN (SELECT s, i FROM ni_dup_set WHERE i <> 21)")
+    val amounts = v1(dir).filter($"id" === 21L)
+      .select("amount").as[Long].collect().toSeq
+    assert(amounts === Seq(-3L, -3L),
+      s"both KEEP copies must take the assignment: $amounts")
+  }
+
   test("static INSERT OVERWRITE PARTITION is a one-commit replaceWhere: " +
       "the named slice is replaced (or emptied), everything else " +
       "carries, out-of-slice rows refuse") {
